@@ -1,13 +1,571 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.api.{CacheDecision, IndexBuilder, SemanticSearch}
+import graft.embed.HashingTfEmbedder
+import graft.filter.FilterDsl
+import graft.functions.TextHashFunctions._
+import graft.multimodal.Multimodal
+import graft.operators.{Ann, Dedup, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query here has a matching DuckDB oracle in [[oracleSql]] unless it
+  * depends on the pluggable embedder (scores are model-relative — SURVEY
+  * §7.4.1) or on non-SQL plumbing (multimodal batching); those run as
+  * rows-only checks.
+  *
+  * Float-parity design: the driver's checker compares doubles BIT-EXACTLY, so
+  * every float column is produced either by (a) exact arithmetic (decimal
+  * sums, integer-valued doubles), or (b) the identical sequence of IEEE
+  * double ops in both engines (cosine = in-order fold — verified bit-equal
+  * against DuckDB's `list_sum`-based fold).
+  */
 object SparkEntry {
+
+  private def rd(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark only
+    * reads via the nanos-as-long legacy conf; re-derive a microsecond
+    * timestamp (integer floor division — no double round-trip, which would
+    * lose precision above 2^53 ns).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    rd(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private val dec = DecimalType(18, 2)
+
+  /** Shared cosine SQL fragment for the DuckDB oracles: MUST fold in element
+    * order in double precision, exactly like
+    * [[graft.functions.CosineSimilarity]].
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |    * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+
+  private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(",")
+  private val allStop = sqlList(TextAnalysis.StopwordsEn ++ TextAnalysis.StopwordsDe
+    ++ TextAnalysis.StopwordsEs ++ TextAnalysis.StopwordsFr)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val embedder = HashingTfEmbedder(256)
+    val index = IndexBuilder.withEmbeddings(docs, embedder, textCol = "text")
+    new SemanticSearch(index, embedder, "doc_id", "text", "EMBEDDING")
+      .topK("machine learning training data quality", 5)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational core (SURVEY §2.2/§2.4/§2.5): scan, filter, agg ----
+    "q01_pricing_summary" -> ((s, dir) => {
+      rd(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(3, 2))))
+            .as("sum_disc_price"),
+          (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q02_filter_project" -> ((s, dir) => {
+      rd(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R" && col("l_quantity").between(30, 40)
+          && col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          (col("l_extendedprice") / lit(100.0)).as("price_hundreds"),
+          substring(col("l_linestatus"), 1, 1).as("flag"))
+    }),
+
+    "q03_join_agg" -> ((s, dir) => {
+      val o = rd(s, dir, "orders"); val c = rd(s, dir, "customer")
+      val n = rd(s, dir, "nation"); val r = rd(s, dir, "region")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).as("sum_totalprice"))
+    }),
+
+    "q04_join_topk" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem")
+      val p = rd(s, dir, "part").where(col("p_size") > 40)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .select("l_orderkey", "l_linenumber", "p_name", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(10)
+    }),
+
+    "q05_semi_join" -> ((s, dir) => {
+      val o = rd(s, dir, "orders")
+      val li = rd(s, dir, "lineitem").where(col("l_quantity") === 50)
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+    }),
+
+    "q06_anti_join" -> ((s, dir) => {
+      val c = rd(s, dir, "customer")
+      val big = rd(s, dir, "orders").where(col("o_totalprice") > 300000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+    }),
+
+    "q07_conditional_agg" -> ((s, dir) => {
+      val highDisc = sum(when(col("l_discount") > 0.05, 1).otherwise(0))
+      rd(s, dir, "lineitem").groupBy("l_linestatus")
+        .agg(highDisc.as("n_high_disc"), count(lit(1)).as("n_rows"),
+          (lit(100.0) * highDisc / count(lit(1))).as("pct_high_disc"))
+    }),
+
+    "q08_histogram" -> ((s, dir) => {
+      rd(s, dir, "orders")
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 200000, "medium").otherwise("large"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast(dec)).as("sum_price"))
+    }),
+
+    "q09_window_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      rd(s, dir, "orders").withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2).select("o_custkey", "o_orderkey", "rn")
+    }),
+
+    "q10_token_explode" -> ((s, dir) => {
+      rd(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .where(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .where(col("n") >= 5)
+    }),
+
+    "q11_json_extract" -> ((s, dir) => {
+      events(s, dir).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+    }),
+
+    "q12_time_agg" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value").cast(dec)).as("sum_value"))
+    }),
+
+    "q26_distinct_agg" -> ((s, dir) => {
+      events(s, dir).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec)).as("sum_value"))
+    }),
+
+    "q27_rollup" -> ((s, dir) => {
+      // via spark.sql: exercises the SQL entry surface; DataFrame rollup over
+      // a fresh join trips the ambiguous-self-join detector (dataset-id
+      // metadata survives into Expand), the SQL path has no such lineage.
+      rd(s, dir, "customer").createOrReplaceTempView("v_customer")
+      rd(s, dir, "nation").createOrReplaceTempView("v_nation")
+      rd(s, dir, "region").createOrReplaceTempView("v_region")
+      s.sql("""SELECT coalesce(r_name, 'ALL') AS region,
+              |  coalesce(n_name, 'ALL') AS nation, count(1) AS n_customers
+              |FROM v_customer JOIN v_nation ON c_nationkey = n_nationkey
+              |JOIN v_region ON n_regionkey = r_regionkey
+              |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
+    }),
+
+    // ---- dedup operators (training-data pipeline) ----
+    "q13_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(rd(s, dir, "documents"), "doc_id", "text")),
+
+    "q21_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(rd(s, dir, "documents"), "doc_id", "text",
+        Seq("lang", "source"), n = 1, threshold = 0.3)),
+
+    "q22_minhash_signatures" -> ((s, dir) => {
+      Dedup.minHashSignatures(rd(s, dir, "documents"), "doc_id", "text", 16)
+        .select(col("doc_id"), posexplode(col("minhash")))
+        .select(col("doc_id"), col("pos").as("hash_idx"), col("col").as("minhash"))
+    }),
+
+    // 2 bands x 8 rows: band-collision prob = j^8, so only genuinely
+    // near-duplicate pairs (j >~ 0.9) become candidates — the parameterization
+    // that keeps the candidate set sub-quadratic on low-diversity corpora.
+    "q23_minhash_lsh_pairs" -> ((s, dir) =>
+      Dedup.minHashLshPairs(rd(s, dir, "documents"), "doc_id", "text",
+        numHashes = 16, bands = 2)),
+
+    "q24_simhash" -> ((s, dir) => {
+      rd(s, dir, "documents")
+        .select(col("doc_id"), simhash60(split(col("text"), " ")).as("simhash"))
+    }),
+
+    "q20_neardup_cosine" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(rd(s, dir, "embeddings"), "vec_id", "embedding",
+        Seq("label"), threshold = 0.3)),
+
+    // ---- text analysis ----
+    "q14_text_stats" -> ((s, dir) => {
+      val t = col("text")
+      rd(s, dir, "documents").select(col("doc_id"),
+        length(t).as("n_chars"),
+        size(split(t, " ")).as("n_tokens"),
+        (length(t) - length(regexp_replace(t, "[.,;:!?]", ""))).as("n_punct"),
+        (length(t) - length(regexp_replace(t, "[0-9]", ""))).as("n_digits"),
+        (length(regexp_replace(t, " ", "")).cast("double") / size(split(t, " ")))
+          .as("avg_token_len"))
+    }),
+
+    "q15_lang_id" -> ((s, dir) => {
+      rd(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langIdGuess(col("text")).as("lang_guess"))
+    }),
+
+    "q16_bpeish_tokens" -> ((s, dir) => {
+      rd(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_tokens_bpeish"))
+    }),
+
+    "q25_quality_score" -> ((s, dir) => {
+      rd(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(TextAnalysis.qualityMetrics(col("text")))
+          .as("quality_score"))
+    }),
+
+    // ---- vector search (SURVEY §2.7) ----
+    "q17_vector_topk" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      Ann.topK(emb.where(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+        .select("vec_id", "score")
+    }),
+
+    "q18_filtered_search" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val docs = rd(s, dir, "documents")
+      val q = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val corpus = emb.join(docs, emb("vec_id") === docs("doc_id"))
+        .where(col("lang") === "en" && col("vec_id") =!= 0)
+      Ann.topK(corpus, "vec_id", "embedding", q, 10)
+        .select("vec_id", "lang", "score")
+    }),
+
+    "q31_topk_batch" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id").isin(0L, 1L, 2L))
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+        .sortBy(_._1)
+      Ann.topKBatch(emb, "vec_id", "embedding", qs, 5,
+        filter = !col("vec_id").isin(0L, 1L, 2L))
+    }),
+
+    "q19_cache_decision" -> ((s, dir) => {
+      Dedup.jaccardPairs(rd(s, dir, "documents"), "doc_id", "text",
+        Seq("lang", "source"), n = 1, threshold = 0.3)
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          CacheDecision.decision(col("jaccard")).as("decision"),
+          CacheDecision.rubricTier(col("jaccard")).as("tier"))
+    }),
+
+    // ---- filter DSL (SURVEY §2.2 P7, §3.2) ----
+    "q28_filter_dsl" -> ((s, dir) => {
+      val f = FilterDsl.compile(
+        """{"@and":[
+          |  {"@eq":{"lang":"en"}},
+          |  {"@or":[{"@gte":{"n_chars":200}},{"@contains":{"text":"data"}}]},
+          |  {"@not":{"@eq":{"source":"src0"}}},
+          |  {"@in":{"source":["src1","src2","src3","src4","src5","src6","src7"]}}
+          |]}""".stripMargin)
+      rd(s, dir, "documents").where(f)
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
+    // ---- embedder-dependent / plumbing paths (rows-only checks) ----
+    "q29_search_preview" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val embedder = HashingTfEmbedder(256)
+      val index = IndexBuilder.withEmbeddings(docs, embedder, textCol = "text")
+      new SemanticSearch(index, embedder, "doc_id", "text", "EMBEDDING")
+        .search("""{"query":"training data quality and dedup",
+                  | "columns":["doc_id","lang","n_chars"],
+                  | "filter":{"@eq":{"lang":"en"}}, "limit":7}""".stripMargin)
+    }),
+
+    "q30_multimodal_features" -> ((s, dir) => {
+      Multimodal.extractFeatures(
+          Multimodal.syntheticMedia(s, 300), new Multimodal.StubCodec(64))
+        .toDF()
+        .select("media_id", "kind", "n_bytes", "checksum", "frames_sampled",
+          "out_width", "out_height")
+    })
+  )
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Omitted keys => driver records a rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS sum_disc_price,
+        |  sum(l_quantity) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  l_extendedprice / 100.0 AS price_hundreds,
+        |  substring(l_linestatus, 1, 1) AS flag
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity BETWEEN 30 AND 40 AND l_discount > 0.05""".stripMargin,
+
+    "q03_join_agg" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q04_join_topk" ->
+      """SELECT l_orderkey, l_linenumber, p_name, l_extendedprice
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size > 40
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+
+    "q05_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity = 50)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q06_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q07_conditional_agg" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_high_disc,
+        |  count(*) AS n_rows,
+        |  100.0 * sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) / count(*) AS pct_high_disc
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "q08_histogram" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |  WHEN o_totalprice < 200000 THEN 'medium' ELSE 'large' END AS bucket,
+        |  count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q09_window_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2""".stripMargin,
+
+    "q10_token_explode" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> '' GROUP BY token HAVING count(*) >= 5""".stripMargin,
+
+    "q11_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events""".stripMargin,
+
+    "q12_time_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+        |  event_type, count(*) AS n_events,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q26_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q27_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |  count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+
+    "q13_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q21_jaccard_pairs" ->
+      """WITH g AS (SELECT doc_id, lang, source,
+        |    list_distinct(string_split(text, ' ')) AS grams FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jaccard
+        |FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.3""".stripMargin,
+
+    "q22_minhash_signatures" ->
+      """SELECT d.doc_id, i.i AS hash_idx,
+        |  min(CAST(('0x' || substring(md5(CAST(i.i AS VARCHAR) || ':' || t.t), 1, 8)) AS BIGINT)) AS minhash
+        |FROM documents d, range(16) i(i),
+        |  unnest(list_distinct(string_split(d.text, ' '))) AS t(t)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q23_minhash_lsh_pairs" ->
+      """WITH mh AS (
+        |  SELECT d.doc_id, i.i AS hash_idx,
+        |    min(CAST(('0x' || substring(md5(CAST(i.i AS VARCHAR) || ':' || t.t), 1, 8)) AS BIGINT)) AS minhash
+        |  FROM documents d, range(16) i(i),
+        |    unnest(list_distinct(string_split(d.text, ' '))) AS t(t)
+        |  GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(minhash ORDER BY hash_idx) AS s FROM mh GROUP BY doc_id),
+        |bands AS (SELECT doc_id, b.b AS band,
+        |    md5(array_to_string(s[b.b * 8 + 1 : b.b * 8 + 8], ',')) AS bucket
+        |  FROM sig, range(2) b(b))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+        |  AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q24_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(('0x' || substring(md5(t.t), 1, 15)) AS BIGINT) AS h
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(t)),
+        |votes AS (
+        |  SELECT doc_id, b.b AS b,
+        |    sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM toks, range(60) b(b) GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+        |FROM votes GROUP BY doc_id""".stripMargin,
+
+    "q20_neardup_cosine" -> {
+      val cos = cosSql("a.embedding", "b.embedding")
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cos
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE $cos >= 0.3""".stripMargin
+    },
+
+    "q14_text_stats" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
+        |FROM documents""".stripMargin,
+
+    "q15_lang_id" -> {
+      def hits(ws: Seq[String]) =
+        s"len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN (${sqlList(ws)})))"
+      s"""WITH h AS (SELECT doc_id,
+         |  ${hits(TextAnalysis.StopwordsEn)} AS en,
+         |  ${hits(TextAnalysis.StopwordsDe)} AS de,
+         |  ${hits(TextAnalysis.StopwordsEs)} AS es,
+         |  ${hits(TextAnalysis.StopwordsFr)} AS fr
+         | FROM documents)
+         |SELECT doc_id, CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+         |  WHEN en = greatest(en, de, es, fr) THEN 'en'
+         |  WHEN de = greatest(en, de, es, fr) THEN 'de'
+         |  WHEN es = greatest(en, de, es, fr) THEN 'es'
+         |  ELSE 'fr' END AS lang_guess
+         |FROM h""".stripMargin
+    },
+
+    "q16_bpeish_tokens" ->
+      """SELECT doc_id,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0),
+        |    w -> CAST(ceil(len(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_tokens_bpeish
+        |FROM documents""".stripMargin,
+
+    "q25_quality_score" -> {
+      s"""WITH m AS (SELECT doc_id,
+         |  CAST(length(text) AS DOUBLE) AS n_chars,
+         |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+         |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+         |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits,
+         |  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ($allStop))) AS DOUBLE) AS n_stop
+         | FROM documents)
+         |SELECT doc_id,
+         |  least(n_chars / 200.0, 1.0) * 0.4
+         |  + least(n_stop * 10.0 / greatest(n_tokens, 1.0), 1.0) * 0.4
+         |  + (1.0 - least(n_punct * 4.0 / greatest(n_chars, 1.0), 1.0)) * 0.1
+         |  + (1.0 - least(n_digits * 4.0 / greatest(n_chars, 1.0), 1.0)) * 0.1 AS quality_score
+         |FROM m""".stripMargin
+    },
+
+    "q17_vector_topk" -> {
+      val cos = cosSql("e.embedding", "q.qv")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, $cos AS score
+         |FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin
+    },
+
+    "q18_filtered_search" -> {
+      val cos = cosSql("e.embedding", "q.qv")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, d.lang, $cos AS score
+         |FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id CROSS JOIN q
+         |WHERE d.lang = 'en' AND e.vec_id <> 0
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin
+    },
+
+    "q31_topk_batch" -> {
+      val cos = cosSql("e.embedding", "q.qv")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |s AS (SELECT q.qid, e.vec_id, $cos AS score
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id NOT IN (0, 1, 2)),
+         |r AS (SELECT qid, vec_id, score,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM s)
+         |SELECT qid, rank, vec_id, score FROM r WHERE rank <= 5""".stripMargin
+    },
+
+    "q19_cache_decision" ->
+      """WITH g AS (SELECT doc_id, lang, source,
+        |    list_distinct(string_split(text, ' ')) AS grams FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jaccard
+        |  FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard,
+        |  CASE WHEN jaccard > 0.8 THEN 'CACHE HIT - Excellent Match'
+        |    WHEN jaccard > 0.7 THEN 'CACHE HIT - Good Match'
+        |    ELSE 'CACHE MISS - Generate New' END AS decision,
+        |  CASE WHEN jaccard > 0.9 THEN 'excellent'
+        |    WHEN jaccard >= 0.8 THEN 'very good'
+        |    WHEN jaccard >= 0.7 THEN 'good'
+        |    ELSE 'miss' END AS tier
+        |FROM p WHERE jaccard >= 0.3""".stripMargin,
+
+    "q28_filter_dsl" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang = 'en'
+        |  AND (n_chars >= 200 OR text LIKE '%data%')
+        |  AND NOT (source = 'src0')
+        |  AND source IN ('src1','src2','src3','src4','src5','src6','src7')""".stripMargin
+  )
 }

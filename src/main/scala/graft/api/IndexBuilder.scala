@@ -1,0 +1,43 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.embed.Embedder
+
+/** Batch index build — the Spark re-expression of the reference's
+  * `CREATE CORTEX SEARCH SERVICE ... ON EMBED_STR ATTRIBUTES ... AS (SELECT
+  * ...)` (`/root/reference/01_method1_cortex_search.sql:168-186`) and the
+  * manual `UPDATE ... SET EMBEDDING = EMBED_TEXT_768(...) WHERE EMBED_STR IS
+  * NOT NULL` batch path (`02:170-172`):
+  *
+  *   source df -> embed text column (only where non-null) -> persist Parquet
+  *   partitioned by a low-cardinality attribute (`02:407` prescribes
+  *   clustering by SPORT_TYPE; partitionBy gives the same pruning in Spark).
+  *
+  * The embedding column is also L2-normalized at build time so the scan-side
+  * scorer can use the cheaper dot product when it wants (norm preserved by
+  * construction = 1).
+  */
+object IndexBuilder {
+
+  def withEmbeddings(df: DataFrame, embedder: Embedder,
+                     textCol: String = "EMBED_STR",
+                     embCol: String = "EMBEDDING"): DataFrame =
+    df.withColumn(embCol,
+      when(col(textCol).isNotNull, embedder.embedCol(col(textCol))))
+
+  /** Build and persist the index; returns the reloaded (pruned-scan-capable)
+    * DataFrame.
+    */
+  def buildAndPersist(df: DataFrame, embedder: Embedder, path: String,
+                      partitionCols: Seq[String] = Seq("SPORT_TYPE"),
+                      textCol: String = "EMBED_STR"): DataFrame = {
+    val spark = df.sparkSession
+    val withEmb = withEmbeddings(df, embedder, textCol)
+    val writer = withEmb.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(path)
+    spark.read.parquet(path)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+import graft.embed.Embedder
+import graft.filter.FilterDsl
+import graft.functions.VectorFunctions._
+import graft.operators.Ann
+
+/** The engine's semantic-search entry point — the Spark re-expression of both
+  * reference query paths:
+  *
+  *  - Method 2 inline vector search
+  *    (`/root/reference/02_method2_manual_vector_embedding.sql:204-227`):
+  *    [[topK]] — typed DataFrame in/out.
+  *  - Method 1 `SEARCH_PREVIEW(service, json_request)`
+  *    (`/root/reference/01_method1_cortex_search.sql:200-219`): [[search]] /
+  *    [[searchResponseJson]] — JSON request `{query, columns, filter, limit}`,
+  *    stringified-values response `{"results": [...]}`.
+  *
+  * Plan shape (the one worth having at 100 TB): the query vector is embedded
+  * ONCE on the driver and folded in as a literal — no cross join, nothing
+  * shipped but the plan; filters stay `Column`s so they push into the Parquet
+  * scan; top-k plans as `TakeOrderedAndProject` (per-partition heaps, no
+  * global sort or shuffle).
+  *
+  * @param index     corpus with at least (idCol, textCol, embCol); build it
+  *                  with [[IndexBuilder]]
+  * @param embedder  must be the SAME embedder the index was built with
+  */
+final class SemanticSearch(index: DataFrame, embedder: Embedder,
+                           idCol: String = "ID", textCol: String = "EMBED_STR",
+                           embCol: String = "EMBEDDING") {
+
+  private val mapper = new ObjectMapper()
+
+  /** Typed top-k: score = cosine(query embedding, row embedding). */
+  def topK(query: String, k: Int, filter: Column = lit(true)): DataFrame = {
+    val qvec = embedder.embed(query).toSeq
+    index.where(filter && col(embCol).isNotNull)
+      .withColumn("SIMILARITY_SCORE", cosineSim(col(embCol), typedlit(qvec)))
+      .orderBy(col("SIMILARITY_SCORE").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Batched multi-query search in one job (bounded-heap partial agg). */
+  def topKBatch(queries: Seq[(Long, String)], k: Int,
+                filter: Column = lit(true)): DataFrame =
+    Ann.topKBatch(index, idCol, embCol,
+      queries.map { case (qid, q) => (qid, embedder.embed(q).toSeq) }, k, filter)
+
+  /** Method-1 request entry point: JSON in, DataFrame of STRING columns out
+    * (the observed Cortex contract stringifies every value; consumers
+    * `TRY_CAST` back — `01:205-206`).
+    */
+  def search(requestJson: String): DataFrame = {
+    val req = mapper.readTree(requestJson)
+    val query = Option(req.get("query")).map(_.asText())
+      .getOrElse(throw new IllegalArgumentException("request needs 'query'"))
+    val k = Option(req.get("limit")).map(_.asInt()).getOrElse(5)
+    val filter = FilterDsl.compileRequestFilter(requestJson).getOrElse(lit(true))
+    val cols: Seq[String] = Option(req.get("columns"))
+      .map(_.elements().asScala.map(_.asText()).toSeq)
+      .getOrElse(index.columns.filterNot(_ == embCol).toSeq)
+    topK(query, k, filter)
+      .select(cols.map(c => col(c).cast("string").as(c)): _*)
+  }
+
+  /** Byte-shaped Method-1 response: `{"results": [{col: string-value}]}`. */
+  def searchResponseJson(requestJson: String): String = {
+    val rows = search(requestJson)
+      .select(to_json(struct(col("*"))).as("j"))
+      .collect().map(_.getString(0))
+    s"""{"results":[${rows.mkString(",")}]}"""
+  }
+}
+
+/** Cache-decision tiers over a similarity score — the reference's semantic
+  * caching logic (`02:309-315`; README rubric `R:86-90`). Both threshold sets
+  * are preserved verbatim: the SQL script decides at 0.80/0.70, the README
+  * rubric adds a 0.90 "excellent" tier.
+  */
+object CacheDecision {
+  val ScriptExcellent = 0.80
+  val ScriptGood = 0.70
+  val ReadmeExcellent = 0.90
+
+  /** `02:309-313`: CASE over the score, plus the `> 0.70` hard filter usually
+    * applied with it (`02:315`).
+    */
+  def decision(score: Column): Column =
+    when(score > ScriptExcellent, lit("CACHE HIT - Excellent Match"))
+      .when(score > ScriptGood, lit("CACHE HIT - Good Match"))
+      .otherwise(lit("CACHE MISS - Generate New"))
+
+  def isHit(score: Column): Column = score > ScriptGood
+
+  /** README 4-tier rubric (`R:86-90`). */
+  def rubricTier(score: Column): Column =
+    when(score > ReadmeExcellent, lit("excellent"))
+      .when(score >= 0.80, lit("very good"))
+      .when(score >= 0.70, lit("good"))
+      .otherwise(lit("miss"))
+}

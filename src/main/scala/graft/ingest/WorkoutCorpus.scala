@@ -1,0 +1,99 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Workout-corpus data model and CSV ingest, re-deriving the reference DDL +
+  * COPY semantics (`/root/reference/01_method1_cortex_search.sql:72-94`,
+  * `:111-142`) as a Spark CSV read plus a typed projection:
+  *
+  *  - quoted multiline fields (`FIELD_OPTIONALLY_ENCLOSED_BY='"'`)
+  *    => `multiLine=true, quote=escape='"'`
+  *  - `SKIP_HEADER=1` => `header=true`
+  *  - `ON_ERROR='CONTINUE'` => PERMISSIVE mode + corrupt-record audit column
+  *  - `NULLIF($n,'')::INTEGER` (`01:120-121`) => empty-string -> null -> int
+  *  - `$11::TIMESTAMP_NTZ` => timestamp parse with UTC session semantics
+  */
+object WorkoutCorpus {
+
+  /** Core scalar schema (`01:72-94`). Everything lands as string first (the
+    * COPY reads `$1..$11` text) and is cast in [[typed]].
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("ID", StringType),
+    StructField("EMBED_STR", StringType),
+    StructField("SPORT_TYPE", StringType),
+    StructField("DIFFICULTY", StringType),
+    StructField("MOVING_TIME_SECONDS", StringType),
+    StructField("DISTANCE_METERS", StringType),
+    StructField("GENERATION_MODEL", StringType),
+    StructField("WORKOUT_SOURCE", StringType),
+    StructField("STORE_VERSION", StringType),
+    StructField("RAW_JSON_STR", StringType),
+    StructField("CREATED_AT", StringType),
+    StructField("_corrupt_record", StringType)))
+
+  /** Permissive nested schema for the `RAW_JSON_STR` VARIANT payload — the
+    * superset shape (core 5-key corpus rows + full structured cache rows);
+    * absent paths parse to null, matching VARIANT missing-path semantics.
+    */
+  val rawJsonSchema: StructType = {
+    val scalarValue = StructType(Seq(
+      StructField("value_type", StringType), StructField("value", LongType),
+      StructField("min_value", LongType), StructField("max_value", LongType)))
+    StructType(Seq(
+      StructField("workout_title", StringType),
+      StructField("workout_instructions", StringType),
+      StructField("workout_difficulty", StringType),
+      StructField("workout_query", StringType),
+      StructField("sport_specs", ArrayType(StructType(Seq(
+        StructField("sport_type", StringType))))),
+      StructField("structured_characteristics", StructType(Seq(
+        StructField("workout_data_tags", ArrayType(StringType))))),
+      StructField("sets", ArrayType(StructType(Seq(
+        StructField("repeats_min", LongType),
+        StructField("steps", ArrayType(StructType(Seq(
+          StructField("workout_step_type", StringType),
+          StructField("scalar_value", scalarValue),
+          StructField("description", StringType))))),
+        StructField("display_data", StructType(Seq(
+          StructField("set_description", StringType)))))))),
+      StructField("scalar_values", ArrayType(scalarValue)),
+      StructField("structured_workout_source_info", StructType(Seq(
+        StructField("source", StringType), StructField("source_uid", StringType),
+        StructField("generation_model", StringType)))),
+      StructField("parametrized_strings", ArrayType(StringType))))
+  }
+
+  /** Read a corpus CSV with the reference's load semantics. */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    typed(spark.read
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(rawSchema)
+      .csv(path))
+
+  /** The per-column cast layer (`01:116-126`): strict casts for the columns
+    * COPY casts with `::`, NULLIF('')-style empty handling for the nullable
+    * ints, and a parsed struct view of the JSON payload alongside the raw
+    * string (queries return the raw document verbatim, `02:346`).
+    */
+  def typed(raw: DataFrame): DataFrame = {
+    def emptyToNullInt(c: String) =
+      when(col(c) === "", lit(null)).otherwise(col(c)).cast(IntegerType).as(c)
+    raw.select(
+      col("ID"), col("EMBED_STR"), col("SPORT_TYPE"), col("DIFFICULTY"),
+      emptyToNullInt("MOVING_TIME_SECONDS"),
+      emptyToNullInt("DISTANCE_METERS"),
+      col("GENERATION_MODEL"), col("WORKOUT_SOURCE"), col("STORE_VERSION"),
+      col("RAW_JSON_STR"),
+      from_json(col("RAW_JSON_STR"), rawJsonSchema).as("WORKOUT_DOC"),
+      col("CREATED_AT").cast(TimestampType).as("CREATED_AT"),
+      col("_corrupt_record"))
+  }
+}

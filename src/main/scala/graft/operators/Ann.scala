@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - [[topK]]: exact brute-force cosine top-k. Catalyst plans
+  *    `TakeOrderedAndProject` — per-partition bounded heaps, driver merge of
+  *    k rows per partition; no global sort, no shuffle. This is the
+  *    reference's own search semantics (exact scored top-k,
+  *    `/root/reference/02_method2_manual_vector_embedding.sql:226-227`) and
+  *    stays viable per-partition-parallel at any corpus size.
+  *  - [[topKBatch]]: many queries in one job via a partial-aggregating
+  *    bounded-heap UDAF — map-side combine keeps the shuffle at k rows per
+  *    (query, partition), not |corpus| rows.
+  *  - [[withHyperplaneBuckets]] / [[withIvfAssignment]]: the >=1M-vector scale
+  *    path — restrict scoring to one bucket / nProbe nearest centroids.
+  */
+object Ann {
+
+  /** Exact brute-force top-k for a single query vector. */
+  def topK(corpus: DataFrame, idCol: String, embCol: String,
+           query: Seq[Float], k: Int, filter: Column = lit(true)): DataFrame =
+    corpus.where(filter && col(embCol).isNotNull)
+      .withColumn("score", cosineSim(col(embCol), typedlit(query)))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
+  /** One scored (score, id) pair flowing into the top-k aggregator. */
+  case class Scored(score: Double, id: Long)
+
+  /** Bounded top-k buffer (wrapper because product encoders need a case class). */
+  case class TopKBuf(xs: Seq[Scored])
+
+  /** Bounded-heap top-k aggregator. The buffer never exceeds 2k entries, so
+    * partial (map-side) aggregation ships O(k) per partition per group.
+    */
+  class TopKAgg(k: Int) extends Aggregator[Scored, TopKBuf, Seq[Scored]] {
+    private def trim(s: Seq[Scored]): Seq[Scored] =
+      if (s.size <= 2 * k) s
+      else s.sortBy(x => (-x.score, x.id)).take(k)
+    def zero: TopKBuf = TopKBuf(Nil)
+    def reduce(b: TopKBuf, a: Scored): TopKBuf = TopKBuf(trim(a +: b.xs))
+    def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = TopKBuf(trim(b1.xs ++ b2.xs))
+    def finish(r: TopKBuf): Seq[Scored] = r.xs.sortBy(x => (-x.score, x.id)).take(k)
+    def bufferEncoder = Encoders.product[TopKBuf]
+    def outputEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  }
+
+  /** Batched top-k: one job scores |queries| x |corpus| pairs but aggregates
+    * with map-side bounded heaps, so only O(k) rows per query per partition
+    * shuffle. `queries`: (qid, vector). Output: (qid, neighbor id, score, rank).
+    */
+  def topKBatch(corpus: DataFrame, idCol: String, embCol: String,
+                queries: Seq[(Long, Seq[Float])], k: Int,
+                filter: Column = lit(true)): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val topkUdaf = udaf(new TopKAgg(k), Encoders.product[Scored])
+    val qDf = queries.toDF("qid", "qvec")
+    corpus.where(filter && col(embCol).isNotNull)
+      .crossJoin(broadcast(qDf))
+      .select(col("qid"),
+        cosineSim(col(embCol), col("qvec")).as("score"),
+        col(idCol).cast("long").as("nid"))
+      .groupBy("qid")
+      .agg(topkUdaf(col("score"), col("nid")).as("topk"))
+      .select(col("qid"), posexplode(col("topk")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("col.id").as(idCol), col("col.score").as("score"))
+  }
+
+  /** Deterministic seeded gaussian hyperplanes for sign-bit LSH. */
+  def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  /** Add a sign-bit LSH bucket column: bit i = (emb . plane_i) >= 0.
+    * Near-identical vectors land in the same bucket with high probability;
+    * bucket is then a blocking key for [[Dedup.embeddingNearDupPairs]] or a
+    * pre-filter for search. Pure per-row projection — no shuffle.
+    */
+  def withHyperplaneBuckets(df: DataFrame, embCol: String,
+                            planes: Seq[Seq[Float]],
+                            bucketCol: String = "lsh_bucket"): DataFrame = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      when(dotProduct(col(embCol), typedlit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    df.withColumn(bucketCol, bits.reduce(_ + _))
+  }
+
+  /** Assign each row to its nearest centroid (IVF coarse quantizer).
+    * Centroids are broadcast as literals; assignment is a per-row argmax —
+    * no shuffle. Persist partitioned by this column and a query probing
+    * nProbe centroids prunes (1 - nProbe/nCentroids) of the corpus scan.
+    */
+  def withIvfAssignment(df: DataFrame, embCol: String,
+                        centroids: Seq[Seq[Float]],
+                        assignCol: String = "ivf_cell"): DataFrame = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosineSim(col(embCol), typedlit(c)).as("s"), lit(i).as("i"))
+    }
+    df.withColumn(assignCol, greatest(scored: _*).getField("i"))
+  }
+
+  /** Pick deterministic IVF centroids: the first `n` rows by id. (A k-means
+    * refinement is a drop-in improvement; centroid quality affects recall,
+    * not the plan shape.)
+    */
+  def sampleCentroids(df: DataFrame, idCol: String, embCol: String, n: Int): Seq[Seq[Float]] =
+    df.where(col(embCol).isNotNull)
+      .orderBy(col(idCol)).limit(n)
+      .select(col(embCol)).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+
+  /** IVF-pruned approximate top-k: score only rows in the `nProbe` cells
+    * nearest to the query. With the corpus persisted partitionBy(ivf_cell),
+    * the isin() filter becomes partition pruning — the scan itself shrinks.
+    */
+  def topKIvf(corpusWithCells: DataFrame, idCol: String, embCol: String,
+              assignCol: String, centroids: Seq[Seq[Float]],
+              query: Seq[Float], k: Int, nProbe: Int): DataFrame = {
+    val cells = centroids.zipWithIndex
+      .map { case (c, i) => (cosine(query, c), i) }
+      .sortBy(x => (-x._1, x._2)).take(nProbe).map(_._2)
+    topK(corpusWithCells, idCol, embCol, query, k,
+      col(assignCol).isin(cells: _*))
+  }
+
+  /** Driver-side cosine (same fold order as the Catalyst expression). */
+  def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    require(a.length == b.length, s"dim mismatch ${a.length} vs ${b.length}")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHashFunctions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication operators for training-data pipelines, at three cost tiers:
+  *
+  *  - exact: one hash-shuffle on the content fingerprint — O(n).
+  *  - MinHash-LSH / SimHash: per-row signatures (no shuffle), then one
+  *    shuffle on the band/chunk bucket; candidate pairs only within buckets,
+  *    never the O(n^2) cross join.
+  *  - n-gram Jaccard / embedding-cosine: exact pair verification, only ever
+  *    applied within blocking keys or LSH buckets.
+  *
+  * At 100 TB the invariant is: NOTHING here materializes an unblocked pair
+  * set; every pairwise step is preceded by a bucket/block equi-join that
+  * Catalyst executes as a shuffled hash join on the bucket key.
+  */
+object Dedup {
+
+  /** Exact dedup on a normalized content fingerprint. Returns one row per
+    * distinct content with the minimal id as the survivor plus the duplicate
+    * count. Single hash aggregation, map-side partial agg — scales linearly.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.contentFingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Keep only the survivor rows (min id per fingerprint). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash signatures (k hashes over distinct whitespace tokens). */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 16): DataFrame =
+    df.select(col(idCol),
+      minhashSignature(split(col(textCol), " "), numHashes).as("minhash"))
+
+  /** MinHash-LSH candidate pairs: signatures are cut into `bands` bands of
+    * `numHashes / bands` rows each; docs sharing any band hash become a
+    * candidate pair. Returns (id_a, id_b, n_shared_bands) with id_a < id_b.
+    *
+    * Plan shape: scan -> per-row signature -> explode(bands) [xN, no shuffle]
+    * -> shuffle on (band, bucket) -> self-join within bucket -> distinct.
+    */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sigs = minHashSignatures(df, idCol, textCol, numHashes)
+    val banded = sigs.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(concat_ws(",", slice(col("minhash"), b * rows + 1, lit(rows)))))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val a = banded.repartition(parts, col("band"), col("bucket")).as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col(s"a.band") === col(s"b.band") && col(s"a.bucket") === col(s"b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** SimHash near-dup candidates: 60-bit simhash split into `chunks` chunks;
+    * by pigeonhole, pairs within Hamming distance `chunks - 1` share at least
+    * one exact chunk. Verifies with bit_count(xor) <= maxHamming.
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    val bitsPer = 60 / chunks
+    val sigs = df.select(col(idCol), simhash60(split(col(textCol), " ")).as("simhash"))
+    val chunked = sigs.select(col(idCol), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+        c => call_function("shiftright", col("simhash"), c * bitsPer)
+          .bitwiseAND(lit((1L << bitsPer) - 1)))))
+      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val a = chunked.repartition(parts, col("chunk"), col("chunk_val")).as("a")
+    val b = chunked.as("b")
+    a.join(b,
+        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Distinct word n-grams of a text column (n=1 => distinct tokens). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    if (n == 1) array_distinct(toks)
+    else array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Exact n-gram Jaccard similarity for pairs within a blocking key.
+    * `blockCols` bounds the pair space (same-language, same-source, an LSH
+    * bucket...); the join is a shuffled equi-join on the block, never a full
+    * cross product.
+    *
+    * Two scale choices baked in: (1) n-grams are xxhash64-hashed to longs
+    * before intersection — primitive set ops instead of per-pair string
+    * hashing (intersection SIZES are unchanged modulo 2^-64 collisions);
+    * (2) the streamed side is repartitioned by the block key, which both
+    * spreads pair generation across all cores when the scan arrives in a
+    * single partition (one-file / one-row-group inputs) and is exactly the
+    * co-locating shuffle a sort-merge pair join needs at cluster scale.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   blockCols: Seq[String], n: Int = 1,
+                   threshold: Double = 0.8): DataFrame = {
+    val hashed = array_distinct(transform(wordNgrams(col(textCol), n), t => xxhash64(t)))
+    val grams = df.select(
+      (col(idCol) +: blockCols.map(col)) :+ hashed.as("grams"): _*)
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val a = (if (blockCols.nonEmpty) grams.repartition(parts, blockCols.map(col): _*)
+             else grams.repartition(parts)).as("a")
+    val b = grams.as("b")
+    val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val inter = size(array_intersect(col("a.grams"), col("b.grams")))
+    val union = size(col("a.grams")) + size(col("b.grams")) - inter
+    a.join(b, blockCond && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        (inter.cast("double") / union.cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a blocking key (e.g. an
+    * IVF/LSH bucket assignment produced by [[Ann]]). Exact cosine on the
+    * blocked pairs only.
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, embCol: String,
+                            blockCols: Seq[String],
+                            threshold: Double = 0.95): DataFrame = {
+    val slim = df.select((col(idCol) +: blockCols.map(col)) :+ col(embCol): _*)
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val a = (if (blockCols.nonEmpty) slim.repartition(parts, blockCols.map(col): _*)
+             else slim.repartition(parts)).as("a")
+    val b = slim.as("b")
+    val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    a.join(b, blockCond && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        cosineSim(col(s"a.$embCol"), col(s"b.$embCol")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

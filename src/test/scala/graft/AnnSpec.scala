@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ann
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(42)
+    Seq.tabulate(200)(i => (i.toLong, Array.fill(12)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "emb")
+  }
+
+  test("topK equals driver-side sort.take") {
+    val q = Seq.fill(12)(0.5f)
+    val got = Ann.topK(corpus, "id", "emb", q, 7)
+      .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val all = corpus.collect()
+      .map(r => (r.getLong(0), Ann.cosine(r.getSeq[Float](1), q)))
+      .sortBy(x => (-x._2, x._1)).take(7)
+    assert(got.toSeq == all.toSeq)
+    assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "scores must be descending")
+  }
+
+  test("topK plans TakeOrderedAndProject (no global sort / shuffle)") {
+    val plan = Ann.topK(corpus, "id", "emb", Seq.fill(12)(1f), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
+  }
+
+  test("topKBatch matches per-query topK") {
+    val qs = Seq(
+      1L -> Seq.fill(12)(0.3f),
+      2L -> Seq.tabulate(12)(i => if (i % 2 == 0) 1f else -1f))
+    val batch = Ann.topKBatch(corpus, "id", "emb", qs, 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"), r.getAs[Double]("score")))
+      .groupBy(_._1).view.mapValues(_.sortBy(x => -x._3).map(x => (x._2, x._3)).toSeq).toMap
+    qs.foreach { case (qid, q) =>
+      val single = Ann.topK(corpus, "id", "emb", q, 5)
+        .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single, s"batch vs single mismatch for qid=$qid")
+    }
+  }
+
+  test("IVF probing: full probe count recovers exact top-k") {
+    val cents = Ann.sampleCentroids(corpus, "id", "emb", 4)
+    val assigned = Ann.withIvfAssignment(corpus, "emb", cents)
+    val q = Seq.fill(12)(0.25f)
+    val exact = Ann.topK(corpus, "id", "emb", q, 5).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val allProbes = Ann.topKIvf(assigned, "id", "emb", "ivf_cell", cents, q, 5, nProbe = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(allProbes == exact)
+    val oneProbe = Ann.topKIvf(assigned, "id", "emb", "ivf_cell", cents, q, 5, nProbe = 1)
+      .select("id").collect().map(_.getLong(0))
+    assert(oneProbe.nonEmpty && oneProbe.length <= 5)
+  }
+
+  test("hyperplane buckets: identical vectors same bucket, opposite differ") {
+    val planes = Ann.hyperplanes(4, 8)
+    val df = Seq(
+      (1L, Array(1f, 2f, 3f, 4f)),
+      (2L, Array(1f, 2f, 3f, 4f)),
+      (3L, Array(-1f, -2f, -3f, -4f))
+    ).toDF("id", "emb")
+    val buckets = Ann.withHyperplaneBuckets(df, "emb", planes)
+      .select("id", "lsh_bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(1L) == buckets(2L))
+    assert(buckets(1L) != buckets(3L))
+  }
+}

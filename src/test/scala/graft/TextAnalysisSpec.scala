@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("language ID on clear sentences") {
+    val df = Seq(
+      ("en", "the cat is in the house and it is happy"),
+      ("de", "der hund ist nicht in das haus und die katze"),
+      ("es", "el perro y la casa de los amigos es grande"),
+      ("fr", "le chien est dans la maison et les amis"),
+      ("und", "zxcv qwerty asdf")
+    ).toDF("expected", "text")
+    val got = df.select(col("expected"),
+      TextAnalysis.langIdGuess(col("text")).as("got")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq("one two three", "superlongword ok").toDF("t")
+    val r = df.select(TextAnalysis.tokenCount(col("t")).as("n"),
+      TextAnalysis.bpeishTokenCount(col("t")).as("b")).collect()
+    assert(r(0).getInt(0) == 3)
+    assert(r(0).getLong(1) == 4L)  // ceil(3/4) + ceil(3/4) + ceil(5/4) = 1+1+2
+    assert(r(1).getLong(1) == 5L)  // ceil(13/4) + ceil(2/4) = 4+1
+  }
+
+  test("quality metrics are exact counts") {
+    val m = Seq("Hello, World! 42 the end.").toDF("t")
+      .select(TextAnalysis.qualityMetrics(col("t")).as("m"))
+      .select("m.n_chars", "m.n_tokens", "m.n_punct", "m.n_digits", "m.n_upper",
+        "m.n_stopwords").head()
+    assert(m.getInt(0) == 25)
+    assert(m.getInt(1) == 5)
+    assert(m.getInt(2) == 3) // , ! .
+    assert(m.getInt(3) == 2) // 4 2
+    assert(m.getInt(4) == 2) // H W
+    assert(m.getInt(5) == 1) // "the"
+  }
+
+  test("quality score in [0,1] and rewards real prose over noise") {
+    val df = Seq(
+      ("prose", "the cat is in the house and it is a happy cat that likes to sit in the sun " * 3),
+      ("noise", "!!!! 1234 ???? 5678 !!!! 91011 ....")
+    ).toDF("name", "t")
+    val scores = df.select(col("name"),
+      TextAnalysis.qualityScore(TextAnalysis.qualityMetrics(col("t"))).as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(scores.values.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores("prose") > scores("noise"))
+  }
+
+  test("rolling fingerprint is order-sensitive, content fingerprint is ws-insensitive") {
+    val r = Seq("ab cd", "cd ab", "ab  cd").toDF("t")
+      .select(TextAnalysis.rollingFingerprint(col("t")).as("roll"),
+        TextAnalysis.contentFingerprint(col("t")).as("cf")).collect()
+    assert(r(0).getLong(0) != r(1).getLong(0)) // order matters for rolling hash
+    assert(r(0).getString(1) == r(2).getString(1)) // ws runs collapse
+  }
+
+  test("profile bundles all signals without shuffling") {
+    val df = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
+    val prof = TextAnalysis.profile(df, "text")
+    assert(Seq("metrics", "quality_score", "lang_guess", "fingerprint",
+      "n_tokens_bpeish").forall(prof.columns.contains))
+    val plan = prof.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "profile must be shuffle-free")
+  }
+}
