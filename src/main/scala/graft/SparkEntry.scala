@@ -42,6 +42,17 @@ object SparkEntry {
 
   private val dec = DecimalType(18, 2)
 
+  /** Read + round-robin repartition: the testdata files are single
+    * row-group parquet (unsplittable scans), so per-row-expensive operators
+    * would otherwise run on one core. The tiny exchange buys full-width
+    * parallelism; on a real multi-file corpus the scan splits by itself and
+    * this becomes a near-no-op rebalance.
+    */
+  private def rdPar(s: SparkSession, dir: String, name: String): DataFrame = {
+    val parts = s.sessionState.conf.numShufflePartitions
+    rd(s, dir, name).repartition(parts)
+  }
+
   /** Shared cosine SQL fragment for the DuckDB oracles: MUST fold in element
     * order in double precision, exactly like
     * [[graft.functions.CosineSimilarity]].
@@ -198,7 +209,7 @@ object SparkEntry {
         Seq("lang", "source"), n = 1, threshold = 0.3)),
 
     "q22_minhash_signatures" -> ((s, dir) => {
-      Dedup.minHashSignatures(rd(s, dir, "documents"), "doc_id", "text", 16)
+      Dedup.minHashSignatures(rdPar(s, dir, "documents"), "doc_id", "text", 16)
         .select(col("doc_id"), posexplode(col("minhash")))
         .select(col("doc_id"), col("pos").as("hash_idx"), col("col").as("minhash"))
     }),
@@ -207,7 +218,7 @@ object SparkEntry {
     // near-duplicate pairs (j >~ 0.9) become candidates — the parameterization
     // that keeps the candidate set sub-quadratic on low-diversity corpora.
     "q23_minhash_lsh_pairs" -> ((s, dir) =>
-      Dedup.minHashLshPairs(rd(s, dir, "documents"), "doc_id", "text",
+      Dedup.minHashLshPairs(rdPar(s, dir, "documents"), "doc_id", "text",
         numHashes = 16, bands = 2)),
 
     "q24_simhash" -> ((s, dir) => {
@@ -222,7 +233,7 @@ object SparkEntry {
     // ---- text analysis ----
     "q14_text_stats" -> ((s, dir) => {
       val t = col("text")
-      rd(s, dir, "documents").select(col("doc_id"),
+      rdPar(s, dir, "documents").select(col("doc_id"),
         length(t).as("n_chars"),
         size(split(t, " ")).as("n_tokens"),
         (length(t) - length(regexp_replace(t, "[.,;:!?]", ""))).as("n_punct"),
@@ -232,17 +243,17 @@ object SparkEntry {
     }),
 
     "q15_lang_id" -> ((s, dir) => {
-      rd(s, dir, "documents").select(col("doc_id"),
+      rdPar(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.langIdGuess(col("text")).as("lang_guess"))
     }),
 
     "q16_bpeish_tokens" -> ((s, dir) => {
-      rd(s, dir, "documents").select(col("doc_id"),
+      rdPar(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.bpeishTokenCount(col("text")).as("n_tokens_bpeish"))
     }),
 
     "q25_quality_score" -> ((s, dir) => {
-      rd(s, dir, "documents").select(col("doc_id"),
+      rdPar(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.qualityScore(TextAnalysis.qualityMetrics(col("text")))
           .as("quality_score"))
     }),
@@ -283,6 +294,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("jaccard"),
           CacheDecision.decision(col("jaccard")).as("decision"),
           CacheDecision.rubricTier(col("jaccard")).as("tier"))
+    }),
+
+    // try_cast re-typing (SURVEY §2.8 C3: the Method-1 response decode
+    // pattern — stringified values cast back, null on failure)
+    "q32_try_cast" -> ((s, dir) => {
+      events(s, dir).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("string").as("k_str"))
+        .select(col("event_id"),
+          col("k_str").try_cast("int").as("k"),
+          concat(lit("x"), col("k_str")).try_cast("int").as("bad_int"))
     }),
 
     // ---- filter DSL (SURVEY §2.2 P7, §3.2) ----
@@ -425,18 +446,22 @@ object SparkEntry {
         |    / CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.3""".stripMargin,
 
     "q22_minhash_signatures" ->
-      """SELECT d.doc_id, i.i AS hash_idx,
-        |  min(CAST(('0x' || substring(md5(CAST(i.i AS VARCHAR) || ':' || t.t), 1, 8)) AS BIGINT)) AS minhash
-        |FROM documents d, range(16) i(i),
-        |  unnest(list_distinct(string_split(d.text, ' '))) AS t(t)
+      """WITH th AS (
+        |  SELECT d.doc_id, CAST(('0x' || substring(md5(t.t), 1, 8)) AS BIGINT) AS h
+        |  FROM documents d, unnest(list_distinct(string_split(d.text, ' '))) AS t(t))
+        |SELECT doc_id, i.i AS hash_idx,
+        |  min(((2 * i.i + 1) * h + i.i * 40503) % 4294967311) AS minhash
+        |FROM th, range(16) i(i)
         |GROUP BY 1, 2""".stripMargin,
 
     "q23_minhash_lsh_pairs" ->
-      """WITH mh AS (
-        |  SELECT d.doc_id, i.i AS hash_idx,
-        |    min(CAST(('0x' || substring(md5(CAST(i.i AS VARCHAR) || ':' || t.t), 1, 8)) AS BIGINT)) AS minhash
-        |  FROM documents d, range(16) i(i),
-        |    unnest(list_distinct(string_split(d.text, ' '))) AS t(t)
+      """WITH th AS (
+        |  SELECT d.doc_id, CAST(('0x' || substring(md5(t.t), 1, 8)) AS BIGINT) AS h
+        |  FROM documents d, unnest(list_distinct(string_split(d.text, ' '))) AS t(t)),
+        |mh AS (
+        |  SELECT doc_id, i.i AS hash_idx,
+        |    min(((2 * i.i + 1) * h + i.i * 40503) % 4294967311) AS minhash
+        |  FROM th, range(16) i(i)
         |  GROUP BY 1, 2),
         |sig AS (SELECT doc_id, list(minhash ORDER BY hash_idx) AS s FROM mh GROUP BY doc_id),
         |bands AS (SELECT doc_id, b.b AS band,
@@ -560,6 +585,12 @@ object SparkEntry {
         |    WHEN jaccard >= 0.7 THEN 'good'
         |    ELSE 'miss' END AS tier
         |FROM p WHERE jaccard >= 0.3""".stripMargin,
+
+    "q32_try_cast" ->
+      """SELECT event_id,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  TRY_CAST('x' || json_extract_string(props, '$.k') AS INT) AS bad_int
+        |FROM events""".stripMargin,
 
     "q28_filter_dsl" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

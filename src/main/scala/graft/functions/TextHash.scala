@@ -80,14 +80,17 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       j += 1
     }
     if (seen.isEmpty) return null
+    // One portable MD5-derived base hash per token, then k universal-hash
+    // mixes ((2i+1)*h + i*40503) mod p — the classic a*h+b family. 16x less
+    // hashing than k independent MD5s, still reproducible in any SQL engine.
     val sig = Array.fill[Long](numHashes)(Long.MaxValue)
     val it = seen.iterator()
     while (it.hasNext) {
-      val t = it.next()
+      val h = PortableHash.hash32(it.next())
       var i = 0
       while (i < numHashes) {
-        val h = PortableHash.hash32(i.toString + ":" + t)
-        if (h < sig(i)) sig(i) = h
+        val v = ((2L * i + 1L) * h + i.toLong * 40503L) % MinHashSignature.Prime
+        if (v < sig(i)) sig(i) = v
         i += 1
       }
     }
@@ -96,6 +99,13 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
   override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
   override def prettyName: String = "minhash_signature"
+}
+
+object MinHashSignature {
+  /** First prime above 2^32 — keeps (2i+1)*h + i*b < 2^38 exactly
+    * representable everywhere, including engines computing in doubles.
+    */
+  val Prime = 4294967311L
 }
 
 /** 60-bit SimHash (Charikar '02) over an array<string> of tokens (duplicates
