@@ -296,6 +296,12 @@ object SparkEntry {
           CacheDecision.rubricTier(col("jaccard")).as("tier"))
     }),
 
+    // stateful sessionization, batch form (one shuffle, two window passes
+    // sharing the user_id partitioning); streaming twin lives in
+    // graft.streaming.Sessionize.streamingSessions
+    "q33_sessionize" -> ((s, dir) =>
+      graft.streaming.Sessionize.sessionStats(events(s, dir), gapMinutes = 30)),
+
     // try_cast re-typing (SURVEY §2.8 C3: the Method-1 response decode
     // pattern — stringified values cast back, null on failure)
     "q32_try_cast" -> ((s, dir) => {
@@ -585,6 +591,21 @@ object SparkEntry {
         |    WHEN jaccard >= 0.7 THEN 'good'
         |    ELSE 'miss' END AS tier
         |FROM p WHERE jaccard >= 0.3""".stripMargin,
+
+    "q33_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS is_break
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
 
     "q32_try_cast" ->
       """SELECT event_id,
