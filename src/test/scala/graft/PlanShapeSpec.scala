@@ -63,6 +63,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(codegenNodes.exists(_.toString.contains("cosine_similarity")))
   }
 
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    val spark2 = spark
+    import spark2.implicits._
+    Seq.tabulate(100)(i => (i.toLong, s"f$i")).toDF("k", "fv")
+      .write.mode("overwrite").bucketBy(4, "k").sortBy("k").saveAsTable("t_fact_b")
+    Seq.tabulate(100)(i => (i.toLong, s"d$i")).toDF("k", "dv")
+      .write.mode("overwrite").bucketBy(4, "k").sortBy("k").saveAsTable("t_dim_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("t_fact_b").join(spark.table("t_dim_b"), Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 100)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("IVF cell persisted with partitionBy prunes the scan at query time") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(3)
+    val vecs = Seq.tabulate(120)(i => (i.toLong, Array.fill(8)(rnd.nextFloat())))
+      .toDF("id", "emb")
+    val cents = graft.operators.Ann.sampleCentroids(vecs, "id", "emb", 4)
+    val dir = Files.createTempDirectory("graft-ivf").toString
+    graft.operators.Ann.withIvfAssignment(vecs, "emb", cents)
+      .write.partitionBy("ivf_cell").mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val probe = graft.operators.Ann.topKIvf(corpus, "id", "emb", "ivf_cell",
+      cents, Seq.fill(8)(0.4f), k = 5, nProbe = 2)
+    val scan = probe.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("ivf_cell"),
+      s"expected ivf_cell partition pruning:\n$scan")
+    assert(probe.count() == 5)
+  }
+
   test("function registration: extension hook applies; SQL path works per-session") {
     // injection hook is exercised against a raw SparkSessionExtensions (a
     // fully fresh session would need its own JVM); the SQL surface is then
