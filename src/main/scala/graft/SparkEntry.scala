@@ -296,6 +296,30 @@ object SparkEntry {
           CacheDecision.rubricTier(col("jaccard")).as("tier"))
     }),
 
+    // set operators (engine extension; absent from the reference per SURVEY
+    // §2.5 but part of a complete relational surface)
+    "q34_set_ops" -> ((s, dir) => {
+      val building = rd(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+      val bigSpenders = rd(s, dir, "orders")
+        .where(col("o_totalprice") > 300000).select(col("o_custkey").as("k"))
+      val inter = building.intersect(bigSpenders)
+        .agg(count(lit(1)).as("n")).select(lit("intersect").as("op"), col("n"))
+      val exc = building.except(bigSpenders)
+        .agg(count(lit(1)).as("n")).select(lit("except").as("op"), col("n"))
+      val uni = building.union(bigSpenders).distinct()
+        .agg(count(lit(1)).as("n")).select(lit("union").as("op"), col("n"))
+      inter.unionAll(exc).unionAll(uni)
+    }),
+
+    // exact interpolated percentiles (A-family extension)
+    "q36_percentiles" -> ((s, dir) => {
+      rd(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.9)).as("p90"),
+          count(lit(1)).as("n"))
+    }),
+
     // stateful sessionization, batch form (one shuffle, two window passes
     // sharing the user_id partitioning); streaming twin lives in
     // graft.streaming.Sessionize.streamingSessions
@@ -591,6 +615,22 @@ object SparkEntry {
         |    WHEN jaccard >= 0.7 THEN 'good'
         |    ELSE 'miss' END AS tier
         |FROM p WHERE jaccard >= 0.3""".stripMargin,
+
+    "q34_set_ops" ->
+      """WITH b AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |s AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000)
+        |SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM b INTERSECT SELECT * FROM s)
+        |UNION ALL
+        |SELECT 'except' AS op, count(*) AS n FROM (SELECT * FROM b EXCEPT SELECT * FROM s)
+        |UNION ALL
+        |SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM b UNION SELECT * FROM s)""".stripMargin,
+
+    "q36_percentiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q33_sessionize" ->
       """WITH g AS (

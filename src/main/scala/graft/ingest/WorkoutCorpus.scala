@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -15,6 +15,22 @@ import org.apache.spark.sql.types._
   *  - `NULLIF($n,'')::INTEGER` (`01:120-121`) => empty-string -> null -> int
   *  - `$11::TIMESTAMP_NTZ` => timestamp parse with UTC session semantics
   */
+/** Typed view of the fixed core columns (SURVEY §1.3: DataFrame-first API,
+  * `Dataset[Workout]` where compile-time safety helps).
+  */
+case class Workout(
+    ID: String,
+    EMBED_STR: String,
+    SPORT_TYPE: String,
+    DIFFICULTY: String,
+    MOVING_TIME_SECONDS: Option[Int],
+    DISTANCE_METERS: Option[Int],
+    GENERATION_MODEL: String,
+    WORKOUT_SOURCE: String,
+    STORE_VERSION: String,
+    RAW_JSON_STR: String,
+    CREATED_AT: Option[java.sql.Timestamp])
+
 object WorkoutCorpus {
 
   /** Core scalar schema (`01:72-94`). Everything lands as string first (the
@@ -95,5 +111,17 @@ object WorkoutCorpus {
       from_json(col("RAW_JSON_STR"), rawJsonSchema).as("WORKOUT_DOC"),
       col("CREATED_AT").cast(TimestampType).as("CREATED_AT"),
       col("_corrupt_record"))
+  }
+
+  /** Typed dataset over the scalar core (drops the parsed struct + audit
+    * columns; keep the DataFrame form when the nested payload is needed).
+    */
+  def typedDs(df: DataFrame): Dataset[Workout] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select("ID", "EMBED_STR", "SPORT_TYPE", "DIFFICULTY",
+      "MOVING_TIME_SECONDS", "DISTANCE_METERS", "GENERATION_MODEL",
+      "WORKOUT_SOURCE", "STORE_VERSION", "RAW_JSON_STR", "CREATED_AT")
+      .as[Workout]
   }
 }

@@ -62,4 +62,12 @@ class IngestSpec extends SparkSpec {
     assert(df.where(df("DIFFICULTY") === "very hard").count() == 1)
     assert(df.where(df("DIFFICULTY") === "very_hard").count() == 0)
   }
+
+  test("typed Dataset[Workout] view roundtrips the scalar core") {
+    val ds = graft.ingest.WorkoutCorpus.typedDs(df)
+    val w1 = ds.collect().find(_.ID == "W1").get
+    assert(w1.SPORT_TYPE == "run" && w1.MOVING_TIME_SECONDS.contains(1800))
+    val w2 = ds.collect().find(_.ID == "W2").get
+    assert(w2.DISTANCE_METERS.isEmpty && w2.DIFFICULTY == "very hard")
+  }
 }
