@@ -296,6 +296,18 @@ object SparkEntry {
           CacheDecision.rubricTier(col("jaccard")).as("tier"))
     }),
 
+    // as-of join (point-in-time lookup; union + carry-forward window, one
+    // shuffle) — attribute each click to the user's latest prior purchase
+    "q37_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("event_id").as("purchase_id"))
+      graft.operators.AsOf.join(clicks, purchases, "user_id", "ts", Seq("purchase_id"))
+        .select("event_id", "purchase_id")
+    }),
+
     // set operators (engine extension; absent from the reference per SURVEY
     // §2.5 but part of a complete relational surface)
     "q34_set_ops" -> ((s, dir) => {
@@ -615,6 +627,16 @@ object SparkEntry {
         |    WHEN jaccard >= 0.7 THEN 'good'
         |    ELSE 'miss' END AS tier
         |FROM p WHERE jaccard >= 0.3""".stripMargin,
+
+    "q37_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.event_id, p.purchase_id
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
 
     "q34_set_ops" ->
       """WITH b AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
