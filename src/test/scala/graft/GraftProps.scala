@@ -1,0 +1,101 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.PortableHash
+import graft.operators.Ann
+
+/** Pure-function property suite (ScalaCheck framework, runs under `sbt
+  * test` alongside the ScalaTest specs — SURVEY §5.2.4). Spark-free
+  * on purpose: these pin the algebraic contracts the distributed operators
+  * rely on.
+  */
+object GraftProps extends Properties("graft") {
+
+  private val vec: Gen[List[Float]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(-5f, 5f)).map { xs =>
+      if (xs.forall(_ == 0f)) 1f :: xs.tail else xs
+    }
+
+  property("cosine.symmetric") = forAll(vec) { a =>
+    forAll(Gen.listOfN(a.length, Gen.chooseNum(-5f, 5f)).map { b =>
+      if (b.forall(_ == 0f)) List.fill(a.length)(1f) else b
+    }) { b =>
+      math.abs(Ann.cosine(a, b) - Ann.cosine(b, a)) < 1e-12
+    }
+  }
+
+  property("cosine.self-similarity-1") = forAll(vec) { a =>
+    math.abs(Ann.cosine(a, a) - 1.0) < 1e-9
+  }
+
+  property("cosine.bounded") = forAll(vec) { a =>
+    forAll(Gen.listOfN(a.length, Gen.chooseNum(-5f, 5f)).map { b =>
+      if (b.forall(_ == 0f)) List.fill(a.length)(1f) else b
+    }) { b =>
+      val c = Ann.cosine(a, b)
+      c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9
+    }
+  }
+
+  property("cosine.scale-invariant") = forAll(vec, Gen.chooseNum(0.1f, 10f)) { (a, k) =>
+    val scaled = a.map(_ * k)
+    math.abs(Ann.cosine(a, scaled) - 1.0) < 1e-6
+  }
+
+  property("hash32.deterministic-and-bounded") = forAll { (s: String) =>
+    val h = PortableHash.hash32(s)
+    h == PortableHash.hash32(s) && h >= 0L && h < (1L << 32)
+  }
+
+  property("hash60.bounded-positive") = forAll { (s: String) =>
+    val h = PortableHash.hash60(s)
+    h >= 0L && h < (1L << 60)
+  }
+
+  property("md5hex.matches-jdk-reference") = forAll { (s: String) =>
+    val jdk = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    PortableHash.md5Hex(s) == jdk
+  }
+
+  // minhash collision probability estimates jaccard: identical sets ⇒
+  // identical signatures; disjoint sets ⇒ (with 16 hashes over a 2^32
+  // space) almost surely different somewhere
+  private def sig(tokens: Set[String], k: Int = 16): Seq[Long] =
+    (0 until k).map { i =>
+      tokens.map { t =>
+        val h = PortableHash.hash32(t)
+        ((2L * i + 1L) * h + i.toLong * 40503L) % 4294967311L
+      }.min
+    }
+
+  private val tokenSet: Gen[Set[String]] =
+    Gen.nonEmptyListOf(Gen.identifier).map(_.toSet)
+
+  property("minhash.identical-sets-identical-signatures") = forAll(tokenSet) { t =>
+    sig(t) == sig(t)
+  }
+
+  property("minhash.subset-signature-dominates") = forAll(tokenSet, tokenSet) { (a, b) =>
+    // sig(a ∪ b) is the element-wise min of sig(a), sig(b)
+    val u = sig(a ++ b)
+    u == sig(a).zip(sig(b)).map { case (x, y) => math.min(x, y) }
+  }
+
+  property("topk.equals-sort-take") =
+    forAll(Gen.listOf(Gen.zip(Gen.posNum[Long], Gen.chooseNum(-1.0, 1.0))),
+      Gen.chooseNum(1, 10)) { (rows, k) =>
+      val dedup = rows.toMap.toSeq
+      val viaSort = dedup.sortBy { case (id, s) => (-s, id) }.take(k)
+      val viaHeap = {
+        var buf = List.empty[(Long, Double)]
+        dedup.foreach { r =>
+          buf = (r :: buf).sortBy { case (id, s) => (-s, id) }.take(k)
+        }
+        buf
+      }
+      viaSort == viaHeap
+    }
+}
