@@ -118,6 +118,36 @@ object Ann {
       .select(col(embCol)).collect()
       .map(_.getSeq[Float](0).toSeq).toSeq
 
+  /** Spherical k-means refinement of IVF centroids (Lloyd iterations with
+    * cosine assignment and L2-normalized means). Each iteration is one
+    * assignment projection (no shuffle) + one two-level aggregation
+    * (posexplode -> avg per (cell, dim)) — shuffle size k x dim rows, never
+    * corpus-sized. Empty cells keep their previous centroid.
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, embCol: String,
+                      k: Int, iters: Int = 5): Seq[Seq[Float]] = {
+    var cents = sampleCentroids(df, idCol, embCol, k)
+    val dim = cents.head.length
+    (1 to iters).foreach { _ =>
+      val assigned = withIvfAssignment(df.where(col(embCol).isNotNull), embCol, cents)
+      val means = assigned
+        .select(col("ivf_cell"), posexplode(col(embCol)))
+        .groupBy(col("ivf_cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          val v = new Array[Double](dim)
+          rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+          val norm = math.sqrt(v.map(x => x * x).sum)
+          cell -> (if (norm > 0) v.map(x => (x / norm).toFloat).toSeq
+                   else cents(cell))
+        }
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
   /** IVF-pruned approximate top-k: score only rows in the `nProbe` cells
     * nearest to the query. With the corpus persisted partitionBy(ivf_cell),
     * the isin() filter becomes partition pruning — the scan itself shrinks.

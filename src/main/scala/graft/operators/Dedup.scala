@@ -58,6 +58,9 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws(",", slice(col("minhash"), b * rows + 1, lit(rows)))))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+      // both sides of the self-join read this; persist so signatures are
+      // computed once (ContextCleaner reclaims the blocks when unreferenced)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val a = banded.repartition(parts, col("band"), col("bucket")).as("a")
     val b = banded.as("b")

@@ -59,6 +59,26 @@ class AnnSpec extends SparkSpec {
     assert(oneProbe.nonEmpty && oneProbe.length <= 5)
   }
 
+  test("k-means refinement tightens clusters and preserves exact full-probe recall") {
+    def cohesion(cents: Seq[Seq[Float]]): Double = {
+      val assigned = Ann.withIvfAssignment(corpus, "emb", cents)
+      assigned.collect().map { r =>
+        Ann.cosine(r.getSeq[Float](1), cents(r.getInt(2)))
+      }.sum
+    }
+    val init = Ann.sampleCentroids(corpus, "id", "emb", 4)
+    val refined = Ann.kmeansCentroids(corpus, "id", "emb", 4, iters = 4)
+    assert(cohesion(refined) > cohesion(init),
+      "refined centroids must increase within-cluster cosine cohesion")
+    val q = Seq.fill(12)(0.2f)
+    val exact = Ann.topK(corpus, "id", "emb", q, 5).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val assigned = Ann.withIvfAssignment(corpus, "emb", refined)
+    val full = Ann.topKIvf(assigned, "id", "emb", "ivf_cell", refined, q, 5, nProbe = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(full == exact)
+  }
+
   test("hyperplane buckets: identical vectors same bucket, opposite differ") {
     val planes = Ann.hyperplanes(4, 8)
     val df = Seq(
