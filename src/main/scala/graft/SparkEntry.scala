@@ -296,6 +296,24 @@ object SparkEntry {
           CacheDecision.rubricTier(col("jaccard")).as("tier"))
     }),
 
+    // full Method-1 search shape with an oracle: filter DSL -> cosine
+    // ranking (stored query vector) -> limit -> stringified projection
+    // (01:200-219 contract); scores excluded from output so the string
+    // casts stay engine-portable
+    "q35_search_stringified" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings"); val docs = rd(s, dir, "documents")
+      val qvec = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toSeq
+      val index = emb.join(docs, emb("vec_id") === docs("doc_id"))
+        .where(col("vec_id") =!= 0)
+      val f = FilterDsl.compile(
+        """{"@and":[{"@eq":{"lang":"en"}},{"@gte":{"n_chars":100}}]}""")
+      new SemanticSearch(index, HashingTfEmbedder(64), "vec_id", "text", "embedding")
+        .topKVec(qvec, 10, f)
+        .select(Seq("vec_id", "lang", "source", "n_chars")
+          .map(c => col(c).cast("string").as(c)): _*)
+    }),
+
     // as-of join (point-in-time lookup; union + carry-forward window, one
     // shuffle) — attribute each click to the user's latest prior purchase
     "q37_asof_join" -> ((s, dir) => {
@@ -627,6 +645,21 @@ object SparkEntry {
         |    WHEN jaccard >= 0.7 THEN 'good'
         |    ELSE 'miss' END AS tier
         |FROM p WHERE jaccard >= 0.3""".stripMargin,
+
+    "q35_search_stringified" -> {
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |ranked AS (
+         |  SELECT e.vec_id, d.lang, d.source, d.n_chars,
+         |    (list_sum(list_transform(list_zip(e.embedding, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         | / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |    * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS score
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id CROSS JOIN q
+         |  WHERE e.vec_id <> 0 AND d.lang = 'en' AND d.n_chars >= 100
+         |  ORDER BY score DESC, e.vec_id LIMIT 10)
+         |SELECT CAST(vec_id AS VARCHAR) AS vec_id, CAST(lang AS VARCHAR) AS lang,
+         |  CAST(source AS VARCHAR) AS source, CAST(n_chars AS VARCHAR) AS n_chars
+         |FROM ranked""".stripMargin
+    },
 
     "q37_asof_join" ->
       """WITH clicks AS (

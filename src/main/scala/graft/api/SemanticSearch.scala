@@ -39,13 +39,17 @@ final class SemanticSearch(index: DataFrame, embedder: Embedder,
   private val mapper = new ObjectMapper()
 
   /** Typed top-k: score = cosine(query embedding, row embedding). */
-  def topK(query: String, k: Int, filter: Column = lit(true)): DataFrame = {
-    val qvec = embedder.embed(query).toSeq
+  def topK(query: String, k: Int, filter: Column = lit(true)): DataFrame =
+    topKVec(embedder.embed(query).toSeq, k, filter)
+
+  /** Top-k against an already-embedded query vector (bypasses the embedder —
+    * e.g. query-by-example with a stored embedding).
+    */
+  def topKVec(qvec: Seq[Float], k: Int, filter: Column = lit(true)): DataFrame =
     index.where(filter && col(embCol).isNotNull)
       .withColumn("SIMILARITY_SCORE", cosineSim(col(embCol), typedlit(qvec)))
       .orderBy(col("SIMILARITY_SCORE").desc, col(idCol))
       .limit(k)
-  }
 
   /** Batched multi-query search in one job (bounded-heap partial agg). */
   def topKBatch(queries: Seq[(Long, String)], k: Int,
