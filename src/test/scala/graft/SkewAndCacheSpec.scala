@@ -52,4 +52,11 @@ class SkewAndCacheSpec extends SparkSpec {
     assert(r1 == r2 && r1.contains("D1"))
     assert(cache.hits == 1 && cache.misses == 1)
   }
+
+  test("GraftSession registers SQL functions on an attached session") {
+    val s2 = graft.api.GraftSession.getOrCreate()
+    assert(s2.sql("SELECT cosine_similarity(array(1.0F,0.0F), array(1.0F,0.0F)) c")
+      .head().getDouble(0) == 1.0)
+    assert(s2.conf.get("spark.sql.session.timeZone") == "UTC")
+  }
 }
