@@ -138,6 +138,60 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Prefix-filtered exact Jaccard pairs (PPJoin-style, Xiao et al. '08):
+    * for threshold t, two sets can only reach jaccard >= t if they share a
+    * token among each one's (|d| - ceil(t*|d|) + 1) globally-rarest tokens.
+    * Candidates therefore come from an equi-join on PREFIX tokens only —
+    * at t=0.9 the prefix is ~10% of each doc, and common tokens (the
+    * quadratic-blowup culprits) rarely appear in prefixes at all.
+    *
+    * Plan: token-frequency join (shuffle on token) -> per-doc rarity-sorted
+    * prefix -> candidate equi-join on prefix token (+ optional blocks, with
+    * the size filter t*|b| <= |a| <= |b|/t applied in-join) -> distinct ->
+    * exact jaccard verification on the candidate pairs only. Every stage is
+    * an equi-shuffle; nothing is quadratic in a block.
+    */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, blockCols: Seq[String] = Nil,
+                         n: Int = 1): DataFrame = {
+    require(threshold > 0 && threshold < 1, "threshold must be in (0,1)")
+    val hashed = array_distinct(transform(wordNgrams(col(textCol), n), t => xxhash64(t)))
+    val grams = df.select(
+        (col(idCol) +: blockCols.map(col)) :+ hashed.as("grams"): _*)
+      .withColumn("sz", size(col("grams")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = grams.select(col(idCol), col("sz"), explode(col("grams")).as("g"))
+    val freq = toks.groupBy("g").agg(count(lit(1)).as("gdf"))
+    val prefix = toks.join(freq, "g")
+      .groupBy(col(idCol), col("sz"))
+      .agg(sort_array(collect_list(struct(col("gdf"), col("g")))).as("rare_first"))
+      .withColumn("prefix", slice(col("rare_first"), lit(1),
+        (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")))
+      .select(col(idCol), col("sz"), explode(col("prefix")).as("p"))
+      .select(col(idCol), col("sz"), col("p.g").as("g"))
+    val a = prefix.as("a")
+    val b = prefix.as("b")
+    val cand = a.join(b,
+        col("a.g") === col("b.g") && col(s"a.$idCol") < col(s"b.$idCol") &&
+          col("a.sz") >= ceil(col("b.sz") * threshold) &&
+          col("b.sz") >= ceil(col("a.sz") * threshold))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val ga = grams.select(col(idCol).as("id_a") +:
+      (blockCols.map(c => col(c).as(s"a_$c")) :+ col("grams").as("grams_a")): _*)
+    val gb = grams.select(col(idCol).as("id_b") +:
+      (blockCols.map(c => col(c).as(s"b_$c")) :+ col("grams").as("grams_b")): _*)
+    val blockCond = blockCols.map(c => col(s"a_$c") === col(s"b_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val inter = size(array_intersect(col("grams_a"), col("grams_b")))
+    val union = size(col("grams_a")) + size(col("grams_b")) - inter
+    cand.join(ga, "id_a").join(gb, "id_b")
+      .where(blockCond)
+      .select(col("id_a"), col("id_b"),
+        (inter.cast("double") / union.cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g. an
     * IVF/LSH bucket assignment produced by [[Ann]]). Exact cosine on the
     * blocked pairs only.

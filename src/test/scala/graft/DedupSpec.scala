@@ -70,4 +70,26 @@ class DedupSpec extends SparkSpec {
     assert(fp(0) == fp(1))
     assert(fp(0) != fp(2))
   }
+
+  test("prefix-filtered jaccard equals blocked jaccard at high threshold") {
+    // random docs with engineered near-dups
+    val rnd = new scala.util.Random(23)
+    val vocab = Seq.tabulate(40)(i => s"w$i")
+    val base = Seq.tabulate(30)(i =>
+      (i.toLong, Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).distinct.mkString(" ")))
+    val nearDups = base.take(8).map { case (id, t) =>
+      (id + 100L, (t.split(" ").toSeq :+ "extra").mkString(" ")) // ~0.9 jaccard
+    }
+    val docs = (base ++ nearDups).toDF("id", "text").withColumn("block", lit("all"))
+    val viaBlocked = Dedup.jaccardPairs(docs, "id", "text", Seq("block"),
+        n = 1, threshold = 0.8)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaPrefix = Dedup.jaccardPairsPrefix(docs, "id", "text",
+        threshold = 0.8, blockCols = Seq("block"))
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaPrefix == viaBlocked)
+    assert(viaPrefix.nonEmpty, "engineered near-dups must be found")
+  }
 }
