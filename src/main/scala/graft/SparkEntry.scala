@@ -406,8 +406,8 @@ object SparkEntry {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(33,4)) AS sum_disc_price,
         |  sum(l_quantity) / count(*) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -422,7 +422,7 @@ object SparkEntry {
 
     "q03_join_agg" ->
       """SELECT r_name, n_name, count(*) AS n_orders,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_totalprice
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -446,7 +446,7 @@ object SparkEntry {
 
     "q07_conditional_agg" ->
       """SELECT l_linestatus,
-        |  sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_high_disc,
+        |  CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_disc,
         |  count(*) AS n_rows,
         |  100.0 * sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) / count(*) AS pct_high_disc
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
@@ -454,11 +454,11 @@ object SparkEntry {
     "q08_histogram" ->
       """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
         |  WHEN o_totalprice < 200000 THEN 'medium' ELSE 'large' END AS bucket,
-        |  count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |  count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,
 
     "q09_window_topk_per_group" ->
-      """SELECT o_custkey, o_orderkey, rn FROM (
+      """SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn FROM (
         |  SELECT o_custkey, o_orderkey,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) WHERE rn <= 2""".stripMargin,
@@ -475,12 +475,12 @@ object SparkEntry {
     "q12_time_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
         |  event_type, count(*) AS n_events,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q26_distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q27_rollup" ->
@@ -509,7 +509,7 @@ object SparkEntry {
       """WITH th AS (
         |  SELECT d.doc_id, CAST(('0x' || substring(md5(t.t), 1, 8)) AS BIGINT) AS h
         |  FROM documents d, unnest(list_distinct(string_split(d.text, ' '))) AS t(t))
-        |SELECT doc_id, i.i AS hash_idx,
+        |SELECT doc_id, CAST(i.i AS INT) AS hash_idx,
         |  min(((2 * i.i + 1) * h + i.i * 40503) % 4294967311) AS minhash
         |FROM th, range(16) i(i)
         |GROUP BY 1, 2""".stripMargin,
@@ -541,7 +541,7 @@ object SparkEntry {
         |    sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
         |  FROM toks, range(60) b(b) GROUP BY 1, 2)
         |SELECT doc_id,
-        |  sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+        |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM votes GROUP BY doc_id""".stripMargin,
 
     "q20_neardup_cosine" -> {
@@ -554,10 +554,10 @@ object SparkEntry {
 
     "q14_text_stats" ->
       """SELECT doc_id,
-        |  length(text) AS n_chars,
-        |  len(string_split(text, ' ')) AS n_tokens,
-        |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
-        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+        |  CAST(length(text) AS INT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS n_punct,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digits,
         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
         |FROM documents""".stripMargin,
 
@@ -625,7 +625,7 @@ object SparkEntry {
          |  FROM embeddings e CROSS JOIN q WHERE e.vec_id NOT IN (0, 1, 2)),
          |r AS (SELECT qid, vec_id, score,
          |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank FROM s)
-         |SELECT qid, rank, vec_id, score FROM r WHERE rank <= 5""".stripMargin
+         |SELECT qid, CAST(rank AS INT) AS rank, vec_id, score FROM r WHERE rank <= 5""".stripMargin
     },
 
     "q19_cache_decision" ->
@@ -697,7 +697,7 @@ object SparkEntry {
         |  SELECT user_id, ts,
         |    sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
         |  FROM g)
-        |SELECT user_id, session_id, count(*) AS n_events,
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM sess GROUP BY user_id, session_id""".stripMargin,

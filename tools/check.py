@@ -1,24 +1,55 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's correctness gate — ARROW-LEVEL, TYPE-FAITHFUL.
 
 Usage: python3 tools/check.py <sfDir> <outDir>
   1. (caller) runs graft.Verify to produce <outDir>/<name>/ parquet + oracle_sql.json
   2. this script runs each oracle SQL in DuckDB against the same parquet tables
-  3. compares: row count, column names, and value hash (columns sorted by name,
-     rows sorted by all columns) — strictest plausible form of the driver compare.
+  3. compares, like the driver does:
+       - row count
+       - arrow SCHEMA (column names sorted, exact arrow types — a Spark int64
+         vs a DuckDB decimal128(38,0) HUGEINT sum is a FAIL even when every
+         value is numerically equal; round 1 shipped 7 such misses because the
+         old pandas-level compare silently coerced them)
+       - arrow VALUES (rows sorted by all columns, exact representation)
+
+Exit code 1 on any FAIL.
 """
 import sys, json, glob, os
 import duckdb
-import pandas as pd
-import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    # normalize timestamps to ns, floats stay exact
-    for c in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = pd.to_datetime(df[c]).astype("datetime64[ns]")
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+def canon(t: pa.Table) -> pa.Table:
+    t = t.select(sorted(t.column_names)).combine_chunks()
+    try:
+        t = t.sort_by([(c, "ascending") for c in t.column_names])
+    except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+        pass  # unsortable column types (lists); compare unsorted
+    return t
+
+
+def type_diff(a: pa.Schema, b: pa.Schema):
+    """Column-name/type differences, ignoring nullability (the driver hashes
+    values+types; nullability flags differ benignly between writers)."""
+    an = {f.name: f.type for f in a}
+    bn = {f.name: f.type for f in b}
+    if sorted(an) != sorted(bn):
+        return f"cols spark={sorted(an)} oracle={sorted(bn)}"
+    bad = [f"{n}: spark={an[n]} oracle={bn[n]}" for n in sorted(an) if an[n] != bn[n]]
+    return "; ".join(bad) if bad else None
+
+
+def values_diff(g: pa.Table, e: pa.Table):
+    for c in g.column_names:
+        ga, ea = g[c].to_pylist(), e[c].to_pylist()
+        for i, (x, y) in enumerate(zip(ga, ea)):
+            same = (x == y) or (x is None and y is None) or (
+                isinstance(x, float) and isinstance(y, float) and x != x and y != y)
+            if not same:
+                return f"col {c} row {i}: spark={x!r} oracle={y!r}"
+    return None
+
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -29,45 +60,30 @@ def main(sf_dir, out_dir):
     names = sorted([os.path.basename(d) for d in glob.glob(os.path.join(out_dir, "*")) if os.path.isdir(d)])
     n_pass = n_fail = 0
     for name in names:
-        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        files = sorted(glob.glob(os.path.join(out_dir, name, "*.parquet")))
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
-        got = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
+        got = pa.concat_tables([pq.read_table(f) for f in files])
         if name not in oracle:
-            print(f"weak {name}: rows-only check, rows={len(got)} " + ("OK" if len(got) > 0 else "EMPTY!"))
+            print(f"weak {name}: rows-only check, rows={got.num_rows} " + ("OK" if got.num_rows > 0 else "EMPTY!"))
             continue
         try:
-            exp = con.execute(oracle[name]).fetchdf()
-        except Exception as e:
-            print(f"FAIL {name}: oracle error: {str(e)[:200]}"); n_fail += 1; continue
+            exp = con.execute(oracle[name]).fetch_arrow_table()
+        except Exception as ex:
+            print(f"FAIL {name}: oracle error: {str(ex)[:200]}"); n_fail += 1; continue
         g, e = canon(got), canon(exp)
-        if list(g.columns) != list(e.columns):
-            print(f"FAIL {name}: cols spark={list(g.columns)} oracle={list(e.columns)}"); n_fail += 1; continue
-        if len(g) != len(e):
-            print(f"FAIL {name}: rows spark={len(g)} oracle={len(e)}"); n_fail += 1; continue
-        bad = None
-        for c in g.columns:
-            a, b = g[c].values, e[c].values
-            if pd.api.types.is_float_dtype(g[c]) or pd.api.types.is_float_dtype(e[c]):
-                ok = np.array_equal(np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64), equal_nan=True)
-            else:
-                ok = (pd.Series(a).astype(str) == pd.Series(b).astype(str)).all()
-            if not ok:
-                mism = None
-                try:
-                    arr_a, arr_b = pd.Series(a).astype(str), pd.Series(b).astype(str)
-                    idx = (arr_a != arr_b).idxmax()
-                    mism = f"row {idx}: spark={a[idx]!r} oracle={b[idx]!r}"
-                except Exception:
-                    pass
-                bad = f"col {c}: {mism}"
-                break
-        if bad:
-            print(f"FAIL {name}: {bad}"); n_fail += 1
-        else:
-            print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+        if g.num_rows != e.num_rows:
+            print(f"FAIL {name}: rows spark={g.num_rows} oracle={e.num_rows}"); n_fail += 1; continue
+        td = type_diff(g.schema, e.schema)
+        if td:
+            print(f"FAIL {name}: TYPE {td}"); n_fail += 1; continue
+        vd = values_diff(g, e)
+        if vd:
+            print(f"FAIL {name}: {vd}"); n_fail += 1; continue
+        print(f"PASS {name} ({g.num_rows} rows)"); n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {len(names) - n_pass - n_fail} weak")
     return 1 if n_fail else 0
+
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
