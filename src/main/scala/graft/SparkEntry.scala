@@ -379,15 +379,26 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")
     }),
 
-    // ---- embedder-dependent / plumbing paths (rows-only checks) ----
+    // full Method-1 SEARCH_PREVIEW request path (01:200-219) against the
+    // PERSISTED index: embeddings.parquet is the precomputed corpus index
+    // (02:404-405 — "embed the corpus once in batch; embed only the query
+    // on-demand"), so no per-request corpus re-embed happens here. The
+    // request carries a stored query vector (query_vector), which also makes
+    // the whole request->filter->rank->stringify path DuckDB-oracle-able;
+    // live-embedder `query` coverage stays in SemanticSearchSpec.
     "q29_search_preview" -> ((s, dir) => {
-      val docs = rd(s, dir, "documents")
-      val embedder = HashingTfEmbedder(256)
-      val index = IndexBuilder.withEmbeddings(docs, embedder, textCol = "text")
-      new SemanticSearch(index, embedder, "doc_id", "text", "EMBEDDING")
-        .search("""{"query":"training data quality and dedup",
-                  | "columns":["doc_id","lang","n_chars"],
-                  | "filter":{"@eq":{"lang":"en"}}, "limit":7}""".stripMargin)
+      val emb = rd(s, dir, "embeddings"); val docs = rd(s, dir, "documents")
+      val qvec = emb.where(col("vec_id") === 1).select("embedding")
+        .head().getSeq[Float](0)
+      val index = emb.join(docs, emb("vec_id") === docs("doc_id"))
+        .where(col("vec_id") =!= 1)
+      val req =
+        s"""{"query_vector":[${qvec.mkString(",")}],
+           | "columns":["vec_id","lang","source","n_chars"],
+           | "filter":{"@and":[{"@eq":{"lang":"en"}},{"@gte":{"n_chars":50}}]},
+           | "limit":7}""".stripMargin
+      new SemanticSearch(index, HashingTfEmbedder(64), "vec_id", "text", "embedding")
+        .search(req)
     }),
 
     "q30_multimodal_features" -> ((s, dir) => {
@@ -656,6 +667,19 @@ object SparkEntry {
          |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id CROSS JOIN q
          |  WHERE e.vec_id <> 0 AND d.lang = 'en' AND d.n_chars >= 100
          |  ORDER BY score DESC, e.vec_id LIMIT 10)
+         |SELECT CAST(vec_id AS VARCHAR) AS vec_id, CAST(lang AS VARCHAR) AS lang,
+         |  CAST(source AS VARCHAR) AS source, CAST(n_chars AS VARCHAR) AS n_chars
+         |FROM ranked""".stripMargin
+    },
+
+    "q29_search_preview" -> {
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+         |ranked AS (
+         |  SELECT e.vec_id, d.lang, d.source, d.n_chars,
+         |    ${cosSql("e.embedding", "q.qv")} AS score
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id CROSS JOIN q
+         |  WHERE e.vec_id <> 1 AND d.lang = 'en' AND d.n_chars >= 50
+         |  ORDER BY score DESC, e.vec_id LIMIT 7)
          |SELECT CAST(vec_id AS VARCHAR) AS vec_id, CAST(lang AS VARCHAR) AS lang,
          |  CAST(source AS VARCHAR) AS source, CAST(n_chars AS VARCHAR) AS n_chars
          |FROM ranked""".stripMargin

@@ -60,18 +60,28 @@ final class SemanticSearch(index: DataFrame, embedder: Embedder,
   /** Method-1 request entry point: JSON in, DataFrame of STRING columns out
     * (the observed Cortex contract stringifies every value; consumers
     * `TRY_CAST` back — `01:205-206`).
+    *
+    * Requests carry either `query` (text, embedded via [[Embedder]]) or
+    * `query_vector` (a pre-embedded float array — the Method-2 stored-vector
+    * analog, `02:204-227`; this is also the deterministic path the driver
+    * oracle exercises, since text scores are embedder-relative).
     */
   def search(requestJson: String): DataFrame = {
     val req = mapper.readTree(requestJson)
-    val query = Option(req.get("query")).map(_.asText())
-      .getOrElse(throw new IllegalArgumentException("request needs 'query'"))
     val k = Option(req.get("limit")).map(_.asInt()).getOrElse(5)
     val filter = FilterDsl.compileRequestFilter(requestJson).getOrElse(lit(true))
     val cols: Seq[String] = Option(req.get("columns"))
       .map(_.elements().asScala.map(_.asText()).toSeq)
       .getOrElse(index.columns.filterNot(_ == embCol).toSeq)
-    topK(query, k, filter)
-      .select(cols.map(c => col(c).cast("string").as(c)): _*)
+    val ranked = Option(req.get("query_vector")) match {
+      case Some(vecNode) =>
+        topKVec(vecNode.elements().asScala.map(_.floatValue()).toSeq, k, filter)
+      case None =>
+        val query = Option(req.get("query")).map(_.asText()).getOrElse(
+          throw new IllegalArgumentException("request needs 'query' or 'query_vector'"))
+        topK(query, k, filter)
+    }
+    ranked.select(cols.map(c => col(c).cast("string").as(c)): _*)
   }
 
   /** Byte-shaped Method-1 response: `{"results": [{col: string-value}]}`. */

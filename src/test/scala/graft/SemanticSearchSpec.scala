@@ -54,6 +54,20 @@ class SemanticSearchSpec extends SparkSpec {
     assert(rows.forall(_.getString(1) == "run"))
   }
 
+  test("search(): query_vector request bypasses the embedder (stored-vector path)") {
+    val vec = embedder.embed("interval run with sprints and speed work")
+    val out = search.search(
+      s"""{"query_vector":[${vec.mkString(",")}],
+         |"columns":["ID","SPORT_TYPE"],"limit":1}""".stripMargin).collect()
+    // exact self-match: W5's own embedding must rank itself first
+    assert(out.head.getString(0) == "W5")
+    // and it must agree with the equivalent text request (same embedder)
+    val viaText = search.search(
+      """{"query":"interval run with sprints and speed work",
+        |"columns":["ID","SPORT_TYPE"],"limit":1}""".stripMargin).collect()
+    assert(viaText.head.getString(0) == out.head.getString(0))
+  }
+
   test("searchResponseJson is a {results:[...]} envelope") {
     val json = search.searchResponseJson(
       """{"query":"swim","columns":["ID"],"limit":1}""")
