@@ -226,6 +226,24 @@ object SparkEntry {
         .select(col("doc_id"), simhash60(split(col("text"), " ")).as("simhash"))
     }),
 
+    // high-threshold dedup through the PPJoin prefix-filtered path (the
+    // 100 TB-safe route — candidates from a prefix-token equi-join, never
+    // O(block^2)); jaccardPairs auto-dispatches here at threshold >= 0.5
+    "q39_jaccard_prefix" -> ((s, dir) =>
+      Dedup.jaccardPairs(rdPar(s, dir, "documents"), "doc_id", "text",
+        Nil, n = 1, threshold = 0.9)),
+
+    // low-threshold dedup through MinHash-LSH candidate buckets + exact
+    // verification (recall-approximate; the scale path when the threshold is
+    // too low for prefix filtering). bands = numHashes = 16 ⇒ rows-per-band
+    // 1, so candidates = pairs sharing any of the 16 minhash values — the
+    // oracle replicates that candidate step exactly (bit-portable minhash,
+    // proven by q22/q23)
+    "q40_jaccard_lsh" -> ((s, dir) =>
+      Dedup.jaccardPairsLsh(rdPar(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.3, blockCols = Seq("lang", "source"),
+        numHashes = 16, bands = 16)),
+
     "q20_neardup_cosine" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(rd(s, dir, "embeddings"), "vec_id", "embedding",
         Seq("label"), threshold = 0.3)),
@@ -554,6 +572,39 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM votes GROUP BY doc_id""".stripMargin,
+
+    "q39_jaccard_prefix" ->
+      """WITH g AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS grams FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jaccard
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.9""".stripMargin,
+
+    // candidate step = pairs sharing any of the 16 minhash values (Spark's
+    // bands=numHashes=16 bucketing), then blocked exact-jaccard verification
+    "q40_jaccard_lsh" ->
+      """WITH th AS (
+        |  SELECT d.doc_id, CAST(('0x' || substring(md5(t.t), 1, 8)) AS BIGINT) AS h
+        |  FROM documents d, unnest(list_distinct(string_split(d.text, ' '))) AS t(t)),
+        |mh AS (
+        |  SELECT doc_id, i.i AS hash_idx,
+        |    min(((2 * i.i + 1) * h + i.i * 40503) % 4294967311) AS minhash
+        |  FROM th, range(16) i(i) GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM mh a JOIN mh b ON a.hash_idx = b.hash_idx AND a.minhash = b.minhash
+        |    AND a.doc_id < b.doc_id),
+        |g AS (SELECT doc_id, lang, source,
+        |  list_distinct(string_split(text, ' ')) AS grams FROM documents)
+        |SELECT c.id_a, c.id_b,
+        |  CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+        |    / CAST(len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) AS jaccard
+        |FROM cand c JOIN g ga ON c.id_a = ga.doc_id JOIN g gb ON c.id_b = gb.doc_id
+        |WHERE ga.lang = gb.lang AND ga.source = gb.source
+        |  AND CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+        |    / CAST(len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) >= 0.3""".stripMargin,
 
     "q20_neardup_cosine" -> {
       val cos = cosSql("a.embedding", "b.embedding")

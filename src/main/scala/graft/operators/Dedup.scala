@@ -41,28 +41,33 @@ object Dedup {
     df.select(col(idCol),
       minhashSignature(split(col(textCol), " "), numHashes).as("minhash"))
 
+  /** Banded minhash bucket assignment: one row per (id, band, bucket). */
+  private def bandedBuckets(df: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    minHashSignatures(df, idCol, textCol, numHashes).select(
+        col(idCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(concat_ws(",", slice(col("minhash"), b * rows + 1, lit(rows)))))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+  }
+
   /** MinHash-LSH candidate pairs: signatures are cut into `bands` bands of
     * `numHashes / bands` rows each; docs sharing any band hash become a
     * candidate pair. Returns (id_a, id_b, n_shared_bands) with id_a < id_b.
     *
     * Plan shape: scan -> per-row signature -> explode(bands) [xN, no shuffle]
-    * -> shuffle on (band, bucket) -> self-join within bucket -> distinct.
+    * -> shuffle on (band, bucket) -> self-join within bucket. Both self-join
+    * subtrees are structurally identical, so Catalyst's ReuseExchange rule
+    * computes signatures ONCE and feeds the second side from the first side's
+    * shuffle files — signature sharing without pinning any cache blocks
+    * (which a persist here used to leak across long-lived sessions).
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rows = numHashes / bands
-    val sigs = minHashSignatures(df, idCol, textCol, numHashes)
-    val banded = sigs.select(
-      col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(concat_ws(",", slice(col("minhash"), b * rows + 1, lit(rows)))))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-      // both sides of the self-join read this; persist so signatures are
-      // computed once (ContextCleaner reclaims the blocks when unreferenced)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val a = banded.repartition(parts, col("band"), col("bucket")).as("a")
+    val banded = bandedBuckets(df, idCol, textCol, numHashes, bands)
+    val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
         col(s"a.band") === col(s"b.band") && col(s"a.bucket") === col(s"b.bucket") &&
@@ -79,13 +84,14 @@ object Dedup {
                    maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
     val bitsPer = 60 / chunks
     val sigs = df.select(col(idCol), simhash60(split(col(textCol), " ")).as("simhash"))
+    // symmetric self-join subtrees: the planner shuffles both sides on
+    // (chunk, chunk_val) and ReuseExchange computes signatures once
     val chunked = sigs.select(col(idCol), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)),
         c => call_function("shiftright", col("simhash"), c * bitsPer)
           .bitwiseAND(lit((1L << bitsPer) - 1)))))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val a = chunked.repartition(parts, col("chunk"), col("chunk_val")).as("a")
+    val a = chunked.as("a")
     val b = chunked.as("b")
     a.join(b,
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
@@ -105,35 +111,103 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
+  /** Exact n-gram Jaccard pairs at or above `threshold`, optionally within
+    * blocking keys. Routing is threshold-driven, because the scale-safe
+    * algorithm differs:
+    *
+    *  - `threshold >= 0.5`: the PPJoin-style prefix filter
+    *    ([[jaccardPairsPrefix]]) — candidates from an equi-join on each doc's
+    *    rarest tokens, never O(block^2). Results are identical to the blocked
+    *    path (the prefix filter is complete: no false negatives).
+    *  - `threshold < 0.5`: the blocked pair join ([[jaccardPairsBlocked]]) —
+    *    exact, but quadratic within a block; callers at 100 TB scale with low
+    *    thresholds should use [[jaccardPairsLsh]] (recall-approximate,
+    *    bucket-bounded) instead.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   blockCols: Seq[String], n: Int = 1,
+                   threshold: Double = 0.8): DataFrame =
+    if (threshold >= 0.5) jaccardPairsPrefix(df, idCol, textCol, threshold, blockCols, n)
+    else jaccardPairsBlocked(df, idCol, textCol, blockCols, n, threshold)
+
   /** Exact n-gram Jaccard similarity for pairs within a blocking key.
     * `blockCols` bounds the pair space (same-language, same-source, an LSH
     * bucket...); the join is a shuffled equi-join on the block, never a full
-    * cross product.
+    * cross product — but pair enumeration is O(b^2) in the block size, so at
+    * scale this is only safe with high-cardinality blocks.
     *
     * Two scale choices baked in: (1) n-grams are xxhash64-hashed to longs
     * before intersection — primitive set ops instead of per-pair string
     * hashing (intersection SIZES are unchanged modulo 2^-64 collisions);
-    * (2) the streamed side is repartitioned by the block key, which both
-    * spreads pair generation across all cores when the scan arrives in a
-    * single partition (one-file / one-row-group inputs) and is exactly the
-    * co-locating shuffle a sort-merge pair join needs at cluster scale.
+    * (2) the self-join subtrees are structurally identical, so the planner
+    * shuffles both sides on the block key and ReuseExchange computes the
+    * gram sets once — co-located pair generation with no pinned cache.
     */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   blockCols: Seq[String], n: Int = 1,
-                   threshold: Double = 0.8): DataFrame = {
+  def jaccardPairsBlocked(df: DataFrame, idCol: String, textCol: String,
+                          blockCols: Seq[String], n: Int = 1,
+                          threshold: Double = 0.8): DataFrame = {
     val hashed = array_distinct(transform(wordNgrams(col(textCol), n), t => xxhash64(t)))
     val grams = df.select(
       (col(idCol) +: blockCols.map(col)) :+ hashed.as("grams"): _*)
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val a = (if (blockCols.nonEmpty) grams.repartition(parts, blockCols.map(col): _*)
+    val a = (if (blockCols.nonEmpty) grams
              else grams.repartition(parts)).as("a")
-    val b = grams.as("b")
+    val b = (if (blockCols.nonEmpty) grams
+             else grams.repartition(parts)).as("b")
     val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
     val inter = size(array_intersect(col("a.grams"), col("b.grams")))
     val union = size(col("a.grams")) + size(col("b.grams")) - inter
     a.join(b, blockCond && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        (inter.cast("double") / union.cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Recall-approximate Jaccard pairs for LOW thresholds at scale: candidate
+    * pairs come from MinHash-LSH buckets (optionally intersected with
+    * blocking keys), then exact n-gram Jaccard verifies each candidate. The
+    * candidate set is bounded by bucket co-membership — never O(block^2) —
+    * at the cost of missing pairs that collide in no band (recall
+    * 1-(1-j^(numHashes/bands))^bands; pick bands=numHashes for rows=1
+    * buckets and near-1 recall at j >= ~0.3).
+    */
+  def jaccardPairsLsh(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, blockCols: Seq[String] = Nil,
+                      n: Int = 1, numHashes: Int = 16,
+                      bands: Int = 16): DataFrame = {
+    val banded = bandedBuckets(df, idCol, textCol, numHashes, bands)
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    verifyJaccard(df, cand, idCol, textCol, blockCols, n, threshold)
+  }
+
+  /** Exact-Jaccard verification of a slim (id_a, id_b) candidate set:
+    * join the gram sets back by id (two equi-shuffles) and keep pairs in the
+    * same block scoring >= threshold.
+    */
+  private def verifyJaccard(df: DataFrame, cand: DataFrame, idCol: String,
+                            textCol: String, blockCols: Seq[String], n: Int,
+                            threshold: Double): DataFrame = {
+    val hashed = array_distinct(transform(wordNgrams(col(textCol), n), t => xxhash64(t)))
+    val grams = df.select(
+      (col(idCol) +: blockCols.map(col)) :+ hashed.as("grams"): _*)
+    val ga = grams.select(col(idCol).as("id_a") +:
+      (blockCols.map(c => col(c).as(s"a_$c")) :+ col("grams").as("grams_a")): _*)
+    val gb = grams.select(col(idCol).as("id_b") +:
+      (blockCols.map(c => col(c).as(s"b_$c")) :+ col("grams").as("grams_b")): _*)
+    val blockCond = blockCols.map(c => col(s"a_$c") === col(s"b_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val inter = size(array_intersect(col("grams_a"), col("grams_b")))
+    val union = size(col("grams_a")) + size(col("grams_b")) - inter
+    cand.join(ga, "id_a").join(gb, "id_b")
+      .where(blockCond)
+      .select(col("id_a"), col("id_b"),
         (inter.cast("double") / union.cast("double")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
@@ -153,13 +227,24 @@ object Dedup {
     */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double, blockCols: Seq[String] = Nil,
-                         n: Int = 1): DataFrame = {
+                         n: Int = 1): DataFrame =
+    verifyJaccard(df, prefixCandidates(df, idCol, textCol, threshold, n),
+      idCol, textCol, blockCols, n, threshold)
+
+  /** The PPJoin candidate stage alone: slim (id_a, id_b) pairs that survive
+    * the prefix-token equi-join and the in-join size filter
+    * (t*|b| <= |a| <= |b|/t). Exposed so candidate-set growth is directly
+    * testable (DedupSpec asserts it stays far below the quadratic pair count
+    * on a deliberately hot block). Sharing across the self-join comes from
+    * ReuseExchange on the identical subtrees, not from persist — nothing is
+    * pinned in the block manager after the query completes.
+    */
+  def prefixCandidates(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, n: Int = 1): DataFrame = {
     require(threshold > 0 && threshold < 1, "threshold must be in (0,1)")
     val hashed = array_distinct(transform(wordNgrams(col(textCol), n), t => xxhash64(t)))
-    val grams = df.select(
-        (col(idCol) +: blockCols.map(col)) :+ hashed.as("grams"): _*)
+    val grams = df.select(col(idCol), hashed.as("grams"))
       .withColumn("sz", size(col("grams")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks = grams.select(col(idCol), col("sz"), explode(col("grams")).as("g"))
     val freq = toks.groupBy("g").agg(count(lit(1)).as("gdf"))
     val prefix = toks.join(freq, "g")
@@ -171,25 +256,12 @@ object Dedup {
       .select(col(idCol), col("sz"), col("p.g").as("g"))
     val a = prefix.as("a")
     val b = prefix.as("b")
-    val cand = a.join(b,
+    a.join(b,
         col("a.g") === col("b.g") && col(s"a.$idCol") < col(s"b.$idCol") &&
           col("a.sz") >= ceil(col("b.sz") * threshold) &&
           col("b.sz") >= ceil(col("a.sz") * threshold))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    val ga = grams.select(col(idCol).as("id_a") +:
-      (blockCols.map(c => col(c).as(s"a_$c")) :+ col("grams").as("grams_a")): _*)
-    val gb = grams.select(col(idCol).as("id_b") +:
-      (blockCols.map(c => col(c).as(s"b_$c")) :+ col("grams").as("grams_b")): _*)
-    val blockCond = blockCols.map(c => col(s"a_$c") === col(s"b_$c"))
-      .reduceOption(_ && _).getOrElse(lit(true))
-    val inter = size(array_intersect(col("grams_a"), col("grams_b")))
-    val union = size(col("grams_a")) + size(col("grams_b")) - inter
-    cand.join(ga, "id_a").join(gb, "id_b")
-      .where(blockCond)
-      .select(col("id_a"), col("id_b"),
-        (inter.cast("double") / union.cast("double")).as("jaccard"))
-      .where(col("jaccard") >= threshold)
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g. an
