@@ -332,6 +332,26 @@ object SparkEntry {
           .map(c => col(c).cast("string").as(c)): _*)
     }),
 
+    // the reference's top-k -> join-back flow (02:342-348: top-3 search, then
+    // JOIN ... ON s.ID = w.ID returning RAW_JSON_STR AS FULL_WORKOUT_JSON):
+    // rank over the SLIM stored index (vec_id, embedding only), then fetch
+    // the full payload from the base table by key. The 3-row ranked side is
+    // broadcast, so the payload fetch is a map-side join — no shuffle of the
+    // base table at any scale.
+    "q38_topk_joinback" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val docs = rd(s, dir, "documents")
+      val qvec = emb.where(col("vec_id") === 2).select("embedding")
+        .head().getSeq[Float](0).toSeq
+      val top = new SemanticSearch(emb.where(col("vec_id") =!= 2),
+          HashingTfEmbedder(64), "vec_id", "text", "embedding")
+        .topKVec(qvec, 3)
+        .select(col("vec_id"), col("SIMILARITY_SCORE").as("score"))
+      docs.join(broadcast(top), top("vec_id") === docs("doc_id"))
+        .select(col("vec_id"), col("score"), col("text").as("full_doc"),
+          col("lang"), col("source"))
+    }),
+
     // as-of join (point-in-time lookup; union + carry-forward window, one
     // shuffle) — attribute each click to the user's latest prior purchase
     "q37_asof_join" -> ((s, dir) => {
@@ -375,9 +395,13 @@ object SparkEntry {
       graft.streaming.Sessionize.sessionStats(events(s, dir), gapMinutes = 30)),
 
     // try_cast re-typing (SURVEY §2.8 C3: the Method-1 response decode
-    // pattern — stringified values cast back, null on failure)
+    // pattern — stringified values cast back, null on failure). Repartition
+    // first: the single-row-group scan would otherwise run on one core, and
+    // the deliberately-failing cast pays a real exception-path cost
+    // (~7 us/row, 3x a succeeding cast — measured), so spread it.
     "q32_try_cast" -> ((s, dir) => {
-      events(s, dir).select(col("event_id"),
+      events(s, dir).repartition(s.sessionState.conf.numShufflePartitions)
+        .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("string").as("k_str"))
         .select(col("event_id"),
           col("k_str").try_cast("int").as("k"),
@@ -734,6 +758,16 @@ object SparkEntry {
          |SELECT CAST(vec_id AS VARCHAR) AS vec_id, CAST(lang AS VARCHAR) AS lang,
          |  CAST(source AS VARCHAR) AS source, CAST(n_chars AS VARCHAR) AS n_chars
          |FROM ranked""".stripMargin
+    },
+
+    "q38_topk_joinback" -> {
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 2),
+         |top AS (
+         |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS score
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 2
+         |  ORDER BY score DESC, e.vec_id LIMIT 3)
+         |SELECT t.vec_id, t.score, d.text AS full_doc, d.lang, d.source
+         |FROM top t JOIN documents d ON t.vec_id = d.doc_id""".stripMargin
     },
 
     "q37_asof_join" ->

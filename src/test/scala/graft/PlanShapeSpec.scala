@@ -99,6 +99,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(probe.count() == 5)
   }
 
+  /** q38 reference flow (top-k then join back the payload by key): the tiny
+    * ranked side must be broadcast so the payload fetch never shuffles the
+    * base table, and the ranking itself must be a TakeOrderedAndProject.
+    */
+  test("top-k join-back plans as TakeOrderedAndProject + broadcast join") {
+    val emb = Seq.tabulate(40)(i => (i.toLong, Array.fill(8)(i / 40f + 0.1f)))
+      .toDF("vec_id", "embedding")
+    val base = Seq.tabulate(40)(i => (i.toLong, s"payload$i")).toDF("doc_id", "text")
+    val top = new graft.api.SemanticSearch(emb, HashingTfEmbedder(8),
+        "vec_id", "text", "embedding")
+      .topKVec(Seq.fill(8)(0.5f), 3)
+      .select(col("vec_id"), col("SIMILARITY_SCORE").as("score"))
+    val joined = base.join(broadcast(top), top("vec_id") === base("doc_id"))
+      .select(col("vec_id"), col("score"), col("text"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(joined.count() == 3)
+  }
+
   test("function registration: extension hook applies; SQL path works per-session") {
     // injection hook is exercised against a raw SparkSessionExtensions (a
     // fully fresh session would need its own JVM); the SQL surface is then
