@@ -66,12 +66,16 @@ object SparkEntry {
   private val allStop = sqlList(TextAnalysis.StopwordsEn ++ TextAnalysis.StopwordsDe
     ++ TextAnalysis.StopwordsEs ++ TextAnalysis.StopwordsFr)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Exercises the two serving paths the engine is built around: corpus
+    * indexing through the fitted MLlib pipeline (the batch scale path), and
+    * query embedding through the same model driver-side.
+    */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val embedder = HashingTfEmbedder(256)
-    val index = IndexBuilder.withEmbeddings(docs, embedder, textCol = "text")
+    val embedder = graft.embed.MlLibEmbedder.fit(docs, "text", dim = 256)
+    val index = embedder.transformCorpus(docs, "text", "EMBEDDING")
     new SemanticSearch(index, embedder, "doc_id", "text", "EMBEDDING")
       .topK("machine learning training data quality", 5)
   }
