@@ -29,13 +29,21 @@ object IndexBuilder {
 
   /** Build and persist the index; returns the reloaded (pruned-scan-capable)
     * DataFrame.
+    *
+    * Point lookups by `idCol` (the reference's Search Optimization Service
+    * analog, `02:423`; SURVEY §4) are served by parquet bloom filters
+    * written on that column: a row-group whose filter rejects the key is
+    * skipped without decoding — the columnar stand-in for a point index.
     */
   def buildAndPersist(df: DataFrame, embedder: Embedder, path: String,
                       partitionCols: Seq[String] = Seq("SPORT_TYPE"),
-                      textCol: String = "EMBED_STR"): DataFrame = {
+                      textCol: String = "EMBED_STR",
+                      idCol: String = "ID"): DataFrame = {
     val spark = df.sparkSession
     val withEmb = withEmbeddings(df, embedder, textCol)
     val writer = withEmb.write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$idCol", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$idCol", "1000000")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(path)
     spark.read.parquet(path)

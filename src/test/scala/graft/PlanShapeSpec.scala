@@ -99,6 +99,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(probe.count() == 5)
   }
 
+  /** Point-lookup acceleration (02:423 Search Optimization Service analog):
+    * buildAndPersist must write parquet bloom filters on the ID column, so
+    * key lookups skip row groups without decoding them.
+    */
+  test("buildAndPersist writes a bloom filter on the ID column") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val file = new java.io.File(indexPath).listFiles().toSeq
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .find(_.getName.endsWith(".parquet")).get
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file.getAbsolutePath), new Configuration()))
+    try {
+      val rg = reader.getFooter.getBlocks.asScala.head
+      val byCol = rg.getColumns.asScala
+        .map(c => c.getPath.toDotString -> c.getBloomFilterOffset).toMap
+      assert(byCol("ID") >= 0, s"no bloom filter on ID: $byCol")
+      assert(byCol("EMBED_STR") < 0, "bloom filters must be per-column, not global")
+    } finally reader.close()
+  }
+
   /** q38 reference flow (top-k then join back the payload by key): the tiny
     * ranked side must be broadcast so the payload fetch never shuffles the
     * base table, and the ranking itself must be a TakeOrderedAndProject.
