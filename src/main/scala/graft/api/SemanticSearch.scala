@@ -57,6 +57,11 @@ final class SemanticSearch(index: DataFrame, embedder: Embedder,
     Ann.topKBatch(index, idCol, embCol,
       queries.map { case (qid, q) => (qid, embedder.embed(q).toSeq) }, k, filter)
 
+  /** SURVEY §4 public name for the batched path. */
+  def searchBatch(queries: Seq[(Long, String)], k: Int,
+                  filter: Column = lit(true)): DataFrame =
+    topKBatch(queries, k, filter)
+
   /** Method-1 request entry point: JSON in, DataFrame of STRING columns out
     * (the observed Cortex contract stringifies every value; consumers
     * `TRY_CAST` back — `01:205-206`).

@@ -150,10 +150,15 @@ object Dedup {
     val grams = df.select(
       (col(idCol) +: blockCols.map(col)) :+ hashed.as("grams"): _*)
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val a = (if (blockCols.nonEmpty) grams
-             else grams.repartition(parts)).as("a")
-    val b = (if (blockCols.nonEmpty) grams
-             else grams.repartition(parts)).as("b")
+    // one explicit repartition on the SHARED subtree: both join sides are the
+    // identical exchange (ReuseExchange computes grams once), it already
+    // satisfies the join's clustering requirement, and the user-pinned
+    // partition count stops AQE from coalescing this tiny-bytes/heavy-CPU
+    // pair-generation stage onto a single core
+    val part = (if (blockCols.nonEmpty) grams.repartition(parts, blockCols.map(col): _*)
+                else grams.repartition(parts))
+    val a = part.as("a")
+    val b = part.as("b")
     val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
     val inter = size(array_intersect(col("a.grams"), col("b.grams")))
