@@ -10,7 +10,7 @@ import graft.embed.HashingTfEmbedder
 import graft.filter.FilterDsl
 import graft.functions.TextHashFunctions._
 import graft.multimodal.Multimodal
-import graft.operators.{Ann, Dedup, TextAnalysis}
+import graft.operators.{Ann, Dedup, RangeJoin, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -366,6 +366,63 @@ object SparkEntry {
         .groupBy("user_id", "ts").agg(max("event_id").as("purchase_id"))
       graft.operators.AsOf.join(clicks, purchases, "user_id", "ts", Seq("purchase_id"))
         .select("event_id", "purchase_id")
+    }),
+
+    // explicit skew salting (J-family extension): hot keys scatter over 8
+    // replicas of the build side; result provably equals the plain join, so
+    // the plain join IS the oracle
+    "q41_salted_join" -> ((s, dir) => {
+      val o = rd(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+      val c = rd(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Skew.saltedJoin(o, c, "o_custkey", salt = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec)).as("sum_price"))
+    }),
+
+    // point-in-interval range join via domain bucketing (equi-join on bucket
+    // id + residual BETWEEN — never a nested-loop plan); overlapping literal
+    // price bands exercise interval replication
+    "q42_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = (0 until 20).map(i => (i.toLong, i * 25000.0, i * 25000.0 + 40000.0))
+        .toDF("band_id", "lo", "hi")
+      val o = rd(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      RangeJoin.pointInInterval(o, bands, "o_totalprice", "lo", "hi",
+          bucketWidth = 25000)
+        .groupBy("band_id").agg(count(lit(1)).as("n"))
+    }),
+
+    // global aggregates (A2/A3): COUNT(*) vs null-aware COUNT(col) over a
+    // permissive JSON path (missing -> null, G3/C4), COUNT(DISTINCT), and
+    // ROUND (C7; summing integer-valued doubles keeps the float exact in
+    // any partition order)
+    "q43_global_agg" -> ((s, dir) =>
+      events(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        count(get_json_object(col("props"), "$.missing")).as("n_missing"),
+        count(get_json_object(col("props"), "$.k")).as("n_k"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(round(col("value"))).as("sum_round_value"))),
+
+    // sign-bit hyperplane-LSH bucketed search (the ANN scale path, oracled:
+    // stored vectors double as the query AND the hyperplanes, so bucket
+    // assignment is deterministic and bit-portable to the oracle — the
+    // bucket filter prunes the corpus before any scoring)
+    "q44_lsh_bucket_search" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      def vec(id: Int): Seq[Float] = emb.where(col("vec_id") === id)
+        .select("embedding").head().getSeq[Float](0).toSeq
+      val qvec = vec(0)
+      val planes = Seq(vec(3), vec(4))
+      val corpus = Ann.withHyperplaneBuckets(
+        emb.where(col("vec_id") =!= 0), "embedding", planes)
+      val qBucket = planes.zipWithIndex
+        .map { case (p, i) => if (Ann.cosine(qvec, p) >= 0) 1L << i else 0L }.sum
+      Ann.topK(corpus, "vec_id", "embedding", qvec, 5,
+          col("lsh_bucket") === qBucket)
+        .select("vec_id", "score")
     }),
 
     // set operators (engine extension; absent from the reference per SURVEY
@@ -783,6 +840,49 @@ object SparkEntry {
         |SELECT c.event_id, p.purchase_id
         |FROM clicks c ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "q41_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q42_range_join" -> {
+      val bands = (0 until 20)
+        .map(i => s"($i, ${i * 25000.0}, ${i * 25000.0 + 40000.0})").mkString(", ")
+      s"""WITH bands(band_id, lo, hi) AS (VALUES $bands)
+         |SELECT CAST(band_id AS BIGINT) AS band_id, count(*) AS n
+         |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice <= hi
+         |GROUP BY 1""".stripMargin
+    },
+
+    "q43_global_agg" ->
+      """SELECT count(*) AS n_rows,
+        |  count(json_extract_string(props, '$.missing')) AS n_missing,
+        |  count(json_extract_string(props, '$.k')) AS n_k,
+        |  count(DISTINCT event_type) AS n_types,
+        |  sum(round(value)) AS sum_round_value
+        |FROM events""".stripMargin,
+
+    "q44_lsh_bucket_search" -> {
+      def dot(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |p1 AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 3),
+         |p2 AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 4),
+         |corp AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    (CASE WHEN ${dot("e.embedding", "p1.pv")} >= 0 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN ${dot("e.embedding", "p2.pv")} >= 0 THEN 2 ELSE 0 END) AS bucket
+         |  FROM embeddings e CROSS JOIN p1 CROSS JOIN p2 WHERE e.vec_id <> 0),
+         |qb AS (
+         |  SELECT (CASE WHEN ${dot("q.qv", "p1.pv")} >= 0 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN ${dot("q.qv", "p2.pv")} >= 0 THEN 2 ELSE 0 END) AS bucket
+         |  FROM q CROSS JOIN p1 CROSS JOIN p2)
+         |SELECT c.vec_id, ${cosSql("c.embedding", "q.qv")} AS score
+         |FROM corp c JOIN qb ON c.bucket = qb.bucket CROSS JOIN q
+         |ORDER BY score DESC, c.vec_id LIMIT 5""".stripMargin
+    },
 
     "q34_set_ops" ->
       """WITH b AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
