@@ -425,6 +425,22 @@ object SparkEntry {
         .select("vec_id", "score")
     }),
 
+    // IVF-pruned approximate search (the other ANN scale path, oracled:
+    // deterministic first-n centroids, per-row argmax assignment, query
+    // probes its 2 nearest cells; the oracle replicates assignment and
+    // probing with the same fold order and tie-breaks)
+    "q45_ivf_search" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") =!= 0)
+      val qvec = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toSeq
+      val cents = Ann.sampleCentroids(corpus, "vec_id", "embedding", 4)
+      val withCells = Ann.withIvfAssignment(corpus, "embedding", cents)
+      Ann.topKIvf(withCells, "vec_id", "embedding", "ivf_cell", cents,
+          qvec, k = 5, nProbe = 2)
+        .select("vec_id", "score")
+    }),
+
     // set operators (engine extension; absent from the reference per SURVEY
     // §2.5 but part of a complete relational surface)
     "q34_set_ops" -> ((s, dir) => {
@@ -882,6 +898,27 @@ object SparkEntry {
          |SELECT c.vec_id, ${cosSql("c.embedding", "q.qv")} AS score
          |FROM corp c JOIN qb ON c.bucket = qb.bucket CROSS JOIN q
          |ORDER BY score DESC, c.vec_id LIMIT 5""".stripMargin
+    },
+
+    "q45_ivf_search" -> {
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+         |  FROM embeddings WHERE vec_id <> 0 ORDER BY vec_id LIMIT 4),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cosSql("e.embedding", "c.cv")} AS cs
+         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id <> 0),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid DESC) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |qcents AS (
+         |  SELECT c.cid FROM cents c CROSS JOIN q
+         |  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cid ASC LIMIT 2)
+         |SELECT a.vec_id, ${cosSql("a.embedding", "q.qv")} AS score
+         |FROM assign a JOIN qcents ON a.cid = qcents.cid CROSS JOIN q
+         |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin
     },
 
     "q34_set_ops" ->
