@@ -237,12 +237,16 @@ object Dedup {
       idCol, textCol, blockCols, n, threshold)
 
   /** The PPJoin candidate stage alone: slim (id_a, id_b) pairs that survive
-    * the prefix-token equi-join and the in-join size filter
-    * (t*|b| <= |a| <= |b|/t). Exposed so candidate-set growth is directly
-    * testable (DedupSpec asserts it stays far below the quadratic pair count
-    * on a deliberately hot block). Sharing across the self-join comes from
-    * ReuseExchange on the identical subtrees, not from persist — nothing is
-    * pinned in the block manager after the query completes.
+    * the prefix-token equi-join, the in-join size filter
+    * (t*|b| <= |a| <= |b|/t), and the positional filter: a match at 0-based
+    * positions (pa, pb) of the rarity-sorted token lists bounds the overlap
+    * by min(|a|-pa, |b|-pb), which must still reach the jaccard-equivalent
+    * requirement t/(1+t)*(|a|+|b|) — pairs sharing only late-prefix tokens
+    * are pruned before the distinct. Exposed so candidate-set growth is
+    * directly testable (DedupSpec asserts it stays far below the quadratic
+    * pair count on a deliberately hot block). Sharing across the self-join
+    * comes from ReuseExchange on the identical subtrees, not from persist —
+    * nothing is pinned in the block manager after the query completes.
     */
   def prefixCandidates(df: DataFrame, idCol: String, textCol: String,
                        threshold: Double, n: Int = 1): DataFrame = {
@@ -257,14 +261,20 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("gdf"), col("g")))).as("rare_first"))
       .withColumn("prefix", slice(col("rare_first"), lit(1),
         (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")))
-      .select(col(idCol), col("sz"), explode(col("prefix")).as("p"))
-      .select(col(idCol), col("sz"), col("p.g").as("g"))
+      .select(col(idCol), col("sz"), posexplode(col("prefix")))
+      .select(col(idCol), col("sz"), col("pos"), col("col.g").as("g"))
     val a = prefix.as("a")
     val b = prefix.as("b")
+    // overlap requirement as a real-valued bound with a tiny slack: an
+    // integer ub >= ceil(x) iff ub >= x; the 1e-9 guards the borderline
+    // where x is exactly integral but floating rounding nudges it up
+    // (keeping one extra candidate is safe — verification is exact)
+    val need = (col("a.sz") + col("b.sz")) * lit(threshold / (1.0 + threshold)) - lit(1e-9)
     a.join(b,
         col("a.g") === col("b.g") && col(s"a.$idCol") < col(s"b.$idCol") &&
           col("a.sz") >= ceil(col("b.sz") * threshold) &&
-          col("b.sz") >= ceil(col("a.sz") * threshold))
+          col("b.sz") >= ceil(col("a.sz") * threshold) &&
+          least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) >= need)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
   }
