@@ -208,6 +208,29 @@ object SparkEntry {
     "q13_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(rd(s, dir, "documents"), "doc_id", "text")),
 
+    // survivor-row form of exact dedup (left-semi join back to the corpus —
+    // the "keep one copy" operation a training pipeline actually runs)
+    "q46_exact_dedup_rows" -> ((s, dir) =>
+      Dedup.exactDedup(rd(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "lang", "source", "n_chars")),
+
+    // window-function family over event time: running decimal sum + lag
+    // (one shuffle on user_id, both functions share the frame)
+    "q47_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir).select(
+        col("event_id"), col("user_id"),
+        sum(col("value").cast(dec)).over(w).as("running_value"),
+        lag(col("event_id"), 1).over(w).as("prev_event"))
+    }),
+
+    // CUBE grouping-set lattice (rollup's sibling, q27)
+    "q48_cube" -> ((s, dir) =>
+      rd(s, dir, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec)).as("sum_price"))),
+
     "q21_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(rd(s, dir, "documents"), "doc_id", "text",
         Seq("lang", "source"), n = 1, threshold = 0.3)),
@@ -856,6 +879,24 @@ object SparkEntry {
         |SELECT c.event_id, p.purchase_id
         |FROM clicks c ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "q46_exact_dedup_rows" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (
+        |  SELECT min(doc_id) FROM documents
+        |  GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g')))""".stripMargin,
+
+    "q47_window_funcs" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(28,2)) AS running_value,
+        |  lag(event_id) OVER w AS prev_event
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "q48_cube" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
 
     "q41_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n,
