@@ -94,6 +94,19 @@ object WorkoutCorpus {
       .schema(rawSchema)
       .csv(path))
 
+  /** Read a corpus as JSON-lines with the same permissive load semantics as
+    * the CSV COPY path (one object per line, corrupt lines audited in
+    * `_corrupt_record`, absent keys -> null, numbers coerced to the staged
+    * string layer) and the same [[typed]] cast layer on top — so either
+    * interchange format lands in one canonical shape.
+    */
+  def readJsonl(spark: SparkSession, path: String): DataFrame =
+    typed(spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(rawSchema)
+      .json(path))
+
   /** The per-column cast layer (`01:116-126`): strict casts for the columns
     * COPY casts with `::`, NULLIF('')-style empty handling for the nullable
     * ints, and a parsed struct view of the JSON payload alongside the raw

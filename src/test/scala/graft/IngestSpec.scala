@@ -70,4 +70,29 @@ class IngestSpec extends SparkSpec {
     val w2 = ds.collect().find(_.ID == "W2").get
     assert(w2.DISTANCE_METERS.isEmpty && w2.DIFFICULTY == "very hard")
   }
+
+  test("JSONL ingest lands in the same canonical shape as CSV") {
+    val dir = Files.createTempDirectory("graft-jsonl")
+    val f = dir.resolve("corpus.jsonl")
+    Files.writeString(f,
+      """{"ID":"J1","EMBED_STR":"jsonl doc","SPORT_TYPE":"swim","DIFFICULTY":"easy","MOVING_TIME_SECONDS":900,"DISTANCE_METERS":1500,"GENERATION_MODEL":"m1","WORKOUT_SOURCE":"slam","STORE_VERSION":"v1","RAW_JSON_STR":"{\"workout_title\":\"J\"}","CREATED_AT":"2025-10-12 09:00:00"}
+        |{"ID":"J2","EMBED_STR":"no numbers","SPORT_TYPE":"ride","DIFFICULTY":"hard","GENERATION_MODEL":"m1","WORKOUT_SOURCE":"slam","STORE_VERSION":"v1","RAW_JSON_STR":"{\"workout_title\":\"K\"}"}
+        |this line is not json
+        |""".stripMargin)
+    // cache: Spark disallows corrupt-record-only queries on raw JSON scans
+    val jdf = WorkoutCorpus.readJsonl(spark, f.toString).cache()
+    // same canonical columns as the CSV path
+    assert(jdf.columns.toSeq == df.columns.toSeq)
+    val ok = jdf.where(jdf("ID").isNotNull)
+    assert(ok.count() == 2)
+    val j1 = ok.where(jdf("ID") === "J1").head()
+    assert(j1.getAs[Int]("MOVING_TIME_SECONDS") == 900)
+    assert(j1.getAs[org.apache.spark.sql.Row]("WORKOUT_DOC")
+      .getAs[String]("workout_title") == "J")
+    // absent keys -> null ints (the NULLIF analog for JSONL)
+    val j2 = ok.where(jdf("ID") === "J2").head()
+    assert(j2.isNullAt(j2.fieldIndex("DISTANCE_METERS")))
+    // the corrupt line is audited, not dropped
+    assert(jdf.where(jdf("_corrupt_record").isNotNull).count() == 1)
+  }
 }

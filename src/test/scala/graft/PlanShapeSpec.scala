@@ -99,6 +99,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(probe.count() == 5)
   }
 
+  /** Columnar-format breadth: the engine is format-agnostic behind
+    * `spark.read` — ORC roundtrips with the same pushdown behavior the
+    * parquet index relies on.
+    */
+  test("ORC roundtrip preserves schema and pushes filters to the scan") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    spark.read.parquet(indexPath).write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir).where(col("DISTANCE_METERS") >= 4500)
+    val scan = back.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThanOrEqual"),
+      s"expected ORC pushdown:\n$scan")
+    assert(back.count() == spark.read.parquet(indexPath)
+      .where(col("DISTANCE_METERS") >= 4500).count())
+  }
+
   /** Point-lookup acceleration (02:423 Search Optimization Service analog):
     * buildAndPersist must write parquet bloom filters on the ID column, so
     * key lookups skip row groups without decoding them.
