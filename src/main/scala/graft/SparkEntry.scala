@@ -269,7 +269,9 @@ object SparkEntry {
     // too low for prefix filtering). bands = numHashes = 16 ⇒ rows-per-band
     // 1, so candidates = pairs sharing any of the 16 minhash values — the
     // oracle replicates that candidate step exactly (bit-portable minhash,
-    // proven by q22/q23)
+    // proven by q22/q23). rdPar stays HERE (unlike q39): the dominant cost
+    // is per-row signature computation BEFORE any shuffle, which a
+    // single-row-group scan would serialize onto one core (measured 10x)
     "q40_jaccard_lsh" -> ((s, dir) =>
       Dedup.jaccardPairsLsh(rdPar(s, dir, "documents"), "doc_id", "text",
         threshold = 0.3, blockCols = Seq("lang", "source"),
