@@ -46,5 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "minhash_signature: numHashes must be a literal")
       }))
+    ext.injectFunction((FunctionIdentifier("jaccard_sorted"),
+      info("jaccard_sorted",
+        "jaccard similarity of two sorted distinct array<bigint> sets"),
+      (es: Seq[Expression]) => graft.functions.JaccardSorted(es.head, es(1))))
   }
 }

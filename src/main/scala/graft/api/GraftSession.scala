@@ -32,6 +32,7 @@ object GraftSession {
     val spark = builder(master).getOrCreate()
     graft.functions.VectorFunctions.registerAll(spark)
     graft.functions.TextHashFunctions.registerAll(spark)
+    graft.functions.SetFunctions.registerAll(spark)
     spark
   }
 }

@@ -146,7 +146,8 @@ object Dedup {
   def jaccardPairsBlocked(df: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[String], n: Int = 1,
                           threshold: Double = 0.8): DataFrame = {
-    val hashed = array_distinct(transform(wordNgrams(col(textCol), n), t => xxhash64(t)))
+    val hashed = sort_array(
+      array_distinct(transform(wordNgrams(col(textCol), n), t => xxhash64(t))))
     val grams = df.select(
       (col(idCol) +: blockCols.map(col)) :+ hashed.as("grams"): _*)
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
@@ -161,11 +162,10 @@ object Dedup {
     val b = part.as("b")
     val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
-    val inter = size(array_intersect(col("a.grams"), col("b.grams")))
-    val union = size(col("a.grams")) + size(col("b.grams")) - inter
     a.join(b, blockCond && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        (inter.cast("double") / union.cast("double")).as("jaccard"))
+        graft.functions.SetFunctions.jaccardSorted(
+          col("a.grams"), col("b.grams")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -199,7 +199,10 @@ object Dedup {
   private def verifyJaccard(df: DataFrame, cand: DataFrame, idCol: String,
                             textCol: String, blockCols: Seq[String], n: Int,
                             threshold: Double): DataFrame = {
-    val hashed = array_distinct(transform(wordNgrams(col(textCol), n), t => xxhash64(t)))
+    // sorted + distinct so the fused two-pointer JaccardSorted expression
+    // applies — allocation-free per pair, vs a hash set per array_intersect
+    val hashed = sort_array(
+      array_distinct(transform(wordNgrams(col(textCol), n), t => xxhash64(t))))
     val grams = df.select(
       (col(idCol) +: blockCols.map(col)) :+ hashed.as("grams"): _*)
     val ga = grams.select(col(idCol).as("id_a") +:
@@ -208,12 +211,11 @@ object Dedup {
       (blockCols.map(c => col(c).as(s"b_$c")) :+ col("grams").as("grams_b")): _*)
     val blockCond = blockCols.map(c => col(s"a_$c") === col(s"b_$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
-    val inter = size(array_intersect(col("grams_a"), col("grams_b")))
-    val union = size(col("grams_a")) + size(col("grams_b")) - inter
     cand.join(ga, "id_a").join(gb, "id_b")
       .where(blockCond)
       .select(col("id_a"), col("id_b"),
-        (inter.cast("double") / union.cast("double")).as("jaccard"))
+        graft.functions.SetFunctions.jaccardSorted(
+          col("grams_a"), col("grams_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
