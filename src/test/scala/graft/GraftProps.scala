@@ -84,6 +84,23 @@ object GraftProps extends Properties("graft") {
     u == sig(a).zip(sig(b)).map { case (x, y) => math.min(x, y) }
   }
 
+  // catalyst eval of the fused two-pointer expression needs no session;
+  // pin it against plain set algebra
+  property("jaccard-sorted.equals-set-algebra") = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val setGen = Gen.nonEmptyListOf(Gen.chooseNum(-50L, 50L)).map(_.toSet)
+    forAll(setGen, setGen) { (a, b) =>
+      val expr = graft.functions.JaccardSorted(
+        Literal(ArrayData.toArrayData(a.toArray.sorted), ArrayType(LongType)),
+        Literal(ArrayData.toArrayData(b.toArray.sorted), ArrayType(LongType)))
+      val got = expr.eval(null).asInstanceOf[Double]
+      val want = a.intersect(b).size.toDouble / a.union(b).size.toDouble
+      java.lang.Double.compare(got, want) == 0
+    }
+  }
+
   property("topk.equals-sort-take") =
     forAll(Gen.listOf(Gen.zip(Gen.posNum[Long], Gen.chooseNum(-1.0, 1.0))),
       Gen.chooseNum(1, 10)) { (rows, k) =>
