@@ -447,8 +447,11 @@ object SparkEntry {
       val planes = Seq(vec(3), vec(4))
       val corpus = Ann.withHyperplaneBuckets(
         emb.where(col("vec_id") =!= 0), "embedding", planes)
+      // dot-product sign, NOT cosine sign: corpus bucketing and the oracle
+      // both test dot >= 0, and the two differ for a zero-norm vector
+      // (cosine NaN vs dot 0.0)
       val qBucket = planes.zipWithIndex
-        .map { case (p, i) => if (Ann.cosine(qvec, p) >= 0) 1L << i else 0L }.sum
+        .map { case (p, i) => if (Ann.dot(qvec, p) >= 0) 1L << i else 0L }.sum
       Ann.topK(corpus, "vec_id", "embedding", qvec, 5,
           col("lsh_bucket") === qBucket)
         .select("vec_id", "score")

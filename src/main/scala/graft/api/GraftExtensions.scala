@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("jaccard_sorted"),
       info("jaccard_sorted",
         "jaccard similarity of two sorted distinct array<bigint> sets"),
-      (es: Seq[Expression]) => graft.functions.JaccardSorted(es.head, es(1))))
+      (es: Seq[Expression]) => es match {
+        case Seq(a, b) => graft.functions.JaccardSorted(a, b)
+        case _ => throw new IllegalArgumentException(
+          s"jaccard_sorted takes exactly 2 arguments, got ${es.length}")
+      }))
   }
 }

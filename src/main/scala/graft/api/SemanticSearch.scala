@@ -78,7 +78,9 @@ final class SemanticSearch(index: DataFrame, embedder: Embedder,
     val cols: Seq[String] = Option(req.get("columns"))
       .map(_.elements().asScala.map(_.asText()).toSeq)
       .getOrElse(index.columns.filterNot(_ == embCol).toSeq)
-    val ranked = Option(req.get("query_vector")) match {
+    // an explicit JSON null (a client serializing the unused optional
+    // field) must fall through to the text path, not read as empty vector
+    val ranked = Option(req.get("query_vector")).filter(_.isArray) match {
       case Some(vecNode) =>
         topKVec(vecNode.elements().asScala.map(_.floatValue()).toSeq, k, filter)
       case None =>

@@ -30,8 +30,15 @@ case class JaccardSorted(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        // null ELEMENTS have no set semantics and getLong on one returns
+        // garbage silently — demand a provably null-free element type
+        // (array_distinct(transform(...)) over non-null lambdas qualifies)
+        TypeCheckResult.TypeCheckFailure(
+          "jaccard_sorted requires array<bigint> with non-nullable elements; " +
+            "wrap inputs so containsNull = false (e.g. filter(x -> x IS NOT NULL))")
       case _ =>
         TypeCheckResult.TypeCheckFailure(
           s"jaccard_sorted expects two array<bigint> arguments, got " +
@@ -88,6 +95,10 @@ object SetFunctions {
 
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaccard_sorted", es => JaccardSorted(es.head, es(1)), "built-in")
+      "jaccard_sorted", {
+        case Seq(a, b) => JaccardSorted(a, b)
+        case es => throw new IllegalArgumentException(
+          s"jaccard_sorted takes exactly 2 arguments, got ${es.length}")
+      }, "built-in")
   }
 }

@@ -162,6 +162,18 @@ object Ann {
       col(assignCol).isin(cells: _*))
   }
 
+  /** Driver-side dot product (same fold order as the Catalyst expression;
+    * this is the sign test hyperplane bucketing uses — unlike cosine it is
+    * 0.0, not NaN, for a zero-norm vector).
+    */
+  def dot(a: Seq[Float], b: Seq[Float]): Double = {
+    require(a.length == b.length, s"dim mismatch ${a.length} vs ${b.length}")
+    var d = 0.0
+    var i = 0
+    while (i < a.length) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+    d
+  }
+
   /** Driver-side cosine (same fold order as the Catalyst expression). */
   def cosine(a: Seq[Float], b: Seq[Float]): Double = {
     require(a.length == b.length, s"dim mismatch ${a.length} vs ${b.length}")
