@@ -9,8 +9,9 @@ import graft.api.{CacheDecision, IndexBuilder, SemanticSearch}
 import graft.embed.HashingTfEmbedder
 import graft.filter.FilterDsl
 import graft.functions.TextHashFunctions._
+import graft.ingest.WorkoutCorpus
 import graft.multimodal.Multimodal
-import graft.operators.{Ann, Dedup, RangeJoin, Skew, TextAnalysis}
+import graft.operators.{Ann, Dedup, Percentiles, RangeJoin, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -92,9 +93,15 @@ object SparkEntry {
     * decimal queries had none, i.e. passed by luck). Money/metric sums are
     * still computed in exact DECIMAL arithmetic; only the FINAL column is
     * cast to DOUBLE on both sides (exact-decimal -> nearest-double is
-    * correctly rounded and engine-identical). The q9x shadow queries at the
-    * bottom bisect the axis from the driver's side; delete them once
-    * CORRECTNESS_r03 confirms.
+    * correctly rounded and engine-identical — PROVIDED the unscaled decimal
+    * value fits in 2^53, where both engines' conversions are exact; beyond
+    * that DuckDB's int128/10^scale double path can differ from Spark's
+    * BigDecimal.doubleValue by 1 ulp. Our sf0.01 sums peak around 10^9
+    * unscaled; if a much larger SF ever feeds the gate, canonicalize via a
+    * fixed-precision string or integer-cents column instead).
+    * Confirmed by the round-3 q9x shadow bisect (CORRECTNESS_r03: decimal
+    * control + order-by variants failed, double/varchar/cents/drop variants
+    * passed); the shadows are deleted now the axis is proven.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -294,9 +301,22 @@ object SparkEntry {
         threshold = 0.3, blockCols = Seq("lang", "source"),
         numHashes = 16, bands = 16)),
 
-    "q20_neardup_cosine" -> ((s, dir) =>
-      Dedup.embeddingNearDupPairs(rd(s, dir, "embeddings"), "vec_id", "embedding",
-        Seq("label"), threshold = 0.3)),
+    // embedding near-dup with the pair space bounded by (label x LSH bucket)
+    // — the scale contract of embeddingNearDupPairs: a raw metadata block is
+    // O(block^2); the hyperplane sub-block keeps enumeration bucket-bounded.
+    // Planes are stored vectors (3, 4) so bucket assignment is bit-portable
+    // to the oracle (same trick as q44); recall-approximate by contract,
+    // exactly like the LSH jaccard path (q40).
+    "q20_neardup_cosine" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      def vec(id: Int): Seq[Float] = emb.where(col("vec_id") === id)
+        .select("embedding").head().getSeq[Float](0).toSeq
+      val bucketed = Ann.withHyperplaneBuckets(emb, "embedding",
+        Seq(vec(3), vec(4)))
+      Dedup.embeddingNearDupPairs(bucketed, "vec_id", "embedding",
+        Seq("label", "lsh_bucket"), threshold = 0.3)
+        .select("id_a", "id_b", "cos")
+    }),
 
     // ---- text analysis ----
     "q14_text_stats" -> ((s, dir) => {
@@ -506,13 +526,21 @@ object SparkEntry {
       inter.unionAll(exc).unionAll(uni)
     }),
 
-    // exact interpolated percentiles (A-family extension)
-    "q36_percentiles" -> ((s, dir) => {
-      rd(s, dir, "orders").groupBy("o_orderpriority")
-        .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
-          percentile(col("o_totalprice"), lit(0.9)).as("p90"),
-          count(lit(1)).as("n"))
-    }),
+    // exact interpolated percentiles (A-family extension) — the Exact leg of
+    // the Percentiles router; right at oracle scale, memory-unbounded per
+    // group at 100 TB (see q51 for the sketch leg + SCALE.md §percentiles)
+    "q36_percentiles" -> ((s, dir) =>
+      Percentiles.grouped(rd(s, dir, "orders"), Seq("o_orderpriority"),
+        "o_totalprice", Seq(0.5, 0.9), Percentiles.Mode.Exact)),
+
+    // sketch-based percentiles (the 100 TB leg: bounded-size GK sketches,
+    // map-side partial merge — the shuffle carries sketches, not values).
+    // Oracled via the exactness window: groups <= accuracy never compress,
+    // so the sketch returns the ceil(p*n)-th order statistic = DuckDB's
+    // quantile_disc, bit-identical raw data values.
+    "q51_approx_percentiles" -> ((s, dir) =>
+      Percentiles.grouped(rd(s, dir, "orders"), Seq("o_orderpriority"),
+        "o_totalprice", Seq(0.5, 0.9, 0.99), Percentiles.Mode.Sketch(1000000))),
 
     // stateful sessionization, batch form (one shuffle, two window passes
     // sharing the user_id partitioning); streaming twin lives in
@@ -582,35 +610,57 @@ object SparkEntry {
           "out_width", "out_height")
     }),
 
-    // ---- q9x: DIAGNOSTIC SHADOWS (VERDICT r2 task #1 bisect; delete once
-    // CORRECTNESS_r03 lands). All five are q26 with one canonicalization
-    // axis isolated. Predicted under the trailing-zero-decimal hypothesis:
-    // q90 FAIL (decimal control), q91/q92/q94 PASS (no decimal in output),
-    // q93 FAIL (ORDER BY does not change the failing axis).
-    "q90_shadow_dec_ctl" -> ((s, dir) =>
-      events(s, dir).groupBy("event_type")
-        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"),
-          sum(col("value").cast(dec)).as("sum_value"))),
+    // ---- ingest path under the gate (S1/C1: the first thing a reference
+    // user runs — ref 01:111-142). Round-trips the reference's own 2,000-row
+    // corpus CSV (multiline quoted fields, ""-escaped quotes, empty-string
+    // ints) through readCsv's permissive load + typed cast layer, then
+    // aggregates the typed columns; the oracle re-reads the same file with
+    // DuckDB's CSV reader and explicit types.
+    "q49_csv_ingest" -> ((s, dir) =>
+      WorkoutCorpus.readCsv(s, "/root/reference/00_sample_workout_data.csv")
+        .groupBy("SPORT_TYPE", "DIFFICULTY")
+        .agg(count(lit(1)).as("n"),
+          sum("MOVING_TIME_SECONDS").as("sum_secs"),
+          count(col("DISTANCE_METERS")).as("n_dist"),
+          min(col("DISTANCE_METERS")).as("min_dist"),
+          max(col("DISTANCE_METERS")).as("max_dist"),
+          date_format(max(col("CREATED_AT")), "yyyy-MM-dd HH:mm:ss").as("max_created"))),
 
-    "q91_shadow_dec_str" -> ((s, dir) =>
-      events(s, dir).groupBy("event_type")
-        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"),
-          sum(col("value").cast(dec)).cast("string").as("sum_value"))),
+    // ---- batch cache write-back loop under the gate (S4/T2: ref 02:415-418
+    // — generated workouts appended back to the corpus, re-deduped, counted
+    // by provenance). Simulates the write-back with deterministic derived
+    // rows: every 10th doc re-enters as a cache row, half with genuinely new
+    // content (survives) and half duplicating existing content (deduped
+    // away); survivors counted per source.
+    "q50_writeback_dedup" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents").select("doc_id", "text", "source")
+      val generated = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          when(col("doc_id") % 20 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"),
+          lit("cache_gen").as("source"))
+      Dedup.exactDedup(docs.unionByName(generated), "doc_id", "text")
+        .groupBy("source").agg(count(lit(1)).as("n_survivors"))
+    }),
 
-    "q92_shadow_dec_drop" -> ((s, dir) =>
-      events(s, dir).groupBy("event_type")
-        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))),
-
-    "q93_shadow_dec_order" -> ((s, dir) =>
-      events(s, dir).groupBy("event_type")
-        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"),
-          sum(col("value").cast(dec)).as("sum_value"))
-        .orderBy("event_type")),
-
-    "q94_shadow_dec_cents" -> ((s, dir) =>
-      events(s, dir).groupBy("event_type")
-        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"),
-          (sum(col("value").cast(dec)) * 100).cast("long").as("sum_cents")))
+    // ---- IVF with k-means-refined centroids under the gate (the quality
+    // upgrade over q45's first-n coarse quantizer). Two deterministic Lloyd
+    // iterations: assignment is an argmax over broadcast centroids (ties to
+    // the higher cell id), means are per-(cell,dim) averages L2-normalized
+    // and rounded to FLOAT — the float rounding absorbs the last-ulp
+    // summation-order differences, which is what makes the refined centroids
+    // (and hence the oracle comparison) bit-portable to DuckDB.
+    "q52_ivf_kmeans_search" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") =!= 0)
+      val qvec = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toSeq
+      val cents = Ann.kmeansCentroids(corpus, "vec_id", "embedding", k = 4, iters = 2)
+      val withCells = Ann.withIvfAssignment(corpus, "embedding", cents)
+      Ann.topKIvf(withCells, "vec_id", "embedding", "ivf_cell", cents,
+          qvec, k = 5, nProbe = 2)
+        .select("vec_id", "score")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -794,10 +844,19 @@ object SparkEntry {
         |    / CAST(len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) >= 0.3""".stripMargin,
 
     "q20_neardup_cosine" -> {
+      def dot(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
       val cos = cosSql("a.embedding", "b.embedding")
-      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cos
-         |FROM embeddings a JOIN embeddings b
-         |  ON a.label = b.label AND a.vec_id < b.vec_id
+      s"""WITH p1 AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 3),
+         |p2 AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 4),
+         |e AS (
+         |  SELECT e.vec_id, e.label, e.embedding,
+         |    (CASE WHEN ${dot("e.embedding", "p1.pv")} >= 0 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN ${dot("e.embedding", "p2.pv")} >= 0 THEN 2 ELSE 0 END) AS bucket
+         |  FROM embeddings e CROSS JOIN p1 CROSS JOIN p2)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cos
+         |FROM e a JOIN e b
+         |  ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE $cos >= 0.3""".stripMargin
     },
 
@@ -1090,29 +1149,85 @@ object SparkEntry {
         |  AND NOT (source = 'src0')
         |  AND source IN ('src1','src2','src3','src4','src5','src6','src7')""".stripMargin,
 
-    // q9x diagnostic shadows — see the comment on the queries map
-    "q90_shadow_dec_ctl" ->
-      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
-        |FROM events GROUP BY event_type""".stripMargin,
+    "q49_csv_ingest" ->
+      """SELECT SPORT_TYPE, DIFFICULTY, count(*) AS n,
+        |  CAST(sum(MOVING_TIME_SECONDS) AS BIGINT) AS sum_secs,
+        |  count(DISTANCE_METERS) AS n_dist,
+        |  min(DISTANCE_METERS) AS min_dist,
+        |  max(DISTANCE_METERS) AS max_dist,
+        |  strftime(max(CAST(CREATED_AT AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS max_created
+        |FROM read_csv('/root/reference/00_sample_workout_data.csv',
+        |  header=true, quote='"', escape='"',
+        |  columns={'ID':'VARCHAR','EMBED_STR':'VARCHAR','SPORT_TYPE':'VARCHAR',
+        |    'DIFFICULTY':'VARCHAR','MOVING_TIME_SECONDS':'INTEGER',
+        |    'DISTANCE_METERS':'INTEGER','GENERATION_MODEL':'VARCHAR',
+        |    'WORKOUT_SOURCE':'VARCHAR','STORE_VERSION':'VARCHAR',
+        |    'RAW_JSON_STR':'VARCHAR','CREATED_AT':'VARCHAR'})
+        |GROUP BY 1, 2""".stripMargin,
 
-    "q91_shadow_dec_str" ->
-      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
-        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS VARCHAR) AS sum_value
-        |FROM events GROUP BY event_type""".stripMargin,
+    "q50_writeback_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    CASE WHEN doc_id % 20 = 0 THEN text || ' v2' ELSE text END,
+        |    'cache_gen'
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |k AS (SELECT min(doc_id) AS keep FROM u
+        |      GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |SELECT source, count(*) AS n_survivors
+        |FROM u WHERE doc_id IN (SELECT keep FROM k)
+        |GROUP BY source""".stripMargin,
 
-    "q92_shadow_dec_drop" ->
-      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
-        |FROM events GROUP BY event_type""".stripMargin,
+    // sketch exactness window: every sf0.01/sf0.1 group is far below the
+    // 1e6 accuracy, so percentile_approx == the ceil(p*n)-th order statistic
+    // == DuckDB quantile_disc (raw data values, bit-exact)
+    "q51_approx_percentiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_disc(o_totalprice, 0.5) AS p50,
+        |  quantile_disc(o_totalprice, 0.9) AS p90,
+        |  quantile_disc(o_totalprice, 0.99) AS p99,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
-    "q93_shadow_dec_order" ->
-      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "q94_shadow_dec_cents" ->
-      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_cents
-        |FROM events GROUP BY event_type""".stripMargin
+    // two Lloyd iterations replicated closed-form: assignment = argmax
+    // cosine (ties to higher cid), means = per-(cell,pos) AVG, L2-normalize,
+    // round to FLOAT (absorbs engine-specific summation-order ulps; empty
+    // cells keep the previous centroid), then q45's probe-and-scan
+    "q52_ivf_kmeans_search" -> {
+      def cos(a: String, b: String) = cosSql(a, b)
+      def iter(prev: String, a: String, m: String, v: String, n: String, next: String) =
+        s"""$a AS (SELECT vec_id, embedding, cid FROM (
+           |    SELECT corp.vec_id, corp.embedding, $prev.cid,
+           |      row_number() OVER (PARTITION BY corp.vec_id
+           |        ORDER BY ${cos("corp.embedding", s"$prev.cv")} DESC, $prev.cid DESC) AS rn
+           |    FROM corp CROSS JOIN $prev) WHERE rn = 1),
+           |$m AS (SELECT cid, pos, avg(val) AS m FROM (
+           |    SELECT cid, generate_subscripts(embedding, 1) AS pos,
+           |      unnest(embedding) AS val FROM $a) GROUP BY cid, pos),
+           |$v AS (SELECT cid, list(m ORDER BY pos) AS mv FROM $m GROUP BY cid),
+           |$n AS (SELECT cid, mv, sqrt(list_sum(list_transform(mv, x -> x * x))) AS nrm FROM $v),
+           |$next AS (SELECT $prev.cid,
+           |    COALESCE(CASE WHEN $n.nrm > 0
+           |      THEN list_transform($n.mv, x -> CAST(x / $n.nrm AS FLOAT)) END,
+           |      $prev.cv) AS cv
+           |  FROM $prev LEFT JOIN $n ON $prev.cid = $n.cid)""".stripMargin
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+         |       FROM corp ORDER BY vec_id LIMIT 4),
+         |${iter("c0", "a0", "m1", "v1", "n1", "c1")},
+         |${iter("c1", "a1", "m2", "v2", "n2", "c2")},
+         |assign AS (SELECT vec_id, embedding, cid FROM (
+         |    SELECT corp.vec_id, corp.embedding, c2.cid,
+         |      row_number() OVER (PARTITION BY corp.vec_id
+         |        ORDER BY ${cos("corp.embedding", "c2.cv")} DESC, c2.cid DESC) AS rn
+         |    FROM corp CROSS JOIN c2) WHERE rn = 1),
+         |qc AS (SELECT c2.cid FROM c2 CROSS JOIN q
+         |       ORDER BY ${cos("q.qv", "c2.cv")} DESC, c2.cid ASC LIMIT 2)
+         |SELECT a.vec_id, ${cos("a.embedding", "q.qv")} AS score
+         |FROM assign a JOIN qc ON a.cid = qc.cid CROSS JOIN q
+         |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin
+    }
   )
 }

@@ -296,16 +296,25 @@ object Dedup {
 
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g. an
     * IVF/LSH bucket assignment produced by [[Ann]]). Exact cosine on the
-    * blocked pairs only.
+    * blocked pairs only — at scale the block key MUST include an
+    * [[Ann.withHyperplaneBuckets]] / [[Ann.withIvfAssignment]] column so the
+    * pair space is bucket-bounded, never O(block^2) on a raw metadata block.
+    *
+    * Both self-join sides are built from ONE repartitioned slim projection
+    * (mirroring [[jaccardPairsBlocked]]): the subtrees are structurally
+    * identical, so ReuseExchange scans and shuffles the embeddings once, and
+    * the pinned partition count stops AQE from coalescing the
+    * tiny-bytes/heavy-CPU pair stage onto a single core.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, embCol: String,
                             blockCols: Seq[String],
                             threshold: Double = 0.95): DataFrame = {
     val slim = df.select((col(idCol) +: blockCols.map(col)) :+ col(embCol): _*)
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val a = (if (blockCols.nonEmpty) slim.repartition(parts, blockCols.map(col): _*)
-             else slim.repartition(parts)).as("a")
-    val b = slim.as("b")
+    val part = (if (blockCols.nonEmpty) slim.repartition(parts, blockCols.map(col): _*)
+                else slim.repartition(parts))
+    val a = part.as("a")
+    val b = part.as("b")
     val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
     a.join(b, blockCond && col(s"a.$idCol") < col(s"b.$idCol"))

@@ -187,4 +187,54 @@ class DedupSpec extends SparkSpec {
       assert(plan.contains("ReusedExchange"), s"expected ReusedExchange:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  /** Round-2 verdict: the embedding pair join must mirror the jaccard twin —
+    * ONE repartitioned slim subtree feeding both self-join sides, so
+    * ReuseExchange scans/shuffles the embeddings once instead of twice.
+    */
+  test("embedding near-dup self-join reuses one exchange (embeddings shuffled once)") {
+    import graft.operators.Ann
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val rows = Seq.tabulate(20)(i =>
+        (i.toLong, s"b${i % 2}", Array(1f + i, 2f, 3f))).toDF("id", "block", "emb")
+      val df = Dedup.embeddingNearDupPairs(rows, "id", "emb", Seq("block"), 0.5)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"), s"expected ReusedExchange:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  /** The 100 TB contract of embeddingNearDupPairs: on a hot metadata block the
+    * caller composes an [[Ann.withHyperplaneBuckets]] sub-block key. The
+    * bucketed pair space must stay far below quadratic, results must be a
+    * subset of the unbucketed exact pairs with identical scores, and
+    * identical vectors (cos = 1) always share every sign bit, so planted
+    * exact dups are recalled totally.
+    */
+  test("hyperplane sub-blocks bound the embedding pair space on a hot block") {
+    import graft.operators.Ann
+    val rnd = new scala.util.Random(11)
+    val n = 100
+    val base = Seq.tabulate(n)(i =>
+      (i.toLong, "hot", Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val dups = base.take(5).map { case (id, l, v) => (id + 1000L, l, v.clone()) }
+    val rows = (base ++ dups).toDF("id", "label", "emb")
+    val bucketed = Ann.withHyperplaneBuckets(rows, "emb", Ann.hyperplanes(8, 4, seed = 5))
+    val quadratic = (n + 5).toLong * (n + 4) / 2
+    val bounded = bucketed.groupBy("lsh_bucket").count().collect()
+      .map(r => { val b = r.getLong(1); b * (b - 1) / 2 }).sum
+    assert(bounded < quadratic / 2,
+      s"bucketed pair space $bounded not bounded vs quadratic $quadratic")
+    val exact = Dedup.embeddingNearDupPairs(rows, "id", "emb", Seq("label"), 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val viaBuckets = Dedup.embeddingNearDupPairs(bucketed, "id", "emb",
+        Seq("label", "lsh_bucket"), 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    viaBuckets.foreach { case (k, v) => assert(exact.contains(k) && exact(k) == v) }
+    base.take(5).foreach { case (id, _, _) =>
+      assert(viaBuckets.contains((id, id + 1000L)), s"missed planted dup $id")
+    }
+  }
 }
