@@ -33,20 +33,46 @@ object Ann {
   /** One scored (score, id) pair flowing into the top-k aggregator. */
   case class Scored(score: Double, id: Long)
 
-  /** Bounded top-k buffer (wrapper because product encoders need a case class). */
-  case class TopKBuf(xs: Seq[Scored])
+  /** Bounded top-k buffer. `thrScore`/`thrId` record the k-th best element
+    * as of the last trim (better = higher score, ties to lower id) — a safe
+    * stale threshold: the true k-th best only improves afterwards, so
+    * anything at or below it can never reach the final top-k.
+    */
+  case class TopKBuf(thrScore: Double, thrId: Long, xs: Seq[Scored])
 
-  /** Bounded-heap top-k aggregator. The buffer never exceeds 2k entries, so
-    * partial (map-side) aggregation ships O(k) per partition per group.
+  /** Bounded top-k aggregator. The buffer never exceeds 2k entries, so
+    * partial (map-side) aggregation ships O(k) per partition per group; the
+    * sort-based trim every k accepted rows is O(log k) amortized per row.
+    * The hot path is the threshold REJECT: on a large corpus almost every
+    * row scores below the running k-th best and returns the buffer
+    * untouched — no allocation, no comparison beyond the threshold test.
     */
   class TopKAgg(k: Int) extends Aggregator[Scored, TopKBuf, Seq[Scored]] {
-    private def trim(s: Seq[Scored]): Seq[Scored] =
-      if (s.size <= 2 * k) s
-      else s.sortBy(x => (-x.score, x.id)).take(k)
-    def zero: TopKBuf = TopKBuf(Nil)
-    def reduce(b: TopKBuf, a: Scored): TopKBuf = TopKBuf(trim(a +: b.xs))
-    def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = TopKBuf(trim(b1.xs ++ b2.xs))
-    def finish(r: TopKBuf): Seq[Scored] = r.xs.sortBy(x => (-x.score, x.id)).take(k)
+    private def ord = Ordering.by[Scored, (Double, Long)](x => (-x.score, x.id))
+    private def trimmed(xs: Seq[Scored]): TopKBuf = {
+      val kept = xs.sorted(ord).take(k)
+      val worst = kept.last
+      TopKBuf(worst.score, worst.id, kept)
+    }
+    def zero: TopKBuf = TopKBuf(Double.NegativeInfinity, Long.MaxValue, Nil)
+    def reduce(b: TopKBuf, a: Scored): TopKBuf =
+      if (a.score < b.thrScore || (a.score == b.thrScore && a.id >= b.thrId)) b
+      else {
+        val xs2 = a +: b.xs
+        if (xs2.size <= 2 * k) b.copy(xs = xs2) else trimmed(xs2)
+      }
+    def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = {
+      val xs2 = b1.xs ++ b2.xs
+      // either side's threshold is a valid (stale) lower bound on the merged
+      // k-th best; keep the tighter one
+      val (ts, ti) =
+        if (b2.thrScore > b1.thrScore ||
+            (b2.thrScore == b1.thrScore && b2.thrId < b1.thrId))
+          (b2.thrScore, b2.thrId)
+        else (b1.thrScore, b1.thrId)
+      if (xs2.size <= 2 * k) TopKBuf(ts, ti, xs2) else trimmed(xs2)
+    }
+    def finish(r: TopKBuf): Seq[Scored] = r.xs.sorted(ord).take(k)
     def bufferEncoder = Encoders.product[TopKBuf]
     def outputEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
   }

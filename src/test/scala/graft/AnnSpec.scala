@@ -45,6 +45,25 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  /** Pins the TopKAgg threshold fast path (stale-k-th-best reject) against
+    * driver-side brute force on a corpus large enough to force many trims
+    * and many rejections, across several partitions (partial merges).
+    */
+  test("topKBatch equals brute force on a large random corpus (threshold path)") {
+    val rnd = new scala.util.Random(97)
+    val big = Seq.tabulate(2000)(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val bigDf = big.toDF("id", "emb").repartition(7)
+    val qs = Seq.tabulate(3)(qi => (qi.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+    val batch = Ann.topKBatch(bigDf, "id", "emb", qs, 9)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"), r.getAs[Double]("score")))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSeq).toMap
+    qs.foreach { case (qid, q) =>
+      val brute = big.map { case (id, v) => (id, Ann.cosine(v.toSeq, q)) }
+        .sortBy(x => (-x._2, x._1)).take(9)
+      assert(batch(qid) == brute, s"qid=$qid:\n got  ${batch(qid)}\n want $brute")
+    }
+  }
+
   test("IVF probing: full probe count recovers exact top-k") {
     val cents = Ann.sampleCentroids(corpus, "id", "emb", 4)
     val assigned = Ann.withIvfAssignment(corpus, "emb", cents)
