@@ -643,6 +643,36 @@ object SparkEntry {
         .groupBy("source").agg(count(lit(1)).as("n_survivors"))
     }),
 
+    // ---- Structured Streaming under the gate (T1/§2.9: the streaming
+    // surface had only ScalaTest verification until now). The SAME
+    // watermarked windowed aggregation the streaming module ships
+    // (EventStream.windowedCounts) runs as a real StreamingQuery — file
+    // source, stateful agg in the state store, AvailableNow trigger —
+    // into a complete-mode memory sink, then the sink table is returned
+    // for the oracle compare. Complete mode makes the result the full
+    // batch-equivalent aggregation (deterministic); the append/watermark
+    // eviction path stays spec-verified in StreamingSpec. A memory sink is
+    // gate-scale plumbing only — at 100 TB this query writes append-mode
+    // parquet per closed window (see SCALE.md §streaming).
+    "q53_streaming_windowed_agg" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val sink = "q53_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // the file source lists a directory; pathGlobFilter selects the one
+      // events file out of the shared sf dir
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val q = graft.streaming.EventStream.windowedCounts(stream, "30 minutes", "2 hours")
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("n_events"),
+          col("sum_value").cast("double").as("sum_value"))
+        .writeStream.outputMode("complete").format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+    }),
+
     // ---- IVF with k-means-refined centroids under the gate (the quality
     // upgrade over q45's first-n coarse quantizer). Two deterministic Lloyd
     // iterations: assignment is an argmax over broadcast centroids (ties to
@@ -1189,6 +1219,14 @@ object SparkEntry {
         |  quantile_disc(o_totalprice, 0.99) AS p99,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // Spark's tumbling window is epoch-aligned: start = floor(ts / len) * len
+    "q53_streaming_windowed_agg" ->
+      """SELECT strftime(make_timestamp((epoch_ns(ts) // 1800000000000) * 1800000000),
+        |    '%Y-%m-%d %H:%M:%S') AS w_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // two Lloyd iterations replicated closed-form: assignment = argmax
     // cosine (ties to higher cid), means = per-(cell,pos) AVG, L2-normalize,
