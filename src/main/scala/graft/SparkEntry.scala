@@ -11,7 +11,7 @@ import graft.filter.FilterDsl
 import graft.functions.TextHashFunctions._
 import graft.ingest.WorkoutCorpus
 import graft.multimodal.Multimodal
-import graft.operators.{Ann, Dedup, Percentiles, RangeJoin, Skew, TextAnalysis}
+import graft.operators.{Ann, Dedup, Percentiles, Profile, RangeJoin, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -643,6 +643,15 @@ object SparkEntry {
         .groupBy("source").agg(count(lit(1)).as("n_survivors"))
     }),
 
+    // ---- corpus profiling (the audit every pipeline stage runs; ref
+    // 02:154-162, 02:355-370 generalized). Exact leg of the distinct-count
+    // routing under the gate; the HLL leg (bounded sketch per group x
+    // partition — the 100 TB default) is error-bound-verified in
+    // ProfileSpec, since a sketch estimate has no closed SQL form.
+    "q54_profile_exact" -> ((s, dir) =>
+      Profile.summary(rd(s, dir, "documents"), Seq("source", "lang"), "text",
+        Profile.DistinctMode.Exact)),
+
     // ---- Structured Streaming under the gate (T1/§2.9: the streaming
     // surface had only ScalaTest verification until now). The SAME
     // watermarked windowed aggregation the streaming module ships
@@ -1219,6 +1228,14 @@ object SparkEntry {
         |  quantile_disc(o_totalprice, 0.99) AS p99,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q54_profile_exact" ->
+      """SELECT source, lang, count(*) AS n_rows, count(text) AS n_nonnull,
+        |  count(DISTINCT text) AS n_distinct,
+        |  CAST(min(length(text)) AS INTEGER) AS min_len,
+        |  CAST(max(length(text)) AS INTEGER) AS max_len,
+        |  CAST(sum(length(text)) AS DOUBLE) / count(text) AS avg_len
+        |FROM documents GROUP BY source, lang""".stripMargin,
 
     // Spark's tumbling window is epoch-aligned: start = floor(ts / len) * len
     "q53_streaming_windowed_agg" ->
