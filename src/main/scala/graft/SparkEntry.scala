@@ -643,6 +643,22 @@ object SparkEntry {
         .groupBy("source").agg(count(lit(1)).as("n_survivors"))
     }),
 
+    // ---- forward as-of with tolerance (the merge_asof/aj family completed:
+    // q37 is the backward leg; this attaches each click's NEXT purchase
+    // within one hour, tolerance compared in integer microseconds so the
+    // boundary is engine-deterministic)
+    "q55_asof_forward" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("event_id").as("purchase_id"))
+      graft.operators.AsOf.join(clicks, purchases, "user_id", "ts",
+          Seq("purchase_id"), direction = graft.operators.AsOf.Forward,
+          toleranceMicros = Some(3600L * 1000000L))
+        .select("event_id", "purchase_id")
+    }),
+
     // ---- corpus profiling (the audit every pipeline stage runs; ref
     // 02:154-162, 02:355-370 generalized). Exact leg of the distinct-count
     // routing under the gate; the HLL leg (bounded sketch per group x
@@ -1228,6 +1244,18 @@ object SparkEntry {
         |  quantile_disc(o_totalprice, 0.99) AS p99,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q55_asof_forward" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.event_id,
+        |  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+        |    THEN p.purchase_id END AS purchase_id
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin,
 
     "q54_profile_exact" ->
       """SELECT source, lang, count(*) AS n_rows, count(text) AS n_nonnull,

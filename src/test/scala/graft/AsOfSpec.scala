@@ -54,6 +54,28 @@ class AsOfSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("forward as-of with tolerance matches brute force on random data") {
+    val rnd = new scala.util.Random(29)
+    val right = Seq.tabulate(60)(i =>
+        (rnd.nextInt(5).toLong, ts(f"2025-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"), i.toLong))
+      .groupBy(r => (r._1, r._2)).map { case (_, rs) => rs.maxBy(_._3) }.toSeq
+    val left = Seq.tabulate(80)(i =>
+      (i.toLong, rnd.nextInt(6).toLong, ts(f"2025-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:30")))
+    val tolUs = 45L * 60 * 1000000 // 45 minutes
+    val got = AsOf.join(left.toDF("id", "k", "ts"), right.toDF("k", "ts", "v"),
+        "k", "ts", Seq("v"), direction = AsOf.Forward, toleranceMicros = Some(tolUs))
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    val expected = left.map { case (id, k, t) =>
+      val nearest = right.filter(r => r._1 == k && !r._2.before(t))
+        .sortBy(r => (r._2.getTime, r._3)).headOption
+      id -> nearest.filter(r => (r._2.getTime - t.getTime) * 1000 <= tolUs).map(_._3)
+    }.toMap
+    assert(got == expected)
+    // every left row is kept, matched or not (merge_asof tolerance semantics)
+    assert(got.size == left.size)
+  }
+
   test("plan: one shuffle (key window), no range join blowup") {
     val l = Seq((1L, ts("2025-01-01 10:00:00"), "x")).toDF("k", "ts", "payload")
     val r = Seq((1L, ts("2025-01-01 09:00:00"), 5.0)).toDF("k", "ts", "v")
