@@ -142,6 +142,43 @@ class PlanShapeSpec extends SparkSpec {
     * ranked side must be broadcast so the payload fetch never shuffles the
     * base table, and the ranking itself must be a TakeOrderedAndProject.
     */
+  /** At 100 TB a selective dim filter must reach the FACT scan before the
+    * shuffle, not after the join. Spark's runtime bloom filter injects a
+    * might_contain predicate built from the filtered dim side into the fact
+    * side of a shuffle join — semi-join reduction without bucketing. The
+    * size thresholds default to cluster scale, so the test lowers them to
+    * make the rewrite visible on local data; the conf knobs are the point:
+    * this is what the engine turns on for fact-dim joins at scale.
+    */
+  test("runtime bloom filter semi-join-reduces the fact side of a shuffle join") {
+    val dir = Files.createTempDirectory("graft-bloomjoin").toString
+    Seq.tabulate(5000)(i => (i.toLong, s"cust$i", s"seg${i % 50}"))
+      .toDF("c_custkey", "c_name", "c_mktsegment")
+      .write.parquet(s"$dir/customer")
+    Seq.tabulate(20000)(i => (i.toLong, (i % 5000).toLong, i * 1.5))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.parquet(s"$dir/orders")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val dim = spark.read.parquet(s"$dir/customer")
+        .where(col("c_mktsegment") === "seg7") // selective: 2% of dims
+      val fact = spark.read.parquet(s"$dir/orders")
+      val plan = fact.join(dim, fact("o_custkey") === dim("c_custkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter_agg"),
+        s"expected runtime bloom filter in plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("top-k join-back plans as TakeOrderedAndProject + broadcast join") {
     val emb = Seq.tabulate(40)(i => (i.toLong, Array.fill(8)(i / 40f + 0.1f)))
       .toDF("vec_id", "embedding")
