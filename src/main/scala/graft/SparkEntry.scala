@@ -643,6 +643,40 @@ object SparkEntry {
         .groupBy("source").agg(count(lit(1)).as("n_survivors"))
     }),
 
+    // ---- training-sequence construction: per-user chronological event
+    // sequences (the "build documents from event streams" op an LLM data
+    // pipeline runs). collect_list is unordered by contract, so the order is
+    // pinned by sort_array over (ts, event_id, type) structs BEFORE joining
+    // — one shuffle on user_id, sequence built map-side per group.
+    "q56_event_sequences" -> ((s, dir) =>
+      events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          concat_ws(",", transform(
+            sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type"))).as("event_seq"))),
+
+    // ---- end-to-end curation pass: the composite query a training pipeline
+    // actually runs — exact-dedup survivors, language gate, quality-score
+    // threshold, token-length envelope — then kept-volume stats per source.
+    // Every stage is individually oracled (q13/q15/q16/q25); this gates the
+    // COMPOSITION. Aggregates avoid order-dependent double sums: counts,
+    // exact integer token sums, and min/max of the (bit-identical) score.
+    "q57_curation_pipeline" -> ((s, dir) => {
+      val survivors = Dedup.exactDedup(rd(s, dir, "documents"), "doc_id", "text")
+      survivors.select(col("doc_id"), col("source"),
+          TextAnalysis.langIdGuess(col("text")).as("lang_guess"),
+          TextAnalysis.qualityScore(TextAnalysis.qualityMetrics(col("text")))
+            .as("quality_score"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_tokens"))
+        .where(col("lang_guess") === "en" && col("quality_score") >= 0.5 &&
+          col("n_tokens").between(10, 5000))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          min(col("quality_score")).as("min_quality"),
+          max(col("quality_score")).as("max_quality"))
+    }),
+
     // ---- forward as-of with tolerance (the merge_asof/aj family completed:
     // q37 is the backward leg; this attaches each click's NEXT purchase
     // within one hour, tolerance compared in integer microseconds so the
@@ -1244,6 +1278,56 @@ object SparkEntry {
         |  quantile_disc(o_totalprice, 0.99) AS p99,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q56_event_sequences" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q57_curation_pipeline" -> {
+      def hits(ws: Seq[String]) =
+        s"len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN (${sqlList(ws)})))"
+      s"""WITH surv AS (
+         |  SELECT doc_id, source, text FROM documents WHERE doc_id IN (
+         |    SELECT min(doc_id) FROM documents
+         |    GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+         |l AS (SELECT doc_id,
+         |    ${hits(TextAnalysis.StopwordsEn)} AS en, ${hits(TextAnalysis.StopwordsDe)} AS de,
+         |    ${hits(TextAnalysis.StopwordsEs)} AS es, ${hits(TextAnalysis.StopwordsFr)} AS fr
+         |  FROM surv),
+         |lang AS (SELECT doc_id, CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+         |  WHEN en = greatest(en, de, es, fr) THEN 'en'
+         |  WHEN de = greatest(en, de, es, fr) THEN 'de'
+         |  WHEN es = greatest(en, de, es, fr) THEN 'es'
+         |  ELSE 'fr' END AS lang_guess FROM l),
+         |m AS (SELECT doc_id,
+         |  CAST(length(text) AS DOUBLE) AS n_chars,
+         |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_toks,
+         |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+         |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits,
+         |  CAST(${hits(TextAnalysis.StopwordsEn ++ TextAnalysis.StopwordsDe
+                ++ TextAnalysis.StopwordsEs ++ TextAnalysis.StopwordsFr)} AS DOUBLE) AS n_stop
+         | FROM surv),
+         |q AS (SELECT doc_id,
+         |  least(n_chars / 200.0, 1.0) * 0.4
+         |  + least(n_stop * 10.0 / greatest(n_toks, 1.0), 1.0) * 0.4
+         |  + (1.0 - least(n_punct * 4.0 / greatest(n_chars, 1.0), 1.0)) * 0.1
+         |  + (1.0 - least(n_digits * 4.0 / greatest(n_chars, 1.0), 1.0)) * 0.1 AS quality_score
+         |FROM m),
+         |t AS (SELECT doc_id,
+         |  CAST(coalesce(list_sum(list_transform(
+         |    list_filter(string_split_regex(text, '\\s+'), w -> len(w) > 0),
+         |    w -> CAST(ceil(len(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_tokens
+         |FROM surv)
+         |SELECT s.source, count(*) AS n_kept,
+         |  CAST(sum(t.n_tokens) AS BIGINT) AS sum_tokens,
+         |  min(q.quality_score) AS min_quality,
+         |  max(q.quality_score) AS max_quality
+         |FROM surv s JOIN lang USING (doc_id) JOIN q USING (doc_id) JOIN t USING (doc_id)
+         |WHERE lang.lang_guess = 'en' AND q.quality_score >= 0.5
+         |  AND t.n_tokens BETWEEN 10 AND 5000
+         |GROUP BY s.source""".stripMargin
+    },
 
     "q55_asof_forward" ->
       """WITH clicks AS (
