@@ -277,6 +277,14 @@ object SparkEntry {
         .select(col("doc_id"), simhash60(split(col("text"), " ")).as("simhash"))
     }),
 
+    // shingle→minhash→band→bucket-join over character 5-shingles — the
+    // canonical MinHash input (robust to tokenization/word-order noise,
+    // unlike the word tokens of q23); same bit-portable signature math
+    "q58_minhash_shingles" -> ((s, dir) =>
+      Dedup.minHashLshPairs(rdPar(s, dir, "documents"), "doc_id", "text",
+        numHashes = 16, bands = 2,
+        tokensOf = t => TextAnalysis.charShingles(t, 5))),
+
     // high-threshold dedup through the PPJoin prefix-filtered path (the
     // 100 TB-safe route — candidates from a prefix-token equi-join, never
     // O(block^2)); jaccardPairs auto-dispatches here at threshold >= 0.5.
@@ -1278,6 +1286,26 @@ object SparkEntry {
         |  quantile_disc(o_totalprice, 0.99) AS p99,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q58_minhash_shingles" ->
+      """WITH th AS (
+        |  SELECT d.doc_id, CAST(('0x' || substring(md5(t.t), 1, 8)) AS BIGINT) AS h
+        |  FROM documents d, unnest(list_distinct(list_transform(
+        |    range(1, greatest(length(d.text) - 4, 1) + 1),
+        |    i -> substr(d.text, CAST(i AS INT), 5)))) AS t(t)),
+        |mh AS (
+        |  SELECT doc_id, i.i AS hash_idx,
+        |    min(((2 * i.i + 1) * h + i.i * 40503) % 4294967311) AS minhash
+        |  FROM th, range(16) i(i)
+        |  GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(minhash ORDER BY hash_idx) AS s FROM mh GROUP BY doc_id),
+        |bands AS (SELECT doc_id, b.b AS band,
+        |    md5(array_to_string(s[b.b * 8 + 1 : b.b * 8 + 8], ',')) AS bucket
+        |  FROM sig, range(2) b(b))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+        |  AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "q56_event_sequences" ->
       """SELECT user_id, count(*) AS n_events,

@@ -35,18 +35,24 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** MinHash signatures (k hashes over distinct whitespace tokens). */
+  /** MinHash signatures (k hashes over the distinct token set). `tokensOf`
+    * chooses the set representation: whitespace tokens (default) or
+    * character k-shingles ([[TextAnalysis.charShingles]]) — the canonical
+    * MinHash input when tokenization/word-order robustness matters.
+    */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 16): DataFrame =
+                        numHashes: Int = 16,
+                        tokensOf: Column => Column = split(_, " ")): DataFrame =
     df.select(col(idCol),
-      minhashSignature(split(col(textCol), " "), numHashes).as("minhash"))
+      minhashSignature(tokensOf(col(textCol)), numHashes).as("minhash"))
 
   /** Banded minhash bucket assignment: one row per (id, band, bucket). */
   private def bandedBuckets(df: DataFrame, idCol: String, textCol: String,
-                            numHashes: Int, bands: Int): DataFrame = {
+                            numHashes: Int, bands: Int,
+                            tokensOf: Column => Column = split(_, " ")): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    minHashSignatures(df, idCol, textCol, numHashes).select(
+    minHashSignatures(df, idCol, textCol, numHashes, tokensOf).select(
         col(idCol),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => md5(concat_ws(",", slice(col("minhash"), b * rows + 1, lit(rows)))))))
@@ -65,8 +71,9 @@ object Dedup {
     * (which a persist here used to leak across long-lived sessions).
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val banded = bandedBuckets(df, idCol, textCol, numHashes, bands)
+                      numHashes: Int = 16, bands: Int = 4,
+                      tokensOf: Column => Column = split(_, " ")): DataFrame = {
+    val banded = bandedBuckets(df, idCol, textCol, numHashes, bands, tokensOf)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,

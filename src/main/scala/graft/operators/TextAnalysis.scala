@@ -15,6 +15,16 @@ object TextAnalysis {
   /** Whitespace tokens, lowercased. Keeps empties out by splitting on runs. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
+  /** Distinct character k-shingles — the canonical MinHash input for text
+    * dedup (robust to tokenization and word-order noise, unlike word
+    * tokens). Texts shorter than k yield the single truncated shingle.
+    * Pure per-row projection, built-ins only.
+    */
+  def charShingles(text: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => substr(text, i, lit(k))))
+
   /** Naive whitespace token count (single-space separated, keeps empties —
     * cross-engine reproducible shape).
     */

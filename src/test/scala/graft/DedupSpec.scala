@@ -33,6 +33,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated doc stays out
   }
 
+  test("char shingles: sliding distinct k-grams, short-text edge, LSH robustness") {
+    val sh = Seq(("abcdef", 1), ("ab", 2)).toDF("t", "i")
+      .select(TextAnalysis.charShingles(col("t"), 3)).collect()
+    assert(sh(0).getSeq[String](0) == Seq("abc", "bcd", "cde", "def"))
+    assert(sh(1).getSeq[String](0) == Seq("ab")) // shorter than k => truncated single
+    // word-order noise: token-set jaccard sees a near-dup, shingles stay
+    // robust too — both should pair the reordered doc with its original
+    val docs2 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "quick the brown fox jumps over the lazy dog"), // word swap
+      (3L, "completely unrelated text about something else")
+    ).toDF("id", "text")
+    val pairs = Dedup.minHashLshPairs(docs2, "id", "text", numHashes = 16, bands = 8,
+        tokensOf = t => TextAnalysis.charShingles(t, 5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("simhash: identical texts hamming 0, near-dups close, unrelated far") {
     val sigs = docs.select(col("id"),
       graft.functions.TextHashFunctions.simhash60(split(col("text"), " ")).as("sh"))
