@@ -20,6 +20,44 @@ class SkewAndCacheSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  /** The other half of the skew story: salting handles KNOWN hot keys
+    * structurally; AQE's skew join handles the ones discovered at runtime.
+    * Thresholds default to cluster scale, so the test lowers them until a
+    * deliberately skewed shuffle join is split — the executed SMJ must be
+    * marked as skew-handled. This pins the conf the engine relies on, not
+    * just the claim in SCALE.md.
+    */
+  test("AQE splits a runtime-skewed sort-merge join (skew=true in final plan)") {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // one giant key (80% of rows) against a uniform dim side
+      val facts = Seq.tabulate(20000)(i =>
+        (if (i % 5 != 0) 7L else i.toLong % 40, s"payload-$i-${"x" * 32}"))
+        .toDF("k", "payload")
+      val dims = Seq.tabulate(40)(i => (i.toLong, s"dim$i")).toDF("k", "name")
+      val joined = facts.join(dims, Seq("k"), "inner")
+      // collect() executes THIS queryExecution so the AdaptiveSparkPlan
+      // mutates to its final form (a write would clone the plan)
+      assert(joined.collect().length == 20000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE skew-join split in final plan:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("result cache: TTL-bounded LRU with injectable clock") {
     var now = 0L
     val cache = new ResultCache[String](maxEntries = 2, ttlMillis = 1000L,
