@@ -142,6 +142,31 @@ class PlanShapeSpec extends SparkSpec {
     * ranked side must be broadcast so the payload fetch never shuffles the
     * base table, and the ranking itself must be a TakeOrderedAndProject.
     */
+  /** Scan parallelism is decided at write time: maxRecordsPerFile bounds
+    * file size, and clusterBy sorts within partitions so each output file
+    * covers a narrow range of the clustered column (min/max row-group
+    * pruning for range predicates — the CLUSTER BY analog).
+    */
+  test("index write: maxRecordsPerFile splits files, clusterBy yields sorted files") {
+    val dir = Files.createTempDirectory("graft-writeshape").toString
+    val rnd = new scala.util.Random(31)
+    val corpus = Seq.tabulate(40)(i =>
+        (s"D$i", s"text $i", "run", rnd.nextInt(50000)))
+      .toDF("ID", "EMBED_STR", "SPORT_TYPE", "DISTANCE_METERS")
+      .repartition(1) // single writer task => splits come from maxRecordsPerFile
+    IndexBuilder.buildAndPersist(corpus, HashingTfEmbedder(16), dir,
+      maxRecordsPerFile = 10, clusterBy = Seq("DISTANCE_METERS"))
+    val files = new java.io.File(s"$dir/SPORT_TYPE=run").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 4, s"expected >=4 files, got ${files.length}")
+    // each file is a contiguous sorted run of the clustered column
+    files.foreach { f =>
+      val vals = spark.read.parquet(f.getAbsolutePath)
+        .select("DISTANCE_METERS").collect().map(_.getInt(0))
+      assert(vals.sameElements(vals.sorted), s"file ${f.getName} not clustered")
+    }
+  }
+
   /** At 100 TB a selective dim filter must reach the FACT scan before the
     * shuffle, not after the join. Spark's runtime bloom filter injects a
     * might_contain predicate built from the filtered dim side into the fact
