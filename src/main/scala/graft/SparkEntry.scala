@@ -54,6 +54,17 @@ object SparkEntry {
     rd(s, dir, name).repartition(parts)
   }
 
+  /** Fetch stored vectors by id in ONE filtered job (a per-id head() would
+    * scan the table once per vector); fails loudly if an id is absent.
+    */
+  private def storedVecs(emb: DataFrame, ids: Int*): Seq[Seq[Float]] = {
+    val got = emb.where(col("vec_id").isin(ids.map(_.toLong): _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    ids.map(id => got.getOrElse(id.toLong,
+      throw new NoSuchElementException(s"stored vector vec_id=$id not found")))
+  }
+
   /** Shared cosine SQL fragment for the DuckDB oracles: MUST fold in element
     * order in double precision, exactly like
     * [[graft.functions.CosineSimilarity]].
@@ -64,8 +75,63 @@ object SparkEntry {
        |    * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
 
   private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(",")
-  private val allStop = sqlList(TextAnalysis.StopwordsEn ++ TextAnalysis.StopwordsDe
-    ++ TextAnalysis.StopwordsEs ++ TextAnalysis.StopwordsFr)
+
+  // ---- shared text-analysis oracle fragments. q15/q16/q25 gate the stages
+  // and q57 gates their composition; single definitions keep the composite
+  // oracle coupled to the stage oracles (editing one cannot silently leave a
+  // stale transcription behind).
+
+  /** Stopword-hit count over a `text` column (mirrors TextAnalysis.hitCount
+    * over `tokens(text)`).
+    */
+  private def stopHitsSql(ws: Seq[String]): String =
+    s"len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN (${sqlList(ws)})))"
+
+  /** Per-language hit columns (pairs with [[langCaseSql]]). */
+  private val langHitsSql: String =
+    s"""${stopHitsSql(TextAnalysis.StopwordsEn)} AS en,
+       |  ${stopHitsSql(TextAnalysis.StopwordsDe)} AS de,
+       |  ${stopHitsSql(TextAnalysis.StopwordsEs)} AS es,
+       |  ${stopHitsSql(TextAnalysis.StopwordsFr)} AS fr""".stripMargin
+
+  /** Language decision over en/de/es/fr hit columns (mirrors
+    * TextAnalysis.langIdGuess tie order).
+    */
+  private val langCaseSql: String =
+    """CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+      |  WHEN en = greatest(en, de, es, fr) THEN 'en'
+      |  WHEN de = greatest(en, de, es, fr) THEN 'de'
+      |  WHEN es = greatest(en, de, es, fr) THEN 'es'
+      |  ELSE 'fr' END""".stripMargin
+
+  /** Quality metric select-list over `text` (aliases n_chars/n_toks/n_punct/
+    * n_digits/n_stop; mirrors TextAnalysis.qualityMetrics).
+    */
+  private val qualityMetricsSql: String =
+    s"""CAST(length(text) AS DOUBLE) AS n_chars,
+       |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_toks,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+       |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits,
+       |  CAST($allStop4HitsSql AS DOUBLE) AS n_stop""".stripMargin
+
+  private lazy val allStop4HitsSql: String = stopHitsSql(
+    TextAnalysis.StopwordsEn ++ TextAnalysis.StopwordsDe
+      ++ TextAnalysis.StopwordsEs ++ TextAnalysis.StopwordsFr)
+
+  /** 0..1 score over the [[qualityMetricsSql]] aliases (mirrors
+    * TextAnalysis.qualityScore weights).
+    */
+  private val qualityScoreSql: String =
+    """least(n_chars / 200.0, 1.0) * 0.4
+      |  + least(n_stop * 10.0 / greatest(n_toks, 1.0), 1.0) * 0.4
+      |  + (1.0 - least(n_punct * 4.0 / greatest(n_chars, 1.0), 1.0)) * 0.1
+      |  + (1.0 - least(n_digits * 4.0 / greatest(n_chars, 1.0), 1.0)) * 0.1""".stripMargin
+
+  /** BPE-ish token count over `text` (mirrors TextAnalysis.bpeishTokenCount). */
+  private val bpeishCountSql: String =
+    """CAST(coalesce(list_sum(list_transform(
+      |    list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0),
+      |    w -> CAST(ceil(len(w) / 4.0) AS BIGINT))), 0) AS BIGINT)""".stripMargin
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exercises the two serving paths the engine is built around: corpus
@@ -317,10 +383,8 @@ object SparkEntry {
     // exactly like the LSH jaccard path (q40).
     "q20_neardup_cosine" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
-      def vec(id: Int): Seq[Float] = emb.where(col("vec_id") === id)
-        .select("embedding").head().getSeq[Float](0).toSeq
       val bucketed = Ann.withHyperplaneBuckets(emb, "embedding",
-        Seq(vec(3), vec(4)))
+        storedVecs(emb, 3, 4))
       Dedup.embeddingNearDupPairs(bucketed, "vec_id", "embedding",
         Seq("label", "lsh_bucket"), threshold = 0.3)
         .select("id_a", "id_b", "cos")
@@ -486,10 +550,8 @@ object SparkEntry {
     // bucket filter prunes the corpus before any scoring)
     "q44_lsh_bucket_search" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
-      def vec(id: Int): Seq[Float] = emb.where(col("vec_id") === id)
-        .select("embedding").head().getSeq[Float](0).toSeq
-      val qvec = vec(0)
-      val planes = Seq(vec(3), vec(4))
+      val Seq(qvec, p1, p2) = storedVecs(emb, 0, 3, 4)
+      val planes = Seq(p1, p2)
       val corpus = Ann.withHyperplaneBuckets(
         emb.where(col("vec_id") =!= 0), "embedding", planes)
       // dot-product sign, NOT cosine sign: corpus bucketing and the oracle
@@ -642,8 +704,13 @@ object SparkEntry {
     // away); survivors counted per source.
     "q50_writeback_dedup" -> ((s, dir) => {
       val docs = rd(s, dir, "documents").select("doc_id", "text", "source")
+      // collision-free surrogate ids at ANY corpus size: offset past the
+      // real max (a fixed +1e6 would collide once the corpus passes 1M rows
+      // and silently double-count survivors in both engines); originals keep
+      // the lower ids so min-id survivor semantics still prefers them
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
       val generated = docs.where(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((col("doc_id") + lit(maxId + 1L)).as("doc_id"),
           when(col("doc_id") % 20 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text")).as("text"),
           lit("cache_gen").as("source"))
@@ -737,7 +804,13 @@ object SparkEntry {
         .writeStream.outputMode("complete").format("memory").queryName(sink)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(sink)
+      // copy the (bounded: windows x types) aggregate out and DROP the sink
+      // view — otherwise every invocation leaks a driver-memory table into
+      // the shared session catalog for the life of the process
+      val out = s.table(sink)
+      val result = s.createDataFrame(out.collectAsList(), out.schema)
+      s.catalog.dropTempView(sink)
+      result
     }),
 
     // ---- IVF with k-means-refined centroids under the gate (the quality
@@ -746,7 +819,12 @@ object SparkEntry {
     // the higher cell id), means are per-(cell,dim) averages L2-normalized
     // and rounded to FLOAT — the float rounding absorbs the last-ulp
     // summation-order differences, which is what makes the refined centroids
-    // (and hence the oracle comparison) bit-portable to DuckDB.
+    // (and hence the oracle comparison) bit-portable to DuckDB. Residual
+    // risk, quantified: a mean landing within 1 double-ulp of a float
+    // rounding boundary could round differently across engines — P ~ 2^-29
+    // per coordinate, ~1e-6 over the 512 values here; if this gate ever
+    // flakes, coarsen the quantization (round to 1e-5 before the float
+    // cast, replicated in the oracle) rather than re-deriving the oracle.
     "q52_ivf_kmeans_search" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
       val corpus = emb.where(col("vec_id") =!= 0)
@@ -966,45 +1044,25 @@ object SparkEntry {
         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
         |FROM documents""".stripMargin,
 
-    "q15_lang_id" -> {
-      def hits(ws: Seq[String]) =
-        s"len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN (${sqlList(ws)})))"
+    "q15_lang_id" ->
       s"""WITH h AS (SELECT doc_id,
-         |  ${hits(TextAnalysis.StopwordsEn)} AS en,
-         |  ${hits(TextAnalysis.StopwordsDe)} AS de,
-         |  ${hits(TextAnalysis.StopwordsEs)} AS es,
-         |  ${hits(TextAnalysis.StopwordsFr)} AS fr
+         |  $langHitsSql
          | FROM documents)
-         |SELECT doc_id, CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
-         |  WHEN en = greatest(en, de, es, fr) THEN 'en'
-         |  WHEN de = greatest(en, de, es, fr) THEN 'de'
-         |  WHEN es = greatest(en, de, es, fr) THEN 'es'
-         |  ELSE 'fr' END AS lang_guess
-         |FROM h""".stripMargin
-    },
+         |SELECT doc_id, $langCaseSql AS lang_guess
+         |FROM h""".stripMargin,
 
     "q16_bpeish_tokens" ->
-      """SELECT doc_id,
-        |  CAST(coalesce(list_sum(list_transform(
-        |    list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0),
-        |    w -> CAST(ceil(len(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_tokens_bpeish
-        |FROM documents""".stripMargin,
+      s"""SELECT doc_id,
+         |  $bpeishCountSql AS n_tokens_bpeish
+         |FROM documents""".stripMargin,
 
-    "q25_quality_score" -> {
+    "q25_quality_score" ->
       s"""WITH m AS (SELECT doc_id,
-         |  CAST(length(text) AS DOUBLE) AS n_chars,
-         |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
-         |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
-         |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits,
-         |  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ($allStop))) AS DOUBLE) AS n_stop
+         |  $qualityMetricsSql
          | FROM documents)
          |SELECT doc_id,
-         |  least(n_chars / 200.0, 1.0) * 0.4
-         |  + least(n_stop * 10.0 / greatest(n_tokens, 1.0), 1.0) * 0.4
-         |  + (1.0 - least(n_punct * 4.0 / greatest(n_chars, 1.0), 1.0)) * 0.1
-         |  + (1.0 - least(n_digits * 4.0 / greatest(n_chars, 1.0), 1.0)) * 0.1 AS quality_score
-         |FROM m""".stripMargin
-    },
+         |  $qualityScoreSql AS quality_score
+         |FROM m""".stripMargin,
 
     "q17_vector_topk" -> {
       val cos = cosSql("e.embedding", "q.qv")
@@ -1266,7 +1324,7 @@ object SparkEntry {
       """WITH u AS (
         |  SELECT doc_id, text, source FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000,
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
         |    CASE WHEN doc_id % 20 = 0 THEN text || ' v2' ELSE text END,
         |    'cache_gen'
         |  FROM documents WHERE doc_id % 10 = 0),
@@ -1312,40 +1370,25 @@ object SparkEntry {
         |  string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq
         |FROM events GROUP BY user_id""".stripMargin,
 
-    "q57_curation_pipeline" -> {
-      def hits(ws: Seq[String]) =
-        s"len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN (${sqlList(ws)})))"
+    // composed from the SAME fragment vals the stage oracles (q13/q15/q16/
+    // q25) use — a stage-formula edit cannot leave a stale copy here
+    "q57_curation_pipeline" ->
       s"""WITH surv AS (
          |  SELECT doc_id, source, text FROM documents WHERE doc_id IN (
          |    SELECT min(doc_id) FROM documents
          |    GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
          |l AS (SELECT doc_id,
-         |    ${hits(TextAnalysis.StopwordsEn)} AS en, ${hits(TextAnalysis.StopwordsDe)} AS de,
-         |    ${hits(TextAnalysis.StopwordsEs)} AS es, ${hits(TextAnalysis.StopwordsFr)} AS fr
+         |  $langHitsSql
          |  FROM surv),
-         |lang AS (SELECT doc_id, CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
-         |  WHEN en = greatest(en, de, es, fr) THEN 'en'
-         |  WHEN de = greatest(en, de, es, fr) THEN 'de'
-         |  WHEN es = greatest(en, de, es, fr) THEN 'es'
-         |  ELSE 'fr' END AS lang_guess FROM l),
+         |lang AS (SELECT doc_id, $langCaseSql AS lang_guess FROM l),
          |m AS (SELECT doc_id,
-         |  CAST(length(text) AS DOUBLE) AS n_chars,
-         |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_toks,
-         |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
-         |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digits,
-         |  CAST(${hits(TextAnalysis.StopwordsEn ++ TextAnalysis.StopwordsDe
-                ++ TextAnalysis.StopwordsEs ++ TextAnalysis.StopwordsFr)} AS DOUBLE) AS n_stop
+         |  $qualityMetricsSql
          | FROM surv),
          |q AS (SELECT doc_id,
-         |  least(n_chars / 200.0, 1.0) * 0.4
-         |  + least(n_stop * 10.0 / greatest(n_toks, 1.0), 1.0) * 0.4
-         |  + (1.0 - least(n_punct * 4.0 / greatest(n_chars, 1.0), 1.0)) * 0.1
-         |  + (1.0 - least(n_digits * 4.0 / greatest(n_chars, 1.0), 1.0)) * 0.1 AS quality_score
+         |  $qualityScoreSql AS quality_score
          |FROM m),
          |t AS (SELECT doc_id,
-         |  CAST(coalesce(list_sum(list_transform(
-         |    list_filter(string_split_regex(text, '\\s+'), w -> len(w) > 0),
-         |    w -> CAST(ceil(len(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_tokens
+         |  $bpeishCountSql AS n_tokens
          |FROM surv)
          |SELECT s.source, count(*) AS n_kept,
          |  CAST(sum(t.n_tokens) AS BIGINT) AS sum_tokens,
@@ -1354,8 +1397,7 @@ object SparkEntry {
          |FROM surv s JOIN lang USING (doc_id) JOIN q USING (doc_id) JOIN t USING (doc_id)
          |WHERE lang.lang_guess = 'en' AND q.quality_score >= 0.5
          |  AND t.n_tokens BETWEEN 10 AND 5000
-         |GROUP BY s.source""".stripMargin
-    },
+         |GROUP BY s.source""".stripMargin,
 
     "q55_asof_forward" ->
       """WITH clicks AS (

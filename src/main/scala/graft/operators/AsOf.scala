@@ -62,21 +62,28 @@ object AsOf {
     }
     val w = Window.partitionBy(keyCol).orderBy(ts, col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matchedTs = last(when(col("_tag") === 0, col(tsCol)), ignoreNulls = true).over(w)
+    // carry the nearest right ROW as one struct: ignoreNulls must skip only
+    // the interleaved left rows, never a right row whose value column is
+    // null — otherwise the value could come from a farther row than the one
+    // the tolerance is measured against (merge_asof matches rows, and a
+    // matched row's null stays null)
+    val rowStruct = struct(col(tsCol).as("_ts") +: valueCols.map(col): _*)
     val carried = l.unionByName(r)
-      .withColumns(valueCols.map(c =>
-        c -> last(when(col("_tag") === 0, col(c)), ignoreNulls = true).over(w)).toMap)
-      .withColumn("_asof_ts", matchedTs)
-    val gated = toleranceMicros match {
-      case None => carried
+      .withColumn("_asof_row",
+        last(when(col("_tag") === 0, rowStruct), ignoreNulls = true).over(w))
+    val inTol: org.apache.spark.sql.Column = toleranceMicros match {
+      case None => lit(true)
       case Some(tol) =>
+        val matchedTs = col("_asof_row").getField("_ts")
         val gap = direction match {
-          case Backward => unix_micros(col(tsCol)) - unix_micros(col("_asof_ts"))
-          case Forward  => unix_micros(col("_asof_ts")) - unix_micros(col(tsCol))
+          case Backward => unix_micros(col(tsCol)) - unix_micros(matchedTs)
+          case Forward  => unix_micros(matchedTs) - unix_micros(col(tsCol))
         }
-        carried.withColumns(valueCols.map(c =>
-          c -> when(gap <= tol, col(c))).toMap)
+        gap <= tol
     }
-    gated.where(col("_tag") === 1).drop("_tag", "_asof_ts")
+    carried
+      .withColumns(valueCols.map(c =>
+        c -> when(inTol, col("_asof_row").getField(c))).toMap)
+      .where(col("_tag") === 1).drop("_tag", "_asof_row")
   }
 }

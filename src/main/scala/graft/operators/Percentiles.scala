@@ -33,8 +33,11 @@ object Percentiles {
     final case class Sketch(accuracy: Int = 10000) extends Mode
   }
 
+  // BigDecimal(p) first (shortest decimal representation of the double),
+  // THEN scale: BigDecimal(0.57 * 100) is 57.00000000000001 and would leak
+  // into the column name
   private def colName(p: Double): String =
-    "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+    "p" + (BigDecimal(p) * 100).underlying.stripTrailingZeros.toPlainString
       .replace(".", "_")
 
   /** One row per key combination: the requested percentiles plus the group

@@ -76,6 +76,27 @@ class AsOfSpec extends SparkSpec {
     assert(got.size == left.size)
   }
 
+  /** Review regression: the carry must match the nearest right ROW, not the
+    * nearest non-null VALUE — a null-valued right row inside the tolerance
+    * window yields null, never a farther row's value smuggled past the
+    * tolerance check.
+    */
+  test("nearest right row with null value stays null under tolerance") {
+    val quotes = Seq(
+      (1L, ts("2025-01-01 09:00:00"), Some(5.0)),
+      (1L, ts("2025-01-01 09:50:00"), None) // nearest to the trade, null value
+    ).toDF("k", "ts", "v")
+    val trades = Seq((10L, 1L, ts("2025-01-01 10:00:00"))).toDF("trade_id", "k", "ts")
+    val got = AsOf.join(trades, quotes, "k", "ts", Seq("v"),
+        toleranceMicros = Some(30L * 60 * 1000000)) // 30 min: 09:50 in, 09:00 out
+      .select("trade_id", "v").head()
+    assert(got.isNullAt(1),
+      s"expected null (nearest row 09:50 has null v), got ${got.get(1)}")
+    // and without tolerance the semantics is the same: nearest ROW's value
+    val got2 = AsOf.join(trades, quotes, "k", "ts", Seq("v")).select("v").head()
+    assert(got2.isNullAt(0))
+  }
+
   test("plan: one shuffle (key window), no range join blowup") {
     val l = Seq((1L, ts("2025-01-01 10:00:00"), "x")).toDF("k", "ts", "payload")
     val r = Seq((1L, ts("2025-01-01 09:00:00"), 5.0)).toDF("k", "ts", "v")

@@ -26,6 +26,13 @@ class PercentilesSpec extends SparkSpec {
     assert(r("b")._2 == 100L)
   }
 
+  test("column names survive non-representable p*100 doubles") {
+    val cols = Percentiles.grouped(df, Seq("k"), "v", Seq(0.57, 0.999, 0.25), Mode.Exact)
+      .columns.toSeq
+    assert(cols == Seq("k", "p57", "p99_9", "p25", "n"),
+      s"unexpected columns: $cols") // 0.57*100 is 57.00000000000001 in IEEE
+  }
+
   test("sketch stays within the rank error bound once compression kicks in") {
     val big = (1 to 50000).map(i => ("g", i.toDouble)).toDF("k", "v")
     val acc = 1000 // << n, forces compression; rank error <= n/acc = 50

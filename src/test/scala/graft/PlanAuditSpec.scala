@@ -24,16 +24,25 @@ class PlanAuditSpec extends SparkSpec {
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plans without cartesian/nested-loop joins") {
-      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      import org.apache.spark.sql.catalyst.optimizer.BuildRight
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+      val physical = fn(spark, sfDir).queryExecution.sparkPlan
+      val plan = physical.toString
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$plan")
+      val bnljs = physical.collect { case b: BroadcastNestedLoopJoinExec => b }
       if (boundedBroadcastCross(name)) {
-        // allowed ONLY as broadcast of the local query set
-        val bnljOk = !plan.contains("BroadcastNestedLoopJoin") ||
-          plan.contains("LocalTableScan")
-        assert(bnljOk, s"$name BNLJ build side is not the local query set:\n$plan")
+        // allowed ONLY as a broadcast of the bounded local query set: the
+        // BUILD side subtree must contain no file scan
+        bnljs.foreach { b =>
+          val build = if (b.buildSide == BuildRight) b.right else b.left
+          val fileScans = build.collect { case f: FileSourceScanExec => f }
+          assert(fileScans.isEmpty,
+            s"$name BNLJ broadcasts a scanned table, not the local query set:\n$plan")
+        }
       } else {
-        assert(!plan.contains("BroadcastNestedLoopJoin"),
+        assert(bnljs.isEmpty,
           s"$name plans a BroadcastNestedLoopJoin:\n$plan")
       }
     }
