@@ -46,16 +46,22 @@ object Dedup {
     df.select(col(idCol),
       minhashSignature(tokensOf(col(textCol)), numHashes).as("minhash"))
 
-  /** Banded minhash bucket assignment: one row per (id, band, bucket). */
+  /** Banded minhash bucket assignment: one row per (id, band, bucket),
+    * carrying any `blockCols` so callers can constrain candidate GENERATION
+    * with them (filtering cross-block pairs after enumeration is the
+    * round-2 lesson this module exists to avoid).
+    */
   private def bandedBuckets(df: DataFrame, idCol: String, textCol: String,
                             numHashes: Int, bands: Int,
-                            tokensOf: Column => Column = split(_, " ")): DataFrame = {
+                            tokensOf: Column => Column = split(_, " "),
+                            blockCols: Seq[String] = Nil): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    minHashSignatures(df, idCol, textCol, numHashes, tokensOf).select(
-        col(idCol),
+    df.select((col(idCol) +: blockCols.map(col)) :+
+        minhashSignature(tokensOf(col(textCol)), numHashes).as("minhash"): _*)
+      .select((col(idCol) +: blockCols.map(col)) :+
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => md5(concat_ws(",", slice(col("minhash"), b * rows + 1, lit(rows)))))))
+          b => md5(concat_ws(",", slice(col("minhash"), b * rows + 1, lit(rows)))))): _*)
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
   }
 
@@ -188,15 +194,33 @@ object Dedup {
                       threshold: Double, blockCols: Seq[String] = Nil,
                       n: Int = 1, numHashes: Int = 16,
                       bands: Int = 16): DataFrame = {
-    val banded = bandedBuckets(df, idCol, textCol, numHashes, bands)
+    verifyJaccard(df,
+      lshCandidates(df, idCol, textCol, blockCols, numHashes, bands),
+      idCol, textCol, blockCols, n, threshold)
+  }
+
+  /** The LSH candidate stage alone: slim (id_a, id_b) pairs sharing a
+    * (band, bucket) within the same block. `blockCols` participate in the
+    * candidate equi-join itself — a hot minhash bucket on a low-diversity
+    * corpus only enumerates pairs within each block, mirroring
+    * [[prefixCandidates]] (filtering cross-block pairs after enumeration
+    * was the round-2 quadratic-blowup lesson). Exposed so candidate-set
+    * growth is directly testable.
+    */
+  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
+                    blockCols: Seq[String] = Nil, numHashes: Int = 16,
+                    bands: Int = 16): DataFrame = {
+    val banded = bandedBuckets(df, idCol, textCol, numHashes, bands,
+      blockCols = blockCols)
     val a = banded.as("a")
     val b = banded.as("b")
-    val cand = a.join(b,
+    val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
+          blockCond && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    verifyJaccard(df, cand, idCol, textCol, blockCols, n, threshold)
   }
 
   /** Exact-Jaccard verification of a slim (id_a, id_b) candidate set:

@@ -171,6 +171,31 @@ class DedupSpec extends SparkSpec {
     assert(viaLsh.nonEmpty)
   }
 
+  /** Blocks must constrain LSH candidate GENERATION, not just verification —
+    * a hot minhash bucket spanning blocks would otherwise enumerate every
+    * cross-block pair only to discard it later (the round-2 prefix-path
+    * lesson, applied to the LSH route).
+    */
+  test("LSH candidates are block-bounded at the candidate join") {
+    // identical content duplicated across two blocks: every doc's buckets
+    // collide with its cross-block twin
+    val base = Seq.tabulate(30)(i => s"shared text body number $i with words")
+    val df = (base.zipWithIndex.map { case (t, i) => (i.toLong, t, "blkA") } ++
+      base.zipWithIndex.map { case (t, i) => (i + 100L, t, "blkB") })
+      .toDF("id", "text", "block")
+    val unblocked = Dedup.lshCandidates(df, "id", "text").count()
+    val blocked = Dedup.lshCandidates(df, "id", "text", Seq("block")).count()
+    assert(blocked * 2 <= unblocked,
+      s"blocked candidates $blocked not bounded vs unblocked $unblocked")
+    // and the verified output within blocks is unchanged by the pushdown:
+    // every cross-block twin pair is gone, within-block scores survive
+    val pairs = Dedup.jaccardPairsLsh(df, "id", "text", threshold = 0.9,
+        blockCols = Seq("block"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.forall { case (a, b) => (a < 100) == (b < 100) },
+      "cross-block pair leaked through block-bounded candidates")
+  }
+
   /** Round-1 leak: pair operators persisted intermediates and never released
     * them. Now NOTHING in Dedup caches — sharing comes from ReuseExchange —
     * so no pair plan may contain an in-memory cache scan. (Asserted on the
