@@ -115,4 +115,21 @@ object GraftProps extends Properties("graft") {
       }
       viaSort == viaHeap
     }
+
+  /** The round-4 TopKAgg threshold fast path: any chunking of the input into
+    * partial buffers (reduce folds) merged in any grouping must equal
+    * sort-take — including the stale-threshold reject and tie handling
+    * (scores are quantized to force ties).
+    */
+  property("topk-agg.partition-fold-equals-sort-take") =
+    forAll(Gen.listOf(Gen.chooseNum(-1.0, 1.0)), Gen.chooseNum(1, 8),
+      Gen.chooseNum(1, 5)) { (raw, k, nChunks) =>
+      val xs = raw.map(s => math.rint(s * 5) / 5).zipWithIndex
+        .map { case (s, i) => Ann.Scored(s, i.toLong) }
+      val agg = new Ann.TopKAgg(k)
+      val chunkSize = math.max(1, xs.size / nChunks + 1)
+      val bufs = xs.grouped(chunkSize).map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = bufs.foldLeft(agg.zero)(agg.merge)
+      agg.finish(merged) == xs.sortBy(x => (-x.score, x.id)).take(k)
+    }
 }
