@@ -391,15 +391,21 @@ object SparkEntry {
     }),
 
     // ---- text analysis ----
+    // the whole stat battery from ONE fused byte scan (graft.functions
+    // .TextStats codegen expression) instead of per-stat regex passes —
+    // values identical to the regex forms (TextStatsSpec property), so the
+    // oracle keeps its regexp_replace definitions
     "q14_text_stats" -> ((s, dir) => {
-      val t = col("text")
-      rdPar(s, dir, "documents").select(col("doc_id"),
-        length(t).as("n_chars"),
-        size(split(t, " ")).as("n_tokens"),
-        (length(t) - length(regexp_replace(t, "[.,;:!?]", ""))).as("n_punct"),
-        (length(t) - length(regexp_replace(t, "[0-9]", ""))).as("n_digits"),
-        (length(regexp_replace(t, " ", "")).cast("double") / size(split(t, " ")))
-          .as("avg_token_len"))
+      val st = graft.functions.TextStats.textStats(col("text"))
+      rdPar(s, dir, "documents")
+        .withColumn("_s", st)
+        .select(col("doc_id"),
+          col("_s.n_chars").as("n_chars"),
+          (col("_s.n_spaces") + 1).as("n_tokens"),
+          col("_s.n_punct").as("n_punct"),
+          col("_s.n_digits").as("n_digits"),
+          ((col("_s.n_chars") - col("_s.n_spaces")).cast("double")
+            / (col("_s.n_spaces") + 1)).as("avg_token_len"))
     }),
 
     "q15_lang_id" -> ((s, dir) => {

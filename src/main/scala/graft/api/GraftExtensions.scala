@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, PolyHash, SimHash60}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, PolyHash, SimHash60, TextStats}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions so any session built with
@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("poly_hash"),
       info("poly_hash", "polynomial rolling hash of a string"),
       (es: Seq[Expression]) => PolyHash(es.head)))
+    ext.injectFunction((FunctionIdentifier("text_stats"),
+      info("text_stats",
+        "single-pass struct(n_chars, n_spaces, n_punct, n_digits, n_upper) of a string"),
+      (es: Seq[Expression]) => TextStats(es.head)))
     ext.injectFunction((FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "MinHash signature of an array<string>; second arg = num hashes"),
       (es: Seq[Expression]) => es(1) match {

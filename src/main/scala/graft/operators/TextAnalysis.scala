@@ -77,16 +77,21 @@ object TextAnalysis {
     * uppercase count, stopword hits.
     */
   def qualityMetrics(text: Column): Column = {
-    val toks = split(text, " ")
-    val nChars = length(text)
-    val nToks = size(toks)
+    // one fused byte scan (TextStats) instead of five regex passes; the
+    // token identities are exact: size(split(s, " ")) = n_spaces + 1 and
+    // length(regexp_replace(s, " ", "")) = n_chars - n_spaces
+    // (equivalence property-tested in TextStatsSpec)
+    val st = graft.functions.TextStats.textStats(text)
+    val nChars = st.getField("n_chars")
+    val nSpaces = st.getField("n_spaces")
+    val nToks = nSpaces + 1
     struct(
       nChars.as("n_chars"),
       nToks.as("n_tokens"),
-      (length(regexp_replace(text, " ", "")).cast("double") / nToks).as("avg_token_len"),
-      (nChars - length(regexp_replace(text, "[.,;:!?]", ""))).as("n_punct"),
-      (nChars - length(regexp_replace(text, "[0-9]", ""))).as("n_digits"),
-      (nChars - length(regexp_replace(text, "[A-Z]", ""))).as("n_upper"),
+      ((nChars - nSpaces).cast("double") / nToks).as("avg_token_len"),
+      st.getField("n_punct").as("n_punct"),
+      st.getField("n_digits").as("n_digits"),
+      st.getField("n_upper").as("n_upper"),
       hitCount(tokens(text), StopwordsEn ++ StopwordsDe ++ StopwordsEs ++ StopwordsFr)
         .as("n_stopwords"))
   }
