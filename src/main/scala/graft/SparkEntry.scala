@@ -133,6 +133,30 @@ object SparkEntry {
       |    list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0),
       |    w -> CAST(ceil(len(w) / 4.0) AS BIGINT))), 0) AS BIGINT)""".stripMargin
 
+  /** Blocked word-set Jaccard pair CTEs (`g`, `jp`) — the q39 prefix-path
+    * pair graph; q62 builds its component closure on the same fragment so
+    * the two oracles cannot drift apart.
+    */
+  private val prefixPairsSql: String =
+    """g AS (SELECT doc_id, lang, source,
+      |  list_distinct(string_split(text, ' ')) AS grams FROM documents),
+      |jp AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |      / CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jaccard
+      |  FROM g a JOIN g b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Portable hash-uniform in [0,1): top 32 md5 bits of (id || salt),
+    * scaled by 2^32 (mirrors [[graft.operators.Sampling.uniformFromId]] —
+    * exact in double, so bit-portable).
+    */
+  private def uniformSql(idExpr: String, salt: String = ""): String = {
+    val keyed = if (salt.isEmpty) s"CAST($idExpr AS VARCHAR)"
+                else s"CAST($idExpr AS VARCHAR) || '$salt'"
+    s"(CAST(('0x' || substring(md5($keyed), 1, 8)) AS BIGINT) / 4294967296.0)"
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exercises the two serving paths the engine is built around: corpus
     * indexing through the fitted MLlib pipeline (the batch scale path), and
@@ -841,7 +865,67 @@ object SparkEntry {
       Ann.topKIvf(withCells, "vec_id", "embedding", "ivf_cell", cents,
           qvec, k = 5, nProbe = 2)
         .select("vec_id", "score")
-    })
+    }),
+
+    // ---- benchmark decontamination (n-gram overlap vs a held-out eval
+    // set — the pretraining step that keeps eval scores honest). src19
+    // plays the benchmark; output is the contaminated corpus docs. The
+    // corpus side is never shuffled: the bench 4-gram hash set broadcasts
+    // and the semi-join runs inside the scan stage.
+    "q59_decontaminate" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val bench = docs.where(col("source") === "src19")
+      val corpus = docs.where(col("source") =!= "src19")
+      corpus.join(
+          graft.operators.Decontaminate.contaminatedIds(
+            corpus, bench, "doc_id", "text", n = 4),
+          Seq("doc_id"), "left_semi")
+        .select("doc_id", "lang", "source")
+    }),
+
+    // ---- concat-and-chunk sequence packing (per-source token stream cut
+    // every 256 tokens; docs keyed to the chunk they start in). fill_ratio
+    // divides by a power of two, so the double is exact on both engines.
+    "q60_sequence_packing" -> ((s, dir) =>
+      graft.operators.Pack.packStats(rd(s, dir, "documents"), "doc_id",
+        Seq("source"), TextAnalysis.tokenCount(col("text")), budget = 256)),
+
+    // ---- stratified deterministic sampling: keep iff hash-uniform(doc_id)
+    // < rate(lang). Rates are dyadic (exact in binary) so the decimal->double
+    // paths of both engines agree bit-exactly; sample_key itself is in the
+    // output to pin the hash-uniform construction, not just the filter.
+    "q61_stratified_sample" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedSample(rd(s, dir, "documents"),
+          "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.125),
+          defaultRate = 0.0625)
+        .select(col("doc_id"), col("lang"),
+          graft.operators.Sampling.uniformFromId(col("doc_id")).as("sample_key"))),
+
+    // ---- near-dup connected components: the q39 prefix-path pair graph
+    // collapsed to clusters by iterated min-label propagation (pairs alone
+    // under-delete: A~B, B~C must drop to one survivor even when A~C was
+    // never emitted). Oracle is a recursive-CTE transitive closure.
+    "q62_neardup_components" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        Seq("lang", "source"), n = 1, threshold = 0.9)
+      graft.operators.Components.componentStats(
+        pairs.select("id_a", "id_b"), docs.select("doc_id"), "doc_id")
+    }),
+
+    // ---- domain mixing by weighted epochs: weight 2.5 emits 2 full copies
+    // + a hash-decided half epoch. Weights dyadic for the same reason as
+    // q61; the ':up' salt decouples the fractional-epoch decision from the
+    // q61 sampling decision on the same ids.
+    "q63_domain_mix" -> ((s, dir) =>
+      graft.operators.Sampling.mixDomains(rd(s, dir, "documents"), "doc_id",
+          "lang",
+          Map("de" -> 2.5, "es" -> 2.0, "fr" -> 0.5, "zh" -> 1.5),
+          defaultWeight = 1.0)
+        .groupBy("lang", "epoch")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -990,15 +1074,8 @@ object SparkEntry {
         |FROM votes GROUP BY doc_id""".stripMargin,
 
     "q39_jaccard_prefix" ->
-      """WITH g AS (SELECT doc_id, lang, source,
-        |  list_distinct(string_split(text, ' ')) AS grams FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        |    / CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jaccard
-        |FROM g a JOIN g b
-        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        |    / CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.9""".stripMargin,
+      s"""WITH $prefixPairsSql
+        |SELECT id_a, id_b, jaccard FROM jp WHERE jaccard >= 0.9""".stripMargin,
 
     // candidate step = pairs sharing any of the 16 minhash values (Spark's
     // bands=numHashes=16 bucketing), then blocked exact-jaccard verification
@@ -1471,6 +1548,67 @@ object SparkEntry {
          |SELECT a.vec_id, ${cos("a.embedding", "q.qv")} AS score
          |FROM assign a JOIN qc ON a.cid = qc.cid CROSS JOIN q
          |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin
-    }
+    },
+
+    // word 4-grams with the same truncation rule as Dedup.wordNgrams (a
+    // text shorter than 4 tokens yields its single truncated gram); bench
+    // grams compared as strings — the Spark side's xxhash64 is a pure
+    // membership-preserving compression.
+    "q59_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (SELECT doc_id, array_to_string(t[i.i : i.i + 3], ' ') AS g
+        |  FROM toks, unnest(generate_series(1, greatest(len(t) - 3, 1))) AS i(i)),
+        |bench AS (SELECT DISTINCT g FROM grams JOIN documents USING (doc_id)
+        |  WHERE source = 'src19'),
+        |hits AS (SELECT DISTINCT doc_id FROM grams JOIN documents USING (doc_id)
+        |  WHERE source <> 'src19' AND g IN (SELECT g FROM bench))
+        |SELECT doc_id, lang, source FROM documents JOIN hits USING (doc_id)""".stripMargin,
+
+    "q60_sequence_packing" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok FROM d)
+        |SELECT source, CAST(floor(start_tok / 256.0) AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+        |  CAST(sum(n_tokens) AS DOUBLE) / 256 AS fill_ratio
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "q61_stratified_sample" ->
+      s"""WITH u AS (SELECT doc_id, lang,
+        |    ${uniformSql("doc_id")} AS sample_key FROM documents)
+        |SELECT doc_id, lang, sample_key FROM u
+        |WHERE sample_key < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+        |  WHEN 'es' THEN 0.25 WHEN 'fr' THEN 0.125 ELSE 0.0625 END""".stripMargin,
+
+    // transitive closure over the q39 pair graph: reach(id, lab) holds every
+    // (vertex, candidate label) pair; min per vertex is the component id.
+    "q62_neardup_components" ->
+      s"""WITH RECURSIVE $prefixPairsSql,
+        |pairs AS (SELECT id_a, id_b FROM jp WHERE jaccard >= 0.9),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+        |SELECT component, count(*) AS n_members FROM comp GROUP BY 1""".stripMargin,
+
+    "q63_domain_mix" ->
+      s"""WITH w AS (SELECT doc_id, lang,
+        |    CAST(CASE lang WHEN 'de' THEN 2.5 WHEN 'es' THEN 2.0
+        |      WHEN 'fr' THEN 0.5 WHEN 'zh' THEN 1.5 ELSE 1.0 END AS DOUBLE) AS wt,
+        |    ${uniformSql("doc_id", ":up")} AS u FROM documents),
+        |n AS (SELECT doc_id, lang,
+        |    CAST(floor(wt) AS BIGINT)
+        |      + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS n_copies FROM w),
+        |e AS (SELECT doc_id, lang, CAST(ep.ep AS BIGINT) AS epoch
+        |  FROM n, unnest(generate_series(1, n_copies)) AS ep(ep)
+        |  WHERE n_copies > 0)
+        |SELECT lang, epoch, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs
+        |FROM e GROUP BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair graph — the step that
+  * turns pairwise dedup output ([[Dedup.jaccardPairs]],
+  * [[Dedup.minHashLshPairs]], [[Dedup.simHashPairs]]) into deletable
+  * clusters: docs A~B and B~C must collapse to ONE survivor even when A~C
+  * was never emitted as a pair. Pairs alone under-delete; components are
+  * what a production dedup actually drops.
+  *
+  * Algorithm: iterated min-label propagation. Every vertex starts labeled
+  * with its own id; each round every vertex takes the min of its label and
+  * its neighbors' labels. Converges in at most the graph diameter rounds —
+  * near-dup graphs are unions of near-cliques, so single-digit rounds in
+  * practice; `maxIter` bounds adversarial chains and the loop early-stops
+  * on a converged round.
+  *
+  * Scale shape: the edge list is materialized ONCE (localCheckpoint — the
+  * upstream pair pipeline, often an LSH join, does not re-execute per
+  * round) and pre-partitioned on `src`, so each round is two shuffles of
+  * O(E) (labels onto edge partitioning, then the min-combine back to
+  * vertices) with map-side partial min. The driver holds one changed-count
+  * per round — never the graph. This is the standard Spark CC shape
+  * (GraphX/GraphFrames do the same dance with the same bounds).
+  */
+object Components {
+
+  /** (id, component) for every id in `nodes`, where component = min id
+    * reachable through `pairs` (singletons map to themselves).
+    *
+    * @param pairs undirected edges as columns `id_a`, `id_b`
+    * @param nodes vertex set (one id column named `idCol`) — pass the full
+    *              corpus so untouched docs come out as singletons
+    */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame, idCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val parts = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    // symmetric edge list, materialized once; per-round joins reuse these
+    // blocks instead of re-running the (possibly expensive) pair pipeline.
+    // Superseded checkpoint RDDs are released by the ContextCleaner once
+    // unreferenced — nothing stays pinned after the loop returns.
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(parts, col("src"))
+      .localCheckpoint(true)
+
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, labels("id") === neighborMin("dst"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("changed"))
+        .localCheckpoint(true)
+      converged = next.where(col("changed")).isEmpty
+      labels = next.drop("changed")
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("component"))
+  }
+
+  /** Per-component rollup: survivor id (= component min), member count. */
+  def componentStats(pairs: DataFrame, nodes: DataFrame, idCol: String,
+                     maxIter: Int = 20): DataFrame =
+    connectedComponents(pairs, nodes, idCol, maxIter)
+      .groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+
+  /** Near-dup dedup: keep one survivor (min id) per component. */
+  def survivors(df: DataFrame, pairs: DataFrame, idCol: String,
+                maxIter: Int = 20): DataFrame = {
+    val comp = connectedComponents(pairs, df.select(idCol), idCol, maxIter)
+    df.join(comp.where(col(idCol) === col("component")).select(idCol),
+      Seq(idCol), "left_semi")
+  }
+}

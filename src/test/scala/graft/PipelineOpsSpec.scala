@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Components, Decontaminate, Pack, Sampling}
+
+/** Specs for the round-4 training-data pipeline additions: benchmark
+  * decontamination, sequence packing, deterministic sampling/mixing, and
+  * near-dup connected components.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- decontaminate
+
+  private lazy val corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon"), // shares the 3-gram "beta gamma delta"
+    (2L, "zeta eta theta iota kappa"),      // clean
+    (3L, "one two beta gamma delta")        // contaminated via trailing gram
+  ).toDF("doc_id", "text")
+
+  private lazy val bench = Seq(
+    (100L, "xx beta gamma delta yy")
+  ).toDF("doc_id", "text")
+
+  test("decontaminate: docs sharing an n-gram with the benchmark are dropped") {
+    val hits = Decontaminate.contaminatedIds(corpus, bench, "doc_id", "text", n = 3)
+      .as[Long].collect().toSet
+    assert(hits == Set(1L, 3L))
+    val clean = Decontaminate.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L))
+  }
+
+  test("decontaminate: overlap shorter than n does not contaminate") {
+    // only the 2-gram "beta gamma" of doc 4 appears in bench — at n=3 clean
+    val c = Seq((4L, "beta gamma unrelated tail words")).toDF("doc_id", "text")
+    assert(Decontaminate.contaminatedIds(c, bench, "doc_id", "text", n = 3).isEmpty)
+  }
+
+  test("decontaminate: bench gram set broadcasts; corpus is not shuffled into the join") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val plan = Decontaminate.contaminatedIds(corpus, bench, "doc_id", "text", n = 3)
+      .queryExecution.sparkPlan
+    val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, s"expected a broadcast semi-join:\n$plan")
+  }
+
+  // ---------------------------------------------------------------- packing
+
+  test("packing: concat-and-chunk assignment, offsets, oversized docs span") {
+    val docs = Seq(
+      (1L, "g", 100L), (2L, "g", 100L), (3L, "g", 100L), // starts: 0, 100, 200
+      (4L, "g", 600L),                                   // start 300 -> seq 1
+      (5L, "g", 10L),                                    // start 900 -> seq 3
+      (6L, "h", 50L)                                     // separate group
+    ).toDF("doc_id", "grp", "n")
+    val got = Pack.assignSequences(docs, "doc_id", Seq("grp"), col("n"), budget = 256)
+      .select("doc_id", "seq_id", "tok_offset")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (0L, 0L))
+    assert(got(2L) == (0L, 100L))
+    assert(got(3L) == (0L, 200L)) // spills into seq 1, but STARTS in seq 0
+    assert(got(4L) == (1L, 44L))  // 300 = 256 + 44
+    assert(got(5L) == (3L, 132L)) // 900 = 3*256 + 132
+    assert(got(6L) == (0L, 0L))   // fresh stream per group
+    val stats = Pack.packStats(docs, "doc_id", Seq("grp"), col("n"), budget = 256)
+      .where(col("grp") === "g" && col("seq_id") === 0)
+      .select("n_docs", "seq_tokens", "fill_ratio").head()
+    assert(stats.getLong(0) == 3L && stats.getLong(1) == 300L)
+    assert(stats.getDouble(2) == 300.0 / 256)
+  }
+
+  test("packing: assignment is partitioning-independent") {
+    val docs = (1L to 200L).map(i => (i, s"s${i % 3}", 10L + i % 7))
+      .toDF("doc_id", "grp", "n")
+    val a = Pack.assignSequences(docs, "doc_id", Seq("grp"), col("n"), 64)
+      .select("doc_id", "seq_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Pack.assignSequences(docs.repartition(7), "doc_id", Seq("grp"), col("n"), 64)
+      .select("doc_id", "seq_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  // ---------------------------------------------------------------- sampling
+
+  test("uniformFromId matches a hand md5 and is partitioning-stable") {
+    // hand-compute: top 32 bits of md5("7"), scaled
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("7".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = java.lang.Long.parseLong(hex.substring(0, 8), 16) / 4294967296.0
+    val got = Seq(7L).toDF("id").select(Sampling.uniformFromId(col("id"))).head().getDouble(0)
+    assert(got == expected)
+    val base = (1L to 500L).toDF("id")
+    val u1 = base.select(col("id"), Sampling.uniformFromId(col("id")).as("u")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val u2 = base.repartition(13).select(col("id"), Sampling.uniformFromId(col("id")).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(u1 == u2)
+    assert(u1.values.forall(u => u >= 0.0 && u < 1.0))
+  }
+
+  private lazy val strata = (1L to 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+    .toDF("doc_id", "lang")
+
+  test("stratified sample: rates honored per stratum, nested across rates") {
+    val all = Sampling.stratifiedSample(strata, "doc_id", "lang",
+      Map("a" -> 1.0, "b" -> 0.0)).select("lang").as[String].collect()
+    assert(all.nonEmpty && all.forall(_ == "a")) // rate 1 keeps all, rate 0 none
+    // hash sampling is nested: the 25% sample is a subset of the 50% sample
+    def ids(r: Double) = Sampling.stratifiedSample(strata, "doc_id", "lang",
+      Map("a" -> r, "b" -> r)).select("doc_id").as[Long].collect().toSet
+    val (s25, s50) = (ids(0.25), ids(0.5))
+    assert(s25.subsetOf(s50))
+    assert(s25.size > 100 && s25.size < 400) // ~250 expected
+  }
+
+  test("upsample: integer weights replicate exactly; fractional epoch is hash-decided") {
+    val docs = (1L to 100L).map((_, "x")).toDF("doc_id", "lang")
+    val threeX = Sampling.upsample(docs, "doc_id", lit(3.0))
+    assert(threeX.count() == 300L)
+    assert(threeX.groupBy("doc_id").count().where(col("count") =!= 3).isEmpty)
+    assert(threeX.select("epoch").distinct().as[Long].collect().toSet == Set(1L, 2L, 3L))
+    val mixed = Sampling.upsample(docs, "doc_id", lit(1.5))
+    val n = mixed.count()
+    assert(n >= 100L && n <= 200L) // 1 full epoch + ~half
+    // every doc keeps epoch 1; the extra copy is epoch 2 for exactly the
+    // docs whose salted uniform is below 0.5
+    val extras = mixed.where(col("epoch") === 2).select("doc_id").as[Long].collect().toSet
+    val expected = docs.where(Sampling.uniformFromId(col("doc_id"), ":up") < 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(extras == expected)
+  }
+
+  test("mixDomains: per-stratum weights with default for absent strata") {
+    val docs = Seq((1L, "wiki"), (2L, "wiki"), (3L, "crawl")).toDF("doc_id", "src")
+    val out = Sampling.mixDomains(docs, "doc_id", "src", Map("wiki" -> 2.0))
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("wiki") == 4L) // 2 docs x 2 epochs
+    assert(out("crawl") == 1L) // default weight 1.0
+  }
+
+  // ---------------------------------------------------------------- components
+
+  test("components: transitive closure over pairs, singletons survive") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val nodes = (1L to 7L).toDF("doc_id")
+    val comp = Components.connectedComponents(pairs, nodes, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, // chain collapses (no 1-3 pair)
+      4L -> 4L, 7L -> 7L,                            // untouched docs = singletons
+      5L -> 5L, 6L -> 5L))
+    val stats = Components.componentStats(pairs, nodes, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats == Map(1L -> 3L, 4L -> 1L, 5L -> 2L, 7L -> 1L))
+  }
+
+  test("components: long path converges within maxIter; survivors keep min per cluster") {
+    val n = 12L
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b") // path 1-2-...-12
+    val df = (1L to n).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val comp = Components.connectedComponents(pairs, df.select("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(1)).toSet
+    assert(comp == Set(1L)) // one component labeled by the min id
+    val kept = Components.survivors(df, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+}
