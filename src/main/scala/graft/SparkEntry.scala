@@ -873,7 +873,10 @@ object SparkEntry {
     // corpus side is never shuffled: the bench 4-gram hash set broadcasts
     // and the semi-join runs inside the scan stage.
     "q59_decontaminate" -> ((s, dir) => {
-      val docs = rd(s, dir, "documents")
+      // rdPar: the gram explode is per-row-heavy and the local testdata is
+      // one row-group; both filters derive from ONE repartitioned subtree
+      // (shared exchange), a no-op rebalance on a real multi-file corpus
+      val docs = rdPar(s, dir, "documents")
       val bench = docs.where(col("source") === "src19")
       val corpus = docs.where(col("source") =!= "src19")
       corpus.join(
@@ -913,6 +916,31 @@ object SparkEntry {
       graft.operators.Components.componentStats(
         pairs.select("id_a", "id_b"), docs.select("doc_id"), "doc_id")
     }),
+
+    // ---- per-source adaptive quality gate: keep each source's TOP HALF by
+    // quality score (percent_rank over the per-source distribution — the
+    // "best X% of every domain" curation move; a fixed global threshold
+    // would empty weak domains and keep noise from strong ones).
+    // percent_rank is tie-stable: equal scores get equal ranks in both
+    // engines, so the 0.5 boundary cannot split a tie differently.
+    "q64_quality_gate" -> ((s, dir) => {
+      val scored = rdPar(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(TextAnalysis.qualityMetrics(col("text"))).as("q"))
+      scored
+        .withColumn("pr", percent_rank().over(
+          Window.partitionBy("source").orderBy("q")))
+        .where(col("pr") >= 0.5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min("q").as("min_kept_score"))
+    }),
+
+    // ---- deterministic train/val/test split by hash ranges (dyadic
+    // fractions; ':split' salt keeps it independent of q61/q63 decisions).
+    // A doc keeps its split as the corpus grows — rank-based splits don't.
+    "q65_split_assign" -> ((s, dir) =>
+      graft.operators.Sampling.splitAssign(rd(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))),
 
     // ---- domain mixing by weighted epochs: weight 2.5 emits 2 full copies
     // + a hash-decided half epoch. Weights dyadic for the same reason as
@@ -1596,6 +1624,27 @@ object SparkEntry {
         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
         |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
         |SELECT component, count(*) AS n_members FROM comp GROUP BY 1""".stripMargin,
+
+    "q64_quality_gate" ->
+      s"""WITH m AS (SELECT doc_id, source,
+         |  $qualityMetricsSql
+         | FROM documents),
+         |sc AS (SELECT doc_id, source,
+         |  $qualityScoreSql AS q
+         | FROM m),
+         |r AS (SELECT source, q,
+         |  percent_rank() OVER (PARTITION BY source ORDER BY q) AS pr FROM sc)
+         |SELECT source, count(*) AS n_kept, min(q) AS min_kept_score
+         |FROM r WHERE pr >= 0.5 GROUP BY source""".stripMargin,
+
+    "q65_split_assign" ->
+      s"""WITH u AS (SELECT doc_id, lang,
+        |    ${uniformSql("doc_id", ":split")} AS u FROM documents)
+        |SELECT lang,
+        |  CASE WHEN u < 0.875 THEN 'train' WHEN u < 0.9375 THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  count(*) AS n_docs
+        |FROM u GROUP BY 1, 2""".stripMargin,
 
     "q63_domain_mix" ->
       s"""WITH w AS (SELECT doc_id, lang,

@@ -47,19 +47,29 @@ object Components {
       .repartition(parts, col("src"))
       .localCheckpoint(true)
 
+    // labels pinned to hash(id) partitioning: localCheckpoint preserves
+    // outputPartitioning, so the edges⋈labels probe (src≡id layout) and the
+    // labels⋈neighborMin merge (dst comes out of the groupBy already hashed
+    // compatibly) both plan WITHOUT re-shuffling labels — one shuffle per
+    // round (the neighbor-min combine), not three
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+      .repartition(parts, col("id"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (iter < maxIter && !converged) {
       val neighborMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nmin"))
+      // the changed-count rides the checkpoint job as an observed metric —
+      // no second per-round action just to test convergence
+      val obs = new org.apache.spark.sql.Observation
       val next = labels.join(neighborMin, labels("id") === neighborMin("dst"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           (coalesce(col("nmin"), col("label")) < col("label")).as("changed"))
+        .observe(obs, count(when(col("changed"), 1)).as("n_changed"))
         .localCheckpoint(true)
-      converged = next.where(col("changed")).isEmpty
+      converged = obs.get("n_changed").asInstanceOf[Long] == 0L
       labels = next.drop("changed")
       iter += 1
     }

@@ -59,6 +59,29 @@ object Sampling {
       .drop("n_copies")
   }
 
+  /** Deterministic train/val/test split assignment by hash ranges: fraction
+    * f_i of rows lands in split i, decided by where uniformFromId(id) falls
+    * in the cumulative-fraction partition of [0,1). Disjoint and exhaustive
+    * by construction (fractions must sum to 1), reproducible under any
+    * repartitioning, and stable as the corpus grows — a doc keeps its split
+    * when new docs arrive, which a rank-based split does not guarantee.
+    * Map-side only (one when-chain, no shuffle).
+    */
+  def splitAssign(df: DataFrame, idCol: String,
+                  fractions: Seq[(String, Double)],
+                  salt: String = ":split"): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val u = uniformFromId(col(idCol), salt)
+    val cuts = fractions.scanLeft(0.0)(_ + _._2).tail
+    val assigned = fractions.zip(cuts).dropRight(1)
+      .foldLeft(when(lit(false), lit(""))) { case (acc, ((name, _), cut)) =>
+        acc.when(u < cut, lit(name))
+      }
+      .otherwise(lit(fractions.last._1)) // the tail bucket absorbs fp residue
+    df.withColumn("split", assigned)
+  }
+
   /** Domain mixing by a per-stratum weight table (the "N epochs of
     * Wikipedia, 0.3 epochs of CommonCrawl" move).
     */

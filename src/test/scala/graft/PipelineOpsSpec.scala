@@ -131,6 +131,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(extras == expected)
   }
 
+  test("splitAssign: exhaustive, growth-stable, fraction-proportional") {
+    val fracs = Seq("train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625)
+    val df = (1L to 2000L).toDF("doc_id")
+    val out = Sampling.splitAssign(df, "doc_id", fracs)
+    val counts = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000L) // every row in exactly one split
+    assert(counts("train") > 1600L && counts("val") > 60L && counts("test") > 60L)
+    // a doc keeps its split when the corpus shrinks/grows or repartitions
+    val sub = Sampling.splitAssign(df.where(col("doc_id") <= 1000).repartition(7),
+        "doc_id", fracs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = out.where(col("doc_id") <= 1000)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub == full)
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(df, "doc_id", Seq("a" -> 0.5))
+    }
+  }
+
   test("mixDomains: per-stratum weights with default for absent strata") {
     val docs = Seq((1L, "wiki"), (2L, "wiki"), (3L, "crawl")).toDF("doc_id", "src")
     val out = Sampling.mixDomains(docs, "doc_id", "src", Map("wiki" -> 2.0))
