@@ -74,11 +74,13 @@ object Sampling {
       "split fractions must sum to 1")
     val u = uniformFromId(col(idCol), salt)
     val cuts = fractions.scanLeft(0.0)(_ + _._2).tail
+    // null id => null split (a when-chain's otherwise would silently dump
+    // null ids into the tail bucket); the tail bucket absorbs fp residue
     val assigned = fractions.zip(cuts).dropRight(1)
-      .foldLeft(when(lit(false), lit(""))) { case (acc, ((name, _), cut)) =>
-        acc.when(u < cut, lit(name))
+      .foldLeft(when(u.isNull, lit(null).cast("string"))) {
+        case (acc, ((name, _), cut)) => acc.when(u < cut, lit(name))
       }
-      .otherwise(lit(fractions.last._1)) // the tail bucket absorbs fp residue
+      .otherwise(lit(fractions.last._1))
     df.withColumn("split", assigned)
   }
 

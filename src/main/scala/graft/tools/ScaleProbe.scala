@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10x-scale probe: replicates the sf0.1 tables into a MULTI-FILE corpus
+  * (disjoint id ranges per shard) and times the shuffle-heavy operator
+  * families on it. Two things the gate-scale runs cannot show:
+  *
+  *  1. multi-file scans split across cores by themselves — the explicit
+  *     `rdPar` rebalances the single-row-group testdata needs become
+  *     no-ops, which is the claim SCALE.md makes about real corpora;
+  *  2. near-linear scaling of the pair/dedup/component pipelines: the
+  *     blocked/bucketed joins grow with corpus size, not its square —
+  *     pair counts multiply by the shard count (disjoint ids keep shard
+  *     cluster structure), so seconds-per-pair should hold or improve.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [baseSfDir] [shards] [workDir]
+  * Prints one JSON line of per-op wall seconds at 1x and Nx.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val shards = if (args.length > 1) args(1).toInt else 10
+    val workDir = if (args.length > 2) args(2) else "/tmp/graft-scale10"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- build the sharded corpus (once; reuse across runs)
+    val docsPath = s"$workDir/documents"
+    val embPath = s"$workDir/embeddings"
+    if (!new java.io.File(docsPath).exists()) {
+      val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+      val nDocs = docs.count()
+      (0 until shards).foreach { i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i * nDocs))
+          .coalesce(1).write.mode("append").parquet(docsPath)
+      }
+      val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      val nEmb = emb.count()
+      (0 until shards).foreach { i =>
+        emb.withColumn("vec_id", col("vec_id") + lit(i * nEmb))
+          .coalesce(1).write.mode("append").parquet(embPath)
+      }
+    }
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    def noopCount(df: DataFrame): Long = {
+      df.write.format("noop").mode("overwrite").save(); df.count()
+    }
+
+    val big = spark.read.parquet(docsPath)
+    val bigEmb = spark.read.parquet(embPath)
+    val base = spark.read.parquet(s"$baseDir/documents.parquet")
+    val baseEmb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val qv = baseEmb.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+
+    import graft.operators.{Components, Decontaminate, Dedup, Sampling, TextAnalysis, Ann}
+    val ops: Seq[(String, (DataFrame, DataFrame) => Long)] = Seq(
+      "scan_partitions" -> ((d, _) => d.rdd.getNumPartitions.toLong),
+      "exact_dedup" -> ((d, _) => noopCount(Dedup.exactDedup(d, "doc_id", "text"))),
+      "jaccard_prefix_090" -> ((d, _) => noopCount(Dedup.jaccardPairs(
+        d, "doc_id", "text", Seq("lang", "source"), n = 1, threshold = 0.9))),
+      "minhash_lsh_pairs" -> ((d, _) => noopCount(Dedup.minHashLshPairs(
+        d, "doc_id", "text", numHashes = 16, bands = 2))),
+      "components" -> { (d, _) =>
+        val pairs = Dedup.jaccardPairs(d, "doc_id", "text",
+          Seq("lang", "source"), n = 1, threshold = 0.9).select("id_a", "id_b")
+        noopCount(Components.componentStats(pairs, d.select("doc_id"), "doc_id"))
+      },
+      "decontaminate" -> { (d, _) =>
+        val bench = d.where(col("source") === "src19")
+        val corpus = d.where(col("source") =!= "src19")
+        noopCount(Decontaminate.contaminatedIds(corpus, bench, "doc_id", "text", n = 4))
+      },
+      "curate_battery" -> ((d, _) => noopCount(Sampling.splitAssign(
+        TextAnalysis.profile(d, "text"), "doc_id",
+        Seq("train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625)))),
+      "ann_topk" -> ((_, e) => noopCount(
+        Ann.topK(e.where(col("vec_id") =!= 0), "vec_id", "embedding", qv, 10)))
+    )
+
+    val results = ops.map { case (name, f) =>
+      val (t1x, n1x) = time(f(base, baseEmb))
+      val (tNx, nNx) = time(f(big, bigEmb))
+      (name, t1x, n1x, tNx, nNx)
+    }
+    val js = results.map { case (n, t1, c1, tN, cN) =>
+      f""""$n":{"sec_1x":$t1%.2f,"rows_1x":$c1,"sec_${shards}x":$tN%.2f,"rows_${shards}x":$cN}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","shards":$shards,"ops":$js}""")
+    spark.stop()
+  }
+}

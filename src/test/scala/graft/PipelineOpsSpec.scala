@@ -159,6 +159,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out("crawl") == 1L) // default weight 1.0
   }
 
+  test("curation projections are streaming-compatible (stateless map-side ops)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the per-row curation battery — quality score, lang ID, split
+    // assignment, hash-sampling filter — must run unchanged on a stream
+    // (no state, no shuffle); this is what makes the streaming ingest path
+    // able to curate in-flight
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "the quick brown fox and the lazy dog"),
+      (2L, "der und die das ist nicht ein"), (3L, "x"))
+    val curated = Sampling.splitAssign(
+      mem.toDF().toDF("doc_id", "text")
+        .withColumn("q", graft.operators.TextAnalysis.qualityScore(
+          graft.operators.TextAnalysis.qualityMetrics(col("text"))))
+        .withColumn("lang", graft.operators.TextAnalysis.langIdGuess(col("text"))),
+      "doc_id", Seq("train" -> 0.875, "val" -> 0.125))
+    val q = curated.writeStream.format("memory").queryName("curated_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("curated_stream").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getString(3), r.getString(4))).toMap
+    spark.catalog.dropTempView("curated_stream")
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L)._2 == "en" && out(2L)._2 == "de")
+    assert(out.values.forall(v => Set("train", "val").contains(v._3)))
+    // batch twin produces identical values (streaming adds no semantics)
+    val batch = Sampling.splitAssign(
+      Seq((1L, "the quick brown fox and the lazy dog")).toDF("doc_id", "text")
+        .withColumn("q", graft.operators.TextAnalysis.qualityScore(
+          graft.operators.TextAnalysis.qualityMetrics(col("text"))))
+        .withColumn("lang", graft.operators.TextAnalysis.langIdGuess(col("text"))),
+      "doc_id", Seq("train" -> 0.875, "val" -> 0.125)).head()
+    assert((batch.getDouble(2), batch.getString(3), batch.getString(4)) == out(1L))
+  }
+
   // ---------------------------------------------------------------- components
 
   test("components: transitive closure over pairs, singletons survive") {
