@@ -209,6 +209,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(stats == Map(1L -> 3L, 4L -> 1L, 5L -> 2L, 7L -> 1L))
   }
 
+  test("components: matches brute-force union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 40
+      val edges = Seq.fill(30)((rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .filter(p => p._1 != p._2)
+      // reference union-find
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (1 to n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = Components.connectedComponents(
+          edges.toDF("id_a", "id_b"), (1L to n.toLong).toDF("doc_id"), "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+    }
+  }
+
+  test("packing: matches a sequential per-group fold on random inputs") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 300L).map(i => (i, s"g${rnd.nextInt(4)}", rnd.nextInt(500).toLong + 1))
+    val expected = docs.groupBy(_._2).flatMap { case (_, rows) =>
+      rows.sortBy(_._1).foldLeft((0L, List.empty[(Long, Long)])) {
+        case ((cum, acc), (id, _, tok)) => (cum + tok, (id, cum / 128) :: acc)
+      }._2
+    }.toMap
+    val got = Pack.assignSequences(docs.toDF("doc_id", "grp", "n"),
+        "doc_id", Seq("grp"), col("n"), budget = 128)
+      .select("doc_id", "seq_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("components: long path converges within maxIter; survivors keep min per cluster") {
     val n = 12L
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b") // path 1-2-...-12
