@@ -922,14 +922,18 @@ object SparkEntry {
     // "best X% of every domain" curation move; a fixed global threshold
     // would empty weak domains and keep noise from strong ones).
     // percent_rank is tie-stable: equal scores get equal ranks in both
-    // engines, so the 0.5 boundary cannot split a tie differently.
+    // engines, so the 0.5 boundary cannot split a tie differently. A
+    // singleton source keeps its one doc (percent_rank is 0 for n=1, which
+    // the bare threshold would drop — emptying the domain the gate exists
+    // to protect).
     "q64_quality_gate" -> ((s, dir) => {
       val scored = rdPar(s, dir, "documents").select(col("doc_id"), col("source"),
         TextAnalysis.qualityScore(TextAnalysis.qualityMetrics(col("text"))).as("q"))
+      val w = Window.partitionBy("source")
       scored
-        .withColumn("pr", percent_rank().over(
-          Window.partitionBy("source").orderBy("q")))
-        .where(col("pr") >= 0.5)
+        .withColumn("pr", percent_rank().over(w.orderBy("q")))
+        .withColumn("n_src", count(lit(1)).over(w))
+        .where(col("pr") >= 0.5 || col("n_src") === 1)
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"), min("q").as("min_kept_score"))
     }),
@@ -1633,15 +1637,17 @@ object SparkEntry {
          |  $qualityScoreSql AS q
          | FROM m),
          |r AS (SELECT source, q,
-         |  percent_rank() OVER (PARTITION BY source ORDER BY q) AS pr FROM sc)
+         |  percent_rank() OVER (PARTITION BY source ORDER BY q) AS pr,
+         |  count(*) OVER (PARTITION BY source) AS n_src FROM sc)
          |SELECT source, count(*) AS n_kept, min(q) AS min_kept_score
-         |FROM r WHERE pr >= 0.5 GROUP BY source""".stripMargin,
+         |FROM r WHERE pr >= 0.5 OR n_src = 1 GROUP BY source""".stripMargin,
 
     "q65_split_assign" ->
       s"""WITH u AS (SELECT doc_id, lang,
         |    ${uniformSql("doc_id", ":split")} AS u FROM documents)
         |SELECT lang,
-        |  CASE WHEN u < 0.875 THEN 'train' WHEN u < 0.9375 THEN 'val'
+        |  CASE WHEN u IS NULL THEN NULL
+        |    WHEN u < 0.875 THEN 'train' WHEN u < 0.9375 THEN 'val'
         |    ELSE 'test' END AS split,
         |  count(*) AS n_docs
         |FROM u GROUP BY 1, 2""".stripMargin,

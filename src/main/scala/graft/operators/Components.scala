@@ -32,7 +32,9 @@ object Components {
     *
     * @param pairs undirected edges as columns `id_a`, `id_b`
     * @param nodes vertex set (one id column named `idCol`) — pass the full
-    *              corpus so untouched docs come out as singletons
+    *              corpus so untouched docs come out as singletons. Pair
+    *              endpoints absent from `nodes` still mediate connectivity
+    *              (and may name components) but do not appear in the output.
     */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame, idCol: String,
                           maxIter: Int = 20): DataFrame = {
@@ -47,12 +49,22 @@ object Components {
       .repartition(parts, col("src"))
       .localCheckpoint(true)
 
+    // the propagation vertex set is nodes ∪ pair endpoints: an endpoint
+    // missing from `nodes` (pairs computed on a superset of the current
+    // frame) must still MEDIATE connectivity — dropping it would silently
+    // split A~B~C into {A},{C} when B was filtered out. Extra vertices are
+    // removed from the OUTPUT below, so the (id, component) contract over
+    // `nodes` is unchanged.
+    val vertices = nodes.select(col(idCol).as("id"))
+      .union(pairs.select(col("id_a").as("id")))
+      .union(pairs.select(col("id_b").as("id")))
+      .distinct()
     // labels pinned to hash(id) partitioning: localCheckpoint preserves
     // outputPartitioning, so the edges⋈labels probe (src≡id layout) and the
     // labels⋈neighborMin merge (dst comes out of the groupBy already hashed
     // compatibly) both plan WITHOUT re-shuffling labels — one shuffle per
     // round (the neighbor-min combine), not three
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+    var labels = vertices.select(col("id"), col("id").as("label"))
       .repartition(parts, col("id"))
       .localCheckpoint(true)
     var converged = false
@@ -92,7 +104,9 @@ object Components {
       labels = next.drop("changed")
       iter += 1
     }
-    labels.select(col("id").as(idCol), col("label").as("component"))
+    labels
+      .join(nodes.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .select(col("id").as(idCol), col("label").as("component"))
   }
 
   /** Per-component rollup: survivor id (= component min), member count. */
@@ -101,11 +115,16 @@ object Components {
     connectedComponents(pairs, nodes, idCol, maxIter)
       .groupBy(col("component")).agg(count(lit(1)).as("n_members"))
 
-  /** Near-dup dedup: keep one survivor (min id) per component. */
+  /** Near-dup dedup: keep one survivor per component — the min id among
+    * the rows PRESENT in `df` (the component label itself may name a row
+    * that was filtered out upstream; it still identifies the cluster, but
+    * cannot be the survivor of a frame it is not in).
+    */
   def survivors(df: DataFrame, pairs: DataFrame, idCol: String,
                 maxIter: Int = 20): DataFrame = {
     val comp = connectedComponents(pairs, df.select(idCol), idCol, maxIter)
-    df.join(comp.where(col(idCol) === col("component")).select(idCol),
-      Seq(idCol), "left_semi")
+    val keep = comp.groupBy(col("component")).agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(keep, Seq(idCol), "left_semi")
   }
 }

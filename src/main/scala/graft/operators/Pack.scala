@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
 object Pack {
 
   /** Adds `n_tokens`, `seq_id` (0-based within group) and `tok_offset` (the
-    * doc's first-token offset within its sequence) to `df`.
+    * doc's first-token offset within its sequence) to `df` — OVERWRITING
+    * columns of those names if present (they are this operator's output
+    * contract, like any withColumn-producing transform).
     *
     * seq_id = floor((cumsum - n_tokens) / budget): the chunk in which the
     * doc's first token lands when the group is one concatenated token
@@ -32,11 +34,14 @@ object Pack {
     require(budget > 0, "budget must be positive")
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the scratch column gets a collision-proof name so the final drop
+    // cannot destroy caller data
+    val startTok = "__graft_start_tok"
     df.withColumn("n_tokens", tokenCount.cast("long"))
-      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
-      .withColumn("seq_id", floor(col("start_tok") / budget))
-      .withColumn("tok_offset", col("start_tok") % budget)
-      .drop("start_tok")
+      .withColumn(startTok, sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", floor(col(startTok) / budget))
+      .withColumn("tok_offset", col(startTok) % budget)
+      .drop(startTok)
   }
 
   /** Per-(group, sequence) packing stats: docs packed, tokens of docs

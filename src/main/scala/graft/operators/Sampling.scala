@@ -45,7 +45,8 @@ object Sampling {
     * floor(w) copies of every row plus one more with probability frac(w),
     * decided per-row by the id hash — so a lang weighted 2.3 contributes
     * exactly ~2.3 epochs of its docs, reproducibly. Rows are tagged with
-    * `epoch` (1-based copy index); weights < 1 degrade to a plain sample.
+    * `epoch` (1-based copy index — an output column, overwritten if the
+    * caller has one); weights < 1 degrade to a plain sample.
     * explode(sequence(...)) is map-side row generation — output rows never
     * exceed ceil(w)·input within a partition, no shuffle.
     */
@@ -53,10 +54,12 @@ object Sampling {
     val whole = floor(weight).cast("long")
     val extra = when(uniformFromId(col(idCol), salt = ":up") < (weight - whole),
       1L).otherwise(0L)
-    df.withColumn("n_copies", whole + extra)
-      .where(col("n_copies") > 0)
-      .withColumn("epoch", explode(sequence(lit(1L), col("n_copies"))))
-      .drop("n_copies")
+    // scratch column named collision-proof so the drop is caller-safe
+    val nCopies = "__graft_n_copies"
+    df.withColumn(nCopies, whole + extra)
+      .where(col(nCopies) > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), col(nCopies))))
+      .drop(nCopies)
   }
 
   /** Deterministic train/val/test split assignment by hash ranges: fraction

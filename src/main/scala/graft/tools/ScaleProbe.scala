@@ -32,10 +32,19 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // ---- build the sharded corpus (once; reuse across runs)
+    // ---- build the sharded corpus (once; reuse across runs). The marker
+    // file records a COMPLETED build at this shard count — a crashed or
+    // re-parameterized earlier run must rebuild, not silently time a
+    // partial corpus under a 10x label.
     val docsPath = s"$workDir/documents"
     val embPath = s"$workDir/embeddings"
-    if (!new java.io.File(docsPath).exists()) {
+    val marker = new java.io.File(s"$workDir/_BUILT_$shards")
+    def deleteRec(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete(): Unit
+    }
+    if (!marker.exists()) {
+      deleteRec(new java.io.File(workDir))
       val docs = spark.read.parquet(s"$baseDir/documents.parquet")
       val nDocs = docs.count()
       (0 until shards).foreach { i =>
@@ -48,6 +57,7 @@ object ScaleProbe {
         emb.withColumn("vec_id", col("vec_id") + lit(i * nEmb))
           .coalesce(1).write.mode("append").parquet(embPath)
       }
+      marker.createNewFile()
     }
 
     def time(f: => Long): (Double, Long) = {
@@ -55,8 +65,13 @@ object ScaleProbe {
       val n = f
       ((System.nanoTime() - t0) / 1e9, n)
     }
+    // ONE execution: the row count rides the noop write as an observed
+    // metric (a separate df.count() would run the whole pipeline twice)
     def noopCount(df: DataFrame): Long = {
-      df.write.format("noop").mode("overwrite").save(); df.count()
+      val obs = new org.apache.spark.sql.Observation
+      df.observe(obs, count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      obs.get("n").asInstanceOf[Long]
     }
 
     val big = spark.read.parquet(docsPath)
@@ -92,6 +107,8 @@ object ScaleProbe {
     )
 
     val results = ops.map { case (name, f) =>
+      f(base, baseEmb) // untimed warm-up: JIT + codegen + shuffle setup,
+                       // else the 1x-first ordering biases toward "Nx faster"
       val (t1x, n1x) = time(f(base, baseEmb))
       val (tNx, nNx) = time(f(big, bigEmb))
       (name, t1x, n1x, tNx, nNx)

@@ -39,11 +39,24 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("decontaminate: bench gram set broadcasts; corpus is not shuffled into the join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val plan = Decontaminate.contaminatedIds(corpus, bench, "doc_id", "text", n = 3)
       .queryExecution.sparkPlan
     val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
     assert(bhj.nonEmpty, s"expected a broadcast semi-join:\n$plan")
+    // the scale contract: the corpus (streamed) side reaches the semi-join
+    // with NO exchange below it — shuffling the 100 TB side is the failure
+    // this operator exists to avoid (the only shuffle is the distinct on
+    // hit ids, ABOVE the join)
+    val streamed = bhj.head.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => bhj.head.left
+      case _ => bhj.head.right
+    }
+    val streamedShuffles = streamed
+      .collect { case s: ShuffleExchangeExec => s }
+    assert(streamedShuffles.isEmpty,
+      s"corpus side shuffled below the semi-join:\n$plan")
   }
 
   // ---------------------------------------------------------------- packing
@@ -207,6 +220,22 @@ class PipelineOpsSpec extends SparkSpec {
     val stats = Components.componentStats(pairs, nodes, "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(stats == Map(1L -> 3L, 4L -> 1L, 5L -> 2L, 7L -> 1L))
+  }
+
+  test("components: endpoints missing from nodes still mediate connectivity") {
+    // pairs computed on a superset: B (id 2) was filtered out of the frame,
+    // but A~B and B~C must still put A and C in one component
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 3L, 9L).toDF("doc_id")
+    val comp = Components.connectedComponents(pairs, nodes, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 3L -> 1L, 9L -> 9L)) // no row for absent 2
+    // survivors: min PRESENT id per component survives, even when the
+    // component label names a filtered-out row
+    val df = Seq((3L, "c"), (4L, "d")).toDF("doc_id", "text")
+    val kept = Components.survivors(df, Seq((2L, 3L)).toDF("id_a", "id_b"), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L)) // 3's component is labeled 2 (absent) — 3 survives
   }
 
   test("components: matches brute-force union-find on random graphs") {
