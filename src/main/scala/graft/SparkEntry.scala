@@ -938,6 +938,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), min("q").as("min_kept_score"))
     }),
 
+    // ---- boilerplate detection (C4-style repeated-content pass): 3-grams
+    // in >= 5 distinct docs are template text; each doc scored by its
+    // boilerplate-gram fraction. One corpus shuffle, shared via
+    // ReuseExchange between the frequency agg and the join-back.
+    "q66_boilerplate" -> ((s, dir) =>
+      graft.operators.Boilerplate.stats(rdPar(s, dir, "documents"),
+        "doc_id", "text", n = 3, minDocs = 5)),
+
     // ---- deterministic train/val/test split by hash ranges (dyadic
     // fractions; ':split' salt keeps it independent of q61/q63 decisions).
     // A doc keeps its split as the corpus grows — rank-based splits don't.
@@ -1641,6 +1649,21 @@ object SparkEntry {
          |  count(*) OVER (PARTITION BY source) AS n_src FROM sc)
          |SELECT source, count(*) AS n_kept, min(q) AS min_kept_score
          |FROM r WHERE pr >= 0.5 OR n_src = 1 GROUP BY source""".stripMargin,
+
+    // distinct 3-grams per doc (wordNgrams is array_distinct), boilerplate
+    // = grams in >= 5 distinct docs; frac divides the same two BIGINTs in
+    // both engines, so the double is bit-identical
+    "q66_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (SELECT DISTINCT doc_id, array_to_string(t[i.i : i.i + 2], ' ') AS g
+        |  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i(i)),
+        |common AS (SELECT g FROM grams GROUP BY g
+        |  HAVING count(DISTINCT doc_id) >= 5)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(*) FILTER (WHERE g IN (SELECT g FROM common)) AS BIGINT) AS n_boiler,
+        |  CAST(count(*) FILTER (WHERE g IN (SELECT g FROM common)) AS DOUBLE)
+        |    / count(*) AS boiler_frac
+        |FROM grams GROUP BY doc_id""".stripMargin,
 
     "q65_split_assign" ->
       s"""WITH u AS (SELECT doc_id, lang,

@@ -59,6 +59,31 @@ class PipelineOpsSpec extends SparkSpec {
       s"corpus side shuffled below the semi-join:\n$plan")
   }
 
+  // ---------------------------------------------------------------- boilerplate
+
+  test("boilerplate: corpus-frequent n-grams flagged; gram shuffle reused") {
+    import graft.operators.Boilerplate
+    // "common header text" appears in all 6 docs (>= 5) -> boilerplate;
+    // the other two 3-grams of each doc are unique to it
+    val docs = (1L to 6L).map(i => (i, s"common header text unique$i tail$i"))
+      .toDF("doc_id", "text")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = Boilerplate.stats(docs, "doc_id", "text", n = 3, minDocs = 5)
+      val rows = out.collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      assert(rows.keySet == (1L to 6L).toSet)
+      rows.values.foreach { case (nGrams, nBoiler, frac) =>
+        assert(nGrams == 3L && nBoiler == 1L && frac == 1.0 / 3)
+      }
+      // the exploded gram table is shuffled ONCE: frequency agg + join-back
+      // share the exchange
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"), s"expected ReusedExchange:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   // ---------------------------------------------------------------- packing
 
   test("packing: concat-and-chunk assignment, offsets, oversized docs span") {
