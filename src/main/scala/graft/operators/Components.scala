@@ -54,10 +54,11 @@ object Components {
     // frame) must still MEDIATE connectivity — dropping it would silently
     // split A~B~C into {A},{C} when B was filtered out. Extra vertices are
     // removed from the OUTPUT below, so the (id, component) contract over
-    // `nodes` is unchanged.
+    // `nodes` is unchanged. Endpoints come from the CHECKPOINTED edge list
+    // (src covers both directions) — reading `pairs` here would re-execute
+    // the whole upstream pair pipeline a second time.
     val vertices = nodes.select(col(idCol).as("id"))
-      .union(pairs.select(col("id_a").as("id")))
-      .union(pairs.select(col("id_b").as("id")))
+      .union(edges.select(col("src").as("id")))
       .distinct()
     // labels pinned to hash(id) partitioning: localCheckpoint preserves
     // outputPartitioning, so the edges⋈labels probe (src≡id layout) and the
