@@ -65,29 +65,42 @@ object Components {
     // labels⋈neighborMin merge (dst comes out of the groupBy already hashed
     // compatibly) both plan WITHOUT re-shuffling labels — one shuffle per
     // round (the neighbor-min combine), not three
-    var labels = vertices.select(col("id"), col("id").as("label"))
+    // every vertex starts "changed" (its initial label is news to its
+    // neighbors); the flag travels WITH the labels so each round's frontier
+    // is a filter on the checkpointed frame, not a separate computation
+    var labels = vertices.select(col("id"), col("id").as("label"),
+        lit(true).as("changed"))
       .repartition(parts, col("id"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (iter < maxIter && !converged) {
-      // candidates from up to two sources in ONE plan per round:
-      //  - neighbor labels (hash-to-min propagation, 1 hop/round), always;
-      //  - from round 3 on, the label's own label (pointer jumping / path
-      //    halving), which doubles the effective hop distance per round and
-      //    turns diameter-bounded convergence into log-bounded — the
-      //    difference between 50 rounds and ~8 on an adversarial dup chain.
-      //    Near-clique dup graphs converge in 1-2 rounds and never pay the
-      //    jump's extra labels-by-label shuffle.
-      // Both sources read only component-member labels, so the "labels only
-      // decrease, min vertex keeps its own id" fixpoint argument is
-      // unchanged.
-      val viaNeighbors = edges.join(labels, edges("src") === labels("id"))
+      // FRONTIER propagation: new information can only originate at a
+      // vertex whose label changed last round — a label last changed in
+      // round k was already offered to every neighbor in round k+1, so
+      // unchanged vertices have nothing new to say. Each round therefore
+      // joins edges against the (shrinking) frontier, not all V labels:
+      // near-clique dup graphs collapse the frontier to near-zero after
+      // two rounds, and at 100 TB the per-round cost tracks the active
+      // boundary instead of O(E).
+      val frontier = labels.where(col("changed")).select(col("id"), col("label"))
+      // candidates from two frontier-bounded sources in ONE plan:
+      //  - neighbors of frontier vertices (hash-to-min, 1 hop/round);
+      //  - frontier vertices reading their NEW parent's current label
+      //    (pointer jumping / path halving) — a vertex that just adopted
+      //    label p asks p for ITS label next round, doubling effective hop
+      //    distance and making adversarial-chain convergence log-bounded.
+      // Both sources only ever surface component-member labels, so the
+      // "labels only decrease, min vertex keeps its own id" fixpoint
+      // argument is unchanged.
+      val viaNeighbors = edges.join(frontier, edges("src") === frontier("id"))
         .select(col("dst").as("cid"), col("label").as("cand"))
-      val candidates = if (iter < 2) viaNeighbors else {
-        val viaParent = labels.toDF("pid", "plabel")
-          .join(labels, col("plabel") === labels("id"))
-          .select(col("pid").as("cid"), col("label").as("cand"))
+      // round 1's jump is a no-op (every label is still its own id) — skip
+      // the join entirely there
+      val candidates = if (iter == 0) viaNeighbors else {
+        val viaParent = frontier.toDF("fid", "flabel")
+          .join(labels, col("flabel") === labels("id"))
+          .select(col("fid").as("cid"), col("label").as("cand"))
         viaNeighbors.union(viaParent)
       }
       val candMin = candidates
@@ -102,7 +115,7 @@ object Components {
         .observe(obs, count(when(col("changed"), 1)).as("n_changed"))
         .localCheckpoint(true)
       converged = obs.get("n_changed").asInstanceOf[Long] == 0L
-      labels = next.drop("changed")
+      labels = next
       iter += 1
     }
     labels
