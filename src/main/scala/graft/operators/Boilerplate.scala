@@ -33,6 +33,13 @@ object Boilerplate {
       .select(col(idCol), explode(Dedup.wordNgrams(col(textCol), n)).as("gram"))
       .select(col(idCol), xxhash64(col("gram")).as("gram_h"))
       .repartition(parts, col("gram_h")) // the ONE shared corpus shuffle
+    // (gram, doc) rows are already distinct — wordNgrams dedups per doc —
+    // so countDistinct(id) ≡ count(1) in VALUE here; countDistinct is kept
+    // deliberately: it keeps idCol in the aggregation's input, making this
+    // subtree column-identical to the join side below, so ReuseExchange
+    // shuffles the exploded corpus ONCE (a plain count lets column pruning
+    // narrow this side and the shared exchange splits into two corpus
+    // scans — measured, not theoretical)
     val common = grams.groupBy(col("gram_h"))
       .agg(countDistinct(col(idCol)).as("n_docs"))
       .where(col("n_docs") >= minDocs)
