@@ -938,6 +938,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), min("q").as("min_kept_score"))
     }),
 
+    // ---- exact-size per-stratum sample: exactly min(30, |lang|) docs per
+    // language, ranked by id-hash (the fixed-size eval-set primitive —
+    // rate samples have binomial variance; eval sets need exact N).
+    "q67_exact_size_sample" -> ((s, dir) =>
+      graft.operators.Sampling.exactSizeSample(rd(s, dir, "documents"),
+          "doc_id", "lang", n = 30)
+        .select("doc_id", "lang")),
+
     // ---- boilerplate detection (C4-style repeated-content pass): 3-grams
     // in >= 5 distinct docs are template text; each doc scored by its
     // boilerplate-gram fraction. One corpus shuffle, shared via
@@ -1649,6 +1657,13 @@ object SparkEntry {
          |  count(*) OVER (PARTITION BY source) AS n_src FROM sc)
          |SELECT source, count(*) AS n_kept, min(q) AS min_kept_score
          |FROM r WHERE pr >= 0.5 OR n_src = 1 GROUP BY source""".stripMargin,
+
+    "q67_exact_size_sample" ->
+      s"""WITH r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ${uniformSql("doc_id", ":exact")}, doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rk <= 30""".stripMargin,
 
     // distinct 3-grams per doc (wordNgrams is array_distinct), boilerplate
     // = grams in >= 5 distinct docs; frac divides the same two BIGINTs in

@@ -87,6 +87,25 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Exact-size deterministic sample: exactly min(n, |stratum|) rows per
+    * stratum — the "fixed 1,000-doc eval set per language" primitive, where
+    * a RATE sample's binomial variance is unacceptable. Rows are ranked by
+    * their id-hash within the stratum (id as tiebreak for the zero-measure
+    * hash-collision case), so membership is reproducible across runs and
+    * partitionings; unlike [[stratifiedSample]] it is NOT growth-stable
+    * (rank n+1 displaces rank n when a better-hashed doc arrives — inherent
+    * to any exact-size contract). One window shuffle on the stratum key.
+    */
+  def exactSizeSample(df: DataFrame, idCol: String, strataCol: String,
+                      n: Int, salt: String = ":exact"): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+      .orderBy(uniformFromId(col(idCol), salt), col(idCol))
+    df.withColumn("__graft_rank", row_number().over(w))
+      .where(col("__graft_rank") <= n)
+      .drop("__graft_rank")
+  }
+
   /** Domain mixing by a per-stratum weight table (the "N epochs of
     * Wikipedia, 0.3 epochs of CommonCrawl" move).
     */

@@ -189,6 +189,19 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("exactSizeSample: exactly min(n, stratum size) rows, partitioning-stable") {
+    val df = (1L to 500L).map(i => (i, if (i <= 480) "big" else "small"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.exactSizeSample(df, "doc_id", "lang", n = 50)
+    val counts = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 50L, "small" -> 20L)) // small stratum kept whole
+    val ids1 = out.select("doc_id").as[Long].collect().toSet
+    val ids2 = Sampling.exactSizeSample(df.repartition(11), "doc_id", "lang", n = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+  }
+
   test("mixDomains: per-stratum weights with default for absent strata") {
     val docs = Seq((1L, "wiki"), (2L, "wiki"), (3L, "crawl")).toDF("doc_id", "src")
     val out = Sampling.mixDomains(docs, "doc_id", "src", Map("wiki" -> 2.0))
