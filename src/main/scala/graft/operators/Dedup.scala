@@ -18,6 +18,14 @@ import graft.functions.VectorFunctions._
   * At 100 TB the invariant is: NOTHING here materializes an unblocked pair
   * set; every pairwise step is preceded by a bucket/block equi-join that
   * Catalyst executes as a shuffled hash join on the bucket key.
+  *
+  * Pair emission is half the dedup story: collapse the pair graph to
+  * deletable clusters with [[Components.connectedComponents]] (A~B, B~C
+  * must drop to one survivor even when A~C was never emitted), and run
+  * [[exactDedup]] BEFORE any LSH pass — on replica-dense corpora the
+  * identical copies land in every band bucket together and the candidate
+  * space goes quadratic in the replica depth (measured in
+  * `tools/ScaleProbe`, documented in SCALE.md).
   */
 object Dedup {
 
