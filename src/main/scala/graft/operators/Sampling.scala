@@ -87,6 +87,19 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Deterministic shard id in [0, k): the same 32-bit md5 prefix as
+    * [[uniformFromId]], reduced mod k — integer arithmetic end to end, so
+    * bit-portable across engines. The standard way to split a
+    * low-cardinality group key (a handful of sources) into k× the
+    * parallelism without losing determinism: group by (source, shard)
+    * instead of source.
+    */
+  def shardFromId(id: Column, k: Int, salt: String = ":shard"): Column = {
+    require(k > 0, "shard count must be positive")
+    pmod(conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long"), lit(k.toLong))
+  }
+
   /** Exact-size deterministic sample: exactly min(n, |stratum|) rows per
     * stratum — the "fixed 1,000-doc eval set per language" primitive, where
     * a RATE sample's binomial variance is unacceptable. Rows are ranked by
@@ -94,16 +107,55 @@ object Sampling {
     * hash-collision case), so membership is reproducible across runs and
     * partitionings; unlike [[stratifiedSample]] it is NOT growth-stable
     * (rank n+1 displaces rank n when a better-hashed doc arrives — inherent
-    * to any exact-size contract). One window shuffle on the stratum key.
+    * to any exact-size contract).
+    *
+    * Scale shape: NOT a `row_number` window — that fully sorts every
+    * stratum inside one task, the one-task-per-stratum killer when a
+    * stratum holds billions of rows. Instead the n smallest (hash, id)
+    * pairs per stratum are kept by a bounded-heap aggregation
+    * ([[Ann.TopKAgg]] on the negated hash-uniform): O(n) state per group,
+    * map-side partial merge, one hash-agg shuffle of n rows per (stratum,
+    * partition), then a broadcast semi-join recovers the full rows. No
+    * per-stratum sort anywhere in the plan.
+    *
+    * Preconditions of the heap path: ids are integral (castable to long)
+    * and unique within a stratum; null-id rows are never sampled (their
+    * hash orders nowhere). Non-integral ids fall back to the window form —
+    * correct, but carrying the per-stratum sort.
     */
   def exactSizeSample(df: DataFrame, idCol: String, strataCol: String,
                       n: Int, salt: String = ":exact"): DataFrame = {
     require(n > 0, "sample size must be positive")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
-      .orderBy(uniformFromId(col(idCol), salt), col(idCol))
-    df.withColumn("__graft_rank", row_number().over(w))
-      .where(col("__graft_rank") <= n)
-      .drop("__graft_rank")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        // TopKAgg keeps the k HIGHEST scores (ties -> lower id); negating the
+        // uniform makes that exactly the n smallest (u, id) — the same rank-n
+        // membership the window form selects.
+        val bottomK = udaf(new Ann.TopKAgg(n),
+          org.apache.spark.sql.Encoders.product[Ann.Scored])
+        val sel = df
+          .where(col(idCol).isNotNull)
+          .select(col(strataCol).as("__graft_stratum"),
+            (-uniformFromId(col(idCol), salt)).as("__graft_neg_u"),
+            col(idCol).cast("long").as("__graft_id"))
+          .groupBy(col("__graft_stratum"))
+          .agg(bottomK(col("__graft_neg_u"), col("__graft_id")).as("__graft_sel"))
+          .select(col("__graft_stratum"),
+            explode(col("__graft_sel")).as("__graft_s"))
+          .select(col("__graft_stratum"),
+            col("__graft_s.id").as("__graft_sel_id"))
+        df.join(broadcast(sel),
+          col(strataCol) <=> col("__graft_stratum") &&
+            col(idCol).cast("long") === col("__graft_sel_id"),
+          "left_semi")
+      case _ =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+          .orderBy(uniformFromId(col(idCol), salt), col(idCol))
+        df.withColumn("__graft_rank", row_number().over(w))
+          .where(col("__graft_rank") <= n)
+          .drop("__graft_rank")
+    }
   }
 
   /** Domain mixing by a per-stratum weight table (the "N epochs of

@@ -202,6 +202,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("exactSizeSample: bounded-heap plan — no per-stratum window sort") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = (1L to 500L).map(i => (i, if (i % 5 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.exactSizeSample(df, "doc_id", "lang", n = 10)
+    val plan = out.queryExecution.sparkPlan
+    // the scale contract: selection is a bounded-heap aggregation (map-side
+    // partial merge), NOT a full per-stratum sort — a stratum of a billion
+    // rows must never land in one sorting task
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"window in exactSizeSample plan:\n$plan")
+    assert(plan.collect { case s: SortExec => s }.isEmpty,
+      s"per-stratum sort in exactSizeSample plan:\n$plan")
+    assert(plan.collect { case o: ObjectHashAggregateExec => o }.nonEmpty,
+      s"expected bounded-heap ObjectHashAggregate:\n$plan")
+    // membership is exactly the window form's rank-n set
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(Sampling.uniformFromId(col("doc_id"), ":exact"), col("doc_id"))
+    val windowIds = df.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 10).select("doc_id").as[Long].collect().toSet
+    assert(out.select("doc_id").as[Long].collect().toSet == windowIds)
+  }
+
+  test("shardFromId: deterministic, in-range, and spreads a single group key") {
+    val df = (1L to 200L).toDF("doc_id")
+      .withColumn("shard", Sampling.shardFromId(col("doc_id"), 8))
+    val shards = df.select("shard").as[Long].collect()
+    assert(shards.forall(s => s >= 0 && s < 8))
+    assert(shards.distinct.length == 8) // 200 ids hit all 8 shards
+    val again = df.repartition(7).select("shard").as[Long].collect()
+    assert(shards.sorted.sameElements(again.sorted))
+  }
+
   test("mixDomains: per-stratum weights with default for absent strata") {
     val docs = Seq((1L, "wiki"), (2L, "wiki"), (3L, "crawl")).toDF("doc_id", "src")
     val out = Sampling.mixDomains(docs, "doc_id", "src", Map("wiki" -> 2.0))
