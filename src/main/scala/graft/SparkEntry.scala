@@ -886,12 +886,21 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
     }),
 
-    // ---- concat-and-chunk sequence packing (per-source token stream cut
-    // every 256 tokens; docs keyed to the chunk they start in). fill_ratio
-    // divides by a power of two, so the double is exact on both engines.
+    // ---- concat-and-chunk sequence packing (token stream cut every 256
+    // tokens; docs keyed to the chunk they start in). The group key is the
+    // SHARDED (source, shard) form the Pack Scaladoc prescribes at scale:
+    // shard = md5(doc_id) mod 8 multiplies the window parallelism 8× per
+    // source, so no single task ever owns a whole source's token stream —
+    // gating the sharded form makes the scale-safe usage the verified one.
+    // The shard expression is the portable md5-mod-k (integer arithmetic,
+    // bit-identical in DuckDB); fill_ratio divides by a power of two, so
+    // the double is exact on both engines.
     "q60_sequence_packing" -> ((s, dir) =>
-      graft.operators.Pack.packStats(rd(s, dir, "documents"), "doc_id",
-        Seq("source"), TextAnalysis.tokenCount(col("text")), budget = 256)),
+      graft.operators.Pack.packStats(
+        rd(s, dir, "documents").withColumn("shard",
+          graft.operators.Sampling.shardFromId(col("doc_id"), 8)),
+        "doc_id", Seq("source", "shard"),
+        TextAnalysis.tokenCount(col("text")), budget = 256)),
 
     // ---- stratified deterministic sampling: keep iff hash-uniform(doc_id)
     // < rate(lang). Rates are dyadic (exact in binary) so the decimal->double
@@ -918,22 +927,20 @@ object SparkEntry {
     }),
 
     // ---- per-source adaptive quality gate: keep each source's TOP HALF by
-    // quality score (percent_rank over the per-source distribution — the
-    // "best X% of every domain" curation move; a fixed global threshold
-    // would empty weak domains and keep noise from strong ones).
-    // percent_rank is tie-stable: equal scores get equal ranks in both
-    // engines, so the 0.5 boundary cannot split a tie differently. A
-    // singleton source keeps its one doc (percent_rank is 0 for n=1, which
-    // the bare threshold would drop — emptying the domain the gate exists
-    // to protect).
+    // quality score (the "best X% of every domain" curation move; a fixed
+    // global threshold would empty weak domains and keep noise from strong
+    // ones). Two-pass, NOT a percent_rank window: Gate.topHalf computes a
+    // per-source order-statistic threshold (bounded hash-agg state,
+    // map-side merge), broadcasts the per-source thresholds, and filters
+    // map-side — a percent_rank window would sort every source's full
+    // score distribution in one task. The keep set is provably identical
+    // to `percent_rank >= 0.5 OR n = 1` (Gate Scaladoc has the proof), so
+    // the oracle keeps the rank form; tie-stability holds because the
+    // decision depends only on (source, q).
     "q64_quality_gate" -> ((s, dir) => {
       val scored = rdPar(s, dir, "documents").select(col("doc_id"), col("source"),
         TextAnalysis.qualityScore(TextAnalysis.qualityMetrics(col("text"))).as("q"))
-      val w = Window.partitionBy("source")
-      scored
-        .withColumn("pr", percent_rank().over(w.orderBy("q")))
-        .withColumn("n_src", count(lit(1)).over(w))
-        .where(col("pr") >= 0.5 || col("n_src") === 1)
+      graft.operators.Gate.topHalf(scored, "source", "q")
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"), min("q").as("min_kept_score"))
     }),
@@ -1612,17 +1619,20 @@ object SparkEntry {
         |  WHERE source <> 'src19' AND g IN (SELECT g FROM bench))
         |SELECT doc_id, lang, source FROM documents JOIN hits USING (doc_id)""".stripMargin,
 
+    // shard mirrors Sampling.shardFromId: top-32 md5 bits of (id || ':shard')
+    // mod 8 — integer arithmetic, bit-portable
     "q60_sequence_packing" ->
       """WITH d AS (SELECT doc_id, source,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 8)) AS BIGINT) % 8 AS shard,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
-        |c AS (SELECT source, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |c AS (SELECT source, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok FROM d)
-        |SELECT source, CAST(floor(start_tok / 256.0) AS BIGINT) AS seq_id,
+        |SELECT source, shard, CAST(floor(start_tok / 256.0) AS BIGINT) AS seq_id,
         |  count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
         |  CAST(sum(n_tokens) AS DOUBLE) / 256 AS fill_ratio
-        |FROM c GROUP BY 1, 2""".stripMargin,
+        |FROM c GROUP BY 1, 2, 3""".stripMargin,
 
     "q61_stratified_sample" ->
       s"""WITH u AS (SELECT doc_id, lang,

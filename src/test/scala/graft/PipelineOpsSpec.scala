@@ -109,6 +109,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(stats.getDouble(2) == 300.0 / 256)
   }
 
+  test("packing: sharded group key multiplies window parallelism by k") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = (1L to 400L).map(i => (i, s"src${i % 2}", 10L))
+      .toDF("doc_id", "source", "n")
+    val sharded = docs.withColumn("shard", Sampling.shardFromId(col("doc_id"), 8))
+    val out = Pack.assignSequences(sharded, "doc_id", Seq("source", "shard"),
+      col("n"), 64)
+    // the window partitions on BOTH keys — parallelism is sources × k, not
+    // one task per source
+    val w = out.queryExecution.sparkPlan.collect { case x: WindowExec => x }
+    assert(w.nonEmpty && w.head.partitionSpec.size == 2,
+      s"expected (source, shard) window partitioning:\n${out.queryExecution.sparkPlan}")
+    val nGroups = out.select("source", "shard").distinct().count()
+    assert(nGroups > 2 && nGroups <= 16, s"got $nGroups groups")
+    // each (source, shard) group is an independent token stream: offsets
+    // restart at 0 and seq_ids start at 0 per group
+    val firsts = out.groupBy("source", "shard")
+      .agg(min("tok_offset").as("o"), min("seq_id").as("s"))
+    assert(firsts.select("o").as[Long].collect().forall(_ == 0L))
+    assert(firsts.select("s").as[Long].collect().forall(_ == 0L))
+  }
+
   test("packing: assignment is partitioning-independent") {
     val docs = (1L to 200L).map(i => (i, s"s${i % 3}", 10L + i % 7))
       .toDF("doc_id", "grp", "n")
@@ -235,6 +257,55 @@ class PipelineOpsSpec extends SparkSpec {
     assert(shards.distinct.length == 8) // 200 ids hit all 8 shards
     val again = df.repartition(7).select("shard").as[Long].collect()
     assert(shards.sorted.sameElements(again.sorted))
+  }
+
+  // ---------------------------------------------------------------- quality gate
+
+  test("gate: two-pass topHalf ≡ percent_rank >= 0.5, incl. ties and singletons") {
+    import graft.operators.Gate
+    val rnd = new scala.util.Random(7)
+    // heavy ties (scores quantized to 10 levels) + a singleton stratum +
+    // an all-tied stratum (rank form keeps NOTHING there: every pr = 0)
+    val rows = (1L to 400L).map(i =>
+      (i, s"src${i % 5}", (rnd.nextInt(10) / 8.0))) ++
+      Seq((1000L, "solo", 0.01), (1001L, "flat", 0.5), (1002L, "flat", 0.5),
+        (1003L, "flat", 0.5))
+    val df = rows.toDF("doc_id", "source", "q")
+    val got = Gate.topHalf(df, "source", "q")
+      .select("doc_id").as[Long].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val want = df
+      .withColumn("pr", percent_rank().over(w.orderBy("q")))
+      .withColumn("n", count(lit(1)).over(w))
+      .where(col("pr") >= 0.5 || col("n") === 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+    assert(got.contains(1000L))                      // singleton survives
+    assert(Seq(1001L, 1002L, 1003L).forall(!got.contains(_))) // all-tied drops
+  }
+
+  test("gate: plan is agg + broadcast filter — no window over the stratum") {
+    import graft.operators.Gate
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = (1L to 100L).map(i => (i, s"s${i % 3}", i / 100.0))
+      .toDF("doc_id", "source", "q")
+    val plan = Gate.topHalf(df, "source", "q").queryExecution.sparkPlan
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"window in gate plan:\n$plan")
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"expected broadcast threshold join:\n$plan")
+  }
+
+  test("gate: sketch mode keeps roughly the top half, exactly above its boundary") {
+    import graft.operators.{Gate, Percentiles}
+    val df = (1L to 1000L).map(i => (i, "one", i / 1000.0)).toDF("doc_id", "source", "q")
+    val kept = Gate.topHalf(df, "source", "q", Percentiles.Mode.Sketch(100))
+      .select("q").as[Double].collect()
+    // GK rank error <= n/accuracy = 10 ranks; boundary within [0.49, 0.51]
+    assert(kept.length >= 480 && kept.length <= 520, s"kept ${kept.length}")
+    val boundary = 1.0 - kept.length / 1000.0
+    assert(kept.forall(_ > boundary - 1e-9))
   }
 
   test("mixDomains: per-stratum weights with default for absent strata") {
