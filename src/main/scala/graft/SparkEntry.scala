@@ -926,6 +926,19 @@ object SparkEntry {
         pairs.select("id_a", "id_b"), docs.select("doc_id"), "doc_id")
     }),
 
+    // ---- near-dup SURVIVORS: the actual "delete the duplicates" step a
+    // pipeline runs after pair emission — component closure over the q39
+    // pair graph, then keep the min present id per component (q62 gates the
+    // cluster stats; this gates the row-level delete).
+    "q68_neardup_survivors" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        Seq("lang", "source"), n = 1, threshold = 0.9)
+      graft.operators.Components.survivors(
+          docs, pairs.select("id_a", "id_b"), "doc_id")
+        .select("doc_id", "lang", "source")
+    }),
+
     // ---- per-source adaptive quality gate: keep each source's TOP HALF by
     // quality score (the "best X% of every domain" curation move; a fixed
     // global threshold would empty weak domains and keep noise from strong
@@ -1654,6 +1667,21 @@ object SparkEntry {
         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
         |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
         |SELECT component, count(*) AS n_members FROM comp GROUP BY 1""".stripMargin,
+
+    // same closure as q62; survivor = min id per component (all labels name
+    // present docs here — nodes are the full documents table)
+    "q68_neardup_survivors" ->
+      s"""WITH RECURSIVE $prefixPairsSql,
+        |pairs AS (SELECT id_a, id_b FROM jp WHERE jaccard >= 0.9),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+        |keep AS (SELECT min(id) AS doc_id FROM comp GROUP BY component)
+        |SELECT doc_id, lang, source FROM documents JOIN keep USING (doc_id)""".stripMargin,
 
     "q64_quality_gate" ->
       s"""WITH m AS (SELECT doc_id, source,

@@ -17,13 +17,22 @@ import org.apache.spark.sql.functions._
   * practice; `maxIter` bounds adversarial chains and the loop early-stops
   * on a converged round.
   *
-  * Scale shape: the edge list is materialized ONCE (localCheckpoint — the
+  * Scale shape: the edge list is materialized ONCE (checkpointed — the
   * upstream pair pipeline, often an LSH join, does not re-execute per
   * round) and pre-partitioned on `src`, so each round is two shuffles of
   * O(E) (labels onto edge partitioning, then the min-combine back to
   * vertices) with map-side partial min. The driver holds one changed-count
   * per round — never the graph. This is the standard Spark CC shape
   * (GraphX/GraphFrames do the same dance with the same bounds).
+  *
+  * Fault tolerance: by default rounds materialize via eager
+  * `localCheckpoint` — fastest, but it truncates lineage while storing
+  * blocks only on executors, so on a real cluster ONE executor loss
+  * mid-loop kills the job (the truncated lineage cannot recompute). Pass
+  * `checkpointDir` (HDFS/S3/any shared FS) to use reliable `checkpoint`
+  * instead: each round's labels persist to the shared store and survive
+  * executor loss — the right trade at 100 TB under dynamic allocation,
+  * for one extra write of O(V) per round. See SCALE.md §components.
   */
 object Components {
 
@@ -35,19 +44,29 @@ object Components {
     *              corpus so untouched docs come out as singletons. Pair
     *              endpoints absent from `nodes` still mediate connectivity
     *              (and may name components) but do not appear in the output.
+    * @param checkpointDir when set, rounds checkpoint RELIABLY to this
+    *              directory (executor-loss-safe); when None, eager
+    *              localCheckpoint (fast, single-app-lifetime semantics).
     */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame, idCol: String,
-                          maxIter: Int = 20): DataFrame = {
-    val parts = pairs.sparkSession.sessionState.conf.numShufflePartitions
+                          maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // both variants preserve outputPartitioning through LogicalRDD, so the
+    // partitioning-reuse argument below holds for either
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     // symmetric edge list, materialized once; per-round joins reuse these
     // blocks instead of re-running the (possibly expensive) pair pipeline.
     // Superseded checkpoint RDDs are released by the ContextCleaner once
     // unreferenced — nothing stays pinned after the loop returns.
-    val edges = pairs
+    val edges = materialize(pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .repartition(parts, col("src"))
-      .localCheckpoint(true)
+      .repartition(parts, col("src")))
 
     // the propagation vertex set is nodes ∪ pair endpoints: an endpoint
     // missing from `nodes` (pairs computed on a superset of the current
@@ -68,10 +87,9 @@ object Components {
     // every vertex starts "changed" (its initial label is news to its
     // neighbors); the flag travels WITH the labels so each round's frontier
     // is a filter on the checkpointed frame, not a separate computation
-    var labels = vertices.select(col("id"), col("id").as("label"),
-        lit(true).as("changed"))
-      .repartition(parts, col("id"))
-      .localCheckpoint(true)
+    var labels = materialize(vertices
+      .select(col("id"), col("id").as("label"), lit(true).as("changed"))
+      .repartition(parts, col("id")))
     var converged = false
     var iter = 0
     while (iter < maxIter && !converged) {
@@ -108,16 +126,24 @@ object Components {
       // the changed-count rides the checkpoint job as an observed metric —
       // no second per-round action just to test convergence
       val obs = new org.apache.spark.sql.Observation
-      val next = labels.join(candMin, labels("id") === candMin("cid"), "left")
+      val next = materialize(labels
+        .join(candMin, labels("id") === candMin("cid"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           (coalesce(col("nmin"), col("label")) < col("label")).as("changed"))
-        .observe(obs, count(when(col("changed"), 1)).as("n_changed"))
-        .localCheckpoint(true)
+        .observe(obs, count(when(col("changed"), 1)).as("n_changed")))
       converged = obs.get("n_changed").asInstanceOf[Long] == 0L
       labels = next
       iter += 1
     }
+    // an unconverged exit means labels may be UNDER-MERGED (extra near-dups
+    // survive downstream) with no other signal — pointer jumping needs
+    // diameter > ~2^maxIter to get here, so it marks pathological input or
+    // a far-too-small maxIter; say so instead of failing silently
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents stopped UNCONVERGED after $maxIter rounds; " +
+          "labels may be under-merged — raise maxIter")
     labels
       .join(nodes.select(col(idCol).as("id")), Seq("id"), "left_semi")
       .select(col("id").as(idCol), col("label").as("component"))
@@ -125,8 +151,9 @@ object Components {
 
   /** Per-component rollup: survivor id (= component min), member count. */
   def componentStats(pairs: DataFrame, nodes: DataFrame, idCol: String,
-                     maxIter: Int = 20): DataFrame =
-    connectedComponents(pairs, nodes, idCol, maxIter)
+                     maxIter: Int = 20,
+                     checkpointDir: Option[String] = None): DataFrame =
+    connectedComponents(pairs, nodes, idCol, maxIter, checkpointDir)
       .groupBy(col("component")).agg(count(lit(1)).as("n_members"))
 
   /** Near-dup dedup: keep one survivor per component — the min id among
@@ -135,8 +162,10 @@ object Components {
     * cannot be the survivor of a frame it is not in).
     */
   def survivors(df: DataFrame, pairs: DataFrame, idCol: String,
-                maxIter: Int = 20): DataFrame = {
-    val comp = connectedComponents(pairs, df.select(idCol), idCol, maxIter)
+                maxIter: Int = 20,
+                checkpointDir: Option[String] = None): DataFrame = {
+    val comp = connectedComponents(pairs, df.select(idCol), idCol, maxIter,
+      checkpointDir)
     val keep = comp.groupBy(col("component")).agg(min(col(idCol)).as(idCol))
       .select(idCol)
     df.join(keep, Seq(idCol), "left_semi")

@@ -417,6 +417,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("components: reliable checkpointing converges to the same labels") {
+    // checkpointDir routes the per-round materialization through reliable
+    // checkpoint() (executor-loss-safe at cluster scale) — results must be
+    // identical to the localCheckpoint default
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L)).toDF("id_a", "id_b")
+      val nodes = (1L to 8L).toDF("doc_id")
+      val local = Components.connectedComponents(pairs, nodes, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val reliable = Components.connectedComponents(pairs, nodes, "doc_id",
+          checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local)
+      assert(local(4L) == 1L && local(7L) == 6L)
+      // the reliable run actually wrote checkpoint data to the shared dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "no reliable checkpoint files written")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("components: long path converges within maxIter; survivors keep min per cluster") {
     val n = 12L
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b") // path 1-2-...-12
