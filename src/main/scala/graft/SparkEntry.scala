@@ -133,19 +133,29 @@ object SparkEntry {
       |    list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0),
       |    w -> CAST(ceil(len(w) / 4.0) AS BIGINT))), 0) AS BIGINT)""".stripMargin
 
-  /** Blocked word-set Jaccard pair CTEs (`g`, `jp`) — the q39 prefix-path
-    * pair graph; q62 builds its component closure on the same fragment so
-    * the two oracles cannot drift apart.
+  /** Blocked word-set Jaccard pair CTEs (`g`, `jp`) over `table` — the q39
+    * prefix-path pair graph; q62/q68 build their component closures and q69
+    * its composed pipeline on the same fragment so the oracles cannot
+    * drift apart.
     */
-  private val prefixPairsSql: String =
-    """g AS (SELECT doc_id, lang, source,
-      |  list_distinct(string_split(text, ' ')) AS grams FROM documents),
+  private def prefixPairsSqlOn(table: String): String =
+    s"""g AS (SELECT doc_id, lang, source,
+      |  list_distinct(string_split(text, ' ')) AS grams FROM $table),
       |jp AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
       |      / CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jaccard
       |  FROM g a JOIN g b
       |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val prefixPairsSql: String = prefixPairsSqlOn("documents")
+
+  /** Portable shard id in [0, k): top-32 md5 bits of (id || salt) mod k
+    * (mirrors [[graft.operators.Sampling.shardFromId]] — integer
+    * arithmetic, bit-portable).
+    */
+  private def shardSql(idExpr: String, k: Int, salt: String = ":shard"): String =
+    s"(CAST(('0x' || substring(md5(CAST($idExpr AS VARCHAR) || '$salt'), 1, 8)) AS BIGINT) % $k)"
 
   /** Portable hash-uniform in [0,1): top 32 md5 bits of (id || salt),
     * scaled by 2^32 (mirrors [[graft.operators.Sampling.uniformFromId]] —
@@ -966,6 +976,40 @@ object SparkEntry {
           "doc_id", "lang", n = 30)
         .select("doc_id", "lang")),
 
+    // ---- the COMPOSED curation pipeline, one plan end-to-end: exact dedup
+    // -> near-dup pair graph -> component survivors -> benchmark
+    // decontamination -> per-source quality gate -> deterministic split ->
+    // sharded sequence packing -> per-(split, source) envelope. Every stage
+    // is individually gated (q46/q39/q68/q59/q64/q65/q60); composing them in
+    // ONE query is what surfaces stage-boundary bugs (column collisions,
+    // exchange reuse across stages) that per-stage gates cannot.
+    "q69_curation_e2e" -> ((s, dir) => {
+      val docs = rdPar(s, dir, "documents")
+      // exact BEFORE near-dup: un-deduped LSH/prefix pair-gen is quadratic
+      // in replica depth (measured in ScaleProbe; SCALE.md §dedup ordering)
+      val exact = Dedup.exactDedup(docs, "doc_id", "text")
+      val pairs = Dedup.jaccardPairs(exact, "doc_id", "text",
+        Seq("lang", "source"), n = 1, threshold = 0.9)
+      val uniq = graft.operators.Components.survivors(
+        exact, pairs.select("id_a", "id_b"), "doc_id")
+      val bench = docs.where(col("source") === "src19")
+      val clean = graft.operators.Decontaminate.decontaminate(
+        uniq.where(col("source") =!= "src19"), bench, "doc_id", "text", n = 4)
+      val scored = clean.withColumn("q",
+        TextAnalysis.qualityScore(TextAnalysis.qualityMetrics(col("text"))))
+      val gated = graft.operators.Gate.topHalf(scored, "source", "q")
+      val split = graft.operators.Sampling.splitAssign(gated, "doc_id",
+        Seq("train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625))
+      graft.operators.Pack.packStats(
+          split.withColumn("shard",
+            graft.operators.Sampling.shardFromId(col("doc_id"), 8)),
+          "doc_id", Seq("split", "source", "shard"),
+          TextAnalysis.tokenCount(col("text")), budget = 256)
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_seqs"), sum("n_docs").as("n_docs"),
+          sum("seq_tokens").as("n_tokens"))
+    }),
+
     // ---- boilerplate detection (C4-style repeated-content pass): 3-grams
     // in >= 5 distinct docs are template text; each doc scored by its
     // boilerplate-gram fraction. One corpus shuffle, shared via
@@ -1632,11 +1676,9 @@ object SparkEntry {
         |  WHERE source <> 'src19' AND g IN (SELECT g FROM bench))
         |SELECT doc_id, lang, source FROM documents JOIN hits USING (doc_id)""".stripMargin,
 
-    // shard mirrors Sampling.shardFromId: top-32 md5 bits of (id || ':shard')
-    // mod 8 — integer arithmetic, bit-portable
     "q60_sequence_packing" ->
-      """WITH d AS (SELECT doc_id, source,
-        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 8)) AS BIGINT) % 8 AS shard,
+      s"""WITH d AS (SELECT doc_id, source,
+        |    ${shardSql("doc_id", 8)} AS shard,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
         |c AS (SELECT source, shard, n_tokens,
         |    sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
@@ -1667,6 +1709,64 @@ object SparkEntry {
         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
         |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
         |SELECT component, count(*) AS n_members FROM comp GROUP BY 1""".stripMargin,
+
+    // the composed pipeline: every CTE transcribes an individually-gated
+    // stage oracle (q46 dedup, q39/q68 pairs+closure over the DEDUPED set,
+    // q59 decontamination, q64 rank-form gate, q65 split, q60 sharded pack)
+    "q69_curation_e2e" ->
+      s"""WITH RECURSIVE
+        |fp AS (SELECT doc_id, lang, source, text,
+        |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS f FROM documents),
+        |exact AS (SELECT doc_id, lang, source, text FROM fp
+        |  WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)),
+        |${prefixPairsSqlOn("exact")},
+        |pairs AS (SELECT id_a, id_b FROM jp WHERE jaccard >= 0.9),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT doc_id, doc_id FROM exact
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+        |keep AS (SELECT min(id) AS doc_id FROM comp GROUP BY component),
+        |uniq AS (SELECT exact.* FROM exact JOIN keep USING (doc_id)),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams4 AS (SELECT doc_id, array_to_string(t[i.i : i.i + 3], ' ') AS g4
+        |  FROM toks, unnest(generate_series(1, greatest(len(t) - 3, 1))) AS i(i)),
+        |bgrams AS (SELECT DISTINCT g4 FROM grams4 JOIN documents USING (doc_id)
+        |  WHERE source = 'src19'),
+        |contaminated AS (SELECT DISTINCT doc_id FROM grams4
+        |  WHERE g4 IN (SELECT g4 FROM bgrams)),
+        |clean AS (SELECT * FROM uniq WHERE source <> 'src19'
+        |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |m AS (SELECT doc_id, lang, source, text,
+        |  $qualityMetricsSql
+        | FROM clean),
+        |sc AS (SELECT doc_id, lang, source, text,
+        |  $qualityScoreSql AS q
+        | FROM m),
+        |r AS (SELECT *, percent_rank() OVER (PARTITION BY source ORDER BY q) AS pr,
+        |  count(*) OVER (PARTITION BY source) AS n_src FROM sc),
+        |gated AS (SELECT doc_id, source, text FROM r WHERE pr >= 0.5 OR n_src = 1),
+        |sp AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CASE WHEN ${uniformSql("doc_id", ":split")} < 0.875 THEN 'train'
+        |         WHEN ${uniformSql("doc_id", ":split")} < 0.9375 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    ${shardSql("doc_id", 8)} AS shard
+        |  FROM gated),
+        |c AS (SELECT split, source, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY split, source, shard
+        |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+        |  FROM sp),
+        |seqs AS (SELECT split, source, shard,
+        |    CAST(floor(start_tok / 256.0) AS BIGINT) AS seq_id,
+        |    count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+        |  FROM c GROUP BY 1, 2, 3, 4)
+        |SELECT split, source, count(*) AS n_seqs,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(seq_tokens) AS BIGINT) AS n_tokens
+        |FROM seqs GROUP BY 1, 2""".stripMargin,
 
     // same closure as q62; survivor = min id per component (all labels name
     // present docs here — nodes are the full documents table)
