@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   * are built from the same repartitioned subtree, so ReuseExchange
   * computes and shuffles the exploded gram table once. Per-gram state is a
   * doc count (map-side partial agg); per-doc state is two counters. At
-  * true 100 TB, the exact two-pass scheme can be swapped for a broadcast
-  * Count-Min sketch of hot grams (approximate, one pass) — the exact form
-  * is kept here because its outputs are oracle-checkable.
+  * true 100 TB, [[statsApprox]] swaps the exact two-pass scheme for a
+  * broadcast Count-Min sketch of gram frequencies — no gram shuffle at
+  * all — at the cost of bounded overcounting; the exact form stays the
+  * gated one because its outputs are oracle-checkable.
   */
 object Boilerplate {
 
@@ -48,6 +49,46 @@ object Boilerplate {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("is_boiler"), lit(0))).as("n_boiler"))
+      .withColumn("boiler_frac",
+        col("n_boiler").cast("double") / col("n_grams"))
+  }
+
+  /** One-pass approximate variant — the true-100 TB leg: a Count-Min
+    * sketch of gram-hash frequencies is built in a single scan (per-
+    * partition sketches merged, never the grams) and broadcast; each doc
+    * is then scored map-side against the sketch inside its own
+    * aggregation scan. The corpus-linear gram-hash SHUFFLE of the exact
+    * form disappears entirely — the only exchange left is the per-doc
+    * rollup on `idCol`.
+    *
+    * Accuracy contract (standard CMS): estimates never UNDERcount, so
+    * every true boilerplate gram (>= `minDocs` docs) is always flagged —
+    * zero false negatives; a gram is falsely flagged only when its
+    * overcount reaches `minDocs - true_count`, and overcount <= eps * N
+    * (N = total gram occurrences) with probability >= `confidence`,
+    * per lookup. Since wordNgrams emits per-doc-distinct grams, sketch
+    * counts estimate DOC frequency, same as the exact form's
+    * countDistinct. Sketch size ~ (2/eps) * ln(1/(1-confidence)) longs,
+    * independent of corpus size.
+    */
+  def statsApprox(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, minDocs: Int = 5,
+                  eps: Double = 1e-4, confidence: Double = 0.99,
+                  seed: Int = 42): DataFrame = {
+    val grams = df
+      .select(col(idCol), explode(Dedup.wordNgrams(col(textCol), n)).as("gram"))
+      .select(col(idCol), xxhash64(col("gram")).as("gram_h"))
+    val cms = grams.stat.countMinSketch(col("gram_h"), eps, confidence, seed)
+    val bc = df.sparkSession.sparkContext.broadcast(cms)
+    val minD = minDocs.toLong
+    // a UDF is unavoidable here: the sketch lookup has no Catalyst
+    // equivalent, and it replaces a corpus-sized shuffle — the one trade
+    // where a non-codegen call is the cheaper side
+    val isBoiler = udf((h: Long) => bc.value.estimateCount(h) >= minD)
+    grams
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(isBoiler(col("gram_h")), 1L).otherwise(0L)).as("n_boiler"))
       .withColumn("boiler_frac",
         col("n_boiler").cast("double") / col("n_grams"))
   }

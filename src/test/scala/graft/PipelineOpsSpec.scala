@@ -84,6 +84,49 @@ class PipelineOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("boilerplate: one-pass CMS leg — exact-equal when wide, never misses when tight") {
+    import graft.operators.Boilerplate
+    // 300 docs: a planted template shared by 40 (>= minDocs 5), plus two
+    // filler grams unique to each doc
+    val docs = (1L to 300L).map { i =>
+      val tpl = if (i <= 40) "the planted template gram " else ""
+      (i, s"${tpl}u${i}a u${i}b u${i}c u${i}d")
+    }.toDF("doc_id", "text")
+    val exact = Boilerplate.stats(docs, "doc_id", "text", n = 3, minDocs = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // wide sketch (eps 1e-4 -> width 20k >> ~1.2k distinct grams): CMS
+    // counts are exact with overwhelming margin -> identical output
+    val wide = Boilerplate.statsApprox(docs, "doc_id", "text", n = 3, minDocs = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(wide == exact)
+    // tight sketch (heavy collisions): CMS never undercounts, so every true
+    // boilerplate gram is still flagged — per-doc n_boiler can only grow
+    val tight = Boilerplate.statsApprox(docs, "doc_id", "text", n = 3,
+        minDocs = 5, eps = 0.05, confidence = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    tight.foreach { case (id, (nGrams, nBoiler)) =>
+      assert(nGrams == exact(id)._1)
+      assert(nBoiler >= exact(id)._2, s"doc $id lost a true boilerplate gram")
+    }
+  }
+
+  test("boilerplate: CMS leg has NO gram shuffle — only the per-doc rollup") {
+    import graft.operators.Boilerplate
+    val docs = (1L to 20L).map(i => (i, s"common header text u${i}a u${i}b"))
+      .toDF("doc_id", "text")
+    val out = Boilerplate.statsApprox(docs, "doc_id", "text", n = 3, minDocs = 5)
+    val planStr = out.queryExecution.executedPlan.toString
+    val shuffles = planStr.split("\n")
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 1,
+      s"expected at most the idCol rollup exchange, got $shuffles:\n$planStr")
+    assert(!planStr.contains("hashpartitioning(gram_h"), // never BY the gram hash
+      s"gram-hash shuffle leaked into the one-pass leg:\n$planStr")
+    // and it classifies the planted template like the exact form
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.values.forall(_ == 1L)) // "common header text" in all 20 docs
+  }
+
   // ---------------------------------------------------------------- packing
 
   test("packing: concat-and-chunk assignment, offsets, oversized docs span") {
