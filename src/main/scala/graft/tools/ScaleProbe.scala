@@ -33,28 +33,34 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- build the sharded corpus (once; reuse across runs). The marker
-    // file records a COMPLETED build at this shard count — a crashed or
-    // re-parameterized earlier run must rebuild, not silently time a
-    // partial corpus under a 10x label.
+    // file records a COMPLETED build at this shard count AND base corpus —
+    // a crashed, re-parameterized, or re-based earlier run must rebuild,
+    // not silently time a stale/partial corpus under a 10x label.
     val docsPath = s"$workDir/documents"
     val embPath = s"$workDir/embeddings"
-    val marker = new java.io.File(s"$workDir/_BUILT_$shards")
+    val baseTag = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(baseDir))
+    val marker = new java.io.File(s"$workDir/_BUILT_${shards}_$baseTag")
     def deleteRec(f: java.io.File): Unit = if (f.exists()) {
       if (f.isDirectory) f.listFiles().foreach(deleteRec)
       f.delete(): Unit
     }
     if (!marker.exists()) {
       deleteRec(new java.io.File(workDir))
+      // per-shard ids shift by (max id + 1), NOT the row count: in a sparse
+      // id space (max >= count) a count stride would collide ids across
+      // shards, and exact-dedup would then collapse real rows — silently
+      // deflating the very Nx numbers the probe exists to measure
       val docs = spark.read.parquet(s"$baseDir/documents.parquet")
-      val nDocs = docs.count()
+      val docStride = docs.agg(max("doc_id")).head().getLong(0) + 1
       (0 until shards).foreach { i =>
-        docs.withColumn("doc_id", col("doc_id") + lit(i * nDocs))
+        docs.withColumn("doc_id", col("doc_id") + lit(i * docStride))
           .coalesce(1).write.mode("append").parquet(docsPath)
       }
       val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
-      val nEmb = emb.count()
+      val embStride = emb.agg(max("vec_id")).head().getLong(0) + 1
       (0 until shards).foreach { i =>
-        emb.withColumn("vec_id", col("vec_id") + lit(i * nEmb))
+        emb.withColumn("vec_id", col("vec_id") + lit(i * embStride))
           .coalesce(1).write.mode("append").parquet(embPath)
       }
       marker.createNewFile()
