@@ -853,6 +853,36 @@ object SparkEntry {
       result
     }),
 
+    // ---- streaming APPEND mode under the gate — the production shape q53
+    // leaves to specs: watermark-driven eviction decides which windows are
+    // EMITTED, not just which state is dropped. With AvailableNow the final
+    // watermark is deterministic — ms-truncated max event time minus the 2h
+    // delay — so the emitted set (windows whose end <= watermark; the last
+    // 2h of windows withheld by design) has a closed batch form the oracle
+    // replicates exactly. Sink is real append-mode parquet via a streaming
+    // checkpoint; the bounded (windows x types) result is materialized and
+    // the temp sink removed, like q53's memory sink.
+    "q70_streaming_append_eviction" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q70").toString
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val q = graft.streaming.EventStream.windowedCounts(stream, "30 minutes", "2 hours")
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("n_events"),
+          col("sum_value").cast("double").as("sum_value"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.read.parquet(s"$tmp/out")
+      val result = s.createDataFrame(out.collectAsList(), out.schema)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      result
+    }),
+
     // ---- IVF with k-means-refined centroids under the gate (the quality
     // upgrade over q45's first-n coarse quantizer). Two deterministic Lloyd
     // iterations: assignment is an argmax over broadcast centroids (ties to
@@ -1621,6 +1651,21 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // q53's aggregation + Spark's append-mode emission rule: a window is
+    // emitted iff window_end <= watermark, where the final watermark is the
+    // MS-TRUNCATED max event time minus the 2h delay (Spark tracks event
+    // time stats in milliseconds) — all in integer nanos here, exact
+    "q70_streaming_append_eviction" ->
+      """WITH w AS (SELECT (epoch_ns(ts) // 1800000000000) * 1800000000000 AS ws_ns,
+        |    event_type, value FROM events),
+        |wm AS (SELECT (max(epoch_ns(ts)) // 1000000) * 1000000
+        |    - 7200000000000 AS wm_ns FROM events)
+        |SELECT strftime(make_timestamp(ws_ns // 1000), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w, wm WHERE ws_ns + 1800000000000 <= wm_ns
+        |GROUP BY 1, 2""".stripMargin,
 
     // two Lloyd iterations replicated closed-form: assignment = argmax
     // cosine (ties to higher cid), means = per-(cell,pos) AVG, L2-normalize,
