@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   * upstream pair pipeline, often an LSH join, does not re-execute per
   * round) and pre-partitioned on `src`, so each round is two shuffles of
   * O(E) (labels onto edge partitioning, then the min-combine back to
-  * vertices) with map-side partial min. The driver holds one changed-count
-  * per round — never the graph. This is the standard Spark CC shape
-  * (GraphX/GraphFrames do the same dance with the same bounds).
+  * vertices) with map-side partial min. The loop's vertex set is ONLY the
+  * pair endpoints — per-round label state is O(touched rows), not
+  * O(corpus); untouched nodes attach as singletons at output time. The
+  * driver holds one changed-count per round — never the graph. This is
+  * the standard Spark CC shape (GraphX/GraphFrames do the same dance with
+  * the same bounds).
   *
   * Fault tolerance: by default rounds materialize via eager
   * `localCheckpoint` — fastest, but it truncates lineage while storing
@@ -68,18 +71,22 @@ object Components {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .repartition(parts, col("src")))
 
-    // the propagation vertex set is nodes ∪ pair endpoints: an endpoint
-    // missing from `nodes` (pairs computed on a superset of the current
-    // frame) must still MEDIATE connectivity — dropping it would silently
-    // split A~B~C into {A},{C} when B was filtered out. Extra vertices are
-    // removed from the OUTPUT below, so the (id, component) contract over
-    // `nodes` is unchanged. Endpoints come from the CHECKPOINTED edge list
-    // (src covers both directions) — reading `pairs` here would re-execute
-    // the whole upstream pair pipeline a second time.
-    val vertices = nodes.select(col(idCol).as("id"))
-      .union(edges.select(col("src").as("id")))
-      .distinct()
-    // labels pinned to hash(id) partitioning: localCheckpoint preserves
+    // the propagation vertex set is ONLY the pair endpoints: a node with no
+    // edge is a singleton by definition — its label can never change, so
+    // carrying it through the loop would checkpoint O(|nodes|) per round
+    // for nothing. On a 100 TB corpus where near-dup pairs touch a small
+    // fraction of rows, looping over endpoints makes per-round state
+    // O(touched), orders of magnitude below O(corpus); untouched nodes are
+    // re-attached as singletons at output time with one anti-join, outside
+    // the loop. Endpoints missing from `nodes` (pairs computed on a
+    // superset of the current frame) still MEDIATE connectivity — dropping
+    // them would silently split A~B~C into {A},{C} when B was filtered out;
+    // they are removed from the OUTPUT below, so the (id, component)
+    // contract over `nodes` is unchanged. Endpoints come from the
+    // CHECKPOINTED edge list (src covers both directions) — reading `pairs`
+    // here would re-execute the whole upstream pair pipeline a second time.
+    val touched = edges.select(col("src").as("id")).distinct()
+    // labels pinned to hash(id) partitioning: the checkpoint preserves
     // outputPartitioning, so the edges⋈labels probe (src≡id layout) and the
     // labels⋈neighborMin merge (dst comes out of the groupBy already hashed
     // compatibly) both plan WITHOUT re-shuffling labels — one shuffle per
@@ -87,7 +94,7 @@ object Components {
     // every vertex starts "changed" (its initial label is news to its
     // neighbors); the flag travels WITH the labels so each round's frontier
     // is a filter on the checkpointed frame, not a separate computation
-    var labels = materialize(vertices
+    var labels = materialize(touched
       .select(col("id"), col("id").as("label"), lit(true).as("changed"))
       .repartition(parts, col("id")))
     var converged = false
@@ -144,8 +151,15 @@ object Components {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponents stopped UNCONVERGED after $maxIter rounds; " +
           "labels may be under-merged — raise maxIter")
+    // touched nodes take their propagated label; untouched nodes are
+    // singletons (one anti-join, no per-round cost); endpoints absent from
+    // `nodes` drop out here
+    val nodeIds = nodes.select(col(idCol).as("id"))
     labels
-      .join(nodes.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .join(nodeIds, Seq("id"), "left_semi")
+      .select(col("id"), col("label"))
+      .union(nodeIds.join(touched, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("label")))
       .select(col("id").as(idCol), col("label").as("component"))
   }
 
