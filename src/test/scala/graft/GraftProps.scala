@@ -132,4 +132,25 @@ object GraftProps extends Properties("graft") {
       val merged = bufs.foldLeft(agg.zero)(agg.merge)
       agg.finish(merged) == xs.sortBy(x => (-x.score, x.id)).take(k)
     }
+
+  /** The round-5 quality-gate theorem, checked by brute force: on any
+    * multiset (values quantized to force heavy ties, folded through
+    * arbitrary partition chunkings), `v > LowerHalfBoundary` must select
+    * EXACTLY the rows with percent_rank >= 0.5 (cntLess/(n-1) >= 1/2).
+    */
+  property("gate.boundary-equals-percent-rank") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1.0, 1.0)), Gen.chooseNum(1, 5)) {
+      (raw, nChunks) =>
+        val vs = raw.map(v => math.rint(v * 4) / 4)
+        val agg = new graft.operators.Gate.LowerHalfBoundary
+        val chunkSize = math.max(1, vs.size / nChunks + 1)
+        val bufs = vs.grouped(chunkSize).map(_.foldLeft(agg.zero)(agg.reduce))
+        val thr = agg.finish(bufs.foldLeft(agg.zero)(agg.merge))
+        val n = vs.size
+        val viaGate = vs.filter(v => n == 1 || thr.exists(v > _)).sorted
+        val viaRank = vs.filter { v =>
+          n == 1 || vs.count(_ < v).toDouble / (n - 1) >= 0.5
+        }.sorted
+        viaGate == viaRank && (thr.isEmpty == (n < 2))
+    }
 }
