@@ -1017,7 +1017,14 @@ object SparkEntry {
       val docs = rdPar(s, dir, "documents")
       // exact BEFORE near-dup: un-deduped LSH/prefix pair-gen is quadratic
       // in replica depth (measured in ScaleProbe; SCALE.md §dedup ordering)
-      val exact = Dedup.exactDedup(docs, "doc_id", "text")
+      // Stage-boundary materialization (same move Components makes for its
+      // edge list): `exact` feeds pair-gen (both join sides), the survivor
+      // join-back, and the decontamination corpus — unmaterialized, every
+      // consumer re-expands the whole dedup subtree and the composed plan
+      // scans the corpus 26 times. One checkpoint each for the two
+      // many-consumer frames cuts that to the stage count; a production
+      // run writes stage outputs to parquet at these same seams.
+      val exact = Dedup.exactDedup(docs, "doc_id", "text").localCheckpoint(true)
       val pairs = Dedup.jaccardPairs(exact, "doc_id", "text",
         Seq("lang", "source"), n = 1, threshold = 0.9)
       val uniq = graft.operators.Components.survivors(
@@ -1026,7 +1033,8 @@ object SparkEntry {
       val clean = graft.operators.Decontaminate.decontaminate(
         uniq.where(col("source") =!= "src19"), bench, "doc_id", "text", n = 4)
       val scored = clean.withColumn("q",
-        TextAnalysis.qualityScore(TextAnalysis.qualityMetrics(col("text"))))
+          TextAnalysis.qualityScore(TextAnalysis.qualityMetrics(col("text"))))
+        .localCheckpoint(true) // feeds the gate's threshold pass AND filter pass
       val gated = graft.operators.Gate.topHalf(scored, "source", "q")
       val split = graft.operators.Sampling.splitAssign(gated, "doc_id",
         Seq("train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625))
