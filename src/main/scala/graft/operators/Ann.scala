@@ -136,13 +136,47 @@ object Ann {
 
   /** Pick deterministic IVF centroids: the first `n` rows by id. (A k-means
     * refinement is a drop-in improvement; centroid quality affects recall,
-    * not the plan shape.)
+    * not the plan shape.) Biased toward whatever the low ids contain — use
+    * [[farthestPointCentroids]] when seed spread matters.
     */
   def sampleCentroids(df: DataFrame, idCol: String, embCol: String, n: Int): Seq[Seq[Float]] =
     df.where(col(embCol).isNotNull)
       .orderBy(col(idCol)).limit(n)
       .select(col(embCol)).collect()
       .map(_.getSeq[Float](0).toSeq).toSeq
+
+  /** Deterministic farthest-point (k-center greedy) seeding — the k-means++
+    * idea with the randomness replaced by argmax selection, so the seeds
+    * are reproducible across runs and partitionings. Seed 1 is the row
+    * with the minimum hash-uniform of its id (an arbitrary-but-fixed
+    * start, decoupled from id order); each further seed is the row whose
+    * best cosine similarity to the chosen set is LOWEST (ties to lower
+    * id). k-1 single-row max-aggregations over the corpus — k jobs, no
+    * shuffle growth, centroids broadcast as literals; the standard
+    * driver-side seeding loop for small k. Unlike first-n-by-id, the
+    * seeds provably spread: each new seed is the point worst-covered by
+    * the current set.
+    */
+  def farthestPointCentroids(df: DataFrame, idCol: String, embCol: String,
+                             k: Int): Seq[Seq[Float]] = {
+    require(k > 0, "k must be positive")
+    val rows = df.where(col(embCol).isNotNull)
+    val first = rows
+      .orderBy(graft.operators.Sampling.uniformFromId(col(idCol), ":seed"),
+        col(idCol))
+      .select(embCol).head().getSeq[Float](0).toSeq
+    val picked = scala.collection.mutable.ArrayBuffer(first)
+    while (picked.size < k) {
+      // coverage = best similarity to any chosen seed; next seed = argmin
+      val coverage = picked.map(c => cosineSim(col(embCol), typedlit(c)))
+        .reduce(greatest(_, _))
+      val next = rows
+        .orderBy(coverage.asc, col(idCol))
+        .select(embCol).head().getSeq[Float](0).toSeq
+      picked += next
+    }
+    picked.toSeq
+  }
 
   /** Spherical k-means refinement of IVF centroids (Lloyd iterations with
     * cosine assignment and L2-normalized means). Each iteration is one

@@ -98,6 +98,27 @@ class AnnSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("farthest-point seeding spreads across clusters where first-n-by-id cannot") {
+    // three tight, well-separated direction clusters; ids ordered so the
+    // first 100 ids ALL sit in cluster 0 — the bias sampleCentroids carries
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val c0 = Array(1f, 0f, 0f, 0f); val c1 = Array(0f, 1f, 0f, 0f)
+    val c2 = Array(0f, 0f, 1f, 0f)
+    val docs = (Seq.tabulate(100)(i => (i.toLong, jitter(c0))) ++
+      Seq.tabulate(100)(i => (100L + i, jitter(c1))) ++
+      Seq.tabulate(100)(i => (200L + i, jitter(c2)))).toDF("id", "emb")
+    def clustersHit(cents: Seq[Seq[Float]]): Set[Int] =
+      cents.map(c => Seq(c0, c1, c2).map(b => Ann.cosine(c, b.toSeq))
+        .zipWithIndex.maxBy(_._1)._2).toSet
+    assert(clustersHit(Ann.sampleCentroids(docs, "id", "emb", 3)) == Set(0))
+    val fp = Ann.farthestPointCentroids(docs, "id", "emb", 3)
+    assert(clustersHit(fp) == Set(0, 1, 2))
+    // deterministic: same seeds under a different partitioning
+    assert(Ann.farthestPointCentroids(docs.repartition(7), "id", "emb", 3) == fp)
+  }
+
   test("hyperplane buckets: identical vectors same bucket, opposite differ") {
     val planes = Ann.hyperplanes(4, 8)
     val df = Seq(
