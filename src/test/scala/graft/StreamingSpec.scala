@@ -48,6 +48,44 @@ class StreamingSpec extends SparkSpec {
     assert(out2.select("ID").distinct().count() == 3)
   }
 
+  test("append-mode emission rule: window_end <= watermark, inclusive at the boundary") {
+    // q70's DuckDB oracle hard-codes Spark's emission semantics: final
+    // watermark = max event time (ms-truncated) - delay, and a window is
+    // emitted iff its END is <= that watermark, INCLUSIVE. This test places
+    // max(ts) so the watermark lands exactly ON a window end — if a Spark
+    // upgrade ever flips the rule to strict '<' (or changes the ms
+    // truncation), this fails here with a readable message instead of as a
+    // mysterious q70 gate mismatch.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = EventStream.windowedCounts(df, "30 minutes", "2 hours")
+    val sink = "append_rule_sink"
+    val q = agg.select(col("window.start").cast("string").as("w_start"))
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // window A = [10:00, 10:30); max ts 12:30:00.000 -> watermark 10:30:00.000
+    // == A.end exactly -> A must be EMITTED under the inclusive rule
+    mem.addData((ts("2025-01-01 10:05:00"), "click", 1.0))
+    q.processAllAvailable()
+    mem.addData((ts("2025-01-01 12:30:00"), "click", 1.0))
+    q.processAllAvailable()
+    mem.addData((ts("2025-01-01 23:00:00"), "click", 1.0)) // advance further
+    q.processAllAvailable()
+    // one more data batch so the 12:30 window (end 13:00 <= watermark 21:00)
+    // emits inside a DATA batch — not dependent on no-data batch timing
+    mem.addData((ts("2025-01-01 23:10:00"), "click", 1.0))
+    q.processAllAvailable()
+    val emitted = spark.table(sink).as[String].collect().toSet
+    q.stop()
+    spark.catalog.dropTempView(sink)
+    assert(emitted.contains("2025-01-01 10:00:00"),
+      "window ending exactly AT the watermark was not emitted — " +
+        "Spark's append emission rule changed; update q70's oracle filter")
+    assert(emitted.contains("2025-01-01 12:30:00"))
+    assert(!emitted.contains("2025-01-01 23:00:00")) // above the watermark
+  }
+
   test("windowed event aggregation with watermark (streaming rollup)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
