@@ -157,6 +157,23 @@ object SparkEntry {
   private def shardSql(idExpr: String, k: Int, salt: String = ":shard"): String =
     s"(CAST(('0x' || substring(md5(CAST($idExpr AS VARCHAR) || '$salt'), 1, 8)) AS BIGINT) % $k)"
 
+  /** 60-bit SimHash CTE (`sh(doc_id, simhash)`) — mirrors
+    * [[graft.functions.SimHash60]]: per-OCCURRENCE token votes over the top
+    * 60 md5 bits, bit set iff the vote sum is positive. Shared by q24
+    * (values) and q71 (pairs) so the two oracles cannot drift.
+    */
+  private val simhashSql: String =
+    """toks AS (
+      |  SELECT doc_id, CAST(('0x' || substring(md5(t.t), 1, 15)) AS BIGINT) AS h
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(t)),
+      |votes AS (
+      |  SELECT doc_id, b.b AS b,
+      |    sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM toks, range(60) b(b) GROUP BY 1, 2),
+      |sh AS (SELECT doc_id,
+      |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM votes GROUP BY doc_id)""".stripMargin
+
   /** Portable hash-uniform in [0,1): top 32 md5 bits of (id || salt),
     * scaled by 2^32 (mirrors [[graft.operators.Sampling.uniformFromId]] —
     * exact in double, so bit-portable).
@@ -376,6 +393,16 @@ object SparkEntry {
       rd(s, dir, "documents")
         .select(col("doc_id"), simhash60(split(col("text"), " ")).as("simhash"))
     }),
+
+    // ---- SimHash PAIRS (the dedup step over q24's signatures): chunk-
+    // pigeonhole candidate generation — 60 bits split into 4 chunks, any
+    // pair within Hamming 3 must share an exact chunk (complete, no false
+    // negatives) — verified with codegen bit_count(xor). The oracle is the
+    // brute-force O(n^2) hamming join: completeness means the sets match
+    // exactly. rdPar: the dominant cost is per-row signature computation
+    // before any shuffle (same reasoning as q23/q40).
+    "q71_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashPairs(rdPar(s, dir, "documents"), "doc_id", "text")),
 
     // shingle→minhash→band→bucket-join over character 5-shingles — the
     // canonical MinHash input (robust to tokenization/word-order noise,
@@ -1212,16 +1239,18 @@ object SparkEntry {
         |GROUP BY 1, 2""".stripMargin,
 
     "q24_simhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, CAST(('0x' || substring(md5(t.t), 1, 15)) AS BIGINT) AS h
-        |  FROM documents, unnest(string_split(text, ' ')) AS t(t)),
-        |votes AS (
-        |  SELECT doc_id, b.b AS b,
-        |    sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        |  FROM toks, range(60) b(b) GROUP BY 1, 2)
-        |SELECT doc_id,
-        |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-        |FROM votes GROUP BY doc_id""".stripMargin,
+      s"""WITH $simhashSql
+        |SELECT doc_id, simhash FROM sh""".stripMargin,
+
+    // the pair step over the q24 signatures: the oracle is the BRUTE-FORCE
+    // O(n^2) hamming join — the engine's chunk-pigeonhole candidates must
+    // be COMPLETE at maxHamming <= chunks-1, so the sets match exactly
+    "q71_simhash_pairs" ->
+      s"""WITH $simhashSql
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
 
     "q39_jaccard_prefix" ->
       s"""WITH $prefixPairsSql
