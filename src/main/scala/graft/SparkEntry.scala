@@ -404,6 +404,15 @@ object SparkEntry {
     "q71_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashPairs(rdPar(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- rolling-hash document fingerprint (Rabin-Karp poly_hash — the
+    // order-SENSITIVE twin of q13's normalized md5 fingerprint: reordered
+    // content changes it). Oracle folds per character; the transcription
+    // uses codepoints, identical to the UTF-16 fold on this corpus's
+    // BMP-only text (the expression itself handles any string).
+    "q72_rolling_fingerprint" -> ((s, dir) =>
+      rd(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.rollingFingerprint(col("text")).as("fp"))),
+
     // shingle→minhash→band→bucket-join over character 5-shingles — the
     // canonical MinHash input (robust to tokenization/word-order noise,
     // unlike the word tokens of q23); same bit-portable signature math
@@ -1251,6 +1260,17 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    // per-char fold h -> (h*257 + code) mod (2^31-1); ord() is the
+    // codepoint — equal to the engine's UTF-16 unit on BMP-only text
+    "q72_rolling_fingerprint" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split_regex(text, ''), c -> CAST(ord(c) AS BIGINT))),
+        |      (h, c) -> (h * 257 + c) % 2147483647) END AS fp
+        |FROM documents""".stripMargin,
 
     "q39_jaccard_prefix" ->
       s"""WITH $prefixPairsSql
