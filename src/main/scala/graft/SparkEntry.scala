@@ -157,6 +157,38 @@ object SparkEntry {
   private def shardSql(idExpr: String, k: Int, salt: String = ":shard"): String =
     s"(CAST(('0x' || substring(md5(CAST($idExpr AS VARCHAR) || '$salt'), 1, 8)) AS BIGINT) % $k)"
 
+  /** The DuckDB twin of [[ingestSummary]] over the reference CSV — shared
+    * by q49 (CSV path) and q73 (JSONL round-trip path).
+    */
+  private val csvIngestOracleSql: String =
+    """SELECT SPORT_TYPE, DIFFICULTY, count(*) AS n,
+      |  CAST(sum(MOVING_TIME_SECONDS) AS BIGINT) AS sum_secs,
+      |  count(DISTANCE_METERS) AS n_dist,
+      |  min(DISTANCE_METERS) AS min_dist,
+      |  max(DISTANCE_METERS) AS max_dist,
+      |  strftime(max(CAST(CREATED_AT AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS max_created
+      |FROM read_csv('/root/reference/00_sample_workout_data.csv',
+      |  header=true, quote='"', escape='"',
+      |  columns={'ID':'VARCHAR','EMBED_STR':'VARCHAR','SPORT_TYPE':'VARCHAR',
+      |    'DIFFICULTY':'VARCHAR','MOVING_TIME_SECONDS':'INTEGER',
+      |    'DISTANCE_METERS':'INTEGER','GENERATION_MODEL':'VARCHAR',
+      |    'WORKOUT_SOURCE':'VARCHAR','STORE_VERSION':'VARCHAR',
+      |    'RAW_JSON_STR':'VARCHAR','CREATED_AT':'VARCHAR'})
+      |GROUP BY 1, 2""".stripMargin
+
+  /** The shared typed-ingest summary over a [[WorkoutCorpus]] frame —
+    * q49 (CSV) and q73 (JSONL round-trip) aggregate identically so their
+    * oracles can assert both formats land in one canonical shape.
+    */
+  private def ingestSummary(corpus: DataFrame): DataFrame =
+    corpus.groupBy("SPORT_TYPE", "DIFFICULTY")
+      .agg(count(lit(1)).as("n"),
+        sum("MOVING_TIME_SECONDS").as("sum_secs"),
+        count(col("DISTANCE_METERS")).as("n_dist"),
+        min(col("DISTANCE_METERS")).as("min_dist"),
+        max(col("DISTANCE_METERS")).as("max_dist"),
+        date_format(max(col("CREATED_AT")), "yyyy-MM-dd HH:mm:ss").as("max_created"))
+
   /** 60-bit SimHash CTE (`sh(doc_id, simhash)`) — mirrors
     * [[graft.functions.SimHash60]]: per-OCCURRENCE token votes over the top
     * 60 md5 bits, bit set iff the vote sum is positive. Shared by q24
@@ -763,14 +795,25 @@ object SparkEntry {
     // aggregates the typed columns; the oracle re-reads the same file with
     // DuckDB's CSV reader and explicit types.
     "q49_csv_ingest" -> ((s, dir) =>
-      WorkoutCorpus.readCsv(s, "/root/reference/00_sample_workout_data.csv")
-        .groupBy("SPORT_TYPE", "DIFFICULTY")
-        .agg(count(lit(1)).as("n"),
-          sum("MOVING_TIME_SECONDS").as("sum_secs"),
-          count(col("DISTANCE_METERS")).as("n_dist"),
-          min(col("DISTANCE_METERS")).as("min_dist"),
-          max(col("DISTANCE_METERS")).as("max_dist"),
-          date_format(max(col("CREATED_AT")), "yyyy-MM-dd HH:mm:ss").as("max_created"))),
+      ingestSummary(
+        WorkoutCorpus.readCsv(s, "/root/reference/00_sample_workout_data.csv"))),
+
+    // ---- JSONL ingest leg of S1 (same COPY semantics over the other
+    // interchange format): the reference corpus's staged string layer is
+    // round-tripped through Spark's JSON-lines writer and loaded back via
+    // readJsonl's permissive + typed path. Same oracle as q49 (which reads
+    // the CSV directly in DuckDB) — proving CSV and JSONL land in ONE
+    // canonical typed shape, the readJsonl contract. The temp staging dir
+    // is deleted after the bounded summary is materialized (q70 pattern).
+    "q73_jsonl_ingest" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q73").toString
+      WorkoutCorpus.readCsvRaw(s, "/root/reference/00_sample_workout_data.csv")
+        .write.mode("overwrite").json(s"$tmp/corpus")
+      val out = ingestSummary(WorkoutCorpus.readJsonl(s, s"$tmp/corpus"))
+      val result = s.createDataFrame(out.collectAsList(), out.schema)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      result
+    }),
 
     // ---- batch cache write-back loop under the gate (S4/T2: ref 02:415-418
     // — generated workouts appended back to the corpus, re-deduped, counted
@@ -1586,21 +1629,10 @@ object SparkEntry {
         |  AND NOT (source = 'src0')
         |  AND source IN ('src1','src2','src3','src4','src5','src6','src7')""".stripMargin,
 
-    "q49_csv_ingest" ->
-      """SELECT SPORT_TYPE, DIFFICULTY, count(*) AS n,
-        |  CAST(sum(MOVING_TIME_SECONDS) AS BIGINT) AS sum_secs,
-        |  count(DISTANCE_METERS) AS n_dist,
-        |  min(DISTANCE_METERS) AS min_dist,
-        |  max(DISTANCE_METERS) AS max_dist,
-        |  strftime(max(CAST(CREATED_AT AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS max_created
-        |FROM read_csv('/root/reference/00_sample_workout_data.csv',
-        |  header=true, quote='"', escape='"',
-        |  columns={'ID':'VARCHAR','EMBED_STR':'VARCHAR','SPORT_TYPE':'VARCHAR',
-        |    'DIFFICULTY':'VARCHAR','MOVING_TIME_SECONDS':'INTEGER',
-        |    'DISTANCE_METERS':'INTEGER','GENERATION_MODEL':'VARCHAR',
-        |    'WORKOUT_SOURCE':'VARCHAR','STORE_VERSION':'VARCHAR',
-        |    'RAW_JSON_STR':'VARCHAR','CREATED_AT':'VARCHAR'})
-        |GROUP BY 1, 2""".stripMargin,
+    "q49_csv_ingest" -> csvIngestOracleSql,
+
+    // the JSONL leg must produce the SAME canonical result as the CSV leg
+    "q73_jsonl_ingest" -> csvIngestOracleSql,
 
     "q50_writeback_dedup" ->
       """WITH u AS (

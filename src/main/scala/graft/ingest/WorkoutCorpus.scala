@@ -82,9 +82,11 @@ object WorkoutCorpus {
       StructField("parametrized_strings", ArrayType(StringType))))
   }
 
-  /** Read a corpus CSV with the reference's load semantics. */
-  def readCsv(spark: SparkSession, path: String): DataFrame =
-    typed(spark.read
+  /** The staged all-string layer of a corpus CSV (what COPY's `$n`
+    * positional references see, before any `::` cast).
+    */
+  def readCsvRaw(spark: SparkSession, path: String): DataFrame =
+    spark.read
       .option("header", "true")
       .option("multiLine", "true")
       .option("quote", "\"")
@@ -92,7 +94,11 @@ object WorkoutCorpus {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(rawSchema)
-      .csv(path))
+      .csv(path)
+
+  /** Read a corpus CSV with the reference's load semantics. */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    typed(readCsvRaw(spark, path))
 
   /** Read a corpus as JSON-lines with the same permissive load semantics as
     * the CSV COPY path (one object per line, corrupt lines audited in
