@@ -1154,7 +1154,43 @@ object SparkEntry {
           defaultWeight = 1.0)
         .groupBy("lang", "epoch")
         .agg(count(lit(1)).as("n_rows"),
-          countDistinct(col("doc_id")).as("n_docs")))
+          countDistinct(col("doc_id")).as("n_docs"))),
+
+    // ---- stateful streaming sessionization under the gate (the
+    // flatMapGroupsWithState twin of q33, previously spec-only). A real
+    // StreamingQuery: file source -> per-user O(1) session state with
+    // event-time timeout -> append sink. The emitted set is deterministic
+    // under AvailableNow: sessions CLOSED by a later in-batch event emit in
+    // the data batch; each user's open last session emits in the trailing
+    // no-data batch iff its timeout (session_end + gap) is STRICTLY below
+    // the final watermark (ms-truncated max event time - gap) — both rules
+    // pinned empirically in StreamingSpec ("event-time timeout rule"), so
+    // the eviction semantics are part of the comparison, like q70. State is
+    // (start, end, n) per live user — O(users), not O(events).
+    "q74_streaming_sessionize" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val sink = "q74_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select("user_id", "ts", "event_type", "value")
+        .as[graft.streaming.Sessionize.Event]
+      val q = graft.streaming.Sessionize.streamingSessions(stream, gapMinutes = 30)
+        .toDF()
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events").cast("long").as("n_events"))
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink)
+      val result = s.createDataFrame(out.collectAsList(), out.schema)
+      s.catalog.dropTempView(sink)
+      result
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -1974,6 +2010,36 @@ object SparkEntry {
         |  FROM n, unnest(generate_series(1, n_copies)) AS ep(ep)
         |  WHERE n_copies > 0)
         |SELECT lang, epoch, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs
-        |FROM e GROUP BY 1, 2""".stripMargin
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // q33's session assignment in the STREAM's arithmetic (integer ms, the
+    // precision of the state's Timestamp.getTime), then the emission rule
+    // StreamingSpec pins: every non-last session per user emits; the last
+    // (open) session emits iff end_ms + gap < watermark, STRICT, where the
+    // final watermark is the ms-truncated max event time minus the gap.
+    // Equal-ms tie order can't matter: break decisions depend only on
+    // consecutive distinct-ms gaps, so session membership/min/max/count are
+    // tie-order-invariant in both engines.
+    "q74_streaming_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000000 AS ms FROM events),
+        |g AS (SELECT user_id, ms, event_id,
+        |    CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000
+        |      THEN 1 ELSE 0 END AS is_break
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |sess AS (SELECT user_id, ms,
+        |    sum(is_break) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS sid
+        |  FROM g),
+        |agg AS (SELECT user_id, sid, count(*) AS n_events,
+        |    min(ms) AS start_ms, max(ms) AS end_ms
+        |  FROM sess GROUP BY user_id, sid),
+        |wm AS (SELECT max(epoch_ns(ts) // 1000000) - 1800000 AS wm_ms FROM events),
+        |last AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY user_id)
+        |SELECT a.user_id,
+        |  strftime(make_timestamp(a.start_ms * 1000), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(make_timestamp(a.end_ms * 1000), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  a.n_events
+        |FROM agg a JOIN last USING (user_id), wm
+        |WHERE a.sid < last.last_sid OR a.end_ms + 1800000 < wm.wm_ms""".stripMargin
   )
 }

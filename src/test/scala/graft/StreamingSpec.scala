@@ -86,6 +86,46 @@ class StreamingSpec extends SparkSpec {
     assert(!emitted.contains("2025-01-01 23:00:00")) // above the watermark
   }
 
+  test("event-time timeout rule: fires iff timeout < watermark, STRICT at the boundary") {
+    // q74's DuckDB oracle hard-codes the flatMapGroupsWithState timeout
+    // semantics under AvailableNow: the trailing no-data batch runs with
+    // watermark = ms-truncated max event time - gap, and a pending session
+    // times out iff its timeout timestamp (session_end + gap) is STRICTLY
+    // below that watermark. This pins both facts with a crafted file:
+    // user 5's timeout (08:30) is clearly below the final wm (10:30) -> its
+    // emission proves the no-data batch fires timeouts at all; user 10's
+    // timeout is exactly AT the wm -> its absence pins strict '<'. If a
+    // Spark upgrade flips either rule, this fails readably instead of as a
+    // q74 gate mismatch.
+    val dir = Files.createTempDirectory("graft_anprobe").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(
+      (5L, ts("2025-01-01 08:00:00"), "click", 1.0),   // timeout 08:30 < wm
+      (10L, ts("2025-01-01 10:00:00"), "click", 1.0),  // timeout 10:30 == wm
+      (20L, ts("2025-01-01 11:00:00"), "click", 1.0))  // max ts; timeout > wm
+      .toDF("user_id", "ts", "event_type", "value")
+      .coalesce(1).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val events = spark.readStream.schema(schema).parquet(s"$dir/in")
+      .as[graft.streaming.Sessionize.Event]
+    val sessions = graft.streaming.Sessionize.streamingSessions(events, gapMinutes = 30)
+    val sink = "an_probe_sink"
+    val q = sessions.toDF().select(col("user_id"))
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(sink).as[Long].collect().toSet
+    spark.catalog.dropTempView(sink)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    assert(got.contains(5L),
+      "no-data batch did not fire event-time timeouts under AvailableNow — " +
+        "q74's oracle (last sessions below the watermark emitted) is invalid")
+    assert(!got.contains(10L),
+      "timeout exactly AT the watermark fired — Spark's timeout rule went " +
+        "inclusive; flip q74's oracle filter to <=")
+    assert(!got.contains(20L)) // above the watermark: state survives, unemitted
+  }
+
   test("windowed event aggregation with watermark (streaming rollup)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
