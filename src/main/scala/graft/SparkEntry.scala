@@ -1190,6 +1190,39 @@ object SparkEntry {
       val result = s.createDataFrame(out.collectAsList(), out.schema)
       s.catalog.dropTempView(sink)
       result
+    }),
+
+    // ---- streaming exact-dedup under the gate: the production form of q13
+    // for a corpus that ARRIVES as a stream (the cache write-back loop's
+    // continuous shape, ref 02:415-418). dropDuplicatesWithinWatermark keeps
+    // the first-seen row per content fingerprint and holds per-key state
+    // only until the watermark passes the key's event time + delay — bounded
+    // state, unlike a plain streaming dropDuplicates. Under AvailableNow the
+    // single data batch sees watermark 0, so no state is evicted mid-batch
+    // and the emitted set is exactly one row per distinct fingerprint —
+    // which row wins is arrival-order-dependent, so only the fingerprint
+    // (identical across any winner) is emitted. Cross-batch eviction and
+    // re-admission semantics are spec-pinned in StreamingSpec.
+    "q75_streaming_dedup" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val sink = "q75_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        // +1 day: an arrival at exactly epoch 0 equals the initial watermark
+        // and is discarded by the late-row filter (measured: doc_id 0 was
+        // silently dropped) — keep every synthetic arrival strictly above it
+        .withColumn("arrival_ts", timestamp_seconds(col("doc_id") + lit(86400L)))
+        .withColumn("fingerprint", TextAnalysis.contentFingerprint(col("text")))
+        .withWatermark("arrival_ts", "1 hour")
+        .dropDuplicatesWithinWatermark("fingerprint")
+        .select("fingerprint")
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink)
+      val result = s.createDataFrame(out.collectAsList(), out.schema)
+      s.catalog.dropTempView(sink)
+      result
     })
   )
 
@@ -2040,6 +2073,12 @@ object SparkEntry {
         |  strftime(make_timestamp(a.end_ms * 1000), '%Y-%m-%d %H:%M:%S') AS session_end,
         |  a.n_events
         |FROM agg a JOIN last USING (user_id), wm
-        |WHERE a.sid < last.last_sid OR a.end_ms + 1800000 < wm.wm_ms""".stripMargin
+        |WHERE a.sid < last.last_sid OR a.end_ms + 1800000 < wm.wm_ms""".stripMargin,
+
+    // one emitted row per distinct content fingerprint (q13's key); the
+    // winner's payload is arrival-order-dependent so only the key is output
+    "q75_streaming_dedup" ->
+      """SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |  AS fingerprint FROM documents""".stripMargin
   )
 }

@@ -126,6 +126,36 @@ class StreamingSpec extends SparkSpec {
     assert(!got.contains(20L)) // above the watermark: state survives, unemitted
   }
 
+  test("dropDuplicatesWithinWatermark: dedup within delay, bounded state, re-admission after eviction") {
+    // q75's operator contract: a duplicate arriving while its key's state is
+    // live (watermark has not passed first-seen + delay) is dropped; once the
+    // watermark evicts the key, the SAME content re-emits — that bounded
+    // state is exactly what distinguishes this from an unbounded streaming
+    // dropDuplicates, and why it scales. (q75's gate only exercises the
+    // single-batch form where nothing is evicted.)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val sink = "ddww_sink"
+    val q = mem.toDF().toDF("k", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("k")
+      .select(col("k"), col("ts").cast("string").as("ts"))
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    mem.addData(("a", ts("2025-01-01 10:00:00")))
+    q.processAllAvailable() // emits a; wm -> 09:00
+    mem.addData(("a", ts("2025-01-01 10:30:00")), ("b", ts("2025-01-01 12:00:00")))
+    q.processAllAvailable() // dup a dropped (state live); b emits; wm -> 11:00 evicts a
+    mem.addData(("a", ts("2025-01-01 12:30:00")))
+    q.processAllAvailable() // a re-admitted: its state was evicted
+    val got = spark.table(sink).collect().map(r => (r.getString(0), r.getString(1)))
+    q.stop()
+    spark.catalog.dropTempView(sink)
+    assert(got.count(_._1 == "a") == 2, s"expected a emitted twice, got ${got.toSeq}")
+    assert(got.count(_._1 == "b") == 1)
+    assert(!got.contains(("a", "2025-01-01 10:30:00"))) // the in-state dup was dropped
+  }
+
   test("windowed event aggregation with watermark (streaming rollup)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
