@@ -1223,7 +1223,14 @@ object SparkEntry {
       val result = s.createDataFrame(out.collectAsList(), out.schema)
       s.catalog.dropTempView(sink)
       result
-    })
+    }),
+
+    // ---- Gopher-style repetition gate (the quality rule q25's score
+    // battery misses: degenerate repeated text). Row-level metrics under
+    // the gate; zero-shuffle per-row array math (see
+    // TextAnalysis.repetitionMetrics).
+    "q76_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionMetrics(rd(s, dir, "documents"), "doc_id", "text"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2079,6 +2086,27 @@ object SparkEntry {
     // winner's payload is arrival-order-dependent so only the key is output
     "q75_streaming_dedup" ->
       """SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
-        |  AS fingerprint FROM documents""".stripMargin
+        |  AS fingerprint FROM documents""".stripMargin,
+
+    // bigram multiplicity via unnest + group (the oracle need not be
+    // shuffle-free); DuckDB lists are 1-based, range(1, n) = 1..n-1. Both
+    // fractions divide exact integers -> bit-identical doubles.
+    "q76_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |base AS (SELECT doc_id, len(words) AS n_words,
+        |    len(list_distinct(words)) AS n_distinct_words FROM w),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(words)),
+        |    i -> words[i] || ' ' || words[i + 1])) AS bigram FROM w),
+        |bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS top_c FROM bc GROUP BY 1)
+        |SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+        |  CAST(b.n_distinct_words AS BIGINT) AS n_distinct_words,
+        |  CAST(b.n_words - b.n_distinct_words AS DOUBLE) / b.n_words AS dup_word_frac,
+        |  CASE WHEN b.n_words < 2 THEN 0.0
+        |    ELSE CAST(top.top_c AS DOUBLE) / (b.n_words - 1) END AS top_bigram_frac,
+        |  (CAST(b.n_words - b.n_distinct_words AS DOUBLE) / b.n_words > 0.5
+        |   OR CASE WHEN b.n_words < 2 THEN 0.0
+        |     ELSE CAST(top.top_c AS DOUBLE) / (b.n_words - 1) END > 0.25) AS repetitive
+        |FROM base b LEFT JOIN top USING (doc_id)""".stripMargin
   )
 }

@@ -118,6 +118,56 @@ object TextAnalysis {
   def contentFingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Gopher-style within-document repetition metrics — the quality rule
+    * that catches degenerate crawl text ("buy now buy now buy now...")
+    * which length/punctuation scores miss:
+    *
+    *  - `dup_word_frac`: fraction of word occurrences that repeat an
+    *    earlier word, `(n_words - n_distinct) / n_words`;
+    *  - `top_bigram_frac`: the most frequent consecutive word pair's share
+    *    of all bigrams, `max_bigram_count / (n_words - 1)` (0.0 for
+    *    single-word docs);
+    *  - `repetitive`: dup_word_frac > 0.5 OR top_bigram_frac > 0.25
+    *    (dyadic thresholds — exact in both engines).
+    *
+    * Everything is per-row array math — bigram multiplicity is a
+    * sort-then-longest-run fold over the in-row bigram array, NOT an
+    * explode + groupBy — so the whole battery stays inside the scan's
+    * whole-stage codegen with zero shuffle at any corpus size. Both
+    * fractions divide two exact integers, so the doubles are bit-identical
+    * across engines.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(col(textCol), " ")
+    // NB: sequence(0, -1) DESCENDS ([0, -1]) rather than yielding an empty
+    // array, so the single-word case must be guarded explicitly
+    val maxRun = // max multiplicity of an element in the sorted bigram array
+      """aggregate(
+        |  sort_array(if(size(__words) < 2, array(),
+        |    transform(sequence(0, size(__words) - 2),
+        |      i -> concat(__words[i], ' ', __words[i + 1])))),
+        |  named_struct('prev', cast(null as string),
+        |    'run', cast(0 as bigint), 'best', cast(0 as bigint)),
+        |  (a, x) -> named_struct('prev', x,
+        |    'run', if(a.prev is not null and x = a.prev, a.run + 1, cast(1 as bigint)),
+        |    'best', greatest(a.best,
+        |      if(a.prev is not null and x = a.prev, a.run + 1, cast(1 as bigint)))),
+        |  a -> a.best)""".stripMargin
+    df.withColumn("__words", words)
+      .withColumn("n_words", size(col("__words")).cast("long"))
+      .withColumn("n_distinct_words",
+        size(array_distinct(col("__words"))).cast("long"))
+      .withColumn("__top_bigram", expr(maxRun))
+      .select(col(idCol), col("n_words"), col("n_distinct_words"),
+        ((col("n_words") - col("n_distinct_words")).cast("double")
+          / col("n_words")).as("dup_word_frac"),
+        when(col("n_words") < 2, lit(0.0))
+          .otherwise(col("__top_bigram").cast("double") / (col("n_words") - 1))
+          .as("top_bigram_frac"))
+      .withColumn("repetitive",
+        col("dup_word_frac") > 0.5 || col("top_bigram_frac") > 0.25)
+  }
+
   /** Order-sensitive rolling-hash fingerprint (see [[graft.functions.PolyHash]]). */
   def rollingFingerprint(text: Column): Column =
     graft.functions.TextHashFunctions.polyHash(text)

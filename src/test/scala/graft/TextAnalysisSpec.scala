@@ -30,6 +30,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1).getLong(1) == 5L)  // ceil(13/4) + ceil(2/4) = 4+1
   }
 
+  test("repetition metrics: hand-computed fractions, zero-shuffle plan") {
+    val df = Seq(
+      (1L, "buy now buy now buy now"), // 6 words, 2 distinct; bigrams: "buy now"x3 "now buy"x2
+      (2L, "all words here are unique"), // no repetition
+      (3L, "single"),                    // 1 word: no bigrams
+      (4L, "a a a a")                    // max repetition: dup 3/4, bigram "a a" 3/3
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionMetrics(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) == 6 && got(1L).getLong(2) == 2)
+    assert(got(1L).getDouble(3) == 4.0 / 6.0)
+    assert(got(1L).getDouble(4) == 3.0 / 5.0)
+    assert(got(1L).getBoolean(5))
+    assert(got(2L).getDouble(3) == 0.0 && got(2L).getDouble(4) == 1.0 / 4.0)
+    assert(!got(2L).getBoolean(5)) // 0.25 is NOT > 0.25: boundary excluded
+    assert(got(3L).getDouble(4) == 0.0 && !got(3L).getBoolean(5))
+    assert(got(4L).getDouble(3) == 0.75 && got(4L).getDouble(4) == 1.0)
+    // the whole battery is per-row array math: no Exchange anywhere
+    val plan = TextAnalysis.repetitionMetrics(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetition metrics shuffled:\n$plan")
+  }
+
   test("quality metrics are exact counts") {
     val m = Seq("Hello, World! 42 the end.").toDF("t")
       .select(TextAnalysis.qualityMetrics(col("t")).as("m"))
