@@ -1230,7 +1230,15 @@ object SparkEntry {
     // the gate; zero-shuffle per-row array math (see
     // TextAnalysis.repetitionMetrics).
     "q76_repetition" -> ((s, dir) =>
-      TextAnalysis.repetitionMetrics(rd(s, dir, "documents"), "doc_id", "text"))
+      TextAnalysis.repetitionMetrics(rd(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- per-doc salient terms by tf/df (tf-idf's monotone core — the
+    // log(N/df) factor is engine-specific libm, the RANKING is the
+    // contract). One (doc,term) shuffle shared by tf and document
+    // frequency; df broadcasts; top-k window partitions by doc_id.
+    "q77_tfidf_keywords" -> ((s, dir) =>
+      graft.operators.Keywords.topTerms(rd(s, dir, "documents"),
+        "doc_id", "text", k = 3))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2107,6 +2115,21 @@ object SparkEntry {
         |  (CAST(b.n_words - b.n_distinct_words AS DOUBLE) / b.n_words > 0.5
         |   OR CASE WHEN b.n_words < 2 THEN 0.0
         |     ELSE CAST(top.top_c AS DOUBLE) / (b.n_words - 1) END > 0.25) AS repetitive
-        |FROM base b LEFT JOIN top USING (doc_id)""".stripMargin
+        |FROM base b LEFT JOIN top USING (doc_id)""".stripMargin,
+
+    // (term, doc) is unique in tf, so df = count(*) over tf; the tie-break
+    // (score DESC, term ASC) is total per doc -> deterministic top-3
+    "q77_tfidf_keywords" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |    CAST(tf.tf AS DOUBLE) / dfq.df AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf AS DOUBLE) / dfq.df DESC, tf.term) AS rank
+        |  FROM tf JOIN dfq USING (term))
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
+        |FROM s WHERE rank <= 3""".stripMargin
   )
 }

@@ -484,6 +484,31 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("keywords: tf/df ranking hand-computed; tf exchange shared with df") {
+    val df = Seq(
+      (1L, "spark spark spark rare common"),
+      (2L, "common words common words common"),
+      (3L, "rare common other other")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Keywords.topTerms(df, "doc_id", "text", k = 2)
+    val byDoc = got.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1)).map(r =>
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // doc 1: spark tf=3 df=1 -> 3.0; rare tf=1 df=2 -> 0.5
+    assert(byDoc(1L).head == ("spark", 3L, 1L, 3.0))
+    assert(byDoc(1L)(1) == ("rare", 1L, 2L, 0.5))
+    // doc 2: common tf=3/df=3 -> 1.0, words tf=2/df=1 -> 2.0: words ranks first
+    assert(byDoc(2L).head._1 == "words" && byDoc(2L)(1)._1 == "common")
+    // doc 3: other tf=2 df=1 -> 2.0 first; tie rare(0.5) vs common? common
+    // tf=1 df=3 -> 1/3 < rare 0.5 -> rare second
+    assert(byDoc(3L).map(_._1).toSeq == Seq("other", "rare"))
+    // the (doc, term) tf exchange feeds BOTH the df aggregation and the
+    // join probe side — ReuseExchange must compute it once
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"tf exchange not shared between tf and df consumers:\n$plan")
+  }
+
   test("components: long path converges within maxIter; survivors keep min per cluster") {
     val n = 12L
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b") // path 1-2-...-12
