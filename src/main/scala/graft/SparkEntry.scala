@@ -1238,7 +1238,20 @@ object SparkEntry {
     // frequency; df broadcasts; top-k window partitions by doc_id.
     "q77_tfidf_keywords" -> ((s, dir) =>
       graft.operators.Keywords.topTerms(rd(s, dir, "documents"),
-        "doc_id", "text", k = 3))
+        "doc_id", "text", k = 3)),
+
+    // ---- cross-source mutual-contamination matrix: distinct word 4-grams
+    // shared by each source pair (q59's gram definition, source x source) —
+    // the provenance report that decides whether a mirrored crawl gets
+    // dropped wholesale before pairwise dedup runs. The exact-fingerprint
+    // variant (crossSourceOverlap) shares the operator; grams make the
+    // matrix non-trivial on a corpus with no full-document mirrors.
+    "q78_source_overlap" -> ((s, dir) =>
+      Dedup.overlapMatrix(
+        rdPar(s, dir, "documents")
+          .select(explode(Dedup.wordNgrams(col("text"), 4)).as("gram"),
+            col("source")),
+        "gram", "source"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2130,6 +2143,19 @@ object SparkEntry {
         |      ORDER BY CAST(tf.tf AS DOUBLE) / dfq.df DESC, tf.term) AS rank
         |  FROM tf JOIN dfq USING (term))
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
-        |FROM s WHERE rank <= 3""".stripMargin
+        |FROM s WHERE rank <= 3""".stripMargin,
+
+    // q59's gram definition (4-token slices, short texts yield one
+    // truncated gram), distinct per source; each shared gram contributes
+    // each unordered source pair once, so the gram self-join counts the
+    // same pairs the in-row expansion emits
+    "q78_source_overlap" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (SELECT DISTINCT d.source, array_to_string(t[i.i : i.i + 3], ' ') AS g
+        |  FROM toks JOIN documents d USING (doc_id),
+        |    unnest(generate_series(1, greatest(len(t) - 3, 1))) AS i(i))
+        |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        |FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin
   )
 }

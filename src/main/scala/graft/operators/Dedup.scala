@@ -43,6 +43,42 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Cross-source overlap matrix: for every unordered source pair (a < b),
+    * the number of distinct keys present in BOTH — the provenance report
+    * ("which crawls mirror each other") that decides whether a source gets
+    * dropped wholesale before paying for pairwise dedup. The key is
+    * caller-chosen: exact content fingerprints for mirror detection
+    * ([[crossSourceOverlap]]), word n-grams for mutual-contamination depth.
+    *
+    * One key shuffle; source sets collapse per key (bounded by the source
+    * count, not the corpus), and pairs are expanded per-row from the
+    * sorted in-row set — at most C(n_sources, 2) per key, never a corpus
+    * self-join.
+    */
+  def overlapMatrix(keyed: DataFrame, keyCol: String,
+                    sourceCol: String): DataFrame =
+    keyed.select(col(keyCol).as("k"), col(sourceCol).as("source"))
+      .distinct()
+      .groupBy("k")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .where(size(col("srcs")) > 1)
+      // all (i, j>i) pairs from the sorted in-row set: slice is 1-based,
+      // so i+2 starts just past the 0-based position i
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)),
+          |    b -> named_struct('src_a', a, 'src_b', b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+
+  /** [[overlapMatrix]] on exact content fingerprints (mirror detection). */
+  def crossSourceOverlap(df: DataFrame, textCol: String,
+                         sourceCol: String): DataFrame =
+    overlapMatrix(
+      df.select(TextAnalysis.contentFingerprint(col(textCol)).as("fingerprint"),
+        col(sourceCol)),
+      "fingerprint", sourceCol)
+
   /** MinHash signatures (k hashes over the distinct token set). `tokensOf`
     * chooses the set representation: whitespace tokens (default) or
     * character k-shingles ([[TextAnalysis.charShingles]]) — the canonical

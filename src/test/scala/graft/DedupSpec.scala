@@ -281,4 +281,20 @@ class DedupSpec extends SparkSpec {
       assert(viaBuckets.contains((id, id + 1000L)), s"missed planted dup $id")
     }
   }
+
+  test("overlap matrix: hand-computed source-pair counts, ordered pairs, singletons dropped") {
+    // keys: k1 in {A,B,C}; k2 in {A,B}; k3 in {C} only; k4 in {B} twice
+    // (per-source duplicates must collapse before counting)
+    val keyed = Seq(
+      ("k1", "A"), ("k1", "B"), ("k1", "C"),
+      ("k2", "B"), ("k2", "A"),
+      ("k3", "C"),
+      ("k4", "B"), ("k4", "B")
+    ).toDF("k", "source")
+    val got = Dedup.overlapMatrix(keyed, "k", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("A", "B") -> 2L, ("A", "C") -> 1L, ("B", "C") -> 1L))
+    // pairs are emitted sorted (src_a < src_b): no reversed duplicates
+    assert(got.keys.forall { case (a, b) => a < b })
+  }
 }
