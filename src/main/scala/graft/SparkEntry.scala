@@ -1251,7 +1251,20 @@ object SparkEntry {
         rdPar(s, dir, "documents")
           .select(explode(Dedup.wordNgrams(col("text"), 4)).as("gram"),
             col("source")),
-        "gram", "source"))
+        "gram", "source")),
+
+    // ---- q64's gate at an arbitrary dyadic fraction: keep each source's
+    // top QUARTER (percent_rank >= 0.75) — same two-pass order-statistic
+    // plan (Gate.topFraction generalizes the floor(n/2) boundary to
+    // ceil(p*(n-1)); proof in Gate.scala, brute-forced over dyadic p in
+    // GraftProps).
+    "q79_quality_gate_quarter" -> ((s, dir) => {
+      val scored = rdPar(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(TextAnalysis.qualityMetrics(col("text"))).as("q"))
+      graft.operators.Gate.topFraction(scored, "source", "q", p = 0.75)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min("q").as("min_kept_score"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2156,6 +2169,21 @@ object SparkEntry {
         |    unnest(generate_series(1, greatest(len(t) - 3, 1))) AS i(i))
         |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
         |FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q64's oracle at pr >= 0.75 (the rank form; the engine runs the
+    // two-pass boundary plan the gate proves equivalent)
+    "q79_quality_gate_quarter" ->
+      s"""WITH m AS (SELECT doc_id, source,
+         |  $qualityMetricsSql
+         | FROM documents),
+         |sc AS (SELECT doc_id, source,
+         |  $qualityScoreSql AS q
+         | FROM m),
+         |r AS (SELECT source, q,
+         |  percent_rank() OVER (PARTITION BY source ORDER BY q) AS pr,
+         |  count(*) OVER (PARTITION BY source) AS n_src FROM sc)
+         |SELECT source, count(*) AS n_kept, min(q) AS min_kept_score
+         |FROM r WHERE pr >= 0.75 OR n_src = 1 GROUP BY source""".stripMargin
   )
 }

@@ -139,17 +139,18 @@ object GraftProps extends Properties("graft") {
     * EXACTLY the rows with percent_rank >= 0.5 (cntLess/(n-1) >= 1/2).
     */
   property("gate.boundary-equals-percent-rank") =
-    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1.0, 1.0)), Gen.chooseNum(1, 5)) {
-      (raw, nChunks) =>
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1.0, 1.0)), Gen.chooseNum(1, 5),
+      Gen.oneOf(0.125, 0.25, 0.5, 0.75, 0.875)) {
+      (raw, nChunks, p) =>
         val vs = raw.map(v => math.rint(v * 4) / 4)
-        val agg = new graft.operators.Gate.LowerHalfBoundary
+        val agg = new graft.operators.Gate.RankBoundary(p)
         val chunkSize = math.max(1, vs.size / nChunks + 1)
         val bufs = vs.grouped(chunkSize).map(_.foldLeft(agg.zero)(agg.reduce))
         val thr = agg.finish(bufs.foldLeft(agg.zero)(agg.merge))
         val n = vs.size
         val viaGate = vs.filter(v => n == 1 || thr.exists(v > _)).sorted
         val viaRank = vs.filter { v =>
-          n == 1 || vs.count(_ < v).toDouble / (n - 1) >= 0.5
+          n == 1 || vs.count(_ < v).toDouble / (n - 1) >= p
         }.sorted
         viaGate == viaRank && (thr.isEmpty == (n < 2))
     }
