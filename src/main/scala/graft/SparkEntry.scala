@@ -1264,6 +1264,82 @@ object SparkEntry {
       graft.operators.Gate.topFraction(scored, "source", "q", p = 0.75)
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"), min("q").as("min_kept_score"))
+    }),
+
+    // ---- stream-stream interval join under the gate (the last Structured
+    // Streaming operator family that was spec-only): clicks joined to the
+    // same user's purchases within the following hour, both sides of a
+    // stateful symmetric hash join fed by one file source. INNER join
+    // emission is watermark-independent (matches emit in the batch they
+    // meet; watermarks only bound state retention), so under AvailableNow
+    // the emitted set is exactly the batch join — the oracle. The interval
+    // condition is what lets Spark prune join state by event time at all;
+    // an unconstrained stream-stream join would hold both sides forever.
+    "q80_stream_interval_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val sink = "q80_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      def side(): DataFrame = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = side().where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = side().where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+      val q = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("click_id"), col("purchase_id"))
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink)
+      val result = s.createDataFrame(out.collectAsList(), out.schema)
+      s.catalog.dropTempView(sink)
+      result
+    }),
+
+    // ---- q80's LEFT OUTER form: clicks that never converted emit
+    // null-extended — but only once a match has become impossible. The
+    // emitted set is deterministic under AvailableNow via three rules
+    // pinned in StreamingSpec ("left-outer interval join"): the eviction
+    // bound is the JOIN-WINDOW end (click_ts + 1h), the boundary is
+    // STRICT, and the watermark is the GLOBAL MIN across both sides'
+    // watermark nodes. Unconverted clicks in the trailing hour-plus are
+    // withheld by design — that withholding IS the semantics under test.
+    "q81_stream_outer_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val sink = "q81_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      def side(): DataFrame = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = side().where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = side().where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+      val q = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        .select(col("click_id"), col("purchase_id"))
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.table(sink)
+      val result = s.createDataFrame(out.collectAsList(), out.schema)
+      s.catalog.dropTempView(sink)
+      result
     })
   )
 
@@ -2184,6 +2260,38 @@ object SparkEntry {
          |  percent_rank() OVER (PARTITION BY source ORDER BY q) AS pr,
          |  count(*) OVER (PARTITION BY source) AS n_src FROM sc)
          |SELECT source, count(*) AS n_kept, min(q) AS min_kept_score
-         |FROM r WHERE pr >= 0.75 OR n_src = 1 GROUP BY source""".stripMargin
+         |FROM r WHERE pr >= 0.75 OR n_src = 1 GROUP BY source""".stripMargin,
+
+    // inner stream-stream join emission == the batch join (watermarks only
+    // bound state); micros comparison mirrors q55's integer-us rule
+    "q80_stream_interval_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)
+        | AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000""".stripMargin,
+
+    // q80's matches plus null-extended unconverted clicks whose join window
+    // (click_ts + 1h) closed STRICTLY below the global min watermark =
+    // min(max click ms, max purchase ms) - 1h delay. The ms-truncated form
+    // equals the engine's micro-precision comparison because the watermark
+    // is ms-quantized (proof: cms*1000 + frac + 3.6e9 < wm_ms*1000 iff
+    // cms + 3600000 < wm_ms for 0 <= frac < 1000).
+    "q81_stream_outer_join" ->
+      """WITH c AS (SELECT event_id AS cid, user_id,
+        |    epoch_ns(ts) // 1000000 AS cms, epoch_us(ts) AS cus
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS pid, user_id,
+        |    epoch_ns(ts) // 1000000 AS pms, epoch_us(ts) AS pus
+        |  FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(cms) FROM c), (SELECT max(pms) FROM p))
+        |    - 3600000 AS w),
+        |m AS (SELECT c.cid, p.pid FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.pus >= c.cus AND p.pus <= c.cus + 3600000000)
+        |SELECT cid AS click_id, pid AS purchase_id FROM m
+        |UNION ALL
+        |SELECT c.cid, CAST(NULL AS BIGINT) FROM c, wm
+        |WHERE c.cid NOT IN (SELECT cid FROM m) AND c.cms + 3600000 < wm.w""".stripMargin
   )
 }

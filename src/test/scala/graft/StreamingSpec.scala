@@ -156,6 +156,58 @@ class StreamingSpec extends SparkSpec {
     assert(!got.contains(("a", "2025-01-01 10:30:00"))) // the in-state dup was dropped
   }
 
+  test("left-outer interval join: null-emission iff join-window end strictly below the GLOBAL min watermark") {
+    // q81's oracle hard-codes three facts about stream-stream left-outer
+    // emission under AvailableNow, each pinned by one crafted row:
+    //  - the eviction bound is the JOIN-CONDITION window end (click_ts +
+    //    interval), not click_ts + the watermark delay (click 3 emits, a
+    //    delay-based rule would also emit click 2);
+    //  - the boundary is STRICT (click 2's bound == wm is withheld);
+    //  - the watermark is the GLOBAL MIN across both sides' watermark
+    //    nodes (click 7 is below the click-side wm 13:00 but above the
+    //    global 11:00 -> withheld).
+    // delay 1h, interval 2h; max click 14:00 / max purchase 12:00 ->
+    // global wm = min(13:00, 11:00) = 11:00.
+    val dir = Files.createTempDirectory("graft_ojpin").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(
+      (1L, 100L, "click", ts("2025-01-01 07:00:00")),    // matched by 6
+      (2L, 200L, "click", ts("2025-01-01 09:00:00")),    // bound 11:00 == wm: HOLD
+      (3L, 300L, "click", ts("2025-01-01 08:59:00")),    // bound 10:59 < wm: EMIT null
+      (7L, 700L, "click", ts("2025-01-01 10:30:00")),    // bound 12:30 < click-side wm only: HOLD
+      (4L, 400L, "click", ts("2025-01-01 14:00:00")),    // click max; open
+      (5L, 400L, "purchase", ts("2025-01-01 12:00:00")), // purchase max; not in click 4's window
+      (6L, 100L, "purchase", ts("2025-01-01 08:30:00"))  // matches click 1
+    ).toDF("event_id", "user_id", "event_type", "ts")
+      .coalesce(1).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    def side() = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val clicks = side().where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = side().where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val sink = "oj_pin_sink"
+    val q = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 2 HOUR"),
+        "left_outer")
+      .select(col("click_id"), col("purchase_id"))
+      .writeStream.outputMode("append").format("memory").queryName(sink)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(sink).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    spark.catalog.dropTempView(sink)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    assert(got == Set((1L, 6L), (3L, -1L)),
+      s"outer-emission rule changed (got $got) — update q81's oracle filter")
+  }
+
   test("windowed event aggregation with watermark (streaming rollup)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
