@@ -43,6 +43,23 @@ object SparkEntry {
 
   private val dec = DecimalType(18, 2)
 
+  /** Stateful streaming queries materialize one state store per shuffle
+    * partition PER STATEFUL OPERATOR (a stream-stream join keeps four).
+    * The state-partition count is a deployment knob like the checkpoint
+    * dir: a 1000-executor run wants hundreds for state-size parallelism, a
+    * bounded gate corpus wants few — at sf0.1 the 32-partition default
+    * spends 3-4x the query's wall time on store setup/commit (measured on
+    * q80: ~25 s at 32 partitions vs ~4 s at 4). Streaming gate queries run
+    * their plan-and-start under a bounded count; the conf is restored after
+    * (it is captured at stream planning time, so batch queries see the
+    * original value).
+    */
+  private def withStreamPartitions[T](s: SparkSession, n: Int = 8)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Read + round-robin repartition: the testdata files are single
     * row-group parquet (unsplittable scans), so per-row-expensive operators
     * would otherwise run on one core. The tiny exchange buys full-width
@@ -913,16 +930,18 @@ object SparkEntry {
       val sink = "q53_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // the file source lists a directory; pathGlobFilter selects the one
       // events file out of the shared sf dir
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val q = graft.streaming.EventStream.windowedCounts(stream, "30 minutes", "2 hours")
-        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
-          col("event_type"), col("n_events"),
-          col("sum_value").cast("double").as("sum_value"))
-        .writeStream.outputMode("complete").format("memory").queryName(sink)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamPartitions(s) {
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val q = graft.streaming.EventStream.windowedCounts(stream, "30 minutes", "2 hours")
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+            col("event_type"), col("n_events"),
+            col("sum_value").cast("double").as("sum_value"))
+          .writeStream.outputMode("complete").format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       // copy the (bounded: windows x types) aggregate out and DROP the sink
       // view — otherwise every invocation leaks a driver-memory table into
       // the shared session catalog for the life of the process
@@ -945,17 +964,19 @@ object SparkEntry {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val tmp = java.nio.file.Files.createTempDirectory("graft_q70").toString
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val q = graft.streaming.EventStream.windowedCounts(stream, "30 minutes", "2 hours")
-        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
-          col("event_type"), col("n_events"),
-          col("sum_value").cast("double").as("sum_value"))
-        .writeStream.outputMode("append").format("parquet")
-        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/chk")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamPartitions(s) {
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val q = graft.streaming.EventStream.windowedCounts(stream, "30 minutes", "2 hours")
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+            col("event_type"), col("n_events"),
+            col("sum_value").cast("double").as("sum_value"))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       val out = s.read.parquet(s"$tmp/out")
       val result = s.createDataFrame(out.collectAsList(), out.schema)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
@@ -1172,20 +1193,22 @@ object SparkEntry {
       import s.implicits._
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val sink = "q74_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .select("user_id", "ts", "event_type", "value")
-        .as[graft.streaming.Sessionize.Event]
-      val q = graft.streaming.Sessionize.streamingSessions(stream, gapMinutes = 30)
-        .toDF()
-        .select(col("user_id"),
-          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
-          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
-          col("n_events").cast("long").as("n_events"))
-        .writeStream.outputMode("append").format("memory").queryName(sink)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamPartitions(s) {
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select("user_id", "ts", "event_type", "value")
+          .as[graft.streaming.Sessionize.Event]
+        val q = graft.streaming.Sessionize.streamingSessions(stream, gapMinutes = 30)
+          .toDF()
+          .select(col("user_id"),
+            date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+            col("n_events").cast("long").as("n_events"))
+          .writeStream.outputMode("append").format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       val out = s.table(sink)
       val result = s.createDataFrame(out.collectAsList(), out.schema)
       s.catalog.dropTempView(sink)
@@ -1206,19 +1229,21 @@ object SparkEntry {
     "q75_streaming_dedup" -> ((s, dir) => {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val sink = "q75_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-        // +1 day: an arrival at exactly epoch 0 equals the initial watermark
-        // and is discarded by the late-row filter (measured: doc_id 0 was
-        // silently dropped) — keep every synthetic arrival strictly above it
-        .withColumn("arrival_ts", timestamp_seconds(col("doc_id") + lit(86400L)))
-        .withColumn("fingerprint", TextAnalysis.contentFingerprint(col("text")))
-        .withWatermark("arrival_ts", "1 hour")
-        .dropDuplicatesWithinWatermark("fingerprint")
-        .select("fingerprint")
-        .writeStream.outputMode("append").format("memory").queryName(sink)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamPartitions(s) {
+        val q = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          // +1 day: an arrival at exactly epoch 0 equals the initial watermark
+          // and is discarded by the late-row filter (measured: doc_id 0 was
+          // silently dropped) — keep every synthetic arrival strictly above it
+          .withColumn("arrival_ts", timestamp_seconds(col("doc_id") + lit(86400L)))
+          .withColumn("fingerprint", TextAnalysis.contentFingerprint(col("text")))
+          .withWatermark("arrival_ts", "1 hour")
+          .dropDuplicatesWithinWatermark("fingerprint")
+          .select("fingerprint")
+          .writeStream.outputMode("append").format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       val out = s.table(sink)
       val result = s.createDataFrame(out.collectAsList(), out.schema)
       s.catalog.dropTempView(sink)
@@ -1290,14 +1315,16 @@ object SparkEntry {
         .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
           col("ts").as("purchase_ts"))
         .withWatermark("purchase_ts", "1 hour")
-      val q = clicks.join(purchases,
-          col("user_id") === col("p_user") &&
-            col("purchase_ts") >= col("click_ts") &&
-            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
-        .select(col("click_id"), col("purchase_id"))
-        .writeStream.outputMode("append").format("memory").queryName(sink)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamPartitions(s) {
+        val q = clicks.join(purchases,
+            col("user_id") === col("p_user") &&
+              col("purchase_ts") >= col("click_ts") &&
+              col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+          .select(col("click_id"), col("purchase_id"))
+          .writeStream.outputMode("append").format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       val out = s.table(sink)
       val result = s.createDataFrame(out.collectAsList(), out.schema)
       s.catalog.dropTempView(sink)
@@ -1327,15 +1354,17 @@ object SparkEntry {
         .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
           col("ts").as("purchase_ts"))
         .withWatermark("purchase_ts", "1 hour")
-      val q = clicks.join(purchases,
-          col("user_id") === col("p_user") &&
-            col("purchase_ts") >= col("click_ts") &&
-            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
-          "left_outer")
-        .select(col("click_id"), col("purchase_id"))
-        .writeStream.outputMode("append").format("memory").queryName(sink)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamPartitions(s) {
+        val q = clicks.join(purchases,
+            col("user_id") === col("p_user") &&
+              col("purchase_ts") >= col("click_ts") &&
+              col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+            "left_outer")
+          .select(col("click_id"), col("purchase_id"))
+          .writeStream.outputMode("append").format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       val out = s.table(sink)
       val result = s.createDataFrame(out.collectAsList(), out.schema)
       s.catalog.dropTempView(sink)
