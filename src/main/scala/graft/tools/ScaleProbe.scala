@@ -109,7 +109,24 @@ object ScaleProbe {
         TextAnalysis.profile(d, "text"), "doc_id",
         Seq("train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625)))),
       "ann_topk" -> ((_, e) => noopCount(
-        Ann.topK(e.where(col("vec_id") =!= 0), "vec_id", "embedding", qv, 10)))
+        Ann.topK(e.where(col("vec_id") =!= 0), "vec_id", "embedding", qv, 10))),
+      // round-5 continuation families: per-row array math (repetition),
+      // shared-exchange tf/df ranking (keywords), bounded pair expansion
+      // (overlap). Expected shapes: repetition ~linear map-only; keywords
+      // ~linear (one gram shuffle + broadcast df); overlap key-bounded.
+      "repetition" -> ((d, _) => noopCount(
+        TextAnalysis.repetitionMetrics(d, "doc_id", "text"))),
+      "keywords_topk" -> ((d, _) => noopCount(
+        graft.operators.Keywords.topTerms(d, "doc_id", "text", k = 3))),
+      "source_overlap" -> ((d, _) => noopCount(Dedup.overlapMatrix(
+        d.select(explode(Dedup.wordNgrams(col("text"), 4)).as("gram"),
+          col("source")),
+        "gram", "source"))),
+      "quality_gate_topfrac" -> { (d, _) =>
+        val scored = d.select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(TextAnalysis.qualityMetrics(col("text"))).as("q"))
+        noopCount(graft.operators.Gate.topFraction(scored, "source", "q", 0.75))
+      }
     )
 
     val results = ops.map { case (name, f) =>
