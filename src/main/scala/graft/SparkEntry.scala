@@ -1291,6 +1291,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), min("q").as("min_kept_score"))
     }),
 
+    // ---- score-weighted deterministic sampling: keep probability = the
+    // row's own quality score (bit-portable, q25) decided by the id hash —
+    // "sample proportional to quality", between a hard gate (q64/q79) and
+    // a flat rate (q61). Row-level membership under the gate. Map-side
+    // only: no join, no shuffle.
+    "q82_weighted_sample" -> ((s, dir) => {
+      val scored = rdPar(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(TextAnalysis.qualityMetrics(col("text"))).as("q"))
+      graft.operators.Sampling.weightedSample(scored, "doc_id", "q")
+    }),
+
     // ---- stream-stream interval join under the gate (the last Structured
     // Streaming operator family that was spec-only): clicks joined to the
     // same user's purchases within the following hour, both sides of a
@@ -2307,6 +2318,18 @@ object SparkEntry {
     // equals the engine's micro-precision comparison because the watermark
     // is ms-quantized (proof: cms*1000 + frac + 3.6e9 < wm_ms*1000 iff
     // cms + 3600000 < wm_ms for 0 <= frac < 1000).
+    // the same uniform + score fragments as q61/q25; both sides clamp and
+    // compare the identical doubles, so the kept set is bit-identical
+    "q82_weighted_sample" ->
+      s"""WITH m AS (SELECT doc_id, source,
+         |  $qualityMetricsSql
+         | FROM documents),
+         |sc AS (SELECT doc_id, source,
+         |  $qualityScoreSql AS q
+         | FROM m)
+         |SELECT doc_id, source, q FROM sc
+         |WHERE ${uniformSql("doc_id", ":wt")} < LEAST(GREATEST(q, 0.0), 1.0)""".stripMargin,
+
     "q81_stream_outer_join" ->
       """WITH c AS (SELECT event_id AS cid, user_id,
         |    epoch_ns(ts) // 1000000 AS cms, epoch_us(ts) AS cus

@@ -41,6 +41,20 @@ object Sampling {
     df.where(uniformFromId(col(idCol)) < rate)
   }
 
+  /** Score-weighted deterministic sample: keep a row with probability
+    * `weightCol` (clamped to [0, 1]), decided by the id hash — "sample
+    * proportional to quality", the curation move between a hard quality
+    * threshold (gate) and a flat rate (stratifiedSample). Deterministic
+    * and growth-stable like every sampler here: a row's fate depends only
+    * on (id, salt, its own weight), so re-running over a grown corpus
+    * keeps prior decisions. Map-side only — no join, no shuffle; null
+    * weights never keep (explicit, like the gate's null rule).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     salt: String = ":wt"): DataFrame =
+    df.where(uniformFromId(col(idCol), salt) <
+      least(greatest(col(weightCol), lit(0.0)), lit(1.0)))
+
   /** Deterministic weighted upsampling for domain mixing: weight w emits
     * floor(w) copies of every row plus one more with probability frac(w),
     * decided per-row by the id hash — so a lang weighted 2.3 contributes

@@ -484,6 +484,25 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("weighted sample: edge weights, expectation, repartition-stable, null drops") {
+    import graft.operators.Sampling
+    val df = (1L to 2000L).map(i => (i,
+      if (i <= 500) 0.0 else if (i <= 1000) 1.0
+      else if (i <= 1500) 0.5 else Double.NaN)).toDF("id", "w")
+      .withColumn("w", when(isnan(col("w")), lit(null)).otherwise(col("w")))
+    val kept = Sampling.weightedSample(df, "id", "w")
+      .select("id").as[Long].collect().toSet
+    assert(!kept.exists(_ <= 500), "weight 0 must keep nothing")
+    assert((501L to 1000L).forall(kept), "weight 1 must keep everything")
+    val half = (1001L to 1500L).count(kept)
+    assert(half > 200 && half < 300, s"weight 0.5 kept $half of 500")
+    assert(!kept.exists(_ > 1500), "null weight must never keep")
+    // decisions depend only on (id, salt, weight): partitioning-independent
+    val kept2 = Sampling.weightedSample(df.repartition(7), "id", "w")
+      .select("id").as[Long].collect().toSet
+    assert(kept2 == kept)
+  }
+
   test("keywords: tf/df ranking hand-computed; tf exchange shared with df") {
     val df = Seq(
       (1L, "spark spark spark rare common"),
