@@ -1302,6 +1302,28 @@ object SparkEntry {
       graft.operators.Sampling.weightedSample(scored, "doc_id", "q")
     }),
 
+    // ---- relational reshape: per-user event-type count matrix via
+    // `pivot` with an EXPLICIT value list (an implicit list adds a
+    // distinct-scan job and makes the output schema data-dependent — never
+    // at scale). Pivot-count yields NULL for absent combinations where
+    // SQL's conditional count yields 0; coalesced explicitly, since that
+    // mismatch is semantic, not cosmetic.
+    "q83_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = events(s, dir).groupBy("user_id")
+        .pivot("event_type", types).count()
+      p.select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+    }),
+
+    // ---- embedding-space label cohesion (the "are my labels clusters"
+    // audit before trusting label-blocked dedup / per-label IVF routing).
+    // Centroids use q52's bit-portability trick (normalize, then FLOAT
+    // rounding absorbs summation-order ulps); output doubles are
+    // min/max of in-order cosine folds — never a row-summed double.
+    "q84_label_cohesion" -> ((s, dir) =>
+      Ann.labelCohesion(rd(s, dir, "embeddings"), "embedding", "label")),
+
     // ---- stream-stream interval join under the gate (the last Structured
     // Streaming operator family that was spec-only): clicks joined to the
     // same user's purchases within the following hour, both sides of a
@@ -2318,6 +2340,35 @@ object SparkEntry {
     // equals the engine's micro-precision comparison because the watermark
     // is ms-quantized (proof: cms*1000 + frac + 3.6e9 < wm_ms*1000 iff
     // cms + 3600000 < wm_ms for 0 <= frac < 1000).
+    // q52's centroid CTE shape per label: per-(label,pos) AVG, list in pos
+    // order, L2-normalize, FLOAT-round; then min/max of the same in-order
+    // cosine fold both engines share
+    "q84_label_cohesion" -> {
+      s"""WITH m AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+         |    unnest(embedding) AS val FROM embeddings),
+         |a AS (SELECT label, pos, avg(val) AS m FROM m GROUP BY 1, 2),
+         |v AS (SELECT label, list(m ORDER BY pos) AS mv FROM a GROUP BY 1),
+         |n AS (SELECT label, mv,
+         |    sqrt(list_sum(list_transform(mv, x -> x * x))) AS nrm FROM v),
+         |c AS (SELECT label,
+         |    list_transform(mv, x -> CAST(x / nrm AS FLOAT)) AS cv
+         |  FROM n WHERE nrm > 0)
+         |SELECT e.label, count(*) AS n_vecs,
+         |  min(${cosSql("e.embedding", "c.cv")}) AS min_cos,
+         |  max(${cosSql("e.embedding", "c.cv")}) AS max_cos
+         |FROM embeddings e JOIN c USING (label)
+         |GROUP BY e.label""".stripMargin
+    },
+
+    "q83_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+        |FROM events GROUP BY user_id""".stripMargin,
+
     // the same uniform + score fragments as q61/q25; both sides clamp and
     // compare the identical doubles, so the kept set is bit-identical
     "q82_weighted_sample" ->

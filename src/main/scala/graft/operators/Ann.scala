@@ -208,6 +208,39 @@ object Ann {
     cents
   }
 
+  /** Per-label embedding-space cohesion profile: each label's centroid
+    * (L2-normalized per-dim mean, rounded to FLOAT — q52's bit-portability
+    * trick: the rounding absorbs engine summation-order ulps) and the
+    * min/max cosine of the label's own vectors to it. The "are my class
+    * labels actually clusters" audit a multimodal/embedding pipeline runs
+    * before trusting label-blocked dedup or IVF-per-label routing.
+    *
+    * Output doubles are order-free (count/min/max over in-order per-row
+    * folds), never a row-summed double — which is what keeps the whole
+    * thing oracle-portable. Shape at scale: one (label, pos) shuffle for
+    * the means (map-side partial avg), centroids broadcast back, min/max
+    * aggregate map-side. Labels are assumed bounded (classes, not keys).
+    */
+  def labelCohesion(df: DataFrame, embCol: String, labelCol: String): DataFrame = {
+    val means = df.where(col(embCol).isNotNull)
+      .select(col(labelCol).as("__lbl"), posexplode(col(embCol)))
+      .groupBy(col("__lbl"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+    val cents = means.groupBy("__lbl")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("mv"))
+      .withColumn("nrm", sqrt(aggregate(col("mv"), lit(0.0),
+        (a, x) => a + x * x)))
+      .where(col("nrm") > 0)
+      .select(col("__lbl"),
+        transform(col("mv"), x => (x / col("nrm")).cast("float")).as("cv"))
+    df.join(broadcast(cents), col(labelCol) === col("__lbl"))
+      .withColumn("__cos", cosineSim(col(embCol), col("cv")))
+      .groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("__cos")).as("min_cos"), max(col("__cos")).as("max_cos"))
+  }
+
   /** IVF-pruned approximate top-k: score only rows in the `nProbe` cells
     * nearest to the query. With the corpus persisted partitionBy(ivf_cell),
     * the isin() filter becomes partition pruning — the scan itself shrinks.

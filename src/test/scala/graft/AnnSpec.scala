@@ -131,4 +131,20 @@ class AnnSpec extends SparkSpec {
     assert(buckets(1L) == buckets(2L))
     assert(buckets(1L) != buckets(3L))
   }
+
+  test("label cohesion: tight label reads ~1.0, scattered label strictly looser") {
+    val tight = (1 to 10).map(i => (i.toLong, 0, Array(1f, 2f, 3f, 4f)))
+    // scattered: axis-aligned one-hot vectors — pairwise orthogonal, so
+    // cosine-to-centroid is well below 1 for every member
+    val scattered = (1 to 4).map(i =>
+      (100L + i, 1, Array.tabulate(4)(j => if (j == i - 1) 1f else 0f)))
+    val df = (tight ++ scattered).toDF("id", "label", "emb")
+    val got = Ann.labelCohesion(df, "emb", "label")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(got(0).getLong(1) == 10)
+    assert(math.abs(got(0).getDouble(2) - 1.0) < 1e-6) // identical vectors: min_cos ~ 1
+    assert(got(1).getLong(1) == 4)
+    assert(got(1).getDouble(3) < 0.9, "orthogonal label should not look cohesive")
+    assert(got(1).getDouble(2) <= got(1).getDouble(3))
+  }
 }
