@@ -1316,6 +1316,14 @@ object SparkEntry {
         types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
     }),
 
+    // ---- edit-distance verified near-dup pairs: the character-level
+    // verifier of the fuzzy-dedup toolbox (small in-place edits shift
+    // every word n-gram; Jaccard under-scores them). Blocked like every
+    // pairwise step; thresholded levenshtein caps the DP per pair.
+    "q85_editdist_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(rdPar(s, dir, "documents"), "doc_id", "text",
+        Seq("lang", "source"), prefixLen = 64, maxDist = 8)),
+
     // ---- embedding-space label cohesion (the "are my labels clusters"
     // audit before trusting label-blocked dedup / per-label IVF routing).
     // Centroids use q52's bit-portability trick (normalize, then FLOAT
@@ -2340,6 +2348,17 @@ object SparkEntry {
     // equals the engine's micro-precision comparison because the watermark
     // is ms-quantized (proof: cms*1000 + frac + 3.6e9 < wm_ms*1000 iff
     // cms + 3600000 < wm_ms for 0 <= frac < 1000).
+    // integer edit distances are engine-portable; DuckDB computes the full
+    // DP and filters where Spark's thresholded form early-outs — same set
+    "q85_editdist_pairs" ->
+      """WITH s AS (SELECT doc_id, lang, source,
+        |    substr(text, 1, 64) AS p FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.p, b.p) AS INT) AS edit_dist
+        |FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source
+        |  AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.p, b.p) <= 8""".stripMargin,
+
     // q52's centroid CTE shape per label: per-(label,pos) AVG, list in pos
     // order, L2-normalize, FLOAT-round; then min/max of the same in-order
     // cosine fold both engines share

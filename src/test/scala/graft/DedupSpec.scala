@@ -282,6 +282,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("edit-distance pairs: catches in-place edits Jaccard misses; blocked; capped") {
+    val df = Seq(
+      (1L, "en", "s1", "the quick brown fox jumps over the lazy dog"),
+      (2L, "en", "s1", "the quick brewn fox jumps over the lazy dog"), // 1 char edit
+      (3L, "en", "s1", "completely different content here with nothing shared"),
+      (4L, "en", "s2", "the quick brown fox jumps over the lazy dog") // other block
+    ).toDF("doc_id", "lang", "source", "text")
+    val got = Dedup.editDistancePairs(df, "doc_id", "text",
+        Seq("lang", "source"), prefixLen = 64, maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == Map((1L, 2L) -> 1)) // the single-char edit, distance 1
+    // (1,4) identical texts but different blocks: never enumerated
+    // every word 1-gram of doc 2 differs from doc 1 in exactly one token —
+    // jaccard = 8/10 < 0.9, so the q39-style pass at 0.9 would drop it
+    val jac = Dedup.jaccardPairs(df, "doc_id", "text",
+        Seq("lang", "source"), n = 1, threshold = 0.9)
+      .collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
   test("overlap matrix: hand-computed source-pair counts, ordered pairs, singletons dropped") {
     // keys: k1 in {A,B,C}; k2 in {A,B}; k3 in {C} only; k4 in {B} twice
     // (per-source duplicates must collapse before counting)
