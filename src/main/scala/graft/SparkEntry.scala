@@ -1316,6 +1316,57 @@ object SparkEntry {
         types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
     }),
 
+    // ---- INCREMENTAL multi-batch streaming ≡ batch (q70's aggregation
+    // processed one file per trigger instead of one big batch): events are
+    // split into time-CONTIGUOUS files, so the watermark ratchets up per
+    // batch and state for closed windows is evicted mid-stream — yet the
+    // union of emissions must equal the single-batch result (files are
+    // time-ordered, so nothing ever arrives below the watermark; a window
+    // that closed in batch k gets no data in batch k+1 by construction).
+    // This is the property that makes incremental pipeline processing
+    // trustworthy at all; the oracle is q70's closed form, unchanged.
+    "q86_incremental_windows" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q86").toString
+      // 4 contiguous time slices, written as separate files named in time
+      // order (file-source listing processes them oldest-first)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ntile4 = ntile(4).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id")))
+      val sliced = ev.withColumn("slice", ntile4)
+      (1 to 4).foreach { i =>
+        sliced.where(col("slice") === i).drop("slice")
+          .coalesce(1).write.parquet(f"$tmp/in/slice_$i%03d")
+        // the file source orders same-mtime files arbitrarily; the
+        // time-ordering argument above NEEDS oldest-slice-first, so pin
+        // strictly increasing mtimes (sub-second writes tie otherwise)
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/in"))
+          .filter(p => p.toString.contains(f"slice_$i%03d"))
+          .forEach(p => p.toFile.setLastModified(1000000000000L + i * 60000L): Unit)
+      }
+      val schema = ev.schema
+      val sink = "q86_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withStreamPartitions(s) {
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(s"$tmp/in/*")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val q = graft.streaming.EventStream.windowedCounts(stream, "30 minutes", "2 hours")
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+            col("event_type"), col("n_events"),
+            col("sum_value").cast("double").as("sum_value"))
+          .writeStream.outputMode("append").format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val out = s.table(sink)
+      val result = s.createDataFrame(out.collectAsList(), out.schema)
+      s.catalog.dropTempView(sink)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      result
+    }),
+
     // ---- edit-distance verified near-dup pairs: the character-level
     // verifier of the fuzzy-dedup toolbox (small in-place edits shift
     // every word n-gram; Jaccard under-scores them). Blocked like every
@@ -2348,6 +2399,20 @@ object SparkEntry {
     // equals the engine's micro-precision comparison because the watermark
     // is ms-quantized (proof: cms*1000 + frac + 3.6e9 < wm_ms*1000 iff
     // cms + 3600000 < wm_ms for 0 <= frac < 1000).
+    // q70's closed form UNCHANGED: incremental per-file processing with a
+    // ratcheting watermark must emit exactly the single-batch set (files
+    // are time-contiguous, so nothing arrives late)
+    "q86_incremental_windows" ->
+      """WITH w AS (SELECT (epoch_ns(ts) // 1800000000000) * 1800000000000 AS ws_ns,
+        |    event_type, value FROM events),
+        |wm AS (SELECT (max(epoch_ns(ts)) // 1000000) * 1000000
+        |    - 7200000000000 AS wm_ns FROM events)
+        |SELECT strftime(make_timestamp(ws_ns // 1000), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w, wm WHERE ws_ns + 1800000000000 <= wm_ns
+        |GROUP BY 1, 2""".stripMargin,
+
     // integer edit distances are engine-portable; DuckDB computes the full
     // DP and filters where Spark's thresholded form early-outs — same set
     "q85_editdist_pairs" ->
