@@ -1316,6 +1316,28 @@ object SparkEntry {
         types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
     }),
 
+    // ---- temperature rebalancing with DATA-DEPENDENT mixing weights
+    // (q63's weights are literals; real mixing derives them from corpus
+    // stats): language weight = sqrt(n_max / n_lang) — alpha-0.5 sampling,
+    // the standard multilingual rebalance that upweights rare languages.
+    // Portable because every step is a correctly-rounded IEEE op on exact
+    // integers (divide, sqrt) — the FORM sqrt(a/b) is pinned on both
+    // sides; sqrt(a)/sqrt(b) would round differently. The scalar n_max is
+    // the one driver-held value (constant-size, like the stored query
+    // vectors); per-lang weights broadcast.
+    "q87_temperature_mix" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val nMax = counts.agg(max("n")).head().getLong(0)
+      val weights = counts.withColumn("w",
+        sqrt(lit(nMax).cast("double") / col("n"))).drop("n")
+      graft.operators.Sampling.upsample(
+          docs.join(broadcast(weights), "lang"), "doc_id", col("w"))
+        .groupBy("lang", "epoch")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"))
+    }),
+
     // ---- INCREMENTAL multi-batch streaming ≡ batch (q70's aggregation
     // processed one file per trigger instead of one big batch): events are
     // split into time-CONTIGUOUS files, so the watermark ratchets up per
@@ -1340,9 +1362,10 @@ object SparkEntry {
         // the file source orders same-mtime files arbitrarily; the
         // time-ordering argument above NEEDS oldest-slice-first, so pin
         // strictly increasing mtimes (sub-second writes tie otherwise)
-        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/in"))
-          .filter(p => p.toString.contains(f"slice_$i%03d"))
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/in"))
+        try walk.filter(p => p.toString.contains(f"slice_$i%03d"))
           .forEach(p => p.toFile.setLastModified(1000000000000L + i * 60000L): Unit)
+        finally walk.close()
       }
       val schema = ev.schema
       val sink = "q86_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -2399,6 +2422,26 @@ object SparkEntry {
     // equals the engine's micro-precision comparison because the watermark
     // is ms-quantized (proof: cms*1000 + frac + 3.6e9 < wm_ms*1000 iff
     // cms + 3600000 < wm_ms for 0 <= frac < 1000).
+    // q63's epoch-explode machinery with sqrt(nmax/n) weights; the sqrt-of-
+    // quotient FORM matches the Spark side exactly (sqrt(a)/sqrt(b) rounds
+    // differently), so the doubles — and the fractional-epoch decisions
+    // they drive — are bit-identical
+    "q87_temperature_mix" ->
+      s"""WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |mx AS (SELECT max(n) AS nmax FROM cnt),
+         |wt AS (SELECT lang, sqrt(CAST(nmax AS DOUBLE) / n) AS w FROM cnt, mx),
+         |d AS (SELECT doc_id, documents.lang, w,
+         |    ${uniformSql("doc_id", ":up")} AS u
+         |  FROM documents JOIN wt ON documents.lang = wt.lang),
+         |n AS (SELECT doc_id, lang,
+         |    CAST(floor(w) AS BIGINT)
+         |      + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS n_copies FROM d),
+         |e AS (SELECT doc_id, lang, CAST(ep.ep AS BIGINT) AS epoch
+         |  FROM n, unnest(generate_series(1, n_copies)) AS ep(ep)
+         |  WHERE n_copies > 0)
+         |SELECT lang, epoch, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs
+         |FROM e GROUP BY 1, 2""".stripMargin,
+
     // q70's closed form UNCHANGED: incremental per-file processing with a
     // ratcheting watermark must emit exactly the single-batch set (files
     // are time-contiguous, so nothing arrives late)
