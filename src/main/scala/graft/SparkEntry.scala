@@ -60,6 +60,61 @@ object SparkEntry {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Drain a finished memory-sink table into a plain local DataFrame and
+    * drop the temp view (a leaked view per invocation otherwise outlives
+    * the query in the shared session catalog).
+    */
+  private def drainSink(s: SparkSession, sink: String): DataFrame = {
+    val out = s.table(sink)
+    val result = s.createDataFrame(out.collectAsList(), out.schema)
+    s.catalog.dropTempView(sink)
+    result
+  }
+
+  /** q53/q70/q86 gate the same windowed aggregation through different
+    * sinks/batching; the projection lives once for the same reason as
+    * [[streamIntervalJoin]].
+    */
+  private def windowedCountsSelect(df: DataFrame): DataFrame =
+    df.select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+      col("event_type"), col("n_events"),
+      col("sum_value").cast("double").as("sum_value"))
+
+  /** Shared body of q80/q81 — the clicks→purchases interval join as a real
+    * StreamingQuery; the two gated rows differ ONLY in the join type, so
+    * the condition/watermark/plumbing live once (a fix applied to one
+    * cannot silently miss the other).
+    */
+  private def streamIntervalJoin(s: SparkSession, dir: String,
+                                 joinType: String, tag: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val sink = tag + "_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    def side(): DataFrame = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = side().where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = side().where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    withStreamPartitions(s) {
+      val q = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+          joinType)
+        .select(col("click_id"), col("purchase_id"))
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainSink(s, sink)
+  }
+
   /** Read + round-robin repartition: the testdata files are single
     * row-group parquet (unsplittable scans), so per-row-expensive operators
     * would otherwise run on one core. The tiny exchange buys full-width
@@ -934,10 +989,8 @@ object SparkEntry {
         val stream = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        val q = graft.streaming.EventStream.windowedCounts(stream, "30 minutes", "2 hours")
-          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
-            col("event_type"), col("n_events"),
-            col("sum_value").cast("double").as("sum_value"))
+        val q = windowedCountsSelect(
+          graft.streaming.EventStream.windowedCounts(stream, "30 minutes", "2 hours"))
           .writeStream.outputMode("complete").format("memory").queryName(sink)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -945,10 +998,7 @@ object SparkEntry {
       // copy the (bounded: windows x types) aggregate out and DROP the sink
       // view — otherwise every invocation leaks a driver-memory table into
       // the shared session catalog for the life of the process
-      val out = s.table(sink)
-      val result = s.createDataFrame(out.collectAsList(), out.schema)
-      s.catalog.dropTempView(sink)
-      result
+      drainSink(s, sink)
     }),
 
     // ---- streaming APPEND mode under the gate — the production shape q53
@@ -968,10 +1018,8 @@ object SparkEntry {
         val stream = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        val q = graft.streaming.EventStream.windowedCounts(stream, "30 minutes", "2 hours")
-          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
-            col("event_type"), col("n_events"),
-            col("sum_value").cast("double").as("sum_value"))
+        val q = windowedCountsSelect(
+          graft.streaming.EventStream.windowedCounts(stream, "30 minutes", "2 hours"))
           .writeStream.outputMode("append").format("parquet")
           .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/chk")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -1209,10 +1257,7 @@ object SparkEntry {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
-      val out = s.table(sink)
-      val result = s.createDataFrame(out.collectAsList(), out.schema)
-      s.catalog.dropTempView(sink)
-      result
+      drainSink(s, sink)
     }),
 
     // ---- streaming exact-dedup under the gate: the production form of q13
@@ -1244,10 +1289,7 @@ object SparkEntry {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
-      val out = s.table(sink)
-      val result = s.createDataFrame(out.collectAsList(), out.schema)
-      s.catalog.dropTempView(sink)
-      result
+      drainSink(s, sink)
     }),
 
     // ---- Gopher-style repetition gate (the quality rule q25's score
@@ -1255,7 +1297,9 @@ object SparkEntry {
     // the gate; zero-shuffle per-row array math (see
     // TextAnalysis.repetitionMetrics).
     "q76_repetition" -> ((s, dir) =>
-      TextAnalysis.repetitionMetrics(rd(s, dir, "documents"), "doc_id", "text")),
+      // rdPar: the per-row bigram sort+fold is compute-heavy and the
+      // testdata is one row-group — same reasoning as q79/q82
+      TextAnalysis.repetitionMetrics(rdPar(s, dir, "documents"), "doc_id", "text")),
 
     // ---- per-doc salient terms by tf/df (tf-idf's monotone core — the
     // log(N/df) factor is engine-specific libm, the RANKING is the
@@ -1273,7 +1317,10 @@ object SparkEntry {
     // matrix non-trivial on a corpus with no full-document mirrors.
     "q78_source_overlap" -> ((s, dir) =>
       Dedup.overlapMatrix(
-        rdPar(s, dir, "documents")
+        // NULL texts diverge between engines here (Spark's wordNgrams
+        // yields a '' gram via concat_ws; DuckDB's slice yields NULL which
+        // drops out of the join) — exclude them explicitly on both sides
+        rdPar(s, dir, "documents").where(col("text").isNotNull)
           .select(explode(Dedup.wordNgrams(col("text"), 4)).as("gram"),
             col("source")),
         "gram", "source")),
@@ -1355,7 +1402,9 @@ object SparkEntry {
       val ev = s.read.parquet(s"$dir/events.parquet")
       val ntile4 = ntile(4).over(org.apache.spark.sql.expressions.Window
         .orderBy(col("ts"), col("event_id")))
-      val sliced = ev.withColumn("slice", ntile4)
+      // materialized once: each slice write would otherwise re-run the
+      // global ntile sort over the full events table (4 scans + 4 sorts)
+      val sliced = ev.withColumn("slice", ntile4).localCheckpoint(true)
       (1 to 4).foreach { i =>
         sliced.where(col("slice") === i).drop("slice")
           .coalesce(1).write.parquet(f"$tmp/in/slice_$i%03d")
@@ -1375,10 +1424,8 @@ object SparkEntry {
           .option("pathGlobFilter", "*.parquet")
           .parquet(s"$tmp/in/*")
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        val q = graft.streaming.EventStream.windowedCounts(stream, "30 minutes", "2 hours")
-          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
-            col("event_type"), col("n_events"),
-            col("sum_value").cast("double").as("sum_value"))
+        val q = windowedCountsSelect(
+          graft.streaming.EventStream.windowedCounts(stream, "30 minutes", "2 hours"))
           .writeStream.outputMode("append").format("memory").queryName(sink)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -1415,36 +1462,8 @@ object SparkEntry {
     // the emitted set is exactly the batch join — the oracle. The interval
     // condition is what lets Spark prune join state by event time at all;
     // an unconstrained stream-stream join would hold both sides forever.
-    "q80_stream_interval_join" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val sink = "q80_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      def side(): DataFrame = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val clicks = side().where(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"),
-          col("ts").as("click_ts"))
-        .withWatermark("click_ts", "1 hour")
-      val purchases = side().where(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-          col("ts").as("purchase_ts"))
-        .withWatermark("purchase_ts", "1 hour")
-      withStreamPartitions(s) {
-        val q = clicks.join(purchases,
-            col("user_id") === col("p_user") &&
-              col("purchase_ts") >= col("click_ts") &&
-              col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
-          .select(col("click_id"), col("purchase_id"))
-          .writeStream.outputMode("append").format("memory").queryName(sink)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-      val out = s.table(sink)
-      val result = s.createDataFrame(out.collectAsList(), out.schema)
-      s.catalog.dropTempView(sink)
-      result
-    }),
+    "q80_stream_interval_join" -> ((s, dir) =>
+      streamIntervalJoin(s, dir, "inner", "q80")),
 
     // ---- q80's LEFT OUTER form: clicks that never converted emit
     // null-extended — but only once a match has become impossible. The
@@ -1454,37 +1473,8 @@ object SparkEntry {
     // STRICT, and the watermark is the GLOBAL MIN across both sides'
     // watermark nodes. Unconverted clicks in the trailing hour-plus are
     // withheld by design — that withholding IS the semantics under test.
-    "q81_stream_outer_join" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val sink = "q81_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      def side(): DataFrame = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val clicks = side().where(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"),
-          col("ts").as("click_ts"))
-        .withWatermark("click_ts", "1 hour")
-      val purchases = side().where(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-          col("ts").as("purchase_ts"))
-        .withWatermark("purchase_ts", "1 hour")
-      withStreamPartitions(s) {
-        val q = clicks.join(purchases,
-            col("user_id") === col("p_user") &&
-              col("purchase_ts") >= col("click_ts") &&
-              col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
-            "left_outer")
-          .select(col("click_id"), col("purchase_id"))
-          .writeStream.outputMode("append").format("memory").queryName(sink)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-      val out = s.table(sink)
-      val result = s.createDataFrame(out.collectAsList(), out.schema)
-      s.catalog.dropTempView(sink)
-      result
-    })
+    "q81_stream_outer_join" -> ((s, dir) =>
+      streamIntervalJoin(s, dir, "left_outer", "q81"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -2386,7 +2376,8 @@ object SparkEntry {
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |grams AS (SELECT DISTINCT d.source, array_to_string(t[i.i : i.i + 3], ' ') AS g
         |  FROM toks JOIN documents d USING (doc_id),
-        |    unnest(generate_series(1, greatest(len(t) - 3, 1))) AS i(i))
+        |    unnest(generate_series(1, greatest(len(t) - 3, 1))) AS i(i)
+        |  WHERE d.text IS NOT NULL)
         |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
         |FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,

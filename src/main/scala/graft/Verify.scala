@@ -9,6 +9,11 @@ object Verify {
     // optional extra args: run only these queries (local iteration aid;
     // the driver always calls with exactly two args = full surface)
     val only = args.drop(2).toSet
+    // a typo'd name would otherwise filter everything out and the run
+    // would silently write nothing (stale outputs then read as current)
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty)
+      System.err.println(s"[verify] UNKNOWN query names: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

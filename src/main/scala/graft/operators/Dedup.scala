@@ -206,7 +206,7 @@ object Dedup {
     val a = slim.toDF(slim.columns.map(_ + "_a"): _*)
     val b = slim.toDF(slim.columns.map(_ + "_b"): _*)
     val blockCond = blockCols.map(c => col(s"${c}_a") === col(s"${c}_b"))
-      .reduce(_ && _)
+      .reduceOption(_ && _).getOrElse(lit(true))
     a.join(b, blockCond && col(s"${idCol}_a") < col(s"${idCol}_b"))
       .withColumn("edit_dist",
         levenshtein(col("prefix_a"), col("prefix_b"), maxDist))
