@@ -1162,35 +1162,16 @@ object SparkEntry {
     // ONE query is what surfaces stage-boundary bugs (column collisions,
     // exchange reuse across stages) that per-stage gates cannot.
     "q69_curation_e2e" -> ((s, dir) => {
-      val docs = rdPar(s, dir, "documents")
-      // exact BEFORE near-dup: un-deduped LSH/prefix pair-gen is quadratic
-      // in replica depth (measured in ScaleProbe; SCALE.md §dedup ordering)
-      // Stage-boundary materialization (same move Components makes for its
-      // edge list): `exact` feeds pair-gen (both join sides), the survivor
-      // join-back, and the decontamination corpus — unmaterialized, every
-      // consumer re-expands the whole dedup subtree and the composed plan
-      // scans the corpus 26 times. One checkpoint each for the two
-      // many-consumer frames cuts that to the stage count; a production
-      // run writes stage outputs to parquet at these same seams.
-      val exact = Dedup.exactDedup(docs, "doc_id", "text").localCheckpoint(true)
-      val pairs = Dedup.jaccardPairs(exact, "doc_id", "text",
-        Seq("lang", "source"), n = 1, threshold = 0.9)
-      val uniq = graft.operators.Components.survivors(
-        exact, pairs.select("id_a", "id_b"), "doc_id")
-      val bench = docs.where(col("source") === "src19")
-      val clean = graft.operators.Decontaminate.decontaminate(
-        uniq.where(col("source") =!= "src19"), bench, "doc_id", "text", n = 4)
-      val scored = clean.withColumn("q",
-          TextAnalysis.qualityScore(TextAnalysis.qualityMetrics(col("text"))))
-        .localCheckpoint(true) // feeds the gate's threshold pass AND filter pass
-      val gated = graft.operators.Gate.topHalf(scored, "source", "q")
-      val split = graft.operators.Sampling.splitAssign(gated, "doc_id",
-        Seq("train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625))
-      graft.operators.Pack.packStats(
-          split.withColumn("shard",
-            graft.operators.Sampling.shardFromId(col("doc_id"), 8)),
-          "doc_id", Seq("split", "source", "shard"),
-          TextAnalysis.tokenCount(col("text")), budget = 256)
+      // the whole DAG lives in Curation.curate; the seam strategy (eager
+      // local checkpoint vs parquet stage dir — the production form) is a
+      // parameter, selectable here via GRAFT_SEAM=stage so BOTH modes run
+      // under this same gate. CurationSpec asserts mode-equality in-JVM.
+      val seam = sys.env.get("GRAFT_SEAM") match {
+        case Some("stage") => graft.operators.Curation.StageDir(
+          java.nio.file.Files.createTempDirectory("graft_seam").toString)
+        case _ => graft.operators.Curation.LocalSeam
+      }
+      graft.operators.Curation.curate(rdPar(s, dir, "documents"), "src19", seam)
         .groupBy("split", "source")
         .agg(count(lit(1)).as("n_seqs"), sum("n_docs").as("n_docs"),
           sum("seq_tokens").as("n_tokens"))

@@ -12,8 +12,10 @@ object Verify {
     // a typo'd name would otherwise filter everything out and the run
     // would silently write nothing (stale outputs then read as current)
     val unknown = only -- SparkEntry.queries.keySet
-    if (unknown.nonEmpty)
+    if (unknown.nonEmpty) {
       System.err.println(s"[verify] UNKNOWN query names: ${unknown.mkString(", ")}")
+      sys.exit(2) // a typo'd local run must not look successful
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -302,6 +302,78 @@ class DedupSpec extends SparkSpec {
     assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
+  test("edit-distance routing: q-gram candidates reproduce the blocked pair set exactly") {
+    // deterministic corpus exercising every routing stratum: long prefixes
+    // (gram path), short strings below the q*(maxDist+1) floor (blocked
+    // residue), planted edits at distances 1..10 (in- and out-of-threshold),
+    // length mismatches, cross-block twins, a null text, an empty text
+    val rnd = new scala.util.Random(42)
+    def randStr(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val bases = (0 until 40).map(i => (i.toLong, if (i % 2 == 0) "en" else "de",
+      s"s${i % 3}", randStr(50 + rnd.nextInt(40))))
+    val edited = bases.take(20).map { case (id, lang, src, t) =>
+      val nEdits = 1 + rnd.nextInt(10)
+      val chars = t.toCharArray
+      (0 until nEdits).foreach { _ =>
+        chars(rnd.nextInt(chars.length)) = ('a' + rnd.nextInt(26)).toChar
+      }
+      (id + 1000L, lang, src, new String(chars))
+    }
+    val extras = Seq(
+      (2000L, "en", "s0", "tiny"), (2001L, "en", "s0", "tinq"),  // short stratum
+      (2002L, "en", "s0", ""), (2003L, "en", "s0", ""),          // empty texts
+      (2004L, "en", "s0", null.asInstanceOf[String]))            // null text
+    val df = (bases ++ edited ++ extras).toDF("doc_id", "lang", "source", "text")
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val routed = pairSet(Dedup.editDistancePairs(df, "doc_id", "text",
+      Seq("lang", "source"), prefixLen = 64, maxDist = 8))
+    val blocked = pairSet(Dedup.editDistancePairsBlocked(df, "doc_id", "text",
+      Seq("lang", "source"), prefixLen = 64, maxDist = 8))
+    assert(routed == blocked, "routed pair set must equal the blocked pair set")
+    assert(blocked.contains((2000L, 2001L)) && blocked((2000L, 2001L)) == 1)
+    assert(blocked.contains((2002L, 2003L)) && blocked((2002L, 2003L)) == 0)
+    assert(blocked.nonEmpty && blocked.values.forall(d => d >= 0 && d <= 8))
+    // degenerate prefixLen: router must fall back to the blocked form
+    val tinyRouted = pairSet(Dedup.editDistancePairs(df, "doc_id", "text",
+      Seq("lang", "source"), prefixLen = 12, maxDist = 8))
+    val tinyBlocked = pairSet(Dedup.editDistancePairsBlocked(df, "doc_id", "text",
+      Seq("lang", "source"), prefixLen = 12, maxDist = 8))
+    assert(tinyRouted == tinyBlocked)
+  }
+
+  test("edit-distance routing: candidate count is bounded on a hot dissimilar block") {
+    // one hot (lang, source) block of mutually-dissimilar long docs: the
+    // quadratic enumeration would emit n*(n-1)/2 pairs; the q-gram
+    // candidate stage must stay far below that
+    val rnd = new scala.util.Random(7)
+    def randStr(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val n = 300
+    val df = (0 until n).map(i => (i.toLong, "en", "s0", randStr(80)))
+      .toDF("doc_id", "lang", "source", "text")
+    // count candidates by reproducing the gram-join stage: pairs sharing a
+    // positional 7-gram (q = 64 / 9 = 7) within +-8 positions
+    val q = 7
+    val grams = df.select(col("doc_id"), substring(col("text"), 1, 64).as("prefix"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), length(col("prefix")) - q),
+          i => col("prefix").substr(i + 1, lit(q)))))
+      .withColumnsRenamed(Map("pos" -> "gpos", "col" -> "gram"))
+    val cand = grams.as("a").join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.gpos") - col("b.gpos")) <= 8)
+      .select("a.doc_id", "b.doc_id").distinct().count()
+    val quadratic = n.toLong * (n - 1) / 2
+    assert(cand < quadratic / 20,
+      s"candidate stage emitted $cand of $quadratic quadratic pairs — not sub-quadratic")
+    // and the routed operator still returns the exact (empty-ish) truth
+    val routed = Dedup.editDistancePairs(df, "doc_id", "text",
+      Seq("lang", "source"), prefixLen = 64, maxDist = 8).count()
+    val blocked = Dedup.editDistancePairsBlocked(df, "doc_id", "text",
+      Seq("lang", "source"), prefixLen = 64, maxDist = 8).count()
+    assert(routed == blocked)
+  }
+
   test("overlap matrix: hand-computed source-pair counts, ordered pairs, singletons dropped") {
     // keys: k1 in {A,B,C}; k2 in {A,B}; k3 in {C} only; k4 in {B} twice
     // (per-source duplicates must collapse before counting)
