@@ -1319,6 +1319,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), min("q").as("min_kept_score"))
     }),
 
+    // ---- the gate's SKETCH leg — the actual 100 TB path (bounded GK
+    // sketch state per stratum instead of a distinct-value map). Inside
+    // the sketch's exactness window (every stratum far below the 1e6
+    // accuracy) percentile_approx returns the ceil(p*n)-th order statistic
+    // = DuckDB quantile_disc (q51's established equivalence), so the kept
+    // set is exactly "q strictly above the stratum's discrete median".
+    "q88_quality_gate_sketch" -> ((s, dir) => {
+      val scored = rdPar(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(TextAnalysis.qualityMetrics(col("text"))).as("q"))
+      graft.operators.Gate.topFraction(scored, "source", "q", p = 0.5,
+          mode = graft.operators.Percentiles.Mode.Sketch(1000000))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min("q").as("min_kept_score"))
+    }),
+
+    // ---- boilerplate detection, the one-pass Count-Min leg (q66's true-
+    // 100 TB form: gram frequencies live in a broadcast sketch, the corpus
+    // gram shuffle disappears). Gated against q66's EXACT oracle: the
+    // sketch width (2/eps = 200k) is ~7x the corpus's distinct 3-gram
+    // count, so no estimate crosses the minDocs boundary and approx ==
+    // exact on this data — BoilerplateSpec proves the width argument
+    // in-JVM; this row makes the driver see it.
+    "q89_boilerplate_cms" -> ((s, dir) =>
+      graft.operators.Boilerplate.statsApprox(rdPar(s, dir, "documents"),
+        "doc_id", "text", n = 3, minDocs = 5, eps = 1e-5)),
+
     // ---- score-weighted deterministic sampling: keep probability = the
     // row's own quality score (bit-portable, q25) decided by the id hash —
     // "sample proportional to quality", between a hard gate (q64/q79) and
@@ -2377,6 +2403,37 @@ object SparkEntry {
          |  count(*) OVER (PARTITION BY source) AS n_src FROM sc)
          |SELECT source, count(*) AS n_kept, min(q) AS min_kept_score
          |FROM r WHERE pr >= 0.75 OR n_src = 1 GROUP BY source""".stripMargin,
+
+    // the sketch-mode gate inside the exactness window: keep iff q is
+    // strictly above the stratum's DISCRETE median (quantile_disc ==
+    // percentile_approx at group sizes << accuracy, per q51), singletons
+    // always kept
+    "q88_quality_gate_sketch" ->
+      s"""WITH m AS (SELECT doc_id, source,
+         |  $qualityMetricsSql
+         | FROM documents),
+         |sc AS (SELECT doc_id, source,
+         |  $qualityScoreSql AS q
+         | FROM m),
+         |th AS (SELECT source, quantile_disc(q, 0.5) AS t, count(*) AS n
+         |  FROM sc WHERE q IS NOT NULL GROUP BY source)
+         |SELECT sc.source, count(*) AS n_kept, min(q) AS min_kept_score
+         |FROM sc JOIN th ON sc.source = th.source
+         |WHERE th.n = 1 OR sc.q > th.t GROUP BY sc.source""".stripMargin,
+
+    // q66's exact oracle verbatim: the wide-sketch CMS form is exact-equal
+    // on this corpus (width >> distinct grams; no estimate crosses minDocs)
+    "q89_boilerplate_cms" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (SELECT DISTINCT doc_id, array_to_string(t[i.i : i.i + 2], ' ') AS g
+        |  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i(i)),
+        |common AS (SELECT g FROM grams GROUP BY g
+        |  HAVING count(DISTINCT doc_id) >= 5)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(*) FILTER (WHERE g IN (SELECT g FROM common)) AS BIGINT) AS n_boiler,
+        |  CAST(count(*) FILTER (WHERE g IN (SELECT g FROM common)) AS DOUBLE)
+        |    / count(*) AS boiler_frac
+        |FROM grams GROUP BY doc_id""".stripMargin,
 
     // inner stream-stream join emission == the batch join (watermarks only
     // bound state); micros comparison mirrors q55's integer-us rule
