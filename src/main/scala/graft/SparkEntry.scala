@@ -860,6 +860,16 @@ object SparkEntry {
           "out_width", "out_height")
     }),
 
+    // ---- REAL image decode end-to-end (no stub): deterministic gradient
+    // images encoded through the JDK PNG writer on the executors, decoded
+    // back with javax.imageio; PNG is lossless so decoded width/height and
+    // the integer pixel sum equal the closed form the oracle recomputes
+    // analytically. This is the q30 pipeline with the codec made real.
+    "q90_imageio_decode" -> ((s, dir) =>
+      Multimodal.decodeImageMeta(Multimodal.syntheticPngMedia(s, 200))
+        .toDF()
+        .select("media_id", "width", "height", "n_px", "px_sum", "decode_ok")),
+
     // ---- ingest path under the gate (S1/C1: the first thing a reference
     // user runs — ref 01:111-142). Round-trips the reference's own 2,000-row
     // corpus CSV (multiline quoted fields, ""-escaped quotes, empty-string
@@ -1921,6 +1931,24 @@ object SparkEntry {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    // the PNG round-trip's closed-form truth: pixel(x, y) = (7x+13y+id)%256
+    // on a w x h grid — lossless encode/decode means the REAL javax.imageio
+    // pipeline must reproduce these exact integers
+    "q90_imageio_decode" ->
+      """WITH dims AS (SELECT i AS media_id,
+        |    CAST(8 + i % 16 AS INT) AS width,
+        |    CAST(8 + (3 * i) % 16 AS INT) AS height
+        |  FROM range(200) t(i)),
+        |px AS (SELECT media_id, width, height,
+        |    (7 * x.x + 13 * y.y + media_id) % 256 AS v
+        |  FROM dims,
+        |    unnest(generate_series(0, width - 1)) AS x(x),
+        |    unnest(generate_series(0, height - 1)) AS y(y))
+        |SELECT media_id, width, height,
+        |  CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum,
+        |  TRUE AS decode_ok
+        |FROM px GROUP BY media_id, width, height""".stripMargin,
 
     // replays the synthetic-media metadata arithmetic (sizes, frame
     // sampling, aspect-preserving resize) in SQL; checksum/features are

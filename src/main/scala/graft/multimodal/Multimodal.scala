@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * extraction runs partition-batched so a real codec would amortize model /
   * library init per partition, not per row.
   *
-  * The actual byte->pixels/samples decode is STUBBED (no image/audio codecs
-  * in this environment): [[StubCodec]] derives deterministic pseudo-features
+  * IMAGES decode for real: [[ImageIoCodec]] and [[decodeImageMeta]] run
+  * `javax.imageio` (PNG/JPEG, ships in the JDK — no new dependency) and are
+  * gated end-to-end on encoder round-trips with closed-form pixel truth
+  * (q90). Audio/video byte->samples decode remains STUBBED (no codecs in
+  * this environment): [[StubCodec]] derives deterministic pseudo-features
   * from the bytes. Everything Spark-side — schema, partition batching,
   * feature shapes, frame sampling, resize bookkeeping — is real and tested;
-  * swapping in a real codec touches only [[MediaCodec]].
+  * swapping in a real audio codec touches only [[MediaCodec]].
   */
 object Multimodal {
 
@@ -47,6 +50,126 @@ object Multimodal {
       var j = 0
       while (j < featureDim) { v(j) /= n; j += 1 }
       v
+    }
+  }
+
+  /** Real image decode via `javax.imageio` (PNG/JPEG from the JDK's
+    * built-in readers). Features are a `featureDim`-bin normalized
+    * luminance histogram over the REAL decoded pixels — same output shape
+    * as [[StubCodec]], so the two swap freely in [[extractFeatures]].
+    * Non-image kinds (no JDK codec available) fall back to the stub's
+    * byte-histogram features, keeping the pipeline total. Undecodable
+    * image bytes yield an all-zero vector rather than failing the batch —
+    * at 100 TB a corrupt payload is data, not an exception.
+    */
+  final class ImageIoCodec(val featureDim: Int = 64) extends MediaCodec {
+    private lazy val fallback = new StubCodec(featureDim)
+    def decodeFeatures(bytes: Array[Byte], kind: String): Array[Float] = {
+      if (kind != "image") return fallback.decodeFeatures(bytes, kind)
+      val img = decodeImage(bytes).orNull
+      val v = new Array[Float](featureDim)
+      if (img == null) return v
+      val raster = img.getRaster
+      val gray = img.getColorModel.getNumComponents == 1
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val lum =
+            if (gray) raster.getSample(x, y, 0)
+            else { // integer Rec.601 luma from real RGB samples
+              val r = raster.getSample(x, y, 0)
+              val g = raster.getSample(x, y, 1)
+              val b = raster.getSample(x, y, 2)
+              (299 * r + 587 * g + 114 * b) / 1000
+            }
+          v(lum * featureDim / 256) += 1.0f
+          x += 1
+        }
+        y += 1
+      }
+      val n = (img.getWidth.toLong * img.getHeight).toFloat
+      var j = 0
+      while (j < featureDim) { v(j) /= n; j += 1 }
+      v
+    }
+  }
+
+  /** `javax.imageio` decode of an encoded payload; None when no installed
+    * reader claims the bytes (corrupt or unsupported format).
+    */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
+
+  /** Per-image decoded truth: REAL width/height/pixel sums from the codec,
+    * not the claimed metadata. */
+  case class ImageMeta(media_id: Long, width: Int, height: Int,
+                       n_px: Long, px_sum: Long, decode_ok: Boolean)
+
+  /** Decode image payloads with `javax.imageio`, partition-batched like
+    * [[extractFeatures]] (readers are looked up once per JVM; the
+    * mapPartitions shape is what a per-partition-init codec needs). The
+    * luminance sum uses the same integer Rec.601 luma as [[ImageIoCodec]]
+    * for color images and the raw gray sample for grayscale — exact
+    * integers, so a lossless (PNG) round-trip is oracle-checkable
+    * bit-exactly (q90).
+    */
+  def decodeImageMeta(media: Dataset[MediaFile]): Dataset[ImageMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        decodeImage(m.bytes) match {
+          case None => ImageMeta(m.media_id, 0, 0, 0L, 0L, decode_ok = false)
+          case Some(img) =>
+            val raster = img.getRaster
+            val gray = img.getColorModel.getNumComponents == 1
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                sum += (if (gray) raster.getSample(x, y, 0)
+                        else (299 * raster.getSample(x, y, 0) +
+                              587 * raster.getSample(x, y, 1) +
+                              114 * raster.getSample(x, y, 2)) / 1000)
+                x += 1
+              }
+              y += 1
+            }
+            ImageMeta(m.media_id, img.getWidth, img.getHeight,
+              img.getWidth.toLong * img.getHeight, sum, decode_ok = true)
+        }
+      }
+    }
+  }
+
+  /** Deterministic REAL-PNG corpus: each image is an 8-bit grayscale
+    * `w x h` gradient with pixel(x, y) = (7x + 13y + id) mod 256,
+    * w = 8 + id mod 16, h = 8 + 3*id mod 16, encoded through the JDK PNG
+    * writer inside the executors. PNG is lossless, so the decoded samples
+    * equal the closed form — the oracle recomputes them analytically.
+    */
+  def syntheticPngMedia(spark: SparkSession, n: Int): Dataset[MediaFile] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val w = 8 + (i % 16).toInt
+      val h = 8 + ((3 * i) % 16).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, (7 * x + 13 * y + i) % 256)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      MediaFile(i, "image", out.toByteArray, w, h, 0L, "image/png")
     }
   }
 

@@ -38,4 +38,54 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f.sum - 1.0f) < 1e-6)
     assert(f(0) == 1.0f) // all bytes fold to bucket 0 (mod 8)
   }
+
+  test("imageio: PNG round-trip decodes exact closed-form pixels") {
+    val metas = Multimodal.decodeImageMeta(Multimodal.syntheticPngMedia(spark, 50))
+      .collect().map(m => m.media_id -> m).toMap
+    assert(metas.size == 50)
+    metas.values.foreach { m =>
+      assert(m.decode_ok)
+      val w = 8 + (m.media_id % 16).toInt
+      val h = 8 + ((3 * m.media_id) % 16).toInt
+      assert(m.width == w && m.height == h && m.n_px == w.toLong * h)
+      val expected = (for (y <- 0 until h; x <- 0 until w)
+        yield ((7 * x + 13 * y + m.media_id) % 256)).sum
+      assert(m.px_sum == expected, s"pixel sum mismatch for id ${m.media_id}")
+    }
+  }
+
+  test("imageio codec: real luminance histogram from PNG; corrupt bytes are data, not errors") {
+    val codec = new ImageIoCodec(64)
+    // 4x4 all-gray-128 PNG: every pixel lands in bin 128*64/256 = 32
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 4).foreach(y => (0 until 4).foreach(x =>
+      img.getRaster.setSample(x, y, 0, 128)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val f = codec.decodeFeatures(out.toByteArray, "image")
+    assert(f(32) == 1.0f && f.sum == 1.0f)
+    // JPEG: lossy pixels but REAL decoded dimensions
+    val jout = new java.io.ByteArrayOutputStream()
+    val rgb = new java.awt.image.BufferedImage(17, 9,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    assert(javax.imageio.ImageIO.write(rgb, "jpg", jout))
+    val jimg = Multimodal.decodeImage(jout.toByteArray)
+    assert(jimg.exists(i => i.getWidth == 17 && i.getHeight == 9))
+    // corrupt payload: zero vector, no exception
+    val bad = codec.decodeFeatures(Array[Byte](1, 2, 3, 4), "image")
+    assert(bad.forall(_ == 0.0f))
+    // non-image kinds route to the stub fallback (pipeline stays total)
+    val audio = codec.decodeFeatures(Array[Byte](0, 0, 0), "audio")
+    assert(math.abs(audio.sum - 1.0f) < 1e-6)
+  }
+
+  test("imageio codec swaps into extractFeatures where media bytes are real PNGs") {
+    val media = Multimodal.syntheticPngMedia(spark, 12)
+    val feats = Multimodal.extractFeatures(media, new ImageIoCodec(64)).collect()
+    assert(feats.length == 12)
+    // every histogram is a real distribution over decoded pixels
+    assert(feats.forall(f => math.abs(f.features.sum - 1.0f) < 1e-5))
+    assert(feats.forall(f => f.features.exists(_ > 0.0f)))
+  }
 }
