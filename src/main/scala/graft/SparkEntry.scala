@@ -1380,6 +1380,19 @@ object SparkEntry {
         types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
     }),
 
+    // ---- q83's DYNAMIC form: values INFERRED by pivot's internal
+    // distinct-scan job (one extra pass + a driver-held value list — fine
+    // when the pivot column's domain is small and unknown; the explicit
+    // form remains the 100 TB default). Column names derive from the
+    // inferred values at plan time — nothing below hardcodes the domain —
+    // so this gates that the inference reproduces the explicit result.
+    "q91_pivot_dynamic" -> ((s, dir) => {
+      val p = events(s, dir).groupBy("user_id").pivot("event_type").count()
+      val inferred = p.columns.filter(_ != "user_id").sorted
+      p.select(col("user_id") +:
+        inferred.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+    }),
+
     // ---- temperature rebalancing with DATA-DEPENDENT mixing weights
     // (q63's weights are literals; real mixing derives them from corpus
     // stats): language weight = sqrt(n_max / n_lang) — alpha-0.5 sampling,
@@ -1429,8 +1442,15 @@ object SparkEntry {
         // time-ordering argument above NEEDS oldest-slice-first, so pin
         // strictly increasing mtimes (sub-second writes tie otherwise)
         val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/in"))
+        // a filesystem rejecting the mtime update would break the
+        // oldest-first ordering SILENTLY (the gate would mismatch with no
+        // clue why) — fail fast instead
         try walk.filter(p => p.toString.contains(f"slice_$i%03d"))
-          .forEach(p => p.toFile.setLastModified(1000000000000L + i * 60000L): Unit)
+          .forEach { p =>
+            if (!p.toFile.setLastModified(1000000000000L + i * 60000L))
+              sys.error(s"q86: setLastModified failed for $p — the " +
+                "strictly-increasing-mtime file ordering cannot be pinned")
+          }
         finally walk.close()
       }
       val schema = ev.schema
@@ -2545,6 +2565,17 @@ object SparkEntry {
     },
 
     "q83_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // the inferred value list must land on the same columns the explicit
+    // q83 names (the events domain is exactly these five types at every SF)
+    "q91_pivot_dynamic" ->
       """SELECT user_id,
         |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
         |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,

@@ -161,6 +161,14 @@ object Ann {
                              k: Int): Seq[Seq[Float]] = {
     require(k > 0, "k must be positive")
     val rows = df.where(col(embCol).isNotNull)
+    // one count job up front (the seeding loop already runs k jobs): with
+    // k above the candidate count the argmin would silently re-pick the
+    // same row and emit duplicate centroids; empty input would surface as
+    // an opaque NoSuchElementException from head()
+    val n = rows.count()
+    require(k <= n,
+      s"farthestPointCentroids: k=$k exceeds the $n rows with a non-null " +
+        s"$embCol — duplicate centroids are never what a caller wants")
     val first = rows
       .orderBy(graft.operators.Sampling.uniformFromId(col(idCol), ":seed"),
         col(idCol))

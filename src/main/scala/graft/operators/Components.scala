@@ -56,20 +56,47 @@ object Components {
                           checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val sc = spark.sparkContext
+    // reliable mode mutates the context-global checkpoint dir; remember a
+    // caller-set one and restore it on exit (the restored dir gains a fresh
+    // UUID subdir — Spark's setCheckpointDir semantics — but later
+    // checkpoints still land under the caller's original tree)
+    val prevCkptDir = sc.getCheckpointDir
+    checkpointDir.foreach(sc.setCheckpointDir)
+    // LOCAL checkpoint blocks are released by the ContextCleaner once
+    // unreferenced; RELIABLE checkpoint FILES are not (Spark only deletes
+    // them under spark.cleaner.referenceTracking.cleanCheckpoints, default
+    // false) — without explicit cleanup a long loop leaves O(V) files per
+    // round in the shared FS. Superseded rounds are deleted below as soon
+    // as the next round is materialized; what remains on disk at return is
+    // the edge list + the final labels (O(touched), not O(rounds)), live
+    // until app exit because the returned frame reads them.
+    val fsDir = checkpointDir.map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      (p.getFileSystem(sc.hadoopConfiguration), p)
+    }
+    def listCkpts(): Set[String] = fsDir match {
+      case None => Set.empty
+      case Some((fs, p)) =>
+        val st = fs.globStatus(new org.apache.hadoop.fs.Path(p, "*/rdd-*"))
+        if (st == null) Set.empty else st.map(_.getPath.toString).toSet
+    }
+    def deleteCkpts(paths: Set[String]): Unit = fsDir.foreach { case (fs, _) =>
+      paths.foreach(s =>
+        fs.delete(new org.apache.hadoop.fs.Path(s), true))
+    }
     // both variants preserve outputPartitioning through LogicalRDD, so the
     // partitioning-reuse argument below holds for either
     def materialize(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
     // symmetric edge list, materialized once; per-round joins reuse these
-    // blocks instead of re-running the (possibly expensive) pair pipeline.
-    // Superseded checkpoint RDDs are released by the ContextCleaner once
-    // unreferenced — nothing stays pinned after the loop returns.
+    // blocks instead of re-running the (possibly expensive) pair pipeline
     val edges = materialize(pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .repartition(parts, col("src")))
+    try {
 
     // the propagation vertex set is ONLY the pair endpoints: a node with no
     // edge is a singleton by definition — its label can never change, so
@@ -94,9 +121,13 @@ object Components {
     // every vertex starts "changed" (its initial label is news to its
     // neighbors); the flag travels WITH the labels so each round's frontier
     // is a filter on the checkpointed frame, not a separate computation
+    val preLabels = listCkpts()
     var labels = materialize(touched
       .select(col("id"), col("id").as("label"), lit(true).as("changed"))
       .repartition(parts, col("id")))
+    // reliable-mode files backing the CURRENT labels round (empty in local
+    // mode) — deleted when the next round supersedes them
+    var labelsCkpt = listCkpts() -- preLabels
     var converged = false
     var iter = 0
     while (iter < maxIter && !converged) {
@@ -133,6 +164,7 @@ object Components {
       // the changed-count rides the checkpoint job as an observed metric —
       // no second per-round action just to test convergence
       val obs = new org.apache.spark.sql.Observation
+      val pre = listCkpts()
       val next = materialize(labels
         .join(candMin, labels("id") === candMin("cid"), "left")
         .select(col("id"),
@@ -140,6 +172,11 @@ object Components {
           (coalesce(col("nmin"), col("label")) < col("label")).as("changed"))
         .observe(obs, count(when(col("changed"), 1)).as("n_changed")))
       converged = obs.get("n_changed").asInstanceOf[Long] == 0L
+      // `next` is eagerly materialized, so the previous round's reliable
+      // checkpoint files have no remaining reader — reclaim them now
+      val created = listCkpts() -- pre
+      deleteCkpts(labelsCkpt)
+      labelsCkpt = created
       labels = next
       iter += 1
     }
@@ -161,6 +198,14 @@ object Components {
       .union(nodeIds.join(touched, Seq("id"), "left_anti")
         .select(col("id"), col("id").as("label")))
       .select(col("id").as(idCol), col("label").as("component"))
+    } finally {
+      // undo our overwrite of a caller-set checkpoint dir (when none was
+      // set before, ours stays — the context API has no unset)
+      (prevCkptDir, checkpointDir) match {
+        case (Some(prev), Some(d)) if prev != d => sc.setCheckpointDir(prev)
+        case _ => ()
+      }
+    }
   }
 
   /** Per-component rollup: survivor id (= component min), member count. */

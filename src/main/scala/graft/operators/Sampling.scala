@@ -164,9 +164,13 @@ object Sampling {
             col(idCol).cast("long") === col("__graft_sel_id"),
           "left_semi")
       case _ =>
+        // same null-id rule as the heap path (which drops them before the
+        // aggregation): nulls would otherwise sort FIRST here and be
+        // sampled — one API, one membership rule
         val w = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
           .orderBy(uniformFromId(col(idCol), salt), col(idCol))
-        df.withColumn("__graft_rank", row_number().over(w))
+        df.where(col(idCol).isNotNull)
+          .withColumn("__graft_rank", row_number().over(w))
           .where(col("__graft_rank") <= n)
           .drop("__graft_rank")
     }

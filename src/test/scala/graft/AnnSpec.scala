@@ -117,6 +117,17 @@ class AnnSpec extends SparkSpec {
     assert(clustersHit(fp) == Set(0, 1, 2))
     // deterministic: same seeds under a different partitioning
     assert(Ann.farthestPointCentroids(docs.repartition(7), "id", "emb", 3) == fp)
+    // k above the candidate count would silently emit duplicate centroids;
+    // empty input would be an opaque head() error — both fail clearly
+    val few = docs.limit(2)
+    val eTooMany = intercept[IllegalArgumentException] {
+      Ann.farthestPointCentroids(few, "id", "emb", 5)
+    }
+    assert(eTooMany.getMessage.contains("exceeds"))
+    val eEmpty = intercept[IllegalArgumentException] {
+      Ann.farthestPointCentroids(docs.where("id < 0"), "id", "emb", 1)
+    }
+    assert(eEmpty.getMessage.contains("0 rows"))
   }
 
   test("hyperplane buckets: identical vectors same bucket, opposite differ") {

@@ -265,6 +265,15 @@ class PipelineOpsSpec extends SparkSpec {
     val ids2 = Sampling.exactSizeSample(df.repartition(11), "doc_id", "lang", n = 50)
       .select("doc_id").as[Long].collect().toSet
     assert(ids1 == ids2)
+    // the documented membership rule "null-id rows are never sampled" must
+    // hold on BOTH type paths — the heap path (long ids) filters them in
+    // its projection, the window fallback (string ids) must too, or nulls
+    // would sort first and always be sampled
+    val withNulls = Seq(("a", "x"), ("b", "x"), (null, "x"), (null, "x"))
+      .toDF("doc_id", "lang")
+    val sampled = Sampling.exactSizeSample(withNulls, "doc_id", "lang", n = 3)
+      .select("doc_id").collect().map(_.getString(0))
+    assert(sampled.length == 2 && !sampled.contains(null))
   }
 
   test("exactSizeSample: bounded-heap plan — no per-stratum window sort") {
@@ -479,6 +488,13 @@ class PipelineOpsSpec extends SparkSpec {
       val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
         .filter(java.nio.file.Files.isRegularFile(_)).count()
       assert(wrote > 0, "no reliable checkpoint files written")
+      // ...and reclaimed every SUPERSEDED round (Spark itself never
+      // deletes reliable checkpoint files): what remains is exactly the
+      // edge list + the final labels — O(touched), not O(rounds)
+      val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      assert(rddDirs == 2,
+        s"expected 2 surviving checkpoints (edges + final labels), got $rddDirs")
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
