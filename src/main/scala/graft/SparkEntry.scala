@@ -1393,6 +1393,23 @@ object SparkEntry {
         inferred.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
     }),
 
+    // ---- repeated-SPAN detection (the ExactSubstr dedup family, Lee et
+    // al. 2022): verbatim k-token windows shared across docs mark the
+    // memorization-prone regions INSIDE otherwise unique documents;
+    // overlapping windows merge to maximal spans in-row (no window
+    // functions). One positional-gram shuffle shared via ReuseExchange.
+    "q92_repeated_spans" -> ((s, dir) =>
+      graft.operators.Spans.repeatedSpanStats(rdPar(s, dir, "documents"),
+        "doc_id", "text", k = 4, minDocs = 2)),
+
+    // ---- the rewrite half: drop every token covered by a shared 6-token
+    // window from every doc (the C4 repeated-line removal at token
+    // granularity) — row-level TEXT output, so the gate checks the
+    // reconstruction order, not just counts.
+    "q93_strip_spans" -> ((s, dir) =>
+      graft.operators.Spans.stripRepeatedSpans(rdPar(s, dir, "documents"),
+        "doc_id", "text", k = 6, minDocs = 2)),
+
     // ---- temperature rebalancing with DATA-DEPENDENT mixing weights
     // (q63's weights are literals; real mixing derives them from corpus
     // stats): language weight = sqrt(n_max / n_lang) — alpha-0.5 sampling,
@@ -2572,6 +2589,63 @@ object SparkEntry {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
         |FROM events GROUP BY user_id""".stripMargin,
+
+    // positional 4-gram coverage + island count via lag (the engine does
+    // islands in-row; the oracle may use the window — semantics, not plan)
+    "q92_repeated_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (SELECT doc_id, i.i - 1 AS gpos,
+        |    md5(array_to_string(t[i.i : i.i + 3], ' ')) AS g
+        |  FROM toks, unnest(generate_series(1, len(t) - 3)) AS i(i)
+        |  WHERE len(t) >= 4),
+        |shared AS (SELECT g FROM grams GROUP BY g
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT gr.doc_id, gr.gpos + o.o AS cpos
+        |  FROM grams gr JOIN shared s USING (g),
+        |    unnest(generate_series(0, 3)) AS o(o)),
+        |isl AS (SELECT doc_id, cpos,
+        |    CASE WHEN cpos - lag(cpos) OVER (PARTITION BY doc_id
+        |      ORDER BY cpos) = 1 THEN 0 ELSE 1 END AS new_span FROM cov),
+        |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_tokens,
+        |    CAST(sum(new_span) AS BIGINT) AS n_spans FROM isl GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+        |  coalesce(a.n_dup_tokens, 0) AS n_dup_tokens,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |    ELSE CAST(coalesce(a.n_dup_tokens, 0) AS DOUBLE)
+        |      / len(string_split(d.text, ' ')) END AS dup_frac,
+        |  coalesce(a.n_spans, 0) AS n_spans
+        |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    // kept tokens re-joined in original order — a full text reconstruction
+    // under the gate; fully-covered docs become '' (not NULL)
+    "q93_strip_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (SELECT doc_id, i.i - 1 AS gpos,
+        |    md5(array_to_string(t[i.i : i.i + 5], ' ')) AS g
+        |  FROM toks, unnest(generate_series(1, len(t) - 5)) AS i(i)
+        |  WHERE len(t) >= 6),
+        |shared AS (SELECT g FROM grams GROUP BY g
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT gr.doc_id, gr.gpos + o.o AS cpos
+        |  FROM grams gr JOIN shared s USING (g),
+        |    unnest(generate_series(0, 5)) AS o(o)),
+        |tk AS (SELECT doc_id, t[i.i] AS tok, i.i - 1 AS p
+        |  FROM toks, unnest(generate_series(1, len(t))) AS i(i)),
+        |kept AS (SELECT k.doc_id, k.tok, k.p FROM tk k
+        |  LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.p = c.cpos
+        |  WHERE c.cpos IS NULL),
+        |ct AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |rm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+        |  FROM cov GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |    ELSE coalesce(ct.clean_text, '') END AS clean_text,
+        |  CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+        |  coalesce(rm.n_removed, 0) AS n_removed
+        |FROM documents d LEFT JOIN ct USING (doc_id)
+        |  LEFT JOIN rm USING (doc_id)""".stripMargin,
 
     // the inferred value list must land on the same columns the explicit
     // q83 names (the events domain is exactly these five types at every SF)
