@@ -126,7 +126,18 @@ object ScaleProbe {
         val scored = d.select(col("doc_id"), col("source"),
           TextAnalysis.qualityScore(TextAnalysis.qualityMetrics(col("text"))).as("q"))
         noopCount(graft.operators.Gate.topFraction(scored, "source", "q", 0.75))
-      }
+      },
+      // round-6 families. editdist_routed: the q-gram candidate path —
+      // on this replica-dense corpus the pair set itself grows ~shards^2
+      // inside replica clusters (the same exact-dedup-first lesson as
+      // LSH), so the claim to check is seconds tracking the EMITTED pair
+      // count, not corpus^2. repeated_spans: one positional-gram shuffle
+      // + in-row island math — expected ~linear in corpus tokens.
+      "editdist_routed" -> ((d, _) => noopCount(Dedup.editDistancePairs(
+        d, "doc_id", "text", Seq("lang", "source"), prefixLen = 64, maxDist = 8))),
+      "repeated_spans" -> ((d, _) => noopCount(
+        graft.operators.Spans.repeatedSpanStats(d, "doc_id", "text",
+          k = 6, minDocs = 2)))
     )
 
     val results = ops.map { case (name, f) =>
