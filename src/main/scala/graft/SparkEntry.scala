@@ -1410,6 +1410,35 @@ object SparkEntry {
       graft.operators.Spans.stripRepeatedSpans(rdPar(s, dir, "documents"),
         "doc_id", "text", k = 6, minDocs = 2)),
 
+    // ---- vocabulary fitting + OOV scoring (tokenizer prep): top-V corpus
+    // vocabulary by (occurrence count DESC, token ASC — the tie-break that
+    // makes membership deterministic), then per-doc fraction of token
+    // OCCURRENCES outside it. V=20 of this corpus's 31 distinct tokens, so
+    // the OOV path carries real mass. One (doc, token) shuffle shared by
+    // totals and join-back via ReuseExchange; vocab broadcasts.
+    "q94_vocab_oov" -> ((s, dir) =>
+      graft.operators.Vocab.oovStats(rdPar(s, dir, "documents"),
+        "doc_id", "text", v = 20)),
+
+    // ---- bloom-routed decontamination: q59's semantics when the bench
+    // gram set is too big to broadcast exactly — a Catalyst
+    // BloomFilterAggregate sketch of the bench gram hashes broadcasts as a
+    // binary literal, might_contain pre-filters the corpus gram stream
+    // MAP-SIDE inside its scan stage, and an exact shuffle semi-join
+    // strips the false positives. Result provably equals the exact
+    // operator (no false negatives); the gate checks exactly that via the
+    // plain-SQL oracle. n=5 and src18 keep it a distinct surface from q59.
+    "q95_bloom_decontaminate" -> ((s, dir) => {
+      val docs = rdPar(s, dir, "documents")
+      val bench = docs.where(col("source") === "src18")
+      val corpus = docs.where(col("source") =!= "src18")
+      corpus.join(
+          graft.operators.Decontaminate.contaminatedIdsBloom(
+            corpus, bench, "doc_id", "text", n = 5, expectedItems = 1L << 16),
+          Seq("doc_id"), "left_semi")
+        .select("doc_id", "lang", "source")
+    }),
+
     // ---- temperature rebalancing with DATA-DEPENDENT mixing weights
     // (q63's weights are literals; real mixing derives them from corpus
     // stats): language weight = sqrt(n_max / n_lang) — alpha-0.5 sampling,
@@ -2646,6 +2675,35 @@ object SparkEntry {
         |  coalesce(rm.n_removed, 0) AS n_removed
         |FROM documents d LEFT JOIN ct USING (doc_id)
         |  LEFT JOIN rm USING (doc_id)""".stripMargin,
+
+    // top-20 vocabulary by (count DESC, token ASC); per-doc OOV counts over
+    // token OCCURRENCES; oov_frac is one exact-int double division. Docs
+    // with NULL text have no token stream and are absent (both sides).
+    "q94_vocab_oov" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT token, sum(tf) AS n_occ FROM tf GROUP BY 1),
+        |vocab AS (SELECT token FROM tot ORDER BY n_occ DESC, token ASC LIMIT 20),
+        |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN token NOT IN (SELECT token FROM vocab)
+        |      THEN tf ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM tf GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_frac FROM agg""".stripMargin,
+
+    // q59's oracle shape at n=5 over the src18 bench — the bloom route must
+    // reproduce the EXACT overlap semantics (the sketch only pre-filters;
+    // the verify join strips its false positives)
+    "q95_bloom_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (SELECT doc_id, array_to_string(t[i.i : i.i + 4], ' ') AS g
+        |  FROM toks, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i(i)),
+        |bench AS (SELECT DISTINCT g FROM grams JOIN documents USING (doc_id)
+        |  WHERE source = 'src18'),
+        |hits AS (SELECT DISTINCT doc_id FROM grams JOIN documents USING (doc_id)
+        |  WHERE source <> 'src18' AND g IN (SELECT g FROM bench))
+        |SELECT doc_id, lang, source FROM documents JOIN hits USING (doc_id)""".stripMargin,
 
     // the inferred value list must land on the same columns the explicit
     // q83 names (the events domain is exactly these five types at every SF)

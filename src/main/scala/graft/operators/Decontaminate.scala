@@ -2,6 +2,10 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
 
 /** Benchmark decontamination: drop (or flag) corpus documents that share any
   * word n-gram with a benchmark/eval set — the standard n-gram-overlap
@@ -44,4 +48,68 @@ object Decontaminate {
                     idCol: String, textCol: String, n: Int = 8): DataFrame =
     corpus.join(contaminatedIds(corpus, bench, idCol, textCol, n),
       Seq(idCol), "left_anti")
+
+  /** Bloom-routed variant of [[contaminatedIds]] — EXACTLY the same result,
+    * built for the regime where the bench gram set is too big to broadcast
+    * exactly. [[contaminatedIds]] ships every distinct bench gram hash to
+    * every executor (8 bytes/gram: a 1B-gram eval corpus is an 8 GB
+    * broadcast — dead on arrival); here the executors get a Bloom filter of
+    * the set instead (~1 byte/gram at the default sizing), the corpus gram
+    * stream is pre-filtered MAP-SIDE inside its scan stage by
+    * `might_contain`, and only the surviving near-hits — true hits plus the
+    * filter's bounded false-positive trickle — flow into an exact
+    * shuffle semi-join against the full bench gram set. The shuffle is
+    * near-hit-bounded, not corpus-bounded, and no exact broadcast of the
+    * bench set ever happens, so the memory ceiling is the filter's bit
+    * array. False positives cost only wasted verify rows; false negatives
+    * are impossible, hence result equality with the exact operator.
+    *
+    * Spark-native plumbing: the filter is built by Catalyst's own
+    * `BloomFilterAggregate` over `xxhash64(gram)` (one partial-merge
+    * aggregation, the same machinery behind runtime row-level filtering)
+    * and probed by the codegen `BloomFilterMightContain` against the
+    * serialized sketch as a binary literal — no UDF in the hot path. The
+    * driver holds one sketch of `numBits/8` bytes (a constant-size
+    * collect, same contract as the centroid collects in [[Ann]]).
+    *
+    * `expectedItems` sizes the filter (capped at Spark's 4M-item /
+    * 64Mbit aggregate defaults; ~8 bits/item ⇒ ~2% fpp at capacity —
+    * overshoot only flattens the pre-filter, never breaks correctness).
+    */
+  def contaminatedIdsBloom(corpus: DataFrame, bench: DataFrame,
+                           idCol: String, textCol: String, n: Int = 8,
+                           expectedItems: Long = 1L << 20): DataFrame = {
+    require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
+    val benchGrams = bench
+      .select(explode(Dedup.wordNgrams(col(textCol), n)).as("gram"))
+      .select(xxhash64(col("gram")).as("gram_h"))
+      .distinct()
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(ColumnBridge.expression(col("gram_h")),
+        expectedItems).toAggregateExpression())
+    val sketch = benchGrams.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val corpusGrams = corpus
+      .select(col(idCol), explode(Dedup.wordNgrams(col(textCol), n)).as("gram"))
+      .select(col(idCol), xxhash64(col("gram")).as("gram_h"))
+    if (sketch == null) {
+      // empty bench side: BloomFilterAggregate yields null — nothing can hit
+      corpusGrams.select(idCol).limit(0)
+    } else {
+      val mightContain = ColumnBridge.column(BloomFilterMightContain(
+        Literal(sketch, BinaryType), ColumnBridge.expression(col("gram_h"))))
+      corpusGrams
+        .where(mightContain) // map-side, inside the corpus scan stage
+        .join(benchGrams, Seq("gram_h"), "left_semi") // exact verify, NOT broadcast
+        .select(idCol).distinct()
+    }
+  }
+
+  /** Corpus minus contaminated docs, bloom-routed ([[contaminatedIdsBloom]]
+    * semantics — identical result to [[decontaminate]]).
+    */
+  def decontaminateBloom(corpus: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String, n: Int = 8,
+                         expectedItems: Long = 1L << 20): DataFrame =
+    corpus.join(contaminatedIdsBloom(corpus, bench, idCol, textCol, n,
+      expectedItems), Seq(idCol), "left_anti")
 }

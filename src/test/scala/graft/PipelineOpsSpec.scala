@@ -59,6 +59,55 @@ class PipelineOpsSpec extends SparkSpec {
       s"corpus side shuffled below the semi-join:\n$plan")
   }
 
+  test("bloom decontaminate: identical result to the exact operator") {
+    val exact = Decontaminate.contaminatedIds(corpus, bench, "doc_id", "text", n = 3)
+      .as[Long].collect().toSet
+    val bloom = Decontaminate.contaminatedIdsBloom(corpus, bench, "doc_id", "text", n = 3)
+      .as[Long].collect().toSet
+    assert(bloom == exact && bloom == Set(1L, 3L))
+    val clean = Decontaminate.decontaminateBloom(corpus, bench, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L))
+  }
+
+  test("bloom decontaminate: deliberately undersized filter still exact (verify strips FPs)") {
+    // 60 docs, 3 planted contaminated; expectedItems=1 saturates the sketch
+    // so might_contain fires on many non-hits — the exact verify join must
+    // strip every false positive
+    val big = spark.range(60).selectExpr("id AS doc_id",
+      "concat('w', id, ' w', id+1, ' w', id+2, ' w', id+3) AS text")
+      .union(Seq((100L, "p q r s"), (101L, "x p q r"), (102L, "p q r zz"))
+        .toDF("doc_id", "text"))
+    val b2 = Seq((999L, "p q r t")).toDF("doc_id", "text")
+    val exact = Decontaminate.contaminatedIds(big, b2, "doc_id", "text", n = 3)
+      .as[Long].collect().toSet
+    val bloom = Decontaminate.contaminatedIdsBloom(big, b2, "doc_id", "text",
+      n = 3, expectedItems = 1L).as[Long].collect().toSet
+    assert(exact == Set(100L, 101L, 102L))
+    assert(bloom == exact)
+  }
+
+  test("bloom decontaminate: empty bench yields no hits (null sketch path)") {
+    val none = bench.where(col("doc_id") < 0)
+    assert(Decontaminate.contaminatedIdsBloom(corpus, none, "doc_id", "text",
+      n = 3).isEmpty)
+  }
+
+  test("bloom decontaminate: might_contain pre-filter sits map-side, below any exchange") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = Decontaminate.contaminatedIdsBloom(corpus, bench, "doc_id", "text", n = 3)
+      .queryExecution.sparkPlan
+    val bloomFilters = plan.collect {
+      case f: FilterExec if f.condition.toString.contains("might_contain") => f
+    }
+    assert(bloomFilters.nonEmpty, s"expected a might_contain pre-filter:\n$plan")
+    // the pre-filter must run inside the corpus scan stage: no shuffle
+    // beneath it — that is the whole point of the bloom route
+    val below = bloomFilters.head.collect { case s: ShuffleExchangeExec => s }
+    assert(below.isEmpty, s"might_contain filter above a shuffle:\n$plan")
+  }
+
   // ---------------------------------------------------------------- boilerplate
 
   test("boilerplate: corpus-frequent n-grams flagged; gram shuffle reused") {
