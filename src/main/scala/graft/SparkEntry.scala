@@ -1420,6 +1420,17 @@ object SparkEntry {
       graft.operators.Vocab.oovStats(rdPar(s, dir, "documents"),
         "doc_id", "text", v = 20)),
 
+    // ---- q94's SKETCH leg — the one-pass vocabulary (Misra-Gries heavy
+    // hitters, mergeable MG merge rule): the exact form's token shuffle
+    // disappears; partial O(capacity) buffers merge up one tiny exchange.
+    // capacity 1024 >> the corpus's 31 distinct tokens puts the sketch in
+    // its exactness window (no eviction ever fires ⇒ counts exact ⇒ the
+    // same deterministic top-V), so the q94-shaped oracle gates the SCALE
+    // path — the q51/q88/q89 pattern.
+    "q96_vocab_oov_sketch" -> ((s, dir) =>
+      graft.operators.Vocab.oovStatsApprox(rdPar(s, dir, "documents"),
+        "doc_id", "text", v = 20, capacity = 1024)),
+
     // ---- bloom-routed decontamination: q59's semantics when the bench
     // gram set is too big to broadcast exactly — a Catalyst
     // BloomFilterAggregate sketch of the bench gram hashes broadcasts as a
@@ -2689,6 +2700,21 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN token NOT IN (SELECT token FROM vocab)
         |      THEN tf ELSE 0 END) AS BIGINT) AS n_oov
         |  FROM tf GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_frac FROM agg""".stripMargin,
+
+    // q94's oracle with the per-doc rollup phrased over token occurrences
+    // (the sketch leg never builds tf) — inside the exactness window the
+    // MG vocabulary is the exact top-20, so the same SQL applies
+    "q96_vocab_oov_sketch" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents),
+        |tot AS (SELECT token, count(*) AS n_occ FROM tok GROUP BY 1),
+        |vocab AS (SELECT token FROM tot ORDER BY n_occ DESC, token ASC LIMIT 20),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN token NOT IN (SELECT token FROM vocab)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM tok GROUP BY doc_id)
         |SELECT doc_id, n_tokens, n_oov,
         |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_frac FROM agg""".stripMargin,
 

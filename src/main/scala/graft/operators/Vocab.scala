@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Vocabulary fitting + out-of-vocabulary (OOV) scoring — the tokenizer-prep
@@ -68,6 +70,89 @@ object Vocab {
       .agg(sum(col("tf")).as("n_tokens"),
         sum(when(col("in_vocab").isNull, col("tf")).otherwise(lit(0L)))
           .as("n_oov"))
+      .withColumn("oov_frac", col("n_oov").cast("double") / col("n_tokens"))
+  }
+
+  /** Mergeable Misra-Gries heavy-hitters summary over tokens — the
+    * one-pass bounded-state engine behind [[vocabularyApprox]]. Per-buffer
+    * state is a counter map capped at `capacity` entries; overflow on
+    * insert decrements every counter (classic MG), overflow on merge
+    * subtracts the (capacity+1)-th largest count from all (Agarwal et
+    * al.'s mergeable form). Guarantees: estimates UNDERCOUNT by at most
+    * N/(capacity+1) (N = total token occurrences), so every token with
+    * true count > N/(capacity+1) survives; and while `capacity` ≥ the
+    * number of distinct tokens no eviction ever fires and every count is
+    * EXACT — the oracle-able exactness window, same contract as the GK/CMS
+    * legs (q51/q88/q89).
+    */
+  final class MisraGries(capacity: Int)
+      extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], t: String): Map[String, Long] =
+      b.get(t) match {
+        case Some(c) => b.updated(t, c + 1L)
+        case None if b.size < capacity => b.updated(t, 1L)
+        case None =>
+          // decrement-all: the incoming token's +1 cancels against its own
+          // decrement, so it is simply not inserted; zeros evict
+          b.flatMap { case (k, v) => if (v > 1L) Some(k -> (v - 1L)) else None }
+      }
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val s = (a.keySet ++ b.keySet).iterator
+        .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+      if (s.size <= capacity) s
+      else {
+        // subtract the (capacity+1)-th largest count; at most `capacity`
+        // strictly larger values can remain
+        val d = s.valuesIterator.toArray.sorted(Ordering[Long].reverse)(capacity)
+        s.flatMap { case (k, v) => if (v - d > 0L) Some(k -> (v - d)) else None }
+      }
+    }
+    def finish(r: Map[String, Long]): Seq[(String, Long)] = r.toSeq
+    def bufferEncoder: ExpressionEncoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder: ExpressionEncoder[Seq[(String, Long)]] =
+      ExpressionEncoder[Seq[(String, Long)]]()
+  }
+
+  /** One-pass approximate vocabulary — the true-100 TB leg of
+    * [[vocabulary]]: the exact form's corpus-linear token shuffle is
+    * replaced by ONE global Misra-Gries aggregation whose partial buffers
+    * (O(capacity) each, one per partition) merge up a tiny final exchange
+    * — the token stream itself never shuffles. Same output schema and the
+    * same (count desc, token asc) tie-break. Within the exactness window
+    * (`capacity` ≥ distinct tokens — realistic: capacity millions vs a
+    * corpus vocabulary) the result is IDENTICAL to [[vocabulary]];
+    * past it, top-V membership is heavy-hitter-approximate and
+    * merge-order-dependent, with the undercount bound above.
+    */
+  def vocabularyApprox(df: DataFrame, textCol: String, v: Int,
+                       capacity: Int = 1 << 20): DataFrame = {
+    require(v > 0, s"vocabulary size must be positive, got $v")
+    val mg = udaf(new MisraGries(capacity), Encoders.STRING)
+    df.select(explode(split(col(textCol), " ")).as("token"))
+      .agg(mg(col("token")).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e._1").as("token"), col("e._2").as("n_occ"))
+      .orderBy(col("n_occ").desc, col("token").asc)
+      .limit(v)
+  }
+
+  /** [[oovStats]] with the vocabulary fitted by [[vocabularyApprox]] —
+    * per-doc scoring joins the broadcast sketch-fitted vocab and rolls up
+    * on the id only: the ONLY corpus-keyed shuffle left is the per-doc
+    * aggregation (map-side combined); nothing is ever shuffled by token.
+    */
+  def oovStatsApprox(df: DataFrame, idCol: String, textCol: String, v: Int,
+                     capacity: Int = 1 << 20): DataFrame = {
+    val vocab = vocabularyApprox(df, textCol, v, capacity)
+      .select(col("token"), lit(1).as("in_vocab"))
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_frac", col("n_oov").cast("double") / col("n_tokens"))
   }
 }

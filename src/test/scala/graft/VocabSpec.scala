@@ -48,6 +48,42 @@ class VocabSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("sketch leg: exact inside the capacity window (capacity >= distinct tokens)") {
+    val exactV = Vocab.vocabulary(docs, "text", 3).collect().toSeq
+    val approxV = Vocab.vocabularyApprox(docs, "text", 3, capacity = 64)
+      .collect().toSeq
+    assert(approxV == exactV)
+    val exactO = Vocab.oovStats(docs, "doc_id", "text", 2).collect().toSet
+    val approxO = Vocab.oovStatsApprox(docs, "doc_id", "text", 2, capacity = 64)
+      .collect().toSet
+    assert(approxO == exactO)
+  }
+
+  test("sketch leg: tight capacity keeps every heavy hitter (undercount <= N/(cap+1))") {
+    // one row, one partition: counts a:50 b:30 + 20 singletons, N=100;
+    // capacity=4 -> undercount <= 20, so a and b MUST survive
+    val text = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++
+      (0 until 20).map(i => s"t$i")).mkString(" ")
+    val df = Seq(Tuple1(text)).toDF("text")
+    val got = Vocab.vocabularyApprox(df, "text", v = 4, capacity = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.contains("a") && got.contains("b"),
+      s"heavy hitters missing from $got")
+    assert(got("a") >= 30 && got("a") <= 50 && got("b") >= 10 && got("b") <= 30,
+      s"estimates outside the MG bound: $got")
+  }
+
+  test("sketch leg plan: nothing shuffles by token — the one-pass claim") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = Vocab.oovStatsApprox(docs, "doc_id", "text", 2, capacity = 64)
+      .queryExecution.sparkPlan
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    shuffles.foreach { s =>
+      assert(!s.outputPartitioning.toString.contains("token"),
+        s"token-keyed shuffle in the sketch leg:\n$plan")
+    }
+  }
+
   test("plan: tf exchange shared by totals and join-back; top-V is a bounded heap") {
     val out = Vocab.oovStats(docs, "doc_id", "text", v = 2)
     out.collect()
