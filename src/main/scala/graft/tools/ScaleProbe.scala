@@ -137,7 +137,21 @@ object ScaleProbe {
         d, "doc_id", "text", Seq("lang", "source"), prefixLen = 64, maxDist = 8))),
       "repeated_spans" -> ((d, _) => noopCount(
         graft.operators.Spans.repeatedSpanStats(d, "doc_id", "text",
-          k = 6, minDocs = 2)))
+          k = 6, minDocs = 2))),
+      // bloom_decontaminate: the corpus-side cost is the map-side
+      // might_contain scan + a near-hit-bounded verify shuffle — expected
+      // ~linear in corpus grams with a flat sketch-build prefix.
+      // vocab_sketch: one-pass MG buffers, per-doc rollup the only
+      // corpus-keyed shuffle — expected ~linear, no token exchange.
+      "bloom_decontaminate" -> { (d, _) =>
+        val bench = d.where(col("source") === "src18")
+        val corpus = d.where(col("source") =!= "src18")
+        noopCount(graft.operators.Decontaminate.decontaminateBloom(
+          corpus, bench, "doc_id", "text", n = 5, expectedItems = 1L << 18))
+      },
+      "vocab_sketch" -> ((d, _) => noopCount(
+        graft.operators.Vocab.oovStatsApprox(d, "doc_id", "text",
+          v = 20, capacity = 1024)))
     )
 
     val results = ops.map { case (name, f) =>
