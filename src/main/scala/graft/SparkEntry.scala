@@ -1420,6 +1420,33 @@ object SparkEntry {
       graft.operators.Vocab.oovStats(rdPar(s, dir, "documents"),
         "doc_id", "text", v = 20)),
 
+    // ---- the pipeline's OUTPUT stage under the gate: pack assignments
+    // land as directory-partitioned (source, shard), size-bounded,
+    // seq-sorted parquet shards (Pack.writeShards), are READ BACK —
+    // directory-column reconstruction included (partition-col inference
+    // types shard as int; cast back) — and aggregated; the oracle computes
+    // the same stats straight from `documents`, so any row lost,
+    // duplicated, or mistyped through the write→read round-trip breaks
+    // the hash. Layout (file caps, in-file sort) is spec-asserted.
+    "q97_shard_writer" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q97").toString
+      val docs = rd(s, dir, "documents").withColumn("shard",
+        graft.operators.Sampling.shardFromId(col("doc_id"), 8))
+      val assigned = graft.operators.Pack.assignSequences(docs, "doc_id",
+        Seq("source", "shard"), TextAnalysis.tokenCount(col("text")), budget = 256)
+        .select("doc_id", "source", "shard", "n_tokens", "seq_id", "tok_offset")
+      graft.operators.Pack.writeShards(assigned, tmp,
+        partitionCols = Seq("source", "shard"),
+        sortCols = Seq("seq_id", "doc_id"), maxRecordsPerFile = 100)
+      s.read.parquet(tmp)
+        .groupBy(col("source"), col("shard").cast("long").as("shard"),
+          col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("seq_tokens"),
+          min("tok_offset").as("first_offset"),
+          max("doc_id").as("last_doc"))
+    }),
+
     // ---- q94's SKETCH leg — the one-pass vocabulary (Misra-Gries heavy
     // hitters, mergeable MG merge rule): the exact form's token shuffle
     // disappears; partial O(capacity) buffers merge up one tiny exchange.
@@ -2702,6 +2729,24 @@ object SparkEntry {
         |  FROM tf GROUP BY doc_id)
         |SELECT doc_id, n_tokens, n_oov,
         |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_frac FROM agg""".stripMargin,
+
+    // q60's packing arithmetic recomputed from `documents` directly — the
+    // Spark side must deliver the identical stats THROUGH the partitioned
+    // write + read-back, or rows were lost/duplicated/mistyped in the sink
+    "q97_shard_writer" ->
+      s"""WITH d AS (SELECT doc_id, source,
+        |    ${shardSql("doc_id", 8)} AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, source, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok FROM d)
+        |SELECT source, CAST(shard AS BIGINT) AS shard,
+        |  CAST(floor(start_tok / 256.0) AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+        |  CAST(min(start_tok % 256) AS BIGINT) AS first_offset,
+        |  CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM c GROUP BY 1, 2, 3""".stripMargin,
 
     // q94's oracle with the per-doc rollup phrased over token occurrences
     // (the sketch leg never builds tf) — inside the exactness window the

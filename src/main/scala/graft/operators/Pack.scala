@@ -56,4 +56,35 @@ object Pack {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("seq_tokens"),
         (sum(col("n_tokens")).cast("double") / budget).as("fill_ratio"))
+
+  /** Training-shard writer — the pipeline's OUTPUT stage: lands a packed
+    * corpus as directory-partitioned, size-bounded, internally-sorted
+    * parquet shards, the layout a trainer's data loader streams
+    * sequentially (one dir per (split/source/shard), files capped at
+    * `maxRecordsPerFile` rows, rows in `sortCols` order inside each file
+    * so sequence ids are contiguous on disk).
+    *
+    * Scale shape: the explicit repartition on the partition columns
+    * aligns write tasks with output directories — each task owns whole
+    * dirs, so the file count per dir is ceil(rows / maxRecordsPerFile),
+    * not tasks × dirs (the classic small-files explosion when a
+    * partitionBy write is fed by an unaligned shuffle). Parallelism =
+    * partition-key cardinality; at 100 TB the key must therefore include
+    * the sharded component (e.g. (source, md5-mod-k) from
+    * [[Sampling.shardFromId]] — the same rule as [[assignSequences]]'s
+    * group key, and the caller uses the SAME key for both so sort order
+    * and directory layout agree). `maxRecordsPerFile` is enforced by the
+    * writer itself (one open file per task at a time — no memory cost).
+    */
+  def writeShards(df: DataFrame, dir: String, partitionCols: Seq[String],
+                  sortCols: Seq[String], maxRecordsPerFile: Long): Unit = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(dir)
+  }
 }

@@ -59,6 +59,33 @@ class PipelineOpsSpec extends SparkSpec {
       s"corpus side shuffled below the semi-join:\n$plan")
   }
 
+  test("shard writer: layout honors partition dirs, file caps, and in-file sort; read-back is lossless") {
+    import org.apache.spark.sql.functions.col
+    val rows = (1L to 97L).map(i => (i, s"s${(i % 3)}", i % 5, i * 10))
+    val df = rows.toDF("doc_id", "source", "seq_id", "n_tokens")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shardw").toString
+    graft.operators.Pack.writeShards(df, dir, partitionCols = Seq("source"),
+      sortCols = Seq("seq_id", "doc_id"), maxRecordsPerFile = 10)
+    // one dir per source value
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("source=s0", "source=s1", "source=s2"))
+    // every data file respects the cap, and rows inside are sorted
+    val files = dirs.flatMap(d => new java.io.File(s"$dir/$d").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => s"$dir/$d/${f.getName}"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val rowsIn = spark.read.parquet(f)
+        .select("seq_id", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rowsIn.length <= 10, s"file $f has ${rowsIn.length} rows > cap")
+      assert(rowsIn.toSeq == rowsIn.toSeq.sorted, s"file $f not sorted")
+    }
+    // lossless round-trip (partition column reconstructed from the dir)
+    val back = spark.read.parquet(dir)
+      .select("doc_id", "source", "seq_id", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(back == rows.toSet)
+  }
+
   test("bloom decontaminate: identical result to the exact operator") {
     val exact = Decontaminate.contaminatedIds(corpus, bench, "doc_id", "text", n = 3)
       .as[Long].collect().toSet
