@@ -1420,6 +1420,30 @@ object SparkEntry {
       graft.operators.Vocab.oovStats(rdPar(s, dir, "documents"),
         "doc_id", "text", v = 20)),
 
+    // ---- LEAKAGE-SAFE train/val/test split: q65's hash-range assignment
+    // keyed on the near-dup COMPONENT label instead of the doc id, so a
+    // cluster of near-duplicates can never straddle train and test — the
+    // eval-hygiene rule plain per-doc splitting violates (a test doc's
+    // 0.9-Jaccard twin in train is leakage the decontamination pass
+    // cannot see). Composition of three individually-gated stages
+    // (q39 pairs → q62 components → q65 split arithmetic); split is a
+    // pure function of the component, so safety is structural, and the
+    // component hash keeps the assignment growth-stable as clusters gain
+    // members (a cluster's label is its min id — stable unless an older
+    // doc joins it, which is exactly when re-splitting is correct).
+    "q98_leakage_safe_split" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        Seq("lang", "source"), n = 1, threshold = 0.9)
+      val comp = graft.operators.Components.connectedComponents(
+        pairs.select("id_a", "id_b"), docs.select("doc_id"), "doc_id")
+      graft.operators.Sampling.splitAssign(comp, "component",
+          Seq("train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("component")).as("n_components"))
+    }),
+
     // ---- the pipeline's OUTPUT stage under the gate: pack assignments
     // land as directory-partitioned (source, shard), size-bounded,
     // seq-sorted parquet shards (Pack.writeShards), are READ BACK —
@@ -2729,6 +2753,27 @@ object SparkEntry {
         |  FROM tf GROUP BY doc_id)
         |SELECT doc_id, n_tokens, n_oov,
         |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_frac FROM agg""".stripMargin,
+
+    // q68's recursive closure for the component labels + q65's split
+    // arithmetic applied to the COMPONENT (same md5 uniform, same cuts)
+    "q98_leakage_safe_split" ->
+      s"""WITH RECURSIVE $prefixPairsSql,
+        |pairs AS (SELECT id_a, id_b FROM jp WHERE jaccard >= 0.9),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+        |u AS (SELECT id, component,
+        |    ${uniformSql("component", ":split")} AS u FROM comp)
+        |SELECT CASE WHEN u IS NULL THEN NULL
+        |    WHEN u < 0.875 THEN 'train' WHEN u < 0.9375 THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(count(DISTINCT component) AS BIGINT) AS n_components
+        |FROM u GROUP BY 1""".stripMargin,
 
     // q60's packing arithmetic recomputed from `documents` directly — the
     // Spark side must deliver the identical stats THROUGH the partitioned

@@ -59,6 +59,20 @@ class PipelineOpsSpec extends SparkSpec {
       s"corpus side shuffled below the semi-join:\n$plan")
   }
 
+  test("leakage-safe split: a near-dup component never straddles splits") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 10L, 20L, 30L, 40L).toDF("doc_id")
+    val comp = Components.connectedComponents(pairs, nodes, "doc_id")
+    val split = Sampling.splitAssign(comp, "component",
+      Seq("train" -> 0.5, "test" -> 0.5))
+    val straddling = split.groupBy("component")
+      .agg(countDistinct(col("split")).as("k")).where(col("k") > 1).count()
+    assert(straddling == 0)
+    // the planted chain {1,2,3} is one component — all three share a split
+    assert(split.where(col("doc_id").isin(1L, 2L, 3L))
+      .select("split").distinct().count() == 1)
+  }
+
   test("shard writer: layout honors partition dirs, file caps, and in-file sort; read-back is lossless") {
     import org.apache.spark.sql.functions.col
     val rows = (1L to 97L).map(i => (i, s"s${(i % 3)}", i % 5, i * 10))
