@@ -1420,6 +1420,16 @@ object SparkEntry {
       graft.operators.Vocab.oovStats(rdPar(s, dir, "documents"),
         "doc_id", "text", v = 20)),
 
+    // ---- deterministic contrastive negatives: two hash-ring rounds per
+    // doc (md5-ordered bucketized ring, successor pairing — the partner is
+    // a pure function of the id set: reproducible negatives, no
+    // rand(seed) partition-order dependence). Row-level pair list under
+    // the gate; the ring windows are (round, bucket)-bounded, never a
+    // global sort.
+    "q99_ring_negatives" -> ((s, dir) =>
+      graft.operators.Sampling.ringNegatives(rd(s, dir, "documents"),
+        "doc_id", rounds = 2, bucketHexLen = 2)),
+
     // ---- LEAKAGE-SAFE train/val/test split: q65's hash-range assignment
     // keyed on the near-dup COMPONENT label instead of the doc id, so a
     // cluster of near-duplicates can never straddle train and test — the
@@ -2753,6 +2763,25 @@ object SparkEntry {
         |  FROM tf GROUP BY doc_id)
         |SELECT doc_id, n_tokens, n_oov,
         |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_frac FROM agg""".stripMargin,
+
+    // the ring replicated verbatim: same md5 key, same bucket substring,
+    // lead + first_value wraparound per (round, bucket), self-pairs (bucket
+    // singletons) dropped on both sides
+    "q99_ring_negatives" ->
+      """WITH r AS (SELECT j FROM unnest(generate_series(1, 2)) AS t(j)),
+        |h AS (SELECT doc_id, j,
+        |    md5(CAST(doc_id AS VARCHAR) || ':neg' || CAST(j AS VARCHAR)) AS hh
+        |  FROM documents, r WHERE doc_id IS NOT NULL),
+        |hb AS (SELECT doc_id, j, hh, substring(hh, 1, 2) AS b FROM h),
+        |w AS (SELECT doc_id, j,
+        |    coalesce(
+        |      lead(doc_id) OVER (PARTITION BY j, b ORDER BY hh, doc_id),
+        |      first_value(doc_id) OVER (PARTITION BY j, b ORDER BY hh, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |      AS neg_id
+        |  FROM hb)
+        |SELECT doc_id, CAST(j AS BIGINT) AS round, neg_id FROM w
+        |WHERE neg_id <> doc_id""".stripMargin,
 
     // q68's recursive closure for the component labels + q65's split
     // arithmetic applied to the COMPONENT (same md5 uniform, same cuts)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling and domain mixing for training-data pipelines.
@@ -186,5 +187,47 @@ object Sampling {
       .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
     upsample(df, idCol,
       coalesce(element_at(wMap, col(strataCol)), lit(defaultWeight)))
+  }
+
+  /** Deterministic negative sampling for contrastive training — each doc
+    * gets `rounds` pseudo-random partners via hash-ring successors: round
+    * j places every id on a ring ordered by md5(id || ":neg" || j) and
+    * pairs it with its successor. Hash ordering IS the randomness (the
+    * partner is content- and position-uncorrelated), and like every
+    * sampler in this module the output is a pure function of the id set —
+    * reproducible under repartitioning, AQE, and reruns, unlike
+    * rand(seed)-based pairing.
+    *
+    * Scale shape: the ring is BUCKETIZED by the first `bucketHexLen` hex
+    * chars of the hash (16^len buckets, wraparound within each bucket), so
+    * each round costs one (round, bucket) shuffle and per-bucket sorts of
+    * N/16^len rows — no global sort, no single ring task. Raise
+    * `bucketHexLen` with corpus size; the splice at bucket boundaries only
+    * changes WHICH hash-successor a boundary doc gets, never the
+    * uniformity contract. A doc alone in its bucket has no partner and is
+    * dropped (vanishing probability once N >> buckets).
+    *
+    * Output: (idCol, round, neg_id), neg_id != id. Null ids never pair.
+    */
+  def ringNegatives(df: DataFrame, idCol: String, rounds: Int = 1,
+                    bucketHexLen: Int = 2): DataFrame = {
+    require(rounds > 0, s"rounds must be positive: $rounds")
+    require(bucketHexLen >= 1 && bucketHexLen <= 8,
+      s"bucketHexLen must be in [1, 8]: $bucketHexLen")
+    val h = md5(concat(col(idCol).cast("string"), lit(":neg"),
+      col("round").cast("string")))
+    val ring = df.select(col(idCol)).where(col(idCol).isNotNull)
+      .select(col(idCol), explode(sequence(lit(1), lit(rounds))).as("round"))
+      .withColumn("__h", h)
+      .withColumn("__b", substring(col("__h"), 1, bucketHexLen))
+    val w = Window.partitionBy(col("round"), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+    val wFull = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    ring
+      .withColumn("neg_id",
+        coalesce(lead(col(idCol), 1).over(w), first(col(idCol)).over(wFull)))
+      .where(col("neg_id") =!= col(idCol))
+      .select(col(idCol), col("round").cast("long").as("round"), col("neg_id"))
   }
 }

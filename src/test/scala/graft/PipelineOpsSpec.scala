@@ -59,6 +59,38 @@ class PipelineOpsSpec extends SparkSpec {
       s"corpus side shuffled below the semi-join:\n$plan")
   }
 
+  test("ring negatives: never self, reproducible, and a full ring when buckets are dense") {
+    val docs = (1L to 200L).toDF("doc_id")
+    // one bucket: every doc must get exactly one partner per round, and
+    // the successor mapping is a permutation (everyone is someone's neg)
+    val one = Sampling.ringNegatives(docs, "doc_id", rounds = 2, bucketHexLen = 1)
+    val rows = one.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall { case (id, _, n) => n != id })
+    val perRound = rows.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    // with 200 docs over 16 buckets no bucket is a singleton w.h.p. — every
+    // doc pairs in both rounds
+    assert(perRound(1L) == (1L to 200L).toSet && perRound(2L) == (1L to 200L).toSet)
+    // determinism under repartitioning
+    val again = Sampling.ringNegatives(docs.repartition(13), "doc_id",
+      rounds = 2, bucketHexLen = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == rows.toSet)
+    // rounds are different rings: the two partner maps must differ somewhere
+    val m1 = rows.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
+    val m2 = rows.filter(_._2 == 2L).map(t => t._1 -> t._3).toMap
+    assert(m1 != m2)
+    // null ids never pair
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(null.asInstanceOf[Any]),
+        org.apache.spark.sql.Row(7L), org.apache.spark.sql.Row(8L))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    val nn = Sampling.ringNegatives(withNull, "doc_id", rounds = 1, bucketHexLen = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(!nn.contains(0L) && nn.subsetOf(Set(7L, 8L)))
+  }
+
   test("leakage-safe split: a near-dup component never straddles splits") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val nodes = Seq(1L, 2L, 3L, 10L, 20L, 30L, 40L).toDF("doc_id")
