@@ -1420,6 +1420,43 @@ object SparkEntry {
       graft.operators.Vocab.oovStats(rdPar(s, dir, "documents"),
         "doc_id", "text", v = 20)),
 
+    // ---- STREAMING decontamination — the online form of q59/q95 ("check
+    // the incoming crawl against the eval suite as it lands"), and the one
+    // join mode the streaming surface didn't yet gate: a STREAM-STATIC
+    // broadcast semi-join (stateless — no watermark interplay, the static
+    // bench gram set broadcasts exactly as in batch). Per-doc distinct
+    // hits come from dropDuplicatesWithinWatermark (q75's pinned
+    // emission); payload joins back batch-side. Oracle = the exact overlap
+    // semantics, q95's shape at n=4 / src17.
+    "q100_streaming_decontaminate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val schema = docs.schema
+      val benchGrams = docs.where(col("source") === "src17")
+        .select(explode(Dedup.wordNgrams(col("text"), 4)).as("gram"))
+        .select(xxhash64(col("gram")).as("gram_h")).distinct()
+      val sink = "q100_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withStreamPartitions(s) {
+        val q = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .where(col("source") =!= "src17")
+          // +1 day: strictly above the initial watermark (the q75 trap)
+          .withColumn("arrival_ts", timestamp_seconds(col("doc_id") + lit(86400L)))
+          .withWatermark("arrival_ts", "1 hour")
+          .select(col("doc_id"), col("arrival_ts"),
+            explode(Dedup.wordNgrams(col("text"), 4)).as("gram"))
+          .select(col("doc_id"), col("arrival_ts"),
+            xxhash64(col("gram")).as("gram_h"))
+          .join(broadcast(benchGrams), Seq("gram_h"), "left_semi")
+          .dropDuplicatesWithinWatermark("doc_id")
+          .select("doc_id")
+          .writeStream.outputMode("append").format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drainSink(s, sink).join(docs, Seq("doc_id"))
+        .select("doc_id", "lang", "source")
+    }),
+
     // ---- deterministic contrastive negatives: two hash-ring rounds per
     // doc (md5-ordered bucketized ring, successor pairing — the partner is
     // a pure function of the id set: reproducible negatives, no
@@ -2763,6 +2800,19 @@ object SparkEntry {
         |  FROM tf GROUP BY doc_id)
         |SELECT doc_id, n_tokens, n_oov,
         |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_frac FROM agg""".stripMargin,
+
+    // q59's exact overlap semantics at n=4 over the src17 bench — the
+    // streaming form must emit exactly the contaminated-doc set (stateless
+    // stream-static semi + first-seen dedup, one AvailableNow batch)
+    "q100_streaming_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (SELECT doc_id, array_to_string(t[i.i : i.i + 3], ' ') AS g
+        |  FROM toks, unnest(generate_series(1, greatest(len(t) - 3, 1))) AS i(i)),
+        |bench AS (SELECT DISTINCT g FROM grams JOIN documents USING (doc_id)
+        |  WHERE source = 'src17'),
+        |hits AS (SELECT DISTINCT doc_id FROM grams JOIN documents USING (doc_id)
+        |  WHERE source <> 'src17' AND g IN (SELECT g FROM bench))
+        |SELECT doc_id, lang, source FROM documents JOIN hits USING (doc_id)""".stripMargin,
 
     // the ring replicated verbatim: same md5 key, same bucket substring,
     // lead + first_value wraparound per (round, bucket), self-pairs (bucket

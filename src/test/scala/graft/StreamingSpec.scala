@@ -156,6 +156,30 @@ class StreamingSpec extends SparkSpec {
     assert(!got.contains(("a", "2025-01-01 10:30:00"))) // the in-state dup was dropped
   }
 
+  test("stream-static semi join is stateless: matches emit in-batch, non-matches vanish, no watermark needed") {
+    // q100's join mode: the static side broadcasts exactly as in batch and
+    // the join keeps NO state — a later static-side change cannot
+    // retroactively match (static is re-read per batch, but emitted rows
+    // are final), and rows emit in the same micro-batch they arrive
+    implicit val sqlCtx = spark.sqlContext
+    val statics = Seq(1L, 3L).toDF("k")
+    val mem = MemoryStream[Long]
+    val sink = "ss_semi_sink"
+    val q = mem.toDF().toDF("k")
+      .join(broadcast(statics), Seq("k"), "left_semi")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    mem.addData(1L, 2L)
+    q.processAllAvailable()
+    val afterB1 = spark.table(sink).collect().map(_.getLong(0)).toSeq
+    mem.addData(3L, 4L)
+    q.processAllAvailable()
+    val afterB2 = spark.table(sink).collect().map(_.getLong(0)).toSeq.sorted
+    q.stop()
+    spark.catalog.dropTempView(sink)
+    assert(afterB1 == Seq(1L), s"batch-1 emission wrong: $afterB1")
+    assert(afterB2 == Seq(1L, 3L), s"batch-2 emission wrong: $afterB2")
+  }
+
   test("left-outer interval join: null-emission iff join-window end strictly below the GLOBAL min watermark") {
     // q81's oracle hard-codes three facts about stream-stream left-outer
     // emission under AvailableNow, each pinned by one crafted row:
