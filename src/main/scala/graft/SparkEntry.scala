@@ -870,6 +870,18 @@ object SparkEntry {
         .toDF()
         .select("media_id", "width", "height", "n_px", "px_sum", "decode_ok")),
 
+    // ---- REAL audio decode end-to-end — the q90 pattern for the second
+    // modality: deterministic 16-bit PCM waveforms encoded through the JDK
+    // WAV writer on the executors, decoded back with javax.sound.sampled;
+    // PCM is integer-exact, so format fields and sample stats equal the
+    // closed form the oracle recomputes analytically. The multimodal stub
+    // now stands in for video only.
+    "q101_wav_decode" -> ((s, dir) =>
+      Multimodal.decodeAudioMeta(Multimodal.syntheticWavMedia(s, 200))
+        .toDF()
+        .select("media_id", "sample_rate", "channels", "bits", "n_frames",
+          "pcm_sum", "pcm_min", "pcm_max", "decode_ok")),
+
     // ---- ingest path under the gate (S1/C1: the first thing a reference
     // user runs — ref 01:111-142). Round-trips the reference's own 2,000-row
     // corpus CSV (multiline quoted fields, ""-escaped quotes, empty-string
@@ -2124,6 +2136,23 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum,
         |  TRUE AS decode_ok
         |FROM px GROUP BY media_id, width, height""".stripMargin,
+
+    // the WAV round-trip's closed-form truth: sample(k) =
+    // ((31·id + 17·k) mod 65536) − 32768 over 64 + id%64 frames — lossless
+    // PCM means the REAL javax.sound pipeline must reproduce these exact
+    // integers (and the 8 kHz / mono / 16-bit header fields)
+    "q101_wav_decode" ->
+      """WITH dims AS (SELECT i AS media_id,
+        |    CAST(64 + i % 64 AS BIGINT) AS n_frames FROM range(200) t(i)),
+        |s AS (SELECT media_id, n_frames,
+        |    ((31 * media_id + 17 * k.k) % 65536) - 32768 AS v
+        |  FROM dims, unnest(generate_series(0, n_frames - 1)) AS k(k))
+        |SELECT media_id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels, CAST(16 AS INT) AS bits, n_frames,
+        |  CAST(sum(v) AS BIGINT) AS pcm_sum,
+        |  CAST(min(v) AS INT) AS pcm_min, CAST(max(v) AS INT) AS pcm_max,
+        |  TRUE AS decode_ok
+        |FROM s GROUP BY media_id, n_frames""".stripMargin,
 
     // replays the synthetic-media metadata arithmetic (sizes, frame
     // sampling, aspect-preserving resize) in SQL; checksum/features are

@@ -144,6 +144,111 @@ object Multimodal {
     }
   }
 
+  /** Decodes a WAV/AIFF payload with the JDK's `javax.sound.sampled` —
+    * the audio analog of [[decodeImage]] (no new dependency). Returns the
+    * format plus the signed PCM samples (16-bit little-endian mono is what
+    * [[syntheticWavMedia]] emits; the parser honors whatever the header
+    * declares). Corrupt payloads are data, not exceptions.
+    */
+  def decodeWav(bytes: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Array[Int])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      val raw = in.readAllBytes()
+      val bytesPerSample = fmt.getSampleSizeInBits / 8
+      val n = raw.length / bytesPerSample
+      val out = new Array[Int](n)
+      var k = 0
+      while (k < n) {
+        val o = k * bytesPerSample
+        out(k) =
+          if (bytesPerSample == 2) {
+            val lo = raw(o) & 0xff
+            val hi = raw(o + 1)
+            if (fmt.isBigEndian) ((lo << 8) | (hi & 0xff)).toShort.toInt
+            else ((hi << 8) | lo).toShort.toInt
+          } else raw(o).toInt
+        k += 1
+      }
+      Some((fmt, out))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Per-audio decoded truth: REAL format fields and integer PCM stats
+    * from the codec, not the claimed metadata. */
+  case class AudioMeta(media_id: Long, sample_rate: Int, channels: Int,
+                       bits: Int, n_frames: Long, pcm_sum: Long,
+                       pcm_min: Int, pcm_max: Int, decode_ok: Boolean)
+
+  /** Decode audio payloads with `javax.sound.sampled`, partition-batched
+    * like [[decodeImageMeta]]. PCM is integer-exact, so a WAV round-trip
+    * is oracle-checkable bit-exactly (q101) — the audio mirror of the q90
+    * PNG gate.
+    */
+  def decodeAudioMeta(media: Dataset[MediaFile]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        decodeWav(m.bytes) match {
+          case None =>
+            AudioMeta(m.media_id, 0, 0, 0, 0L, 0L, 0, 0, decode_ok = false)
+          case Some((fmt, samples)) =>
+            var sum = 0L
+            var mn = Int.MaxValue
+            var mx = Int.MinValue
+            var k = 0
+            while (k < samples.length) {
+              val v = samples(k)
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              k += 1
+            }
+            if (samples.isEmpty) { mn = 0; mx = 0 }
+            AudioMeta(m.media_id, fmt.getSampleRate.toInt, fmt.getChannels,
+              fmt.getSampleSizeInBits,
+              samples.length.toLong / math.max(fmt.getChannels, 1),
+              sum, mn, mx, decode_ok = true)
+        }
+      }
+    }
+  }
+
+  /** Deterministic REAL-WAV corpus: 16-bit signed little-endian mono PCM
+    * at 8 kHz, `64 + id mod 64` frames, sample(k) =
+    * ((31·id + 17·k) mod 65536) − 32768 — integer arithmetic the oracle
+    * recomputes analytically; the bytes go through the JDK WAV writer
+    * (RIFF header + PCM) inside the executors, so q101 exercises a real
+    * encode → decode round-trip, not a hand-rolled header.
+    */
+  def syntheticWavMedia(spark: SparkSession, n: Int): Dataset[MediaFile] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val frames = 64 + (i % 64).toInt
+      val fmt = new javax.sound.sampled.AudioFormat(
+        8000f, 16, 1, true, false) // signed, little-endian
+      val pcm = new Array[Byte](frames * 2)
+      var k = 0
+      while (k < frames) {
+        val v = (((31 * i + 17 * k) % 65536) - 32768).toInt
+        pcm(2 * k) = (v & 0xff).toByte
+        pcm(2 * k + 1) = ((v >> 8) & 0xff).toByte
+        k += 1
+      }
+      val stream = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(stream,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      MediaFile(i, "audio", out.toByteArray, 0, 0, frames * 1000L / 8000L,
+        "audio/wav")
+    }
+  }
+
   /** Deterministic REAL-PNG corpus: each image is an 8-bit grayscale
     * `w x h` gradient with pixel(x, y) = (7x + 13y + id) mod 256,
     * w = 8 + id mod 16, h = 8 + 3*id mod 16, encoded through the JDK PNG

@@ -88,4 +88,43 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.forall(f => math.abs(f.features.sum - 1.0f) < 1e-5))
     assert(feats.forall(f => f.features.exists(_ > 0.0f)))
   }
+
+  test("wav: JDK round-trip decodes exact closed-form PCM; corrupt bytes are data") {
+    val metas = Multimodal.decodeAudioMeta(Multimodal.syntheticWavMedia(spark, 8))
+      .collect().map(m => m.media_id -> m).toMap
+    (0L until 8L).foreach { i =>
+      val m = metas(i)
+      val frames = 64 + (i % 64).toInt
+      val samples = (0 until frames).map(k => (((31 * i + 17 * k) % 65536) - 32768).toInt)
+      assert(m.decode_ok && m.sample_rate == 8000 && m.channels == 1 && m.bits == 16)
+      assert(m.n_frames == frames.toLong)
+      assert(m.pcm_sum == samples.map(_.toLong).sum)
+      assert(m.pcm_min == samples.min && m.pcm_max == samples.max)
+    }
+    // corrupt payload decodes to a decode_ok=false row, not an exception
+    import spark.implicits._
+    val bad = Seq(Multimodal.MediaFile(99L, "audio", Array[Byte](1, 2, 3, 4),
+      0, 0, 0L, "audio/wav")).toDS()
+    val badMeta = Multimodal.decodeAudioMeta(bad).collect().head
+    assert(!badMeta.decode_ok && badMeta.n_frames == 0L)
+  }
+
+  test("wav decode honors the header, not our writer: a big-endian AIFF decodes too") {
+    // encode the same samples as AIFF (big-endian) through the JDK writer;
+    // decodeWav must flip byte order by the declared format
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val samples = Array(-32768, -1, 0, 1, 32767)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, k) =>
+      pcm(2 * k) = ((v >> 8) & 0xff).toByte
+      pcm(2 * k + 1) = (v & 0xff).toByte
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+    val decoded = Multimodal.decodeWav(out.toByteArray)
+    assert(decoded.exists(_._2.toSeq == samples.toSeq))
+  }
 }
