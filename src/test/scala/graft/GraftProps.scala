@@ -4,6 +4,7 @@ import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
 
 import graft.functions.PortableHash
+import graft.ml.BpeTokenizer
 import graft.operators.Ann
 
 /** Pure-function property suite (ScalaCheck framework, runs under `sbt
@@ -154,4 +155,42 @@ object GraftProps extends Properties("graft") {
         }.sorted
         viaGate == viaRank && (thr.isEmpty == (n < 2))
     }
+
+  /** Misra-Gries contract under arbitrary partition chunkings and the
+    * mergeable combine rule: estimates never overcount, undercount by at
+    * most N/(capacity+1), and inside the exactness window (capacity >=
+    * distinct tokens) every count is exact — the q96 gate's premise.
+    */
+  property("vocab.misra-gries-bounds") =
+    forAll(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")),
+      Gen.chooseNum(1, 10), Gen.chooseNum(1, 5)) { (tokens, capacity, nChunks) =>
+      val agg = new graft.operators.Vocab.MisraGries(capacity)
+      val chunkSize = math.max(1, tokens.size / nChunks + 1)
+      val bufs = tokens.grouped(chunkSize).map(_.foldLeft(agg.zero)(agg.reduce))
+      val est = bufs.foldLeft(agg.zero)(agg.merge)
+      val truth = tokens.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = tokens.size.toLong
+      val bound = n / (capacity + 1)
+      val noOver = est.forall { case (t, e) => e <= truth.getOrElse(t, 0L) }
+      val bounded = truth.forall { case (t, c) => c - est.getOrElse(t, 0L) <= bound }
+      val exactInWindow = capacity < truth.size || est == truth
+      noOver && bounded && exactInWindow
+    }
+
+  /** BPE round-trip: whatever dict the merges were fitted on and whatever
+    * word is encoded (seen or unseen), concatenating the subword tokens
+    * reconstructs the word + sentinel exactly — merges only ever JOIN
+    * adjacent symbols.
+    */
+  property("bpe.roundtrip") = {
+    val word = Gen.nonEmptyListOf(Gen.oneOf('l', 'o', 'w', 'e', 's', 't'))
+      .map(_.mkString)
+    forAll(Gen.nonEmptyListOf(word.flatMap(w =>
+      Gen.chooseNum(1L, 9L).map(w -> _))), Gen.chooseNum(0, 12), word) {
+      (dict, numMerges, probe) =>
+        val m = graft.ml.BpeTokenizer.fitFromDict(dict, numMerges)
+        m.encodeWord(probe).mkString == probe + BpeTokenizer.Eow &&
+          m.encode("") == Nil
+    }
+  }
 }
