@@ -1432,6 +1432,31 @@ object SparkEntry {
       graft.operators.Vocab.oovStats(rdPar(s, dir, "documents"),
         "doc_id", "text", v = 20)),
 
+    // ---- UNPIVOT/melt — the reshape family's other half (q83/q91 go
+    // long→wide; this gates wide→long): the pivoted counts melt back via
+    // Dataset.unpivot (an Expand — pure map-side row expansion, no
+    // shuffle beyond the pivot's own agg) and, with the zero rows the
+    // wide form materialized dropped, must reproduce the plain long-form
+    // GROUP BY exactly — the full pivot→unpivot round-trip under the gate.
+    "q102_unpivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = events(s, dir).groupBy("user_id")
+        .pivot("event_type", types).count()
+        .select(col("user_id") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      wide.unpivot(Array(col("user_id")),
+          types.map(t => col(s"n_$t")).toArray, "event_type", "n_events")
+        .withColumn("event_type", substring(col("event_type"), 3, 100))
+        .where(col("n_events") > 0L)
+    }),
+
+    // ---- equi-width value histogram (profiling's distribution view;
+    // width 16 = 2^4, so bucket = floor(value/16) is an exact
+    // exponent-shift on both engines). One bucket-keyed hash agg.
+    "q103_value_histogram" -> ((s, dir) =>
+      graft.operators.Profile.histogram(events(s, dir), "value", 16.0)
+        .select("bucket", "lo", "n_rows", "min_v", "max_v")),
+
     // ---- STREAMING decontamination — the online form of q59/q95 ("check
     // the incoming crawl against the eval suite as it lands"), and the one
     // join mode the streaming surface didn't yet gate: a STREAM-STATIC
@@ -2829,6 +2854,20 @@ object SparkEntry {
         |  FROM tf GROUP BY doc_id)
         |SELECT doc_id, n_tokens, n_oov,
         |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_frac FROM agg""".stripMargin,
+
+    // the pivot→unpivot round-trip must land back on the plain long form
+    "q102_unpivot" ->
+      """SELECT user_id, event_type, count(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // bucket = floor(value/16): dividing by 2^4 is an exact exponent
+    // shift, so the bucket ids and carried min/max match bit-for-bit
+    "q103_value_histogram" ->
+      """WITH b AS (SELECT CAST(floor(value / 16.0) AS BIGINT) AS bucket, value
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT bucket, CAST(bucket AS DOUBLE) * 16.0 AS lo, count(*) AS n_rows,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM b GROUP BY bucket""".stripMargin,
 
     // q59's exact overlap semantics at n=4 over the src17 bench — the
     // streaming form must emit exactly the contaminated-doc set (stateless

@@ -47,4 +47,25 @@ object Profile {
       max(length(v)).as("max_len"),
       (sum(length(v)) / count(v)).as("avg_len"))
   }
+
+  /** Equi-width numeric histogram — the value-distribution half of
+    * profiling ([[summary]] covers shape/cardinality, [[Percentiles]]
+    * covers order statistics; this is the bucketed view dashboards plot).
+    * One hash aggregation on the bucket id (map-side combined, state =
+    * bucket count ≤ range/width); rows with null values are dropped (they
+    * have no bucket — count them via [[summary]]'s n_rows − n_nonnull).
+    *
+    * Bit-portability: pick a power-of-two `width` — dividing a double by
+    * 2^k only shifts the exponent, so bucket = floor(v / width) is exact
+    * on every IEEE engine; min/max carry input values unchanged.
+    */
+  def histogram(df: DataFrame, valueCol: String, width: Double): DataFrame = {
+    require(width > 0, s"width must be positive: $width")
+    val v = col(valueCol)
+    df.where(v.isNotNull)
+      .groupBy(floor(v / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(v).as("min_v"), max(v).as("max_v"))
+      .withColumn("lo", col("bucket").cast("double") * width)
+  }
 }

@@ -59,6 +59,30 @@ class PipelineOpsSpec extends SparkSpec {
       s"corpus side shuffled below the semi-join:\n$plan")
   }
 
+  test("histogram: exact power-of-two buckets, null values dropped") {
+    val df = Seq(0.0, 0.5, 15.99, 16.0, 31.5, -0.25, Double.NaN)
+      .toDF("v").union(Seq(Tuple1(null.asInstanceOf[java.lang.Double])).toDF("v"))
+    val got = graft.operators.Profile.histogram(
+        df.where(!isnan(col("v")) || col("v").isNull), "v", 16.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    // bucket -> (n, max): [-0.25]→-1, [0,0.5,15.99]→0, [16,31.5]→1
+    assert(got == Map(-1L -> ((1L, -0.25)), 0L -> ((3L, 15.99)),
+      1L -> ((2L, 31.5))))
+  }
+
+  test("unpivot round-trips the pivot back to the long form") {
+    val long = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "b")).toDF("k", "t")
+    val wide = long.groupBy("k").pivot("t", Seq("a", "b")).count()
+      .select(col("k"), coalesce(col("a"), lit(0L)).as("n_a"),
+        coalesce(col("b"), lit(0L)).as("n_b"))
+    val melted = wide.unpivot(Array(col("k")),
+        Array(col("n_a"), col("n_b")), "t", "n")
+      .withColumn("t", substring(col("t"), 3, 10))
+      .where(col("n") > 0L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(melted == Set((1L, "a", 2L), (1L, "b", 1L), (2L, "b", 1L)))
+  }
+
   test("ring negatives: never self, reproducible, and a full ring when buckets are dense") {
     val docs = (1L to 200L).toDF("doc_id")
     // one bucket: every doc must get exactly one partner per round, and
