@@ -1703,7 +1703,74 @@ object SparkEntry {
     // watermark nodes. Unconverted clicks in the trailing hour-plus are
     // withheld by design — that withholding IS the semantics under test.
     "q81_stream_outer_join" -> ((s, dir) =>
-      streamIntervalJoin(s, dir, "left_outer", "q81"))
+      streamIntervalJoin(s, dir, "left_outer", "q81")),
+
+    // ---- PII scrub: the detect+redact pass (emails, IPv4, dashed phones →
+    // typed placeholder tokens) every public-crawl pipeline runs first.
+    // The synthetic corpus carries no natural PII, so deterministic PII is
+    // injected from doc_id arithmetic — REPLICATED IN THE ORACLE, so both
+    // engines scrub the same text (the q90/q101 synthetic-fixture pattern,
+    // in SQL). Patterns live in the java.regex ∩ RE2 common subset; the
+    // gate compares the fully rewritten text row-level. Zero-shuffle
+    // map-only projection — the 100 TB shape for a full-corpus rewrite.
+    "q104_pii_scrub" -> ((s, dir) => {
+      val injected = rdPar(s, dir, "documents").withColumn("text",
+        concat_ws(" ", col("text"),
+          when(col("doc_id") % 7 === 0, concat(lit("contact user"),
+            col("doc_id").cast("string"), lit("@mail.example.com"))),
+          when(col("doc_id") % 5 === 0, concat(lit("call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-0142 now"))),
+          when(col("doc_id") % 11 === 0, concat(lit("host 10.0."),
+            (col("doc_id") % 256).cast("string"), lit(".7")))))
+      graft.operators.Pii.scrub(injected, "text")
+        .select("doc_id", "n_emails", "n_ipv4", "n_phones", "redacted")
+    }),
+
+    // ---- overlapping token-window chunking (doc → passage units for
+    // embedding/RAG indexing): 32-token windows every 24 tokens, 8-token
+    // overlap; chunk count/offsets are closed-form integer arithmetic
+    // replicated in the oracle, and the chunk TEXT itself is gated
+    // row-level. Map-side explode inside the scan stage — no shuffle.
+    "q105_token_chunks" -> ((s, dir) =>
+      graft.operators.Chunk.tokenWindows(rdPar(s, dir, "documents"),
+        "doc_id", "text", size = 32, stride = 24)),
+
+    // ---- latest-wins merge (SCD-1 upsert) — the UPDATE half of the cache
+    // write-back loop (q50 gates insert-dedup): a refresh batch (every
+    // doc_id % 3 == 0 re-scored to lang 'xx', n_chars + 1000, version 2)
+    // merges over the version-1 base; exactly the newest version of every
+    // key survives. Engine side is ONE hash agg (max_by over (version,
+    // prio) — map-side partial, no sort); the oracle keeps the row_number
+    // window form, so the gate verifies the agg ≡ rank equivalence on real
+    // data (the q64/q67 pattern).
+    "q106_latest_wins_merge" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val base = docs.withColumn("version", lit(1L)).withColumn("prio", lit(0))
+      val upd = docs.where(col("doc_id") % 3 === 0)
+        .withColumn("lang", lit("xx"))
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .withColumn("version", lit(2L)).withColumn("prio", lit(1))
+      graft.operators.Upsert.latestWins(base, upd, Seq("doc_id"),
+        "version", "prio")
+    }),
+
+    // ---- GROUPING SETS, the non-hierarchical form: independent marginals
+    // ((l_returnflag), (l_linestatus)) — the one grouping-family shape
+    // neither ROLLUP (q27) nor CUBE (q48) covers (no combined cell, no
+    // grand total). One Expand + hash agg, same scale shape as q27/q48;
+    // grouping_id disambiguates NULL-as-data from NULL-as-aggregated.
+    // Doubles sum through DECIMAL and cast to DOUBLE at the end (the
+    // round-3 bit-portability rule).
+    "q107_grouping_sets" -> ((s, dir) =>
+      rd(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+            .as("sum_qty"),
+          grouping_id().cast("long").as("gid")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -3005,6 +3072,72 @@ object SparkEntry {
         |SELECT cid AS click_id, pid AS purchase_id FROM m
         |UNION ALL
         |SELECT c.cid, CAST(NULL AS BIGINT) FROM c, wm
-        |WHERE c.cid NOT IN (SELECT cid FROM m) AND c.cms + 3600000 < wm.w""".stripMargin
+        |WHERE c.cid NOT IN (SELECT cid FROM m) AND c.cms + 3600000 < wm.w""".stripMargin,
+
+    // the PII injection replicated verbatim (concat_ws skips NULL branches
+    // on both engines); identical pattern strings (java.regex ∩ RE2 common
+    // subset), DuckDB needs the explicit 'g' flag to match Spark's
+    // replace-all default; counts via len(regexp_extract_all)
+    "q104_pii_scrub" ->
+      """WITH inj AS (SELECT doc_id, concat_ws(' ', text,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'contact user' ||
+        |    CAST(doc_id AS VARCHAR) || '@mail.example.com' END,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'call 555-' ||
+        |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0142 now' END,
+        |  CASE WHEN doc_id % 11 = 0 THEN 'host 10.0.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) || '.7' END) AS text
+        |FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM inj""".stripMargin,
+
+    // chunk count = 1 + ceil((n-32)/24) clamped at 1 (closed form; ceil of
+    // an exact small-integer quotient, so the rounding DuckDB applies when
+    // casting doubles cannot bite); DuckDB list slices are 1-based
+    // inclusive and truncate at the end like Spark's slice
+    "q105_token_chunks" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT doc_id, t, len(t) AS n FROM toks),
+        |c AS (SELECT doc_id, t, n, i.i AS chunk_idx FROM n,
+        |  unnest(generate_series(0, CASE WHEN n <= 32 THEN 0
+        |    ELSE CAST(ceil((n - 32) / 24.0) AS BIGINT) END)) AS i(i))
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(t[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+        |    AS chunk_text,
+        |  least(32, n - chunk_idx * 24) AS n_tokens
+        |FROM c""".stripMargin,
+
+    // the window (rank) form of latest-wins: the engine's max_by hash agg
+    // must pick exactly the row_number()=1 row per key — (version, prio)
+    // is unique per key by construction, so both forms are deterministic
+    "q106_latest_wins_merge" ->
+      """WITH base AS (SELECT doc_id, text, lang, source, n_chars,
+        |  CAST(1 AS BIGINT) AS version, 0 AS prio FROM documents),
+        |upd AS (SELECT doc_id, text, 'xx' AS lang, source,
+        |  n_chars + 1000 AS n_chars, CAST(2 AS BIGINT) AS version, 1 AS prio
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+        |SELECT doc_id, text, lang, source, n_chars, version FROM u
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY version DESC, prio DESC) = 1""".stripMargin,
+
+    // independent marginals; GROUPING's bitmask convention (first arg =
+    // high bit, 1 = aggregated-away) matches Spark's grouping_id
+    "q107_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin
   )
 }

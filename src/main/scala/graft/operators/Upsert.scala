@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Latest-wins merge (upsert) — the UPDATE half of the reference's cache
+  * maintenance story: the write-back loop inserts new rows and refreshes
+  * existing ones keyed on the query text
+  * (`/root/reference/02_method2_manual_vector_embedding.sql:415-418`);
+  * [[Dedup.exactDedup]] (q50) covers the insert-dedup half, this operator
+  * covers "a newer version of an existing key replaces the old row" — the
+  * SCD-1 merge every incremental corpus refresh needs.
+  *
+  * Shape: ONE hash aggregation — `max_by(payload, (version, priority))` with
+  * map-side partial merge — NOT a per-key window sort. At 100 TB the
+  * difference is decisive: the agg shuffles one candidate row per (key,
+  * partition) and never sorts, while `row_number() OVER (PARTITION BY key
+  * ORDER BY version DESC)` shuffles every row and sorts every group. The
+  * DuckDB oracle keeps the window form, so the gate verifies the
+  * equivalence on real data (the q64/q67 pattern: scale-shaped engine,
+  * rank-shaped oracle).
+  *
+  * Determinism contract: callers must make `(version, priority)` unique per
+  * key — e.g. priority 0 for the base corpus, 1 for the update batch, with
+  * at most one update row per key. `max_by` on a tied ordering key is
+  * nondeterministic by Spark contract (and `arg_max` by DuckDB's), so the
+  * operator requires the caller to break ties structurally rather than
+  * silently picking a winner.
+  */
+object Upsert {
+
+  /** Merge `base` and `updates` (same schema), keeping for every key the row
+    * with the greatest `(versionCol, prioCol)`. Output columns = input
+    * columns minus `prioCol` (the tiebreak is merge plumbing, not payload).
+    */
+  def latestWins(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
+                 versionCol: String, prioCol: String): DataFrame = {
+    require(base.columns.sameElements(updates.columns),
+      s"schema mismatch: ${base.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
+    val all = base.unionByName(updates)
+    val payloadCols = all.columns.filterNot(keyCols.contains).toSeq
+    val winner = max_by(
+      struct(payloadCols.map(col): _*),
+      struct(col(versionCol), col(prioCol)))
+    val outPayload = payloadCols.filterNot(_ == prioCol)
+    all.groupBy(keyCols.map(col): _*)
+      .agg(winner.as("_w"))
+      .select(keyCols.map(col) ++ outPayload.map(c => col(s"_w.$c").as(c)): _*)
+  }
+}
