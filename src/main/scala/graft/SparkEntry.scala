@@ -1770,7 +1770,55 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
             .as("sum_qty"),
-          grouping_id().cast("long").as("gid")))
+          grouping_id().cast("long").as("gid"))),
+
+    // ---- NATIVE session windows: Spark's session_window() — the built-in
+    // gap-merge operator. Empirically pinned in SessionizeSpec BEFORE the
+    // oracle was written (the streaming-surface discipline): two events
+    // EXACTLY gap apart MERGE, i.e. sessions merge iff next <= prev + gap
+    // and the break rule is strictly `diff > gap` in MICROSECONDS — the
+    // same boundary as q33's lag rule (an earlier draft assumed the
+    // window end was exclusive; the probe refuted it). Batch plans the
+    // dedicated session-merge aggregation; the oracle replicates the
+    // micros-exact island algorithm (the q80/q81 epoch pattern) with
+    // session_end = last event + gap.
+    "q108_session_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"))),
+
+    // ---- FULL OUTER equi-join — the one outer-join flavor not yet gated
+    // (q04 inner, q05 semi, q06 anti, q81 streaming left-outer): per-key
+    // order counts against high-balance customers, null-extended on BOTH
+    // sides (customers without orders; order keys whose customer misses
+    // the balance filter). Shuffle join on the key — full outer cannot
+    // broadcast either side by definition, so the equi-shuffle IS the
+    // 100 TB plan.
+    "q109_full_outer" -> ((s, dir) => {
+      val o = rd(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      val c = rd(s, dir, "customer").where(col("c_acctbal") > 5000.0)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      o.join(c, col("o_custkey") === col("c_custkey"), "full_outer")
+        .select(coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+          col("n_orders"), col("c_mktsegment"))
+    }),
+
+    // ---- per-GROUP heavy hitters (top tokens per source — the per-domain
+    // audit view): one (source)-keyed agg whose state is an O(capacity)
+    // Misra-Gries buffer, token stream never shuffles; the top-k ranks the
+    // exploded SKETCH (≤ capacity rows/group), not the corpus. capacity
+    // 1024 » the corpus's distinct tokens ⇒ inside the exactness window,
+    // so the exact per-source counts are the oracle (the q96 pattern,
+    // stratified).
+    "q110_group_heavy_hitters" -> ((s, dir) =>
+      graft.operators.Vocab.heavyHittersByGroup(rdPar(s, dir, "documents"),
+        "source", "text", k = 5, capacity = 1024))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -3138,6 +3186,54 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem
-        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+
+    // the native gap-merge rule in exact MICROSECONDS: break at
+    // diff > 30 min (merge AT the boundary — pinned empirically in
+    // SessionizeSpec, same rule as q33's lag form), session_end = last
+    // event + gap; epoch_ns//1000 mirrors events()'s nanos→micros
+    // truncation (the q80/q81 pattern), strftime/date_format both floor
+    // to whole seconds
+    "q108_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+        |  FROM events),
+        |g AS (SELECT user_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL
+        |    OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_break
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, us,
+        |  sum(is_break) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id,
+        |  strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(make_timestamp(max(us) + 1800000000),
+        |    '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // null-extended on BOTH sides: order-bearing keys below the balance
+    // filter, and high-balance customers with no orders
+    "q109_full_outer" ->
+      """WITH o AS (SELECT o_custkey, count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT c_custkey, c_mktsegment FROM customer
+        |  WHERE c_acctbal > 5000.0)
+        |SELECT coalesce(o.o_custkey, c.c_custkey) AS custkey,
+        |  o.n_orders, c.c_mktsegment
+        |FROM o FULL OUTER JOIN c ON o.o_custkey = c.c_custkey""".stripMargin,
+
+    // capacity 1024 >> distinct tokens => the Misra-Gries sketch is exact,
+    // so the exact per-source counts + deterministic (n_occ DESC, token
+    // ASC) rank are the oracle (q96's exactness window, stratified)
+    "q110_group_heavy_hitters" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT source, token, count(*) AS n_occ
+        |  FROM tok GROUP BY 1, 2),
+        |r AS (SELECT source, token, n_occ,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY n_occ DESC, token ASC) AS BIGINT) AS rnk FROM cnt)
+        |SELECT source, token, n_occ, rnk FROM r WHERE rnk <= 5""".stripMargin
   )
 }

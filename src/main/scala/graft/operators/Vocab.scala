@@ -139,6 +139,32 @@ object Vocab {
       .limit(v)
   }
 
+  /** Per-GROUP heavy hitters — [[vocabularyApprox]] stratified (top tokens
+    * per source/domain/lang, the per-domain audit view): ONE hash agg keyed
+    * on the group whose state is an O(capacity) Misra-Gries buffer per
+    * group, map-side merged — the token stream still never shuffles, only
+    * (group, sketch) partials do. The per-group top-k then ranks the
+    * exploded sketch output, which is ≤ capacity rows per group (NOT the
+    * corpus), so the window is bounded by the sketch, not the data — the
+    * same shape [[Keywords.topTerms]] uses over its per-doc candidates.
+    * Exactness window as [[vocabularyApprox]]: capacity ≥ a group's
+    * distinct tokens ⇒ identical to the exact per-group counts.
+    */
+  def heavyHittersByGroup(df: DataFrame, groupCol: String, textCol: String,
+                          k: Int, capacity: Int = 1 << 20): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val mg = udaf(new MisraGries(capacity), Encoders.STRING)
+    val perGroup = df
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col(groupCol)).agg(mg(col("token")).as("hh"))
+      .select(col(groupCol), explode(col("hh")).as("e"))
+      .select(col(groupCol), col("e._1").as("token"), col("e._2").as("n_occ"))
+    val rank = row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+        .orderBy(col("n_occ").desc, col("token").asc))
+    perGroup.withColumn("rnk", rank.cast("long")).where(col("rnk") <= k)
+  }
+
   /** [[oovStats]] with the vocabulary fitted by [[vocabularyApprox]] —
     * per-doc scoring joins the broadcast sketch-fitted vocab and rolls up
     * on the id only: the ONLY corpus-keyed shuffle left is the per-doc

@@ -30,6 +30,38 @@ class SessionizeSpec extends SparkSpec {
     assert(got == Map((1L, 1L) -> 2L, (1L, 2L) -> 1L, (2L, 1L) -> 2L))
   }
 
+  test("native session_window MERGES at the exact gap boundary (break is strictly > gap)") {
+    // THE PIN BEHIND q108's ORACLE. An earlier draft assumed the native
+    // [start, start+gap) window end was exclusive (split at diff == gap);
+    // this probe refuted it: user 2's events exactly 30 min apart land in
+    // ONE native session, so session_window's break rule is `diff > gap`
+    // — identical to the lag-based rule — and one micro past the
+    // boundary must split.
+    val native = events.groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == Map(1L -> 2L, 2L -> 1L), s"native sessions: $native")
+    // one microsecond past the gap DOES split
+    val justPast = Seq(
+      (1L, 9L, Timestamp.valueOf("2025-01-01 09:00:00"), "click", 1.0),
+      (2L, 9L, new Timestamp(Timestamp.valueOf("2025-01-01 09:30:00").getTime) {
+        setNanos(1000) // 09:30:00.000001
+      }, "view", 1.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val split = justPast.groupBy(session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1))).count()
+    assert(split == 2L, "one microsecond past the gap must break the session")
+    // and the native session end extends gap past the LAST event
+    val ends = events.where(col("user_id") === 2L)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)))
+      .select(date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss"))
+      .as[String].collect().sorted
+    assert(ends.toSeq == Seq("2025-01-01 10:00:00"))
+  }
+
   test("batch plan: both window passes share ONE shuffle") {
     val plan = Sessionize.assignSessions(events, 30).queryExecution.executedPlan
     val exchanges = plan.toString.linesIterator.count(_.contains("Exchange"))

@@ -84,6 +84,34 @@ class VocabSpec extends SparkSpec {
     }
   }
 
+  test("heavyHittersByGroup: per-group top-k with tie-break, exact in-window") {
+    val grouped = Seq(
+      (1L, "s1", "a a b c"), (2L, "s1", "b b b d"),
+      (3L, "s2", "a c c e"), (4L, "s2", "e e a")
+    ).toDF("doc_id", "source", "text")
+    // s1: b:4 a:2 c:1 d:1 — top2 = b, a; s2: e:3 a:2 c:2 — top2 = e, a (tie a<c)
+    val got = Vocab.heavyHittersByGroup(grouped, "source", "text",
+        k = 2, capacity = 64)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      ("s1", "b", 4L, 1L), ("s1", "a", 2L, 2L),
+      ("s2", "e", 3L, 1L), ("s2", "a", 2L, 2L)))
+  }
+
+  test("heavyHittersByGroup plan: token stream never shuffles; only (group, sketch) partials do") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val grouped = Seq((1L, "s1", "a b"), (2L, "s2", "c d"))
+      .toDF("doc_id", "source", "text")
+    val plan = Vocab.heavyHittersByGroup(grouped, "source", "text", 2, 64)
+      .queryExecution.sparkPlan
+    plan.collect { case s: ShuffleExchangeExec => s }.foreach { s =>
+      assert(!s.outputPartitioning.toString.contains("token"),
+        s"token-keyed shuffle in the per-group sketch:\n$plan")
+    }
+  }
+
   test("plan: tf exchange shared by totals and join-back; top-V is a bounded heap") {
     val out = Vocab.oovStats(docs, "doc_id", "text", v = 2)
     out.collect()
