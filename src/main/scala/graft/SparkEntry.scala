@@ -1818,7 +1818,27 @@ object SparkEntry {
     // stratified).
     "q110_group_heavy_hitters" -> ((s, dir) =>
       graft.operators.Vocab.heavyHittersByGroup(rdPar(s, dir, "documents"),
-        "source", "text", k = 5, capacity = 1024))
+        "source", "text", k = 5, capacity = 1024)),
+
+    // ---- RANGE-frame trailing window (the sliding-window feature
+    // primitive for training sets: per-event trailing-hour user activity).
+    // RANGE frames bound by VALUE distance on the order key — a frame
+    // family no other query exercises (q47 is an unbounded running frame,
+    // Pack/AsOf are ROWS frames). The order key is integer MICROSECONDS
+    // (unix_micros ≡ epoch_ns//1000, the q80/q81 pattern) so the frame
+    // arithmetic is exact on both engines; count is exact, min/max are
+    // order-free — no order-dependent double sums in the output. Peers
+    // (equal keys) share a frame by RANGE semantics on both engines.
+    "q111_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L)
+      events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_trailing_hour"),
+          min(col("value")).over(w).as("min_v_hour"),
+          max(col("value")).over(w).as("max_v_hour"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -3234,6 +3254,18 @@ object SparkEntry {
         |r AS (SELECT source, token, n_occ,
         |  CAST(row_number() OVER (PARTITION BY source
         |    ORDER BY n_occ DESC, token ASC) AS BIGINT) AS rnk FROM cnt)
-        |SELECT source, token, n_occ, rnk FROM r WHERE rnk <= 5""".stripMargin
+        |SELECT source, token, n_occ, rnk FROM r WHERE rnk <= 5""".stripMargin,
+
+    // trailing-hour RANGE frame over integer micros; count exact, min/max
+    // order-free — frame membership is the thing under test
+    "q111_range_frame" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+        |  value FROM events)
+        |SELECT event_id, user_id,
+        |  count(*) OVER w AS n_trailing_hour,
+        |  min(value) OVER w AS min_v_hour,
+        |  max(value) OVER w AS max_v_hour
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
   )
 }

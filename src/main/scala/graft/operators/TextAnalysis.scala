@@ -172,6 +172,46 @@ object TextAnalysis {
   def rollingFingerprint(text: Column): Column =
     graft.functions.TextHashFunctions.polyHash(text)
 
+  /** Deflate compression ratio — the Gopher-style "too repetitive / too
+    * random" quality signal (compressed bytes / UTF-8 bytes): templated or
+    * looping text compresses far below normal prose, random noise sits near
+    * (or above) 1.0, so curation band-passes the ratio. No Catalyst
+    * equivalent exists, so this is one of the engine's few sanctioned UDFs
+    * (the embedder rule): per-THREAD `Deflater` reuse via ThreadLocal — an
+    * executor core allocates one native zlib stream ever, not one per row —
+    * and a fixed compression level so the signal is stable run-to-run.
+    * Null and empty text → null (no byte stream to measure).
+    *
+    * Determinism note: deflate output length is deterministic for a given
+    * zlib build + level; across DIFFERENT zlib builds the length may vary
+    * by a few bytes, so the signal is model-relative like the embedder
+    * (spec-verified ordering properties, no cross-engine oracle — DuckDB
+    * has no deflate to mirror anyway).
+    */
+  def compressionRatio(text: Column): Column =
+    TextAnalysis.compressionRatioUdf(text)
+
+  private lazy val deflaterPool: ThreadLocal[java.util.zip.Deflater] =
+    new ThreadLocal[java.util.zip.Deflater] {
+      override def initialValue(): java.util.zip.Deflater =
+        new java.util.zip.Deflater(6, true) // raw deflate, no zlib header
+    }
+
+  private lazy val compressionRatioUdf = udf { (s: String) =>
+    if (s == null || s.isEmpty) null
+    else {
+      val in = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = deflaterPool.get()
+      d.reset()
+      d.setInput(in)
+      d.finish()
+      val chunk = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(chunk)
+      java.lang.Double.valueOf(total.toDouble / in.length)
+    }
+  }
+
   /** Full document-profile projection over a corpus. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val m = qualityMetrics(col(textCol))

@@ -94,4 +94,36 @@ class TextAnalysisSpec extends SparkSpec {
     val plan = prof.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "profile must be shuffle-free")
   }
+
+  test("compression ratio band-passes: repetitive << prose << noise; null/empty -> null") {
+    val rng = new scala.util.Random(42)
+    val noise = Array.fill(2000)((rng.nextInt(94) + 33).toChar).mkString
+    val df = Seq(
+      (1L, Seq.fill(500)("spam").mkString(" ")), // degenerate repetition
+      (2L, ("the quick brown fox jumps over the lazy dog and then discusses " +
+        "partitioning strategies for large analytical workloads ") * 10),
+      (3L, noise),                                // incompressible
+      (4L, null.asInstanceOf[String]),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.compressionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val (rep, prose, rand) = (got(1L).get, got(2L).get, got(3L).get)
+    assert(rep < 0.05, s"degenerate repetition should crush: $rep")
+    assert(prose > rep * 5 && prose < 0.6, s"prose in the band: $prose")
+    assert(rand > 0.8, s"noise near-incompressible: $rand")
+    assert(got(4L).isEmpty && got(5L).isEmpty)
+  }
+
+  test("compression ratio is deterministic across invocations and partitionings") {
+    val docs = (1 to 64).map(i => (i.toLong, s"doc $i " * (i % 7 + 1))).toSeq
+    val a = docs.toDF("doc_id", "text").repartition(1)
+    val b = docs.toDF("doc_id", "text").repartition(8)
+    def vals(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"), TextAnalysis.compressionRatio(col("text")))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(vals(a) == vals(b))
+  }
 }
