@@ -179,6 +179,22 @@ object SparkEntry {
   /** Quality metric select-list over `text` (aliases n_chars/n_toks/n_punct/
     * n_digits/n_stop; mirrors TextAnalysis.qualityMetrics).
     */
+  /** Shared by q106 (batch max_by merge) and q112 (streaming
+    * mapGroupsWithState merge): ONE transcription of the latest-wins
+    * semantics — base corpus at version 1 plus a doc_id%3 refresh batch at
+    * version 2; exactly the newest (version, prio) row per key survives.
+    */
+  private val latestWinsOracleSql: String =
+    """WITH base AS (SELECT doc_id, text, lang, source, n_chars,
+      |  CAST(1 AS BIGINT) AS version, 0 AS prio FROM documents),
+      |upd AS (SELECT doc_id, text, 'xx' AS lang, source,
+      |  n_chars + 1000 AS n_chars, CAST(2 AS BIGINT) AS version, 1 AS prio
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+      |SELECT doc_id, text, lang, source, n_chars, version FROM u
+      |QUALIFY row_number() OVER (PARTITION BY doc_id
+      |  ORDER BY version DESC, prio DESC) = 1""".stripMargin
+
   private val qualityMetricsSql: String =
     s"""CAST(length(text) AS DOUBLE) AS n_chars,
        |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_toks,
@@ -1838,6 +1854,41 @@ object SparkEntry {
           count(lit(1)).over(w).as("n_trailing_hour"),
           min(col("value")).over(w).as("min_v_hour"),
           max(col("value")).over(w).as("max_v_hour"))
+    }),
+
+    // ---- STREAMING latest-wins upsert — q106's merge as a live stateful
+    // query (the continuous cache refresh): versioned rows stream in,
+    // mapGroupsWithState holds ONE winner row per key (O(live keys) state),
+    // UPDATE mode re-emits a key's winner in every batch it receives data
+    // (pinned in StreamingSpec). Base v1 + the doc_id%3 v2 refresh batch
+    // derive map-side from one file source (explode + filter); under one
+    // AvailableNow batch the emitted set IS the batch merge — q106's
+    // oracle, shared verbatim.
+    "q112_streaming_upsert" -> ((s, dir) => {
+      import graft.streaming.UpsertStream
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val sink = "q112_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withStreamPartitions(s) {
+        val versioned = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .withColumn("v", explode(array(
+            struct(lit(1L).as("version"), lit(0).as("prio"),
+              col("lang").as("lang"), col("n_chars").as("n_chars")),
+            struct(lit(2L).as("version"), lit(1).as("prio"),
+              lit("xx").as("lang"), (col("n_chars") + 1000L).as("n_chars")))))
+          .where(col("v.version") === 1L || col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text"), col("v.lang").as("lang"),
+            col("source"), col("v.n_chars").as("n_chars"),
+            col("v.version").as("version"), col("v.prio").as("prio"))
+          .as[UpsertStream.DocVersion](
+            org.apache.spark.sql.Encoders.product[UpsertStream.DocVersion])
+        val q = UpsertStream.latestWins(versioned)
+          .drop("prio")
+          .writeStream.outputMode("update").format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drainSink(s, sink)
     })
   )
 
@@ -3188,16 +3239,13 @@ object SparkEntry {
     // the window (rank) form of latest-wins: the engine's max_by hash agg
     // must pick exactly the row_number()=1 row per key — (version, prio)
     // is unique per key by construction, so both forms are deterministic
-    "q106_latest_wins_merge" ->
-      """WITH base AS (SELECT doc_id, text, lang, source, n_chars,
-        |  CAST(1 AS BIGINT) AS version, 0 AS prio FROM documents),
-        |upd AS (SELECT doc_id, text, 'xx' AS lang, source,
-        |  n_chars + 1000 AS n_chars, CAST(2 AS BIGINT) AS version, 1 AS prio
-        |  FROM documents WHERE doc_id % 3 = 0),
-        |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
-        |SELECT doc_id, text, lang, source, n_chars, version FROM u
-        |QUALIFY row_number() OVER (PARTITION BY doc_id
-        |  ORDER BY version DESC, prio DESC) = 1""".stripMargin,
+    "q106_latest_wins_merge" -> latestWinsOracleSql,
+
+    // q112 shares q106's oracle verbatim (one transcription): under a
+    // single AvailableNow batch, UPDATE-mode mapGroupsWithState emits each
+    // key's post-merge winner exactly once = the batch merge result
+    // (multi-batch re-emission pinned in StreamingSpec)
+    "q112_streaming_upsert" -> latestWinsOracleSql,
 
     // independent marginals; GROUPING's bitmask convention (first arg =
     // high bit, 1 = aggregated-away) matches Spark's grouping_id

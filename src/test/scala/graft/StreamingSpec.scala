@@ -156,6 +156,38 @@ class StreamingSpec extends SparkSpec {
     assert(!got.contains(("a", "2025-01-01 10:30:00"))) // the in-state dup was dropped
   }
 
+  test("streaming upsert: UPDATE mode re-emits a key's winner only in batches it receives data") {
+    // q112's emission pin: mapGroupsWithState in update mode emits one row
+    // per key per batch WHERE THE KEY SAW DATA, carrying the post-merge
+    // winner; quiet keys are not re-emitted; a stale (lower-version) late
+    // arrival re-emits the UNCHANGED winner — state keeps the max.
+    import graft.streaming.UpsertStream
+    import graft.streaming.UpsertStream.DocVersion
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocVersion]
+    val sink = "upsert_sink"
+    val q = UpsertStream.latestWins(mem.toDS())
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    mem.addData(
+      DocVersion(1L, "t1", "en", "s", 10L, 1L, 0),
+      DocVersion(2L, "t2", "en", "s", 20L, 1L, 0))
+    q.processAllAvailable() // batch 1: both keys emit their v1
+    mem.addData(DocVersion(2L, "t2b", "xx", "s", 21L, 2L, 1))
+    q.processAllAvailable() // batch 2: only key 2 re-emits, now at v2
+    mem.addData(DocVersion(2L, "t2-stale", "fr", "s", 22L, 1L, 0))
+    q.processAllAvailable() // batch 3: stale arrival -> winner unchanged (v2)
+    val got = spark.table(sink).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(5)))
+    q.stop()
+    spark.catalog.dropTempView(sink)
+    assert(got.count(_._1 == 1L) == 1, s"quiet key re-emitted: ${got.toSeq}")
+    assert(got.count(_._1 == 2L) == 3, s"expected 3 emissions for key 2: ${got.toSeq}")
+    val key2 = got.filter(_._1 == 2L).map(x => (x._2, x._3))
+    assert(key2.count(_ == (("t2b", 2L))) == 2,
+      s"post-merge winner must survive the stale arrival: ${got.toSeq}")
+    assert(!key2.contains(("t2-stale", 1L)))
+  }
+
   test("stream-static semi join is stateless: matches emit in-batch, non-matches vanish, no watermark needed") {
     // q100's join mode: the static side broadcasts exactly as in batch and
     // the join keeps NO state — a later static-side change cannot
