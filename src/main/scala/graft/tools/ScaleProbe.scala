@@ -151,7 +151,22 @@ object ScaleProbe {
       },
       "vocab_sketch" -> ((d, _) => noopCount(
         graft.operators.Vocab.oovStatsApprox(d, "doc_id", "text",
-          v = 20, capacity = 1024)))
+          v = 20, capacity = 1024))),
+      // round-6 second wave. token_chunks: map-side explode whose OUTPUT
+      // multiplies by ~(1 + overlap/stride) — expected ~linear in corpus
+      // tokens, cost tracking emitted chunks. pii_scrub: three regex
+      // counts + three rewrites in one codegen'd projection — the pure
+      // scan-bound rewrite, the most linear thing in the suite.
+      // group_heavy_hitters: per-group MG buffers — the token stream
+      // never shuffles, so Nx cost is the scan plus a flat sketch merge.
+      "token_chunks" -> ((d, _) => noopCount(
+        graft.operators.Chunk.tokenWindows(d, "doc_id", "text",
+          size = 32, stride = 24))),
+      "pii_scrub" -> ((d, _) => noopCount(
+        graft.operators.Pii.scrub(d, "text"))),
+      "group_heavy_hitters" -> ((d, _) => noopCount(
+        graft.operators.Vocab.heavyHittersByGroup(d, "source", "text",
+          k = 5, capacity = 1024)))
     )
 
     val results = ops.map { case (name, f) =>
