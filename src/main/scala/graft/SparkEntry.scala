@@ -1889,6 +1889,33 @@ object SparkEntry {
         q.awaitTermination()
       }
       drainSink(s, sink)
+    }),
+
+    // ---- span-level contamination report: WHICH token regions of each
+    // corpus doc overlap the src19 bench at n=4 — q59 flags leaking DOCS;
+    // this locates the leaking SPANS for surgical removal. Bench grams
+    // broadcast, corpus semi-joined map-side in its scan stage, the only
+    // shuffle is the hit-bounded per-doc rollup; maximal-span merge is
+    // in-row island math (no window). Bench filtered to non-null text so
+    // both engines build the gram set from the same rows.
+    "q113_contamination_spans" -> ((s, dir) => {
+      val docs = rdPar(s, dir, "documents")
+      graft.operators.Decontaminate.contaminationSpans(
+        docs.where(col("source") =!= "src19"),
+        docs.where(col("source") === "src19" && col("text").isNotNull),
+        "doc_id", "text", n = 4)
+    }),
+
+    // ---- per-stratum quantile binning (curriculum phases): 4 difficulty
+    // tiers per source over the quality score. Two-pass broadcast-boundary
+    // form (no WindowExec); the rank-form equivalence is all-integer, so
+    // the oracle is the windowed rank arithmetic and ANY bin count is
+    // cross-engine exact.
+    "q114_quantile_bins" -> ((s, dir) => {
+      val scored = rdPar(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        TextAnalysis.qualityScore(TextAnalysis.qualityMetrics(col("text"))).as("q"))
+      graft.operators.Gate.quantileBins(scored, "source", "q", bins = 4)
     })
   )
 
@@ -3314,6 +3341,47 @@ object SparkEntry {
         |  min(value) OVER w AS min_v_hour,
         |  max(value) OVER w AS max_v_hour
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
-        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // span-level q59: positional 4-grams, bench = non-null src19 text,
+    // coverage clamped inside the doc; gaps-and-islands via
+    // cpos - row_number gives the maximal merged spans
+    "q113_contamination_spans" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |grams AS (SELECT doc_id, source, len(t) AS n_toks, i.i - 1 AS gpos,
+        |    array_to_string(t[i.i : i.i + 3], ' ') AS g
+        |  FROM toks, unnest(generate_series(1, greatest(len(t) - 3, 1))) AS i(i)),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src19'),
+        |cov AS (SELECT DISTINCT gr.doc_id, gr.gpos + o.o AS cpos
+        |  FROM grams gr, unnest(generate_series(0, 3)) AS o(o)
+        |  WHERE gr.source <> 'src19' AND gr.g IN (SELECT g FROM bench)
+        |    AND gr.gpos + o.o <= gr.n_toks - 1),
+        |isl AS (SELECT doc_id, cpos,
+        |    cpos - row_number() OVER (PARTITION BY doc_id ORDER BY cpos) AS grp
+        |  FROM cov)
+        |SELECT doc_id, CAST(min(cpos) AS INT) AS span_start,
+        |  CAST(max(cpos) AS INT) AS span_end,
+        |  count(*) AS span_tokens
+        |FROM isl GROUP BY doc_id, grp""".stripMargin,
+
+    // the rank form of quantileBins: bin = least((cntLess*bins)//(n-1),
+    // bins-1) with cntLess = rank-1 — all-integer arithmetic on both
+    // engines, so exact for ANY bin count (not just dyadic)
+    "q114_quantile_bins" ->
+      s"""WITH m AS (SELECT doc_id, source,
+         |  $qualityMetricsSql
+         | FROM documents),
+         |sc AS (SELECT doc_id, source,
+         |  $qualityScoreSql AS q
+         | FROM m),
+         |r AS (SELECT doc_id, source, q,
+         |    CAST(rank() OVER (PARTITION BY source ORDER BY q) - 1 AS BIGINT) AS cl,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+         |  FROM sc WHERE q IS NOT NULL)
+         |SELECT doc_id, source, q,
+         |  CAST(CASE WHEN n = 1 THEN 0
+         |    ELSE least((cl * 4) // (n - 1), 3) END AS INT) AS bin
+         |FROM r""".stripMargin
   )
 }

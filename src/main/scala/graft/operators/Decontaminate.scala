@@ -112,4 +112,65 @@ object Decontaminate {
                          expectedItems: Long = 1L << 20): DataFrame =
     corpus.join(contaminatedIdsBloom(corpus, bench, idCol, textCol, n,
       expectedItems), Seq(idCol), "left_anti")
+
+  /** Span-level contamination report: for every corpus document sharing at
+    * least one word n-gram with `bench`, its MAXIMAL contaminated token
+    * regions — one row per merged span, (idCol, span_start, span_end,
+    * span_tokens), token positions 0-based inclusive. [[contaminatedIds]]
+    * answers "which docs leak"; this answers "which REGIONS leak" — the
+    * input a surgical span-removal policy needs (strip the quoted eval
+    * question, keep the surrounding document) where a doc-level drop would
+    * discard an entire book because one paragraph quotes a benchmark.
+    *
+    * Scale shape mirrors [[contaminatedIds]]: the bench gram-hash set
+    * broadcasts; the corpus explodes to POSITIONAL (id, gpos, hash) rows
+    * semi-joined map-side inside their scan stage; the only shuffle is the
+    * per-doc rollup of covered positions — bounded by the HIT token count
+    * (contamination is rare by construction), never the corpus, with
+    * collect_set deduplicating overlapping-window positions in the partial
+    * (map-side) aggregation. The span merge is [[Spans]]' in-row island
+    * trick on the sorted position set — starts where no predecessor, ends
+    * where no successor, zip — so no window function ever sorts a
+    * document's positions in a dedicated task.
+    *
+    * Null-text corpus docs emit no grams (no spans). Docs shorter than n
+    * tokens emit their single clamped gram at position 0
+    * ([[Dedup.wordNgrams]] semantics) with coverage clamped to the last
+    * real token.
+    */
+  def contaminationSpans(corpus: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 8): DataFrame = {
+    val benchGrams = bench
+      .select(explode(Dedup.wordNgrams(col(textCol), n)).as("gram"))
+      .select(xxhash64(col("gram")).as("gram_h"))
+      .distinct()
+    val toks = split(col(textCol), " ")
+    val hits = corpus
+      .where(col(textCol).isNotNull)
+      .select(col(idCol), size(toks).as("__graft_n_toks"),
+        posexplode(transform(
+          sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n)))))))
+      .withColumnsRenamed(Map("pos" -> "__graft_gpos", "col" -> "gram_h"))
+      .join(broadcast(benchGrams), Seq("gram_h"), "left_semi")
+    // the least() clamp keeps short-doc coverage inside the doc (and, with
+    // the isNotNull guard above, the sequence bounds always ascend — no
+    // descending-sequence surprise)
+    val cov = hits
+      .select(col(idCol), explode(sequence(col("__graft_gpos"),
+        least(col("__graft_gpos") + (n - 1),
+          col("__graft_n_toks") - 1))).as("cpos"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("cpos"))).as("cov"))
+    val starts = filter(col("cov"), (x, i) => i === lit(0) ||
+      coalesce(get(col("cov"), i - 1) =!= x - 1, lit(true)))
+    val ends = filter(col("cov"), (x, i) =>
+      coalesce(get(col("cov"), i + 1) =!= x + 1, lit(true)))
+    cov.select(col(idCol),
+        explode(arrays_zip(starts.as("s"), ends.as("e"))).as("sp"))
+      .select(col(idCol),
+        col("sp.s").as("span_start"), col("sp.e").as("span_end"),
+        (col("sp.e") - col("sp.s") + 1).cast("long").as("span_tokens"))
+  }
 }

@@ -113,4 +113,87 @@ object Gate {
   def topHalf(df: DataFrame, strataCol: String, valueCol: String,
               mode: Percentiles.Mode = Percentiles.Mode.Exact): DataFrame =
     topFraction(df, strataCol, valueCol, 0.5, mode)
+
+  /** Per-stratum quantile BOUNDARIES at j/bins for j = 1..bins-1 — the
+    * multi-cut generalization of [[RankBoundary]] from the same one-pass
+    * value->count buffer: boundary_j = the ceil(j*(n-1)/bins)-th smallest
+    * value (1-based; ALL-INTEGER ceil, no float division). Empty for
+    * groups smaller than 2. The cut indices are nondecreasing, so one
+    * forward walk over the sorted distinct values yields every boundary.
+    */
+  class BinBoundaries(bins: Int) extends Aggregator[Double, Map[Double, Long], Seq[Double]] {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    def zero: Map[Double, Long] = Map.empty
+    def reduce(b: Map[Double, Long], a: Double): Map[Double, Long] =
+      b.updated(a, b.getOrElse(a, 0L) + 1L)
+    def merge(b1: Map[Double, Long], b2: Map[Double, Long]): Map[Double, Long] =
+      b2.foldLeft(b1) { case (m, (v, c)) => m.updated(v, m.getOrElse(v, 0L) + c) }
+    def finish(m: Map[Double, Long]): Seq[Double] = {
+      val n = m.valuesIterator.sum
+      if (n < 2) Seq.empty
+      else {
+        val vals = m.keys.toArray
+        java.util.Arrays.sort(vals)
+        val out = new Array[Double](bins - 1)
+        var i = 0
+        var cum = 0L
+        var j = 1
+        while (j < bins) {
+          val k = (j.toLong * (n - 1) + bins - 1) / bins // >= 1 since n >= 2
+          while (cum < k) { cum += m(vals(i)); i += 1 }
+          out(j - 1) = vals(i - 1)
+          j += 1
+        }
+        out.toSeq
+      }
+    }
+    def bufferEncoder = ExpressionEncoder[Map[Double, Long]]()
+    def outputEncoder = ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** Assign every non-null-score row its per-stratum quantile bin
+    * 0..bins-1 (appended as `bin`) — curriculum phases / difficulty tiers
+    * without a global or per-stratum sort. bin(v) = #{ j in 1..bins-1 :
+    * v > boundary_j }, which equals the rank form
+    * `least(floor(cntLess(v)*bins/(n-1)), bins-1)`: per cut j the
+    * [[topFraction]] argument gives v > q_(k_j) iff cntLess(v) >= k_j iff
+    * cntLess(v)*bins >= j*(n-1) — all-INTEGER comparisons, so unlike the
+    * dyadic-p rule on [[topFraction]] ANY bin count is cross-engine exact.
+    * Singleton strata get bin 0; ties share a bin (the decision depends
+    * only on v); null-score rows are dropped (unrankable — the same rule
+    * as [[topFraction]] never keeping them).
+    *
+    * Plan: pass 1 aggregates the boundary array per stratum (value->count
+    * map buffer, map-side partial merge); pass 2 broadcasts the
+    * one-row-per-stratum boundary table and computes the bin MAP-SIDE as an
+    * in-row filter-count over the (bins-1)-element array. No WindowExec —
+    * a `ntile`/`percent_rank` window sorts each stratum's full score
+    * distribution in one task, the per-source scale killer [[topFraction]]
+    * exists to avoid.
+    *
+    * At 100 TB route `mode = Sketch`: percentile_approx at the j/bins
+    * percentiles bounds per-group state at the sketch accuracy; boundaries
+    * become approximate but the assignment stays tie-stable.
+    */
+  def quantileBins(df: DataFrame, strataCol: String, valueCol: String,
+                   bins: Int,
+                   mode: Percentiles.Mode = Percentiles.Mode.Exact): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val rows = df.where(col(valueCol).isNotNull)
+    val bnd = mode match {
+      case Percentiles.Mode.Exact =>
+        udaf(new BinBoundaries(bins), Encoders.scalaDouble)(col(valueCol))
+      case Percentiles.Mode.Sketch(acc) =>
+        percentile_approx(col(valueCol),
+          array((1 until bins).map(j => lit(j.toDouble / bins)): _*), lit(acc))
+    }
+    val th = rows
+      .groupBy(col(strataCol).as("__graft_bins_stratum"))
+      .agg(bnd.as("__graft_bins_bnd"))
+    rows
+      .join(broadcast(th), col(strataCol) <=> col("__graft_bins_stratum"))
+      .withColumn("bin",
+        size(filter(col("__graft_bins_bnd"), t => col(valueCol) > t)).cast("int"))
+      .drop("__graft_bins_stratum", "__graft_bins_bnd")
+  }
 }

@@ -38,6 +38,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Decontaminate.contaminatedIds(c, bench, "doc_id", "text", n = 3).isEmpty)
   }
 
+  test("contaminationSpans: planted overlaps yield exact maximal spans") {
+    // doc 1: only the middle 3-gram "beta gamma delta" is in bench →
+    // coverage 1..3, one span. doc 3: trailing gram → span 2..4. doc 2
+    // clean → absent. doc 5 IS a bench line → every window hits, the
+    // overlapping windows merge to one whole-doc span. doc 6 carries the
+    // bench gram twice with clean middle → two disjoint spans.
+    val c = corpus.union(Seq(
+      (5L, "xx beta gamma delta yy"),
+      (6L, "beta gamma delta a b c beta gamma delta")).toDF("doc_id", "text"))
+    val got = Decontaminate.contaminationSpans(c, bench, "doc_id", "text", n = 3)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1, 3, 3L),
+      (3L, 2, 4, 3L),
+      (5L, 0, 4, 5L),
+      (6L, 0, 2, 3L), (6L, 6, 8, 3L)))
+  }
+
+  test("contaminationSpans: short docs use the clamped whole-doc gram, coverage stays in-doc") {
+    // both sides shorter than n=3: wordNgrams clamps to one whole-text
+    // gram, and the coverage least() clamp must stop at the last real
+    // token (positions 0..1, not 0..2)
+    val c = Seq((7L, "beta gamma"), (8L, "other words")).toDF("doc_id", "text")
+    val b = Seq((100L, "beta gamma")).toDF("doc_id", "text")
+    val got = Decontaminate.contaminationSpans(c, b, "doc_id", "text", n = 3)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(got == Set((7L, 0, 1, 2L)))
+  }
+
+  test("contaminationSpans: bench broadcasts; corpus is not shuffled below the semi-join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val plan = Decontaminate.contaminationSpans(corpus, bench, "doc_id", "text", n = 3)
+      .queryExecution.sparkPlan
+    val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, s"expected a broadcast semi-join:\n$plan")
+    val streamed = bhj.head.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => bhj.head.left
+      case _ => bhj.head.right
+    }
+    assert(streamed.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"corpus side shuffled below the semi-join:\n$plan")
+  }
+
   test("decontaminate: bench gram set broadcasts; corpus is not shuffled into the join") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
@@ -504,6 +548,62 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept.length >= 480 && kept.length <= 520, s"kept ${kept.length}")
     val boundary = 1.0 - kept.length / 1000.0
     assert(kept.forall(_ > boundary - 1e-9))
+  }
+
+  test("quantileBins ≡ the all-integer rank form, incl. ties, singletons, and bins=3") {
+    import graft.operators.Gate
+    val rnd = new scala.util.Random(11)
+    // heavy ties + a singleton + an all-tied stratum + null scores
+    val rows = (1L to 400L).map(i =>
+      (i, s"src${i % 5}", Some(rnd.nextInt(10) / 8.0))) ++
+      Seq((1000L, "solo", Some(0.3)), (1001L, "flat", Some(0.5)),
+        (1002L, "flat", Some(0.5)), (1003L, "flat", Some(0.5)),
+        (1004L, "src0", None))
+    val df = rows.toDF("doc_id", "source", "q")
+    for (bins <- Seq(3, 4)) { // 3 exercises the non-dyadic case
+      val got = Gate.quantileBins(df, "source", "q", bins)
+        .select("doc_id", "bin").as[(Long, Int)].collect().toMap
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      val want = df.where(col("q").isNotNull)
+        .withColumn("cl", rank().over(w.orderBy("q")) - 1)
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("bin", when(col("n") === 1, 0).otherwise(
+          least(floor(col("cl") * bins / (col("n") - 1)), lit(bins - 1)))
+          .cast("int"))
+        .select("doc_id", "bin").as[(Long, Int)].collect().toMap
+      assert(got == want, s"bins=$bins")
+      assert(got(1000L) == 0)                       // singleton → bin 0
+      assert(Seq(1001L, 1002L, 1003L).forall(got(_) == 0)) // all-tied → bin 0
+      assert(!got.contains(1004L))                  // null score dropped
+    }
+  }
+
+  test("quantileBins: plan is agg + broadcast map-side bin — no window") {
+    import graft.operators.Gate
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = (1L to 100L).map(i => (i, s"s${i % 3}", i / 100.0))
+      .toDF("doc_id", "source", "q")
+    val plan = Gate.quantileBins(df, "source", "q", 4).queryExecution.sparkPlan
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"window in quantileBins plan:\n$plan")
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"expected broadcast boundary join:\n$plan")
+  }
+
+  test("quantileBins: sketch mode is tie-stable, in-range, and ~balanced") {
+    import graft.operators.{Gate, Percentiles}
+    val df = (1L to 1000L).map(i => (i, "one", i / 1000.0))
+      .toDF("doc_id", "source", "q")
+    val got = Gate.quantileBins(df, "source", "q", 4, Percentiles.Mode.Sketch(100))
+      .select("q", "bin").as[(Double, Int)].collect().sortBy(_._1)
+    assert(got.forall { case (_, b) => b >= 0 && b <= 3 })
+    // monotone in v (tie-stable by construction: bin depends only on v)
+    assert(got.sliding(2).forall { case Array((_, a), (_, b)) => a <= b })
+    // GK rank error <= 10 ranks per cut → each bin holds 250 ± ~20
+    val sizes = got.groupBy(_._2).view.mapValues(_.length)
+    assert((0 to 3).forall(b => sizes.getOrElse(b, 0) > 200),
+      s"unbalanced sketch bins: ${sizes.toMap}")
   }
 
   test("mixDomains: per-stratum weights with default for absent strata") {
