@@ -1916,6 +1916,41 @@ object SparkEntry {
         col("source"),
         TextAnalysis.qualityScore(TextAnalysis.qualityMetrics(col("text"))).as("q"))
       graft.operators.Gate.quantileBins(scored, "source", "q", bins = 4)
+    }),
+
+    // ---- best-copy survivor selection: q68's component closure with the
+    // BEST-quality (not min-id) row kept per cluster — argmax is one
+    // max_by hash agg over the (rank, -id) struct, no per-component sort;
+    // null-quality rows lose to any ranked row by the null-smallest
+    // struct ordering.
+    "q115_best_survivors" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        Seq("lang", "source"), n = 1, threshold = 0.9)
+      val scored = docs.select(col("doc_id"), col("lang"), col("source"),
+        TextAnalysis.qualityScore(TextAnalysis.qualityMetrics(col("text"))).as("q"))
+      graft.operators.Components.survivorsBy(
+        scored, pairs.select("id_a", "id_b"), "doc_id", "q")
+    }),
+
+    // ---- dedup-inflation histogram: per (source, cluster_size) doc
+    // counts over the near-dup components — the capacity-planning signal
+    // ("how much does near-duplication inflate each source") a curation
+    // run reads before choosing dedup policy. Cluster sizes join back on
+    // the component key (component-bounded shuffle, never a corpus
+    // self-join); all outputs are exact integers.
+    "q116_dedup_inflation" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        Seq("lang", "source"), n = 1, threshold = 0.9)
+      val comp = graft.operators.Components.connectedComponents(
+        pairs.select("id_a", "id_b"), docs.select("doc_id"), "doc_id")
+      val sizes = comp.groupBy("component")
+        .agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, Seq("component"))
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source", "cluster_size")
+        .agg(count(lit(1)).as("n_docs"))
     })
   )
 
@@ -3382,6 +3417,50 @@ object SparkEntry {
          |SELECT doc_id, source, q,
          |  CAST(CASE WHEN n = 1 THEN 0
          |    ELSE least((cl * 4) // (n - 1), 3) END AS INT) AS bin
-         |FROM r""".stripMargin
+         |FROM r""".stripMargin,
+
+    // q68's closure with the argmax-by-quality keep rule: ORDER BY q DESC
+    // NULLS LAST, doc_id ASC replicates the (rank, -id) struct argmax —
+    // null rank loses to any ranked row; all-null falls back to min id
+    "q115_best_survivors" ->
+      s"""WITH RECURSIVE $prefixPairsSql,
+        |pairs AS (SELECT id_a, id_b FROM jp WHERE jaccard >= 0.9),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+        |m AS (SELECT doc_id, source,
+        |  $qualityMetricsSql
+        | FROM documents),
+        |sc AS (SELECT doc_id,
+        |  $qualityScoreSql AS q
+        | FROM m),
+        |rk AS (SELECT c.id AS doc_id, sc.q,
+        |    row_number() OVER (PARTITION BY c.component
+        |      ORDER BY sc.q DESC NULLS LAST, c.id ASC) AS rn
+        |  FROM comp c JOIN sc ON sc.doc_id = c.id)
+        |SELECT d.doc_id, d.lang, d.source, rk.q
+        |FROM rk JOIN documents d USING (doc_id) WHERE rk.rn = 1""".stripMargin,
+
+    // the same closure rolled up to per-(source, cluster-size) doc counts
+    "q116_dedup_inflation" ->
+      s"""WITH RECURSIVE $prefixPairsSql,
+        |pairs AS (SELECT id_a, id_b FROM jp WHERE jaccard >= 0.9),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, lab) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+        |sz AS (SELECT component, count(*) AS cluster_size
+        |  FROM comp GROUP BY component)
+        |SELECT d.source, sz.cluster_size, count(*) AS n_docs
+        |FROM comp c JOIN sz USING (component)
+        |  JOIN documents d ON d.doc_id = c.id
+        |GROUP BY d.source, sz.cluster_size""".stripMargin
   )
 }

@@ -229,4 +229,31 @@ object Components {
       .select(idCol)
     df.join(keep, Seq(idCol), "left_semi")
   }
+
+  /** Near-dup dedup, BEST-copy policy: keep the row maximizing `rankCol`
+    * per component, ties broken by min id — real pipelines keep the
+    * highest-quality (or newest) copy of each cluster, not the min-id one
+    * [[survivors]] keeps. Rows with a null rank lose to any ranked row; a
+    * component whose every rank is null falls back to min id — both from
+    * one rule: the argmax key is the struct (rank, -id) under Spark's
+    * null-smallest struct ordering.
+    *
+    * Scale shape matches [[survivors]]: the per-component argmax is ONE
+    * max_by hash aggregation (map-side partial merge, no per-component
+    * window sort), then a semi join back — the [[Upsert]] latest-wins
+    * shape applied to the component label.
+    */
+  def survivorsBy(df: DataFrame, pairs: DataFrame, idCol: String,
+                  rankCol: String, maxIter: Int = 20,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    val comp = connectedComponents(pairs, df.select(idCol), idCol, maxIter,
+      checkpointDir)
+    val keep = comp
+      .join(df.select(col(idCol), col(rankCol)), Seq(idCol))
+      .groupBy(col("component"))
+      .agg(max_by(col(idCol),
+        struct(col(rankCol), (-col(idCol)).as("__graft_neg_id"))).as(idCol))
+      .select(idCol)
+    df.join(keep, Seq(idCol), "left_semi")
+  }
 }

@@ -664,6 +664,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(stats == Map(1L -> 3L, 4L -> 1L, 5L -> 2L, 7L -> 1L))
   }
 
+  test("survivorsBy: best copy per cluster; ties min-id; null rank loses; all-null falls back") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L)).toDF("id_a", "id_b")
+    val df = Seq(
+      (1L, Some(0.2)), (2L, Some(0.9)), (3L, Some(0.9)), // 2 wins (tie → min id)
+      (4L, Some(0.1)),                                   // singleton survives
+      (5L, Some(0.5)), (6L, None),                       // null loses to ranked
+      (8L, None), (9L, None)                             // all-null → min id
+    ).toDF("doc_id", "q")
+    val got = Components.survivorsBy(df, pairs, "doc_id", "q")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(2L, 4L, 5L, 8L))
+  }
+
+  test("survivorsBy: argmax is a hash agg — no per-component window sort") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val df = Seq((1L, 0.1), (2L, 0.2), (3L, 0.3)).toDF("doc_id", "q")
+    val plan = Components.survivorsBy(df, pairs, "doc_id", "q")
+      .queryExecution.sparkPlan
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"window in survivorsBy plan:\n$plan")
+  }
+
   test("components: endpoints missing from nodes still mediate connectivity") {
     // pairs computed on a superset: B (id 2) was filtered out of the frame,
     // but A~B and B~C must still put A and C in one component
