@@ -141,6 +141,14 @@ object SparkEntry {
     * order in double precision, exactly like
     * [[graft.functions.CosineSimilarity]].
     */
+  /** Squared-L2 list fold (mirrors Ann.l2Sq: per-element double cast BEFORE
+    * the subtraction, summed in list order).
+    */
+  private def l2Sql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       |  p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+       |     * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"""(list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
        | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
@@ -1951,6 +1959,46 @@ object SparkEntry {
         .join(docs.select("doc_id", "source"), Seq("doc_id"))
         .groupBy("source", "cluster_size")
         .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // ---- cohort retention: users cohorted by first-activity week, then
+    // distinct actives per (cohort_week, week_offset) — the classic
+    // product-analytics triangle. Weeks are INTEGER epoch arithmetic
+    // (micros div day div 7), not calendar truncation, so both engines
+    // agree bit-for-bit with no timezone/week-start rules in play. Scale:
+    // one (user, week) distinct, a per-user min that reuses the same
+    // user-keyed shuffle, a user-keyed join, one final two-phase
+    // count-distinct — every stage key-partitioned, nothing global.
+    "q117_cohort_retention" -> ((s, dir) => {
+      val act = events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000 div 7").as("week"))
+        .distinct()
+      val cohort = act.groupBy("user_id").agg(min("week").as("cohort_week"))
+      act.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // ---- product-quantization search: m=2 subspaces x ksub=4 sampled
+    // codebooks (iters=0, the deterministic oracle-portable form), ADC
+    // candidate scan over the CODES only (the embeddings are untouched
+    // until re-rank), exact-cosine re-rank of the 15 ADC-best. The whole
+    // encode -> table-lookup -> re-rank pipeline is pinned bit-exactly by
+    // the SQL twin; Lloyd-refined codebooks change recall, not shapes
+    // (AnnSpec).
+    "q118_pq_search" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") =!= 0)
+      val qv = emb.where(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toSeq
+      val books = Ann.pqCodebooks(corpus, "vec_id", "embedding",
+        m = 2, ksub = 4)
+      val coded = Ann.withPqCodes(corpus, "embedding", books)
+      Ann.topKPq(coded, "vec_id", "embedding", "pq_code", books, qv,
+          k = 5, rerankFactor = 3)
+        .select("vec_id", "score")
     })
   )
 
@@ -3461,6 +3509,55 @@ object SparkEntry {
         |SELECT d.source, sz.cluster_size, count(*) AS n_docs
         |FROM comp c JOIN sz USING (component)
         |  JOIN documents d ON d.doc_id = c.id
-        |GROUP BY d.source, sz.cluster_size""".stripMargin
+        |GROUP BY d.source, sz.cluster_size""".stripMargin,
+
+    // integer epoch weeks (micros // day // 7): no calendar/timezone
+    // truncation rules to disagree on
+    "q117_cohort_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |    (epoch_us(ts) // 86400000000) // 7 AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM act GROUP BY 1)
+        |SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM act a JOIN c USING (user_id)
+        |GROUP BY c.cohort_week, a.week - c.cohort_week""".stripMargin,
+
+    // the full PQ pipeline replicated: sampled codebooks = slices of the
+    // first-4 vectors; per-subspace argmin codes (dist ASC, cid ASC); ADC
+    // = the query's distance to each ASSIGNED sub-centroid, summed sub-0
+    // then sub-1 (the engine's in-order fold); 15 ADC-best re-ranked by
+    // exact cosine
+    "q118_pq_search" ->
+      s"""WITH q AS (SELECT embedding AS qv, len(embedding) // 2 AS d
+         |  FROM embeddings WHERE vec_id = 0),
+         |e AS (SELECT vec_id, embedding, len(embedding) // 2 AS d
+         |  FROM embeddings WHERE vec_id <> 0),
+         |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         |    embedding AS cv, len(embedding) // 2 AS d
+         |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
+         |s0 AS (SELECT e.vec_id, c.cid,
+         |    ${l2Sql("e.embedding[1 : e.d]", "c.cv[1 : c.d]")} AS dist
+         |  FROM e CROSS JOIN cents c),
+         |a0 AS (SELECT vec_id, cid FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM s0)
+         |  WHERE rn = 1),
+         |s1 AS (SELECT e.vec_id, c.cid,
+         |    ${l2Sql("e.embedding[e.d + 1 : 2 * e.d]", "c.cv[c.d + 1 : 2 * c.d]")} AS dist
+         |  FROM e CROSS JOIN cents c),
+         |a1 AS (SELECT vec_id, cid FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM s1)
+         |  WHERE rn = 1),
+         |qd0 AS (SELECT c.cid,
+         |    ${l2Sql("q.qv[1 : c.d]", "c.cv[1 : c.d]")} AS qd
+         |  FROM cents c CROSS JOIN q),
+         |qd1 AS (SELECT c.cid,
+         |    ${l2Sql("q.qv[c.d + 1 : 2 * c.d]", "c.cv[c.d + 1 : 2 * c.d]")} AS qd
+         |  FROM cents c CROSS JOIN q),
+         |cand AS (SELECT a0.vec_id FROM a0 JOIN a1 USING (vec_id)
+         |  JOIN qd0 ON qd0.cid = a0.cid JOIN qd1 ON qd1.cid = a1.cid
+         |  ORDER BY qd0.qd + qd1.qd ASC, a0.vec_id ASC LIMIT 15)
+         |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS score
+         |FROM e JOIN cand USING (vec_id) CROSS JOIN q
+         |ORDER BY score DESC, e.vec_id LIMIT 5""".stripMargin
   )
 }

@@ -263,6 +263,129 @@ object Ann {
       col(assignCol).isin(cells: _*))
   }
 
+  // ------------------------------------------------------------------ PQ
+
+  /** Squared L2 distance between an array<float> column and a literal
+    * sub-centroid, as an in-order double fold (each element cast to double
+    * BEFORE subtracting — the [[cosineSim]] promotion rule, so DuckDB's
+    * list_sum fold reproduces it bit-for-bit).
+    */
+  private def l2Sq(a: Column, b: Seq[Float]): Column =
+    aggregate(zip_with(a, typedlit(b), (x, y) =>
+      (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))), lit(0.0), _ + _)
+
+  /** Argmin cell over a codebook by squared L2, ties to the lower index. */
+  private def pqArgmin(sub: Column, cents: Seq[Seq[Float]]): Column =
+    least(cents.zipWithIndex.map { case (c, i) =>
+      struct(l2Sq(sub, c).as("d"), lit(i).as("i"))
+    }: _*).getField("i")
+
+  /** Product-quantization codebooks (Jegou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): the embedding dim splits
+    * into `m` subspaces, each with its own `ksub`-centroid codebook, so a
+    * vector encodes to m small ints — dim x 4 bytes -> m bytes at
+    * ksub=256. This is the ANN memory story past IVF: the cell list prunes
+    * the scan, PQ shrinks what remains (~32x) so probed lists stay in
+    * executor memory at 100 TB corpus scale.
+    *
+    * `iters = 0` keeps the deterministic first-ksub-by-id seeds — the
+    * oracle-portable form the gate verifies end-to-end (sampled sub-
+    * centroids are slices of the first ksub vectors, reproducible in SQL).
+    * `iters > 0` runs plain-L2 Lloyd refinement per subspace (better
+    * codebooks, identical plan shapes; distortion monotonicity is
+    * spec-verified). Each iteration per subspace: one no-shuffle argmin
+    * projection + one (cell, pos) aggregation of k x d rows — never
+    * corpus-sized. Empty cells keep their previous centroid.
+    */
+  def pqCodebooks(df: DataFrame, idCol: String, embCol: String,
+                  m: Int, ksub: Int, iters: Int = 0): Seq[Seq[Seq[Float]]] = {
+    require(m > 0 && ksub > 0, s"m=$m, ksub=$ksub must be positive")
+    val rows = df.where(col(embCol).isNotNull)
+    val dim = rows.select(size(col(embCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val d = dim / m
+    (0 until m).map { j =>
+      val sub = rows.select(col(idCol),
+        slice(col(embCol), j * d + 1, d).as("__graft_sub"))
+      var cents = sampleCentroids(sub, idCol, "__graft_sub", ksub)
+      (1 to iters).foreach { _ =>
+        val means = sub
+          .withColumn("__graft_cell", pqArgmin(col("__graft_sub"), cents))
+          .select(col("__graft_cell"), posexplode(col("__graft_sub")))
+          .groupBy("__graft_cell", "pos")
+          .agg(avg(col("col")).as("m"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (cell, rs) =>
+            val v = new Array[Float](d)
+            rs.foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
+            cell -> v.toSeq
+          }
+        cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+      }
+      cents
+    }
+  }
+
+  /** Encode each vector as its per-subspace argmin codes (array<int>,
+    * length m). Pure per-row projection — no shuffle; m x ksub x (dim/m)
+    * fused multiply-adds per row, the same arithmetic budget as any PQ
+    * encoder. Null embeddings encode to null.
+    */
+  def withPqCodes(df: DataFrame, embCol: String,
+                  codebooks: Seq[Seq[Seq[Float]]],
+                  codeCol: String = "pq_code"): DataFrame = {
+    val d = codebooks.head.head.size
+    df.withColumn(codeCol,
+      when(col(embCol).isNull, lit(null))
+        .otherwise(array(codebooks.zipWithIndex.map { case (cb, j) =>
+          pqArgmin(slice(col(embCol), j * d + 1, d), cb)
+        }: _*)))
+  }
+
+  /** Asymmetric-distance PQ search: the query's per-subspace distances to
+    * every sub-centroid form an m x ksub lookup table (driver-computed,
+    * shipped as ONE literal — bytes, not vectors); each row's approximate
+    * distance is m table lookups summed in-row, so the scan never touches
+    * the original embeddings. The `rerankFactor * k` best candidates by
+    * ADC (TakeOrderedAndProject — bounded per-partition heaps) are then
+    * re-scored with exact cosine and the true top-k of the candidate set
+    * returned — the standard PQ re-rank that restores exact ordering
+    * whenever the candidate set covers the true neighbors (recall
+    * spec-verified; the gate pins the full pipeline bit-exactly).
+    */
+  def topKPq(corpus: DataFrame, idCol: String, embCol: String,
+             codeCol: String, codebooks: Seq[Seq[Seq[Float]]],
+             query: Seq[Float], k: Int, rerankFactor: Int = 4): DataFrame = {
+    require(k > 0 && rerankFactor >= 1, s"k=$k, rerankFactor=$rerankFactor")
+    val d = codebooks.head.head.size
+    val table: Seq[Seq[Double]] = codebooks.zipWithIndex.map { case (cb, j) =>
+      val qs = query.slice(j * d, (j + 1) * d)
+      cb.map { c =>
+        var s = 0.0
+        var i = 0
+        while (i < d) {
+          val diff = qs(i).toDouble - c(i).toDouble
+          s += diff * diff
+          i += 1
+        }
+        s
+      }
+    }
+    val adc = aggregate(
+      zip_with(col(codeCol), typedlit(table), (c, t) => element_at(t, c + 1)),
+      lit(0.0), _ + _)
+    corpus.where(col(codeCol).isNotNull)
+      .withColumn("__graft_adc", adc)
+      .orderBy(col("__graft_adc").asc, col(idCol))
+      .limit(math.max(k, rerankFactor * k))
+      .withColumn("score", cosineSim(col(embCol), typedlit(query)))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .drop("__graft_adc")
+  }
+
   /** Driver-side dot product (same fold order as the Catalyst expression;
     * this is the sign test hyperplane bucketing uses — unlike cosine it is
     * 0.0, not NaN, for a zero-norm vector).

@@ -158,4 +158,80 @@ class AnnSpec extends SparkSpec {
     assert(got(1).getDouble(3) < 0.9, "orthogonal label should not look cohesive")
     assert(got(1).getDouble(2) <= got(1).getDouble(3))
   }
+
+  // ------------------------------------------------------------------ PQ
+
+  /** 160 vectors in 8 tight clusters (dim 16), L2-normalized — the regime
+    * PQ is built for; deterministic seed.
+    */
+  private lazy val pqCorpus = {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(8)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    Seq.tabulate(160) { i =>
+      val c = centers(i % 8)
+      val v = c.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (i.toLong, v.map(_ / n).toSeq)
+    }.toDF("id", "emb")
+  }
+
+  test("pq: encode is a per-row projection with in-range codes") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val books = Ann.pqCodebooks(pqCorpus, "id", "emb", m = 4, ksub = 8)
+    assert(books.size == 4 && books.forall(_.size == 8) &&
+      books.forall(_.forall(_.size == 4)))
+    val coded = Ann.withPqCodes(pqCorpus, "emb", books)
+    assert(coded.queryExecution.sparkPlan
+      .collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      "encoding must not shuffle")
+    val codes = coded.select("pq_code").as[Seq[Int]].collect()
+    assert(codes.forall(cs => cs.length == 4 && cs.forall(c => c >= 0 && c < 8)))
+  }
+
+  test("pq: ADC candidate scan matches the driver-side table fold") {
+    val books = Ann.pqCodebooks(pqCorpus, "id", "emb", m = 4, ksub = 8)
+    val q = pqCorpus.where(col("id") === 0).select("emb")
+      .head().getSeq[Float](0).toSeq
+    // candidates straight from topKPq with rerankFactor covering everything
+    // == exact topK: ADC ordering only decides the candidate cut, and a
+    // full-coverage cut makes the re-rank the whole corpus
+    val got = Ann.topKPq(Ann.withPqCodes(pqCorpus, "emb", books),
+        "id", "emb", "pq_code", books, q, k = 10, rerankFactor = 16)
+      .select("id").as[Long].collect().toSeq
+    val exact = Ann.topK(pqCorpus, "id", "emb", q, 10)
+      .select("id").as[Long].collect().toSeq
+    assert(got == exact)
+  }
+
+  test("pq: Lloyd refinement never worsens quantization distortion") {
+    def distortion(books: Seq[Seq[Seq[Float]]]): Double = {
+      val d = books.head.head.size
+      pqCorpus.collect().map { r =>
+        val v = r.getSeq[Float](1)
+        books.zipWithIndex.map { case (cb, j) =>
+          val sub = v.slice(j * d, (j + 1) * d)
+          cb.map(c => sub.zip(c).map { case (x, y) =>
+            (x.toDouble - y) * (x.toDouble - y) }.sum).min
+        }.sum
+      }.sum
+    }
+    val sampled = distortion(Ann.pqCodebooks(pqCorpus, "id", "emb", 4, 8))
+    val refined = distortion(Ann.pqCodebooks(pqCorpus, "id", "emb", 4, 8, iters = 3))
+    assert(refined <= sampled + 1e-9,
+      s"Lloyd worsened distortion: $sampled -> $refined")
+  }
+
+  test("pq: refined codebooks + modest rerank recover the exact top-k on clustered data") {
+    val books = Ann.pqCodebooks(pqCorpus, "id", "emb", m = 4, ksub = 8, iters = 3)
+    val coded = Ann.withPqCodes(pqCorpus, "emb", books)
+    val q = pqCorpus.where(col("id") === 3).select("emb")
+      .head().getSeq[Float](0).toSeq
+    val got = Ann.topKPq(coded, "id", "emb", "pq_code", books, q,
+        k = 10, rerankFactor = 4)
+      .select("id").as[Long].collect().toSet
+    val exact = Ann.topK(pqCorpus, "id", "emb", q, 10)
+      .select("id").as[Long].collect().toSet
+    val recall = (got & exact).size / 10.0
+    assert(recall >= 0.9, s"recall@10 = $recall")
+  }
 }
