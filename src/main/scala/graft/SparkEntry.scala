@@ -1999,7 +1999,42 @@ object SparkEntry {
       Ann.topKPq(coded, "vec_id", "embedding", "pq_code", books, qv,
           k = 5, rerankFactor = 3)
         .select("vec_id", "score")
-    })
+    }),
+
+    // ---- STREAMING IVF index maintenance: new vectors stream in, each
+    // gets its cell assignment from the broadcast-literal centroids — the
+    // stateless map-side projection that keeps a partitioned ANN index
+    // current without rebuilds (the online leg of q45's coarse
+    // quantizer; its emitted assignment must equal the batch one
+    // exactly). Stateless ⇒ one AvailableNow batch emits everything.
+    "q119_streaming_ivf_assign" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val cents = Ann.sampleCentroids(emb.where(col("vec_id") =!= 0),
+        "vec_id", "embedding", 4)
+      val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val sink = "q119_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withStreamPartitions(s) {
+        val q = s.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+          .where(col("vec_id") =!= 0)
+          .transform(df => Ann.withIvfAssignment(df, "embedding", cents))
+          .select(col("vec_id"), col("ivf_cell"))
+          .writeStream.outputMode("append").format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drainSink(s, sink)
+    }),
+
+    // ---- robust per-type outlier flags: |v - median| > 3 * MAD over the
+    // event values — median/MAD so the anomalies cannot inflate the very
+    // spread statistic meant to catch them. Two grouped aggregations,
+    // each broadcast back map-side (the Gate two-pass shape, twice); the
+    // row stream is never shuffled.
+    "q120_robust_outliers" -> ((s, dir) =>
+      graft.operators.Outliers.robustFlags(
+        events(s, dir).select("event_id", "event_type", "value"),
+        "event_type", "value", z = 3.0))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -3558,6 +3593,36 @@ object SparkEntry {
          |  ORDER BY qd0.qd + qd1.qd ASC, a0.vec_id ASC LIMIT 15)
          |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS score
          |FROM e JOIN cand USING (vec_id) CROSS JOIN q
-         |ORDER BY score DESC, e.vec_id LIMIT 5""".stripMargin
+         |ORDER BY score DESC, e.vec_id LIMIT 5""".stripMargin,
+
+    // the streamed assignment must equal the batch coarse quantizer
+    // exactly (stateless map-side projection): centroids = first 4 by
+    // vec_id, argmax cosine with ties to the HIGHER cell index (greatest
+    // over (s, i) structs)
+    "q119_streaming_ivf_assign" ->
+      s"""WITH cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+         |  FROM embeddings WHERE vec_id <> 0 ORDER BY vec_id LIMIT 4),
+         |scored AS (
+         |  SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.cv")} AS cs
+         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id <> 0)
+         |SELECT vec_id, CAST(cid AS INT) AS ivf_cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid DESC) AS rn
+         |  FROM scored) WHERE rn = 1""".stripMargin,
+
+    // median/MAD replicated: both medians are interpolated percentiles
+    // (Spark `percentile` ≡ DuckDB quantile_cont — the q36-gated pair);
+    // the flag arithmetic is the same double ops on bit-equal medians
+    "q120_robust_outliers" ->
+      """WITH r AS (SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL),
+        |m1 AS (SELECT event_type, quantile_cont(value, 0.5) AS group_median
+        |  FROM r GROUP BY event_type),
+        |j AS (SELECT r.event_id, r.event_type, r.value, m1.group_median
+        |  FROM r JOIN m1 USING (event_type)),
+        |m2 AS (SELECT event_type, quantile_cont(abs(value - group_median), 0.5) AS group_mad
+        |  FROM j GROUP BY event_type)
+        |SELECT j.event_id, j.event_type, j.value, j.group_median, m2.group_mad,
+        |  abs(j.value - j.group_median) > 3.0 * m2.group_mad AS is_outlier
+        |FROM j JOIN m2 USING (event_type)""".stripMargin
   )
 }

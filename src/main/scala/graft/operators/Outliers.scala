@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Robust per-group outlier detection: flag rows with
+  * |v - median| > z * MAD (MAD = median absolute deviation) — the
+  * median/MAD pair instead of mean/stddev, so heavy tails and the
+  * outliers themselves cannot mask the detection (stddev grows with the
+  * very anomalies it is meant to find; the 50th percentile ignores them).
+  * The data-quality sweep a training pipeline runs over numeric telemetry
+  * (durations, distances, sensor readings) before trusting aggregates.
+  *
+  * Plan shape is the [[Gate]] two-pass form, twice: each pass is one
+  * grouped aggregation whose (small, bounded-cardinality) result
+  * broadcasts back onto the row stream — no window function ever sorts a
+  * group in one task, and the row stream itself is never shuffled (both
+  * joins are broadcast, both flags map-side). Groups are assumed
+  * bounded (event types, sensor classes — classes, not keys).
+  *
+  * [[Percentiles.Mode.Exact]] uses Spark's interpolated `percentile`
+  * (per-group value buffer — the q36-gated exact leg); at 100 TB route
+  * [[Percentiles.Mode.Sketch]]: both medians become GK sketches with
+  * bounded state and map-side partial merge, at the documented rank-error
+  * cost (the q51 contract).
+  */
+object Outliers {
+
+  /** All input rows with a null-value filter applied, plus
+    * (group_median, group_mad, is_outlier). A group whose MAD is 0 (over
+    * half the values identical) flags only rows strictly away from the
+    * median... which is exactly |v - med| > 0 — the right degenerate
+    * reading: everything off the majority value is anomalous.
+    */
+  def robustFlags(df: DataFrame, groupCol: String, valueCol: String,
+                  z: Double = 3.0,
+                  mode: Percentiles.Mode = Percentiles.Mode.Exact): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    def med(c: Column): Column = mode match {
+      case Percentiles.Mode.Exact => percentile(c, lit(0.5))
+      case Percentiles.Mode.Sketch(acc) => percentile_approx(c, lit(0.5), lit(acc))
+    }
+    val rows = df.where(col(valueCol).isNotNull)
+    val m1 = rows
+      .groupBy(col(groupCol).as("__graft_out_g"))
+      .agg(med(col(valueCol)).as("group_median"))
+    val withMed = rows
+      .join(broadcast(m1), col(groupCol) <=> col("__graft_out_g"))
+      .drop("__graft_out_g")
+    val m2 = withMed
+      .groupBy(col(groupCol).as("__graft_out_g"))
+      .agg(med(abs(col(valueCol) - col("group_median"))).as("group_mad"))
+    withMed
+      .join(broadcast(m2), col(groupCol) <=> col("__graft_out_g"))
+      .drop("__graft_out_g")
+      .withColumn("is_outlier",
+        abs(col(valueCol) - col("group_median")) > lit(z) * col("group_mad"))
+  }
+}

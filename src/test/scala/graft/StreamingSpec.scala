@@ -8,6 +8,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 import graft.embed.HashingTfEmbedder
+import graft.operators.Ann
 import graft.streaming.{EventStream, IncrementalIndex}
 
 class StreamingSpec extends SparkSpec {
@@ -283,5 +284,36 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(rows.contains(("2025-01-01 10:00:00", "click", 2L)))
     assert(rows.contains(("2025-01-01 11:00:00", "view", 1L)))
+  }
+
+  test("streaming IVF assignment ≡ batch (stateless map-side projection, q119)") {
+    // the online index-maintenance leg: a stateless transform under
+    // AvailableNow must emit every input row exactly once with the same
+    // cell the batch coarse quantizer assigns
+    val dir = Files.createTempDirectory("graft_ivfstream").toString
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(-0.1f, 0.9f)),
+      (5L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    emb.coalesce(1).write.parquet(s"$dir/in")
+    val cents = Ann.sampleCentroids(emb, "vec_id", "embedding", 2)
+    val batch = Ann.withIvfAssignment(emb, "embedding", cents)
+      .select("vec_id", "ivf_cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val sink = "ivf_stream_sink"
+    val q = spark.readStream.schema(schema).parquet(s"$dir/in")
+      .transform(df => Ann.withIvfAssignment(df, "embedding", cents))
+      .select(col("vec_id"), col("ivf_cell"))
+      .writeStream.outputMode("append").format("memory").queryName(sink)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table(sink).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    spark.catalog.dropTempView(sink)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    assert(streamed == batch)
+    assert(streamed.size == 5, "every vector assigned exactly once")
   }
 }
