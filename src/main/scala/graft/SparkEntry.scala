@@ -2034,7 +2034,58 @@ object SparkEntry {
     "q120_robust_outliers" -> ((s, dir) =>
       graft.operators.Outliers.robustFlags(
         events(s, dir).select("event_id", "event_type", "value"),
-        "event_type", "value", z = 3.0))
+        "event_type", "value", z = 3.0)),
+
+    // ---- canonical text normalization (NFC → casefold → strip
+    // punctuation → collapse whitespace): the step before any content
+    // fingerprint, as one codegen span of per-row expressions around the
+    // native NfcNormalize — accent-decomposed copies must hash identically
+    "q121_normalize_text" -> ((s, dir) =>
+      rd(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextNorm.normalized(col("text")).as("norm_text"))),
+
+    // ---- per-type winsorization: clip telemetry to the [p5, p95] band —
+    // tails tamed without dropping rows; Gate-shaped two-pass (grouped
+    // percentiles broadcast back, clip map-side, row stream unshuffled)
+    "q122_winsorize" -> ((s, dir) =>
+      graft.operators.Winsorize.clipped(
+        events(s, dir).select("event_id", "event_type", "value"),
+        "event_type", "value", pLo = 0.05, pHi = 0.95)),
+
+    // ---- robust per-dimension embedding standardization (median/IQR —
+    // order statistics, so bit-reproducible where a mean's float summation
+    // order is not): long-form (vec_id, dim, z); 64-row stats broadcast,
+    // the exploded stream never shuffles
+    "q123_robust_scale" -> ((s, dir) =>
+      graft.operators.FeatureScale.robustScaleLong(
+        rd(s, dir, "embeddings").where(col("vec_id") =!= 0),
+        "vec_id", "embedding")),
+
+    // ---- correlated scalar subquery through the spark.sql surface:
+    // Catalyst decorrelates into a grouped max + equi-join (PlanAuditSpec
+    // proves no nested-loop residue). max, not avg: order-free, so the
+    // oracle comparison is exact
+    "q124_correlated_max" -> ((s, dir) => {
+      rd(s, dir, "orders").createOrReplaceTempView("graft_q124_orders")
+      s.sql("""SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+              |FROM graft_q124_orders o
+              |WHERE o.o_totalprice = (SELECT max(o2.o_totalprice)
+              |  FROM graft_q124_orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+    }),
+
+    // ---- similarity-graph degree histogram: how connected is the
+    // near-dup graph (the health check before survivor selection — a
+    // heavy-tailed degree histogram means a boilerplate template is
+    // stitching unrelated docs into one giant component). Composes the
+    // gated q21 pair set; degrees via one explode + two cheap shuffles of
+    // already-collapsed rows
+    "q125_neardup_degree_hist" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(rd(s, dir, "documents"), "doc_id", "text",
+        Seq("lang", "source"), n = 1, threshold = 0.3)
+      pairs.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -3623,6 +3674,60 @@ object SparkEntry {
         |  FROM j GROUP BY event_type)
         |SELECT j.event_id, j.event_type, j.value, j.group_median, m2.group_mad,
         |  abs(j.value - j.group_median) > 3.0 * m2.group_mad AS is_outlier
-        |FROM j JOIN m2 USING (event_type)""".stripMargin
+        |FROM j JOIN m2 USING (event_type)""".stripMargin,
+
+    // NFC is a Unicode standard — nfc_normalize ≡ the engine's codegen
+    // Normalizer call; lower/regexp semantics agree on \p classes
+    "q121_normalize_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(lower(nfc_normalize(text)), '[^\p{L}\p{N}\s]', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin,
+
+    // interpolated percentiles (quantile_cont ≡ Spark percentile, the
+    // q36-gated pair); clip = identical least/greatest double ops
+    "q122_winsorize" ->
+      """WITH r AS (SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type, quantile_cont(value, 0.05) AS p5,
+        |    quantile_cont(value, 0.95) AS p95
+        |  FROM r GROUP BY event_type)
+        |SELECT r.event_id, r.event_type, r.value, b.p5, b.p95,
+        |  least(greatest(r.value, b.p5), b.p95) AS v_clipped
+        |FROM r JOIN b USING (event_type)""".stripMargin,
+
+    // long form (vec_id, dim 0-based, z); medians/IQR are order
+    // statistics of the same doubles, the z arithmetic identical ops
+    "q123_robust_scale" ->
+      """WITH l AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings WHERE vec_id <> 0 AND embedding IS NOT NULL),
+        |s AS (SELECT dim, quantile_cont(v, 0.25) AS p25, quantile_cont(v, 0.5) AS p50,
+        |    quantile_cont(v, 0.75) AS p75
+        |  FROM l GROUP BY dim)
+        |SELECT l.vec_id, l.dim,
+        |  (l.v - s.p50) / (CASE WHEN s.p75 - s.p25 = 0 THEN 1.0 ELSE s.p75 - s.p25 END) AS z
+        |FROM l JOIN s USING (dim)""".stripMargin,
+
+    "q124_correlated_max" ->
+      """SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+        |FROM orders o
+        |WHERE o.o_totalprice = (SELECT max(o2.o_totalprice)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+
+    // q21's pair CTE verbatim, degrees over both endpoints, then the
+    // degree histogram
+    "q125_neardup_degree_hist" ->
+      """WITH g AS (SELECT doc_id, lang, source,
+        |    list_distinct(string_split(text, ' ')) AS grams FROM documents),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |      / CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.3),
+        |d AS (SELECT doc_id, count(*) AS degree FROM (
+        |    SELECT id_a AS doc_id FROM p UNION ALL SELECT id_b AS doc_id FROM p)
+        |  GROUP BY doc_id)
+        |SELECT degree, count(*) AS n_docs FROM d GROUP BY degree""".stripMargin
   )
 }

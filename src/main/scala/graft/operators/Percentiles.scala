@@ -36,7 +36,10 @@ object Percentiles {
   // BigDecimal(p) first (shortest decimal representation of the double),
   // THEN scale: BigDecimal(0.57 * 100) is 57.00000000000001 and would leak
   // into the column name
-  private def colName(p: Double): String =
+  /** Output column name for percentile p ("p5", "p50", "p99_9") — public so
+    * composing operators ([[Winsorize]], [[FeatureScale]]) can address the
+    * bands they requested. */
+  def bandColName(p: Double): String =
     "p" + (BigDecimal(p) * 100).underlying.stripTrailingZeros.toPlainString
       .replace(".", "_")
 
@@ -49,9 +52,9 @@ object Percentiles {
     require(ps.nonEmpty, "at least one percentile required")
     val aggs = (mode match {
       case Mode.Exact =>
-        ps.map(p => percentile(col(valueCol), lit(p)).as(colName(p)))
+        ps.map(p => percentile(col(valueCol), lit(p)).as(bandColName(p)))
       case Mode.Sketch(acc) =>
-        ps.map(p => percentile_approx(col(valueCol), lit(p), lit(acc)).as(colName(p)))
+        ps.map(p => percentile_approx(col(valueCol), lit(p), lit(acc)).as(bandColName(p)))
     }) :+ count(lit(1)).as("n")
     df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
