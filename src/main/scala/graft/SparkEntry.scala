@@ -2085,7 +2085,51 @@ object SparkEntry {
       pairs.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("degree"))
         .groupBy("degree").agg(count(lit(1)).as("n_docs"))
-    })
+    }),
+
+    // ---- ONLINE outlier flagging: the q120 profile trained batch-side
+    // (bounded rows, one per event type), applied to the event STREAM as a
+    // stream-static broadcast join — stateless, so the online flags must
+    // equal the batch ones exactly. The deploy shape for telemetry
+    // monitoring: retrain the profile on a cadence, flag in-flight.
+    "q126_streaming_outliers" -> ((s, dir) => {
+      val batch = events(s, dir).select("event_id", "event_type", "value")
+      val profile = graft.operators.Outliers.stats(batch, "event_type", "value")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val sink = "q126_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withStreamPartitions(s) {
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val q = graft.operators.Outliers
+          .flagAgainst(stream, profile, "event_type", "value", z = 3.0)
+          .writeStream.outputMode("append").format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drainSink(s, sink)
+    }),
+
+    // ---- SCD-2 validity intervals (the keep-every-version half of the
+    // q106 latest-wins merge): each change carries [valid_from, valid_to)
+    // via one per-key lead — partitions are per-key change histories,
+    // never the corpus. Timestamps stringified for the cross-engine
+    // compare (the q33 convention).
+    "q127_scd2_history" -> ((s, dir) =>
+      graft.operators.Upsert.scd2History(
+        events(s, dir).select("user_id", "event_id", "ts", "event_type"),
+        Seq("user_id"), Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("is_current"))),
+
+    // ---- label co-occurrence lift (PMI's exponential — same ORDER as
+    // PMI, but a single division of exact integer counts, so no libm log
+    // in the output): which event types cluster in the same users beyond
+    // popularity. Pairs bounded by distinct types per user, never users².
+    "q128_cooccur_lift" -> ((s, dir) =>
+      graft.operators.Cooccur.lift(events(s, dir), "user_id", "event_type"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -3728,6 +3772,43 @@ object SparkEntry {
         |d AS (SELECT doc_id, count(*) AS degree FROM (
         |    SELECT id_a AS doc_id FROM p UNION ALL SELECT id_b AS doc_id FROM p)
         |  GROUP BY doc_id)
-        |SELECT degree, count(*) AS n_docs FROM d GROUP BY degree""".stripMargin
+        |SELECT degree, count(*) AS n_docs FROM d GROUP BY degree""".stripMargin,
+
+    // stateless stream-static apply ⇒ the online flags ≡ q120's batch
+    // flags; the oracle is the same median/MAD SQL
+    "q126_streaming_outliers" ->
+      """WITH r AS (SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL),
+        |m1 AS (SELECT event_type, quantile_cont(value, 0.5) AS group_median
+        |  FROM r GROUP BY event_type),
+        |j AS (SELECT r.event_id, r.event_type, r.value, m1.group_median
+        |  FROM r JOIN m1 USING (event_type)),
+        |m2 AS (SELECT event_type, quantile_cont(abs(value - group_median), 0.5) AS group_mad
+        |  FROM j GROUP BY event_type)
+        |SELECT j.event_id, j.event_type, j.value, j.group_median, m2.group_mad,
+        |  abs(j.value - j.group_median) > 3.0 * m2.group_mad AS is_outlier
+        |FROM j JOIN m2 USING (event_type)""".stripMargin,
+
+    "q127_scd2_history" ->
+      """SELECT user_id, event_id, event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  (lead(ts) OVER w IS NULL) AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    // lift arithmetic mirrored op-for-op: (n_ab * N) / (n_a * n_b), every
+    // operand an exact integer in double range
+    "q128_cooccur_lift" ->
+      """WITH occ AS (SELECT DISTINCT user_id AS c, event_type AS l FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |t AS (SELECT l, count(*) AS n FROM occ GROUP BY l),
+        |nt AS (SELECT count(DISTINCT c) AS n_total FROM occ),
+        |p AS (SELECT a.l AS label_a, b.l AS label_b, count(*) AS n_ab
+        |  FROM occ a JOIN occ b ON a.c = b.c AND a.l < b.l GROUP BY 1, 2)
+        |SELECT p.label_a, p.label_b, ta.n AS n_a, tb.n AS n_b, p.n_ab,
+        |  CAST(p.n_ab AS DOUBLE) * CAST(nt.n_total AS DOUBLE)
+        |    / (CAST(ta.n AS DOUBLE) * CAST(tb.n AS DOUBLE)) AS lift
+        |FROM p JOIN t ta ON p.label_a = ta.l JOIN t tb ON p.label_b = tb.l
+        |CROSS JOIN nt""".stripMargin
   )
 }

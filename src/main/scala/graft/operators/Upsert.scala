@@ -47,4 +47,30 @@ object Upsert {
       .agg(winner.as("_w"))
       .select(keyCols.map(col) ++ outPayload.map(c => col(s"_w.$c").as(c)): _*)
   }
+
+  /** SCD-2 companion to [[latestWins]]'s SCD-1: keep EVERY version, each
+    * stamped with its validity interval — `valid_from` = the change's own
+    * timestamp, `valid_to` = the NEXT change's timestamp for the same key
+    * (null = still current). The "as the data looked on date X" axis an
+    * incremental corpus needs for reproducible training snapshots;
+    * point-in-time reads then compose with [[AsOf]] joins.
+    *
+    * One window `lead` per key — the partition is a key's CHANGE HISTORY
+    * (versions per key, bounded by churn), never the corpus, so the
+    * per-key sort stays small at any corpus size (the q33 sessionize
+    * argument). `orderCols` must make the per-key order total (e.g.
+    * ts + change id) — ties would make `lead` nondeterministic by the
+    * same contract [[latestWins]] documents for `max_by`.
+    */
+  def scd2History(changes: DataFrame, keyCols: Seq[String],
+                  orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    changes
+      .withColumn("valid_from", col(orderCols.head))
+      .withColumn("valid_to", lead(col(orderCols.head), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

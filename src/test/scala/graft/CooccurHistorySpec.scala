@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+import graft.operators.{Cooccur, Outliers, Upsert}
+
+/** SCD-2 history intervals, co-occurrence lift, and the Outliers
+  * train/apply split (the batch profile applied to other data).
+  */
+class CooccurHistorySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // ------------------------------------------------------------ scd2History
+
+  private lazy val changes = Seq(
+    (100L, 1L, ts("2025-01-01 10:00:00"), "created"),
+    (100L, 2L, ts("2025-01-01 11:00:00"), "updated"),
+    (100L, 3L, ts("2025-01-01 12:00:00"), "archived"),
+    (200L, 4L, ts("2025-01-01 10:30:00"), "created")
+  ).toDF("key", "change_id", "ts", "state")
+
+  test("scd2History: intervals chain, last version is current, keys isolated") {
+    val out = Upsert.scd2History(changes, Seq("key"), Seq("ts", "change_id"))
+      .select("key", "change_id", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, Timestamp, Option[Timestamp], Boolean)]
+      .collect().map(r => r._2 -> r).toMap
+    assert(out(1L)._4.contains(ts("2025-01-01 11:00:00")),
+      "version 1 closes when version 2 opens")
+    assert(out(2L)._4.contains(ts("2025-01-01 12:00:00")))
+    assert(out(3L)._4.isEmpty && out(3L)._5, "last version open and current")
+    assert(out(4L)._4.isEmpty && out(4L)._5,
+      "other key's single version is current — no cross-key leakage")
+    assert(out(1L)._3 == ts("2025-01-01 10:00:00"), "valid_from = own ts")
+  }
+
+  test("scd2History: every non-final valid_to equals the next valid_from (no gaps)") {
+    val rows = Upsert.scd2History(changes, Seq("key"), Seq("ts", "change_id"))
+      .select("key", "valid_from", "valid_to")
+      .as[(Long, Timestamp, Option[Timestamp])].collect()
+    rows.groupBy(_._1).values.foreach { hist =>
+      val sorted = hist.sortBy(_._2.getTime)
+      sorted.sliding(2).foreach {
+        case Array((_, _, Some(to)), (_, from, _)) => assert(to == from)
+        case _ => // single-version key
+      }
+      assert(sorted.init.forall(_._3.isDefined) && sorted.last._3.isEmpty)
+    }
+  }
+
+  // ------------------------------------------------------------ Cooccur.lift
+
+  private lazy val occ = Seq(
+    (1L, "a"), (1L, "b"), (1L, "a"), // duplicate (1,a) must collapse
+    (2L, "a"), (2L, "b"),
+    (3L, "a"), (3L, "c")
+  ).toDF("u", "l")
+
+  test("lift: counts and lift from first principles; duplicates collapse") {
+    val out = Cooccur.lift(occ, "u", "l")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // N=3 containers; n_a=3, n_b=2, n_c=1; ab co-occurs in {1,2}, ac in {3}
+    val ab = out(("a", "b"))
+    assert(ab._3 == 3 && ab._4 == 2 && ab._5 == 2)
+    assert(ab._6 == 2.0 * 3.0 / (3.0 * 2.0)) // lift 1.0: b occurs iff a does anyway
+    val ac = out(("a", "c"))
+    assert(ac._5 == 1 && ac._6 == 1.0 * 3.0 / (3.0 * 1.0))
+    assert(!out.contains(("b", "c")), "never co-occur -> no row")
+    assert(out.keys.forall { case (x, y) => x < y }, "unordered pairs, a < b")
+  }
+
+  test("lift: null containers/labels dropped; totals joined broadcast") {
+    val withNull = occ.union(Seq((4L, null.asInstanceOf[String])).toDF("u", "l"))
+    val out = Cooccur.lift(withNull, "u", "l")
+    // null label adds no container holding any label: N stays 3 → same lift
+    val ab = out.where($"label_a" === "a" && $"label_b" === "b")
+      .select("lift").as[Double].head()
+    assert(ab == 1.0)
+    val plan = out.queryExecution.sparkPlan
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.size >= 2,
+      "label totals must broadcast onto the pair counts")
+  }
+
+  // ------------------------------------- Outliers train/apply (flagAgainst)
+
+  test("flagAgainst: yesterday's profile flags today's drift") {
+    val monday = Seq(("m", 10.0), ("m", 11.0), ("m", 9.0), ("m", 10.0), ("m", 12.0))
+      .toDF("g", "v")
+    val profile = Outliers.stats(monday, "g", "v")
+    val tuesday = Seq((1L, "m", 10.5), (2L, "m", 500.0)).toDF("id", "g", "v")
+    val out = Outliers.flagAgainst(tuesday, profile, "g", "v", z = 3.0)
+      .select("id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(!out(1L) && out(2L),
+      "new data judged against the TRAINED median/MAD, not its own")
+  }
+}
