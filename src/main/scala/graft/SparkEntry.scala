@@ -31,14 +31,29 @@ object SparkEntry {
   private def rd(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark only
-    * reads via the nanos-as-long legacy conf; re-derive a microsecond
-    * timestamp (integer floor division — no double round-trip, which would
-    * lose precision above 2^53 ns).
+  /** Canonicalize `ts` to a session-zone TimestampType regardless of how the
+    * parquet writer encoded it. TIMESTAMP(NANOS) reaches Spark as LongType
+    * under the nanos-as-long legacy conf — re-derive micros with integer
+    * floor division (no double round-trip, which would lose precision above
+    * 2^53 ns). timestamp[us]/[ms] annotated columns arrive as
+    * Timestamp(NTZ)Type and only need a cast: the session timezone is pinned
+    * UTC, so the NTZ wall clock IS the epoch-micros instant DuckDB's
+    * `epoch_us(ts)` reads from the same file. Works on batch and streaming
+    * frames alike (it is pure schema dispatch + projection).
     */
+  private[graft] def canonTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+
   private def events(s: SparkSession, dir: String): DataFrame = {
+    // harmless when the file carries annotated timestamps; required to read
+    // the TIMESTAMP(NANOS) form at all
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    rd(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    canonTs(rd(s, dir, "events"))
   }
 
   private val dec = DecimalType(18, 2)
@@ -92,7 +107,7 @@ object SparkEntry {
     val sink = tag + "_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
     def side(): DataFrame = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(canonTs)
     val clicks = side().where(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -1034,7 +1049,7 @@ object SparkEntry {
       withStreamPartitions(s) {
         val stream = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(canonTs)
         val q = windowedCountsSelect(
           graft.streaming.EventStream.windowedCounts(stream, "30 minutes", "2 hours"))
           .writeStream.outputMode("complete").format("memory").queryName(sink)
@@ -1063,7 +1078,7 @@ object SparkEntry {
       withStreamPartitions(s) {
         val stream = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(canonTs)
         val q = windowedCountsSelect(
           graft.streaming.EventStream.windowedCounts(stream, "30 minutes", "2 hours"))
           .writeStream.outputMode("append").format("parquet")
@@ -1271,7 +1286,7 @@ object SparkEntry {
       withStreamPartitions(s) {
         val stream = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(canonTs)
           .select("user_id", "ts", "event_type", "value")
           .as[graft.streaming.Sessionize.Event]
         val q = graft.streaming.Sessionize.streamingSessions(stream, gapMinutes = 30)
@@ -1676,7 +1691,7 @@ object SparkEntry {
           .option("maxFilesPerTrigger", "1")
           .option("pathGlobFilter", "*.parquet")
           .parquet(s"$tmp/in/*")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(canonTs)
         val q = windowedCountsSelect(
           graft.streaming.EventStream.windowedCounts(stream, "30 minutes", "2 hours"))
           .writeStream.outputMode("append").format("memory").queryName(sink)

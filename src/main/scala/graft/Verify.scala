@@ -49,6 +49,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the list of queries THIS run attempted: lets check.py flag a query
+    // that crashed before writing output (round 6's 28 silent absences) as
+    // FAIL instead of skipping it invisibly
+    val attempted = SparkEntry.queries.keySet
+      .filter(n => only.isEmpty || only(n)).toSeq.sorted
+    Files.writeString(Paths.get(s"$outDir/declared.json"),
+      attempted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -58,13 +58,22 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     names = sorted([os.path.basename(d) for d in glob.glob(os.path.join(out_dir, "*")) if os.path.isdir(d)])
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_weak = 0
+    # a query Verify attempted but that wrote no output is a hard FAILURE
+    # (round 6: 28 analysis crashes read as "not checked" and the round
+    # shipped red) — never let absence look like a pass
+    decl_path = os.path.join(out_dir, "declared.json")
+    if os.path.exists(decl_path):
+        for name in sorted(set(json.load(open(decl_path))) - set(names)):
+            print(f"FAIL {name}: declared but produced NO output (crashed?)")
+            n_fail += 1
     for name in names:
         files = sorted(glob.glob(os.path.join(out_dir, name, "*.parquet")))
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         got = pa.concat_tables([pq.read_table(f) for f in files])
         if name not in oracle:
+            n_weak += 1
             print(f"weak {name}: rows-only check, rows={got.num_rows} " + ("OK" if got.num_rows > 0 else "EMPTY!"))
             continue
         try:
@@ -81,7 +90,7 @@ def main(sf_dir, out_dir):
         if vd:
             print(f"FAIL {name}: {vd}"); n_fail += 1; continue
         print(f"PASS {name} ({g.num_rows} rows)"); n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {len(names) - n_pass - n_fail} weak")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak")
     return 1 if n_fail else 0
 
 
