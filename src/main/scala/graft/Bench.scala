@@ -32,23 +32,40 @@ object Bench {
     // bursts, and consecutive same-query runs would both land inside one
     // burst — temporally-separated runs make the min a real
     // least-contended estimate (and pass 2 is also codegen/JIT-warm).
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // NUMERIC id order (q9 before q100), so a consumer that truncates the
+    // tail drops the highest-numbered — newest — queries last, not the
+    // lexicographically unlucky ones.
+    val names = SparkEntry.queries.toSeq
+      .sortBy { case (name, _) =>
+        (name.drop(1).takeWhile(_.isDigit).toInt, name)
+      }
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def onePass(): Map[String, Double] = names.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        // a crashed query must NOT masquerade as a fast timing (round 6:
+        // 28 instant analysis failures read as 0.05 s "speedups")
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val p1 = onePass(); val p2 = onePass()
-    val results = names.map { case (name, _) =>
+    val results = names.collect { case (name, _) if !failed(name) =>
       name -> math.min(p1(name), p2(name))
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}"""
+    println(line)
+    // stdout capture can truncate; keep the whole line on disk too
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -2144,7 +2144,28 @@ object SparkEntry {
     // in the output): which event types cluster in the same users beyond
     // popularity. Pairs bounded by distinct types per user, never users².
     "q128_cooccur_lift" -> ((s, dir) =>
-      graft.operators.Cooccur.lift(events(s, dir), "user_id", "event_type"))
+      graft.operators.Cooccur.lift(events(s, dir), "user_id", "event_type")),
+
+    // ---- the COMPOSED ANN scale shape (IVF × PQ, reference 02:438-442):
+    // IVF prunes the scan to the query's 2 nearest cells (partition
+    // pruning once persisted partitionBy(ivf_cell)), ADC runs over the
+    // 2-byte codes WITHIN those cells only, and the 15 ADC-best re-rank
+    // with exact cosine. q45 gates the pruning stage, q118 the PQ stage;
+    // this gates their composition end-to-end bit-exactly.
+    "q129_ivf_pq_search" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") =!= 0)
+      val qv = emb.where(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toSeq
+      val cents = Ann.sampleCentroids(corpus, "vec_id", "embedding", 4)
+      val books = Ann.pqCodebooks(corpus, "vec_id", "embedding",
+        m = 2, ksub = 4)
+      val indexed = Ann.withPqCodes(
+        Ann.withIvfAssignment(corpus, "embedding", cents), "embedding", books)
+      Ann.topKIvfPq(indexed, "vec_id", "embedding", "ivf_cell", "pq_code",
+          cents, books, qv, k = 5, nProbe = 2, rerankFactor = 3)
+        .select("vec_id", "score")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -3824,6 +3845,52 @@ object SparkEntry {
         |  CAST(p.n_ab AS DOUBLE) * CAST(nt.n_total AS DOUBLE)
         |    / (CAST(ta.n AS DOUBLE) * CAST(tb.n AS DOUBLE)) AS lift
         |FROM p JOIN t ta ON p.label_a = ta.l JOIN t tb ON p.label_b = tb.l
-        |CROSS JOIN nt""".stripMargin
+        |CROSS JOIN nt""".stripMargin,
+
+    // q45's IVF CTEs (cosine argmax, ties to HIGHER cid) composed with
+    // q118's PQ CTEs (per-subspace L2 argmin, ties to lower cid): the ADC
+    // candidate ranking runs over probed-cell rows ONLY, then exact-cosine
+    // re-rank — op-for-op the Spark pipeline
+    "q129_ivf_pq_search" ->
+      s"""WITH q AS (SELECT embedding AS qv, len(embedding) // 2 AS d
+         |  FROM embeddings WHERE vec_id = 0),
+         |e AS (SELECT vec_id, embedding, len(embedding) // 2 AS d
+         |  FROM embeddings WHERE vec_id <> 0),
+         |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         |    embedding AS cv, len(embedding) // 2 AS d
+         |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
+         |ivs AS (SELECT e.vec_id, c.cid,
+         |    ${cosSql("e.embedding", "c.cv")} AS cs
+         |  FROM e CROSS JOIN cents c),
+         |iva AS (SELECT vec_id, cid AS icell FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cs DESC, cid DESC) AS rn FROM ivs)
+         |  WHERE rn = 1),
+         |qcells AS (SELECT c.cid FROM cents c CROSS JOIN q
+         |  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cid ASC LIMIT 2),
+         |s0 AS (SELECT e.vec_id, c.cid,
+         |    ${l2Sql("e.embedding[1 : e.d]", "c.cv[1 : c.d]")} AS dist
+         |  FROM e CROSS JOIN cents c),
+         |a0 AS (SELECT vec_id, cid FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM s0)
+         |  WHERE rn = 1),
+         |s1 AS (SELECT e.vec_id, c.cid,
+         |    ${l2Sql("e.embedding[e.d + 1 : 2 * e.d]", "c.cv[c.d + 1 : 2 * c.d]")} AS dist
+         |  FROM e CROSS JOIN cents c),
+         |a1 AS (SELECT vec_id, cid FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM s1)
+         |  WHERE rn = 1),
+         |qd0 AS (SELECT c.cid,
+         |    ${l2Sql("q.qv[1 : c.d]", "c.cv[1 : c.d]")} AS qd
+         |  FROM cents c CROSS JOIN q),
+         |qd1 AS (SELECT c.cid,
+         |    ${l2Sql("q.qv[c.d + 1 : 2 * c.d]", "c.cv[c.d + 1 : 2 * c.d]")} AS qd
+         |  FROM cents c CROSS JOIN q),
+         |cand AS (SELECT a0.vec_id FROM a0 JOIN a1 USING (vec_id)
+         |  JOIN iva USING (vec_id) JOIN qcells ON iva.icell = qcells.cid
+         |  JOIN qd0 ON qd0.cid = a0.cid JOIN qd1 ON qd1.cid = a1.cid
+         |  ORDER BY qd0.qd + qd1.qd ASC, a0.vec_id ASC LIMIT 15)
+         |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS score
+         |FROM e JOIN cand USING (vec_id) CROSS JOIN q
+         |ORDER BY score DESC, e.vec_id LIMIT 5""".stripMargin
   )
 }

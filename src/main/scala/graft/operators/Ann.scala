@@ -357,7 +357,8 @@ object Ann {
     */
   def topKPq(corpus: DataFrame, idCol: String, embCol: String,
              codeCol: String, codebooks: Seq[Seq[Seq[Float]]],
-             query: Seq[Float], k: Int, rerankFactor: Int = 4): DataFrame = {
+             query: Seq[Float], k: Int, rerankFactor: Int = 4,
+             filter: Column = lit(true)): DataFrame = {
     require(k > 0 && rerankFactor >= 1, s"k=$k, rerankFactor=$rerankFactor")
     val d = codebooks.head.head.size
     val table: Seq[Seq[Double]] = codebooks.zipWithIndex.map { case (cb, j) =>
@@ -376,7 +377,7 @@ object Ann {
     val adc = aggregate(
       zip_with(col(codeCol), typedlit(table), (c, t) => element_at(t, c + 1)),
       lit(0.0), _ + _)
-    corpus.where(col(codeCol).isNotNull)
+    corpus.where(filter && col(codeCol).isNotNull)
       .withColumn("__graft_adc", adc)
       .orderBy(col("__graft_adc").asc, col(idCol))
       .limit(math.max(k, rerankFactor * k))
@@ -384,6 +385,29 @@ object Ann {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
       .drop("__graft_adc")
+  }
+
+  /** The composed ≥1M-vector search shape (reference scaling envelope
+    * `/root/reference/02_method2_manual_vector_embedding.sql:438-442`):
+    * IVF prunes the SCAN (with the corpus persisted
+    * `partitionBy(assignCol)`, the `isin` over the `nProbe` query-nearest
+    * cells becomes partition pruning — (1 - nProbe/nCells) of the corpus is
+    * never read), PQ shrinks what REMAINS (ADC over the m-byte codes, the
+    * embeddings untouched), and the exact-cosine re-rank of the
+    * `rerankFactor * k` ADC-best restores exact ordering whenever the
+    * candidate set covers the true neighbors. Each stage's contract is
+    * individually gated (q45 / q118); the composition is q129's.
+    */
+  def topKIvfPq(corpus: DataFrame, idCol: String, embCol: String,
+                assignCol: String, codeCol: String,
+                ivfCentroids: Seq[Seq[Float]], codebooks: Seq[Seq[Seq[Float]]],
+                query: Seq[Float], k: Int, nProbe: Int,
+                rerankFactor: Int = 4): DataFrame = {
+    val cells = ivfCentroids.zipWithIndex
+      .map { case (c, i) => (cosine(query, c), i) }
+      .sortBy(x => (-x._1, x._2)).take(nProbe).map(_._2)
+    topKPq(corpus, idCol, embCol, codeCol, codebooks, query, k, rerankFactor,
+      col(assignCol).isin(cells: _*))
   }
 
   /** Driver-side dot product (same fold order as the Catalyst expression;

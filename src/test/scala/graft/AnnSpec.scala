@@ -234,4 +234,46 @@ class AnnSpec extends SparkSpec {
     val recall = (got & exact).size / 10.0
     assert(recall >= 0.9, s"recall@10 = $recall")
   }
+
+  test("ivf×pq composition: full probe + generous rerank equals exact top-k") {
+    // the q45-style recall contract applied to the COMPOSED operator: with
+    // every cell probed and a candidate pool large enough to cover the true
+    // neighbors, the approximate path must return exactly the brute-force
+    // answer (same scores, same tie order)
+    val cents = Ann.kmeansCentroids(pqCorpus, "id", "emb", k = 4, iters = 3)
+    val books = Ann.pqCodebooks(pqCorpus, "id", "emb", m = 4, ksub = 8, iters = 3)
+    val indexed = Ann.withPqCodes(
+      Ann.withIvfAssignment(pqCorpus, "emb", cents), "emb", books)
+    val q = pqCorpus.where(col("id") === 3).select("emb")
+      .head().getSeq[Float](0).toSeq
+    val got = Ann.topKIvfPq(indexed, "id", "emb", "ivf_cell", "pq_code",
+        cents, books, q, k = 10, nProbe = 4, rerankFactor = 16)
+      .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = Ann.topK(pqCorpus, "id", "emb", q, 10)
+      .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == exact.toSeq)
+  }
+
+  test("ivf×pq composition: probing actually prunes the candidate scan") {
+    val cents = Ann.kmeansCentroids(pqCorpus, "id", "emb", k = 4, iters = 3)
+    val books = Ann.pqCodebooks(pqCorpus, "id", "emb", m = 4, ksub = 8)
+    val indexed = Ann.withPqCodes(
+      Ann.withIvfAssignment(pqCorpus, "emb", cents), "emb", books)
+      .localCheckpoint(true)
+    val q = pqCorpus.where(col("id") === 3).select("emb")
+      .head().getSeq[Float](0).toSeq
+    val probed = cents.zipWithIndex
+      .map { case (c, i) => (Ann.cosine(q, c), i) }
+      .sortBy(x => (-x._1, x._2)).take(1).map(_._2)
+    val inCell = indexed.where(col("ivf_cell").isin(probed: _*)).count()
+    assert(inCell < indexed.count(),
+      "planted clusters must not all land in one cell")
+    // nProbe=1 with huge rerank returns exactly the probed cell's rows
+    // ranked by exact cosine — proof the other cells were never candidates
+    val got = Ann.topKIvfPq(indexed, "id", "emb", "ivf_cell", "pq_code",
+        cents, books, q, k = inCell.toInt + 50, nProbe = 1,
+        rerankFactor = 1000)
+      .count()
+    assert(got === inCell)
+  }
 }
