@@ -77,14 +77,50 @@ object Pack {
     * writer itself (one open file per task at a time — no memory cost).
     */
   def writeShards(df: DataFrame, dir: String, partitionCols: Seq[String],
-                  sortCols: Seq[String], maxRecordsPerFile: Long): Unit = {
-    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
-    require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
-    df.repartition(partitionCols.map(col): _*)
-      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+                  sortCols: Seq[String], maxRecordsPerFile: Long): Unit =
+    prepareShards(df, partitionCols, sortCols, maxRecordsPerFile)
       .write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(dir)
+
+  /** The shuffle [[writeShards]] feeds the writer — exposed so specs can
+    * assert the write-parallelism shape without reading finished output.
+    *
+    * Write parallelism is VOLUME-PROPORTIONAL, not one-task-per-directory:
+    * a per-key count (one small aggregate, broadcast back — the key space
+    * is bounded by design: sources × shard mod, thousands at most) sizes
+    * each key's split count at ceil(rows / maxRecordsPerFile), and rows
+    * hash among their key's splits on the sort columns. Each (key, split)
+    * lands in one task, so a dominant source writes its directory with
+    * proportionally many concurrent tasks instead of serializing behind
+    * one (the round-6 skew flag), while the file count per dir stays
+    * ceil(rows / cap) — no small-files explosion. With empty `sortCols`
+    * the split hash is constant and the old one-task-per-dir shape
+    * returns; callers wanting parallel writes pass the in-file sort key
+    * (the packing pipeline's (seq_id, doc_id)).
+    */
+  def prepareShards(df: DataFrame, partitionCols: Seq[String],
+                    sortCols: Seq[String], maxRecordsPerFile: Long): DataFrame = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
+    val nsplit = "__graft_nsplit"
+    val fileNo = "__graft_file_no"
+    val counts = df.groupBy(partitionCols.map(col): _*)
+      .agg(ceil(count(lit(1)).cast("double") / maxRecordsPerFile).cast("int")
+        .as(nsplit))
+    // null-safe equality: a null partition value still routes to its
+    // __HIVE_DEFAULT_PARTITION__ dir and must pick up its split count
+    val joinCond = partitionCols.map(c => df(c) <=> counts(c)).reduce(_ && _)
+    val splitHash =
+      if (sortCols.isEmpty) lit(0L) else xxhash64(sortCols.map(col): _*)
+    val joined = partitionCols.foldLeft(df.join(broadcast(counts), joinCond)) {
+      (d, c) => d.drop(counts(c)) // drop the COUNTS side copy only
+    }
+    joined
+      .withColumn(fileNo, pmod(splitHash, greatest(col(nsplit), lit(1))))
+      .repartition((partitionCols :+ fileNo).map(col): _*)
+      .drop(nsplit, fileNo)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
   }
 }

@@ -200,6 +200,57 @@ class PipelineOpsSpec extends SparkSpec {
     assert(back == rows.toSet)
   }
 
+  test("shard writer: a dominant source gets volume-proportional write tasks") {
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    // heavy source: 500 of 510 rows — the round-6 skew shape where one
+    // task would own the whole directory
+    val rows = (1L to 500L).map(i => (i, "heavy", i % 7, i)) ++
+      (501L to 510L).map(i => (i, "light", i % 7, i))
+    val df = rows.toDF("doc_id", "source", "seq_id", "n_tokens")
+    val prepared = graft.operators.Pack.prepareShards(df,
+      partitionCols = Seq("source"), sortCols = Seq("seq_id", "doc_id"),
+      maxRecordsPerFile = 50)
+    // AQE coalesces this kilobyte-scale shuffle to one partition (at real
+    // volumes its 64MB advisory target keeps many tasks for a dominant
+    // source); switch coalescing off so the spec observes the partitioning
+    // writeShards actually declares
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "64") // few file_no hash collisions
+    val perTask =
+      try prepared
+        .withColumn("pid", spark_partition_id())
+        .groupBy("source", "pid").count()
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      finally {
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+    val tasksPerSource = perTask.groupBy(_._1).map { case (s, xs) =>
+      s -> (xs.length.toLong, xs.map(_._3).max)
+    }
+    assert(tasksPerSource("heavy")._1 > 1,
+      s"heavy source serialized into ${tasksPerSource("heavy")._1} task")
+    // and the split really bounds per-task volume: ~cap rows per file_no
+    // stratum; allow a couple of hash collisions, never the 500-row
+    // serialized shape
+    assert(tasksPerSource("heavy")._2 <= 250,
+      s"worst task held ${tasksPerSource("heavy")._2} rows")
+    // write is unchanged semantically: lossless round-trip + cap respected
+    val dir = java.nio.file.Files.createTempDirectory("graft-shardskew").toString
+    graft.operators.Pack.writeShards(df, dir, partitionCols = Seq("source"),
+      sortCols = Seq("seq_id", "doc_id"), maxRecordsPerFile = 50)
+    val back = spark.read.parquet(dir)
+      .select("doc_id", "source", "seq_id", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(back == rows.toSet)
+    val heavyFiles = new java.io.File(s"$dir/source=heavy").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(heavyFiles.forall(f =>
+      spark.read.parquet(f.getPath).count() <= 50))
+  }
+
   test("bloom decontaminate: identical result to the exact operator") {
     val exact = Decontaminate.contaminatedIds(corpus, bench, "doc_id", "text", n = 3)
       .as[Long].collect().toSet
