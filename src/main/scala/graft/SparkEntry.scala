@@ -2165,6 +2165,51 @@ object SparkEntry {
       Ann.topKIvfPq(indexed, "vec_id", "embedding", "ivf_cell", "pq_code",
           cents, books, qv, k = 5, nProbe = 2, rerankFactor = 3)
         .select("vec_id", "score")
+    }),
+
+    // ---- the PRODUCTION streaming-upsert sink (UpsertSink): q112's
+    // latest-wins semantics landing in a foreachBatch-compacted parquet
+    // table instead of a memory sink. Base versions arrive in batch 1,
+    // updates in batch 2 (mtime-pinned file order, the q86 pattern), so
+    // the gate exercises a REAL cross-batch merge: batch 2's compaction
+    // reads batch 1's table back and max_by-merges against the stored
+    // winners. Final table ≡ q106's batch merge (same oracle).
+    "q130_foreachbatch_upsert" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q130").toString
+      val docs = rd(s, dir, "documents")
+      val base = docs
+        .withColumn("version", lit(1L)).withColumn("prio", lit(0))
+      val upd = docs.where(col("doc_id") % 3 === 0)
+        .withColumn("lang", lit("xx"))
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .withColumn("version", lit(2L)).withColumn("prio", lit(1))
+      Seq(base -> "slice_001", upd -> "slice_002").foreach { case (df, name) =>
+        df.coalesce(1).write.parquet(s"$tmp/in/$name")
+      }
+      // strictly increasing mtimes pin base-before-updates batch order
+      Seq("slice_001", "slice_002").zipWithIndex.foreach { case (name, i) =>
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/in/$name"))
+        try walk.forEach { p =>
+          if (!p.toFile.setLastModified(1000000000000L + i * 60000L))
+            sys.error(s"q130: setLastModified failed for $p")
+        } finally walk.close()
+      }
+      val schema = base.schema
+      val table = s"$tmp/table"
+      withStreamPartitions(s) {
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(s"$tmp/in/*")
+        val q = graft.streaming.UpsertSink.writer(stream, table,
+            Seq("doc_id"), "version", "prio")
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val out = s.read.parquet(table).drop("prio")
+      val result = s.createDataFrame(out.collectAsList(), out.schema)
+      result
     })
   )
 
@@ -3522,6 +3567,7 @@ object SparkEntry {
     // key's post-merge winner exactly once = the batch merge result
     // (multi-batch re-emission pinned in StreamingSpec)
     "q112_streaming_upsert" -> latestWinsOracleSql,
+    "q130_foreachbatch_upsert" -> latestWinsOracleSql,
 
     // independent marginals; GROUPING's bitmask convention (first arg =
     // high bit, 1 = aggregated-away) matches Spark's grouping_id

@@ -316,4 +316,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.size == 5, "every vector assigned exactly once")
   }
+
+  test("UpsertSink.compactBatch: cross-batch merge, stored-key comparison, redelivery idempotence") {
+    import graft.streaming.UpsertSink
+    val dir = Files.createTempDirectory("graft-upsertsink").toString
+    val table = s"$dir/table"
+    def snap(): Map[Long, (String, Long, Int)] =
+      spark.read.parquet(table).collect()
+        .map(r => r.getAs[Long]("k") ->
+          ((r.getAs[String]("v"), r.getAs[Long]("version"), r.getAs[Int]("prio"))))
+        .toMap
+    val b1 = Seq((1L, "a1", 1L, 0), (2L, "b1", 1L, 0)).toDF("k", "v", "version", "prio")
+    UpsertSink.compactBatch(table, b1, Seq("k"), "version", "prio")
+    assert(snap() == Map(1L -> (("a1", 1L, 0)), 2L -> (("b1", 1L, 0))))
+    // batch 2: higher version for k=1, LOWER version for k=2 (must lose
+    // against the winner STORED in the table — the cross-batch comparison)
+    val b2 = Seq((1L, "a2", 2L, 0), (2L, "b0", 0L, 5)).toDF("k", "v", "version", "prio")
+    UpsertSink.compactBatch(table, b2, Seq("k"), "version", "prio")
+    assert(snap() == Map(1L -> (("a2", 2L, 0)), 2L -> (("b1", 1L, 0))))
+    // at-least-once redelivery of an already-merged batch: no change
+    UpsertSink.compactBatch(table, b2, Seq("k"), "version", "prio")
+    assert(snap() == Map(1L -> (("a2", 2L, 0)), 2L -> (("b1", 1L, 0))))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
