@@ -2215,7 +2215,17 @@ object SparkEntry {
       val out = s.read.parquet(table).drop("prio")
       val result = s.createDataFrame(out.collectAsList(), out.schema)
       result
-    })
+    }),
+
+    // ---- bigram LM rarity (the KenLM-style fluency filter): score every
+    // doc against a bigram model trained on the corpus itself. Smoothed
+    // conditional probability = one exact-integer division (no libm — the
+    // q128 rule), so rarity rate / min-probability gate bit-exactly.
+    // Occurrence streams (not per-doc-distinct); count tables aggregate
+    // map-side; scoring re-joins on the gram keys.
+    "q131_bigram_rarity" -> ((s, dir) =>
+      graft.operators.LmScore.bigramRarity(rdPar(s, dir, "documents"),
+        "doc_id", "text", rareMaxP = 1e-3))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -3942,6 +3952,29 @@ object SparkEntry {
          |  ORDER BY qd0.qd + qd1.qd ASC, a0.vec_id ASC LIMIT 15)
          |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS score
          |FROM e JOIN cand USING (vec_id) CROSS JOIN q
-         |ORDER BY score DESC, e.vec_id LIMIT 5""".stripMargin
+         |ORDER BY score DESC, e.vec_id LIMIT 5""".stripMargin,
+
+    // add-one-smoothed conditional probability mirrored as the same
+    // single exact-integer division; token/bigram streams occurrence-
+    // counted in both engines (string_split ≡ split on ' ', 1-based list
+    // index ≡ slice-zip)
+    "q131_bigram_rarity" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tok AS (SELECT unnest(t) AS w FROM toks),
+        |uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY w),
+        |v AS (SELECT count(*) AS vocab FROM uni),
+        |big AS (SELECT doc_id, t[i.i] AS w1, t[i.i + 1] AS w2
+        |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS i(i)),
+        |bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+        |sc AS (SELECT big.doc_id,
+        |    CAST(bc.c12 + 1 AS DOUBLE) / CAST(uni.c1 + v.vocab AS DOUBLE) AS p
+        |  FROM big JOIN bc USING (w1, w2) JOIN uni ON big.w1 = uni.w CROSS JOIN v),
+        |r AS (SELECT doc_id, count(*) AS n_bigrams,
+        |    count(*) FILTER (WHERE p < 0.001) AS n_rare, min(p) AS min_p
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(r.n_rare, 0) AS n_rare,
+        |  CAST(r.n_rare AS DOUBLE) / r.n_bigrams AS rare_frac, r.min_p
+        |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin
   )
 }

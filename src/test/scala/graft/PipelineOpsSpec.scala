@@ -875,4 +875,22 @@ class PipelineOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L))
   }
+
+  test("bigram rarity: hand-computed smoothed probabilities, short-doc rule") {
+    // corpus: c1(a)=3, c1(b)=3, c1(c)=1, c1(z)=1, V=4
+    // bigram counts: (a,b)=3, (b,a)=1, (b,c)=1
+    // p(a,b)=(3+1)/(3+4)=4/7; p(b,a)=p(b,c)=(1+1)/(3+4)=2/7
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.LmScore
+      .bigramRarity(docs, "doc_id", "text", rareMaxP = 0.3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(got(1L) == ((3L, 1L, Some(1.0 / 3), Some(2.0 / 7))))
+    assert(got(2L) == ((2L, 1L, Some(0.5), Some(2.0 / 7))))
+    assert(got(3L) == ((0L, 0L, None, None)))
+  }
 }
