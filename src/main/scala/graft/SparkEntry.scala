@@ -2225,7 +2225,26 @@ object SparkEntry {
     // map-side; scoring re-joins on the gram keys.
     "q131_bigram_rarity" -> ((s, dir) =>
       graft.operators.LmScore.bigramRarity(rdPar(s, dir, "documents"),
-        "doc_id", "text", rareMaxP = 1e-3))
+        "doc_id", "text", rareMaxP = 1e-3)),
+
+    // ---- CDC change-log apply: the DELETE verb the merge family lacked.
+    // Inserts for every doc, updates for doc_id%3, deletes for doc_id%5 —
+    // final state must drop every %5 key, keep %3 updates, and pass the
+    // rest through. One max_by hash agg + a winner-set filter (the q106
+    // shape; never a window sort over the log).
+    "q132_cdc_apply" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val ins = docs.withColumn("version", lit(1L)).withColumn("op", lit("I"))
+      val upd = docs.where(col("doc_id") % 3 === 0)
+        .withColumn("lang", lit("xx"))
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .withColumn("version", lit(2L)).withColumn("op", lit("U"))
+      val del = docs.where(col("doc_id") % 5 === 0)
+        .withColumn("version", lit(3L)).withColumn("op", lit("D"))
+      graft.operators.Upsert.applyChangeLog(
+        ins.unionByName(upd).unionByName(del),
+        Seq("doc_id"), "version", "op")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -3975,6 +3994,22 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(r.n_bigrams, 0) AS n_bigrams,
         |  coalesce(r.n_rare, 0) AS n_rare,
         |  CAST(r.n_rare AS DOUBLE) / r.n_bigrams AS rare_frac, r.min_p
-        |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin
+        |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin,
+
+    // rank-form twin of the max_by winner + delete filter
+    "q132_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT doc_id, text, lang, source, n_chars,
+        |    CAST(1 AS BIGINT) AS version, 'I' AS op FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text, 'xx', source, n_chars + 1000,
+        |    CAST(2 AS BIGINT), 'U' FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars,
+        |    CAST(3 AS BIGINT), 'D' FROM documents WHERE doc_id % 5 = 0),
+        |w AS (SELECT * FROM log QUALIFY row_number() OVER (
+        |  PARTITION BY doc_id ORDER BY version DESC) = 1)
+        |SELECT doc_id, text, lang, source, n_chars, version
+        |FROM w WHERE op <> 'D'""".stripMargin
   )
 }

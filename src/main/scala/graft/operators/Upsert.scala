@@ -48,6 +48,28 @@ object Upsert {
       .select(keyCols.map(col) ++ outPayload.map(c => col(s"_w.$c").as(c)): _*)
   }
 
+  /** CDC change-log apply — the DELETE-aware sibling of [[latestWins]]: a
+    * log of (I)nsert / (U)pdate / (D)elete operations collapses to final
+    * table state by keeping each key's greatest-`versionCol` operation and
+    * dropping keys whose last operation is a delete. This is the missing
+    * third verb of the merge family (latestWins can only ever keep a row).
+    *
+    * Same ONE-hash-agg shape as [[latestWins]] (`max_by` with map-side
+    * partials, no per-key window sort) — the delete filter runs on the
+    * k-row winner set, not the log. Same determinism contract: caller
+    * makes `versionCol` unique per key.
+    */
+  def applyChangeLog(changes: DataFrame, keyCols: Seq[String],
+                     versionCol: String, opCol: String): DataFrame = {
+    val payloadCols = changes.columns.filterNot(keyCols.contains).toSeq
+    val winner = max_by(struct(payloadCols.map(col): _*), col(versionCol))
+    changes.groupBy(keyCols.map(col): _*)
+      .agg(winner.as("_w"))
+      .where(col(s"_w.$opCol") =!= "D")
+      .select(keyCols.map(col) ++
+        payloadCols.filterNot(_ == opCol).map(c => col(s"_w.$c").as(c)): _*)
+  }
+
   /** SCD-2 companion to [[latestWins]]'s SCD-1: keep EVERY version, each
     * stamped with its validity interval — `valid_from` = the change's own
     * timestamp, `valid_to` = the NEXT change's timestamp for the same key

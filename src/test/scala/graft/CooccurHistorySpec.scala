@@ -38,6 +38,22 @@ class CooccurHistorySpec extends SparkSpec {
     assert(out(1L)._3 == ts("2025-01-01 10:00:00"), "valid_from = own ts")
   }
 
+  test("applyChangeLog: I/U collapse to latest, trailing D removes the key, D-then-I resurrects") {
+    val log = Seq(
+      (1L, "a1", 1L, "I"), (1L, "a2", 2L, "U"),             // plain update
+      (2L, "b1", 1L, "I"), (2L, "b1", 2L, "D"),             // deleted
+      (3L, "c1", 1L, "I"), (3L, "c1", 2L, "D"), (3L, "c2", 3L, "I"), // resurrected
+      (4L, "d1", 1L, "I")                                    // untouched
+    ).toDF("k", "v", "version", "op")
+    val got = Upsert.applyChangeLog(log, Seq("k"), "version", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "a2", 2L), (3L, "c2", 3L), (4L, "d1", 1L)))
+    // shape: one hash aggregate, no window exec
+    val plan = Upsert.applyChangeLog(log, Seq("k"), "version", "op")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window sort:\n$plan")
+  }
+
   test("scd2History: every non-final valid_to equals the next valid_from (no gaps)") {
     val rows = Upsert.scd2History(changes, Seq("key"), Seq("ts", "change_id"))
       .select("key", "valid_from", "valid_to")
