@@ -2244,6 +2244,19 @@ object SparkEntry {
       graft.operators.Upsert.applyChangeLog(
         ins.unionByName(upd).unionByName(del),
         Seq("doc_id"), "version", "op")
+    }),
+
+    // ---- Z-order (Morton) clustering key: interleaved-bit layout key for
+    // multi-dimensional min/max file pruning (pure codegen'd integer bit
+    // arithmetic — the gate pins the key bit-exactly; the LAYOUT effect —
+    // per-file bounding boxes tight in BOTH dims vs a 1-D sort — is
+    // spec-asserted on written files in PipelineOpsSpec).
+    "q133_zorder_key" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      docs.select(col("doc_id"),
+        graft.operators.Layout.zValue(
+          Seq(pmod(col("doc_id"), lit(256)), pmod(col("n_chars"), lit(256))),
+          bitsPerDim = 8).as("zval"))
     })
   )
 
@@ -4010,6 +4023,17 @@ object SparkEntry {
         |w AS (SELECT * FROM log QUALIFY row_number() OVER (
         |  PARTITION BY doc_id ORDER BY version DESC) = 1)
         |SELECT doc_id, text, lang, source, n_chars, version
-        |FROM w WHERE op <> 'D'""".stripMargin
+        |FROM w WHERE op <> 'D'""".stripMargin,
+
+    // Morton interleave replicated as the same bit arithmetic (dim j bit i
+    // -> position 2i+j); both engines' % on non-negative ints agree
+    "q133_zorder_key" ->
+      """WITH t AS (SELECT doc_id, doc_id % 256 AS x, n_chars % 256 AS y
+        |  FROM documents)
+        |SELECT doc_id, CAST(SUM(
+        |    (((x >> i.i) & 1) << (2 * i.i)) +
+        |    (((y >> i.i) & 1) << (2 * i.i + 1))) AS BIGINT) AS zval
+        |FROM t, unnest(generate_series(0, 7)) AS i(i)
+        |GROUP BY doc_id""".stripMargin
   )
 }

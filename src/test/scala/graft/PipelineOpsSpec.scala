@@ -893,4 +893,56 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(2L) == ((2L, 1L, Some(0.5), Some(2.0 / 7))))
     assert(got(3L) == ((0L, 0L, None, None)))
   }
+
+  test("z-order: morton key matches a bit-interleave reference") {
+    import org.apache.spark.sql.functions.{col, lit}
+    def morton(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L), (170L, 85L), (37L, 200L))
+    val got = rows.toDF("x", "y")
+      .withColumn("z", graft.operators.Layout.zValue(Seq(col("x"), col("y")), 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) => assert(z == morton(x, y, 8), s"($x,$y)") }
+  }
+
+  test("z-order layout: per-file bounding boxes tight in BOTH dims, unlike a 1-D sort") {
+    import org.apache.spark.sql.functions.col
+    // uniform 64x64 grid — under a pure-x sort every file spans ALL of y
+    val rows = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    val df = rows.toDF("x", "y").repartition(8)
+    def fileExtents(clustered: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+      clustered.write.mode("overwrite").parquet(dir)
+      val exts = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq
+        .map { f =>
+          val t = spark.read.parquet(f.getPath)
+            .agg(org.apache.spark.sql.functions.max(col("x")) -
+                 org.apache.spark.sql.functions.min(col("x")),
+              org.apache.spark.sql.functions.max(col("y")) -
+                 org.apache.spark.sql.functions.min(col("y"))).head()
+          (t.getLong(0), t.getLong(1))
+        }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      exts
+    }
+    val zExt = fileExtents(graft.operators.Layout
+      .clusterByZ(df, Seq(col("x"), col("y")), bitsPerDim = 6,
+        numFiles = Some(8)))
+    val xExt = fileExtents(df.repartitionByRange(8, col("x"))
+      .sortWithinPartitions(col("x")))
+    assert(zExt.size > 1 && xExt.size > 1)
+    // 1-D sort: y extent is the full 63 in every file; z-order: both
+    // extents stay fractions of the domain
+    assert(xExt.forall(_._2 == 63L))
+    // range boundaries are sampled, not quadrant-aligned, so a FILE can
+    // straddle one major z boundary and span a dimension — the pruning
+    // win is the MEAN extent (files skipped by a 1-dim predicate on
+    // average); aligned cells are 31x15, straddlers pull the mean up
+    val zAvgX = zExt.map(_._1).sum.toDouble / zExt.size
+    val zAvgY = zExt.map(_._2).sum.toDouble / zExt.size
+    assert(zAvgX <= 45.0 && zAvgY <= 45.0,
+      s"z-ordered mean per-file extents ($zAvgX, $zAvgY) should be fractions of 63")
+  }
 }
