@@ -2257,7 +2257,20 @@ object SparkEntry {
         graft.operators.Layout.zValue(
           Seq(pmod(col("doc_id"), lit(256)), pmod(col("n_chars"), lit(256))),
           bitsPerDim = 8).as("zval"))
-    })
+    }),
+
+    // ---- time-series resampling with forward-fill: per user, project the
+    // irregular event stream onto an hourly grid and carry the last
+    // observation forward (null before the first fact). Same-instant
+    // events collapse by a DECLARED max rule first; per-key window
+    // partitions hold one user's events+grid only (the q33 bound); the
+    // grid floor is pure integer arithmetic.
+    "q134_resample_ffill" -> ((s, dir) =>
+      graft.operators.Resample.ffillGrid(events(s, dir),
+          "user_id", "ts", "value", stepMinutes = 60)
+        .select(col("user_id"),
+          date_format(col("grid_ts"), "yyyy-MM-dd HH:mm:ss").as("grid_ts"),
+          col("value")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -4034,6 +4047,27 @@ object SparkEntry {
         |    (((x >> i.i) & 1) << (2 * i.i)) +
         |    (((y >> i.i) & 1) << (2 * i.i + 1))) AS BIGINT) AS zval
         |FROM t, unnest(generate_series(0, 7)) AS i(i)
-        |GROUP BY doc_id""".stripMargin
+        |GROUP BY doc_id""".stripMargin,
+
+    // union + carry-forward window mirrored; hour floor as the same
+    // integer (a - a % step) micros arithmetic; IGNORE NULLS fill
+    "q134_resample_ffill" ->
+      """WITH ev AS (SELECT user_id, ts, max(value) AS v FROM events
+        |  WHERE ts IS NOT NULL GROUP BY user_id, ts),
+        |b AS (SELECT user_id, min(ts) AS mn, max(ts) AS mx FROM ev GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(
+        |    make_timestamp(epoch_us(mn) - (epoch_us(mn) % 3600000000)),
+        |    mx, INTERVAL 60 MINUTE)) AS gts FROM b),
+        |u AS (
+        |  SELECT user_id, ts AS t, 0 AS is_grid, v FROM ev
+        |  UNION ALL SELECT user_id, gts, 1, NULL FROM grid),
+        |f AS (SELECT user_id, t, is_grid,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY t, is_grid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill
+        |  FROM u)
+        |SELECT user_id, strftime(t, '%Y-%m-%d %H:%M:%S') AS grid_ts,
+        |  fill AS value
+        |FROM f WHERE is_grid = 1""".stripMargin
   )
 }

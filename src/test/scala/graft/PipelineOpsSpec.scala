@@ -894,6 +894,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(3L) == ((0L, 0L, None, None)))
   }
 
+  test("resample ffill: hourly grid, carry-forward, null before first fact, tie rule") {
+    import org.apache.spark.sql.functions.{col, date_format}
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:10:00"), Some(5.0)),
+      (1L, ts("2024-01-01 01:30:00"), Some(7.0)),
+      (1L, ts("2024-01-01 01:30:00"), Some(3.0)), // same instant: max wins
+      (1L, ts("2024-01-01 02:15:00"), None),       // null obs carries past
+      (2L, ts("2024-01-01 05:00:00"), Some(1.0))   // exactly on the grid
+    ).toDF("user_id", "ts", "value")
+    val got = graft.operators.Resample
+      .ffillGrid(ev, "user_id", "ts", "value", stepMinutes = 60)
+      .select(col("user_id"),
+        date_format(col("grid_ts"), "yyyy-MM-dd HH:mm").as("g"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    assert(got == Set(
+      (1L, "2024-01-01 00:00", None),      // grid point before first fact
+      (1L, "2024-01-01 01:00", Some(5.0)),
+      (1L, "2024-01-01 02:00", Some(7.0)), // max of the 01:30 tie carried
+      (2L, "2024-01-01 05:00", Some(1.0)))) // on-grid observation visible
+  }
+
   test("z-order: morton key matches a bit-interleave reference") {
     import org.apache.spark.sql.functions.{col, lit}
     def morton(x: Long, y: Long, bits: Int): Long =
