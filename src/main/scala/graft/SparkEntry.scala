@@ -2270,7 +2270,21 @@ object SparkEntry {
           "user_id", "ts", "value", stepMinutes = 60)
         .select(col("user_id"),
           date_format(col("grid_ts"), "yyyy-MM-dd HH:mm:ss").as("grid_ts"),
-          col("value")))
+          col("value"))),
+
+    // ---- sweep-line peak concurrency: max simultaneously-open [ts, ts+1h)
+    // click windows. The global running sum computes in TWO LEVELS (per-
+    // day-bucket totals -> driver prefix -> broadcast offsets; per-bucket
+    // windowed sums) — never the whole-table single-task global window.
+    "q135_max_concurrency" -> ((s, dir) => {
+      val iv = events(s, dir).where(col("event_type") === "click")
+        .select(col("ts").as("s"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("e"))
+      graft.operators.Sweep.maxConcurrency(iv, "s", "e")
+        .select(col("max_open"),
+          date_format(col("first_peak_ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("first_peak_ts"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -4068,6 +4082,21 @@ object SparkEntry {
         |  FROM u)
         |SELECT user_id, strftime(t, '%Y-%m-%d %H:%M:%S') AS grid_ts,
         |  fill AS value
-        |FROM f WHERE is_grid = 1""".stripMargin
+        |FROM f WHERE is_grid = 1""".stripMargin,
+
+    // the textbook single global running sum — the twin the two-level
+    // prefix must equal; ends sort before starts at equal t ([s, e))
+    "q135_max_concurrency" ->
+      """WITH iv AS (SELECT ts AS s, ts + INTERVAL 1 HOUR AS e FROM events
+        |  WHERE event_type = 'click'),
+        |b AS (SELECT s AS t, 1 AS delta FROM iv
+        |  UNION ALL SELECT e, -1 FROM iv),
+        |r AS (SELECT t, sum(delta) OVER (ORDER BY t, delta
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |  FROM b),
+        |m AS (SELECT CAST(max(running) AS BIGINT) AS max_open FROM r)
+        |SELECT m.max_open,
+        |  strftime(min(r.t), '%Y-%m-%d %H:%M:%S') AS first_peak_ts
+        |FROM r JOIN m ON r.running = m.max_open GROUP BY m.max_open""".stripMargin
   )
 }

@@ -917,6 +917,37 @@ class PipelineOpsSpec extends SparkSpec {
       (2L, "2024-01-01 05:00", Some(1.0)))) // on-grid observation visible
   }
 
+  test("sweep concurrency: two-level prefix equals brute force; [s,e) boundary; bucket-straddling") {
+    import org.apache.spark.sql.functions.col
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // intervals straddling the tiny 1-hour buckets on purpose
+    val iv = Seq(
+      (ts("2024-01-01 00:10:00"), ts("2024-01-01 02:10:00")),
+      (ts("2024-01-01 00:40:00"), ts("2024-01-01 01:20:00")),
+      (ts("2024-01-01 01:00:00"), ts("2024-01-01 01:30:00")),
+      (ts("2024-01-01 01:20:00"), ts("2024-01-01 03:00:00")), // starts AT an end: no overlap with #2
+      (ts("2024-01-01 05:00:00"), ts("2024-01-01 06:00:00"))
+    ).toDF("s", "e")
+    val got = graft.operators.Sweep
+      .maxConcurrency(iv, "s", "e", bucketUs = 3600000000L)
+      .head()
+    // open sets: [00:40,01:00)->2, [01:00,01:20)->3, [01:20,01:30)->3
+    // (interval 4 replaces 2 exactly at 01:20), peak 3 first at 01:00
+    assert(got.getLong(0) == 3L)
+    assert(got.getTimestamp(1) == ts("2024-01-01 01:00:00"))
+    // running prefix at every boundary equals the single-window brute force
+    val oi = graft.operators.Sweep
+      .openIntervals(iv, "s", "e", bucketUs = 3600000000L)
+      .orderBy("t", "delta").select("running").as[Long].collect().toSeq
+    val brute = {
+      val bounds = iv.collect().flatMap(r =>
+        Seq((r.getTimestamp(0).getTime, 1), (r.getTimestamp(1).getTime, -1)))
+        .sortBy(x => (x._1, x._2))
+      bounds.scanLeft(0L)(_ + _._2).drop(1).toSeq
+    }
+    assert(oi == brute)
+  }
+
   test("z-order: morton key matches a bit-interleave reference") {
     import org.apache.spark.sql.functions.{col, lit}
     def morton(x: Long, y: Long, bits: Int): Long =
