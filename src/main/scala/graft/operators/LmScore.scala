@@ -49,14 +49,18 @@ object LmScore {
     val bigStream = df.select(col(idCol), explode(bigramArr).as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val uni = tokStream.groupBy("w").agg(count(lit(1)).as("c1"))
-    val vocab = uni.agg(count(lit(1)).as("v"))
+    // V folds into the plan as a literal (the engine's 1-row-side rule —
+    // same as query vectors and centroids): a broadcast cross join of the
+    // 1-row aggregate would plan a BroadcastNestedLoopJoin, the shape the
+    // whole-surface plan audit forbids. One constant-size driver job.
+    val vocabSize = uni.count()
     val bc = bigStream.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val scored = bigStream
       .join(bc, Seq("w1", "w2"))
       .join(uni, bigStream("w1") === uni("w"))
-      .crossJoin(broadcast(vocab))
       .withColumn("p",
-        (col("c12") + 1).cast("double") / (col("c1") + col("v")).cast("double"))
+        (col("c12") + 1).cast("double") /
+          (col("c1") + lit(vocabSize)).cast("double"))
     val perDoc = scored.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("p") < rareMaxP, 1L).otherwise(0L)).as("n_rare"),
