@@ -2284,6 +2284,37 @@ object SparkEntry {
         .select(col("max_open"),
           date_format(col("first_peak_ts"), "yyyy-MM-dd HH:mm:ss")
             .as("first_peak_ts"))
+    }),
+
+    // ---- the classic 6-table OLAP rollup (TPC-H Q5 shape): local-supplier
+    // revenue per nation of one region/year. The 100 TB plan is the POINT:
+    // region/nation/customer/supplier broadcast (bounded dims), orders and
+    // lineitem shuffle on their join keys only after the date/region
+    // filters push into their scans; revenue sums through DECIMAL (the
+    // round-3 bit-portability rule).
+    "q136_regional_revenue" -> ((s, dir) => {
+      val region = rd(s, dir, "region").where(col("r_name") === "ASIA")
+      val nation = rd(s, dir, "nation")
+      val customer = rd(s, dir, "customer")
+      val supplier = rd(s, dir, "supplier")
+      val orders = rd(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+      val lineitem = rd(s, dir, "lineitem")
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(dec) *
+            (lit(BigDecimal(1)).cast(DecimalType(3, 2)) -
+              col("l_discount").cast(DecimalType(3, 2))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc)
     })
   )
 
@@ -4097,6 +4128,24 @@ object SparkEntry {
         |m AS (SELECT CAST(max(running) AS BIGINT) AS max_open FROM r)
         |SELECT m.max_open,
         |  strftime(min(r.t), '%Y-%m-%d %H:%M:%S') AS first_peak_ts
-        |FROM r JOIN m ON r.running = m.max_open GROUP BY m.max_open""".stripMargin
+        |FROM r JOIN m ON r.running = m.max_open GROUP BY m.max_open""".stripMargin,
+
+    // TPC-H Q5's own SQL with the engine's decimal-sum portability rule
+    "q136_regional_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC""".stripMargin
   )
 }
