@@ -2315,6 +2315,36 @@ object SparkEntry {
           .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc)
+    }),
+
+    // ---- NATIVE streaming session windows: q108's session_window as a
+    // real watermarked StreamingQuery in APPEND mode — the dedicated
+    // streaming session-merge state operator (q74 gates the custom
+    // flatMapGroupsWithState form; this gates Spark's own). Emission rule
+    // pinned empirically in StreamingSpec BEFORE the oracle: a session
+    // emits iff session_end <= final watermark (boundary INCLUSIVE), wm =
+    // ms-truncated max event time - 2 h under AvailableNow.
+    "q137_streaming_session_window" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val sink = "q137_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withStreamPartitions(s) {
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .transform(canonTs)
+          .withWatermark("ts", "2 hours")
+        val q = stream
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+            col("n_events"))
+          .writeStream.outputMode("append").format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drainSink(s, sink)
     })
   )
 
@@ -4146,6 +4176,28 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
-        |GROUP BY n_name ORDER BY revenue DESC""".stripMargin
+        |GROUP BY n_name ORDER BY revenue DESC""".stripMargin,
+
+    // q108's micros-exact island algorithm + the pinned emission rule:
+    // session_end <= ms-truncated(max event time) - 2 h
+    "q137_streaming_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |wm AS (SELECT (max(us) // 1000) * 1000 - 7200000000 AS wm_us FROM e),
+        |g AS (SELECT user_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL
+        |    OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_break
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, us,
+        |  sum(is_break) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |agg AS (SELECT user_id, min(us) AS mn, max(us) AS mx, count(*) AS n
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id,
+        |  strftime(make_timestamp(mn), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(make_timestamp(mx + 1800000000),
+        |    '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  n AS n_events
+        |FROM agg CROSS JOIN wm WHERE mx + 1800000000 <= wm_us""".stripMargin
   )
 }

@@ -317,6 +317,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 5, "every vector assigned exactly once")
   }
 
+  test("streaming session_window append: emission rule pinned (end <= final watermark?)") {
+    import org.apache.spark.sql.functions.{col, session_window, count, lit}
+    val dir = Files.createTempDirectory("graft-sesswin").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // gap 30 min, watermark delay 1 h; max ts 06:00:00 -> final wm 05:00:00
+    // session A: [00:00, 00:10] -> end 00:40  (< wm: must emit)
+    // session B: [04:00, 04:30] -> end 05:00  (== wm: pins <= vs <)
+    // session C: [06:00]        -> end 06:30  (> wm: must be withheld)
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:10:00")),
+      (1L, ts("2024-01-01 04:00:00")), (1L, ts("2024-01-01 04:30:00")),
+      (1L, ts("2024-01-01 06:00:00"))
+    ).toDF("user_id", "ts")
+    ev.coalesce(1).write.parquet(s"$dir/in")
+    val schema = ev.schema
+    val sink = "sesswin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.schema(schema).parquet(s"$dir/in")
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("sw.start"), col("sw.end"), col("n"))
+      .writeStream.outputMode("append").format("memory").queryName(sink)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(sink).collect()
+      .map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+      .toSet
+    spark.catalog.dropTempView(sink)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // the pin: A emits; C withheld; B's presence decides the boundary rule
+    assert(got.exists(_._1.startsWith("2024-01-01 00:00")), s"A missing: $got")
+    assert(!got.exists(_._1.startsWith("2024-01-01 06:00")), s"C leaked: $got")
+    // RECORD the boundary outcome (assert whichever holds so drift fails loudly)
+    val bEmitted = got.exists(_._1.startsWith("2024-01-01 04:00"))
+    assert(bEmitted, // Spark evicts on end <= watermark in append mode
+      s"session ending exactly at the watermark was withheld: $got")
+  }
+
   test("UpsertSink.compactBatch: cross-batch merge, stored-key comparison, redelivery idempotence") {
     import graft.streaming.UpsertSink
     val dir = Files.createTempDirectory("graft-upsertsink").toString
