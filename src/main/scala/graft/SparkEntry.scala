@@ -2345,6 +2345,22 @@ object SparkEntry {
         q.awaitTermination()
       }
       drainSink(s, sink)
+    }),
+
+    // ---- snapshot diff (change-data-feed between table versions): what
+    // did the upstream full refresh actually touch — %7 keys removed, %3
+    // updated (changed column names listed), %11 re-keyed copies added.
+    // One full-outer key join; comparisons are null-safe codegen.
+    "q138_snapshot_diff" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val isUpd = col("doc_id") % 3 === 0
+      val current = docs.where(col("doc_id") % 7 =!= 0)
+        .withColumn("lang", when(isUpd, lit("xx")).otherwise(col("lang")))
+        .withColumn("n_chars",
+          when(isUpd, col("n_chars") + 1000L).otherwise(col("n_chars")))
+        .unionByName(docs.where(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      graft.operators.Upsert.snapshotDiff(docs, current, Seq("doc_id"))
     })
   )
 
@@ -4198,6 +4214,36 @@ object SparkEntry {
         |  strftime(make_timestamp(mx + 1800000000),
         |    '%Y-%m-%d %H:%M:%S') AS session_end,
         |  n AS n_events
-        |FROM agg CROSS JOIN wm WHERE mx + 1800000000 <= wm_us""".stripMargin
+        |FROM agg CROSS JOIN wm WHERE mx + 1800000000 <= wm_us""".stripMargin,
+
+    // full-outer + IS DISTINCT FROM per column, concat_ws skipping
+    // non-changed names — null-safe exactly like the engine's <=>
+    "q138_snapshot_diff" ->
+      """WITH oldt AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+        |cur AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END AS lang,
+        |    source,
+        |    CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |j AS (SELECT o.doc_id AS ok, c.doc_id AS nk,
+        |    o.text AS ot, c.text AS nt, o.lang AS ol, c.lang AS nl,
+        |    o.source AS os, c.source AS ns, o.n_chars AS oc, c.n_chars AS nc
+        |  FROM oldt o FULL OUTER JOIN cur c ON o.doc_id = c.doc_id)
+        |SELECT coalesce(ok, nk) AS doc_id,
+        |  CASE WHEN ok IS NULL THEN 'added'
+        |       WHEN nk IS NULL THEN 'removed' ELSE 'changed' END AS change,
+        |  CASE WHEN ok IS NOT NULL AND nk IS NOT NULL THEN concat_ws(',',
+        |    CASE WHEN ot IS DISTINCT FROM nt THEN 'text' END,
+        |    CASE WHEN ol IS DISTINCT FROM nl THEN 'lang' END,
+        |    CASE WHEN os IS DISTINCT FROM ns THEN 'source' END,
+        |    CASE WHEN oc IS DISTINCT FROM nc THEN 'n_chars' END) END AS changed_cols
+        |FROM j
+        |WHERE ok IS NULL OR nk IS NULL
+        |  OR ot IS DISTINCT FROM nt OR ol IS DISTINCT FROM nl
+        |  OR os IS DISTINCT FROM ns OR oc IS DISTINCT FROM nc""".stripMargin
   )
 }

@@ -48,6 +48,43 @@ object Upsert {
       .select(keyCols.map(col) ++ outPayload.map(c => col(s"_w.$c").as(c)): _*)
   }
 
+  /** Snapshot diff — the INVERSE of the merge family: given two versions
+    * of a table, emit the change feed that turns `old` into `current`
+    * (added / removed / changed keys, with the changed column names).
+    * This is how an incremental pipeline discovers what an upstream
+    * full-refresh actually touched (and the audit trail for a cache
+    * refresh: the reference's write-back loop rewrites wholesale; the
+    * diff says what moved).
+    *
+    * ONE full-outer shuffle join on the key; per-column comparison is a
+    * null-safe codegen projection on the joined row. `changed_cols` is a
+    * deterministic comma-joined list in declared column order.
+    */
+  def snapshotDiff(old: DataFrame, current: DataFrame,
+                   keyCols: Seq[String]): DataFrame = {
+    require(old.columns.sameElements(current.columns),
+      s"schema mismatch: ${old.columns.mkString(",")} vs ${current.columns.mkString(",")}")
+    val payloadCols = old.columns.filterNot(keyCols.contains).toSeq
+    val o = old.select(old.columns.map(c => col(c).as(s"__o_$c")): _*)
+    val n = current.select(current.columns.map(c => col(c).as(s"__n_$c")): _*)
+    val cond = keyCols.map(c => col(s"__o_$c") <=> col(s"__n_$c")).reduce(_ && _)
+    val oKey = col(s"__o_${keyCols.head}")
+    val nKey = col(s"__n_${keyCols.head}")
+    val changedCols = concat_ws(",", payloadCols.map(c =>
+      when(!(col(s"__o_$c") <=> col(s"__n_$c")), lit(c))): _*)
+    o.join(n, cond, "full_outer")
+      .withColumn("change",
+        when(oKey.isNull, lit("added"))
+          .when(nKey.isNull, lit("removed"))
+          .when(changedCols =!= "", lit("changed")))
+      .where(col("change").isNotNull)
+      .withColumn("changed_cols",
+        when(col("change") === "changed", changedCols))
+      .select(keyCols.map(c =>
+          coalesce(col(s"__o_$c"), col(s"__n_$c")).as(c)) ++
+        Seq(col("change"), col("changed_cols")): _*)
+  }
+
   /** CDC change-log apply — the DELETE-aware sibling of [[latestWins]]: a
     * log of (I)nsert / (U)pdate / (D)elete operations collapses to final
     * table state by keeping each key's greatest-`versionCol` operation and

@@ -54,6 +54,26 @@ class CooccurHistorySpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected window sort:\n$plan")
   }
 
+  test("snapshotDiff: added/removed/changed with column attribution; null-safe") {
+    val old = Seq(
+      (1L, Some("a"), 10L), (2L, Some("b"), 20L),
+      (3L, Some("c"), 30L), (4L, None: Option[String], 40L)
+    ).toDF("k", "v", "n")
+    val cur = Seq(
+      (1L, Some("a"), 10L),                 // unchanged -> absent from diff
+      (2L, Some("B"), 21L),                 // both cols changed
+      (4L, Some("d"), 40L),                 // null -> value IS a change
+      (5L, None: Option[String], 50L)       // added (with a null col)
+    ).toDF("k", "v", "n")
+    val got = Upsert.snapshotDiff(old, cur, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(got == Set(
+      (2L, "changed", Some("v,n")),
+      (3L, "removed", None),
+      (4L, "changed", Some("v")),
+      (5L, "added", None)))
+  }
+
   test("scd2History: every non-final valid_to equals the next valid_from (no gaps)") {
     val rows = Upsert.scd2History(changes, Seq("key"), Seq("ts", "change_id"))
       .select("key", "valid_from", "valid_to")
