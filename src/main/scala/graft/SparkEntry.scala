@@ -2361,7 +2361,15 @@ object SparkEntry {
         .unionByName(docs.where(col("doc_id") % 11 === 0)
           .withColumn("doc_id", col("doc_id") + 10000000L))
       graft.operators.Upsert.snapshotDiff(docs, current, Seq("doc_id"))
-    })
+    }),
+
+    // ---- bounded inverted-index postings: per term, the top-5 docs by tf
+    // (ties to lower doc id) via the bounded-heap aggregator — the
+    // retrieval index WITHOUT the collect_list-a-stopword's-posting-list
+    // time bomb; O(k) state per term, no per-term sort.
+    "q139_inverted_postings" -> ((s, dir) =>
+      graft.operators.Vocab.topPostings(rdPar(s, dir, "documents"),
+        "doc_id", "text", k = 5))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -4244,6 +4252,15 @@ object SparkEntry {
         |FROM j
         |WHERE ok IS NULL OR nk IS NULL
         |  OR ot IS DISTINCT FROM nt OR ol IS DISTINCT FROM nl
-        |  OR os IS DISTINCT FROM ns OR oc IS DISTINCT FROM nc""".stripMargin
+        |  OR os IS DISTINCT FROM ns OR oc IS DISTINCT FROM nc""".stripMargin,
+
+    // rank-form twin of the bounded-heap prefix
+    "q139_inverted_postings" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+        |r AS (SELECT term, doc_id, tf, row_number() OVER (
+        |    PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rank FROM tf)
+        |SELECT term, rank, doc_id, tf FROM r WHERE rank <= 5""".stripMargin
   )
 }

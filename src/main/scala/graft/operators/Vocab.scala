@@ -181,4 +181,29 @@ object Vocab {
         sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_frac", col("n_oov").cast("double") / col("n_tokens"))
   }
+
+  /** Bounded inverted-index postings: per term, the top-`k` documents by
+    * term frequency (ties to the lower doc id) — the retrieval-index
+    * structure with the UNBOUNDED half removed: a full posting list is
+    * O(docs) per stopword and a `collect_list` time bomb at corpus scale;
+    * the k-best-by-tf prefix is what a scoring-time index actually serves
+    * first. Shape: one (term, doc) tf aggregation, then the
+    * [[graft.operators.Ann.TopKAgg]] bounded heap per term — O(k) state
+    * map-side, never a per-term sort of the whole posting list.
+    */
+  def topPostings(df: DataFrame, idCol: String, textCol: String,
+                  k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val topk = udaf(new graft.operators.Ann.TopKAgg(k),
+      Encoders.product[graft.operators.Ann.Scored])
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .where(col(idCol).isNotNull)
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(topk(col("tf").cast("double"), col(idCol).cast("long")).as("top"))
+      .select(col("term"), posexplode(col("top")))
+      .select(col("term"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol), col("col.score").cast("long").as("tf"))
+  }
 }

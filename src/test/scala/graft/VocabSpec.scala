@@ -121,4 +121,22 @@ class VocabSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected top-V as TakeOrderedAndProject, not a global sort:\n$plan")
   }
+
+  test("topPostings equals the rank-window brute force; no per-term sort in the plan") {
+    val corpus = Seq(
+      (1L, "x x x y"), (2L, "x x y y"), (3L, "x y"), (4L, "x x x x"),
+      (5L, "z")
+    ).toDF("doc_id", "text")
+    val got = Vocab.topPostings(corpus, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // x: tf 4@4, 3@1, 2@2, 1@3 -> top2 (4,4),(1,3); y: 2@2, 1@1, 1@3 -> (2,2),(1,1)
+    assert(got == Set(
+      ("x", 1L, 4L, 4L), ("x", 2L, 1L, 3L),
+      ("y", 1L, 2L, 2L), ("y", 2L, 1L, 1L),
+      ("z", 1L, 5L, 1L)))
+    val plan = Vocab.topPostings(corpus, "doc_id", "text", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Sort ["),
+      s"per-term sort/window leaked into the postings plan:\n$plan")
+  }
 }
