@@ -2369,7 +2369,17 @@ object SparkEntry {
     // time bomb; O(k) state per term, no per-term sort.
     "q139_inverted_postings" -> ((s, dir) =>
       graft.operators.Vocab.topPostings(rdPar(s, dir, "documents"),
-        "doc_id", "text", k = 5))
+        "doc_id", "text", k = 5)),
+
+    // ---- q80/q81's FULL OUTER form — the last stream-stream join flavor:
+    // both sides null-extend once a match is impossible. Click side:
+    // q81's pinned rule (join-window end strictly below the global min
+    // watermark). Purchase side: eviction keys on the purchase's OWN
+    // event time (its match window [pus-1h, pus] only closes when the
+    // watermark passes pus) — rule pinned against the StreamingSpec probe
+    // before the oracle encodes it.
+    "q140_stream_full_outer" -> ((s, dir) =>
+      streamIntervalJoin(s, dir, "full_outer", "q140"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -4261,6 +4271,29 @@ object SparkEntry {
         |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
         |r AS (SELECT term, doc_id, tf, row_number() OVER (
         |    PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rank FROM tf)
-        |SELECT term, rank, doc_id, tf FROM r WHERE rank <= 5""".stripMargin
+        |SELECT term, rank, doc_id, tf FROM r WHERE rank <= 5""".stripMargin,
+
+    // q81's click rule + the purchase rule pinned by the boundary probe:
+    // unmatched purchase emits iff pms STRICTLY below the global min
+    // watermark (its own event time, not a window end — the match window
+    // [pus-1h, pus] closes when the wm passes pus)
+    "q140_stream_full_outer" ->
+      """WITH c AS (SELECT event_id AS cid, user_id,
+        |    epoch_ns(ts) // 1000000 AS cms, epoch_us(ts) AS cus
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS pid, user_id,
+        |    epoch_ns(ts) // 1000000 AS pms, epoch_us(ts) AS pus
+        |  FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(cms) FROM c), (SELECT max(pms) FROM p))
+        |    - 3600000 AS w),
+        |m AS (SELECT c.cid, p.pid FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.pus >= c.cus AND p.pus <= c.cus + 3600000000)
+        |SELECT cid AS click_id, pid AS purchase_id FROM m
+        |UNION ALL
+        |SELECT c.cid, CAST(NULL AS BIGINT) FROM c, wm
+        |WHERE c.cid NOT IN (SELECT cid FROM m) AND c.cms + 3600000 < wm.w
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT), p.pid FROM p, wm
+        |WHERE p.pid NOT IN (SELECT pid FROM m) AND p.pms < wm.w""".stripMargin
   )
 }

@@ -355,6 +355,53 @@ class StreamingSpec extends SparkSpec {
       s"session ending exactly at the watermark was withheld: $got")
   }
 
+  test("full-outer interval join: purchase-side null-extension boundary pinned") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-fullouter").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // clicks max 12:00, purchases max 13:00 -> global min wm = 11:00.
+    // unmatched purchases: at 11:00 EXACTLY (boundary), at 10:59:59
+    // (strictly below -> must emit), at 12:30 (above -> withheld).
+    val ev = Seq(
+      (1L, 100L, "click", ts("2024-01-01 12:00:00")),
+      (2L, 200L, "purchase", ts("2024-01-01 13:00:00")),
+      (3L, 300L, "purchase", ts("2024-01-01 11:00:00")),
+      (4L, 400L, "purchase", ts("2024-01-01 10:59:59")),
+      (5L, 500L, "purchase", ts("2024-01-01 12:30:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    ev.coalesce(1).write.parquet(s"$dir/in")
+    val schema = ev.schema
+    val sink = "fullouter_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val side = () => spark.readStream.schema(schema).parquet(s"$dir/in")
+    val clicks = side().where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = side().where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val q = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR"),
+        "full_outer")
+      .select(col("click_id"), col("purchase_id"))
+      .writeStream.outputMode("append").format("memory").queryName(sink)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(sink).collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        Option(r.get(1)).map(_.asInstanceOf[Long]))).toSet
+    spark.catalog.dropTempView(sink)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    assert(got.contains((None, Some(4L))), s"strictly-below purchase missing: $got")
+    assert(!got.contains((None, Some(5L))), s"above-wm purchase leaked: $got")
+    assert(!got.contains((None, Some(2L))), s"max-ts purchase leaked: $got")
+    // THE PIN: purchase with event time exactly AT the watermark
+    assert(!got.contains((None, Some(3L))), // strict <: boundary row withheld
+      s"boundary purchase emitted — the oracle's strict < is wrong: $got")
+  }
+
   test("UpsertSink.compactBatch: cross-batch merge, stored-key comparison, redelivery idempotence") {
     import graft.streaming.UpsertSink
     val dir = Files.createTempDirectory("graft-upsertsink").toString
