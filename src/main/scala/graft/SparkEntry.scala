@@ -2379,7 +2379,17 @@ object SparkEntry {
     // watermark passes pus) — rule pinned against the StreamingSpec probe
     // before the oracle encodes it.
     "q140_stream_full_outer" -> ((s, dir) =>
-      streamIntervalJoin(s, dir, "full_outer", "q140"))
+      streamIntervalJoin(s, dir, "full_outer", "q140")),
+
+    // ---- image average-hash over the REAL decode path (q90's corpus):
+    // the image near-dup primitive, bit-gated — every block/global mean
+    // comparison is cross-multiplied exact integers through the actual
+    // JDK PNG encode→decode round-trip; the oracle recomputes the hash
+    // analytically from the closed-form pixels.
+    "q141_image_ahash" -> ((s, dir) =>
+      Multimodal.imageAHash(Multimodal.syntheticPngMedia(s, 200))
+        .toDF()
+        .select("media_id", "ahash_lo", "ahash_hi", "decode_ok"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -4294,6 +4304,35 @@ object SparkEntry {
         |WHERE c.cid NOT IN (SELECT cid FROM m) AND c.cms + 3600000 < wm.w
         |UNION ALL
         |SELECT CAST(NULL AS BIGINT), p.pid FROM p, wm
-        |WHERE p.pid NOT IN (SELECT pid FROM m) AND p.pms < wm.w""".stripMargin
+        |WHERE p.pid NOT IN (SELECT pid FROM m) AND p.pms < wm.w""".stripMargin,
+
+    // q90's closed-form pixels -> the same integer block map (x*8 // w)
+    // and cross-multiplied mean comparisons; bits OR'd per 32-bit half
+    "q141_image_ahash" ->
+      """WITH dims AS (SELECT i AS media_id,
+        |    CAST(8 + i % 16 AS INT) AS w,
+        |    CAST(8 + (3 * i) % 16 AS INT) AS h
+        |  FROM range(200) t(i)),
+        |px AS (SELECT media_id, w, h, x.x AS x, y.y AS y,
+        |    (7 * x.x + 13 * y.y + media_id) % 256 AS v
+        |  FROM dims,
+        |    unnest(generate_series(0, w - 1)) AS x(x),
+        |    unnest(generate_series(0, h - 1)) AS y(y)),
+        |tot AS (SELECT media_id, sum(v) AS px_sum, count(*) AS n_px
+        |  FROM px GROUP BY media_id),
+        |blk AS (SELECT media_id,
+        |    ((y * 8) // h) * 8 + ((x * 8) // w) AS bi,
+        |    sum(v) AS bsum, count(*) AS bcnt
+        |  FROM px GROUP BY 1, 2),
+        |bits AS (SELECT b.media_id, b.bi FROM blk b JOIN tot USING (media_id)
+        |  WHERE b.bsum * tot.n_px > tot.px_sum * b.bcnt)
+        |SELECT d.media_id,
+        |  CAST(coalesce(sum(CASE WHEN bi < 32
+        |    THEN CAST(1 AS BIGINT) << bi END), 0) AS BIGINT) AS ahash_lo,
+        |  CAST(coalesce(sum(CASE WHEN bi >= 32
+        |    THEN CAST(1 AS BIGINT) << (bi - 32) END), 0) AS BIGINT) AS ahash_hi,
+        |  true AS decode_ok
+        |FROM dims d LEFT JOIN bits USING (media_id)
+        |GROUP BY d.media_id""".stripMargin
   )
 }

@@ -53,6 +53,67 @@ object Multimodal {
     }
   }
 
+  /** Per-image average-hash over the REAL decode — the image near-dup
+    * primitive (aHash): the decoded grayscale partitions into an 8×8 block
+    * grid (pixel → block via `bx = x*8 div w`, the same integer map both
+    * engines use), and bit `by*8+bx` is set iff the block's mean exceeds
+    * the image's global mean. Both comparisons run CROSS-MULTIPLIED
+    * (`bsum * n_px > px_sum * bcnt`) — exact integers, no division, so a
+    * lossless round-trip is oracle-checkable bit-for-bit. The 64 bits ship
+    * as two 32-bit halves (`ahash_lo` bits 0-31, `ahash_hi` 32-63): bit 63
+    * in one signed long would sign-wrap differently across engines.
+    * Near-dup then = small hamming distance; the SimHash chunk-pigeonhole
+    * machinery composes unchanged on (ahash_lo, ahash_hi).
+    */
+  case class ImageHash(media_id: Long, ahash_lo: Long, ahash_hi: Long,
+                       decode_ok: Boolean)
+
+  def imageAHash(media: Dataset[MediaFile]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        decodeImage(m.bytes) match {
+          case None => ImageHash(m.media_id, 0L, 0L, decode_ok = false)
+          case Some(img) =>
+            val raster = img.getRaster
+            val gray = img.getColorModel.getNumComponents == 1
+            val w = img.getWidth
+            val h = img.getHeight
+            val bsum = new Array[Long](64)
+            val bcnt = new Array[Long](64)
+            var pxSum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = if (gray) raster.getSample(x, y, 0)
+                        else (299 * raster.getSample(x, y, 0) +
+                              587 * raster.getSample(x, y, 1) +
+                              114 * raster.getSample(x, y, 2)) / 1000
+                val bi = (y * 8 / h) * 8 + (x * 8 / w)
+                bsum(bi) += v
+                bcnt(bi) += 1
+                pxSum += v
+                x += 1
+              }
+              y += 1
+            }
+            val nPx = w.toLong * h
+            var lo = 0L
+            var hi = 0L
+            var bi = 0
+            while (bi < 64) {
+              if (bcnt(bi) > 0 && bsum(bi) * nPx > pxSum * bcnt(bi)) {
+                if (bi < 32) lo |= 1L << bi else hi |= 1L << (bi - 32)
+              }
+              bi += 1
+            }
+            ImageHash(m.media_id, lo, hi, decode_ok = true)
+        }
+      }
+    }
+  }
+
   /** Real image decode via `javax.imageio` (PNG/JPEG from the JDK's
     * built-in readers). Features are a `featureDim`-bin normalized
     * luminance histogram over the REAL decoded pixels — same output shape

@@ -127,4 +127,32 @@ class MultimodalSpec extends SparkSpec {
     val decoded = Multimodal.decodeWav(out.toByteArray)
     assert(decoded.exists(_._2.toSeq == samples.toSeq))
   }
+
+  test("image aHash: brightness-shift invariant, structure-sensitive, corrupt -> not ok") {
+    import spark.implicits._
+    def png(id: Long, f: (Int, Int) => Int): MediaFile = {
+      val (w, h) = (16, 12)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.getRaster.setSample(x, y, 0, f(x, y))))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      MediaFile(id, "image", out.toByteArray, w, h, 0L, "image/png")
+    }
+    val media = Seq(
+      png(1, (x, _) => if (x < 8) 40 else 200),        // left-dark split
+      png(2, (x, _) => if (x < 8) 60 else 220),        // same structure, +20
+      png(3, (_, y) => if (y < 6) 40 else 200),        // transposed structure
+      MediaFile(4, "image", Array[Byte](1, 2, 3), 0, 0, 0L, "corrupt")
+    ).toDS()
+    val got = Multimodal.imageAHash(media).collect()
+      .map(h => h.media_id -> ((h.ahash_lo, h.ahash_hi), h.decode_ok)).toMap
+    assert(got(1L)._2 && got(2L)._2 && got(3L)._2 && !got(4L)._2)
+    // aHash is invariant to a uniform brightness shift (both means move
+    // together) but distinguishes different structure
+    assert(got(1L)._1 == got(2L)._1)
+    assert(got(1L)._1 != got(3L)._1)
+    assert(got(4L)._1 == ((0L, 0L)))
+  }
 }
