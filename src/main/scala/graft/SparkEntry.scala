@@ -2389,7 +2389,17 @@ object SparkEntry {
     "q141_image_ahash" -> ((s, dir) =>
       Multimodal.imageAHash(Multimodal.syntheticPngMedia(s, 200))
         .toDF()
-        .select("media_id", "ahash_lo", "ahash_hi", "decode_ok"))
+        .select("media_id", "ahash_lo", "ahash_hi", "decode_ok")),
+
+    // ---- audio content features over the REAL WAV decode (q101's
+    // corpus): zero-crossing count (declared rule: zeros carry the prior
+    // sign) + summed absolute amplitude — exact integers through the JDK
+    // encode→decode round-trip, recomputed analytically by the oracle.
+    "q142_audio_features" -> ((s, dir) =>
+      Multimodal.audioFeatures(Multimodal.syntheticWavMedia(s, 200))
+        .toDF()
+        .select("media_id", "n_frames", "zero_crossings", "abs_sum",
+          "decode_ok"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -4333,6 +4343,29 @@ object SparkEntry {
         |    THEN CAST(1 AS BIGINT) << (bi - 32) END), 0) AS BIGINT) AS ahash_hi,
         |  true AS decode_ok
         |FROM dims d LEFT JOIN bits USING (media_id)
-        |GROUP BY d.media_id""".stripMargin
+        |GROUP BY d.media_id""".stripMargin,
+
+    // q101's closed-form PCM -> carried-sign zero crossings (IGNORE NULLS
+    // carry mirrors the zeros-keep-prior-sign rule) + integer abs sum
+    "q142_audio_features" ->
+      """WITH dims AS (SELECT i AS media_id,
+        |    CAST(64 + i % 64 AS BIGINT) AS n_frames FROM range(200) t(i)),
+        |s AS (SELECT media_id, n_frames, k.k AS k,
+        |    ((31 * media_id + 17 * k.k) % 65536) - 32768 AS v
+        |  FROM dims, unnest(generate_series(0, n_frames - 1)) AS k(k)),
+        |g AS (SELECT media_id, n_frames, k, v,
+        |    last_value(CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 END
+        |      IGNORE NULLS) OVER (PARTITION BY media_id ORDER BY k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sgn
+        |  FROM s),
+        |h AS (SELECT media_id, n_frames, v, sgn,
+        |    lag(sgn) OVER (PARTITION BY media_id ORDER BY k) AS prev_sgn
+        |  FROM g)
+        |SELECT media_id, n_frames,
+        |  CAST(coalesce(sum(CASE WHEN sgn IS NOT NULL AND prev_sgn IS NOT NULL
+        |    AND sgn <> prev_sgn THEN 1 END), 0) AS BIGINT) AS zero_crossings,
+        |  CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+        |  true AS decode_ok
+        |FROM h GROUP BY media_id, n_frames""".stripMargin
   )
 }

@@ -310,6 +310,43 @@ object Multimodal {
     }
   }
 
+  /** Audio content features over the REAL decode — the audio sibling of
+    * [[imageAHash]]: sign-change (zero-crossing) count and summed absolute
+    * amplitude, both exact integers over the decoded PCM, the two
+    * first-line signals an audio curation pass filters on (silence ≈ low
+    * energy; noise/speech separate on crossing rate). Zero crossings count
+    * strict sign CHANGES (zero samples carry the previous sign — a
+    * declared rule, mirrored in the oracle).
+    */
+  case class AudioFeatures(media_id: Long, n_frames: Long, zero_crossings: Long,
+                           abs_sum: Long, decode_ok: Boolean)
+
+  def audioFeatures(media: Dataset[MediaFile]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        decodeWav(m.bytes) match {
+          case None => AudioFeatures(m.media_id, 0L, 0L, 0L, decode_ok = false)
+          case Some((_, samples)) =>
+            var zc = 0L
+            var absSum = 0L
+            var prevSign = 0 // 0 until the first non-zero sample
+            var k = 0
+            while (k < samples.length) {
+              val v = samples(k)
+              absSum += math.abs(v.toLong)
+              val sign = if (v > 0) 1 else if (v < 0) -1 else prevSign
+              if (prevSign != 0 && sign != 0 && sign != prevSign) zc += 1
+              if (sign != 0) prevSign = sign
+              k += 1
+            }
+            AudioFeatures(m.media_id, samples.length.toLong, zc, absSum,
+              decode_ok = true)
+        }
+      }
+    }
+  }
+
   /** Deterministic REAL-PNG corpus: each image is an 8-bit grayscale
     * `w x h` gradient with pixel(x, y) = (7x + 13y + id) mod 256,
     * w = 8 + id mod 16, h = 8 + 3*id mod 16, encoded through the JDK PNG
