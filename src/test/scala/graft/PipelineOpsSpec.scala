@@ -948,6 +948,66 @@ class PipelineOpsSpec extends SparkSpec {
     assert(oi == brute)
   }
 
+  test("sweep concurrency: randomized equivalence with brute force (seeded)") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(1234)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val iv = Seq.fill(300) {
+      val s = base + rnd.nextInt(10 * 86400) * 1000L // 10 days, second grain
+      val len = (1 + rnd.nextInt(7200)) * 1000L      // up to 2 h
+      (new java.sql.Timestamp(s), new java.sql.Timestamp(s + len))
+    }.toDF("s", "e")
+    val got = graft.operators.Sweep
+      .openIntervals(iv, "s", "e", bucketUs = 3600000000L) // 1h buckets, many straddles
+      .orderBy("t", "delta").select("running").as[Long].collect().toSeq
+    val brute = {
+      val bounds = iv.collect().flatMap(r =>
+        Seq((r.getTimestamp(0).getTime, 1), (r.getTimestamp(1).getTime, -1)))
+        .sortBy(x => (x._1, x._2))
+      bounds.scanLeft(0L)(_ + _._2).drop(1).toSeq
+    }
+    assert(got == brute)
+  }
+
+  test("resample ffill: randomized equivalence with brute force (seeded)") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(99)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val ev = Seq.fill(400) {
+      val k = 1L + rnd.nextInt(5)
+      val t = base + rnd.nextInt(3 * 86400) * 1000L
+      val v = if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(1000).toDouble)
+      (k, new java.sql.Timestamp(t), v)
+    }.toDF("user_id", "ts", "value")
+    val got = graft.operators.Resample
+      .ffillGrid(ev, "user_id", "ts", "value", stepMinutes = 180)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    val brute = {
+      val rows = ev.collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+      // collapse same-instant by max (None < Some by the operator's
+      // aggregate-max rule: max over values ignoring nulls; all-null -> None)
+      val collapsed = rows.groupBy(x => (x._1, x._2)).map { case ((k, t), xs) =>
+        val vs = xs.flatMap(_._3)
+        (k, t, if (vs.isEmpty) None else Some(vs.max))
+      }.toSeq
+      val step = 180L * 60000L
+      collapsed.groupBy(_._1).flatMap { case (k, xs) =>
+        val mn = xs.map(_._2).min; val mx = xs.map(_._2).max
+        val start = mn - (mn % step)
+        Iterator.iterate(start)(_ + step).takeWhile(_ <= mx).map { g =>
+          val before = xs.filter(x => x._2 <= g && x._3.nonEmpty)
+          val fill = if (before.isEmpty) None
+                     else Some(before.maxBy(_._2)).flatMap(_._3)
+          (k, g, fill)
+        }
+      }.toSet
+    }
+    assert(got == brute)
+  }
+
   test("z-order: morton key matches a bit-interleave reference") {
     import org.apache.spark.sql.functions.{col, lit}
     def morton(x: Long, y: Long, bits: Int): Long =
