@@ -2399,7 +2399,18 @@ object SparkEntry {
       Multimodal.audioFeatures(Multimodal.syntheticWavMedia(s, 200))
         .toDF()
         .select("media_id", "n_frames", "zero_crossings", "abs_sum",
-          "decode_ok"))
+          "decode_ok")),
+
+    // ---- image near-dup PAIRS: q141's aHash composed with the chunk-
+    // pigeonhole hamming join (complete at maxHamming <= chunks-1, the
+    // q71 simhash machinery generalized to a two-half 64-bit signature).
+    // The tiny gate corpus lets the oracle brute-force all pairs; the
+    // engine side stays bucket-bounded.
+    "q143_image_neardup_pairs" -> ((s, dir) =>
+      graft.operators.Dedup.hammingPairs64(
+        Multimodal.imageAHash(Multimodal.syntheticPngMedia(s, 200))
+          .toDF().where(col("decode_ok")),
+        "media_id", "ahash_lo", "ahash_hi", maxHamming = 3, chunks = 4))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -4366,6 +4377,38 @@ object SparkEntry {
         |    AND sgn <> prev_sgn THEN 1 END), 0) AS BIGINT) AS zero_crossings,
         |  CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
         |  true AS decode_ok
-        |FROM h GROUP BY media_id, n_frames""".stripMargin
+        |FROM h GROUP BY media_id, n_frames""".stripMargin,
+
+    // brute-force hamming join over the q141 analytic hashes (fine at
+    // oracle scale; the engine side is the bucketed pigeonhole form)
+    "q143_image_neardup_pairs" ->
+      """WITH dims AS (SELECT i AS media_id,
+        |    CAST(8 + i % 16 AS INT) AS w,
+        |    CAST(8 + (3 * i) % 16 AS INT) AS h
+        |  FROM range(200) t(i)),
+        |px AS (SELECT media_id, w, h, x.x AS x, y.y AS y,
+        |    (7 * x.x + 13 * y.y + media_id) % 256 AS v
+        |  FROM dims,
+        |    unnest(generate_series(0, w - 1)) AS x(x),
+        |    unnest(generate_series(0, h - 1)) AS y(y)),
+        |tot AS (SELECT media_id, sum(v) AS px_sum, count(*) AS n_px
+        |  FROM px GROUP BY media_id),
+        |blk AS (SELECT media_id,
+        |    ((y * 8) // h) * 8 + ((x * 8) // w) AS bi,
+        |    sum(v) AS bsum, count(*) AS bcnt
+        |  FROM px GROUP BY 1, 2),
+        |bits AS (SELECT b.media_id, b.bi FROM blk b JOIN tot USING (media_id)
+        |  WHERE b.bsum * tot.n_px > tot.px_sum * b.bcnt),
+        |hsh AS (SELECT d.media_id,
+        |    CAST(coalesce(sum(CASE WHEN bi < 32
+        |      THEN CAST(1 AS BIGINT) << bi END), 0) AS BIGINT) AS lo,
+        |    CAST(coalesce(sum(CASE WHEN bi >= 32
+        |      THEN CAST(1 AS BIGINT) << (bi - 32) END), 0) AS BIGINT) AS hi
+        |  FROM dims d LEFT JOIN bits USING (media_id) GROUP BY d.media_id)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+        |    AS INT) AS hamming
+        |FROM hsh a JOIN hsh b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin
   )
 }

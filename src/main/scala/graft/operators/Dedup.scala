@@ -159,6 +159,45 @@ object Dedup {
       .distinct()
   }
 
+  /** [[simHashPairs]]'s candidate machinery generalized to any 64-bit
+    * signature carried as two 32-bit halves (`loCol` bits 0-31, `hiCol`
+    * 32-63 — the [[graft.multimodal.Multimodal.imageAHash]] layout, which
+    * avoids bit-63 sign traps): chunk-pigeonhole candidates (complete for
+    * `maxHamming <= chunks - 1`: two signatures within the bound MUST agree
+    * on at least one chunk), exact hamming verify, distinct. One
+    * (chunk, chunk_val) shuffle; never O(n²).
+    */
+  def hammingPairs64(df: DataFrame, idCol: String, loCol: String,
+                     hiCol: String, maxHamming: Int = 3,
+                     chunks: Int = 4): DataFrame = {
+    require(chunks >= 2 && 64 % chunks == 0, s"chunks=$chunks must divide 64")
+    require(maxHamming <= chunks - 1,
+      s"pigeonhole completeness needs maxHamming <= ${chunks - 1}")
+    val bitsPer = 64 / chunks
+    val chunkVals = (0 until chunks).map { c =>
+      val fromLo = c * bitsPer < 32
+      val src = if (fromLo) col(loCol) else col(hiCol)
+      val off = if (fromLo) c * bitsPer else c * bitsPer - 32
+      call_function("shiftright", src, lit(off))
+        .bitwiseAND(lit((1L << math.min(bitsPer, 32)) - 1))
+    }
+    val chunked = df.select(col(idCol), col(loCol), col(hiCol),
+        posexplode(array(chunkVals: _*)))
+      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b,
+        col("a.chunk") === col("b.chunk") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        (bit_count(col(s"a.$loCol").bitwiseXOR(col(s"b.$loCol"))) +
+          bit_count(col(s"a.$hiCol").bitwiseXOR(col(s"b.$hiCol"))))
+          .as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Distinct word n-grams of a text column (n=1 => distinct tokens). */
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = split(text, " ")

@@ -389,4 +389,27 @@ class DedupSpec extends SparkSpec {
     // pairs are emitted sorted (src_a < src_b): no reversed duplicates
     assert(got.keys.forall { case (a, b) => a < b })
   }
+
+  test("hammingPairs64: pigeonhole candidates complete vs brute force (seeded random)") {
+    val rnd = new scala.util.Random(7)
+    // clustered signatures: 30 bases, each with 0-3 bit flips -> real pairs
+    val sigs = (0 until 30).flatMap { b =>
+      val base = rnd.nextLong()
+      (0 until 4).map { j =>
+        var v = base
+        (0 until rnd.nextInt(4)).foreach(_ => v ^= 1L << rnd.nextInt(64))
+        (b * 10L + j, v & 0xFFFFFFFFL, (v >>> 32) & 0xFFFFFFFFL)
+      }
+    }
+    val df = sigs.toDF("id", "lo", "hi")
+    val got = Dedup.hammingPairs64(df, "id", "lo", "hi", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      a <- sigs; b <- sigs if a._1 < b._1
+      h = java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)
+      if h <= 3
+    } yield (a._1, b._1, h)).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty, "fixture must contain near pairs")
+  }
 }
