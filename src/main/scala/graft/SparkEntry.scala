@@ -2410,7 +2410,29 @@ object SparkEntry {
       graft.operators.Dedup.hammingPairs64(
         Multimodal.imageAHash(Multimodal.syntheticPngMedia(s, 200))
           .toDF().where(col("decode_ok")),
-        "media_id", "ahash_lo", "ahash_hi", maxHamming = 3, chunks = 4))
+        "media_id", "ahash_lo", "ahash_hi", maxHamming = 3, chunks = 4)),
+
+    // ---- the PERSISTED IVF index end-to-end: q45's search through a real
+    // partitionBy(ivf_cell) parquet index — write, read back (partition
+    // column type restored), probe 2 cells. The isin filter on the
+    // partition column IS partition pruning on the persisted layout
+    // (PlanShapeSpec asserts the pruned scan); the gate proves the
+    // round-trip changes nothing (q45's oracle verbatim).
+    "q144_ivf_persisted_probe" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") =!= 0)
+      val qvec = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toSeq
+      val cents = Ann.sampleCentroids(corpus, "vec_id", "embedding", 4)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q144").toString
+      Ann.withIvfAssignment(corpus, "embedding", cents)
+        .write.mode("overwrite").partitionBy("ivf_cell").parquet(tmp)
+      val index = s.read.parquet(tmp)
+        .withColumn("ivf_cell", col("ivf_cell").cast("int"))
+      Ann.topKIvf(index, "vec_id", "embedding", "ivf_cell", cents,
+          qvec, k = 5, nProbe = 2)
+        .select("vec_id", "score")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -4409,6 +4431,28 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
         |    AS INT) AS hamming
         |FROM hsh a JOIN hsh b ON a.media_id < b.media_id
-        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin,
+
+    // the persisted-index round-trip must not change q45's answer
+    "q144_ivf_persisted_probe" -> {
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+         |  FROM embeddings WHERE vec_id <> 0 ORDER BY vec_id LIMIT 4),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cosSql("e.embedding", "c.cv")} AS cs
+         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id <> 0),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid DESC) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |qcents AS (
+         |  SELECT c.cid FROM cents c CROSS JOIN q
+         |  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cid ASC LIMIT 2)
+         |SELECT a.vec_id, ${cosSql("a.embedding", "q.qv")} AS score
+         |FROM assign a JOIN qcents ON a.cid = qcents.cid CROSS JOIN q
+         |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin
+    }
   )
 }
