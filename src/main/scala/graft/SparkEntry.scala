@@ -2432,6 +2432,27 @@ object SparkEntry {
       Ann.topKIvf(index, "vec_id", "embedding", "ivf_cell", cents,
           qvec, k = 5, nProbe = 2)
         .select("vec_id", "score")
+    }),
+
+    // ---- BAG-semantics set ops (q34 gates the DISTINCT forms): customer
+    // nations of two order cohorts with multiplicity preserved —
+    // INTERSECT ALL keeps min(m, n) copies, EXCEPT ALL subtracts
+    // per-copy. Both plan as hash aggregates on (row, count), no sort.
+    "q145_set_ops_all" -> ((s, dir) => {
+      val cust = rd(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_nationkey").as("n"))
+      val big = rd(s, dir, "orders").where(col("o_totalprice") > 200000)
+        .join(cust, col("o_custkey") === col("k")).select(col("n"))
+      val urgent = rd(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .join(cust, col("o_custkey") === col("k")).select(col("n"))
+      val inter = big.intersectAll(urgent)
+        .groupBy("n").agg(count(lit(1)).as("copies"))
+        .select(lit("intersect_all").as("op"), col("n"), col("copies"))
+      val exc = big.exceptAll(urgent)
+        .groupBy("n").agg(count(lit(1)).as("copies"))
+        .select(lit("except_all").as("op"), col("n"), col("copies"))
+      inter.unionAll(exc)
     })
   )
 
@@ -4453,6 +4474,18 @@ object SparkEntry {
          |SELECT a.vec_id, ${cosSql("a.embedding", "q.qv")} AS score
          |FROM assign a JOIN qcents ON a.cid = qcents.cid CROSS JOIN q
          |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin
-    }
+    },
+
+    "q145_set_ops_all" ->
+      """WITH cust AS (SELECT c_custkey AS k, c_nationkey AS n FROM customer),
+        |big AS (SELECT n FROM orders JOIN cust ON o_custkey = k
+        |  WHERE o_totalprice > 200000),
+        |urgent AS (SELECT n FROM orders JOIN cust ON o_custkey = k
+        |  WHERE o_orderpriority = '1-URGENT')
+        |SELECT 'intersect_all' AS op, n, count(*) AS copies FROM
+        |  (SELECT * FROM big INTERSECT ALL SELECT * FROM urgent) GROUP BY n
+        |UNION ALL
+        |SELECT 'except_all' AS op, n, count(*) AS copies FROM
+        |  (SELECT * FROM big EXCEPT ALL SELECT * FROM urgent) GROUP BY n""".stripMargin
   )
 }
