@@ -2453,7 +2453,21 @@ object SparkEntry {
         .groupBy("n").agg(count(lit(1)).as("copies"))
         .select(lit("except_all").as("op"), col("n"), col("copies"))
       inter.unionAll(exc)
-    })
+    }),
+
+    // ---- calendar-dimension rollup: month/quarter truncation parity
+    // (both engines do calendar math under the pinned UTC session zone —
+    // no tz drift) + decimal revenue. The time-dimension face of the OLAP
+    // surface q01/q27/q48 cover on categorical keys.
+    "q146_monthly_rollup" -> ((s, dir) =>
+      rd(s, dir, "orders")
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")),
+            "yyyy-MM-dd").as("month"),
+          date_format(date_trunc("quarter", col("o_orderdate")),
+            "yyyy-MM-dd").as("quarter"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"),
+          countDistinct(col("o_custkey")).as("n_customers")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -4486,6 +4500,14 @@ object SparkEntry {
         |  (SELECT * FROM big INTERSECT ALL SELECT * FROM urgent) GROUP BY n
         |UNION ALL
         |SELECT 'except_all' AS op, n, count(*) AS copies FROM
-        |  (SELECT * FROM big EXCEPT ALL SELECT * FROM urgent) GROUP BY n""".stripMargin
+        |  (SELECT * FROM big EXCEPT ALL SELECT * FROM urgent) GROUP BY n""".stripMargin,
+
+    "q146_monthly_rollup" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+        |  strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(DISTINCT o_custkey) AS n_customers
+        |FROM orders GROUP BY 1, 2""".stripMargin
   )
 }

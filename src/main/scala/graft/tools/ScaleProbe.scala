@@ -63,6 +63,20 @@ object ScaleProbe {
         emb.withColumn("vec_id", col("vec_id") + lit(i * embStride))
           .coalesce(1).write.mode("append").parquet(embPath)
       }
+      // events: disjoint event ids AND disjoint users per shard — the
+      // time-series ops' scale axis is key cardinality, so an Nx corpus
+      // must mean Nx users over the same time range (more keys, not
+      // longer history)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = graft.SparkEntry.canonTs(
+        spark.read.parquet(s"$baseDir/events.parquet"))
+      val evStride = ev.agg(max("event_id")).head().getLong(0) + 1
+      val userStride = ev.agg(max("user_id")).head().getLong(0) + 1
+      (0 until shards).foreach { i =>
+        ev.withColumn("event_id", col("event_id") + lit(i * evStride))
+          .withColumn("user_id", col("user_id") + lit(i * userStride))
+          .coalesce(1).write.mode("append").parquet(s"$workDir/events")
+      }
       marker.createNewFile()
     }
 
@@ -166,14 +180,45 @@ object ScaleProbe {
         graft.operators.Pii.scrub(d, "text"))),
       "group_heavy_hitters" -> ((d, _) => noopCount(
         graft.operators.Vocab.heavyHittersByGroup(d, "source", "text",
-          k = 5, capacity = 1024)))
+          k = 5, capacity = 1024))),
+      // round-7 families. bigram_rarity: two gram-keyed count shuffles +
+      // the scoring joins — expected ~linear in corpus tokens (the count
+      // tables grow sub-linearly on a replica corpus). inverted_postings:
+      // bounded heaps per term — linear scan, k-row partials.
+      "bigram_rarity" -> ((d, _) => noopCount(
+        graft.operators.LmScore.bigramRarity(d, "doc_id", "text"))),
+      "inverted_postings" -> ((d, _) => noopCount(
+        graft.operators.Vocab.topPostings(d, "doc_id", "text", k = 5)))
+    )
+    // events-keyed round-7 families: Nx = Nx USERS over the same range.
+    // resample_ffill: per-key windows (more keys = more parallelism, same
+    // per-key work). sweep_concurrency: bucket count FIXED by the time
+    // range — the two-level prefix's driver leg must stay flat while the
+    // distributed legs scale with rows.
+    val evOps: Seq[(String, DataFrame => Long)] = Seq(
+      "resample_ffill" -> (e => noopCount(graft.operators.Resample
+        .ffillGrid(e, "user_id", "ts", "value", stepMinutes = 60))),
+      "sweep_concurrency" -> { e =>
+        val iv = e.where(col("event_type") === "click")
+          .select(col("ts").as("s"),
+            (col("ts") + expr("INTERVAL 1 HOUR")).as("e"))
+        noopCount(graft.operators.Sweep.maxConcurrency(iv, "s", "e"))
+      }
     )
 
+    val baseEv = graft.SparkEntry.canonTs(
+      spark.read.parquet(s"$baseDir/events.parquet"))
+    val bigEv = spark.read.parquet(s"$workDir/events")
     val results = ops.map { case (name, f) =>
       f(base, baseEmb) // untimed warm-up: JIT + codegen + shuffle setup,
                        // else the 1x-first ordering biases toward "Nx faster"
       val (t1x, n1x) = time(f(base, baseEmb))
       val (tNx, nNx) = time(f(big, bigEmb))
+      (name, t1x, n1x, tNx, nNx)
+    } ++ evOps.map { case (name, f) =>
+      f(baseEv)
+      val (t1x, n1x) = time(f(baseEv))
+      val (tNx, nNx) = time(f(bigEv))
       (name, t1x, n1x, tNx, nNx)
     }
     val js = results.map { case (n, t1, c1, tN, cN) =>
