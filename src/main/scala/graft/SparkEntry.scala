@@ -2467,7 +2467,26 @@ object SparkEntry {
             "yyyy-MM-dd").as("quarter"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"),
-          countDistinct(col("o_custkey")).as("n_customers")))
+          countDistinct(col("o_custkey")).as("n_customers"))),
+
+    // ---- declarative data-quality constraints (Deequ-style): the
+    // validation report a pipeline runs before trusting an upstream drop.
+    // Each rule = ONE aggregate (uniqueness via key-grouped counts, FK via
+    // broadcast anti count, predicates map-side); output is rule-count
+    // rows, constant-size at any corpus.
+    "q147_quality_checks" -> ((s, dir) => {
+      import graft.operators.Checks
+      val orders = rd(s, dir, "orders")
+      val docs = rd(s, dir, "documents")
+      Checks.report(orders, Seq(
+        Checks.Unique("orders_pk_unique", Seq("o_orderkey")),
+        Checks.Predicate("orders_price_positive", col("o_totalprice") > 0),
+        Checks.RefIntegrity("orders_customer_fk", "o_custkey",
+          rd(s, dir, "customer"), "c_custkey")))
+        .unionAll(Checks.report(docs, Seq(
+          Checks.Unique("docs_pk_unique", Seq("doc_id")),
+          Checks.Predicate("docs_text_not_null", col("text").isNotNull))))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -4508,6 +4527,38 @@ object SparkEntry {
         |  count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  count(DISTINCT o_custkey) AS n_customers
-        |FROM orders GROUP BY 1, 2""".stripMargin
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    // each rule's aggregate mirrored 1:1; violation = failed-or-null cond
+    "q147_quality_checks" ->
+      """WITH u1 AS (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1),
+        |u2 AS (SELECT doc_id, count(*) AS n FROM documents GROUP BY 1)
+        |SELECT 'orders_pk_unique' AS rule,
+        |  CAST(coalesce(sum(n), 0) AS BIGINT) AS n_checked,
+        |  CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) AS n_violations,
+        |  coalesce(sum(CASE WHEN n > 1 THEN n END), 0) = 0 AS pass
+        |FROM u1
+        |UNION ALL
+        |SELECT 'orders_price_positive', count(*),
+        |  CAST(coalesce(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END), 0) AS BIGINT),
+        |  coalesce(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END), 0) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders_customer_fk', count(*),
+        |  CAST(coalesce(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+        |  coalesce(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), 0) = 0
+        |FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |  ON o.o_custkey = c.c_custkey
+        |UNION ALL
+        |SELECT 'docs_pk_unique',
+        |  CAST(coalesce(sum(n), 0) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT),
+        |  coalesce(sum(CASE WHEN n > 1 THEN n END), 0) = 0
+        |FROM u2
+        |UNION ALL
+        |SELECT 'docs_text_not_null', count(*),
+        |  CAST(coalesce(sum(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END), 0) AS BIGINT),
+        |  coalesce(sum(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END), 0) = 0
+        |FROM documents""".stripMargin
   )
 }

@@ -1008,6 +1008,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("quality checks: planted violations counted per rule; clean rules pass") {
+    import graft.operators.Checks
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, Some(10), 100L), (2L, Some(-5), 100L),          // one range violation
+      (3L, None: Option[Int], 200L),                        // null fails the predicate
+      (3L, Some(7), 999L)                                   // dup key + dangling FK
+    ).toDF("k", "v", "fk")
+    val dim = Seq(100L, 200L).toDF("ref")
+    val got = Checks.report(df, Seq(
+        Checks.Unique("uk", Seq("k")),
+        Checks.Predicate("v_pos", col("v") > 0),
+        Checks.RefIntegrity("fk", "fk", dim, "ref")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("uk") == ((4L, 2L, false)))    // both copies of k=3 count
+    assert(got("v_pos") == ((4L, 2L, false))) // -5 and null
+    assert(got("fk") == ((4L, 1L, false)))    // 999 dangles
+    val clean = Checks.report(df.where(col("k") === 1L), Seq(
+        Checks.Unique("uk", Seq("k")),
+        Checks.Predicate("v_pos", col("v") > 0)))
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(clean == Map("uk" -> true, "v_pos" -> true))
+  }
+
   test("z-order: morton key matches a bit-interleave reference") {
     import org.apache.spark.sql.functions.{col, lit}
     def morton(x: Long, y: Long, bits: Int): Long =
