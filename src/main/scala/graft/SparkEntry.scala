@@ -2486,6 +2486,32 @@ object SparkEntry {
         .unionAll(Checks.report(docs, Seq(
           Checks.Unique("docs_pk_unique", Seq("doc_id")),
           Checks.Predicate("docs_text_not_null", col("text").isNotNull))))
+    }),
+
+    // ---- the PURE-SQL user path: the flagship vector search written as
+    // SQL text calling the registered native cosine_similarity (the
+    // GraftExtensions surface), not the Column API — q17's result through
+    // a completely different front door. Query vector folds in as a
+    // double-array literal (float→double is exact, the expression's own
+    // promotion rule), so the plan is still scan+project+TakeOrdered.
+    "q148_sql_vector_search" -> ((s, dir) => {
+      graft.functions.VectorFunctions.registerAll(s)
+      val emb = rd(s, dir, "embeddings")
+      val view = "emb_q148_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      emb.createOrReplaceTempView(view)
+      val qv = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val qArr = qv.map(f => f.toDouble.toString + "D").mkString("array(", ",", ")")
+      val out = s.sql(
+        // both args one type by the expression's contract; FLOAT→DOUBLE is
+        // value-exact so the double-double fold equals the float fold
+        s"""SELECT vec_id,
+           |  cosine_similarity(CAST(embedding AS ARRAY<DOUBLE>), $qArr) AS score
+           |FROM $view WHERE vec_id <> 0
+           |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
+      val result = s.createDataFrame(out.collectAsList(), out.schema)
+      s.catalog.dropTempView(view)
+      result
     })
   )
 
@@ -4559,6 +4585,15 @@ object SparkEntry {
         |SELECT 'docs_text_not_null', count(*),
         |  CAST(coalesce(sum(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END), 0) AS BIGINT),
         |  coalesce(sum(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END), 0) = 0
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // q17's oracle at k=10 — the SQL front door must not change the answer
+    "q148_sql_vector_search" -> {
+      val cos = cosSql("e.embedding", "q.qv")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, $cos AS score
+         |FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin
+    }
   )
 }
