@@ -2512,6 +2512,54 @@ object SparkEntry {
       val result = s.createDataFrame(out.collectAsList(), out.schema)
       s.catalog.dropTempView(view)
       result
+    }),
+
+    // ---- incremental MATERIALIZED VIEW: per-type event metrics
+    // accumulated across micro-batches into a compacted parquet table
+    // (UpsertSink.accumulateBatch — merge = re-aggregate of self-mergeable
+    // metrics: counts sum, min/max fold; batch partials aggregate FIRST so
+    // the merge input is O(keys)). Two mtime-pinned time slices force a
+    // REAL cross-batch accumulation; the final table must equal the plain
+    // one-shot batch aggregate.
+    "q149_incremental_agg" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q149").toString
+      val ev = events(s, dir)
+      val ntile2 = ntile(2).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id")))
+      val sliced = ev.withColumn("slice", ntile2).localCheckpoint(true)
+      (1 to 2).foreach { i =>
+        sliced.where(col("slice") === i).drop("slice")
+          .coalesce(1).write.parquet(f"$tmp/in/slice_$i%03d")
+        val walk = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(f"$tmp/in/slice_$i%03d"))
+        try walk.forEach { p =>
+          if (!p.toFile.setLastModified(1000000000000L + i * 60000L))
+            sys.error(s"q149: setLastModified failed for $p")
+        } finally walk.close()
+      }
+      val table = s"$tmp/table"
+      withStreamPartitions(s) {
+        val stream = s.readStream.schema(sliced.drop("slice").schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(s"$tmp/in/*")
+        val q = stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val partial = batch.groupBy("event_type")
+              .agg(count(lit(1)).as("n_events"),
+                count(col("value")).as("n_valued"),
+                min(col("value")).as("min_value"),
+                max(col("value")).as("max_value"))
+            graft.streaming.UpsertSink.accumulateBatch(table, partial,
+              Seq("event_type"), sumCols = Seq("n_events", "n_valued"),
+              minCols = Seq("min_value"), maxCols = Seq("max_value"))
+        }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val out = s.read.parquet(table)
+      s.createDataFrame(out.collectAsList(), out.schema)
     })
   )
 
@@ -4594,6 +4642,14 @@ object SparkEntry {
          |SELECT e.vec_id, $cos AS score
          |FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
          |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin
-    }
+    },
+
+    // the accumulated view must equal the one-shot aggregate (counts and
+    // min/max are order-free — no double sums cross the merge)
+    "q149_incremental_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(value) AS n_valued,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }

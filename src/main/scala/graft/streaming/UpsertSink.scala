@@ -68,4 +68,39 @@ object UpsertSink {
       (batch: DataFrame, _: Long) =>
         compactBatch(table, batch, keyCols, versionCol, prioCol)
     }
+
+  /** The INCREMENTAL-MATERIALIZED-VIEW sibling of [[compactBatch]]: the
+    * table holds per-key MERGEABLE aggregates (counts re-merge by sum;
+    * min/max by min/max), and each micro-batch folds its own partial
+    * aggregate in — (table ∪ batch-partial) re-aggregated, staged, swapped.
+    * The running view is O(keys) on disk no matter how much data has
+    * streamed through; only SELF-MERGEABLE metrics belong here (a count, a
+    * min — never an avg, which callers derive from sum/count at read
+    * time). The batch partial aggregates FIRST, so the merge input is
+    * O(batch keys), not O(batch rows).
+    *
+    * `countCols -> sum`, `minCols -> min`, `maxCols -> max` on merge; the
+    * batch side must already carry those columns as its partial values
+    * (use [[partialCounts]] for the common count/min/max shape).
+    */
+  def accumulateBatch(table: String, batchPartial: DataFrame,
+                      keyCols: Seq[String], sumCols: Seq[String],
+                      minCols: Seq[String], maxCols: Seq[String]): Unit = {
+    val spark = batchPartial.sparkSession
+    val tPath = new Path(table)
+    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all =
+      if (fs.exists(tPath)) {
+        val cur = spark.read.parquet(table)
+        cur.unionByName(batchPartial.select(cur.columns.map(col): _*))
+      } else batchPartial
+    val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
+      minCols.map(c => min(col(c)).as(c)) ++ maxCols.map(c => max(col(c)).as(c))
+    val merged = all.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val staging = new Path(table + "__staging")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(tPath, true)
+    if (!fs.rename(staging, tPath))
+      sys.error(s"UpsertSink: rename $staging -> $tPath failed")
+  }
 }

@@ -402,6 +402,26 @@ class StreamingSpec extends SparkSpec {
       s"boundary purchase emitted — the oracle's strict < is wrong: $got")
   }
 
+  test("UpsertSink.accumulateBatch: counts sum, min/max fold, new keys appear") {
+    import graft.streaming.UpsertSink
+    val dir = Files.createTempDirectory("graft-aggsink").toString
+    val table = s"$dir/t"
+    def acc(rows: Seq[(String, Long, Double, Double)]): Unit =
+      UpsertSink.accumulateBatch(table,
+        rows.toDF("k", "n", "mn", "mx"), Seq("k"),
+        sumCols = Seq("n"), minCols = Seq("mn"), maxCols = Seq("mx"))
+    def snap(): Map[String, (Long, Double, Double)] =
+      spark.read.parquet(table).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    acc(Seq(("a", 3L, 1.0, 5.0), ("b", 1L, 9.0, 9.0)))
+    acc(Seq(("a", 2L, 0.5, 4.0), ("c", 7L, 2.0, 3.0)))
+    assert(snap() == Map(
+      "a" -> ((5L, 0.5, 5.0)),   // counts added, min tightened, max kept
+      "b" -> ((1L, 9.0, 9.0)),   // untouched key survives the merge
+      "c" -> ((7L, 2.0, 3.0))))  // new key appears
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("UpsertSink.compactBatch: cross-batch merge, stored-key comparison, redelivery idempotence") {
     import graft.streaming.UpsertSink
     val dir = Files.createTempDirectory("graft-upsertsink").toString
