@@ -2560,7 +2560,25 @@ object SparkEntry {
       }
       val out = s.read.parquet(table)
       s.createDataFrame(out.collectAsList(), out.schema)
-    })
+    }),
+
+    // ---- the remaining ranking-window family (q09 row_number, q47
+    // lead/lag, q111 range frames): percent_rank / cume_dist / ntile,
+    // all over a TOTAL order (orderkey tiebreak — ntile is position-
+    // assigned, so ties would otherwise be engine-arbitrary). percent_rank
+    // and cume_dist are single exact-integer divisions.
+    "q150_rank_battery" -> ((s, dir) =>
+      rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          percent_rank().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("o_orderpriority"))
+            .orderBy(col("o_totalprice"), col("o_orderkey"))).as("pr"),
+          cume_dist().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("o_orderpriority"))
+            .orderBy(col("o_totalprice"), col("o_orderkey"))).as("cd"),
+          ntile(4).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("o_orderpriority"))
+            .orderBy(col("o_totalprice"), col("o_orderkey"))).as("quartile")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -4650,6 +4668,15 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         |  count(value) AS n_valued,
         |  min(value) AS min_value, max(value) AS max_value
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q150_rank_battery" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)""".stripMargin
   )
 }
