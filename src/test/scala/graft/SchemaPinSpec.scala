@@ -49,6 +49,49 @@ class SchemaPinSpec extends SparkSpec {
     assert(SparkEntry.canonTs(df) eq df)
   }
 
+  test("full testdata catalog: every table's Spark-visible schema is the pinned one") {
+    // the round-6 lesson applied to the WHOLE catalog: the driver can
+    // regenerate /root/testdata with different physical types at any time,
+    // and 150 oracles assume these exact Spark-side types. Drift fails
+    // HERE with the table and column named, not as a wall of hash
+    // mismatches. `ts`/dates are pinned to the CANONICALIZED form (what
+    // queries actually consume); events.ts additionally accepts the
+    // legacy nanos long (canonTs handles both — the q-suite contract).
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    assume(new java.io.File(s"$dir/region.parquet").exists())
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val expected = Map(
+      "customer" -> "c_custkey:bigint,c_name:string,c_nationkey:int,c_acctbal:double,c_mktsegment:string",
+      "documents" -> "doc_id:bigint,text:string,lang:string,source:string,n_chars:bigint",
+      "embeddings" -> "vec_id:bigint,embedding:array<float>,label:int",
+      "events" -> "event_id:bigint,ts:timestamp,user_id:bigint,event_type:string,value:double,props:string",
+      "lineitem" -> ("l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_linenumber:int," +
+        "l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double," +
+        "l_returnflag:string,l_linestatus:string,l_shipdate:timestamp"),
+      "nation" -> "n_nationkey:int,n_name:string,n_regionkey:int",
+      "orders" -> ("o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string," +
+        "o_totalprice:double,o_orderdate:timestamp,o_orderpriority:string"),
+      "part" -> "p_partkey:bigint,p_name:string,p_brand:string,p_type:string,p_size:int,p_retailprice:double",
+      "region" -> "r_regionkey:int,r_name:string",
+      "supplier" -> "s_suppkey:bigint,s_name:string,s_nationkey:int,s_acctbal:double")
+    val diffs = expected.toSeq.sortBy(_._1).flatMap { case (table, want) =>
+      val raw = spark.read.parquet(s"$dir/$table.parquet")
+      // canonicalize like the query surface does: timestamps to the
+      // session-zone type (events via canonTs; others read as NTZ get the
+      // same cast rule applied per column)
+      val df0 = if (table == "events") SparkEntry.canonTs(raw) else raw
+      val df = df0.schema.fields.foldLeft(df0) { (d, f) =>
+        if (f.dataType == TimestampNTZType)
+          d.withColumn(f.name, col(f.name).cast(TimestampType))
+        else d
+      }
+      val got = df.schema.fields
+        .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+      if (got == want) None else Some(s"$table:\n  want $want\n  got  $got")
+    }
+    assert(diffs.isEmpty, "TESTDATA SCHEMA DRIFT —\n" + diffs.mkString("\n"))
+  }
+
   test("current testdata events table canonicalizes and analyzes end-to-end") {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     assume(new java.io.File(s"$dir/events.parquet").exists())
