@@ -2578,7 +2578,35 @@ object SparkEntry {
             .orderBy(col("o_totalprice"), col("o_orderkey"))).as("cd"),
           ntile(4).over(org.apache.spark.sql.expressions.Window
             .partitionBy(col("o_orderpriority"))
-            .orderBy(col("o_totalprice"), col("o_orderkey"))).as("quartile")))
+            .orderBy(col("o_totalprice"), col("o_orderkey"))).as("quartile"))),
+
+    // ---- STREAM-STATIC broadcast ENRICHMENT (q100 gates the semi form):
+    // every streaming purchase event enriched with its user's batch-side
+    // activity profile via an inner broadcast join — stateless (no
+    // watermark state), the dimension lookup every streaming feature
+    // pipeline does per event.
+    "q151_stream_enrichment" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val profile = events(s, dir).groupBy(col("user_id").as("p_user"))
+        .agg(count(lit(1)).as("user_events"),
+          countDistinct(col("event_type")).as("user_types"))
+      val sink = "q151_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withStreamPartitions(s) {
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .transform(canonTs)
+          .where(col("event_type") === "purchase")
+        val q = stream.join(broadcast(profile),
+            col("user_id") === col("p_user"))
+          .select(col("event_id"), col("user_id"),
+            col("user_events"), col("user_types"))
+          .writeStream.outputMode("append").format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drainSink(s, sink)
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -4677,6 +4705,16 @@ object SparkEntry {
         |  CAST(ntile(4) OVER w AS INT) AS quartile
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority
-        |  ORDER BY o_totalprice, o_orderkey)""".stripMargin
+        |  ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+
+    // stateless enrichment: one AvailableNow batch emits every purchase
+    // joined to the batch profile — the plain SQL join
+    "q151_stream_enrichment" ->
+      """WITH p AS (SELECT user_id, count(*) AS user_events,
+        |    count(DISTINCT event_type) AS user_types
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, p.user_events, p.user_types
+        |FROM events e JOIN p ON e.user_id = p.user_id
+        |WHERE e.event_type = 'purchase'""".stripMargin
   )
 }

@@ -220,6 +220,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(joined.count() == 3)
   }
 
+  test("q136 multi-join rollup: all four dims broadcast, facts shuffle") {
+    val df = SparkEntry.queries("q136_regional_revenue")(
+      spark, "/root/testdata/sf0.001")
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    val smj = "SortMergeJoin".r.findAllIn(plan).size +
+      "ShuffledHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 4, s"expected the 4 dims broadcast, got $bhj:\n$plan")
+    assert(smj <= 1,
+      s"expected at most the lineitem-orders fact join shuffled, got $smj:\n$plan")
+  }
+
   test("function registration: extension hook applies; SQL path works per-session") {
     // injection hook is exercised against a raw SparkSessionExtensions (a
     // fully fresh session would need its own JVM); the SQL surface is then
