@@ -2606,7 +2606,14 @@ object SparkEntry {
         q.awaitTermination()
       }
       drainSink(s, sink)
-    })
+    }),
+
+    // ---- join-key skew DIAGNOSIS (the decide-before-salting report):
+    // per heavy key, row count, share, and the N×-fair-share ratio — all
+    // exact-integer products over one map-side-combined key count; top-k
+    // via bounded heaps, totals folded back as literals.
+    "q152_skew_report" -> ((s, dir) =>
+      graft.operators.Skew.keyReport(events(s, dir), "event_type", k = 10))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -4715,6 +4722,15 @@ object SparkEntry {
         |  FROM events GROUP BY user_id)
         |SELECT e.event_id, e.user_id, p.user_events, p.user_types
         |FROM events e JOIN p ON e.user_id = p.user_id
-        |WHERE e.event_type = 'purchase'""".stripMargin
+        |WHERE e.event_type = 'purchase'""".stripMargin,
+
+    "q152_skew_report" ->
+      """WITH c AS (SELECT event_type, count(*) AS n FROM events
+        |  WHERE event_type IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS nk FROM c)
+        |SELECT c.event_type, c.n,
+        |  CAST(c.n AS DOUBLE) / t.total AS frac,
+        |  CAST(c.n * t.nk AS DOUBLE) / t.total AS x_fair_share
+        |FROM c CROSS JOIN t ORDER BY n DESC, event_type LIMIT 10""".stripMargin
   )
 }
