@@ -2613,7 +2613,25 @@ object SparkEntry {
     // exact-integer products over one map-side-combined key count; top-k
     // via bounded heaps, totals folded back as literals.
     "q152_skew_report" -> ((s, dir) =>
-      graft.operators.Skew.keyReport(events(s, dir), "event_type", k = 10))
+      graft.operators.Skew.keyReport(events(s, dir), "event_type", k = 10)),
+
+    // ---- gazetteer tagging: count each doc's DISTINCT hits against a
+    // broadcast term dictionary (domain labeling / topic routing by
+    // wordlist — the cheap-and-cheerful classifier every curation stack
+    // carries). Dictionary folds in as a literal array; array_intersect
+    // on the doc's distinct tokens is pure map-side codegen — zero
+    // shuffle beyond the scan.
+    "q153_gazetteer_tag" -> ((s, dir) => {
+      val sports = Seq("running", "swim", "ride", "tempo", "interval",
+        "marathon", "sprint", "track")
+      rdPar(s, dir, "documents").select(col("doc_id"),
+        coalesce(size(array_intersect(
+          graft.operators.Dedup.wordNgrams(col("text"), 1),
+          typedlit(sports))), lit(0)).as("n_hits"),
+        coalesce(array_join(array_sort(array_intersect(
+          graft.operators.Dedup.wordNgrams(col("text"), 1),
+          typedlit(sports))), ","), lit("")).as("hits"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -4731,6 +4749,18 @@ object SparkEntry {
         |SELECT c.event_type, c.n,
         |  CAST(c.n AS DOUBLE) / t.total AS frac,
         |  CAST(c.n * t.nk AS DOUBLE) / t.total AS x_fair_share
-        |FROM c CROSS JOIN t ORDER BY n DESC, event_type LIMIT 10""".stripMargin
+        |FROM c CROSS JOIN t ORDER BY n DESC, event_type LIMIT 10""".stripMargin,
+
+    // distinct-token ∩ dictionary mirrored via list ops; both engines
+    // sort the hit list before joining so the string is order-pinned
+    "q153_gazetteer_tag" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_intersect(list_distinct(string_split(text, ' ')),
+        |      ['running','swim','ride','tempo','interval',
+        |       'marathon','sprint','track']) AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(coalesce(len(h), 0) AS INT) AS n_hits,
+        |  coalesce(array_to_string(list_sort(h), ','), '') AS hits
+        |FROM d""".stripMargin
   )
 }
