@@ -2631,6 +2631,27 @@ object SparkEntry {
         coalesce(array_join(array_sort(array_intersect(
           graft.operators.Dedup.wordNgrams(col("text"), 1),
           typedlit(sports))), ","), lit("")).as("hits"))
+    }),
+
+    // ---- contingency table with expected counts (the independence-test
+    // workup, per-cell): observed (lang × source) counts vs expected
+    // row_total × col_total / grand_total, plus each cell's chi-square
+    // contribution (o-e)²/e. Emitted PER CELL — the summed statistic
+    // would be an order-dependent double fold across cells; the per-cell
+    // contributions are each a deterministic rational expression. One
+    // count shuffle + two broadcast marginal joins.
+    "q154_contingency" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val rowT = docs.groupBy("lang").agg(count(lit(1)).as("row_tot"))
+      val colT = docs.groupBy("source").agg(count(lit(1)).as("col_tot"))
+      val total = docs.count()
+      cells.join(broadcast(rowT), "lang").join(broadcast(colT), "source")
+        .withColumn("e",
+          (col("row_tot") * col("col_tot")).cast("double") / total)
+        .withColumn("chi2_cell",
+          (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+        .select("lang", "source", "o", "row_tot", "col_tot", "e", "chi2_cell")
     })
   )
 
@@ -4761,6 +4782,20 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, CAST(coalesce(len(h), 0) AS INT) AS n_hits,
         |  coalesce(array_to_string(list_sort(h), ','), '') AS hits
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+
+    // same rationals per cell: e = row*col/total (one exact-int division),
+    // chi2 contribution = (o-e)^2/e in the identical op order
+    "q154_contingency" ->
+      """WITH c AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, count(*) AS row_tot FROM documents GROUP BY 1),
+        |k AS (SELECT source, count(*) AS col_tot FROM documents GROUP BY 1),
+        |t AS (SELECT count(*) AS n FROM documents)
+        |SELECT c.lang, c.source, c.o, r.row_tot, k.col_tot,
+        |  CAST(r.row_tot * k.col_tot AS DOUBLE) / t.n AS e,
+        |  (c.o - CAST(r.row_tot * k.col_tot AS DOUBLE) / t.n) *
+        |  (c.o - CAST(r.row_tot * k.col_tot AS DOUBLE) / t.n) /
+        |  (CAST(r.row_tot * k.col_tot AS DOUBLE) / t.n) AS chi2_cell
+        |FROM c JOIN r USING (lang) JOIN k USING (source) CROSS JOIN t""".stripMargin
   )
 }
