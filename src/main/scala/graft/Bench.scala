@@ -37,7 +37,9 @@ object Bench {
     // lexicographically unlucky ones.
     val names = SparkEntry.queries.toSeq
       .sortBy { case (name, _) =>
-        (name.drop(1).takeWhile(_.isDigit).toInt, name)
+        // non-q<digits> names sort last instead of aborting the whole bench
+        val ds = name.drop(1).takeWhile(_.isDigit)
+        (if (ds.isEmpty) Int.MaxValue else ds.toInt, name)
       }
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     def onePass(): Map[String, Double] = names.map { case (name, fn) =>

@@ -4029,12 +4029,12 @@ object SparkEntry {
     "q108_session_window" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
         |  FROM events),
-        |g AS (SELECT user_id, us,
+        |g AS (SELECT user_id, us, event_id,
         |  CASE WHEN lag(us) OVER w IS NULL
         |    OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_break
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
         |s AS (SELECT user_id, us,
-        |  sum(is_break) OVER (PARTITION BY user_id ORDER BY us
+        |  sum(is_break) OVER (PARTITION BY user_id ORDER BY us, event_id
         |    ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM g)
         |SELECT user_id,
@@ -4490,12 +4490,12 @@ object SparkEntry {
     "q137_streaming_session_window" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |wm AS (SELECT (max(us) // 1000) * 1000 - 7200000000 AS wm_us FROM e),
-        |g AS (SELECT user_id, us,
+        |g AS (SELECT user_id, us, event_id,
         |  CASE WHEN lag(us) OVER w IS NULL
         |    OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_break
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
         |s AS (SELECT user_id, us,
-        |  sum(is_break) OVER (PARTITION BY user_id ORDER BY us
+        |  sum(is_break) OVER (PARTITION BY user_id ORDER BY us, event_id
         |    ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM g),
         |agg AS (SELECT user_id, min(us) AS mn, max(us) AS mx, count(*) AS n

@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The PRODUCTION landing of the streaming latest-wins upsert: each
@@ -12,50 +12,166 @@ import org.apache.spark.sql.functions._
   *
   * Per batch: ONE `max_by` hash aggregation over (current table ∪ batch) —
   * the [[graft.operators.Upsert.latestWins]] shape (no window sort; the
-  * shuffle carries one candidate per (key, partition)) — written to a
-  * staging dir and swapped in with a filesystem rename, so a reader never
-  * observes a half-written table and the job reads its own previous output
-  * safely (parquet overwrite-in-place would delete the files backing the
-  * lazy self-read).
+  * shuffle carries one candidate per (key, partition)).
   *
-  * The stored table KEEPS the `(versionCol, prioCol)` ordering key, so a
-  * later batch — or an at-least-once REDELIVERY of an already-merged row —
-  * compares against the stored winner's full key and merges idempotently.
+  * == Storage layout: immutable versions, atomic pointer ==
+  *
+  * Each merge publishes a NEW immutable directory `<table>__v<N>`; a
+  * version is COMPLETE iff its `_SUCCESS` marker exists (written last by
+  * Spark's output committer). The current table is always "the highest
+  * complete version", recovered by a directory scan — so there is NO crash
+  * point that loses merged state:
+  *
+  *  - crash mid-write of v(N+1): no `_SUCCESS`, v(N) still current; the
+  *    replayed batch overwrites the partial dir and re-merges (idempotent —
+  *    the stored `(versionCol, prioCol)` keys make redelivery a no-op);
+  *  - crash after v(N+1) completes: recovery scan finds it; done.
+  *
+  * (The previous delete-then-rename swap could lose the WHOLE merged table
+  * if the process died between the delete and the rename — the staging dir
+  * held the only copy and the next batch's overwrite clobbered it.)
+  *
+  * == Reader isolation contract ==
+  *
+  *  - [[snapshot]] pins the concrete current-version directory. Versions
+  *    are immutable and the previous version is retained until the NEXT
+  *    publish (retention window = 1), so a snapshot taken before a merge
+  *    still reads its full, unchanged content after the merge lands.
+  *  - Plain-path readers (`spark.read.parquet(table)`) go through a
+  *    symlink that is swapped ATOMICALLY (POSIX rename of a fresh link):
+  *    any single resolution sees wholly-old or wholly-new — never a torn
+  *    or half-written table. A long scan that overlaps a swap can observe
+  *    `FileNotFoundException` once its listed files age out (two publishes
+  *    later); such readers retry or use [[snapshot]]. On filesystems
+  *    without symlinks (HDFS/S3) plain-path reads are not offered —
+  *    [[snapshot]] is the read API there.
   *
   * Scale: state lives in the table itself (no executor state store); each
   * compaction is a shuffle of batch + table. For a 100 TB table the swap
   * unit becomes a key-range partition (compact only partitions the batch
-  * touches — `partitionBy` on a key hash mod makes the rename per-dir);
-  * the per-batch merge shape is unchanged.
+  * touches — `partitionBy` on a key hash mod makes the version dir
+  * per-range); the per-batch merge shape is unchanged.
   */
 object UpsertSink {
 
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (version, dir) pairs of COMPLETE versions (have `_SUCCESS`), ascending. */
+  private def completeVersions(fs: FileSystem, table: String): Seq[(Int, Path)] = {
+    val tPath = new Path(table)
+    val parent = tPath.getParent
+    val prefix = tPath.getName + "__v"
+    if (parent == null || !fs.exists(parent)) return Seq.empty
+    fs.listStatus(parent).toSeq
+      .map(_.getPath)
+      .flatMap { p =>
+        val n = p.getName
+        if (n.startsWith(prefix) && n.drop(prefix.length).forall(_.isDigit)
+            && n.length > prefix.length)
+          Some((n.drop(prefix.length).toInt, p))
+        else None
+      }
+      .filter { case (_, p) => fs.exists(new Path(p, "_SUCCESS")) }
+      .sortBy(_._1)
+  }
+
+  /** Concrete directory of the current table version: the crash-safe
+    * read anchor. `None` before the first publish (unless a pre-versioned
+    * plain directory exists — the migration seed — which is returned).
+    */
+  def snapshotPath(spark: SparkSession, table: String): Option[String] = {
+    val fs = fsOf(spark, table)
+    completeVersions(fs, table).lastOption.map(_._2.toString)
+      .orElse {
+        // migration: a plain (non-symlink, pre-versioned) table dir
+        val t = new Path(table)
+        if (fs.exists(t) && !isSymlink(table)) Some(table) else None
+      }
+  }
+
+  /** Pinned-version read: immune to concurrent [[compactBatch]] swaps for
+    * at least one subsequent publish (see the retention contract above).
+    */
+  def snapshot(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(snapshotPath(spark, table).getOrElse(
+      sys.error(s"UpsertSink.snapshot: no complete version at $table")))
+
+  private def localFile(path: String): Option[java.nio.file.Path] = {
+    val uri = new Path(path).toUri
+    if (uri.getScheme == null || uri.getScheme == "file")
+      Some(java.nio.file.Paths.get(uri.getPath))
+    else None
+  }
+
+  private def isSymlink(path: String): Boolean =
+    localFile(path).exists(java.nio.file.Files.isSymbolicLink)
+
+  /** Atomically repoint the plain-path symlink `table` at `target`.
+    * Local-fs only (tests, single-node); on HDFS/S3 readers use
+    * [[snapshot]] and this is a no-op.
+    */
+  private def relink(table: String, target: Path): Unit =
+    localFile(table).foreach { link =>
+      val real = java.nio.file.Paths.get(target.toUri.getPath)
+      val tmp = link.resolveSibling(link.getFileName.toString + "__swap")
+      java.nio.file.Files.deleteIfExists(tmp)
+      java.nio.file.Files.createSymbolicLink(tmp, real)
+      java.nio.file.Files.move(tmp, link,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  /** Read the current state (highest complete version, or the migration
+    * seed dir) — by CONCRETE path, never through the symlink, so the
+    * about-to-happen swap cannot disturb the merge's own input.
+    */
+  private def currentState(spark: SparkSession, table: String): Option[DataFrame] =
+    snapshotPath(spark, table).map(spark.read.parquet(_))
+
+  /** Publish `merged` as the next version and swap the plain-path pointer.
+    * Retention: every version older than the PREVIOUS one is deleted, so
+    * in-flight [[snapshot]] readers of version N survive the publish of
+    * N+1 (and age out at N+2).
+    */
+  private def publish(spark: SparkSession, table: String, merged: DataFrame): Unit = {
+    val fs = fsOf(spark, table)
+    val versions = completeVersions(fs, table)
+    val next = versions.lastOption.map(_._1 + 1).getOrElse(1)
+    val nextDir = new Path(s"${table}__v$next")
+    // overwrite clears any partial leftover of a crashed attempt at `next`
+    merged.write.mode("overwrite").parquet(nextDir.toString)
+    // one-time migration off the pre-versioned layout: the plain dir was
+    // the merge input and v1 is now complete, so it can make way for the
+    // symlink (a crash here only interrupts plain-path reads until the
+    // next publish; the data is safe in v1)
+    val tPath = new Path(table)
+    if (fs.exists(tPath) && !isSymlink(table)) fs.delete(tPath, true)
+    relink(table, nextDir)
+    versions.dropRight(1).foreach { case (_, p) => fs.delete(p, true) }
+  }
+
   /** Merge one micro-batch into the compacted table at `table`. Safe to
     * call from `foreachBatch` (it is also the whole body of it).
+    *
+    * The stored table KEEPS the `(versionCol, prioCol)` ordering key, so a
+    * later batch — or an at-least-once REDELIVERY of an already-merged
+    * row — compares against the stored winner's full key and merges
+    * idempotently.
     */
   def compactBatch(table: String, batch: DataFrame, keyCols: Seq[String],
                    versionCol: String, prioCol: String): Unit = {
     val spark = batch.sparkSession
-    val tPath = new Path(table)
-    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val all =
-      if (fs.exists(tPath)) {
-        val cur = spark.read.parquet(table)
-        cur.unionByName(batch.select(cur.columns.map(col): _*))
-      } else batch
+    val all = currentState(spark, table) match {
+      case Some(cur) => cur.unionByName(batch.select(cur.columns.map(col): _*))
+      case None => batch
+    }
     val payloadCols = all.columns.filterNot(keyCols.contains).toSeq
     val merged = all.groupBy(keyCols.map(col): _*)
       .agg(max_by(struct(payloadCols.map(col): _*),
         struct(col(versionCol), col(prioCol))).as("_w"))
       .select(keyCols.map(col) ++ payloadCols.map(c => col(s"_w.$c").as(c)): _*)
-    val staging = new Path(table + "__staging")
-    merged.write.mode("overwrite").parquet(staging.toString)
-    // the swap: delete-then-rename is atomic per entry on HDFS/local; a
-    // crash between the two leaves the staging dir for the NEXT batch's
-    // overwrite, and streaming checkpointing replays the batch
-    fs.delete(tPath, true)
-    if (!fs.rename(staging, tPath))
-      sys.error(s"UpsertSink: rename $staging -> $tPath failed")
+    publish(spark, table, merged)
   }
 
   /** Wire a versioned stream into a compacted table: every batch runs
@@ -72,35 +188,30 @@ object UpsertSink {
   /** The INCREMENTAL-MATERIALIZED-VIEW sibling of [[compactBatch]]: the
     * table holds per-key MERGEABLE aggregates (counts re-merge by sum;
     * min/max by min/max), and each micro-batch folds its own partial
-    * aggregate in — (table ∪ batch-partial) re-aggregated, staged, swapped.
-    * The running view is O(keys) on disk no matter how much data has
-    * streamed through; only SELF-MERGEABLE metrics belong here (a count, a
-    * min — never an avg, which callers derive from sum/count at read
-    * time). The batch partial aggregates FIRST, so the merge input is
-    * O(batch keys), not O(batch rows).
+    * aggregate in — (table ∪ batch-partial) re-aggregated and published as
+    * the next version. The running view is O(keys) on disk no matter how
+    * much data has streamed through; only SELF-MERGEABLE metrics belong
+    * here (a count, a min — never an avg, which callers derive from
+    * sum/count at read time). The batch side must already carry those
+    * columns as its partial values.
     *
-    * `countCols -> sum`, `minCols -> min`, `maxCols -> max` on merge; the
-    * batch side must already carry those columns as its partial values
-    * (use [[partialCounts]] for the common count/min/max shape).
+    * NOTE: unlike [[compactBatch]], a redelivered batch is NOT idempotent
+    * here (sums re-add) — exactly-once comes from the streaming
+    * checkpoint's batch-id fencing, which `foreachBatch` callers get by
+    * keying publishes off the batch id if they need it.
     */
   def accumulateBatch(table: String, batchPartial: DataFrame,
                       keyCols: Seq[String], sumCols: Seq[String],
                       minCols: Seq[String], maxCols: Seq[String]): Unit = {
     val spark = batchPartial.sparkSession
-    val tPath = new Path(table)
-    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val all =
-      if (fs.exists(tPath)) {
-        val cur = spark.read.parquet(table)
+    val all = currentState(spark, table) match {
+      case Some(cur) =>
         cur.unionByName(batchPartial.select(cur.columns.map(col): _*))
-      } else batchPartial
+      case None => batchPartial
+    }
     val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
       minCols.map(c => min(col(c)).as(c)) ++ maxCols.map(c => max(col(c)).as(c))
     val merged = all.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    val staging = new Path(table + "__staging")
-    merged.write.mode("overwrite").parquet(staging.toString)
-    fs.delete(tPath, true)
-    if (!fs.rename(staging, tPath))
-      sys.error(s"UpsertSink: rename $staging -> $tPath failed")
+    publish(spark, table, merged)
   }
 }

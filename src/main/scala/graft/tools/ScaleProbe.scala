@@ -40,7 +40,11 @@ object ScaleProbe {
     val embPath = s"$workDir/embeddings"
     val baseTag = Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(baseDir))
-    val marker = new java.io.File(s"$workDir/_BUILT_${shards}_$baseTag")
+    // BUILT2: the marker name versions the corpus LAYOUT — round 7 added
+    // the events replica inside this guarded block, so a workDir built by
+    // an earlier round (marker present, events dir absent) must rebuild,
+    // not crash at the events read below
+    val marker = new java.io.File(s"$workDir/_BUILT2_${shards}_$baseTag")
     def deleteRec(f: java.io.File): Unit = if (f.exists()) {
       if (f.isDirectory) f.listFiles().foreach(deleteRec)
       f.delete(): Unit
