@@ -2288,10 +2288,14 @@ object SparkEntry {
 
     // ---- the classic 6-table OLAP rollup (TPC-H Q5 shape): local-supplier
     // revenue per nation of one region/year. The 100 TB plan is the POINT:
-    // region/nation/customer/supplier broadcast (bounded dims), orders and
-    // lineitem shuffle on their join keys only after the date/region
-    // filters push into their scans; revenue sums through DECIMAL (the
-    // round-3 bit-portability rule).
+    // region/nation broadcast (GENUINELY bounded dims — 5 and 25 rows at
+    // every SF), but customer/supplier grow linearly with the corpus
+    // (TPC-H: 150k×SF / 10k×SF), so they get NO hint: AQE's size check
+    // picks broadcast at gate scale and a shuffled hash join at 100 TB —
+    // a forced hint there would bypass the check and OOM the broadcast.
+    // Orders and lineitem shuffle on their join keys only after the
+    // date/region filters push into their scans; revenue sums through
+    // DECIMAL (the round-3 bit-portability rule).
     "q136_regional_revenue" -> ((s, dir) => {
       val region = rd(s, dir, "region").where(col("r_name") === "ASIA")
       val nation = rd(s, dir, "nation")
@@ -2303,8 +2307,8 @@ object SparkEntry {
       val lineitem = rd(s, dir, "lineitem")
       lineitem
         .join(orders, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") &&
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(supplier, col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -2518,17 +2522,16 @@ object SparkEntry {
     // accumulated across micro-batches into a compacted parquet table
     // (UpsertSink.accumulateBatch — merge = re-aggregate of self-mergeable
     // metrics: counts sum, min/max fold; batch partials aggregate FIRST so
-    // the merge input is O(keys)). Two mtime-pinned time slices force a
-    // REAL cross-batch accumulation; the final table must equal the plain
-    // one-shot batch aggregate.
+    // the merge input is O(keys)). Two mtime-pinned id-parity slices force
+    // a REAL cross-batch accumulation; the final table must equal the
+    // plain one-shot batch aggregate. The slicer is a deterministic
+    // ID-HASH split (event_id parity) — order-free and map-side, where a
+    // global-sort ntile would funnel the whole table through one task.
     "q149_incremental_agg" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_q149").toString
       val ev = events(s, dir)
-      val ntile2 = ntile(2).over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("ts"), col("event_id")))
-      val sliced = ev.withColumn("slice", ntile2).localCheckpoint(true)
       (1 to 2).foreach { i =>
-        sliced.where(col("slice") === i).drop("slice")
+        ev.where(pmod(col("event_id"), lit(2)) === lit(i - 1))
           .coalesce(1).write.parquet(f"$tmp/in/slice_$i%03d")
         val walk = java.nio.file.Files.walk(
           java.nio.file.Paths.get(f"$tmp/in/slice_$i%03d"))
@@ -2539,7 +2542,7 @@ object SparkEntry {
       }
       val table = s"$tmp/table"
       withStreamPartitions(s) {
-        val stream = s.readStream.schema(sliced.drop("slice").schema)
+        val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1")
           .option("pathGlobFilter", "*.parquet")
           .parquet(s"$tmp/in/*")

@@ -220,15 +220,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(joined.count() == 3)
   }
 
-  test("q136 multi-join rollup: all four dims broadcast, facts shuffle") {
+  test("q136 multi-join rollup: only bounded dims hinted, SF-scaled dims left to AQE") {
     val df = SparkEntry.queries("q136_regional_revenue")(
       spark, "/root/testdata/sf0.001")
+    // THE SCALE CONTRACT: exactly two broadcast HINTS (region, nation —
+    // bounded at every SF). customer/supplier grow with the corpus, so
+    // they carry NO hint: a forced hint bypasses AQE's size check and
+    // OOMs the broadcast at the 100 TB posture. At gate scale AQE is
+    // free to (and does) choose broadcast for them — that's its call.
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.size == 2,
+      s"expected exactly region+nation hinted, got ${hinted.size}:\n${df.queryExecution.analyzed}")
     df.collect() // finalize the adaptive plan
     val plan = df.queryExecution.executedPlan.toString
     val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
     val smj = "SortMergeJoin".r.findAllIn(plan).size +
       "ShuffledHashJoin".r.findAllIn(plan).size
-    assert(bhj >= 4, s"expected the 4 dims broadcast, got $bhj:\n$plan")
+    // gate-scale shape: AQE's own size stats still broadcast the small
+    // dims, keeping at most the lineitem-orders fact join shuffled
+    assert(bhj >= 4, s"expected the 4 dims broadcast at gate scale, got $bhj:\n$plan")
     assert(smj <= 1,
       s"expected at most the lineitem-orders fact join shuffled, got $smj:\n$plan")
   }
