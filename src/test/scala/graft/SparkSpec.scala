@@ -15,6 +15,9 @@ object SparkSpec {
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
+    // FAIR so ServeSpec can assert pool isolation; harmless elsewhere
+    // (sequential jobs in the default pool schedule exactly as FIFO)
+    .config("spark.scheduler.mode", "FAIR")
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.warehouse.dir",
