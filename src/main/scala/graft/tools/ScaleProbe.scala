@@ -15,10 +15,22 @@ import org.apache.spark.sql.functions._
   *     pair counts multiply by the shard count (disjoint ids keep shard
   *     cluster structure), so seconds-per-pair should hold or improve.
   *
-  * Usage: runMain graft.tools.ScaleProbe [baseSfDir] [shards] [workDir]
+  * Usage: runMain graft.tools.ScaleProbe [baseSfDir] [shards] [workDir] [op...]
+  * (trailing op names filter the run — local iteration aid)
   * Prints one JSON line of per-op wall seconds at 1x and Nx.
   */
 object ScaleProbe {
+
+  /** Click intervals with every start collapsed onto one 1970-01-01 "hot
+    * day" (time-of-day preserved): the worst-case span for time-bucketed
+    * operators — maximum rows, minimum distinct buckets.
+    */
+  private def hotDayIntervals(e: DataFrame): DataFrame =
+    e.where(col("event_type") === "click")
+      .select(timestamp_micros(pmod(unix_micros(col("ts")),
+        lit(86400000000L))).as("s"))
+      .withColumn("e", col("s") + expr("INTERVAL 1 HOUR"))
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val shards = if (args.length > 1) args(1).toInt else 10
@@ -207,19 +219,39 @@ object ScaleProbe {
           .select(col("ts").as("s"),
             (col("ts") + expr("INTERVAL 1 HOUR")).as("e"))
         noopCount(graft.operators.Sweep.maxConcurrency(iv, "s", "e"))
+      },
+      // PATHOLOGICAL span for the Sweep bucket-width knob
+      // (operators/Sweep.scala:34-36): every event collapsed onto ONE hot
+      // day. At the default day-wide bucket the whole sweep lands in a
+      // single window partition — the exact single-task shape the
+      // two-level design exists to avoid; narrowing the knob to 1 hour
+      // rebalances it across ~25 buckets (the driver prefix-sum stays a
+      // 25-row collect). The MEASURED claim: narrow ~flat as rows grow Nx,
+      // wide degrading toward single-task behavior.
+      "sweep_hotday_wide" -> { e =>
+        val iv = hotDayIntervals(e)
+        noopCount(graft.operators.Sweep.maxConcurrency(iv, "s", "e",
+          bucketUs = 86400000000L))
+      },
+      "sweep_hotday_narrow" -> { e =>
+        val iv = hotDayIntervals(e)
+        noopCount(graft.operators.Sweep.maxConcurrency(iv, "s", "e",
+          bucketUs = 3600000000L))
       }
     )
 
     val baseEv = graft.SparkEntry.canonTs(
       spark.read.parquet(s"$baseDir/events.parquet"))
     val bigEv = spark.read.parquet(s"$workDir/events")
-    val results = ops.map { case (name, f) =>
+    val only = args.drop(3).toSet
+    def keep(name: String): Boolean = only.isEmpty || only(name)
+    val results = ops.filter(o => keep(o._1)).map { case (name, f) =>
       f(base, baseEmb) // untimed warm-up: JIT + codegen + shuffle setup,
                        // else the 1x-first ordering biases toward "Nx faster"
       val (t1x, n1x) = time(f(base, baseEmb))
       val (tNx, nNx) = time(f(big, bigEmb))
       (name, t1x, n1x, tNx, nNx)
-    } ++ evOps.map { case (name, f) =>
+    } ++ evOps.filter(o => keep(o._1)).map { case (name, f) =>
       f(baseEv)
       val (t1x, n1x) = time(f(baseEv))
       val (tNx, nNx) = time(f(bigEv))
