@@ -2655,6 +2655,50 @@ object SparkEntry {
         .withColumn("chi2_cell",
           (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
         .select("lang", "source", "o", "row_tot", "col_tot", "e", "chi2_cell")
+    }),
+
+    // ---- the AUTO-PROBED SQL front door: same user SQL as q148 (ORDER BY
+    // cosine_similarity DESC LIMIT k — no API call, no cell filter), but
+    // over a self-describing IVF index (AnnIndexMeta sidecar next to the
+    // partitionBy(ivf_cell) layout). IvfProbeRule rewrites the plan into a
+    // partition-pruned 2-cell probe — "the database picked the index". The
+    // builder ASSERTS the rewrite fired (scan must carry the cell probe);
+    // the oracle is q144's probe math verbatim, so the gate pins that the
+    // automatic rewrite computes exactly the explicit probe's answer.
+    "q155_autoprobe_sql_search" -> ((s, dir) => {
+      graft.functions.VectorFunctions.registerAll(s)
+      if (!s.experimental.extraOptimizations
+            .exists(_.isInstanceOf[graft.plans.IvfProbeRule]))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.IvfProbeRule(s)
+      val emb = rd(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") =!= 0)
+      val qv = emb.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toSeq
+      val cents = Ann.sampleCentroids(corpus, "vec_id", "embedding", 4)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q155").toString
+      graft.plans.AnnIndexMeta.buildIvfIndex(corpus, "embedding", cents, tmp,
+        nProbe = 2)
+      val view = "idx_q155_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      s.read.parquet(tmp).createOrReplaceTempView(view)
+      val qArr = qv.map(f => f.toDouble.toString + "D").mkString("array(", ",", ")")
+      val prev = s.conf.getOption(graft.plans.IvfProbeRule.AutoProbeKey)
+      s.conf.set(graft.plans.IvfProbeRule.AutoProbeKey, "true")
+      try {
+        val out = s.sql(
+          s"""SELECT vec_id,
+             |  cosine_similarity(CAST(embedding AS ARRAY<DOUBLE>), $qArr) AS score
+             |FROM $view ORDER BY score DESC, vec_id LIMIT 5""".stripMargin)
+        val pruned = out.queryExecution.executedPlan.collectLeaves()
+          .exists(l => "ivf_cell#\\d+ IN ".r.findFirstIn(l.toString).isDefined)
+        require(pruned, "q155: IvfProbeRule did not rewrite the scan into a probe")
+        val result = s.createDataFrame(out.collectAsList(), out.schema)
+        s.catalog.dropTempView(view)
+        result
+      } finally prev match {
+        case Some(v) => s.conf.set(graft.plans.IvfProbeRule.AutoProbeKey, v)
+        case None => s.conf.unset(graft.plans.IvfProbeRule.AutoProbeKey)
+      }
     })
   )
 
@@ -4799,6 +4843,29 @@ object SparkEntry {
         |  (c.o - CAST(r.row_tot * k.col_tot AS DOUBLE) / t.n) *
         |  (c.o - CAST(r.row_tot * k.col_tot AS DOUBLE) / t.n) /
         |  (CAST(r.row_tot * k.col_tot AS DOUBLE) / t.n) AS chi2_cell
-        |FROM c JOIN r USING (lang) JOIN k USING (source) CROSS JOIN t""".stripMargin
+        |FROM c JOIN r USING (lang) JOIN k USING (source) CROSS JOIN t""".stripMargin,
+
+    // q144's probe math verbatim: the automatic rewrite must compute
+    // exactly what the explicit 2-cell probe computes
+    "q155_autoprobe_sql_search" -> {
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+         |  FROM embeddings WHERE vec_id <> 0 ORDER BY vec_id LIMIT 4),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cosSql("e.embedding", "c.cv")} AS cs
+         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id <> 0),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid DESC) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |qcents AS (
+         |  SELECT c.cid FROM cents c CROSS JOIN q
+         |  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cid ASC LIMIT 2)
+         |SELECT a.vec_id, ${cosSql("a.embedding", "q.qv")} AS score
+         |FROM assign a JOIN qcents ON a.cid = qcents.cid CROSS JOIN q
+         |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin
+    }
   )
 }

@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: rewrite SQL cosine top-k over an AnnIndexMeta-carrying
+    // parquet layout into a partition-pruned IVF probe (opt-in via
+    // spark.graft.ann.autoProbe; see graft.plans.IvfProbeRule)
+    ext.injectOptimizerRule(graft.plans.IvfProbeRule)
     ext.injectFunction((FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", "cosine similarity of two float/double arrays"),
       (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))))
