@@ -2699,7 +2699,35 @@ object SparkEntry {
         case Some(v) => s.conf.set(graft.plans.IvfProbeRule.AutoProbeKey, v)
         case None => s.conf.unset(graft.plans.IvfProbeRule.AutoProbeKey)
       }
-    })
+    }),
+
+    // ---- SemDeDup (arXiv:2303.09540): semantic dedup = cluster the
+    // embedding space (8 deterministic IVF cells), tighten with a 2-plane
+    // LSH sub-bucket (q20's planes), drop every row with a >=0.3-cosine
+    // lower-id neighbor in its block. Survivors carry their cell so the
+    // gate pins BOTH the clustering and the removal set. Recall-
+    // approximate by contract (blocked, like q20/q44); the survivor rule
+    // (min id lives) is exact within blocks.
+    "q156_semantic_dedup" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val cents = Ann.sampleCentroids(emb, "vec_id", "embedding", 8)
+      val blocked = Ann.withHyperplaneBuckets(
+        Ann.withIvfAssignment(emb, "embedding", cents),
+        "embedding", storedVecs(emb, 3, 4))
+      Dedup.semanticDedup(blocked, "vec_id", "embedding",
+          Seq("ivf_cell", "lsh_bucket"), threshold = 0.3)
+        .select("vec_id", "ivf_cell")
+    }),
+
+    // ---- DSIR importance profile (arXiv:2302.03169): every doc scored by
+    // how much its hashed-unigram distribution leans toward the target
+    // slice (lang='en'), via smoothed bucket-count ratios — each ratio ONE
+    // division of exact integer products (libm-free, the q131 rule).
+    // Bucket tables are 512 rows by construction -> broadcast; the only
+    // corpus shuffle is the per-doc aggregation.
+    "q157_dsir_importance" -> ((s, dir) =>
+      graft.operators.Dsir.importanceProfile(rdPar(s, dir, "documents"),
+        col("lang") === "en", "doc_id", "text", nBuckets = 512))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -4866,6 +4894,63 @@ object SparkEntry {
          |SELECT a.vec_id, ${cosSql("a.embedding", "q.qv")} AS score
          |FROM assign a JOIN qcents ON a.cid = qcents.cid CROSS JOIN q
          |ORDER BY score DESC, a.vec_id LIMIT 5""".stripMargin
-    }
+    },
+
+    // mirrors the engine exactly: 8 first-by-id centroids (ties cid DESC,
+    // the greatest-struct rule), q20's 2-plane buckets, dup = lower-id
+    // same-block neighbor at cos >= 0.3, survivors keep their cell
+    "q156_semantic_dedup" -> {
+      def dot(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+      s"""WITH p1 AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 3),
+         |p2 AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 4),
+         |cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+         |  FROM embeddings ORDER BY vec_id LIMIT 8),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cosSql("e.embedding", "c.cv")} AS cs
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid DESC) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |e AS (
+         |  SELECT a.vec_id, a.embedding, a.cid,
+         |    (CASE WHEN ${dot("a.embedding", "p1.pv")} >= 0 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN ${dot("a.embedding", "p2.pv")} >= 0 THEN 2 ELSE 0 END) AS bucket
+         |  FROM assign a CROSS JOIN p1 CROSS JOIN p2),
+         |dup AS (
+         |  SELECT DISTINCT b.vec_id FROM e a JOIN e b
+         |    ON a.cid = b.cid AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3)
+         |SELECT e.vec_id, CAST(e.cid AS INT) AS ivf_cell
+         |FROM e LEFT JOIN dup ON e.vec_id = dup.vec_id
+         |WHERE dup.vec_id IS NULL""".stripMargin
+    },
+
+    // same smoothed-ratio arithmetic, same md5-mod-512 buckets; ratio > 1
+    // decided on one exact-integer-product division per token
+    "q157_dsir_importance" ->
+      """WITH s AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |    (lang = 'en') AS is_t
+        |  FROM documents),
+        |sb AS (SELECT doc_id, is_t,
+        |  CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % 512 AS b FROM s),
+        |bc AS (SELECT b, count(*) AS cr,
+        |  count(*) FILTER (WHERE is_t) AS ct FROM sb GROUP BY b),
+        |t AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+        |  CAST(sum(ct) AS BIGINT) AS nt FROM bc),
+        |sc AS (SELECT sb.doc_id,
+        |  CAST((bc.ct + 1) * (t.nr + 512) AS DOUBLE)
+        |    / CAST((bc.cr + 1) * (t.nt + 512) AS DOUBLE) AS ratio
+        |  FROM sb JOIN bc USING (b) CROSS JOIN t)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  count(*) FILTER (WHERE ratio > 1.0) AS n_favored,
+        |  CAST(count(*) FILTER (WHERE ratio > 1.0) AS DOUBLE) / count(*)
+        |    AS favored_frac,
+        |  min(ratio) AS min_ratio, max(ratio) AS max_ratio
+        |FROM sc GROUP BY doc_id""".stripMargin
   )
 }

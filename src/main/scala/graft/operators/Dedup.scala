@@ -545,4 +545,33 @@ object Dedup {
         cosineSim(col(s"a.$embCol"), col(s"b.$embCol")).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): cluster the embedding space, then drop every
+    * document that has a sufficiently-similar predecessor *within its
+    * block*. The deterministic survivor rule matches the engine's exact-
+    * dedup convention (q13): a row is removed iff SOME lower-id row in the
+    * same block is `>= threshold` cosine-similar, so the minimum id of each
+    * near-dup neighborhood always survives and the result is independent of
+    * partitioning and evaluation order (the paper's random-keeper is
+    * replaced by the id argmin, same reduction ratio).
+    *
+    * `blockCols` is the paper's k-means clustering generalized: pass an
+    * [[Ann.withIvfAssignment]] cell (pure SemDeDup), optionally tightened
+    * with an [[Ann.withHyperplaneBuckets]] column when cluster populations
+    * are too large for exact within-cluster pairs — the same
+    * recall-for-scan-bound trade documented on [[embeddingNearDupPairs]],
+    * which provides the pair machinery (one shuffled slim projection reused
+    * for both join sides, pair space bucket-bounded, never O(corpus^2)).
+    * The final anti-join shuffles only (id) pairs — survivors never carry
+    * embeddings through a shuffle.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, embCol: String,
+                    blockCols: Seq[String],
+                    threshold: Double = 0.95): DataFrame = {
+    val dups = embeddingNearDupPairs(df, idCol, embCol, blockCols, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dups, Seq(idCol), "left_anti")
+  }
 }

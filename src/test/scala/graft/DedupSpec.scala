@@ -412,4 +412,32 @@ class DedupSpec extends SparkSpec {
     assert(got == brute)
     assert(brute.nonEmpty, "fixture must contain near pairs")
   }
+
+  test("semanticDedup: min id of each near-dup neighborhood survives, blocks isolate") {
+    // block X: ids 1,2,3 mutually ~identical; block Y: id 10 identical to
+    // them in VALUE but blocked apart (must survive); id 11 orthogonal
+    val e1 = Seq(1.0f, 0.0f, 0.0f)
+    val rows = Seq(
+      (1L, "X", e1), (2L, "X", Seq(0.999f, 0.01f, 0.0f)),
+      (3L, "X", Seq(0.998f, 0.02f, 0.0f)),
+      (10L, "Y", e1), (11L, "Y", Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("id", "block", "emb")
+    val kept = Dedup.semanticDedup(rows, "id", "emb", Seq("block"), 0.95)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 11L),
+      s"min id survives per block-neighborhood, got $kept")
+  }
+
+  test("semanticDedup: chain semantics — removed iff ANY lower-id neighbor") {
+    // 1~2 and 2~3 but 1!~3: 2 drops (neighbor 1), 3 drops (neighbor 2) —
+    // the exists-a-lower-id rule, not a connected-components survivor pick
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.4358899f)),   // cos(1,2) ~ 0.9
+      (3L, Seq(0.62f, 0.7846418f))   // cos(2,3) ~ 0.9, cos(1,3) ~ 0.62
+    ).toDF("id", "emb").withColumn("block", lit(0))
+    val kept = Dedup.semanticDedup(rows, "id", "emb", Seq("block"), 0.85)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"2 and 3 each have a lower-id neighbor, got $kept")
+  }
 }
