@@ -2727,7 +2727,24 @@ object SparkEntry {
     // corpus shuffle is the per-doc aggregation.
     "q157_dsir_importance" -> ((s, dir) =>
       graft.operators.Dsir.importanceProfile(rdPar(s, dir, "documents"),
-        col("lang") === "en", "doc_id", "text", nBuckets = 512))
+        col("lang") === "en", "doc_id", "text", nBuckets = 512)),
+
+    // ---- the Gopher rule battery (arXiv:2112.11446 App. A): per-doc rule
+    // metrics + per-rule verdicts + composite keep, one map-side codegen
+    // pass, every ratio an exact-integer division (no shuffle, no UDF).
+    "q158_gopher_rules" -> ((s, dir) =>
+      graft.operators.GopherRules.profile(rdPar(s, dir, "documents"),
+        "doc_id", "text")),
+
+    // ---- deterministic epoch shuffle: (shard, pos) training order for
+    // epoch 1 — shard = epoch-salted md5 mod 16, pos = in-shard rank of an
+    // independently-salted hash uniform. Pure function of the id set;
+    // parallelism = nShards by construction (the per-shard window is the
+    // documented contract, not an accident).
+    "q159_epoch_shuffle" -> ((s, dir) =>
+      graft.operators.Sampling.epochShuffle(rd(s, dir, "documents"),
+          "doc_id", nShards = 16, epoch = 1)
+        .select("doc_id", "shard", "pos"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -4951,6 +4968,62 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE ratio > 1.0) AS DOUBLE) / count(*)
         |    AS favored_frac,
         |  min(ratio) AS min_ratio, max(ratio) AS max_ratio
-        |FROM sc GROUP BY doc_id""".stripMargin
+        |FROM sc GROUP BY doc_id""".stripMargin,
+
+    // same split-on-space / split-on-newline counts, same exact-integer
+    // ratio arithmetic, same thresholds (the paper defaults)
+    "q158_gopher_rules" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |    CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT) AS word_chars,
+        |    CAST((length(text) - length(regexp_replace(text, '#', '', 'g')))
+        |      + (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3
+        |      AS BIGINT) AS n_symbols,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |      l -> starts_with(l, '-') OR starts_with(l, '*') OR starts_with(l, '•'))) AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |      l -> ends_with(l, '...'))) AS BIGINT) AS n_ell,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> list_contains(['the','be','to','of','and','that','have','with'], lower(w)))) AS BIGINT) AS n_stopwords
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n_words,
+        |    CAST(word_chars AS DOUBLE) / n_words AS mean_word_len,
+        |    CAST(n_symbols AS DOUBLE) / n_words AS symbol_ratio,
+        |    CAST(n_bullet AS DOUBLE) / n_lines AS bullet_frac,
+        |    CAST(n_ell AS DOUBLE) / n_lines AS ellipsis_frac,
+        |    CAST(n_alpha AS DOUBLE) / n_words AS alpha_frac,
+        |    n_stopwords
+        |  FROM g)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+        |  ellipsis_frac, alpha_frac, n_stopwords,
+        |  (n_words >= 50 AND n_words <= 100000) AS pass_words,
+        |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_word_len,
+        |  (symbol_ratio <= 0.1) AS pass_symbol,
+        |  (bullet_frac <= 0.9) AS pass_bullet,
+        |  (ellipsis_frac <= 0.3) AS pass_ellipsis,
+        |  (alpha_frac >= 0.8) AS pass_alpha,
+        |  (n_stopwords >= 2) AS pass_stopwords,
+        |  (n_words >= 50 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        |    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+        |    AND n_stopwords >= 2) AS keep
+        |FROM m""".stripMargin,
+
+    // shard and order hashes mirrored exactly (md5-mod-k / hash-uniform)
+    "q159_epoch_shuffle" -> {
+      s"""WITH s AS (SELECT doc_id,
+         |  ${shardSql("doc_id", 16, ":epoch1:s")} AS shard,
+         |  ${uniformSql("doc_id", ":epoch1:o")} AS u
+         |FROM documents)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY u, doc_id) AS BIGINT) AS pos
+         |FROM s""".stripMargin
+    }
   )
 }

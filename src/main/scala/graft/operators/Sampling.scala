@@ -230,4 +230,31 @@ object Sampling {
       .where(col("neg_id") =!= col(idCol))
       .select(col(idCol), col("round").cast("long").as("round"), col("neg_id"))
   }
+
+  /** Deterministic epoch shuffle: assign every row a `(shard, pos)` training
+    * order for epoch `epoch` — the global shuffle a training job needs,
+    * without `rand()` (unstable under repartitioning) and without a global
+    * sort (the single-task killer). Shard = [[shardFromId]] on an
+    * epoch-salted hash; pos = rank of the row's independently-salted hash
+    * uniform within its shard. Different epochs are decorrelated by the
+    * salt, and the full order is a pure function of the id set —
+    * reproducible across runs, partitionings, and cluster sizes, auditable
+    * after the fact (the q61 rule).
+    *
+    * Scale shape: one (shard) shuffle; per-shard `row_number` sorts
+    * |corpus|/nShards rows in one task each, so parallelism is chosen BY
+    * nShards — at 100 TB you size shards to the training reader's file
+    * appetite (10^4..10^5 shards), which simultaneously bounds the
+    * per-task sort. The shard column doubles as the write partition for
+    * [[Pack.writeShards]].
+    */
+  def epochShuffle(df: DataFrame, idCol: String, nShards: Int,
+                   epoch: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val salt = s":epoch$epoch"
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(uniformFromId(col(idCol), salt + ":o"), col(idCol))
+    df.withColumn("shard", shardFromId(col(idCol), nShards, salt + ":s"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
 }

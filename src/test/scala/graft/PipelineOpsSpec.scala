@@ -1083,4 +1083,55 @@ class PipelineOpsSpec extends SparkSpec {
     assert(zAvgX <= 45.0 && zAvgY <= 45.0,
       s"z-ordered mean per-file extents ($zAvgX, $zAvgY) should be fractions of 63")
   }
+
+  test("epoch shuffle: per-shard permutation, deterministic, epochs decorrelate") {
+    val docs = (1L to 300L).toDF("doc_id")
+    val e1 = Sampling.epochShuffle(docs, "doc_id", nShards = 8, epoch = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every row present; within each shard positions are exactly 1..n
+    assert(e1.map(_._1).toSet == (1L to 300L).toSet)
+    e1.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // shard column is shardFromId with the epoch salt
+    val expectShard = docs.select(col("doc_id"),
+        Sampling.shardFromId(col("doc_id"), 8, ":epoch1:s").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e1.forall { case (id, sh, _) => expectShard(id) == sh })
+    // deterministic under repartitioning
+    val again = Sampling.epochShuffle(docs.repartition(11), "doc_id", 8, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == e1.toSet)
+    // a different epoch is a different order (shards and positions move)
+    val e2 = Sampling.epochShuffle(docs, "doc_id", 8, epoch = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(e2 != e1.toSet)
+  }
+
+  test("gopher rules: each rule fires on its designed violation") {
+    import graft.operators.GopherRules
+    val prose = ("the quick brown fox jumps over the lazy dog and " * 6).trim
+    val docs = Seq(
+      (1L, prose),                                    // passes everything
+      (2L, "short text only"),                        // word count
+      (3L, Seq.fill(60)("a").mkString(" ")),          // mean word len < 3
+      (4L, Seq.fill(60)("##word").mkString(" ")),     // symbol ratio
+      (5L, (1 to 60).map(i => s"- bullet $i line").mkString("\n")), // bullets
+      (6L, Seq.fill(60)("123").mkString(" ")),        // alpha frac + stopwords
+      (7L, Seq(prose, prose, prose, "see more...").mkString("\n"))
+      // 1 ellipsis line of 4 = 0.25 <= 0.3 - passes
+    ).toDF("doc_id", "text")
+    val out = GopherRules.profile(docs, "doc_id", "text", minWords = 40)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def b(id: Long, f: String) = out(id).getAs[Boolean](f)
+    assert(b(1, "keep"), s"doc 1 should pass: ${out(1L)}")
+    assert(!b(2, "pass_words") && !b(2, "keep"))
+    assert(b(2, "pass_symbol"), "short doc violates only its own rules")
+    assert(!b(3, "pass_word_len"))
+    assert(!b(4, "pass_symbol"))
+    assert(!b(5, "pass_bullet") && !b(5, "pass_stopwords"))
+    assert(!b(6, "pass_alpha") && !b(6, "pass_stopwords"))
+    assert(b(7, "pass_ellipsis") && b(7, "keep"),
+      s"1 ellipsis line of 4 (0.25 <= 0.3) must pass: ${out(7L)}")
+  }
 }
