@@ -2744,7 +2744,28 @@ object SparkEntry {
     "q159_epoch_shuffle" -> ((s, dir) =>
       graft.operators.Sampling.epochShuffle(rd(s, dir, "documents"),
           "doc_id", nShards = 16, epoch = 1)
-        .select("doc_id", "shard", "pos"))
+        .select("doc_id", "shard", "pos")),
+
+    // ---- HLL cardinality per source (the sketch family's missing member
+    // — see operators/Hll.scala): 64 registers per group shuffle instead
+    // of every distinct value; the exact count rides along as the gate's
+    // measuring stick. Bit-portable end to end (integer comparison-ladder
+    // rho, bucket-ordered harmonic fold of exact powers of two, pinned
+    // alpha). The counted value is the distinct (doc, token) POSTING —
+    // the inverted-index size estimate a pipeline wants before building
+    // one (q139) — whose ~1.4k/source cardinality sits in the raw
+    // estimator's n >> m regime (the tiny synthetic token vocabulary of
+    // ~31 would sit in the small-range regime the reported raw estimator
+    // deliberately excludes; see the Hll Scaladoc).
+    "q160_hll_distinct" -> ((s, dir) =>
+      graft.operators.Hll.distinctEstimate(
+        rdPar(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            explode(split(col("text"), " ")).as("w"))
+          .select(col("source"),
+            concat(col("doc_id").cast("string"), lit(":"), col("w"))
+              .as("posting")),
+        Seq("source"), col("posting")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -5024,6 +5045,34 @@ object SparkEntry {
          |SELECT doc_id, shard,
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY u, doc_id) AS BIGINT) AS pos
          |FROM s""".stripMargin
+    },
+
+    // same 60-bit md5 hash, same comparison-ladder rho, same bucket-ordered
+    // harmonic fold over 1/(1<<reg), same pinned alpha literal
+    "q160_hll_distinct" -> {
+      val rhoLadder = (1 to 54)
+        .map(r => s"WHEN wv >= ${1L << (54 - r)} THEN $r")
+        .mkString("CASE ", " ", " ELSE 55 END")
+      s"""WITH tok AS (
+         |  SELECT source, CAST(doc_id AS VARCHAR) || ':' ||
+         |    unnest(string_split(text, ' ')) AS w FROM documents),
+         |h AS (SELECT source, w,
+         |  CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS hv FROM tok),
+         |br AS (SELECT source, hv >> 54 AS bucket, $rhoLadder AS rho
+         |  FROM (SELECT source, hv, hv & ${(1L << 54) - 1} AS wv FROM h)),
+         |regs AS (SELECT source, bucket, max(rho) AS reg FROM br GROUP BY 1, 2),
+         |spine AS (SELECT DISTINCT source FROM documents),
+         |fill AS (SELECT s.source, b.range AS bucket, coalesce(r.reg, 0) AS reg
+         |  FROM spine s CROSS JOIN range(64) b
+         |  LEFT JOIN regs r ON r.source = s.source AND r.bucket = b.range),
+         |vec AS (SELECT source, list(reg ORDER BY bucket) AS rv FROM fill GROUP BY source),
+         |est AS (SELECT source,
+         |  CAST(0.709 AS DOUBLE) * 4096 / list_sum(list_transform(rv,
+         |    r -> CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << r))) AS hll_est FROM vec),
+         |ex AS (SELECT source, count(DISTINCT w) AS n_exact FROM tok GROUP BY source)
+         |SELECT ex.source, ex.n_exact, est.hll_est,
+         |  est.hll_est / ex.n_exact AS rel_err
+         |FROM ex JOIN est USING (source)""".stripMargin
     }
   )
 }
