@@ -317,6 +317,16 @@ object SparkEntry {
       |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
       |FROM votes GROUP BY doc_id)""".stripMargin
 
+  /** The q160/q161 sketch input: one `(source, posting)` row per token
+    * occurrence, posting = "doc_id:token" — the distinct-(doc, token)
+    * incidence whose cardinality is the inverted-index size (q139).
+    */
+  private def postingsBySource(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .select(col("source"),
+        concat(col("doc_id").cast("string"), lit(":"), col("w")).as("posting"))
+
   /** Portable hash-uniform in [0,1): top 32 md5 bits of (id || salt),
     * scaled by 2^32 (mirrors [[graft.operators.Sampling.uniformFromId]] —
     * exact in double, so bit-portable).
@@ -2759,13 +2769,57 @@ object SparkEntry {
     // deliberately excludes; see the Hll Scaladoc).
     "q160_hll_distinct" -> ((s, dir) =>
       graft.operators.Hll.distinctEstimate(
-        rdPar(s, dir, "documents")
-          .select(col("source"), col("doc_id"),
-            explode(split(col("text"), " ")).as("w"))
-          .select(col("source"),
-            concat(col("doc_id").cast("string"), lit(":"), col("w"))
-              .as("posting")),
-        Seq("source"), col("posting")))
+        postingsBySource(rdPar(s, dir, "documents")),
+        Seq("source"), col("posting"))),
+
+    // ---- INCREMENTAL HLL: the register table is max-mergeable on
+    // (group, bucket), so the sketch maintains as a streaming accumulate
+    // (q149's incremental-MV machinery with a max-merge) — two id-parity
+    // document slices arrive as separate micro-batches, each contributes
+    // a partial register table, and the merged state finishes into
+    // EXACTLY q160's batch answer (same oracle verbatim). Distinct
+    // counting over an unbounded stream in 64 ints of state per group —
+    // the form that runs forever at 100 TB where exact streaming
+    // count(DISTINCT) state grows without bound.
+    "q161_streaming_hll" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q161").toString
+      val docs = rd(s, dir, "documents")
+      (1 to 2).foreach { i =>
+        docs.where(pmod(col("doc_id"), lit(2)) === lit(i - 1))
+          .coalesce(1).write.parquet(f"$tmp/in/slice_$i%03d")
+        val walk = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(f"$tmp/in/slice_$i%03d"))
+        try walk.forEach { p =>
+          if (!p.toFile.setLastModified(1000000000000L + i * 60000L))
+            sys.error(s"q161: setLastModified failed for $p")
+        } finally walk.close()
+      }
+      val table = s"$tmp/regs"
+      withStreamPartitions(s) {
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(s"$tmp/in/*")
+        val q = stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val partial = graft.operators.Hll.registers(
+              postingsBySource(batch), Seq("source"), col("posting"))
+            graft.streaming.UpsertSink.accumulateBatch(table, partial,
+              Seq("source", "bucket"), sumCols = Nil, minCols = Nil,
+              maxCols = Seq("reg"))
+        }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val est = graft.operators.Hll.estimateFromRegisters(
+        s.read.parquet(table), Seq("source"))
+      val exact = postingsBySource(docs).groupBy("source")
+        .agg(count_distinct(col("posting")).as("n_exact"))
+      val out = exact.join(est, Seq("source"))
+        .withColumn("rel_err", col("hll_est") / col("n_exact"))
+      s.createDataFrame(out.collectAsList(), out.schema)
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -5049,11 +5103,17 @@ object SparkEntry {
 
     // same 60-bit md5 hash, same comparison-ladder rho, same bucket-ordered
     // harmonic fold over 1/(1<<reg), same pinned alpha literal
-    "q160_hll_distinct" -> {
-      val rhoLadder = (1 to 54)
-        .map(r => s"WHEN wv >= ${1L << (54 - r)} THEN $r")
-        .mkString("CASE ", " ", " ELSE 55 END")
-      s"""WITH tok AS (
+    "q160_hll_distinct" -> hllPostingsOracleSql,
+
+    // the incremental accumulate must land on exactly the batch sketch
+    "q161_streaming_hll" -> hllPostingsOracleSql
+  )
+
+  private lazy val hllPostingsOracleSql: String = {
+    val rhoLadder = (1 to 54)
+      .map(r => s"WHEN wv >= ${1L << (54 - r)} THEN $r")
+      .mkString("CASE ", " ", " ELSE 55 END")
+    s"""WITH tok AS (
          |  SELECT source, CAST(doc_id AS VARCHAR) || ':' ||
          |    unnest(string_split(text, ' ')) AS w FROM documents),
          |h AS (SELECT source, w,
@@ -5073,6 +5133,5 @@ object SparkEntry {
          |SELECT ex.source, ex.n_exact, est.hll_est,
          |  est.hll_est / ex.n_exact AS rel_err
          |FROM ex JOIN est USING (source)""".stripMargin
-    }
-  )
+  }
 }

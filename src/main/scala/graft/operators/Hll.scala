@@ -52,6 +52,40 @@ object Hll {
     ColumnBridge.column(ShiftLeft(ColumnBridge.expression(lit(1L)),
       ColumnBridge.expression(bits)))
 
+  /** Sparse register table: one `(groupCols..., bucket, reg)` row per
+    * NON-EMPTY register. This is the sketch STATE, and it is max-mergeable
+    * on (group, bucket) — which makes it incrementally maintainable as a
+    * streaming accumulate (q161) and unionable across shards/engines.
+    */
+  def registers(df: DataFrame, groupCols: Seq[String],
+                valueCol: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val h = hash60(valueCol)
+    df.select((g :+ h.as("__h")): _*)
+      .withColumn("bucket", shiftrightunsigned(col("__h"), W).cast("int"))
+      .withColumn("__rho", rho(col("__h").bitwiseAND(lit((1L << W) - 1))))
+      .groupBy((g :+ col("bucket")): _*)
+      .agg(max(col("__rho")).as("reg"))
+  }
+
+  /** Finish a (possibly merged) sparse register table into per-group
+    * estimates: scatter into the dense M-vector (empty registers = 0),
+    * fold the harmonic sum in bucket order, apply the pinned alpha.
+    */
+  def estimateFromRegisters(regs: DataFrame,
+                            groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    regs.groupBy(g: _*)
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("reg"))))
+        .as("__mp"))
+      .withColumn("__regs", transform(sequence(lit(0), lit(M - 1)),
+        b => coalesce(element_at(col("__mp"), b), lit(0))))
+      .withColumn("__hsum", aggregate(col("__regs"), lit(0.0),
+        (acc, r) => acc + lit(1.0) / shl1(r).cast("double")))
+      .withColumn("hll_est", lit(Alpha64) * lit(M * M) / col("__hsum"))
+      .select((g :+ col("hll_est")): _*)
+  }
+
   /** Per-group HLL cardinality estimate of `valueCol`, with the exact
     * count(DISTINCT) riding along for calibration (at scale you run ONLY
     * the sketch leg — the exact twin is the gate's measuring stick, the
@@ -59,24 +93,11 @@ object Hll {
     */
   def distinctEstimate(df: DataFrame, groupCols: Seq[String],
                        valueCol: Column): DataFrame = {
-    val g = groupCols.map(col)
-    val h = hash60(valueCol)
-    val stream = df.select((g :+ h.as("__h")): _*)
-      .withColumn("__bucket", shiftrightunsigned(col("__h"), W).cast("int"))
-      .withColumn("__rho", rho(col("__h").bitwiseAND(lit((1L << W) - 1))))
-    val regs = stream.groupBy((g :+ col("__bucket")): _*)
-      .agg(max(col("__rho")).as("__reg"))
-    val vecs = regs.groupBy(g: _*)
-      .agg(map_from_entries(collect_list(struct(col("__bucket"), col("__reg"))))
-        .as("__mp"))
-      .withColumn("__regs", transform(sequence(lit(0), lit(M - 1)),
-        b => coalesce(element_at(col("__mp"), b), lit(0))))
-      .withColumn("__hsum", aggregate(col("__regs"), lit(0.0),
-        (acc, r) => acc + lit(1.0) / shl1(r).cast("double")))
-      .withColumn("hll_est", lit(Alpha64) * lit(M * M) / col("__hsum"))
-    val exact = df.groupBy(g: _*)
+    val vecs = estimateFromRegisters(registers(df, groupCols, valueCol),
+      groupCols)
+    val exact = df.groupBy(groupCols.map(col): _*)
       .agg(count_distinct(valueCol).as("n_exact"))
-    exact.join(vecs.select((g :+ col("hll_est")): _*), groupCols)
+    exact.join(vecs, groupCols)
       .withColumn("rel_err", col("hll_est") / col("n_exact"))
   }
 }

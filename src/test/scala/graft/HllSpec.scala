@@ -52,6 +52,20 @@ class HllSpec extends SparkSpec {
     assert(est1 == est3)
   }
 
+  test("registers max-merge: sharded partials finish to the whole's estimate") {
+    val df = (1 to 8000).map(i => ("g", s"item$i")).toDF("g", "v")
+    val whole = Hll.estimateFromRegisters(
+      Hll.registers(df, Seq("g"), col("v")), Seq("g"))
+      .collect().head.getDouble(1)
+    val a = Hll.registers(df.where(length(col("v")) % 2 === 0), Seq("g"), col("v"))
+    val b = Hll.registers(df.where(length(col("v")) % 2 === 1), Seq("g"), col("v"))
+    val merged = a.union(b).groupBy("g", "bucket")
+      .agg(max(col("reg")).as("reg"))
+    val got = Hll.estimateFromRegisters(merged, Seq("g"))
+      .collect().head.getDouble(1)
+    assert(got == whole, s"merged $got != whole $whole")
+  }
+
   test("groups sketch independently") {
     val df = ((1 to 1000).map(i => ("a", s"v$i")) ++
       (1 to 300).map(i => ("b", s"v$i"))).toDF("g", "v")
