@@ -2819,6 +2819,37 @@ object SparkEntry {
       val out = exact.join(est, Seq("source"))
         .withColumn("rel_err", col("hll_est") / col("n_exact"))
       s.createDataFrame(out.collectAsList(), out.schema)
+    }),
+
+    // ---- BM25 keyword ranking (operators/Bm25.scala): the lexical half
+    // of hybrid search. 'dup' is the corpus's one rare token (df 25/500 vs
+    // ~380 for everything else), so its idf dominates — the gate would
+    // catch an idf that ignored df. ln is DetMath's pinned series: library
+    // log was MEASURED non-bit-portable on this corpus's own df set
+    // (jvm ...276d vs duckdb ...276c at df=398).
+    "q162_bm25_search" -> ((s, dir) =>
+      graft.operators.Bm25.search(rdPar(s, dir, "documents"), "doc_id",
+        "text", Seq("dup", "vector", "query"), k = 10)),
+
+    // ---- hybrid retrieval: reciprocal-rank fusion of the dense leg
+    // (cosine top-20, q17's machinery) and the lexical leg (BM25 top-20)
+    // — 1/(60+rank) per leg, summed in pinned leg order. Ranks are
+    // integers, so fusion adds NO transcendental; the legs' candidate
+    // lists bound the join at k rows regardless of corpus size.
+    "q163_hybrid_rrf" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val qv = storedVecs(emb, 7).head
+      val byRank = Window.orderBy(col("score").desc, col("id"))
+      val dense = Ann.topK(emb.where(col("vec_id") =!= 7), "vec_id",
+          "embedding", qv, 20)
+        .select(col("vec_id").as("id"), col("score"))
+        .withColumn("rank", row_number().over(byRank)) // 20 rows — bounded
+      val lexical = graft.operators.Bm25.search(rdPar(s, dir, "documents"),
+          "doc_id", "text", Seq("dup", "stream"), k = 20)
+        .select(col("doc_id").as("id"), col("score"))
+        .withColumn("rank", row_number().over(byRank))
+      graft.operators.Bm25.rrfFuse(Seq(dense, lexical), "id", "rank",
+        c = 60, k = 10)
     })
   )
 
@@ -5106,8 +5137,73 @@ object SparkEntry {
     "q160_hll_distinct" -> hllPostingsOracleSql,
 
     // the incremental accumulate must land on exactly the batch sketch
-    "q161_streaming_hll" -> hllPostingsOracleSql
+    "q161_streaming_hll" -> hllPostingsOracleSql,
+
+    // idf through the SAME pinned ln series (DetMath.lnDetSubquery),
+    // avgdl/N as integer-exact aggregates, per-doc score a term-ordered
+    // list_sum fold — see bm25ScoredSql for the op-sequence contract
+    "q162_bm25_search" ->
+      s"""SELECT doc_id, dl, score FROM ${bm25ScoredSql(Seq("dup", "vector", "query"))} s
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // rank fusion is transcendental-free: integer ranks -> 1/(60+rank)
+    // reciprocals, summed dense-then-lexical (the engine's pinned leg fold)
+    "q163_hybrid_rrf" -> {
+      val cos = cosSql("e.embedding", "q.qv")
+      s"""WITH qd AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+         |dense AS (
+         |  SELECT e.vec_id AS id, $cos AS score
+         |  FROM embeddings e CROSS JOIN qd q WHERE e.vec_id <> 7
+         |  ORDER BY score DESC, e.vec_id LIMIT 20),
+         |dr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank FROM dense),
+         |lex AS (
+         |  SELECT doc_id, score FROM ${bm25ScoredSql(Seq("dup", "stream"))} s
+         |  ORDER BY score DESC, doc_id LIMIT 20),
+         |lr AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM lex)
+         |SELECT coalesce(dr.id, lr.id) AS id,
+         |  coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(dr.rank AS DOUBLE)), CAST(0 AS DOUBLE))
+         |    + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(lr.rank AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf
+         |FROM dr FULL OUTER JOIN lr ON dr.id = lr.id
+         |ORDER BY rrf DESC, id LIMIT 10""".stripMargin
+    }
   )
+
+  /** BM25-scored documents as a parenthesized subquery `(doc_id, dl,
+    * score)` — the oracle twin of [[graft.operators.Bm25.scoreAll]]. Every
+    * float op mirrors the engine: idf arg association, DetMath series ln,
+    * tf-normalization association, term-ordered score fold. k1/b literals
+    * are injected from the SAME Scala doubles the engine folds into its
+    * plan (Double.toString round-trips, and DuckDB's decimal-literal →
+    * DOUBLE cast is exact-value correctly rounded).
+    */
+  private def bm25ScoredSql(terms: Seq[String],
+                            k1: Double = 1.2, b: Double = 0.75): String = {
+    val idfSub = graft.functions.DetMath.lnDetSubquery(
+      s"""(SELECT term,
+         |   (CAST((SELECT n FROM st) - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |     / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE) AS x
+         | FROM dft)""".stripMargin,
+      Seq("term"), "x", "idf")
+    s"""(WITH b2 AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    string_split(text, ' ') AS toks
+       |  FROM documents),
+       |st AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+       |  count(*) AS n FROM b2),
+       |post AS (SELECT doc_id, dl, unnest(toks) AS term FROM b2),
+       |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM post
+       |  WHERE term IN (${sqlList(terms)}) GROUP BY doc_id, term),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |idf AS (SELECT * FROM $idfSub i),
+       |contrib AS (SELECT t.doc_id, t.term, t.dl,
+       |  i.idf * ((CAST(t.tf AS DOUBLE) * CAST(${k1 + 1.0} AS DOUBLE))
+       |    / (CAST(t.tf AS DOUBLE) + CAST($k1 AS DOUBLE)
+       |      * (CAST(${1.0 - b} AS DOUBLE) + CAST($b AS DOUBLE)
+       |        * (CAST(t.dl AS DOUBLE) / (SELECT avgdl FROM st))))) AS c
+       |  FROM tf t JOIN idf i USING (term))
+       |SELECT doc_id, max(dl) AS dl, list_sum(list(c ORDER BY term)) AS score
+       |FROM contrib GROUP BY doc_id)""".stripMargin
+  }
 
   private lazy val hllPostingsOracleSql: String = {
     val rhoLadder = (1 to 54)

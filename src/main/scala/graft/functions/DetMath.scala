@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-engine DETERMINISTIC elementary math.
+  *
+  * Library `ln` is not bit-portable: `Math.log` (JVM intrinsic, ≤1 ulp but
+  * not correctly rounded) and DuckDB's libm `ln` were measured to disagree
+  * in the last ulp on this corpus's own idf arguments (df=398 at sf0.01:
+  * jvm=...276d vs duck=...276c). Since the correctness gate hash-compares
+  * doubles BIT-EXACTLY, any score that passes through a transcendental must
+  * instead be computed by the SAME pinned sequence of IEEE-754 ops in both
+  * engines — `+ - * /` and `sqrt` are correctly rounded by the standard, so
+  * an expression built only from them, with the association order pinned,
+  * is bit-identical everywhere.
+  *
+  * `lnDet(x)` for x ≥ 1 (the BM25 idf domain — arg = (N-df+0.5)/(df+0.5)+1
+  * is always > 1):
+  *   1. range-reduce by powers of two: k = floor(log2 x) via a comparison
+  *      ladder (exact), m = x / 2^k ∈ [1, 2) (exact — power-of-two divide),
+  *   2. atanh series: t = (m-1)/(m+1) ∈ [0, 1/3),
+  *      ln m = 2t · Σ_{j=0..19} t^{2j} / (2j+1)  (Horner, truncation
+  *      < (1/3)^41 ≈ 3e-20 — below double ulp of the result),
+  *   3. ln x = k·LN2 + ln m, LN2 = the nearest double to ln 2.
+  *
+  * Accuracy: a few ulps from true ln (the k·LN2 recombination rounds once);
+  * the CONTRACT is determinism, not correct rounding — both engines get the
+  * same bits, which is what a distributed scoring function actually needs
+  * (a re-run, a retry, a different partitioning must not re-rank results).
+  *
+  * Both forms below — Spark [[withLnDet]] and DuckDB [[lnDetSubquery]] —
+  * are generated from the same ladder/coefficient loops so the op sequences
+  * cannot drift apart.
+  */
+object DetMath {
+
+  /** Nearest double to ln 2 (0x3FE62E42FEFA39EF). */
+  val Ln2: Double = 0.6931471805599453
+
+  private val MaxK = 48 // ladder covers x < 2^49 — far above any idf arg
+  private val Terms = 20 // atanh series terms; truncation < (1/3)^41
+
+  /** Series coefficients 1/(2j+1), j descending for Horner — computed once
+    * in Scala; the SQL twin divides the same integers in DuckDB, and IEEE
+    * division is correctly rounded in both, so the constants are bit-equal.
+    */
+  private val hornerDenoms: Seq[Int] = (Terms - 1 to 0 by -1).map(j => 2 * j + 1)
+
+  // ---- Spark side ----------------------------------------------------
+
+  /** Adds `outCol` = lnDet(`xCol`) via staged intermediate columns (keeps
+    * each codegen expression small; the ladder CASE appears once, not once
+    * per Horner term). Input rows must satisfy x ≥ 1.
+    */
+  def withLnDet(df: DataFrame, xCol: String, outCol: String): DataFrame = {
+    val x = col(xCol)
+    val kk = (MaxK to 1 by -1).foldLeft(Option.empty[Column]) { (acc, j) =>
+      val c = x >= lit(exactPow2(j))
+      Some(acc.fold(when(c, lit(j)))(_.when(c, lit(j))))
+    }.get.otherwise(lit(0))
+    val p2 = (MaxK to 1 by -1).foldLeft(Option.empty[Column]) { (acc, j) =>
+      val c = x >= lit(exactPow2(j))
+      Some(acc.fold(when(c, lit(exactPow2(j))))(_.when(c, lit(exactPow2(j)))))
+    }.get.otherwise(lit(1.0))
+    val t0 = s"__${outCol}_t"
+    val u0 = s"__${outCol}_u"
+    val k0 = s"__${outCol}_k"
+    val m = x / p2
+    val stage = df
+      .withColumn(k0, kk)
+      .withColumn(t0, (m - lit(1.0)) / (m + lit(1.0)))
+      .withColumn(u0, col(t0) * col(t0))
+    val horner = hornerDenoms.tail.foldLeft(lit(1.0) / lit(hornerDenoms.head.toDouble)) {
+      (s, d) => s * col(u0) + lit(1.0) / lit(d.toDouble)
+    }
+    stage
+      .withColumn(outCol,
+        col(k0).cast("double") * lit(Ln2) + lit(2.0) * col(t0) * horner)
+      .drop(t0, u0, k0)
+  }
+
+  // ---- DuckDB side ---------------------------------------------------
+
+  /** A DuckDB subquery string computing `outCol` = lnDet(`xCol`) with the
+    * identical op sequence. `src` is a table/subquery exposing `xCol` plus
+    * the `keep` columns, which are passed through.
+    */
+  def lnDetSubquery(src: String, keep: Seq[String], xCol: String, outCol: String): String = {
+    val ks = keep.mkString(", ")
+    val kp = if (keep.isEmpty) "" else ks + ", "
+    val kLadder = (MaxK to 1 by -1)
+      .map(j => s"WHEN $xCol >= ${pow2Sql(j)} THEN $j")
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val pLadder = (MaxK to 1 by -1)
+      .map(j => s"WHEN $xCol >= ${pow2Sql(j)} THEN ${pow2Sql(j)}")
+      .mkString("CASE ", " ", " ELSE CAST(1 AS DOUBLE) END")
+    val horner = hornerDenoms.tail.foldLeft(s"CAST(1 AS DOUBLE) / ${hornerDenoms.head}") {
+      (s, d) => s"($s) * __u + CAST(1 AS DOUBLE) / $d"
+    }
+    s"""(SELECT $kp
+       |   CAST(__k AS DOUBLE) * CAST($Ln2 AS DOUBLE)
+       |     + CAST(2 AS DOUBLE) * __t * ($horner) AS $outCol
+       | FROM (SELECT $kp __k, __t, __t * __t AS __u
+       |   FROM (SELECT $kp __k,
+       |       ($xCol / __p2 - CAST(1 AS DOUBLE)) / ($xCol / __p2 + CAST(1 AS DOUBLE)) AS __t
+       |     FROM (SELECT $kp $xCol, $kLadder AS __k, $pLadder AS __p2
+       |       FROM $src))))""".stripMargin
+  }
+
+  /** 2^j as an exact double (j ≤ 48 ≪ 53 bits — always exact). */
+  private def exactPow2(j: Int): Double = java.lang.Math.scalb(1.0, j)
+
+  /** 2^j as exact SQL text: an integer literal, used in double context
+    * (BIGINT→DOUBLE cast of a power of two below 2^53 is exact).
+    */
+  private def pow2Sql(j: Int): String = s"CAST(${1L << j} AS DOUBLE)"
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.functions.DetMath
+
+/** BM25 keyword ranking (Robertson/Spärck Jones, the Okapi form) — the
+  * lexical half of a hybrid search engine. The reference serves pure
+  * vector search (`02-build-search-service.sql:438`); a user switching a
+  * real corpus onto it immediately wants keyword recall too (exact matches
+  * of rare tokens that an embedding smooths away), so BM25 + fusion is
+  * first-class surface here.
+  *
+  * score(D, Q) = Σ_{t ∈ Q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)   (the "plus one" form — never
+  * negative), with ln = [[DetMath]]'s pinned series (library log is not
+  * bit-portable across engines; the gate hash-compares doubles).
+  *
+  * Distribution contract (the 100 TB shape):
+  *  - document length dl is computed IN-ROW (no shuffle);
+  *  - the postings shuffle carries ONLY rows matching the query terms —
+  *    the `isin` filter sits under the explode's project, so a q-term
+  *    query shuffles |matching postings|, not the corpus;
+  *  - df/idf is a per-term aggregate of that filtered postings table —
+  *    at most |Q| rows — and joins back as a BROADCAST;
+  *  - corpus-level stats (N, Σdl) are one integer-exact global aggregate
+  *    (2 scalars to the driver — bounded by design);
+  *  - the per-doc score is an ORDER-PINNED fold over the doc's matched
+  *    terms (sort_array then `aggregate`) — float addition is not
+  *    associative, and an unpinned SUM would re-rank between runs;
+  *  - top-k via orderBy+limit = TakeOrderedAndProject (no global sort).
+  */
+object Bm25 {
+
+  /** Per-document BM25 scores for `terms`, highest `k` first
+    * (ties broken by ascending id). Output: (idCol, dl, score).
+    */
+  def search(docs: DataFrame, idCol: String, textCol: String,
+             terms: Seq[String], k: Int,
+             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val scored = scoreAll(docs, idCol, textCol, terms, k1, b)
+    scored.orderBy(col("score").desc, col(idCol)).limit(k)
+  }
+
+  /** All matching documents with their BM25 score (un-truncated — the
+    * fusion path wants a deeper candidate pool than the display k).
+    */
+  def scoreAll(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "BM25 query must have at least one term")
+    val base = docs.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), col("__toks"),
+        size(col("__toks")).cast("long").as("dl"))
+
+    // N and Σdl are integer-exact, so the driver-side fetch cannot flap;
+    // avgdl = one correctly-rounded long→double divide, identical to the
+    // oracle's CAST(sum AS DOUBLE)/CAST(count AS DOUBLE)
+    val Row(sumDl: Long, n: Long) =
+      base.agg(sum("dl").as("s"), count(lit(1)).as("n")).head()
+    val avgdl = sumDl.toDouble / n.toDouble
+
+    val post = base
+      .select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
+      .where(col("term").isin(terms: _*))
+    val tf = post.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+
+    // ≤ |terms| rows: per-term document frequency over the distinct
+    // (doc, term) pairs tf already materializes
+    val dfTab = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = DetMath.withLnDet(
+      dfTab.withColumn("x",
+        (lit(n) - col("df")).cast("double") + lit(0.5))
+        .withColumn("x", col("x") / (col("df").cast("double") + lit(0.5)) + lit(1.0)),
+      "x", "idf").select("term", "idf")
+
+    val tfD = col("tf").cast("double")
+    val contrib = tf.join(broadcast(idf), "term")
+      .withColumn("c", col("idf") *
+        ((tfD * lit(k1 + 1.0)) /
+          (tfD + lit(k1) *
+            (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / lit(avgdl))))))
+
+    contrib.groupBy(col(idCol))
+      .agg(max("dl").as("dl"),
+        aggregate(
+          sort_array(collect_list(struct(col("term"), col("c")))),
+          lit(0.0),
+          (acc, s) => acc + s.getField("c")).as("score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09) of ranked
+    * candidate lists: fused(d) = Σ_legs 1/(c + rank_leg(d)), summed in a
+    * PINNED leg order (the leg sequence as given). Integer ranks →
+    * reciprocal doubles, so the score is deterministic with no
+    * transcendental. Each leg must expose (`idCol`, `rankCol`); a document
+    * absent from a leg simply contributes nothing (full-outer semantics).
+    * Join cardinality is bounded by the legs' candidate-list lengths — at
+    * serving scale these are top-k lists, so fusion is driver-light and
+    * shuffle-tiny regardless of corpus size.
+    */
+  def rrfFuse(legs: Seq[DataFrame], idCol: String, rankCol: String,
+              c: Int = 60, k: Int = 10): DataFrame = {
+    require(legs.nonEmpty, "RRF needs at least one leg")
+    // pin the fold order by summing leg columns in sequence, not by SUM
+    // over a union (aggregation order is engine-chosen)
+    val tagged = legs.zipWithIndex.map { case (l, i) =>
+      l.select(col(idCol), (lit(1.0) / (lit(c.toDouble) + col(rankCol).cast("double")))
+        .as(s"__rr_$i"))
+    }
+    val joined = tagged.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val zero = lit(0.0)
+    val fused = tagged.indices
+      .map(i => coalesce(col(s"__rr_$i"), zero))
+      .reduce(_ + _)
+    joined.select(col(idCol), fused.as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol)).limit(k)
+  }
+}
