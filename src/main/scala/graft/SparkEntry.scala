@@ -2850,6 +2850,36 @@ object SparkEntry {
         .withColumn("rank", row_number().over(byRank))
       graft.operators.Bm25.rrfFuse(Seq(dense, lexical), "id", "rank",
         c = 60, k = 10)
+    }),
+
+    // ---- ordered-step conversion funnel (operators/Funnel.scala):
+    // view -> click -> purchase, "strictly after" pinned to the total
+    // (us, event_id) order. The funnel entity is (user, day) — per-day
+    // journeys leave every depth populated, so the histogram gates all
+    // four outcomes, not just "everyone eventually converts". The whole
+    // step chain is exclusive-frame running sums sharing ONE
+    // (entity, time) sort — a single shuffle for any number of steps,
+    // no per-entity event list.
+    "q164_funnel_depth" -> ((s, dir) =>
+      graft.operators.Funnel.depthHistogram(
+        events(s, dir).withColumn("us", unix_micros(col("ts")))
+          .withColumn("ukey",
+            col("user_id") * lit(1000000L) + expr("us div 86400000000")),
+        "ukey", "event_type",
+        Seq("view", "click", "purchase"), Seq("us", "event_id"))),
+
+    // ---- MMR diversified rerank (operators/Mmr.scala): greedy
+    // lambda*rel - (1-lambda)*max-sim-to-selected over the cosine top-20
+    // pool (bounded driver rerank, like every query-vector fetch); the
+    // oracle UNROLLS the 5-step greedy into chained CTEs, so selection
+    // order, tie rule, and every float op are gate-checked.
+    "q165_mmr_rerank" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val qv = storedVecs(emb, 11).head
+      val cands = Ann.topK(emb.where(col("vec_id") =!= 11), "vec_id",
+        "embedding", qv, 20)
+      graft.operators.Mmr.rerank(cands, "vec_id", "embedding", "score",
+        k = 5, lambda = 0.7)
     })
   )
 
@@ -5165,6 +5195,50 @@ object SparkEntry {
          |    + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(lr.rank AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf
          |FROM dr FULL OUTER JOIN lr ON dr.id = lr.id
          |ORDER BY rrf DESC, id LIMIT 10""".stripMargin
+    },
+
+    // the exclusive frame makes "strictly after" literal: a step row
+    // qualifies iff a qualifying predecessor-step row precedes it in the
+    // total (us, event_id) order — integer flags end to end, no floats
+    "q164_funnel_depth" -> {
+      val w = "PARTITION BY ukey ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+      s"""WITH e AS (SELECT user_id * 1000000 + epoch_us(ts) // 86400000000 AS ukey,
+         |  event_type, event_id, epoch_us(ts) AS us FROM events),
+         |f0 AS (SELECT *, CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS q0 FROM e),
+         |f1 AS (SELECT *, CASE WHEN event_type = 'click' AND sum(q0) OVER ($w) > 0
+         |  THEN 1 ELSE 0 END AS q1 FROM f0),
+         |f2 AS (SELECT *, CASE WHEN event_type = 'purchase' AND sum(q1) OVER ($w) > 0
+         |  THEN 1 ELSE 0 END AS q2 FROM f1),
+         |u AS (SELECT ukey, max(q0) + max(q1) + max(q2) AS depth FROM f2 GROUP BY ukey)
+         |SELECT CAST(depth AS INTEGER) AS depth, CAST(count(*) AS BIGINT) AS n_users
+         |FROM u GROUP BY depth""".stripMargin
+    },
+
+    // the greedy unrolled: sel_k chains k-1 argmax CTEs, each excluding
+    // the selected ids and subtracting (1-lambda)*max-cos-to-selected via
+    // a correlated subquery over the tiny selected set; candidate pool cut
+    // by SCORE (the engine's top-k), rel = lambda*score AFTER the cut
+    "q165_mmr_rerank" -> {
+      val lam = 0.7
+      val lc = (1.0 - lam).toString // 0.30000000000000004 — the engine's bits
+      val cos = cosSql("e.embedding", "q.qv")
+      val csel = cosSql("c.emb", "s.emb")
+      val steps = (2 to 5).map { k =>
+        s"""s$k AS (SELECT $k AS sel_rank, c.id, c.emb,
+           |  c.rel - CAST($lc AS DOUBLE) * (SELECT max($csel) FROM sel${k - 1} s) AS mmr
+           |  FROM cand2 c WHERE c.id NOT IN (SELECT id FROM sel${k - 1})
+           |  ORDER BY mmr DESC, c.id LIMIT 1),
+           |sel$k AS (SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM s$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH qd AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 11),
+         |cand AS (SELECT e.vec_id AS id, e.embedding AS emb, $cos AS score
+         |  FROM embeddings e CROSS JOIN qd q WHERE e.vec_id <> 11
+         |  ORDER BY score DESC, e.vec_id LIMIT 20),
+         |cand2 AS (SELECT id, emb, CAST($lam AS DOUBLE) * score AS rel FROM cand),
+         |sel1 AS (SELECT 1 AS sel_rank, id, emb, rel AS mmr FROM cand2
+         |  ORDER BY rel DESC, id LIMIT 1),
+         |$steps
+         |SELECT sel_rank, id AS vec_id, mmr FROM sel5""".stripMargin
     }
   )
 
