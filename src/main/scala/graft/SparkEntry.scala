@@ -2880,6 +2880,40 @@ object SparkEntry {
         "embedding", qv, 20)
       graft.operators.Mmr.rerank(cands, "vec_id", "embedding", "score",
         k = 5, lambda = 0.7)
+    }),
+
+    // ---- SOURCE-level reputation gate (Gate.sourceReputation): judge the
+    // whole source by its aggregate signature and drop it wholesale — the
+    // C4/RefinedWeb domain move, complementing q64's within-source gate.
+    // Integer aggregates + one division per stat; verdict table is
+    // source-bounded and broadcasts back (GateSpec asserts the filter leg).
+    "q166_source_reputation" -> ((s, dir) =>
+      graft.operators.Gate.sourceReputation(rdPar(s, dir, "documents"),
+        "source", "n_chars",
+        minAvgChars = 295.0, maxShortFrac = 0.21, shortChars = 150L)),
+
+    // ---- recency-weighted activity ranking: per-user score =
+    // Σ_age n_events(age) · 2^(−age/7d), the half-life popularity
+    // boost every feed/leaderboard wants. 2^(−f) is DetMath's pinned
+    // ladder+Taylor (exp/pow are as non-portable as ln). The per-user
+    // fold runs over DISTINCT AGES ascending — bounded by the corpus
+    // time span, not the user's event count — so the pinned-order
+    // summation scales, unlike a per-event collect.
+    "q167_decay_ranking" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("us", unix_micros(col("ts")))
+      // ref instant = corpus max event time: ONE bounded scalar, exact
+      val refUs = e.agg(max("us")).head().getLong(0)
+      val ages = e.select(col("user_id"),
+          expr(s"(${refUs}L - us) div 86400000000").as("age"))
+        .groupBy("user_id", "age").agg(count(lit(1)).as("n"))
+        .withColumn("f", col("age").cast("double") / lit(7.0))
+      val wc = graft.functions.DetMath.withPow2Decay(ages, "f", "dk")
+        .withColumn("wc", col("n").cast("double") * col("dk"))
+      wc.groupBy("user_id")
+        .agg(sum("n").as("n_events"),
+          aggregate(sort_array(collect_list(struct(col("age"), col("wc")))),
+            lit(0.0), (acc, x) => acc + x.getField("wc")).as("score"))
+        .orderBy(col("score").desc, col("user_id")).limit(20)
     })
   )
 
@@ -5239,6 +5273,34 @@ object SparkEntry {
          |  ORDER BY rel DESC, id LIMIT 1),
          |$steps
          |SELECT sel_rank, id AS vec_id, mmr FROM sel5""".stripMargin
+    },
+
+    // integer counts, one double division per stat, literal thresholds
+    "q166_source_reputation" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars,
+        |  CAST(sum(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS short_frac
+        |FROM documents GROUP BY source)
+        |SELECT source, n_docs, avg_chars, short_frac,
+        |  avg_chars >= 295.0 AND short_frac <= 0.21 AS keep
+        |FROM s""".stripMargin,
+
+    // decay through the SAME ladder+Taylor op sequence; the per-user sum
+    // is an age-ordered list fold, mirroring the engine's pinned aggregate
+    "q167_decay_ranking" -> {
+      val decay = graft.functions.DetMath.pow2DecaySubquery(
+        "(SELECT user_id, age, n, CAST(age AS DOUBLE) / CAST(7 AS DOUBLE) AS f FROM c)",
+        Seq("user_id", "age", "n"), "f", "dk")
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         |mx AS (SELECT max(us) AS mu FROM e),
+         |c AS (SELECT user_id, ((SELECT mu FROM mx) - us) // 86400000000 AS age,
+         |  count(*) AS n FROM e GROUP BY 1, 2),
+         |w AS (SELECT user_id, age, n, CAST(n AS DOUBLE) * dk AS wc FROM $decay d)
+         |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+         |  list_sum(list(wc ORDER BY age)) AS score
+         |FROM w GROUP BY user_id
+         |ORDER BY score DESC, user_id LIMIT 20""".stripMargin
     }
   )
 

@@ -108,6 +108,63 @@ object DetMath {
        |       FROM $src))))""".stripMargin
   }
 
+  // ---- deterministic 2^(-f): exponential decay by half-lives ----------
+
+  private val DecayMaxN = 64 // 2^-64 ≈ 5e-20; beyond that the decay IS 0
+  private val ExpTerms = 20 // e^r Taylor terms; |r| < ln2 ⇒ trunc < 3e-22
+
+  /** 1/i! for Horner, i descending; 19! < 2^63 so the integer is exact and
+    * both engines round it to double identically before the one divide.
+    */
+  private val expDenoms: Seq[Long] =
+    (ExpTerms - 1 to 0 by -1).map(i => (1L to i).foldLeft(1L)(_ * _))
+
+  /** Adds `outCol` = 2^(−`fCol`) for f ≥ 0 — exponential half-life decay
+    * (weight = 2^(−age/halfLife)) without `exp`/`pow`, which are as
+    * non-portable as `ln`. Split f = n + g (n integer via exact `floor`,
+    * g ∈ [0,1)): 2^−n is an exact ladder constant (0 past [[DecayMaxN]]
+    * half-lives — both engines agree the weight underflowed), and
+    * 2^−g = e^(−g·ln2) by a pinned Taylor–Horner sum. One multiply joins
+    * them. Same staged-column scheme as [[withLnDet]].
+    */
+  def withPow2Decay(df: DataFrame, fCol: String, outCol: String): DataFrame = {
+    val f = col(fCol)
+    val nD = floor(f).cast("double")
+    val ladder = (DecayMaxN to 1 by -1).foldLeft(Option.empty[Column]) {
+      (acc, j) =>
+        val c = nD >= lit(j.toDouble)
+        val v = if (j == DecayMaxN) lit(0.0) else lit(java.lang.Math.scalb(1.0, -j))
+        Some(acc.fold(when(c, v))(_.when(c, v)))
+    }.get.otherwise(lit(1.0))
+    val r0 = s"__${outCol}_r"
+    val p0 = s"__${outCol}_p"
+    val stage = df
+      .withColumn(p0, ladder)
+      .withColumn(r0, -((f - nD) * lit(Ln2)))
+    val horner = expDenoms.tail.foldLeft(lit(1.0) / lit(expDenoms.head.toDouble)) {
+      (s, d) => s * col(r0) + lit(1.0) / lit(d.toDouble)
+    }
+    stage.withColumn(outCol, col(p0) * horner).drop(r0, p0)
+  }
+
+  /** DuckDB twin of [[withPow2Decay]] — identical op sequence. */
+  def pow2DecaySubquery(src: String, keep: Seq[String], fCol: String,
+                        outCol: String): String = {
+    val kp = if (keep.isEmpty) "" else keep.mkString(", ") + ", "
+    val ladder = (DecayMaxN to 1 by -1).map { j =>
+      val v = if (j == DecayMaxN) "CAST(0 AS DOUBLE)"
+              else s"CAST(1 AS DOUBLE) / ${1L << j}"
+      s"WHEN __n >= CAST($j AS DOUBLE) THEN $v"
+    }.mkString("CASE ", " ", " ELSE CAST(1 AS DOUBLE) END")
+    val horner = expDenoms.tail.foldLeft(s"CAST(1 AS DOUBLE) / ${expDenoms.head}") {
+      (s, d) => s"($s) * __r + CAST(1 AS DOUBLE) / $d"
+    }
+    s"""(SELECT $kp __p * ($horner) AS $outCol
+       | FROM (SELECT $kp $ladder AS __p,
+       |     -(($fCol - __n) * CAST($Ln2 AS DOUBLE)) AS __r
+       |   FROM (SELECT $kp $fCol, floor($fCol) AS __n FROM $src)))""".stripMargin
+  }
+
   /** 2^j as an exact double (j ≤ 48 ≪ 53 bits — always exact). */
   private def exactPow2(j: Int): Double = java.lang.Math.scalb(1.0, j)
 

@@ -196,4 +196,44 @@ object Gate {
         size(filter(col("__graft_bins_bnd"), t => col(valueCol) > t)).cast("int"))
       .drop("__graft_bins_stratum", "__graft_bins_bnd")
   }
+
+  /** SOURCE-level reputation gate (the C4/RefinedWeb domain-blocklist move):
+    * judge each SOURCE by its corpus-wide statistics and drop whole sources,
+    * as opposed to [[topHalf]]'s doc-level gating WITHIN a source. A spammy
+    * domain's individually-plausible pages survive per-doc gates; its
+    * aggregate signature (short average length, high short-doc share) does
+    * not.
+    *
+    * Verdict per source: keep iff avg_chars >= minAvgChars AND
+    * short_frac <= maxShortFrac (a doc is "short" below shortChars chars).
+    * Both stats are integer aggregates with ONE division each — exact
+    * counts, one correctly-rounded double op — so the verdict is
+    * deterministic and the gate hash-stable.
+    *
+    * Shape: one per-source hash aggregate (map-side partial over however
+    * many partitions the source spans — never a per-source task), then the
+    * source-count-bounded verdict table joins back as a BROADCAST and the
+    * doc filter runs map-side. Returns the verdict table; [[applyReputation]]
+    * filters a corpus by it.
+    */
+  def sourceReputation(docs: DataFrame, sourceCol: String, charsCol: String,
+                       minAvgChars: Double, maxShortFrac: Double,
+                       shortChars: Long): DataFrame =
+    docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(charsCol)).as("__tot"),
+        sum(when(col(charsCol) < shortChars, 1L).otherwise(0L)).as("__nshort"))
+      .withColumn("avg_chars",
+        col("__tot").cast("double") / col("n_docs").cast("double"))
+      .withColumn("short_frac",
+        col("__nshort").cast("double") / col("n_docs").cast("double"))
+      .withColumn("keep",
+        col("avg_chars") >= lit(minAvgChars) && col("short_frac") <= lit(maxShortFrac))
+      .drop("__tot", "__nshort")
+
+  /** Map-side corpus filter by a [[sourceReputation]] verdict table. */
+  def applyReputation(docs: DataFrame, verdicts: DataFrame,
+                      sourceCol: String): DataFrame =
+    docs.join(broadcast(verdicts.where(col("keep")).select(col(sourceCol))),
+      Seq(sourceCol))
 }

@@ -36,6 +36,21 @@ class Bm25Spec extends SparkSpec {
     assert(got(3) == 10.0 * DetMath.Ln2)
   }
 
+  test("pow2Decay tracks math.pow, is exact at whole half-lives, underflows at 64") {
+    val xs = Seq(0.0, 0.3, 1.0, 1.5, 3.0, 6.99, 10.0, 40.5, 63.9, 64.0, 200.0)
+    val got = DetMath.withPow2Decay(xs.toDF("f"), "f", "d")
+      .orderBy("f").collect().map(_.getDouble(1))
+    xs.sorted.zip(got).foreach { case (f, d) =>
+      val ref = if (f >= 64.0) 0.0 else math.pow(2.0, -f)
+      assert(math.abs(d - ref) <= 4 * math.ulp(ref.max(Double.MinPositiveValue)),
+        s"decay($f)=$d vs $ref")
+    }
+    // whole half-lives hit the exact ladder constant (Taylor(0) folds to 1)
+    assert(got(xs.sorted.indexOf(1.0)) == 0.5)
+    assert(got(xs.sorted.indexOf(3.0)) == 0.125)
+    assert(got(xs.sorted.indexOf(64.0)) == 0.0)
+  }
+
   test("BM25 matches a brute-force reference on scores and ranking") {
     val terms = Seq("spark", "join", "fast")
     val k1 = 1.2; val b = 0.75

@@ -1134,4 +1134,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(b(7, "pass_ellipsis") && b(7, "keep"),
       s"1 ellipsis line of 4 (0.25 <= 0.3) must pass: ${out(7L)}")
   }
+
+  test("source reputation: verdicts on aggregate stats; filter drops whole sources") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      // good: long docs, no shorts
+      (1L, "good", 400L), (2L, "good", 300L),
+      // spammy: short average
+      (3L, "spam", 50L), (4L, "spam", 60L),
+      // mixed: fine average but too many shorts (2/3 short)
+      (5L, "mixed", 90L), (6L, "mixed", 80L), (7L, "mixed", 700L)
+    ).toDF("doc_id", "source", "n_chars")
+    val v = graft.operators.Gate.sourceReputation(docs, "source", "n_chars",
+      minAvgChars = 200.0, maxShortFrac = 0.5, shortChars = 100L)
+    val byS = v.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(byS("good") == ((2L, 350.0, 0.0, true)))
+    assert(byS("spam")._4 == false)  // avg 55 < 200
+    assert(byS("mixed")._4 == false) // avg 290 ok but short_frac 2/3 > 0.5
+    val kept = graft.operators.Gate.applyReputation(docs, v, "source")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+    // the verdict join must be a broadcast (map-side filter at corpus scale)
+    val plan = graft.operators.Gate.applyReputation(docs, v, "source")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
