@@ -2914,6 +2914,75 @@ object SparkEntry {
           aggregate(sort_array(collect_list(struct(col("age"), col("wc")))),
             lit(0.0), (acc, x) => acc + x.getField("wc")).as("score"))
         .orderBy(col("score").desc, col("user_id")).limit(20)
+    }),
+
+    // ---- STREAMING funnel (streaming/StreamingFunnel.scala): q164's
+    // automaton over a watermarked stream — events buffer until the
+    // watermark finalizes them, then drain through the step machine in
+    // (us, event_id) order. Slices are us-RANGE cuts (two scalars, no
+    // global sort; equal-us ties can never straddle a drain boundary),
+    // plus two far-future sentinel slices that push the watermark past
+    // every real event so all buffers drain under AvailableNow. Depth is
+    // monotone, so max-per-entity over the update stream is the final
+    // depth — the batch oracle verbatim.
+    "q168_streaming_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q168").toString
+      val e = events(s, dir).withColumn("us", unix_micros(col("ts")))
+        .select("ts", "event_id", "user_id", "event_type", "us")
+      val r = e.agg(min("us"), max("us")).head()
+      val (minUs, maxUs) = (r.getLong(0), r.getLong(1))
+      // slice on MILLISECOND-aligned us ranges: the late-row filter drops a
+      // row whose event time is <= the watermark (measured, pinned in
+      // StreamingFunnelSpec), and the watermark is ms-truncated — so a
+      // later slice's first row must sit in a strictly LATER millisecond
+      // than every earlier slice's max, which ms-aligned buckets guarantee
+      val widthMs = (maxUs / 1000L - minUs / 1000L) / 4 + 1
+      (0 until 4).foreach { i =>
+        e.where(expr(s"(us div 1000 - ${minUs / 1000L}L) div ${widthMs}L") === i)
+          .drop("us").coalesce(1).write.parquet(f"$tmp/in/slice_$i%03d")
+      }
+      (4 to 5).foreach { i => // watermark sentinels, dropped from output
+        Seq((new java.sql.Timestamp(maxUs / 1000L + (i - 3) * 86400000L),
+            -1L - i, -1L - i, "noop"))
+          .toDF("ts", "event_id", "user_id", "event_type")
+          .coalesce(1).write.parquet(f"$tmp/in/slice_$i%03d")
+      }
+      (0 to 5).foreach { i => // oldest-first listing needs increasing mtimes
+        val walk = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(f"$tmp/in/slice_$i%03d"))
+        try walk.forEach { p =>
+          if (!p.toFile.setLastModified(1000000000000L + i * 60000L))
+            sys.error(s"q168: setLastModified failed for $p")
+        } finally walk.close()
+      }
+      val schema = s.read.parquet(s"$tmp/in/slice_000").schema
+      val sink = "q168_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withStreamPartitions(s) {
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(s"$tmp/in/*")
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("ukey",
+            col("user_id") * lit(1000000L) + expr("us div 86400000000"))
+          .withColumn("step",
+            when(col("event_type") === "view", 0)
+              .when(col("event_type") === "click", 1)
+              .when(col("event_type") === "purchase", 2).otherwise(-1))
+          .select(col("ukey"), col("ts"), col("us"), col("event_id"), col("step"))
+          .as[graft.streaming.StreamingFunnel.FEvent]
+        val q = graft.streaming.StreamingFunnel.depths(stream, 3)
+          .toDF()
+          .writeStream.outputMode("update").format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val out = drainSink(s, sink)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      out.where(col("ukey") >= 0)
+        .groupBy("ukey").agg(max("depth").as("depth"))
+        .groupBy("depth").agg(count(lit(1)).as("n_users"))
     })
   )
 
@@ -5234,19 +5303,10 @@ object SparkEntry {
     // the exclusive frame makes "strictly after" literal: a step row
     // qualifies iff a qualifying predecessor-step row precedes it in the
     // total (us, event_id) order — integer flags end to end, no floats
-    "q164_funnel_depth" -> {
-      val w = "PARTITION BY ukey ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
-      s"""WITH e AS (SELECT user_id * 1000000 + epoch_us(ts) // 86400000000 AS ukey,
-         |  event_type, event_id, epoch_us(ts) AS us FROM events),
-         |f0 AS (SELECT *, CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS q0 FROM e),
-         |f1 AS (SELECT *, CASE WHEN event_type = 'click' AND sum(q0) OVER ($w) > 0
-         |  THEN 1 ELSE 0 END AS q1 FROM f0),
-         |f2 AS (SELECT *, CASE WHEN event_type = 'purchase' AND sum(q1) OVER ($w) > 0
-         |  THEN 1 ELSE 0 END AS q2 FROM f1),
-         |u AS (SELECT ukey, max(q0) + max(q1) + max(q2) AS depth FROM f2 GROUP BY ukey)
-         |SELECT CAST(depth AS INTEGER) AS depth, CAST(count(*) AS BIGINT) AS n_users
-         |FROM u GROUP BY depth""".stripMargin
-    },
+    "q164_funnel_depth" -> funnelDepthOracleSql,
+
+    // the streaming automaton must land on exactly the batch histogram
+    "q168_streaming_funnel" -> funnelDepthOracleSql,
 
     // the greedy unrolled: sel_k chains k-1 argmax CTEs, each excluding
     // the selected ids and subtracting (1-lambda)*max-cos-to-selected via
@@ -5339,6 +5399,25 @@ object SparkEntry {
        |  FROM tf t JOIN idf i USING (term))
        |SELECT doc_id, max(dl) AS dl, list_sum(list(c ORDER BY term)) AS score
        |FROM contrib GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Shared by q164 (batch window chain) and q168 (streaming automaton):
+    * the per-(user, day) view→click→purchase depth histogram. The
+    * exclusive window frame IS the "strictly after in (us, event_id)
+    * order" rule both engines implement.
+    */
+  private lazy val funnelDepthOracleSql: String = {
+    val w = "PARTITION BY ukey ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    s"""WITH e AS (SELECT user_id * 1000000 + epoch_us(ts) // 86400000000 AS ukey,
+       |  event_type, event_id, epoch_us(ts) AS us FROM events),
+       |f0 AS (SELECT *, CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS q0 FROM e),
+       |f1 AS (SELECT *, CASE WHEN event_type = 'click' AND sum(q0) OVER ($w) > 0
+       |  THEN 1 ELSE 0 END AS q1 FROM f0),
+       |f2 AS (SELECT *, CASE WHEN event_type = 'purchase' AND sum(q1) OVER ($w) > 0
+       |  THEN 1 ELSE 0 END AS q2 FROM f1),
+       |u AS (SELECT ukey, max(q0) + max(q1) + max(q2) AS depth FROM f2 GROUP BY ukey)
+       |SELECT CAST(depth AS INTEGER) AS depth, CAST(count(*) AS BIGINT) AS n_users
+       |FROM u GROUP BY depth""".stripMargin
   }
 
   private lazy val hllPostingsOracleSql: String = {
