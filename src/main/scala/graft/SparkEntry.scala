@@ -2983,6 +2983,81 @@ object SparkEntry {
       out.where(col("ukey") >= 0)
         .groupBy("ukey").agg(max("depth").as("depth"))
         .groupBy("depth").agg(count(lit(1)).as("n_users"))
+    }),
+
+    // ---- last-touch attribution: each purchase credits the latest click
+    // of the same user at-or-before it, within a 1h window — the as-of
+    // join (q37's carry-forward single-shuffle form) put to its canonical
+    // marketing use. Gap statistics are integer microseconds, so the
+    // rollup is exact; among same-microsecond clicks the carried value is
+    // their (equal) timestamp, never an arbitrary row choice.
+    "q169_attribution" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("us").as("click_us"))
+      graft.operators.AsOf.join(purchases, clicks, "user_id", "ts",
+          Seq("click_us"), graft.operators.AsOf.Backward,
+          toleranceMicros = Some(3600000000L))
+        .withColumn("gap_us", unix_micros(col("ts")) - col("click_us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          count(col("click_us")).as("n_attributed"),
+          sum("gap_us").as("total_gap_us"),
+          min("gap_us").as("min_gap_us"),
+          max("gap_us").as("max_gap_us"))
+    }),
+
+    // ---- schema-evolution ingest: a corpus written across years drifts —
+    // early files lack columns later ones carry. mergeSchema unions the
+    // file schemas at scan time (absent columns read as null), so ONE scan
+    // spans the drift; the aggregate proves both slices landed and the
+    // null-fill behaved. Footer merging is driver-side over file METADATA
+    // (not data), the documented cost knob at 100 TB file counts.
+    "q170_schema_evolution" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q170").toString
+      val docs = rd(s, dir, "documents")
+      docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        .select("doc_id", "text", "lang") // the old, narrower schema
+        .write.parquet(s"$tmp/old")
+      docs.where(pmod(col("doc_id"), lit(2)) === 1)
+        .write.parquet(s"$tmp/new")
+      val merged = s.read.option("mergeSchema", "true")
+        .parquet(s"$tmp/old", s"$tmp/new")
+      val out = merged.groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("source")).as("n_with_source"),
+          sum("n_chars").as("n_chars_total"))
+      val result = s.createDataFrame(out.collectAsList(), out.schema)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      result
+    }),
+
+    // ---- bucketed co-located join: both sides pre-bucketed (8 buckets,
+    // sorted) on the join key, so the sort-merge join needs NO exchange
+    // and NO sort on either side — the layout that turns the daily
+    // fact⋈dim join from the cluster's biggest shuffle into a map-side
+    // merge. PlanShapeSpec asserts the exchange-free plan; this gate pins
+    // that the bucketed path returns the same answer as the plain join.
+    "q171_bucketed_join" -> ((s, dir) => {
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q171").toString
+      val ot = s"graft_q171_o_$tag"; val ct = s"graft_q171_c_$tag"
+      rd(s, dir, "orders").write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$tmp/o").saveAsTable(ot)
+      rd(s, dir, "customer").write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$tmp/c").saveAsTable(ct)
+      val out = s.table(ot).join(s.table(ct),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("sum_totalprice"))
+      val result = s.createDataFrame(out.collectAsList(), out.schema)
+      s.sql(s"DROP TABLE IF EXISTS $ot")
+      s.sql(s"DROP TABLE IF EXISTS $ct")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      result
     })
   )
 
@@ -5307,6 +5382,43 @@ object SparkEntry {
 
     // the streaming automaton must land on exactly the batch histogram
     "q168_streaming_funnel" -> funnelDepthOracleSql,
+
+    // the oracle phrases as-of as a range join + argmax; the engine's
+    // carry-forward window must land on the same latest-click-within-1h.
+    // Both boundaries INCLUSIVE (<= on time, >= on the tolerance edge)
+    "q169_attribution" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
+        |p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, us AS cus FROM e WHERE event_type = 'click'),
+        |j AS (SELECT p.user_id, p.event_id, p.us, max(c.cus) AS click_us
+        |  FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |    AND c.cus <= p.us AND c.cus >= p.us - 3600000000
+        |  GROUP BY 1, 2, 3)
+        |SELECT user_id, count(*) AS n_purchases,
+        |  count(click_us) AS n_attributed,
+        |  CAST(sum(us - click_us) AS BIGINT) AS total_gap_us,
+        |  min(us - click_us) AS min_gap_us,
+        |  max(us - click_us) AS max_gap_us
+        |FROM j GROUP BY user_id""".stripMargin,
+
+    // the drifted-scan union: old-slice rows carry NULL for the columns
+    // only the new schema has
+    "q170_schema_evolution" ->
+      """WITH u AS (
+        |  SELECT lang, NULL AS source, NULL AS n_chars
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT lang, source, n_chars FROM documents WHERE doc_id % 2 = 1)
+        |SELECT lang, count(*) AS n_rows, count(source) AS n_with_source,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+        |FROM u GROUP BY lang""".stripMargin,
+
+    // the bucketed path must return exactly the plain join's answer
+    "q171_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     // the greedy unrolled: sel_k chains k-1 argmax CTEs, each excluding
     // the selected ids and subtracting (1-lambda)*max-cos-to-selected via
