@@ -3058,6 +3058,30 @@ object SparkEntry {
       s.sql(s"DROP TABLE IF EXISTS $ct")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       result
+    }),
+
+    // ---- keyset pagination ("search_after"): page 2 is NOT offset 10 —
+    // at serving scale OFFSET re-ranks the whole prefix per page, and a
+    // concurrent refresh shifts it. The cursor is the last (score, id) of
+    // the previous page; the next page filters strictly beyond it and
+    // takes a fresh top-k — same TakeOrderedAndProject cost as page 1.
+    // The cursor compare recomputes the codegen cosine on the same rows,
+    // so score equality is bit-reliable. Oracle = OFFSET form: keyset and
+    // offset pagination must agree under a total (score DESC, id) order.
+    "q172_search_cursor" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val qv = storedVecs(emb, 0).head
+      val page1 = Ann.topK(emb.where(col("vec_id") =!= 0), "vec_id",
+        "embedding", qv, 10).select("vec_id", "score").collect()
+      val (curScore, curId) = (page1.last.getDouble(1), page1.last.getLong(0))
+      val scored = emb.where(col("vec_id") =!= 0)
+        .withColumn("score", graft.functions.VectorFunctions
+          .cosineSim(col("embedding"), typedlit(qv)))
+      scored
+        .where(col("score") < lit(curScore) ||
+          (col("score") === lit(curScore) && col("vec_id") > lit(curId)))
+        .select("vec_id", "score")
+        .orderBy(col("score").desc, col("vec_id")).limit(10)
     })
   )
 
@@ -5419,6 +5443,15 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    // keyset page 2 ≡ offset page 2 under the total (score DESC, id) order
+    "q172_search_cursor" -> {
+      val cos = cosSql("e.embedding", "q.qv")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, $cos AS score
+         |FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+         |ORDER BY score DESC, e.vec_id LIMIT 10 OFFSET 10""".stripMargin
+    },
 
     // the greedy unrolled: sel_k chains k-1 argmax CTEs, each excluding
     // the selected ids and subtracting (1-lambda)*max-cos-to-selected via

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.SemanticSearch
 import graft.embed.HashingTfEmbedder
-import graft.operators.Ann
+import graft.operators.{Ann, Bm25}
 
 /** Concurrent-serving benchmark — the reference's PRODUCTION SLO, which
   * single-query wall times cannot measure: ~1,000 QPS at ~300 ms p50 over a
@@ -94,6 +94,30 @@ object ServeBench {
     val qvecs = corpus0.orderBy("vec_id").limit(64)
       .select("embedding").collect().map(_.getSeq[Float](0).toSeq).toIndexedSeq
 
+    // ---- lexical leg: replicated documents -> postings persisted
+    // partitionBy(term), so a query's term filter is PARTITION PRUNING.
+    // Corpus stats (N, avgdl, df) collect once — the bounded dimension
+    // lookups a serving tier holds in memory.
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dstride = docs0.agg(max("doc_id")).head().getLong(0) + 1
+    val docsRepl = (0 until repl).map(i =>
+        docs0.withColumn("doc_id", col("doc_id") + lit(i * dstride)))
+      .reduce(_ unionByName _)
+    val postDir = java.nio.file.Files.createTempDirectory("graft-serve-post").toString
+    Bm25.buildPostings(docsRepl, "doc_id", "text")
+      .write.mode("overwrite").partitionBy("term").parquet(postDir)
+    val postings = spark.read.parquet(postDir)
+    val dstats = docsRepl
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(sum("dl"), count(lit(1))).head()
+    val (sumDl, nLex) = (dstats.getLong(0), dstats.getLong(1))
+    val avgdl = sumDl.toDouble / nLex.toDouble
+    val dfMap = postings.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idfMap = Bm25.idfByTerm(dfMap, nLex, spark)
+    val termSets = IndexedSeq(Seq("dup", "vector", "query"),
+      Seq("dup", "stream"), Seq("vector", "join", "fast"), Seq("scan", "hash"))
+
     val searcher = new SemanticSearch(index, HashingTfEmbedder(dim),
       idCol = "vec_id", textCol = "label", embCol = "embedding")
     def jsonReq(qv: Seq[Float], k: Int): String =
@@ -108,6 +132,29 @@ object ServeBench {
         val n = Ann.topKIvf(index, "vec_id", "embedding", "ivf_cell", cents,
           qvecs(qi % qvecs.size), k = 5, nProbe = 2).collect().length
         require(n == 5, s"ivf_probe returned $n rows")
+      },
+      // the q163 surface under load: dense IVF probe + BM25 over the
+      // term-partitioned postings, the LEGS CONCURRENT within the request
+      // (the child thread inherits the caller's FAIR pool), fused
+      // DRIVER-SIDE — both legs are k-bounded lists, and a distributed
+      // join of two 20-row frames costs more in job scheduling than the
+      // whole request (measured 385 ms p50 vs local fusion)
+      "hybrid" -> { qi: Int =>
+        @volatile var dense: Seq[(Long, Int)] = null
+        val t = new Thread(() => {
+          dense = Ann.topKIvf(index, "vec_id", "embedding", "ivf_cell",
+              cents, qvecs(qi % qvecs.size), k = 20, nProbe = 2)
+            .select("vec_id").collect()
+            .zipWithIndex.map { case (r, i) => (r.getLong(0), i + 1) }.toSeq
+        })
+        t.start()
+        val lex = Bm25.searchPostings(postings, "doc_id",
+            termSets(qi % termSets.size), idfMap, avgdl, k = 20)
+          .select("doc_id").collect()
+          .zipWithIndex.map { case (r, i) => (r.getLong(0), i + 1) }.toSeq
+        t.join()
+        val n = Bm25.rrfFuseLocal(Seq(dense, lex), c = 60, k = 10).length
+        require(n == 10, s"hybrid returned $n rows")
       })
 
     final case class Level(requests: Int, failed: Int, p50: Double,

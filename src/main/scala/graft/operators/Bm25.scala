@@ -90,6 +90,76 @@ object Bm25 {
           (acc, s) => acc + s.getField("c")).as("score"))
   }
 
+  /** Serving-index build: one row per (term, id) posting with tf and dl —
+    * persist with `partitionBy("term")` and query-time term filters become
+    * PARTITION PRUNING (only the query's term directories are read, the
+    * inverted-index access pattern on plain parquet). Corpus stats ride
+    * along for the caller to persist/collect once.
+    */
+  def buildPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), col("__toks"),
+        size(col("__toks")).cast("long").as("dl"))
+    base.select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      // co-locate each term before a partitionBy("term") write: ONE file
+      // per term directory instead of one per shuffle partition. A query
+      // reading 2-3 terms then opens 2-3 files — file count, not byte
+      // count, dominated the measured read latency (32 stub files/term =
+      // ~140-300 ms just to COUNT a pruned read). A >2 GB term at true
+      // scale re-splits by maxRecordsPerFile, which composes fine.
+      .repartition(col("term"))
+      .sortWithinPartitions(col(idCol))
+  }
+
+  /** idf per term from the df table — INDEX METADATA, computed once at
+    * build time through the same [[graft.functions.DetMath.withLnDet]]
+    * series the batch path uses (one LocalTableScan job, vocab-bounded),
+    * then held by the serving tier as a plain map. Computing it per query
+    * would put a broadcast build on every request's critical path — the
+    * measured difference between a ~390 ms and a ~120 ms hybrid p50.
+    */
+  def idfByTerm(dfByTerm: Map[String, Long], n: Long,
+                spark: org.apache.spark.sql.SparkSession): Map[String, Double] = {
+    import spark.implicits._
+    val dfTab = dfByTerm.toSeq.toDF("term", "df")
+    graft.functions.DetMath.withLnDet(
+      dfTab.withColumn("x",
+        (lit(n) - col("df")).cast("double") + lit(0.5))
+        .withColumn("x", col("x") / (col("df").cast("double") + lit(0.5)) + lit(1.0)),
+      "x", "idf")
+      .select("term", "idf").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  /** Query-time BM25 over a prebuilt postings table (see [[buildPostings]])
+    * with precomputed index metadata ([[idfByTerm]], N·avgdl). Reads only
+    * the query terms' postings (partition pruning under a term-partitioned
+    * layout); idf attaches as a literal map lookup — map-side, no join, no
+    * broadcast on the request path. Same pinned float contract as
+    * [[scoreAll]].
+    */
+  def searchPostings(postings: DataFrame, idCol: String, terms: Seq[String],
+                     idf: Map[String, Double], avgdl: Double,
+                     k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val present = terms.filter(idf.contains)
+    require(present.nonEmpty, s"no query term has postings: $terms")
+    val idfCol = element_at(
+      typedlit(idf.filter(kv => present.contains(kv._1))), col("term"))
+    val tfD = col("tf").cast("double")
+    postings.where(col("term").isin(present: _*))
+      .withColumn("c", idfCol *
+        ((tfD * lit(k1 + 1.0)) /
+          (tfD + lit(k1) *
+            (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / lit(avgdl))))))
+      .groupBy(col(idCol))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term"), col("c")))),
+        lit(0.0), (acc, s) => acc + s.getField("c")).as("score"))
+      .orderBy(col("score").desc, col(idCol)).limit(k)
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09) of ranked
     * candidate lists: fused(d) = Σ_legs 1/(c + rank_leg(d)), summed in a
     * PINNED leg order (the leg sequence as given). Integer ranks →
@@ -100,6 +170,25 @@ object Bm25 {
     * serving scale these are top-k lists, so fusion is driver-light and
     * shuffle-tiny regardless of corpus size.
     */
+  /** Serving-path RRF over already-collected top-k lists (id → rank). The
+    * fusion input is k-bounded BY CONSTRUCTION — like the MMR rerank, it
+    * belongs on the driver: a distributed full-outer join of two 20-row
+    * frames costs more in job scheduling than the entire request. Same
+    * arithmetic and tie rule as [[rrfFuse]] (pinned leg-order summation,
+    * ties to lower id).
+    */
+  def rrfFuseLocal(legs: Seq[Seq[(Long, Int)]], c: Int = 60,
+                   k: Int = 10): Seq[(Long, Double)] = {
+    val scores = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
+    legs.foreach { leg =>
+      leg.foreach { case (id, rank) =>
+        val r = 1.0 / (c.toDouble + rank.toDouble)
+        scores.update(id, scores.getOrElse(id, 0.0) + r)
+      }
+    }
+    scores.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+
   def rrfFuse(legs: Seq[DataFrame], idCol: String, rankCol: String,
               c: Int = 60, k: Int = 10): DataFrame = {
     require(legs.nonEmpty, "RRF needs at least one leg")

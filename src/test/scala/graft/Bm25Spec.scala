@@ -88,6 +88,38 @@ class Bm25Spec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("postings serving path: bit-identical scores to the batch path; one file per term") {
+    val terms = Seq("spark", "join")
+    val batch = Bm25.scoreAll(docs, "id", "text", terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("bm25post").toString
+    Bm25.buildPostings(docs, "id", "text")
+      .write.mode("overwrite").partitionBy("term").parquet(dir)
+    val postings = spark.read.parquet(dir)
+    // index metadata, computed once at build time
+    val dfMap = postings.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stats = docs.select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(sum("dl"), count(lit(1))).head()
+    val avgdl = stats.getLong(0).toDouble / stats.getLong(1).toDouble
+    val idfMap = Bm25.idfByTerm(dfMap, stats.getLong(1), spark)
+    val served = Bm25.searchPostings(postings, "id", terms, idfMap, avgdl, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(served.keySet == batch.keySet)
+    served.foreach { case (id, s) =>
+      assert(s == batch(id), s"doc $id: served $s != batch ${batch(id)}")
+    }
+    // layout contract: the repartition(term) write leaves ONE data file per
+    // term directory (file count, not bytes, dominated read latency)
+    val termDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("term="))
+    assert(termDirs.nonEmpty)
+    termDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: ${files.length} files")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("RRF fuses full-outer: both-leg docs outrank single-leg docs at equal rank") {
     val legA = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
     val legB = Seq((10L, 2), (13L, 1)).toDF("id", "rank")
