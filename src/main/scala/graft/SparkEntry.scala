@@ -3082,7 +3082,57 @@ object SparkEntry {
           (col("score") === lit(curScore) && col("vec_id") > lit(curId)))
         .select("vec_id", "score")
         .orderBy(col("score").desc, col("vec_id")).limit(10)
-    })
+    }),
+
+    // ---- INCREMENTAL inverted-index maintenance: the serving postings
+    // table (q162's tf/dl rows, the reference's TARGET_LAG refresh idea
+    // applied to the lexical index) maintained as a streaming accumulate —
+    // per-batch partial postings merge by (term, doc) with tf summed and
+    // dl maxed (q161's machinery), so two document slices arriving as
+    // separate micro-batches finish into EXACTLY the batch-built index.
+    "q173_streaming_postings" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q173").toString
+      val docs = rd(s, dir, "documents")
+      (1 to 2).foreach { i =>
+        docs.where(pmod(col("doc_id"), lit(2)) === lit(i - 1))
+          .coalesce(1).write.parquet(f"$tmp/in/slice_$i%03d")
+        val walk = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(f"$tmp/in/slice_$i%03d"))
+        try walk.forEach { p =>
+          if (!p.toFile.setLastModified(1000000000000L + i * 60000L))
+            sys.error(s"q173: setLastModified failed for $p")
+        } finally walk.close()
+      }
+      val table = s"$tmp/postings"
+      withStreamPartitions(s) {
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(s"$tmp/in/*")
+        val q = stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val partial = graft.operators.Bm25.buildPostings(
+              batch, "doc_id", "text")
+            graft.streaming.UpsertSink.accumulateBatch(table, partial,
+              Seq("term", "doc_id"), sumCols = Seq("tf"), minCols = Nil,
+              maxCols = Seq("dl"))
+        }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val out = s.read.parquet(table).select("term", "doc_id", "tf", "dl")
+      s.createDataFrame(out.collectAsList(), out.schema)
+    }),
+
+    // ---- SQ8 scalar quantization audit (operators/Quantize.scala): the
+    // codebook-free 4x embedding compression, per-vector affine int8 —
+    // quantize, reconstruct, and gate the max reconstruction error AND
+    // the original-vs-reconstruction cosine, all pinned IEEE ops (the
+    // DetMath rule applied to a codec).
+    "q174_sq8_quantize" -> ((s, dir) =>
+      graft.operators.Quantize.sq8Report(rd(s, dir, "embeddings"),
+        "vec_id", "embedding"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -5443,6 +5493,37 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    // the incremental accumulate must land on exactly the batch index
+    // (each doc's postings arrive whole in one slice, so SUM-merge of tf
+    // across batches only ever adds a doc's tf to the zero state)
+    "q173_streaming_postings" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |  unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT term, doc_id, count(*) AS tf, max(dl) AS dl
+        |FROM t GROUP BY term, doc_id""".stripMargin,
+
+    // same affine codec, element by element: round = floor(q + 0.5),
+    // clamp via greatest/least, one fused multiply-add back; folds in
+    // list order for the cosine
+    "q174_sq8_quantize" ->
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs FROM embeddings),
+        |m AS (SELECT vec_id, xs, list_min(xs) AS mn, list_max(xs) AS mx FROM v),
+        |sc AS (SELECT *, CASE WHEN mx = mn THEN CAST(1 AS DOUBLE)
+        |  ELSE (mx - mn) / CAST(255 AS DOUBLE) END AS scale FROM m),
+        |qd AS (SELECT vec_id, xs, mn, mx, scale,
+        |  list_transform(xs, x -> mn +
+        |    greatest(CAST(0 AS DOUBLE), least(CAST(255 AS DOUBLE),
+        |      floor((x - mn) / scale + CAST(0.5 AS DOUBLE)))) * scale) AS ds
+        |  FROM sc)
+        |SELECT vec_id, mn, mx, scale,
+        |  list_max(list_transform(list_zip(xs, ds), p -> abs(p[1] - p[2]))) AS max_err,
+        |  (list_sum(list_transform(list_zip(xs, ds), p -> p[1] * p[2]))
+        |    / (sqrt(list_sum(list_transform(xs, a -> a * a)))
+        |       * sqrt(list_sum(list_transform(ds, b -> b * b))))) AS cos_dequant
+        |FROM qd""".stripMargin,
 
     // keyset page 2 ≡ offset page 2 under the total (score DESC, id) order
     "q172_search_cursor" -> {
