@@ -3132,7 +3132,44 @@ object SparkEntry {
     // DetMath rule applied to a codec).
     "q174_sq8_quantize" -> ((s, dir) =>
       graft.operators.Quantize.sq8Report(rd(s, dir, "embeddings"),
-        "vec_id", "embedding"))
+        "vec_id", "embedding")),
+
+    // ---- write-audit-publish (streaming/Wap.scala): stage -> audit the
+    // merged candidate -> publish only if clean. A clean batch commits
+    // (version advances); a batch with planted empty-text rows fails its
+    // audit and the table STAYS at the previous version — the final
+    // snapshot_rows row proves readers never saw the dirty batch.
+    "q175_write_audit_publish" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q175").toString
+      val table = s"$tmp/docs"
+      val docs = rd(s, dir, "documents").select("doc_id", "text")
+      val rules = Seq(
+        graft.operators.Checks.Predicate("text_nonempty", length(col("text")) > 0),
+        graft.operators.Checks.Unique("unique_doc_id", Seq("doc_id")))
+      def stamp(df: DataFrame, v: Int) =
+        df.withColumn("version", lit(v)).withColumn("prio", lit(0))
+      val b1 = stamp(docs.where(pmod(col("doc_id"), lit(3)) > 0), 1)
+      val a1 = graft.streaming.Wap.publishIfClean(table, b1, Seq("doc_id"),
+          "version", "prio", rules)
+        .withColumn("batch", lit("clean_batch"))
+      val b2 = stamp(docs.where(pmod(col("doc_id"), lit(3)) === 0)
+        .withColumn("text", when(pmod(col("doc_id"), lit(6)) === 0, lit(""))
+          .otherwise(col("text"))), 2)
+      val a2 = graft.streaming.Wap.publishIfClean(table, b2, Seq("doc_id"),
+          "version", "prio", rules)
+        .withColumn("batch", lit("dirty_batch"))
+      val snapRows = s.read.parquet(table).count()
+      val snap = Seq(("final", "snapshot_rows", snapRows, 0L, true, true))
+        .toDF("batch", "rule", "n_checked", "n_violations", "pass", "published")
+      val cols = Seq("batch", "rule", "n_checked", "n_violations", "pass", "published")
+      val out = a1.select(cols.map(col): _*)
+        .unionByName(a2.select(cols.map(col): _*))
+        .unionByName(snap)
+      val result = s.createDataFrame(out.collectAsList(), out.schema)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      result
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -5524,6 +5561,30 @@ object SparkEntry {
         |    / (sqrt(list_sum(list_transform(xs, a -> a * a)))
         |       * sqrt(list_sum(list_transform(ds, b -> b * b))))) AS cos_dequant
         |FROM qd""".stripMargin,
+
+    // violation counts computed from the same slices; the `published`
+    // literals ARE the gated semantic (clean commits, dirty does not, and
+    // the final snapshot still holds exactly the clean batch)
+    "q175_write_audit_publish" ->
+      """WITH b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 > 0),
+        |b2 AS (SELECT doc_id, CASE WHEN doc_id % 6 = 0 THEN '' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |c2 AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+        |n1 AS (SELECT count(*) AS n FROM b1),
+        |v1 AS (SELECT count(*) AS v FROM b1 WHERE NOT len(text) > 0),
+        |n2 AS (SELECT count(*) AS n FROM c2),
+        |v2 AS (SELECT count(*) AS v FROM c2 WHERE NOT len(text) > 0)
+        |SELECT 'clean_batch' AS batch, 'text_nonempty' AS rule,
+        |  (SELECT n FROM n1) AS n_checked, (SELECT v FROM v1) AS n_violations,
+        |  (SELECT v FROM v1) = 0 AS pass, TRUE AS published
+        |UNION ALL SELECT 'clean_batch', 'unique_doc_id',
+        |  (SELECT n FROM n1), 0, TRUE, TRUE
+        |UNION ALL SELECT 'dirty_batch', 'text_nonempty',
+        |  (SELECT n FROM n2), (SELECT v FROM v2), (SELECT v FROM v2) = 0, FALSE
+        |UNION ALL SELECT 'dirty_batch', 'unique_doc_id',
+        |  (SELECT n FROM n2), 0, TRUE, FALSE
+        |UNION ALL SELECT 'final', 'snapshot_rows',
+        |  (SELECT n FROM n1), 0, TRUE, TRUE""".stripMargin,
 
     // keyset page 2 ≡ offset page 2 under the total (score DESC, id) order
     "q172_search_cursor" -> {

@@ -159,19 +159,38 @@ object UpsertSink {
     * row — compares against the stored winner's full key and merges
     * idempotently.
     */
-  def compactBatch(table: String, batch: DataFrame, keyCols: Seq[String],
-                   versionCol: String, prioCol: String): Unit = {
+  /** The pre-publish CANDIDATE: current snapshot ∪ batch, merged
+    * latest-wins by (version, prio) per key — what the table WOULD become.
+    * Exposed so a write-audit-publish flow ([[Wap]]) can validate the
+    * candidate before committing it.
+    */
+  private[streaming] def mergedCandidate(table: String, batch: DataFrame,
+                                         keyCols: Seq[String], versionCol: String,
+                                         prioCol: String): DataFrame = {
     val spark = batch.sparkSession
     val all = currentState(spark, table) match {
       case Some(cur) => cur.unionByName(batch.select(cur.columns.map(col): _*))
       case None => batch
     }
     val payloadCols = all.columns.filterNot(keyCols.contains).toSeq
-    val merged = all.groupBy(keyCols.map(col): _*)
+    all.groupBy(keyCols.map(col): _*)
       .agg(max_by(struct(payloadCols.map(col): _*),
         struct(col(versionCol), col(prioCol))).as("_w"))
       .select(keyCols.map(col) ++ payloadCols.map(c => col(s"_w.$c").as(c)): _*)
+  }
+
+  /** Commit an audited candidate as the next version (the [[Wap]] publish
+    * leg — same crash-safe version-dir + symlink swap as [[compactBatch]]).
+    */
+  private[streaming] def publishMerged(spark: SparkSession, table: String,
+                                       merged: DataFrame): Unit =
     publish(spark, table, merged)
+
+  def compactBatch(table: String, batch: DataFrame, keyCols: Seq[String],
+                   versionCol: String, prioCol: String): Unit = {
+    val spark = batch.sparkSession
+    publish(spark, table,
+      mergedCandidate(table, batch, keyCols, versionCol, prioCol))
   }
 
   /** Wire a versioned stream into a compacted table: every batch runs
