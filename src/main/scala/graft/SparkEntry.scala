@@ -3169,6 +3169,70 @@ object SparkEntry {
       val result = s.createDataFrame(out.collectAsList(), out.schema)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       result
+    }),
+
+    // ---- convex score fusion (Bm25.normFuseLocal): the other hybrid
+    // combiner next to q163's RRF — per-leg min-max normalization over
+    // each leg's own candidate list, then 0.6·dense + 0.4·lexical in
+    // pinned leg order. Preserves score magnitude where RRF keeps only
+    // rank; both fuse k-bounded lists on the driver.
+    "q176_norm_fusion" -> ((s, dir) => {
+      import s.implicits._
+      val emb = rd(s, dir, "embeddings")
+      val qv = storedVecs(emb, 3).head
+      val dense = Ann.topK(emb.where(col("vec_id") =!= 3), "vec_id",
+          "embedding", qv, 20)
+        .select("vec_id", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val lex = graft.operators.Bm25.search(rdPar(s, dir, "documents"),
+          "doc_id", "text", Seq("dup", "query"), k = 20)
+        .select("doc_id", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      graft.operators.Bm25.normFuseLocal(Seq((dense, 0.6), (lex, 0.4)), k = 10)
+        .toDF("id", "fused")
+    }),
+
+    // ---- KMV bottom-k sketch (operators/Kmv.scala): the SET-OPERATION
+    // sketch HLL cannot be — per-source bottom-64 distinct hashes, then
+    // pairwise union/Jaccard ESTIMATES next to their exact twins (the
+    // "how much do these sources overlap" audit, affordable at 100 TB
+    // where the exact pairwise join is not). Sketches are bounded min-k
+    // heap aggregates (O(k)/partition shuffled); pair arithmetic is
+    // driver-side over the groups x k collected table.
+    "q177_kmv_overlap" -> ((s, dir) => {
+      // item = token TRIGRAM shingle: unlike the doc-scoped postings
+      // (disjoint across sources by id construction), shingles genuinely
+      // overlap between sources (~0.01-0.08 jaccard), so the estimator
+      // and its exact twin are both exercised on non-zero ground truth
+      val t = split(col("text"), " ")
+      val sh = when(size(t) >= 3,
+        transform(sequence(lit(1), size(t) - lit(2)), i =>
+          concat_ws(" ", element_at(t, i), element_at(t, i + lit(1)),
+            element_at(t, i + lit(2)))))
+        .otherwise(array().cast("array<string>"))
+      val posts = rdPar(s, dir, "documents")
+        .select(col("source"), explode(sh).as("posting"))
+      val sk = graft.operators.Kmv.sketch(posts, Seq("source"),
+        col("posting"), k = 64)
+      val est = graft.operators.Kmv.pairEstimates(sk, "source", k = 64)
+      val d = posts.distinct()
+      val sizes = d.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = d.as("x").join(d.as("y"),
+          col("x.posting") === col("y.posting")
+            && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      est.join(inter, Seq("source_a", "source_b"), "left")
+        .na.fill(0L, Seq("n_inter"))
+        .join(broadcast(sizes.select(col("source").as("source_a"),
+          col("n").as("na"))), Seq("source_a"))
+        .join(broadcast(sizes.select(col("source").as("source_b"),
+          col("n").as("nb"))), Seq("source_b"))
+        .withColumn("exact_union", col("na") + col("nb") - col("n_inter"))
+        .withColumn("exact_jaccard",
+          col("n_inter").cast("double") / col("exact_union").cast("double"))
+        .select("source_a", "source_b", "n_merged", "est_union",
+          "est_jaccard", "n_inter", "exact_union", "exact_jaccard")
     })
   )
 
@@ -5585,6 +5649,82 @@ object SparkEntry {
         |  (SELECT n FROM n2), 0, TRUE, FALSE
         |UNION ALL SELECT 'final', 'snapshot_rows',
         |  (SELECT n FROM n1), 0, TRUE, TRUE""".stripMargin,
+
+    // per-leg min-max over the leg's own 20 candidates, convex sum in
+    // pinned leg order, absent legs contribute exactly 0
+    "q176_norm_fusion" -> {
+      val cos = cosSql("e.embedding", "q.qv")
+      s"""WITH qd AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
+         |dense AS (
+         |  SELECT e.vec_id AS id, $cos AS score
+         |  FROM embeddings e CROSS JOIN qd q WHERE e.vec_id <> 3
+         |  ORDER BY score DESC, e.vec_id LIMIT 20),
+         |dmm AS (SELECT min(score) AS mn, max(score) AS mx FROM dense),
+         |dn AS (SELECT id, CASE WHEN (SELECT mx FROM dmm) = (SELECT mn FROM dmm)
+         |  THEN CAST(1 AS DOUBLE)
+         |  ELSE (score - (SELECT mn FROM dmm))
+         |    / ((SELECT mx FROM dmm) - (SELECT mn FROM dmm)) END AS n FROM dense),
+         |lexs AS (SELECT doc_id AS id, score FROM ${bm25ScoredSql(Seq("dup", "query"))} s
+         |  ORDER BY score DESC, doc_id LIMIT 20),
+         |lmm AS (SELECT min(score) AS mn, max(score) AS mx FROM lexs),
+         |ln AS (SELECT id, CASE WHEN (SELECT mx FROM lmm) = (SELECT mn FROM lmm)
+         |  THEN CAST(1 AS DOUBLE)
+         |  ELSE (score - (SELECT mn FROM lmm))
+         |    / ((SELECT mx FROM lmm) - (SELECT mn FROM lmm)) END AS n FROM lexs)
+         |SELECT coalesce(dn.id, ln.id) AS id,
+         |  CAST(0.6 AS DOUBLE) * coalesce(dn.n, CAST(0 AS DOUBLE))
+         |    + CAST(0.4 AS DOUBLE) * coalesce(ln.n, CAST(0 AS DOUBLE)) AS fused
+         |FROM dn FULL OUTER JOIN ln ON dn.id = ln.id
+         |ORDER BY fused DESC, id LIMIT 10""".stripMargin
+    },
+
+    // same 60-bit md5 hash as the HLL family; bottom-64 per source via
+    // rank; merged-pair rank + membership joins mirror the estimators
+    // (ntot < k => exact regime); exact twins from the distinct postings
+    "q177_kmv_overlap" ->
+      """WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT source, unnest(list_transform(range(1, len(t) - 1),
+        |  i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS w FROM tok),
+        |d AS (SELECT DISTINCT source, w FROM sh),
+        |h AS (SELECT DISTINCT source,
+        |  CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS hv FROM d),
+        |r AS (SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM h),
+        |sk AS (SELECT source, hv FROM r WHERE rn <= 64),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |ps AS (SELECT a.source AS sa, b.source AS sb FROM srcs a
+        |  JOIN srcs b ON a.source < b.source),
+        |mu0 AS (SELECT DISTINCT p.sa, p.sb, s.hv FROM ps p
+        |  JOIN sk s ON s.source = p.sa OR s.source = p.sb),
+        |mu AS (SELECT sa, sb, hv,
+        |  row_number() OVER (PARTITION BY sa, sb ORDER BY hv) AS rn,
+        |  count(*) OVER (PARTITION BY sa, sb) AS ntot FROM mu0),
+        |kth AS (SELECT sa, sb, max(ntot) AS ntot,
+        |  max(CASE WHEN rn = 64 THEN hv END) AS kth FROM mu GROUP BY 1, 2),
+        |rho AS (SELECT m.sa, m.sb, count(*) AS rho FROM mu m
+        |  JOIN sk x ON x.source = m.sa AND x.hv = m.hv
+        |  JOIN sk y ON y.source = m.sb AND y.hv = m.hv
+        |  WHERE m.rn <= 64 GROUP BY 1, 2),
+        |est AS (SELECT k.sa, k.sb, k.ntot,
+        |  CASE WHEN k.ntot < 64 THEN CAST(k.ntot AS DOUBLE)
+        |    ELSE CAST(63 AS DOUBLE)
+        |      / (CAST(k.kth AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)) END AS est_union,
+        |  CASE WHEN k.ntot < 64 THEN (CASE WHEN k.ntot = 0 THEN CAST(0 AS DOUBLE)
+        |      ELSE CAST(coalesce(r.rho, 0) AS DOUBLE) / CAST(k.ntot AS DOUBLE) END)
+        |    ELSE CAST(coalesce(r.rho, 0) AS DOUBLE) / CAST(64 AS DOUBLE) END AS est_jaccard
+        |  FROM kth k LEFT JOIN rho r ON r.sa = k.sa AND r.sb = k.sb),
+        |sizes AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+        |ex AS (SELECT x.source AS sa, y.source AS sb, count(*) AS n_inter
+        |  FROM d x JOIN d y ON x.w = y.w AND x.source < y.source GROUP BY 1, 2)
+        |SELECT e.sa AS source_a, e.sb AS source_b, e.ntot AS n_merged,
+        |  e.est_union, e.est_jaccard,
+        |  coalesce(ex.n_inter, 0) AS n_inter,
+        |  na.n + nb.n - coalesce(ex.n_inter, 0) AS exact_union,
+        |  CAST(coalesce(ex.n_inter, 0) AS DOUBLE)
+        |    / CAST(na.n + nb.n - coalesce(ex.n_inter, 0) AS DOUBLE) AS exact_jaccard
+        |FROM est e
+        |LEFT JOIN ex ON ex.sa = e.sa AND ex.sb = e.sb
+        |JOIN sizes na ON na.source = e.sa
+        |JOIN sizes nb ON nb.source = e.sb""".stripMargin,
 
     // keyset page 2 ≡ offset page 2 under the total (score DESC, id) order
     "q172_search_cursor" -> {

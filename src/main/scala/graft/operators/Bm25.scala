@@ -189,6 +189,35 @@ object Bm25 {
     scores.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
   }
 
+  /** Convex (weighted min-max-normalized) score fusion — the other
+    * standard hybrid combiner next to RRF: each leg's candidate scores
+    * normalize to [0,1] over ITS OWN candidate list ((s−min)/(max−min);
+    * a constant leg normalizes to 1), then fused = Σ w_leg·norm summed in
+    * leg order with 0 for absent docs. Unlike RRF it preserves score
+    * MAGNITUDE (a dominant dense hit stays dominant), at the cost of
+    * sensitivity to each leg's score distribution. Driver-side over
+    * k-bounded lists, like [[rrfFuseLocal]].
+    */
+  def normFuseLocal(legs: Seq[(Seq[(Long, Double)], Double)],
+                    k: Int = 10): Seq[(Long, Double)] = {
+    val scores = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
+    val ids = scala.collection.mutable.LinkedHashSet.empty[Long]
+    legs.foreach { case (leg, _) => leg.foreach(e => ids.add(e._1)) }
+    legs.foreach { case (leg, w) =>
+      val mn = leg.map(_._2).min
+      val mx = leg.map(_._2).max
+      val m = leg.toMap
+      ids.foreach { id =>
+        val n = m.get(id) match {
+          case None => 0.0
+          case Some(s) => if (mx == mn) 1.0 else (s - mn) / (mx - mn)
+        }
+        scores.update(id, scores.getOrElse(id, 0.0) + w * n)
+      }
+    }
+    scores.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+
   def rrfFuse(legs: Seq[DataFrame], idCol: String, rankCol: String,
               c: Int = 60, k: Int = 10): DataFrame = {
     require(legs.nonEmpty, "RRF needs at least one leg")
