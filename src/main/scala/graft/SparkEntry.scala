@@ -321,6 +321,19 @@ object SparkEntry {
     * occurrence, posting = "doc_id:token" — the distinct-(doc, token)
     * incidence whose cardinality is the inverted-index size (q139).
     */
+  /** (source, posting=token trigram shingle) — the overlap-bearing item
+    * the KMV family (q177/q178) sketches.
+    */
+  private def trigramShingles(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val sh = when(size(t) >= 3,
+      transform(sequence(lit(1), size(t) - lit(2)), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + lit(1)),
+          element_at(t, i + lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("source"), explode(sh).as("posting"))
+  }
+
   private def postingsBySource(docs: DataFrame): DataFrame =
     docs.select(col("source"), col("doc_id"),
         explode(split(col("text"), " ")).as("w"))
@@ -3204,14 +3217,7 @@ object SparkEntry {
       // (disjoint across sources by id construction), shingles genuinely
       // overlap between sources (~0.01-0.08 jaccard), so the estimator
       // and its exact twin are both exercised on non-zero ground truth
-      val t = split(col("text"), " ")
-      val sh = when(size(t) >= 3,
-        transform(sequence(lit(1), size(t) - lit(2)), i =>
-          concat_ws(" ", element_at(t, i), element_at(t, i + lit(1)),
-            element_at(t, i + lit(2)))))
-        .otherwise(array().cast("array<string>"))
-      val posts = rdPar(s, dir, "documents")
-        .select(col("source"), explode(sh).as("posting"))
+      val posts = trigramShingles(rdPar(s, dir, "documents"))
       val sk = graft.operators.Kmv.sketch(posts, Seq("source"),
         col("posting"), k = 64)
       val est = graft.operators.Kmv.pairEstimates(sk, "source", k = 64)
@@ -3233,6 +3239,82 @@ object SparkEntry {
           col("n_inter").cast("double") / col("exact_union").cast("double"))
         .select("source_a", "source_b", "n_merged", "est_union",
           "est_jaccard", "n_inter", "exact_union", "exact_jaccard")
+    }),
+
+    // ---- INCREMENTAL KMV (streaming/KmvStream.scala): bottom-k-of-
+    // distinct is closed under merge, so the per-source sketch table
+    // accumulates across micro-batches with a pure-builtin
+    // slice(sort(distinct(flatten))) merge — two document slices finish
+    // into EXACTLY the batch sketch, and the pair estimates match q177's
+    // estimate legs verbatim. k longs of state per source, forever.
+    "q178_streaming_kmv" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q178").toString
+      val docs = rd(s, dir, "documents")
+      (1 to 2).foreach { i =>
+        docs.where(pmod(col("doc_id"), lit(2)) === lit(i - 1))
+          .coalesce(1).write.parquet(f"$tmp/in/slice_$i%03d")
+        val walk = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(f"$tmp/in/slice_$i%03d"))
+        try walk.forEach { p =>
+          if (!p.toFile.setLastModified(1000000000000L + i * 60000L))
+            sys.error(s"q178: setLastModified failed for $p")
+        } finally walk.close()
+      }
+      val table = s"$tmp/kmv"
+      withStreamPartitions(s) {
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(s"$tmp/in/*")
+        val q = stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val partial = graft.operators.Kmv.sketch(
+              trigramShingles(batch), Seq("source"), col("posting"), k = 64)
+            graft.streaming.KmvStream.accumulateBatch(table, partial,
+              "source", k = 64)
+        }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val est = graft.operators.Kmv.pairEstimates(
+        s.read.parquet(table), "source", k = 64)
+      val result = s.createDataFrame(est.collectAsList(), est.schema)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      result
+    }),
+
+    // ---- SQ8-accelerated search (Quantize.topKSq8): approximate cosine
+    // over the dequantized int8 codes (the 4x-smaller scan), exact rerank
+    // of the 3k best — q174's codec joining the ANN family next to PQ
+    // (q118/q129), same prune-then-rerank contract.
+    "q179_sq8_search" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") =!= 5)
+      val qv = storedVecs(emb, 5).head
+      graft.operators.Quantize.topKSq8(
+        graft.operators.Quantize.withSq8(corpus, "embedding"),
+        "vec_id", "embedding", qv, k = 5, rerankFactor = 3)
+        .select("vec_id", "score")
+    }),
+
+    // ---- search-result snippets: a 7-token window centered on the first
+    // occurrence of the highest-priority matching query term — the
+    // serving layer's result presentation, pure map-side over the
+    // (broadcast) ranked ids.
+    "q180_snippets" -> ((s, dir) => {
+      val docs = rdPar(s, dir, "documents")
+      val top = graft.operators.Bm25.search(docs, "doc_id", "text",
+        Seq("dup", "stream"), k = 10).select("doc_id", "score")
+      val toks = split(col("text"), " ")
+      val posDup = array_position(toks, "dup")
+      val pos = when(posDup > 0, posDup)
+        .otherwise(array_position(toks, "stream"))
+      val start = greatest(lit(1L), pos - lit(3L))
+      broadcast(top).join(docs.select("doc_id", "text"), Seq("doc_id"))
+        .withColumn("snippet",
+          concat_ws(" ", slice(toks, start.cast("int"), lit(7))))
+        .select("doc_id", "score", "snippet")
     })
   )
 
@@ -5681,50 +5763,58 @@ object SparkEntry {
     // same 60-bit md5 hash as the HLL family; bottom-64 per source via
     // rank; merged-pair rank + membership joins mirror the estimators
     // (ntot < k => exact regime); exact twins from the distinct postings
-    "q177_kmv_overlap" ->
-      """WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT source, unnest(list_transform(range(1, len(t) - 1),
-        |  i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS w FROM tok),
-        |d AS (SELECT DISTINCT source, w FROM sh),
-        |h AS (SELECT DISTINCT source,
-        |  CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS hv FROM d),
-        |r AS (SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM h),
-        |sk AS (SELECT source, hv FROM r WHERE rn <= 64),
-        |srcs AS (SELECT DISTINCT source FROM documents),
-        |ps AS (SELECT a.source AS sa, b.source AS sb FROM srcs a
-        |  JOIN srcs b ON a.source < b.source),
-        |mu0 AS (SELECT DISTINCT p.sa, p.sb, s.hv FROM ps p
-        |  JOIN sk s ON s.source = p.sa OR s.source = p.sb),
-        |mu AS (SELECT sa, sb, hv,
-        |  row_number() OVER (PARTITION BY sa, sb ORDER BY hv) AS rn,
-        |  count(*) OVER (PARTITION BY sa, sb) AS ntot FROM mu0),
-        |kth AS (SELECT sa, sb, max(ntot) AS ntot,
-        |  max(CASE WHEN rn = 64 THEN hv END) AS kth FROM mu GROUP BY 1, 2),
-        |rho AS (SELECT m.sa, m.sb, count(*) AS rho FROM mu m
-        |  JOIN sk x ON x.source = m.sa AND x.hv = m.hv
-        |  JOIN sk y ON y.source = m.sb AND y.hv = m.hv
-        |  WHERE m.rn <= 64 GROUP BY 1, 2),
-        |est AS (SELECT k.sa, k.sb, k.ntot,
-        |  CASE WHEN k.ntot < 64 THEN CAST(k.ntot AS DOUBLE)
-        |    ELSE CAST(63 AS DOUBLE)
-        |      / (CAST(k.kth AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)) END AS est_union,
-        |  CASE WHEN k.ntot < 64 THEN (CASE WHEN k.ntot = 0 THEN CAST(0 AS DOUBLE)
-        |      ELSE CAST(coalesce(r.rho, 0) AS DOUBLE) / CAST(k.ntot AS DOUBLE) END)
-        |    ELSE CAST(coalesce(r.rho, 0) AS DOUBLE) / CAST(64 AS DOUBLE) END AS est_jaccard
-        |  FROM kth k LEFT JOIN rho r ON r.sa = k.sa AND r.sb = k.sb),
-        |sizes AS (SELECT source, count(*) AS n FROM d GROUP BY source),
-        |ex AS (SELECT x.source AS sa, y.source AS sb, count(*) AS n_inter
-        |  FROM d x JOIN d y ON x.w = y.w AND x.source < y.source GROUP BY 1, 2)
-        |SELECT e.sa AS source_a, e.sb AS source_b, e.ntot AS n_merged,
-        |  e.est_union, e.est_jaccard,
-        |  coalesce(ex.n_inter, 0) AS n_inter,
-        |  na.n + nb.n - coalesce(ex.n_inter, 0) AS exact_union,
-        |  CAST(coalesce(ex.n_inter, 0) AS DOUBLE)
-        |    / CAST(na.n + nb.n - coalesce(ex.n_inter, 0) AS DOUBLE) AS exact_jaccard
-        |FROM est e
-        |LEFT JOIN ex ON ex.sa = e.sa AND ex.sb = e.sb
-        |JOIN sizes na ON na.source = e.sa
-        |JOIN sizes nb ON nb.source = e.sb""".stripMargin,
+    "q177_kmv_overlap" -> kmvOverlapOracleSql(withExact = true),
+
+    // the accumulated sketch table must yield exactly q177's estimates
+    "q178_streaming_kmv" -> kmvOverlapOracleSql(withExact = false),
+
+    // q174's codec element-wise, approximate cosine over the dequantized
+    // lists (folds in list order), top-15 by (approx DESC, id), exact
+    // cosine rerank to top-5
+    "q179_sq8_search" -> {
+      val cos = cosSql("c.embedding", "q.qv")
+      s"""WITH qd AS (SELECT embedding AS qv,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qs
+         |  FROM embeddings WHERE vec_id = 5),
+         |v AS (SELECT vec_id, embedding,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+         |  FROM embeddings WHERE vec_id <> 5),
+         |m AS (SELECT vec_id, embedding, xs, list_min(xs) AS mn, list_max(xs) AS mx FROM v),
+         |sc AS (SELECT *, CASE WHEN mx = mn THEN CAST(1 AS DOUBLE)
+         |  ELSE (mx - mn) / CAST(255 AS DOUBLE) END AS scale FROM m),
+         |dq AS (SELECT vec_id, embedding,
+         |  list_transform(xs, x -> mn +
+         |    greatest(CAST(0 AS DOUBLE), least(CAST(255 AS DOUBLE),
+         |      floor((x - mn) / scale + CAST(0.5 AS DOUBLE)))) * scale) AS ds
+         |  FROM sc),
+         |ap AS (SELECT d.vec_id, d.embedding,
+         |  list_sum(list_transform(list_zip(d.ds, q.qs), p -> p[1] * p[2]))
+         |    / (sqrt(list_sum(list_transform(d.ds, a -> a * a)))
+         |       * sqrt(list_sum(list_transform(q.qs, a -> a * a)))) AS approx
+         |  FROM dq d CROSS JOIN qd q),
+         |cand AS (SELECT vec_id, embedding FROM ap
+         |  ORDER BY approx DESC, vec_id LIMIT 15)
+         |SELECT c.vec_id, $cos AS score
+         |FROM cand c CROSS JOIN qd q
+         |ORDER BY score DESC, c.vec_id LIMIT 5""".stripMargin
+    },
+
+    // the BM25 top-10 joined back to text; snippet = tokens
+    // [pos-3, pos+3] (clamped) around the first 'dup', else first
+    // 'stream' (both positions 0 when absent in both engines)
+    "q180_snippets" -> {
+      s"""WITH lexs AS (
+         |  SELECT doc_id, score FROM ${bm25ScoredSql(Seq("dup", "stream"))} s
+         |  ORDER BY score DESC, doc_id LIMIT 10),
+         |j AS (SELECT l.doc_id, l.score, string_split(d.text, ' ') AS t
+         |  FROM lexs l JOIN documents d USING (doc_id)),
+         |p AS (SELECT doc_id, score, t,
+         |  CASE WHEN list_position(t, 'dup') > 0 THEN list_position(t, 'dup')
+         |    ELSE list_position(t, 'stream') END AS pos FROM j),
+         |w AS (SELECT doc_id, score, greatest(1, pos - 3) AS st, t FROM p)
+         |SELECT doc_id, score,
+         |  array_to_string(t[st : st + 6], ' ') AS snippet FROM w""".stripMargin
+    },
 
     // keyset page 2 ≡ offset page 2 under the total (score DESC, id) order
     "q172_search_cursor" -> {
@@ -5845,6 +5935,65 @@ object SparkEntry {
        |u AS (SELECT ukey, max(q0) + max(q1) + max(q2) AS depth FROM f2 GROUP BY ukey)
        |SELECT CAST(depth AS INTEGER) AS depth, CAST(count(*) AS BIGINT) AS n_users
        |FROM u GROUP BY depth""".stripMargin
+  }
+
+  /** KMV overlap oracle: sketch + pair estimates (q177/q178 share it; the
+    * streaming accumulate must land on the batch estimates exactly), with
+    * the exact twins appended for q177 only.
+    */
+  private def kmvOverlapOracleSql(withExact: Boolean): String = {
+    val common =
+      """WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT source, unnest(list_transform(range(1, len(t) - 1),
+        |  i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS w FROM tok),
+        |d AS (SELECT DISTINCT source, w FROM sh),
+        |h AS (SELECT DISTINCT source,
+        |  CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS hv FROM d),
+        |r AS (SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM h),
+        |sk AS (SELECT source, hv FROM r WHERE rn <= 64),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |ps AS (SELECT a.source AS sa, b.source AS sb FROM srcs a
+        |  JOIN srcs b ON a.source < b.source),
+        |mu0 AS (SELECT DISTINCT p.sa, p.sb, s.hv FROM ps p
+        |  JOIN sk s ON s.source = p.sa OR s.source = p.sb),
+        |mu AS (SELECT sa, sb, hv,
+        |  row_number() OVER (PARTITION BY sa, sb ORDER BY hv) AS rn,
+        |  count(*) OVER (PARTITION BY sa, sb) AS ntot FROM mu0),
+        |kth AS (SELECT sa, sb, max(ntot) AS ntot,
+        |  max(CASE WHEN rn = 64 THEN hv END) AS kth FROM mu GROUP BY 1, 2),
+        |rho AS (SELECT m.sa, m.sb, count(*) AS rho FROM mu m
+        |  JOIN sk x ON x.source = m.sa AND x.hv = m.hv
+        |  JOIN sk y ON y.source = m.sb AND y.hv = m.hv
+        |  WHERE m.rn <= 64 GROUP BY 1, 2),
+        |est AS (SELECT k.sa, k.sb, k.ntot,
+        |  CASE WHEN k.ntot < 64 THEN CAST(k.ntot AS DOUBLE)
+        |    ELSE CAST(63 AS DOUBLE)
+        |      / (CAST(k.kth AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)) END AS est_union,
+        |  CASE WHEN k.ntot < 64 THEN (CASE WHEN k.ntot = 0 THEN CAST(0 AS DOUBLE)
+        |      ELSE CAST(coalesce(r.rho, 0) AS DOUBLE) / CAST(k.ntot AS DOUBLE) END)
+        |    ELSE CAST(coalesce(r.rho, 0) AS DOUBLE) / CAST(64 AS DOUBLE) END AS est_jaccard
+        |  FROM kth k LEFT JOIN rho r ON r.sa = k.sa AND r.sb = k.sb)""".stripMargin
+    if (withExact)
+      common +
+        """,
+          |sizes AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+          |ex AS (SELECT x.source AS sa, y.source AS sb, count(*) AS n_inter
+          |  FROM d x JOIN d y ON x.w = y.w AND x.source < y.source GROUP BY 1, 2)
+          |SELECT e.sa AS source_a, e.sb AS source_b, e.ntot AS n_merged,
+          |  e.est_union, e.est_jaccard,
+          |  coalesce(ex.n_inter, 0) AS n_inter,
+          |  na.n + nb.n - coalesce(ex.n_inter, 0) AS exact_union,
+          |  CAST(coalesce(ex.n_inter, 0) AS DOUBLE)
+          |    / CAST(na.n + nb.n - coalesce(ex.n_inter, 0) AS DOUBLE) AS exact_jaccard
+          |FROM est e
+          |LEFT JOIN ex ON ex.sa = e.sa AND ex.sb = e.sb
+          |JOIN sizes na ON na.source = e.sa
+          |JOIN sizes nb ON nb.source = e.sb""".stripMargin
+    else
+      common +
+        """
+          |SELECT sa AS source_a, sb AS source_b, ntot AS n_merged,
+          |  est_union, est_jaccard FROM est""".stripMargin
   }
 
   private lazy val hllPostingsOracleSql: String = {

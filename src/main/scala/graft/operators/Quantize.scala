@@ -31,16 +31,55 @@ object Quantize {
   private def codeOf(x: Column, mn: Column, scale: Column): Column =
     greatest(lit(0.0), least(lit(255.0), floor((x - mn) / scale + lit(0.5))))
 
-  /** The compressed form: (id, codes array<int>, mn, scale). */
-  def sq8Codes(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  /** All input columns plus the compressed form (codes array<int>, mn,
+    * scale) — the indexing-time projection; [[sq8Codes]] is its narrow
+    * select.
+    */
+  def withSq8(emb: DataFrame, vecCol: String): DataFrame = {
     val xs = transform(col(vecCol), x => x.cast("double"))
-    val df = emb.select(col(idCol), xs.as("__xs"))
+    val staged = emb.withColumn("__xs", xs)
     val (mn, mx, scale) = minMaxScale(col("__xs"))
-    df.withColumn("__mn", mn).withColumn("__scale", scale)
-      .select(col(idCol),
-        transform(col("__xs"),
-          x => codeOf(x, col("__mn"), col("__scale")).cast("int")).as("codes"),
-        col("__mn").as("mn"), col("__scale").as("scale"))
+    staged.withColumn("__mn", mn).withColumn("__scale", scale)
+      .withColumn("codes", transform(col("__xs"),
+        x => codeOf(x, col("__mn"), col("__scale")).cast("int")))
+      .withColumn("mn", col("__mn")).withColumn("scale", col("__scale"))
+      .drop("__xs", "__mn", "__scale")
+  }
+
+  /** The compressed form: (id, codes array<int>, mn, scale). */
+  def sq8Codes(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    withSq8(emb, vecCol).select(idCol, "codes", "mn", "scale")
+
+  /** SQ8-accelerated top-k: the approximate pass scores the DEQUANTIZED
+    * codes (one fused multiply-add per element over the 4×-smaller
+    * representation — at 100 TB this is the scan that fits where floats
+    * don't), then the exact cosine re-ranks the `rerankFactor·k` best —
+    * the same prune-then-rerank contract as [[Ann.topKPq]], with SQ8's
+    * codebook-free codec. Compose with an IVF cell filter for the
+    * partition-pruned form.
+    */
+  def topKSq8(corpus: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Float], k: Int, rerankFactor: Int = 4,
+              filter: Column = lit(true)): DataFrame = {
+    require(k > 0 && rerankFactor >= 1)
+    val qd = query.map(_.toDouble)
+    // ordered fold, exactly the oracle's list_sum over the query literal
+    val qn = math.sqrt(qd.foldLeft(0.0)((a, x) => a + x * x))
+    val dq = transform(col("codes"),
+      c => col("mn") + c.cast("double") * col("scale"))
+    def fold(arr: Column): Column = aggregate(arr, lit(0.0), (a, v) => a + v)
+    val dot = fold(zip_with(dq, typedlit(qd), (a, b) => a * b))
+    val na = fold(transform(dq, a => a * a))
+    val approx = dot / (sqrt(na) * lit(qn))
+    corpus.where(filter && col("codes").isNotNull)
+      .withColumn("__sq8_approx", approx)
+      .orderBy(col("__sq8_approx").desc, col(idCol))
+      .limit(math.max(k, rerankFactor * k))
+      .withColumn("score",
+        graft.functions.VectorFunctions.cosineSim(col(vecCol), typedlit(query)))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .drop("__sq8_approx")
   }
 
   /** Per-vector audit: quantize, dequantize, and measure — max absolute

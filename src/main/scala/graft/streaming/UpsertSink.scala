@@ -126,7 +126,7 @@ object UpsertSink {
     * seed dir) — by CONCRETE path, never through the symlink, so the
     * about-to-happen swap cannot disturb the merge's own input.
     */
-  private def currentState(spark: SparkSession, table: String): Option[DataFrame] =
+  private[streaming] def currentState(spark: SparkSession, table: String): Option[DataFrame] =
     snapshotPath(spark, table).map(spark.read.parquet(_))
 
   /** Publish `merged` as the next version and swap the plain-path pointer.

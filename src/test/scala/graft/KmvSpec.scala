@@ -34,6 +34,22 @@ class KmvSpec extends SparkSpec {
     assert(math.abs(estJ - 1.0 / 3.0) < 0.12, s"estJ=$estJ")
   }
 
+  test("KmvStream accumulate: sliced arrival lands on the batch sketch") {
+    val tmp = java.nio.file.Files.createTempDirectory("kmvstream").toString
+    val table = s"$tmp/t"
+    val all = (1 to 900).map(i => ("g", s"v${i % 450}")).toDF("g", "v")
+    val batch = Kmv.sketch(all, Seq("g"), col("v"), k = 64)
+      .head().getSeq[Long](1)
+    Seq(0, 1).foreach { par =>
+      val slice = all.where(length(col("v")) % 2 === par)
+      graft.streaming.KmvStream.accumulateBatch(table,
+        Kmv.sketch(slice, Seq("g"), col("v"), k = 64), "g", k = 64)
+    }
+    val acc = spark.read.parquet(table).head().getSeq[Long](1)
+    assert(acc == batch, "accumulated sketch must equal the batch sketch")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
   test("sketch is partitioning-independent (map-side heaps merge cleanly)") {
     val df = (1 to 3000).map(i => ("a", s"v${i % 997}")).toDF("g", "v")
     val s1 = Kmv.sketch(df.repartition(1), Seq("g"), col("v"), k = 64)

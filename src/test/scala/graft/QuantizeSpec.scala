@@ -28,6 +28,28 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("SQ8 search with full-coverage rerank equals exact top-k") {
+    val n = 200
+    val corpus = (0 until n).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 13 + j * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = Seq.tabulate(8)(j => math.cos(j * 3).toFloat)
+    val exact = graft.operators.Ann.topK(corpus, "vec_id", "embedding", q, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val sq8 = graft.operators.Quantize.topKSq8(
+        graft.operators.Quantize.withSq8(corpus, "embedding"),
+        "vec_id", "embedding", q, k = 10, rerankFactor = n / 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(sq8 == exact, s"full-probe SQ8 must equal exact: $sq8 vs $exact")
+    // and at a small rerank budget the approximate pass still finds most
+    val tight = graft.operators.Quantize.topKSq8(
+        graft.operators.Quantize.withSq8(corpus, "embedding"),
+        "vec_id", "embedding", q, k = 10, rerankFactor = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(tight.intersect(exact.toSet).size >= 8,
+      s"recall@10 under tight rerank too low: $tight vs $exact")
+  }
+
   test("constant vector: scale 1, codes 0, exact reconstruction") {
     val r = Quantize.sq8Report(vecs.where(col("vec_id") === 2),
       "vec_id", "embedding").head()
