@@ -3315,6 +3315,68 @@ object SparkEntry {
         .withColumn("snippet",
           concat_ws(" ", slice(toks, start.cast("int"), lit(7))))
         .select("doc_id", "score", "snippet")
+    }),
+
+    // ---- IVF x SQ8 composed search (Quantize.topKIvfSq8): cell-pruned
+    // scan + dequantized-code approximate pass + exact rerank — the q129
+    // composition with the codebook-free codec; per-vector quantization
+    // commutes with the cell filter, so the oracle quantizes after
+    // pruning and must land on the same bits.
+    "q181_ivf_sq8_search" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") =!= 9)
+      val qv = storedVecs(emb, 9).head
+      val cents = Ann.sampleCentroids(corpus, "vec_id", "embedding", 4)
+      val indexed = graft.operators.Quantize.withSq8(
+        Ann.withIvfAssignment(corpus, "embedding", cents), "embedding")
+      graft.operators.Quantize.topKIvfSq8(indexed, "vec_id", "embedding",
+          "ivf_cell", cents, qv, k = 5, nProbe = 2, rerankFactor = 3)
+        .select("vec_id", "score")
+    }),
+
+    // ---- INCREMENTAL source reputation: q166's verdict over counts that
+    // are pure SUMS — partials from sliced arrival accumulate (q149's
+    // machinery) into exactly the whole-corpus aggregate, and the final
+    // verdict projection shares q166's oracle verbatim. The 100 TB form:
+    // the corpus never re-scans; each day's delta adds three longs per
+    // source.
+    "q182_streaming_reputation" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q182").toString
+      val docs = rd(s, dir, "documents")
+      (1 to 2).foreach { i =>
+        docs.where(pmod(col("doc_id"), lit(2)) === lit(i - 1))
+          .coalesce(1).write.parquet(f"$tmp/in/slice_$i%03d")
+        val walk = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(f"$tmp/in/slice_$i%03d"))
+        try walk.forEach { p =>
+          if (!p.toFile.setLastModified(1000000000000L + i * 60000L))
+            sys.error(s"q182: setLastModified failed for $p")
+        } finally walk.close()
+      }
+      val table = s"$tmp/rep"
+      withStreamPartitions(s) {
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(s"$tmp/in/*")
+        val q = stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val partial = graft.operators.Gate.reputationAggregate(
+              batch, "source", "n_chars", shortChars = 150L)
+            graft.streaming.UpsertSink.accumulateBatch(table, partial,
+              Seq("source"), sumCols = Seq("n_docs", "tot_chars", "n_short"),
+              minCols = Nil, maxCols = Nil)
+        }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val out = graft.operators.Gate.reputationVerdicts(
+        s.read.parquet(table), minAvgChars = 295.0, maxShortFrac = 0.21)
+        .select("source", "n_docs", "avg_chars", "short_frac", "keep")
+      val result = s.createDataFrame(out.collectAsList(), out.schema)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      result
     })
   )
 
@@ -5853,15 +5915,54 @@ object SparkEntry {
     },
 
     // integer counts, one double division per stat, literal thresholds
-    "q166_source_reputation" ->
-      """WITH s AS (SELECT source, count(*) AS n_docs,
-        |  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars,
-        |  CAST(sum(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / CAST(count(*) AS DOUBLE) AS short_frac
-        |FROM documents GROUP BY source)
-        |SELECT source, n_docs, avg_chars, short_frac,
-        |  avg_chars >= 295.0 AND short_frac <= 0.21 AS keep
-        |FROM s""".stripMargin,
+    "q166_source_reputation" -> sourceReputationOracleSql,
+
+    // the accumulated sums must produce exactly q166's verdicts
+    "q182_streaming_reputation" -> sourceReputationOracleSql,
+
+    // q45's IVF assign/probe + q179's SQ8 arithmetic over the probed
+    // cells (per-vector codec commutes with the cell filter)
+    "q181_ivf_sq8_search" -> {
+      val cos = cosSql("c.embedding", "q.qv")
+      s"""WITH q AS (SELECT embedding AS qv,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qs
+         |  FROM embeddings WHERE vec_id = 9),
+         |cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+         |  FROM embeddings WHERE vec_id <> 9 ORDER BY vec_id LIMIT 4),
+         |cscored AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cosSql("e.embedding", "c.cv")} AS cs
+         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id <> 9),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid DESC) AS rn
+         |    FROM cscored) WHERE rn = 1),
+         |qcents AS (
+         |  SELECT c.cid FROM cents c CROSS JOIN q
+         |  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cid ASC LIMIT 2),
+         |v AS (SELECT a.vec_id, a.embedding,
+         |  list_transform(a.embedding, x -> CAST(x AS DOUBLE)) AS xs
+         |  FROM assign a JOIN qcents ON a.cid = qcents.cid),
+         |m AS (SELECT vec_id, embedding, xs, list_min(xs) AS mn, list_max(xs) AS mx FROM v),
+         |sc AS (SELECT *, CASE WHEN mx = mn THEN CAST(1 AS DOUBLE)
+         |  ELSE (mx - mn) / CAST(255 AS DOUBLE) END AS scale FROM m),
+         |dq AS (SELECT vec_id, embedding,
+         |  list_transform(xs, x -> mn +
+         |    greatest(CAST(0 AS DOUBLE), least(CAST(255 AS DOUBLE),
+         |      floor((x - mn) / scale + CAST(0.5 AS DOUBLE)))) * scale) AS ds
+         |  FROM sc),
+         |ap AS (SELECT d.vec_id, d.embedding,
+         |  list_sum(list_transform(list_zip(d.ds, q.qs), p -> p[1] * p[2]))
+         |    / (sqrt(list_sum(list_transform(d.ds, a -> a * a)))
+         |       * sqrt(list_sum(list_transform(q.qs, a -> a * a)))) AS approx
+         |  FROM dq d CROSS JOIN q),
+         |cand AS (SELECT vec_id, embedding FROM ap
+         |  ORDER BY approx DESC, vec_id LIMIT 15)
+         |SELECT c.vec_id, $cos AS score
+         |FROM cand c CROSS JOIN q
+         |ORDER BY score DESC, c.vec_id LIMIT 5""".stripMargin
+    },
 
     // decay through the SAME ladder+Taylor op sequence; the per-user sum
     // is an age-ordered list fold, mirroring the engine's pinned aggregate
@@ -5936,6 +6037,17 @@ object SparkEntry {
        |SELECT CAST(depth AS INTEGER) AS depth, CAST(count(*) AS BIGINT) AS n_users
        |FROM u GROUP BY depth""".stripMargin
   }
+
+  /** q166/q182 twin: integer counts, one double division per stat. */
+  private lazy val sourceReputationOracleSql: String =
+    """WITH s AS (SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars,
+      |  CAST(sum(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS short_frac
+      |FROM documents GROUP BY source)
+      |SELECT source, n_docs, avg_chars, short_frac,
+      |  avg_chars >= 295.0 AND short_frac <= 0.21 AS keep
+      |FROM s""".stripMargin
 
   /** KMV overlap oracle: sketch + pair estimates (q177/q178 share it; the
     * streaming accumulate must land on the batch estimates exactly), with

@@ -216,20 +216,35 @@ object Gate {
     * doc filter runs map-side. Returns the verdict table; [[applyReputation]]
     * filters a corpus by it.
     */
+  /** The sum-mergeable half of [[sourceReputation]]: per-source counts.
+    * All three columns merge by ADDITION, so partials from document
+    * slices (or streaming micro-batches — q182) accumulate into exactly
+    * the whole-corpus aggregate.
+    */
+  def reputationAggregate(docs: DataFrame, sourceCol: String,
+                          charsCol: String, shortChars: Long): DataFrame =
+    docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(charsCol)).as("tot_chars"),
+        sum(when(col(charsCol) < shortChars, 1L).otherwise(0L)).as("n_short"))
+
+  /** Verdicts from an (accumulated) [[reputationAggregate]]. */
+  def reputationVerdicts(agg: DataFrame, minAvgChars: Double,
+                         maxShortFrac: Double): DataFrame =
+    agg
+      .withColumn("avg_chars",
+        col("tot_chars").cast("double") / col("n_docs").cast("double"))
+      .withColumn("short_frac",
+        col("n_short").cast("double") / col("n_docs").cast("double"))
+      .withColumn("keep",
+        col("avg_chars") >= lit(minAvgChars) && col("short_frac") <= lit(maxShortFrac))
+      .drop("tot_chars", "n_short")
+
   def sourceReputation(docs: DataFrame, sourceCol: String, charsCol: String,
                        minAvgChars: Double, maxShortFrac: Double,
                        shortChars: Long): DataFrame =
-    docs.groupBy(col(sourceCol))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col(charsCol)).as("__tot"),
-        sum(when(col(charsCol) < shortChars, 1L).otherwise(0L)).as("__nshort"))
-      .withColumn("avg_chars",
-        col("__tot").cast("double") / col("n_docs").cast("double"))
-      .withColumn("short_frac",
-        col("__nshort").cast("double") / col("n_docs").cast("double"))
-      .withColumn("keep",
-        col("avg_chars") >= lit(minAvgChars) && col("short_frac") <= lit(maxShortFrac))
-      .drop("__tot", "__nshort")
+    reputationVerdicts(reputationAggregate(docs, sourceCol, charsCol, shortChars),
+      minAvgChars, maxShortFrac)
 
   /** Map-side corpus filter by a [[sourceReputation]] verdict table. */
   def applyReputation(docs: DataFrame, verdicts: DataFrame,

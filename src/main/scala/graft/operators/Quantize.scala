@@ -82,6 +82,24 @@ object Quantize {
       .drop("__sq8_approx")
   }
 
+  /** The composed form (the [[Ann.topKIvfPq]] contract with the SQ8
+    * codec): IVF prunes the SCAN to the `nProbe` query-nearest cells
+    * (partition pruning under a persisted `partitionBy(assignCol)`
+    * layout), SQ8 shrinks what remains, the exact rerank restores
+    * ordering. Cell selection mirrors Ann's: cosine to each centroid,
+    * ties to the lower cell id.
+    */
+  def topKIvfSq8(corpus: DataFrame, idCol: String, vecCol: String,
+                 assignCol: String, ivfCentroids: Seq[Seq[Float]],
+                 query: Seq[Float], k: Int, nProbe: Int,
+                 rerankFactor: Int = 4): DataFrame = {
+    val cells = ivfCentroids.zipWithIndex
+      .map { case (c, i) => (Mmr.cosD(query.toIndexedSeq, c.toIndexedSeq), i) }
+      .sortBy(x => (-x._1, x._2)).take(nProbe).map(_._2)
+    topKSq8(corpus, idCol, vecCol, query, k, rerankFactor,
+      col(assignCol).isin(cells: _*))
+  }
+
   /** Per-vector audit: quantize, dequantize, and measure — max absolute
     * reconstruction error and the cosine between the original and its
     * reconstruction (the number that decides whether SQ8 is safe for a
