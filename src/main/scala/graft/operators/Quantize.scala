@@ -65,13 +65,16 @@ object Quantize {
     val qd = query.map(_.toDouble)
     // ordered fold, exactly the oracle's list_sum over the query literal
     val qn = math.sqrt(qd.foldLeft(0.0)((a, x) => a + x * x))
-    val dq = transform(col("codes"),
-      c => col("mn") + c.cast("double") * col("scale"))
     def fold(arr: Column): Column = aggregate(arr, lit(0.0), (a, v) => a + v)
-    val dot = fold(zip_with(dq, typedlit(qd), (a, b) => a * b))
-    val na = fold(transform(dq, a => a * a))
+    // dequantize ONCE into a staged column — the dot and norm folds both
+    // read it; inlined, the decode tree evaluates twice per row
+    val dqCol = col("__sq8_dq")
+    val dot = fold(zip_with(dqCol, typedlit(qd), (a, b) => a * b))
+    val na = fold(transform(dqCol, a => a * a))
     val approx = dot / (sqrt(na) * lit(qn))
     corpus.where(filter && col("codes").isNotNull)
+      .withColumn("__sq8_dq", transform(col("codes"),
+        c => col("mn") + c.cast("double") * col("scale")))
       .withColumn("__sq8_approx", approx)
       .orderBy(col("__sq8_approx").desc, col(idCol))
       .limit(math.max(k, rerankFactor * k))
@@ -79,7 +82,7 @@ object Quantize {
         graft.functions.VectorFunctions.cosineSim(col(vecCol), typedlit(query)))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
-      .drop("__sq8_approx")
+      .drop("__sq8_approx", "__sq8_dq")
   }
 
   /** The composed form (the [[Ann.topKIvfPq]] contract with the SQ8
