@@ -3377,6 +3377,23 @@ object SparkEntry {
       val result = s.createDataFrame(out.collectAsList(), out.schema)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       result
+    }),
+
+    // ---- time-to-convert (Funnel.stepTimes): for user-days completing
+    // the whole view->click->purchase funnel, the lag from the FIRST
+    // qualifying view to the FIRST qualifying purchase, bucketed by hour
+    // — integers end to end, and the step-time mins ride the same
+    // single per-entity aggregate as the depth flags.
+    "q183_conversion_lag" -> ((s, dir) => {
+      val st = graft.operators.Funnel.stepTimes(
+        events(s, dir).withColumn("us", unix_micros(col("ts")))
+          .withColumn("ukey",
+            col("user_id") * lit(1000000L) + expr("us div 86400000000")),
+        "ukey", "event_type",
+        Seq("view", "click", "purchase"), Seq("us", "event_id"), "us")
+      st.where(col("reached_3") === 1)
+        .select(expr("(t_3 - t_1) div 3600000000").as("lag_hours"))
+        .groupBy("lag_hours").agg(count(lit(1)).as("n_conversions"))
     })
   )
 
@@ -5701,6 +5718,26 @@ object SparkEntry {
 
     // the streaming automaton must land on exactly the batch histogram
     "q168_streaming_funnel" -> funnelDepthOracleSql,
+
+    // q164's window chain extended with first-qualifying instants; lag
+    // buckets are integer floor divisions of microsecond differences
+    "q183_conversion_lag" -> {
+      val w = "PARTITION BY ukey ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+      s"""WITH e AS (SELECT user_id * 1000000 + epoch_us(ts) // 86400000000 AS ukey,
+         |  event_type, event_id, epoch_us(ts) AS us FROM events),
+         |f0 AS (SELECT *, CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS q0 FROM e),
+         |f1 AS (SELECT *, CASE WHEN event_type = 'click' AND sum(q0) OVER ($w) > 0
+         |  THEN 1 ELSE 0 END AS q1 FROM f0),
+         |f2 AS (SELECT *, CASE WHEN event_type = 'purchase' AND sum(q1) OVER ($w) > 0
+         |  THEN 1 ELSE 0 END AS q2 FROM f1),
+         |u AS (SELECT ukey, max(q2) AS r3,
+         |  min(CASE WHEN q0 = 1 THEN us END) AS t1,
+         |  min(CASE WHEN q2 = 1 THEN us END) AS t3
+         |  FROM f2 GROUP BY ukey)
+         |SELECT (t3 - t1) // 3600000000 AS lag_hours,
+         |  CAST(count(*) AS BIGINT) AS n_conversions
+         |FROM u WHERE r3 = 1 GROUP BY 1""".stripMargin
+    },
 
     // the oracle phrases as-of as a range join + argmax; the engine's
     // carry-forward window must land on the same latest-click-within-1h.

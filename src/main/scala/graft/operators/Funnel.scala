@@ -57,4 +57,31 @@ object Funnel {
     flags.select(depth.as("depth"))
       .groupBy("depth").agg(count(lit(1)).as("n_users"))
   }
+
+  /** Per-entity step flags PLUS the first qualifying instant of each step
+    * (`t_i` = min order-column value over the step's qualifying rows;
+    * null when the step was not reached) — the input to time-to-convert
+    * analyses. `timeCol` must be the first `order` column (integer event
+    * time). Same single-shuffle shape as [[userFlags]]: the mins ride the
+    * SAME per-entity hash aggregate as the flag maxes.
+    */
+  def stepTimes(events: DataFrame, user: String, typeCol: String,
+                steps: Seq[String], order: Seq[String],
+                timeCol: String): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val w = Window.partitionBy(col(user)).orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = steps.zipWithIndex.tail.foldLeft(
+      events.withColumn("__q0",
+        when(col(typeCol) === steps.head, 1).otherwise(0))) {
+      case (df, (st, i)) =>
+        df.withColumn(s"__q$i",
+          when(col(typeCol) === st && sum(col(s"__q${i - 1}")).over(w) > 0, 1)
+            .otherwise(0))
+    }
+    val aggs = steps.indices.map(i => max(col(s"__q$i")).as(s"reached_${i + 1}")) ++
+      steps.indices.map(i =>
+        min(when(col(s"__q$i") === 1, col(timeCol))).as(s"t_${i + 1}"))
+    flagged.groupBy(col(user)).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -41,6 +41,16 @@ class FunnelMmrSpec extends SparkSpec {
     assert(hist == Map(0 -> 1L, 1 -> 3L, 2 -> 1L, 3 -> 1L))
   }
 
+  test("stepTimes: first qualifying instants, null when a step is unreached") {
+    val st = Funnel.stepTimes(ev, "user_id", "event_type",
+        Seq("view", "click", "purchase"), Seq("us", "event_id"), "us")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val a = st(1L) // view@100, click@200, purchase@300
+    assert(a.getLong(4) == 100L && a.getLong(5) == 200L && a.getLong(6) == 300L)
+    val b = st(2L) // click precedes every view: t_2/t_3 null, t_1 = 200
+    assert(b.getLong(4) == 200L && b.isNullAt(5) && b.isNullAt(6))
+  }
+
   test("funnel's window chain reuses one shuffle: a single exchange in the plan") {
     val plan = Funnel.depthHistogram(ev, "user_id", "event_type",
         Seq("view", "click", "purchase"), Seq("us", "event_id"))
