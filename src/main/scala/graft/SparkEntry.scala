@@ -5867,30 +5867,39 @@ object SparkEntry {
     // the accumulated sketch table must yield exactly q177's estimates
     "q178_streaming_kmv" -> kmvOverlapOracleSql(withExact = false),
 
-    // q174's codec element-wise, approximate cosine over the dequantized
-    // lists (folds in list order), top-15 by (approx DESC, id), exact
-    // cosine rerank to top-5
+    // q174's codec algebraically: the engine scores codes WITHOUT
+    // dequantizing (dot(q,d) = mn·Σq + s·dot(q,c); ‖d‖² = dim·mn² +
+    // 2·mn·s·Σc + s²·Σc²) — the oracle mirrors that exact association
+    // order (Σc/Σc² are integer-exact; the q,c dot folds in list order),
+    // top-15 by (approx DESC, id), exact cosine rerank to top-5
     "q179_sq8_search" -> {
       val cos = cosSql("c.embedding", "q.qv")
       s"""WITH qd AS (SELECT embedding AS qv,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qs
          |  FROM embeddings WHERE vec_id = 5),
+         |qa AS (SELECT qv, qs, list_sum(qs) AS sq,
+         |  sqrt(list_sum(list_transform(qs, a -> a * a))) AS qn,
+         |  CAST(len(qs) AS DOUBLE) AS d FROM qd),
          |v AS (SELECT vec_id, embedding,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
          |  FROM embeddings WHERE vec_id <> 5),
          |m AS (SELECT vec_id, embedding, xs, list_min(xs) AS mn, list_max(xs) AS mx FROM v),
          |sc AS (SELECT *, CASE WHEN mx = mn THEN CAST(1 AS DOUBLE)
          |  ELSE (mx - mn) / CAST(255 AS DOUBLE) END AS scale FROM m),
-         |dq AS (SELECT vec_id, embedding,
-         |  list_transform(xs, x -> mn +
+         |cd AS (SELECT vec_id, embedding, mn, scale,
+         |  list_transform(xs, x ->
          |    greatest(CAST(0 AS DOUBLE), least(CAST(255 AS DOUBLE),
-         |      floor((x - mn) / scale + CAST(0.5 AS DOUBLE)))) * scale) AS ds
+         |      floor((x - mn) / scale + CAST(0.5 AS DOUBLE))))) AS cs
          |  FROM sc),
-         |ap AS (SELECT d.vec_id, d.embedding,
-         |  list_sum(list_transform(list_zip(d.ds, q.qs), p -> p[1] * p[2]))
-         |    / (sqrt(list_sum(list_transform(d.ds, a -> a * a)))
-         |       * sqrt(list_sum(list_transform(q.qs, a -> a * a)))) AS approx
-         |  FROM dq d CROSS JOIN qd q),
+         |ag AS (SELECT vec_id, embedding, mn, scale, cs,
+         |  list_sum(cs) AS csum,
+         |  list_sum(list_transform(cs, c -> c * c)) AS csum2 FROM cd),
+         |ap AS (SELECT a.vec_id, a.embedding,
+         |  (a.mn * q.sq + a.scale *
+         |     list_sum(list_transform(list_zip(a.cs, q.qs), p -> p[2] * p[1])))
+         |  / (sqrt(q.d * a.mn * a.mn + CAST(2 AS DOUBLE) * a.mn * a.scale * a.csum
+         |      + a.scale * a.scale * a.csum2) * q.qn) AS approx
+         |  FROM ag a CROSS JOIN qa q),
          |cand AS (SELECT vec_id, embedding FROM ap
          |  ORDER BY approx DESC, vec_id LIMIT 15)
          |SELECT c.vec_id, $cos AS score
@@ -5957,13 +5966,16 @@ object SparkEntry {
     // the accumulated sums must produce exactly q166's verdicts
     "q182_streaming_reputation" -> sourceReputationOracleSql,
 
-    // q45's IVF assign/probe + q179's SQ8 arithmetic over the probed
-    // cells (per-vector codec commutes with the cell filter)
+    // q45's IVF assign/probe + q179's algebraic SQ8 scoring over the
+    // probed cells (per-vector codec commutes with the cell filter)
     "q181_ivf_sq8_search" -> {
       val cos = cosSql("c.embedding", "q.qv")
       s"""WITH q AS (SELECT embedding AS qv,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qs
          |  FROM embeddings WHERE vec_id = 9),
+         |qa AS (SELECT qv, qs, list_sum(qs) AS sq,
+         |  sqrt(list_sum(list_transform(qs, a -> a * a))) AS qn,
+         |  CAST(len(qs) AS DOUBLE) AS d FROM q),
          |cents AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
          |  FROM embeddings WHERE vec_id <> 9 ORDER BY vec_id LIMIT 4),
@@ -5984,16 +5996,20 @@ object SparkEntry {
          |m AS (SELECT vec_id, embedding, xs, list_min(xs) AS mn, list_max(xs) AS mx FROM v),
          |sc AS (SELECT *, CASE WHEN mx = mn THEN CAST(1 AS DOUBLE)
          |  ELSE (mx - mn) / CAST(255 AS DOUBLE) END AS scale FROM m),
-         |dq AS (SELECT vec_id, embedding,
-         |  list_transform(xs, x -> mn +
+         |cd AS (SELECT vec_id, embedding, mn, scale,
+         |  list_transform(xs, x ->
          |    greatest(CAST(0 AS DOUBLE), least(CAST(255 AS DOUBLE),
-         |      floor((x - mn) / scale + CAST(0.5 AS DOUBLE)))) * scale) AS ds
+         |      floor((x - mn) / scale + CAST(0.5 AS DOUBLE))))) AS cs
          |  FROM sc),
-         |ap AS (SELECT d.vec_id, d.embedding,
-         |  list_sum(list_transform(list_zip(d.ds, q.qs), p -> p[1] * p[2]))
-         |    / (sqrt(list_sum(list_transform(d.ds, a -> a * a)))
-         |       * sqrt(list_sum(list_transform(q.qs, a -> a * a)))) AS approx
-         |  FROM dq d CROSS JOIN q),
+         |ag AS (SELECT vec_id, embedding, mn, scale, cs,
+         |  list_sum(cs) AS csum,
+         |  list_sum(list_transform(cs, c -> c * c)) AS csum2 FROM cd),
+         |ap AS (SELECT a.vec_id, a.embedding,
+         |  (a.mn * qa.sq + a.scale *
+         |     list_sum(list_transform(list_zip(a.cs, qa.qs), p -> p[2] * p[1])))
+         |  / (sqrt(qa.d * a.mn * a.mn + CAST(2 AS DOUBLE) * a.mn * a.scale * a.csum
+         |      + a.scale * a.scale * a.csum2) * qa.qn) AS approx
+         |  FROM ag a CROSS JOIN qa),
          |cand AS (SELECT vec_id, embedding FROM ap
          |  ORDER BY approx DESC, vec_id LIMIT 15)
          |SELECT c.vec_id, $cos AS score

@@ -141,11 +141,16 @@ object ServeBench {
       // whole request (measured 385 ms p50 vs local fusion)
       "hybrid" -> { qi: Int =>
         @volatile var dense: Seq[(Long, Int)] = null
+        // capture the leg's failure: swallowed by the default handler it
+        // would surface later as an unrelated NPE in the fuse
+        @volatile var denseErr: Throwable = null
         val t = new Thread(() => {
-          dense = Ann.topKIvf(index, "vec_id", "embedding", "ivf_cell",
-              cents, qvecs(qi % qvecs.size), k = 20, nProbe = 2)
-            .select("vec_id").collect()
-            .zipWithIndex.map { case (r, i) => (r.getLong(0), i + 1) }.toSeq
+          try {
+            dense = Ann.topKIvf(index, "vec_id", "embedding", "ivf_cell",
+                cents, qvecs(qi % qvecs.size), k = 20, nProbe = 2)
+              .select("vec_id").collect()
+              .zipWithIndex.map { case (r, i) => (r.getLong(0), i + 1) }.toSeq
+          } catch { case e: Throwable => denseErr = e }
         })
         t.start()
         val lex = Bm25.searchPostings(postings, "doc_id",
@@ -153,6 +158,7 @@ object ServeBench {
           .select("doc_id").collect()
           .zipWithIndex.map { case (r, i) => (r.getLong(0), i + 1) }.toSeq
         t.join()
+        if (denseErr != null) throw denseErr
         val n = Bm25.rrfFuseLocal(Seq(dense, lex), c = 60, k = 10).length
         require(n == 10, s"hybrid returned $n rows")
       })

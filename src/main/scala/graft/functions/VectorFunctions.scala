@@ -172,6 +172,188 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** Dot product of an `array<int>` code vector against an `array<double>`
+  * query — the SQ8 approximate-scan kernel. With per-vector code sums
+  * (Σc, Σc²) staged at encode time, the whole approximate cosine over the
+  * dequantized codes collapses algebraically to this single in-order loop:
+  * dot(q, mn + c·s) = mn·Σq + s·CodeDot(c, q) and
+  * ‖mn + c·s‖² = d·mn² + 2·mn·s·Σc + s²·Σc² — so the per-row scan work is
+  * one codegen'd int·double fold, the same Tungsten shape as
+  * [[CosineSimilarity]] (not an interpreted higher-order-function tree).
+  * Same accumulation contract: sequential left-fold in double precision
+  * over element order; mismatched lengths raise; null in => null out.
+  */
+case class CodeDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"code_dot expects (array<int>, array<double>), got " +
+            s"${left.dataType.sql} and ${right.dataType.sql}")
+    }
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) {
+      throw new IllegalArgumentException(
+        s"code_dot: dimension mismatch ${n} vs ${b.numElements()}")
+    }
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += b.getDouble(i) * a.getInt(i).toDouble; i += 1 }
+    dot
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "code_dot: dimension mismatch " + $n + " vs " + $b.numElements());
+         |}
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $b.getDouble($i) * (double) $a.getInt($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CodeDot =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "code_dot"
+}
+
+/** One-pass SQ8 encoder: `array<float|double>` →
+  * `struct<codes: array<int>, mn: double, scale: double, csum: double,
+  * csum2: double>` with code_i = clamp₀₂₅₅(floor((x_i − mn)/scale + 0.5)),
+  * scale = (mx − mn)/255 (or 1 for a constant vector), csum = Σc,
+  * csum2 = Σc² (both integer-exact doubles).
+  *
+  * Exists because the ENCODE is a full-corpus pass at index-build time —
+  * as higher-order `transform`/`aggregate` trees it runs interpreted and
+  * per-element boxed (measured ~8× the whole-query cost at 10× scale);
+  * as one codegen loop it is the same Tungsten shape as the scans that
+  * read its output ([[CodeDot]], [[CosineSimilarity]]). Arithmetic is
+  * pinned IEEE identical to the HOF form it replaces (same op order,
+  * min/max scan, floor/clamp composition), so oracle twins are unchanged.
+  * Null in => null out; an empty vector raises (a 0-dim embedding is a
+  * data error, not a quantization case).
+  */
+case class Sq8Encode(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(IntegerType, containsNull = false)),
+    StructField("mn", DoubleType), StructField("scale", DoubleType),
+    StructField("csum", DoubleType), StructField("csum2", DoubleType)))
+
+  override def nullIntolerant: Boolean = true
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sq8_encode expects array<float> or array<double>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n == 0) throw new IllegalArgumentException("sq8_encode: empty vector")
+    def at(i: Int): Double =
+      if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+    var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val x = at(i)
+      if (x < mn) mn = x
+      if (x > mx) mx = x
+      i += 1
+    }
+    val scale = if (mx == mn) 1.0 else (mx - mn) / 255.0
+    val codes = new Array[Int](n)
+    var csum = 0.0; var csum2 = 0.0
+    i = 0
+    while (i < n) {
+      var c = math.floor((at(i) - mn) / scale + 0.5)
+      c = math.min(255.0, c); c = math.max(0.0, c)
+      codes(i) = c.toInt
+      csum += c; csum2 += c * c
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(codes),
+      mn, scale, csum, csum2))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val mn = ctx.freshName("mn")
+      val mx = ctx.freshName("mx")
+      val scale = ctx.freshName("scale")
+      val codes = ctx.freshName("codes")
+      val csum = ctx.freshName("csum")
+      val csum2 = ctx.freshName("csum2")
+      val x = ctx.freshName("x")
+      val c = ctx.freshName("c")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n == 0) {
+         |  throw new IllegalArgumentException("sq8_encode: empty vector");
+         |}
+         |double $mn = Double.POSITIVE_INFINITY;
+         |double $mx = Double.NEGATIVE_INFINITY;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $x = (double) $a.$getter($i);
+         |  if ($x < $mn) $mn = $x;
+         |  if ($x > $mx) $mx = $x;
+         |}
+         |final double $scale = ($mx == $mn) ? 1.0 : ($mx - $mn) / 255.0;
+         |final int[] $codes = new int[$n];
+         |double $csum = 0.0; double $csum2 = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $c = java.lang.Math.floor((((double) $a.$getter($i)) - $mn) / $scale + 0.5);
+         |  $c = java.lang.Math.min(255.0, $c);
+         |  $c = java.lang.Math.max(0.0, $c);
+         |  $codes[$i] = (int) $c;
+         |  $csum += $c; $csum2 += $c * $c;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] {
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($codes),
+         |    $mn, $scale, $csum, $csum2 });
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8Encode =
+    copy(child = newChild)
+
+  override def prettyName: String = "sq8_encode"
+}
+
 /** Column-level vector API. */
 object VectorFunctions {
   import org.apache.spark.sql.functions._
@@ -183,6 +365,13 @@ object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def codeDot(codes: Column, q: Column): Column =
+    ColumnBridge.column(CodeDot(
+      ColumnBridge.expression(codes), ColumnBridge.expression(q)))
+
+  def sq8Encode(v: Column): Column =
+    ColumnBridge.column(Sq8Encode(ColumnBridge.expression(v)))
 
   /** L2 norm via built-in higher-order functions (stays in Tungsten). */
   def l2Norm(v: Column): Column =
@@ -201,5 +390,7 @@ object VectorFunctions {
       "cosine_similarity", es => CosineSimilarity(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "dot_product", es => DotProduct(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "code_dot", es => CodeDot(es.head, es(1)), "built-in")
   }
 }

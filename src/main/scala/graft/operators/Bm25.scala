@@ -55,9 +55,13 @@ object Bm25 {
 
     // N and Σdl are integer-exact, so the driver-side fetch cannot flap;
     // avgdl = one correctly-rounded long→double divide, identical to the
-    // oracle's CAST(sum AS DOUBLE)/CAST(count AS DOUBLE)
-    val Row(sumDl: Long, n: Long) =
-      base.agg(sum("dl").as("s"), count(lit(1)).as("n")).head()
+    // oracle's CAST(sum AS DOUBLE)/CAST(count AS DOUBLE). An empty corpus
+    // has sum(dl)=NULL — name that case instead of an opaque MatchError
+    // (and n=0 would make avgdl NaN downstream).
+    val stats = base.agg(sum("dl").as("s"), count(lit(1)).as("n")).head()
+    val n = stats.getAs[Long]("n")
+    require(n > 0, "BM25: empty document corpus (no rows to score)")
+    val sumDl = stats.getAs[Long]("s")
     val avgdl = sumDl.toDouble / n.toDouble
 
     val post = base
@@ -144,7 +148,11 @@ object Bm25 {
                      idf: Map[String, Double], avgdl: Double,
                      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val present = terms.filter(idf.contains)
-    require(present.nonEmpty, s"no query term has postings: $terms")
+    // a query of wholly-unknown terms is an ordinary serving outcome:
+    // zero hits, not a request failure (callers decide if empty is an
+    // error)
+    if (present.isEmpty)
+      return postings.select(col(idCol), lit(0.0).as("score")).where(lit(false))
     val idfCol = element_at(
       typedlit(idf.filter(kv => present.contains(kv._1))), col("term"))
     val tfD = col("tf").cast("double")

@@ -32,57 +32,78 @@ object Quantize {
     greatest(lit(0.0), least(lit(255.0), floor((x - mn) / scale + lit(0.5))))
 
   /** All input columns plus the compressed form (codes array<int>, mn,
-    * scale) — the indexing-time projection; [[sq8Codes]] is its narrow
-    * select.
+    * scale) AND the scan-time scalars `csum` = Σc, `csum2` = Σc² — both
+    * integer-valued (codes are 0..255), so they are EXACT doubles with no
+    * fold-order sensitivity. Staging them at encode time is what lets
+    * [[topKSq8]] score a row with one codegen dot over the codes instead
+    * of dequantizing per query (the algebra in [[topKSq8]]'s doc).
+    * [[sq8Codes]] is the narrow select.
     */
   def withSq8(emb: DataFrame, vecCol: String): DataFrame = {
-    val xs = transform(col(vecCol), x => x.cast("double"))
-    val staged = emb.withColumn("__xs", xs)
-    val (mn, mx, scale) = minMaxScale(col("__xs"))
-    staged.withColumn("__mn", mn).withColumn("__scale", scale)
-      .withColumn("codes", transform(col("__xs"),
-        x => codeOf(x, col("__mn"), col("__scale")).cast("int")))
-      .withColumn("mn", col("__mn")).withColumn("scale", col("__scale"))
-      .drop("__xs", "__mn", "__scale")
+    // ONE codegen pass per row (functions/Sq8Encode) — the encode is the
+    // full-corpus index-build scan, and as interpreted HOF trees it cost
+    // more than the searches it serves (measured 8× the whole query at
+    // 10×). Whole-stage CSE collapses the five field extractions to a
+    // single evaluation.
+    emb.withColumn("__sq8",
+        graft.functions.VectorFunctions.sq8Encode(col(vecCol)))
+      .withColumn("codes", col("__sq8.codes"))
+      .withColumn("mn", col("__sq8.mn"))
+      .withColumn("scale", col("__sq8.scale"))
+      .withColumn("csum", col("__sq8.csum"))
+      .withColumn("csum2", col("__sq8.csum2"))
+      .drop("__sq8")
   }
 
   /** The compressed form: (id, codes array<int>, mn, scale). */
   def sq8Codes(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     withSq8(emb, vecCol).select(idCol, "codes", "mn", "scale")
 
-  /** SQ8-accelerated top-k: the approximate pass scores the DEQUANTIZED
-    * codes (one fused multiply-add per element over the 4×-smaller
-    * representation — at 100 TB this is the scan that fits where floats
-    * don't), then the exact cosine re-ranks the `rerankFactor·k` best —
-    * the same prune-then-rerank contract as [[Ann.topKPq]], with SQ8's
-    * codebook-free codec. Compose with an IVF cell filter for the
-    * partition-pruned form.
+  /** SQ8-accelerated top-k: the approximate pass scores the codes
+    * WITHOUT dequantizing, then the exact cosine re-ranks the
+    * `rerankFactor·k` best — the same prune-then-rerank contract as
+    * [[Ann.topKPq]], with SQ8's codebook-free codec. Compose with an IVF
+    * cell filter for the partition-pruned form.
+    *
+    * The approximate cosine over the dequantized vector d = mn + c·s is
+    * computed ALGEBRAICALLY from the codes and the encode-time scalars:
+    *   dot(q, d)  = mn·Σq + s·dot(q, c)
+    *   ‖d‖²       = dim·mn² + 2·mn·s·Σc + s²·Σc²
+    * so the per-row scan work is ONE codegen'd int·double fold
+    * ([[graft.functions.CodeDot]]) plus a handful of scalar ops — the
+    * same Tungsten shape as the exact [[graft.functions.CosineSimilarity]]
+    * scan, over the 4×-smaller code column. (The previous form
+    * dequantized per row with interpreted higher-order functions and was
+    * ~65× SLOWER than the exact codegen scan at 10× scale — compression
+    * only pays when the scoring kernel stays in codegen.) Σq and ‖q‖ are
+    * driver-side ordered folds over the query literal; Σc/Σc² are
+    * integer-exact, so every float op here has one pinned association
+    * order shared with the DuckDB oracle twin.
     */
   def topKSq8(corpus: DataFrame, idCol: String, vecCol: String,
               query: Seq[Float], k: Int, rerankFactor: Int = 4,
               filter: Column = lit(true)): DataFrame = {
     require(k > 0 && rerankFactor >= 1)
     val qd = query.map(_.toDouble)
-    // ordered fold, exactly the oracle's list_sum over the query literal
+    // ordered folds, exactly the oracle's list_sum over the query literal
     val qn = math.sqrt(qd.foldLeft(0.0)((a, x) => a + x * x))
-    def fold(arr: Column): Column = aggregate(arr, lit(0.0), (a, v) => a + v)
-    // dequantize ONCE into a staged column — the dot and norm folds both
-    // read it; inlined, the decode tree evaluates twice per row
-    val dqCol = col("__sq8_dq")
-    val dot = fold(zip_with(dqCol, typedlit(qd), (a, b) => a * b))
-    val na = fold(transform(dqCol, a => a * a))
-    val approx = dot / (sqrt(na) * lit(qn))
+    val sq = qd.foldLeft(0.0)((a, x) => a + x)
+    val qdot = graft.functions.VectorFunctions.codeDot(
+      col("codes"), typedlit(qd))
+    val num = col("mn") * lit(sq) + col("scale") * qdot
+    val den = sqrt(
+      lit(query.length.toDouble) * col("mn") * col("mn") +
+        lit(2.0) * col("mn") * col("scale") * col("csum") +
+        col("scale") * col("scale") * col("csum2")) * lit(qn)
     corpus.where(filter && col("codes").isNotNull)
-      .withColumn("__sq8_dq", transform(col("codes"),
-        c => col("mn") + c.cast("double") * col("scale")))
-      .withColumn("__sq8_approx", approx)
+      .withColumn("__sq8_approx", num / den)
       .orderBy(col("__sq8_approx").desc, col(idCol))
       .limit(math.max(k, rerankFactor * k))
       .withColumn("score",
         graft.functions.VectorFunctions.cosineSim(col(vecCol), typedlit(query)))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
-      .drop("__sq8_approx", "__sq8_dq")
+      .drop("__sq8_approx")
   }
 
   /** The composed form (the [[Ann.topKIvfPq]] contract with the SQ8

@@ -130,11 +130,17 @@ object UpsertSink {
     snapshotPath(spark, table).map(spark.read.parquet(_))
 
   /** Publish `merged` as the next version and swap the plain-path pointer.
-    * Retention: every version older than the PREVIOUS one is deleted, so
-    * in-flight [[snapshot]] readers of version N survive the publish of
-    * N+1 (and age out at N+2).
+    * Retention: the newest `retainVersions` COMPLETE versions (including
+    * the one just published) are kept; older ones are deleted. The
+    * default 2 means an in-flight [[snapshot]] reader of version N
+    * survives the publish of N+1 and ages out at N+2; a deployment with
+    * longer-running readers raises the knob so a snapshot survives
+    * `retainVersions - 1` subsequent publishes.
     */
-  private def publish(spark: SparkSession, table: String, merged: DataFrame): Unit = {
+  private def publish(spark: SparkSession, table: String, merged: DataFrame,
+                      retainVersions: Int): Unit = {
+    require(retainVersions >= 1,
+      s"retainVersions must be >= 1, got $retainVersions")
     val fs = fsOf(spark, table)
     val versions = completeVersions(fs, table)
     val next = versions.lastOption.map(_._1 + 1).getOrElse(1)
@@ -148,7 +154,10 @@ object UpsertSink {
     val tPath = new Path(table)
     if (fs.exists(tPath) && !isSymlink(table)) fs.delete(tPath, true)
     relink(table, nextDir)
-    versions.dropRight(1).foreach { case (_, p) => fs.delete(p, true) }
+    // `versions` predates `next`: keep the newest retainVersions-1 of them
+    versions.dropRight(retainVersions - 1).foreach { case (_, p) =>
+      fs.delete(p, true)
+    }
   }
 
   /** Merge one micro-batch into the compacted table at `table`. Safe to
@@ -183,14 +192,17 @@ object UpsertSink {
     * leg — same crash-safe version-dir + symlink swap as [[compactBatch]]).
     */
   private[streaming] def publishMerged(spark: SparkSession, table: String,
-                                       merged: DataFrame): Unit =
-    publish(spark, table, merged)
+                                       merged: DataFrame,
+                                       retainVersions: Int = 2): Unit =
+    publish(spark, table, merged, retainVersions)
 
   def compactBatch(table: String, batch: DataFrame, keyCols: Seq[String],
-                   versionCol: String, prioCol: String): Unit = {
+                   versionCol: String, prioCol: String,
+                   retainVersions: Int = 2): Unit = {
     val spark = batch.sparkSession
     publish(spark, table,
-      mergedCandidate(table, batch, keyCols, versionCol, prioCol))
+      mergedCandidate(table, batch, keyCols, versionCol, prioCol),
+      retainVersions)
   }
 
   /** Wire a versioned stream into a compacted table: every batch runs
@@ -198,10 +210,11 @@ object UpsertSink {
     * the checkpoint location).
     */
   def writer(stream: DataFrame, table: String, keyCols: Seq[String],
-             versionCol: String, prioCol: String) =
+             versionCol: String, prioCol: String, retainVersions: Int = 2) =
     stream.writeStream.foreachBatch {
       (batch: DataFrame, _: Long) =>
-        compactBatch(table, batch, keyCols, versionCol, prioCol)
+        compactBatch(table, batch, keyCols, versionCol, prioCol,
+          retainVersions)
     }
 
   /** The INCREMENTAL-MATERIALIZED-VIEW sibling of [[compactBatch]]: the
@@ -221,7 +234,8 @@ object UpsertSink {
     */
   def accumulateBatch(table: String, batchPartial: DataFrame,
                       keyCols: Seq[String], sumCols: Seq[String],
-                      minCols: Seq[String], maxCols: Seq[String]): Unit = {
+                      minCols: Seq[String], maxCols: Seq[String],
+                      retainVersions: Int = 2): Unit = {
     val spark = batchPartial.sparkSession
     val all = currentState(spark, table) match {
       case Some(cur) =>
@@ -231,6 +245,6 @@ object UpsertSink {
     val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
       minCols.map(c => min(col(c)).as(c)) ++ maxCols.map(c => max(col(c)).as(c))
     val merged = all.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    publish(spark, table, merged)
+    publish(spark, table, merged, retainVersions)
   }
 }

@@ -36,12 +36,23 @@ object Wap {
     val candidate = UpsertSink
       .mergedCandidate(table, batch, keyCols, versionCol, prioCol)
       .localCheckpoint(true)
-    val audit = Checks.report(candidate, rules)
-    val rows = audit.collect() // one row per rule — bounded
-    val clean = rows.forall(_.getAs[Boolean]("pass"))
-    if (clean) UpsertSink.publishMerged(spark, table, candidate)
-    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1),
-        audit.schema)
-      .withColumn("published", lit(clean))
+    try {
+      val audit = Checks.report(candidate, rules)
+      val rows = audit.collect() // one row per rule — bounded
+      val clean = rows.forall(_.getAs[Boolean]("pass"))
+      if (clean) UpsertSink.publishMerged(spark, table, candidate)
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1),
+          audit.schema)
+        .withColumn("published", lit(clean))
+    } finally {
+      // release the checkpoint blocks deterministically: a long-running
+      // WAP loop would otherwise accrete them in the block manager until
+      // the RDD is GC'd and the ContextCleaner catches up
+      candidate.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false): Unit
+        case _ => ()
+      }
+    }
   }
 }

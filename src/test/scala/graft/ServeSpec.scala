@@ -63,4 +63,146 @@ class ServeSpec extends SparkSpec {
       bulk.join(120000)
     }
   }
+
+  // ---- memory serving tier: the job-free runtime must return exactly
+  // what the DataFrame path returns — same rows, same order, same score
+  // BITS — or it is a different engine wearing the same API.
+
+  private lazy val annCorpus = Seq.tabulate(300)(i =>
+    (i.toLong, Seq.tabulate(8)(j => math.sin(i * 13 + j * 7).toFloat)))
+    .toDF("vec_id", "embedding")
+  private lazy val annCents =
+    graft.operators.Ann.sampleCentroids(annCorpus, "vec_id", "embedding", 4)
+  private lazy val annAssigned = graft.operators.Ann
+    .withIvfAssignment(annCorpus, "embedding", annCents)
+    .localCheckpoint(true)
+  private lazy val annQueries = Seq.tabulate(5)(qi =>
+    Seq.tabulate(8)(j => math.cos(qi * 5 + j * 3).toFloat))
+
+  test("memory dense tier: exact and IVF top-k == DataFrame path bit-for-bit") {
+    val mem = graft.serve.MemoryAnnIndex.fromDataFrame(
+      annAssigned, "vec_id", "embedding", "ivf_cell", annCents)
+    assert(mem.size == 300 && mem.nCells == 4 && mem.dim == 8)
+    annQueries.foreach { q =>
+      val wantExact = graft.operators.Ann
+        .topK(annAssigned, "vec_id", "embedding", q, 7)
+        .select("vec_id", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(mem.topK(q, 7) == wantExact, s"exact mismatch for query $q")
+      val wantIvf = graft.operators.Ann
+        .topKIvf(annAssigned, "vec_id", "embedding", "ivf_cell", annCents,
+          q, k = 7, nProbe = 2)
+        .select("vec_id", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(mem.topKIvf(q, 7, nProbe = 2) == wantIvf,
+        s"ivf mismatch for query $q")
+    }
+  }
+
+  private lazy val lexDocs = Seq.tabulate(60)(i =>
+    (i.toLong, Seq.tabulate(5 + i % 7)(j =>
+      Seq("dup", "vector", "scan", "hash", "query", "join")((i + j) % 6))
+      .mkString(" ")))
+    .toDF("doc_id", "text")
+
+  test("memory lexical tier: BM25 top-k == searchPostings bit-for-bit") {
+    import graft.operators.Bm25
+    val postings = Bm25.buildPostings(lexDocs, "doc_id", "text")
+      .localCheckpoint(true)
+    val stats = lexDocs
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(sum("dl"), count(lit(1))).head()
+    val avgdl = stats.getLong(0).toDouble / stats.getLong(1).toDouble
+    val dfMap = postings.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idfMap = Bm25.idfByTerm(dfMap, stats.getLong(1), spark)
+    val mem = graft.serve.MemoryPostingsIndex.fromDataFrame(
+      postings, "doc_id", idfMap, avgdl)
+    Seq(Seq("dup", "vector"), Seq("scan"), Seq("hash", "join", "query"))
+      .foreach { terms =>
+        val want = Bm25.searchPostings(postings, "doc_id", terms, idfMap,
+            avgdl, k = 10)
+          .select("doc_id", "score").collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(mem.search(terms, 10) == want, s"lexical mismatch for $terms")
+      }
+    // wholly-unknown query: empty on BOTH tiers, not an error
+    assert(mem.search(Seq("zzzz"), 10).isEmpty)
+    assert(Bm25.searchPostings(postings, "doc_id", Seq("zzzz"), idfMap,
+      avgdl, k = 10).collect().isEmpty)
+  }
+
+  test("memory hybrid == IVF leg + postings leg fused with rrfFuseLocal") {
+    import graft.operators.Bm25
+    // ids overlap by construction: both tiers serve the SAME 0..59 id
+    // space so the fusion genuinely merges
+    val emb = lexDocs.select(col("doc_id").as("vec_id")).limit(60)
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(7)),
+          j => sin(col("vec_id") * lit(13) + j * lit(7)).cast("float")))
+    val cents = graft.operators.Ann.sampleCentroids(emb, "vec_id", "embedding", 3)
+    val assigned = graft.operators.Ann
+      .withIvfAssignment(emb, "embedding", cents).localCheckpoint(true)
+    val postings = Bm25.buildPostings(lexDocs, "doc_id", "text")
+      .localCheckpoint(true)
+    val stats = lexDocs
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(sum("dl"), count(lit(1))).head()
+    val avgdl = stats.getLong(0).toDouble / stats.getLong(1).toDouble
+    val dfMap = postings.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idfMap = Bm25.idfByTerm(dfMap, stats.getLong(1), spark)
+    val server = new graft.serve.MemoryServer(
+      graft.serve.MemoryAnnIndex.fromDataFrame(
+        assigned, "vec_id", "embedding", "ivf_cell", cents),
+      Some(graft.serve.MemoryPostingsIndex.fromDataFrame(
+        postings, "doc_id", idfMap, avgdl)),
+      defaultNProbe = 2)
+    val q = annQueries.head
+    val terms = Seq("dup", "scan")
+    // the Spark-path composition ServeBench uses
+    val denseLeg = graft.operators.Ann
+      .topKIvf(assigned, "vec_id", "embedding", "ivf_cell", cents, q,
+        k = 20, nProbe = 2)
+      .select("vec_id").collect()
+      .zipWithIndex.map { case (r, i) => (r.getLong(0), i + 1) }.toSeq
+    val lexLeg = Bm25.searchPostings(postings, "doc_id", terms, idfMap,
+        avgdl, k = 20)
+      .select("doc_id").collect()
+      .zipWithIndex.map { case (r, i) => (r.getLong(0), i + 1) }.toSeq
+    val want = Bm25.rrfFuseLocal(Seq(denseLeg, lexLeg), c = 60, k = 10)
+    assert(server.searchHybrid(q, terms, k = 10, poolK = 20) == want)
+  }
+
+  test("MemoryServer JSON request path: query_vector in, ranked ids out") {
+    val mem = graft.serve.MemoryAnnIndex.fromDataFrame(
+      annAssigned, "vec_id", "embedding", "ivf_cell", annCents)
+    val server = new graft.serve.MemoryServer(mem, None)
+    val q = annQueries.head
+    val resp = server.search(
+      s"""{"query_vector":[${q.mkString(",")}],"limit":3}""")
+    val want = mem.topK(q, 3)
+    val wantJson = want.map { case (id, s) =>
+      s"""{"id":"$id","score":"$s"}""" }.mkString(",")
+    assert(resp == s"""{"results":[$wantJson]}""")
+    // text queries belong to the embedder-backed DataFrame tier
+    intercept[IllegalArgumentException] {
+      server.search("""{"query":"free text"}""")
+    }
+  }
+
+  test("memory index load(): persisted partitionBy layout + sidecar round-trips") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-memidx").toString
+    annAssigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(tmp)
+    graft.plans.AnnIndexMeta.write(spark, tmp, graft.plans.AnnIndexMeta.Meta(
+      "embedding", "ivf_cell", nProbe = 2, centroids = annCents))
+    val mem = graft.serve.MemoryAnnIndex.load(spark, tmp, "vec_id")
+    val q = annQueries(1)
+    val want = graft.operators.Ann
+      .topK(annAssigned, "vec_id", "embedding", q, 5)
+      .select("vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(mem.topK(q, 5) == want)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
 }

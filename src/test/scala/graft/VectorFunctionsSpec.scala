@@ -35,6 +35,25 @@ class VectorFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("code_dot: int codes x double query, codegen == driver fold") {
+    val rows = Seq.tabulate(30)(i =>
+      (i.toLong, Seq.tabulate(16)(j => (i * 7 + j * 3) % 256)))
+    val df = rows.toDF("id", "codes")
+    val q = Seq.tabulate(16)(j => math.sin(j * 1.3))
+    val got = df.select(col("id"), codeDot(col("codes"), typedlit(q)).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, cs) =>
+      var want = 0.0
+      var i = 0
+      while (i < cs.length) { want += q(i) * cs(i).toDouble; i += 1 }
+      assert(got(id) == want, s"code_dot mismatch for id=$id")
+    }
+    // null in => null out
+    val n = Seq((Option.empty[Seq[Int]], Option(q))).toDF("c", "q")
+      .select(codeDot(col("c"), col("q"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("null input yields null; dim mismatch throws") {
     val df = Seq((Some(Array(1f, 2f)), None: Option[Array[Float]])).toDF("a", "b")
     val r = df.select(cosineSim(col("a"), col("b"))).collect()
