@@ -27,11 +27,14 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    // best-of-2 per query, with the two runs in SEPARATE full passes over
-    // the query list: the shared host sees multi-minute external load
-    // bursts, and consecutive same-query runs would both land inside one
-    // burst — temporally-separated runs make the min a real
-    // least-contended estimate (and pass 2 is also codegen/JIT-warm).
+    // best-of-N per query (default 3), with the runs in SEPARATE full
+    // passes over the query list: the shared host sees multi-minute
+    // external load bursts, and consecutive same-query runs would both
+    // land inside one burst — temporally-separated runs make the min a
+    // real least-contended estimate (and later passes are codegen/JIT-
+    // warm). Two rounds of verdicts spent their perf sections proving
+    // 2-3x "regressions" were host noise; three separated passes close
+    // that forensic loop, and the JSON records the pass count.
     // NUMERIC id order (q9 before q100), so a consumer that truncates the
     // tail drops the highest-numbered — newest — queries last, not the
     // lexicographically unlucky ones.
@@ -53,16 +56,17 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val p1 = onePass(); val p2 = onePass()
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val allPasses = (1 to passes).map(_ => onePass())
     val results = names.collect { case (name, _) if !failed(name) =>
-      name -> math.min(p1(name), p2(name))
+      name -> allPasses.map(_(name)).min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","passes":$passes,"queries":$qs,"failed":$fj,"sf":"$sfDir"}"""
     println(line)
     // stdout capture can truncate; keep the whole line on disk too
     try java.nio.file.Files.writeString(

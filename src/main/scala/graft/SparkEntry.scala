@@ -69,7 +69,7 @@ object SparkEntry {
     * (it is captured at stream planning time, so batch queries see the
     * original value).
     */
-  private def withStreamPartitions[T](s: SparkSession, n: Int = 8)(body: => T): T = {
+  private[graft] def withStreamPartitions[T](s: SparkSession, n: Int = 8)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
@@ -324,7 +324,7 @@ object SparkEntry {
   /** (source, posting=token trigram shingle) — the overlap-bearing item
     * the KMV family (q177/q178) sketches.
     */
-  private def trigramShingles(docs: DataFrame): DataFrame = {
+  private[graft] def trigramShingles(docs: DataFrame): DataFrame = {
     val t = split(col("text"), " ")
     val sh = when(size(t) >= 3,
       transform(sequence(lit(1), size(t) - lit(2)), i =>
@@ -3394,6 +3394,25 @@ object SparkEntry {
       st.where(col("reached_3") === 1)
         .select(expr("(t_3 - t_1) div 3600000000").as("lag_hours"))
         .groupBy("lag_hours").agg(count(lit(1)).as("n_conversions"))
+    }),
+
+    // ---- video container metadata (multimodal/Multimodal.scala): the
+    // third modality's header decode made real — duration/dimensions/
+    // track-count parsed from the MP4 box tree and the MKV EBML tree
+    // (q90/q101's pattern; frame decode stays out of scope, which is
+    // where ffmpeg-in-mapPartitions slots at production). Both synthetic
+    // corpora are integer closed forms the oracle recomputes; parse
+    // failures are data (decode_ok=false), pinned by MultimodalSpec's
+    // corrupt-bytes cases.
+    "q184_video_meta" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val mp4 = Multimodal.syntheticMp4Media(s, 150)
+      val mkv = Multimodal.syntheticMkvMedia(s, 150)
+        .map(m => m.copy(media_id = m.media_id + 1000))(
+          org.apache.spark.sql.Encoders.product[Multimodal.MediaFile])
+      Multimodal.decodeVideoMeta(mp4.unionByName(mkv)).toDF()
+        .select("media_id", "container", "duration_ms", "width", "height",
+          "n_tracks", "decode_ok")
     })
   )
 
@@ -5738,6 +5757,25 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_conversions
          |FROM u WHERE r3 = 1 GROUP BY 1""".stripMargin
     },
+
+    // both synthetic container corpora are integer closed forms on the
+    // id; the REAL box/EBML parse must reproduce them exactly
+    "q184_video_meta" ->
+      """WITH mp4 AS (SELECT i AS media_id, 'mp4' AS container,
+        |    CAST(1000 + i % 5000 AS BIGINT) AS duration_ms,
+        |    CAST(320 + 16 * (i % 8) AS INT) AS width,
+        |    CAST(240 + 16 * (i % 6) AS INT) AS height,
+        |    CAST(1 + i % 3 AS INT) AS n_tracks
+        |  FROM range(150) t(i)),
+        |mkv AS (SELECT 1000 + i AS media_id, 'mkv' AS container,
+        |    CAST(2000 + i % 7000 AS BIGINT) AS duration_ms,
+        |    CAST(256 + 8 * (i % 16) AS INT) AS width,
+        |    CAST(144 + 8 * (i % 9) AS INT) AS height,
+        |    CAST(1 + (i + 1) % 3 AS INT) AS n_tracks
+        |  FROM range(150) t(i))
+        |SELECT media_id, container, duration_ms, width, height, n_tracks,
+        |  TRUE AS decode_ok
+        |FROM (SELECT * FROM mp4 UNION ALL SELECT * FROM mkv)""".stripMargin,
 
     // the oracle phrases as-of as a range join + argmax; the engine's
     // carry-forward window must land on the same latest-click-within-1h.

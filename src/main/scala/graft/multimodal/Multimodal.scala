@@ -417,6 +417,304 @@ object Multimodal {
       }
   }
 
+  // ------------------------------------------------------------- video
+  // Container-header metadata for the third modality: duration,
+  // dimensions, and track layout parsed from the MP4 (ISO BMFF box tree)
+  // or MKV (EBML element tree) header — dependency-free like the
+  // image/audio codecs, frame DECODE deliberately out of scope (that is
+  // where a real deployment brings ffmpeg via mapPartitions; the Spark-
+  // side plumbing — schema, partition-batched parse, corrupt-bytes-are-
+  // data — is identical and is what these parsers make real).
+
+  /** Per-video container truth parsed from the header bytes. */
+  case class VideoMeta(media_id: Long, container: String, duration_ms: Long,
+                       width: Int, height: Int, n_tracks: Int,
+                       decode_ok: Boolean)
+
+  private def beU32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  /** Parse an MP4/ISO-BMFF header: top-level boxes must start with
+    * `ftyp`; `moov`→`mvhd` yields timescale+duration, `moov`→`trak`→
+    * `tkhd` yields the 16.16 fixed-point presentation size (first trak
+    * wins; trak count is the track count). Returns
+    * (duration_ms, width, height, n_tracks); anything malformed —
+    * truncated box, size under 8, trailing garbage, missing mvhd — is
+    * None, never an exception (corrupt payloads are data).
+    */
+  def parseMp4Meta(bytes: Array[Byte]): Option[(Long, Int, Int, Int)] = {
+    def boxType(o: Int): String = new String(bytes, o + 4, 4, "ISO-8859-1")
+    // (type, payloadStart, payloadEnd) for each box in [start, end)
+    def boxes(start: Int, end: Int): Option[Seq[(String, Int, Int)]] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var o = start
+      while (o < end) {
+        if (o + 8 > end) return None
+        val sz = beU32(bytes, o)
+        if (sz < 8 || o + sz > end) return None
+        out += ((boxType(o), o + 8, o + sz.toInt))
+        o += sz.toInt
+      }
+      Some(out.result())
+    }
+    try {
+      for {
+        top <- boxes(0, bytes.length)
+        if top.headOption.exists(_._1 == "ftyp")
+        moov <- top.find(_._1 == "moov")
+        inner <- boxes(moov._2, moov._3)
+        mvhd <- inner.find(_._1 == "mvhd")
+        if bytes(mvhd._2) == 0 && mvhd._3 - mvhd._2 >= 100 // version-0 form
+        timescale = beU32(bytes, mvhd._2 + 12)
+        if timescale > 0
+        duration = beU32(bytes, mvhd._2 + 16)
+        traks = inner.filter(_._1 == "trak")
+        if traks.nonEmpty
+        tkhd <- boxes(traks.head._2, traks.head._3)
+          .flatMap(_.find(_._1 == "tkhd"))
+        if bytes(tkhd._2) == 0 && tkhd._3 - tkhd._2 >= 84
+      } yield ((duration * 1000L) / timescale,
+        (beU32(bytes, tkhd._2 + 76) >> 16).toInt,
+        (beU32(bytes, tkhd._2 + 80) >> 16).toInt, traks.size)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  // EBML ids (stored with their marker bits, as they appear on the wire)
+  private val EbmlHeader = 0x1A45DFA3L
+  private val MkvSegment = 0x18538067L
+  private val MkvInfo = 0x1549A966L
+  private val MkvTimestampScale = 0x2AD7B1L
+  private val MkvDuration = 0x4489L
+  private val MkvTracks = 0x1654AE6BL
+  private val MkvTrackEntry = 0xAEL
+  private val MkvVideo = 0xE0L
+  private val MkvPixelWidth = 0xB0L
+  private val MkvPixelHeight = 0xBAL
+
+  /** Parse an MKV/EBML header: Segment→Info gives TimestampScale (ns) +
+    * Duration (float64, in scale units); Segment→Tracks counts
+    * TrackEntry elements, the first one carrying a Video child yields
+    * PixelWidth/PixelHeight. Same totality contract as [[parseMp4Meta]].
+    */
+  def parseMkvMeta(bytes: Array[Byte]): Option[(Long, Int, Int, Int)] = {
+    // EBML vint: leading-zero count of the first byte gives the width;
+    // ids KEEP the marker bit, sizes strip it
+    def readVint(o: Int, keepMarker: Boolean): Option[(Long, Int)] = {
+      if (o >= bytes.length) return None
+      val first = bytes(o) & 0xff
+      if (first == 0) return None
+      val len = java.lang.Integer.numberOfLeadingZeros(first) - 23 // 1..8
+      if (o + len > bytes.length) return None
+      var v = if (keepMarker) first.toLong
+              else first.toLong & ((1 << (8 - len)) - 1)
+      var i = 1
+      while (i < len) { v = (v << 8) | (bytes(o + i) & 0xffL); i += 1 }
+      Some((v, len))
+    }
+    // (id, payloadStart, payloadEnd) children of [start, end)
+    def elems(start: Int, end: Int): Option[Seq[(Long, Int, Int)]] = {
+      val out = Seq.newBuilder[(Long, Int, Int)]
+      var o = start
+      while (o < end) {
+        val r = for {
+          (id, idLen) <- readVint(o, keepMarker = true)
+          (sz, szLen) <- readVint(o + idLen, keepMarker = false)
+          pStart = o + idLen + szLen
+          if sz >= 0 && pStart + sz <= end
+        } yield { out += ((id, pStart, pStart + sz.toInt)); pStart + sz.toInt }
+        r match {
+          case Some(next) => o = next
+          case None => return None
+        }
+      }
+      Some(out.result())
+    }
+    def uintAt(e: (Long, Int, Int)): Long = {
+      var v = 0L
+      var o = e._2
+      while (o < e._3) { v = (v << 8) | (bytes(o) & 0xffL); o += 1 }
+      v
+    }
+    try {
+      for {
+        top <- elems(0, bytes.length)
+        if top.headOption.exists(_._1 == EbmlHeader)
+        seg <- top.find(_._1 == MkvSegment)
+        inSeg <- elems(seg._2, seg._3)
+        info <- inSeg.find(_._1 == MkvInfo)
+        inInfo <- elems(info._2, info._3)
+        durEl <- inInfo.find(_._1 == MkvDuration)
+        if durEl._3 - durEl._2 == 8
+        scaleNs = inInfo.find(_._1 == MkvTimestampScale)
+          .map(uintAt).getOrElse(1000000L) // EBML default
+        if scaleNs > 0
+        tracks <- inSeg.find(_._1 == MkvTracks)
+        entries <- elems(tracks._2, tracks._3).map(_.filter(_._1 == MkvTrackEntry))
+        if entries.nonEmpty
+        video <- entries.iterator
+          .flatMap(e => elems(e._2, e._3).toSeq.flatMap(_.find(_._1 == MkvVideo)))
+          .buffered.headOption
+        inVideo <- elems(video._2, video._3)
+        w <- inVideo.find(_._1 == MkvPixelWidth).map(uintAt)
+        h <- inVideo.find(_._1 == MkvPixelHeight).map(uintAt)
+      } yield {
+        val durScaleUnits = java.lang.Double.longBitsToDouble(
+          (beU32(bytes, durEl._2) << 32) | beU32(bytes, durEl._2 + 4))
+        ((durScaleUnits * scaleNs / 1e6).toLong, w.toInt, h.toInt,
+          entries.size)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Dispatch on the container magic (`ftyp` at offset 4 for BMFF, the
+    * EBML id for MKV), partition-batched like the other modalities.
+    * Unrecognized/corrupt payloads decode_ok=false with zeroed fields.
+    */
+  def decodeVideoMeta(media: Dataset[MediaFile]): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val b = m.bytes
+        val isMp4 = b.length >= 8 &&
+          new String(b, 4, 4, "ISO-8859-1") == "ftyp"
+        val isMkv = b.length >= 4 && beU32(b, 0) == EbmlHeader
+        val parsed =
+          if (isMp4) parseMp4Meta(b).map(("mp4", _))
+          else if (isMkv) parseMkvMeta(b).map(("mkv", _))
+          else None
+        parsed match {
+          case Some((c, (d, w, h, t))) =>
+            VideoMeta(m.media_id, c, d, w, h, t, decode_ok = true)
+          case None =>
+            VideoMeta(m.media_id, "unknown", 0L, 0, 0, 0, decode_ok = false)
+        }
+      }
+    }
+  }
+
+  // ---- synthetic container writers (the corpus generators; there is no
+  // JDK muxer, so unlike PNG/WAV these headers are hand-assembled to the
+  // published layouts — the parser is still exercised on real box/EBML
+  // structure, and the corrupt-bytes spec covers the adversarial side)
+
+  private def be32Bytes(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def mp4Box(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32Bytes(8L + payload.length) ++ typ.getBytes("ISO-8859-1") ++ payload
+
+  /** Header-only MP4: ftyp + moov(mvhd + n×trak(tkhd)). Version-0 boxes,
+    * timescale `timescale`, 16.16 fixed-point dims on every trak.
+    */
+  def writeMp4Header(durationUnits: Long, timescale: Long, width: Int,
+                     height: Int, nTracks: Int): Array[Byte] = {
+    val ftyp = mp4Box("ftyp",
+      "isom".getBytes("ISO-8859-1") ++ be32Bytes(0) ++
+        "isom".getBytes("ISO-8859-1"))
+    val mvhd = mp4Box("mvhd",
+      be32Bytes(0) ++ // version+flags
+        be32Bytes(0) ++ be32Bytes(0) ++ // creation, modification
+        be32Bytes(timescale) ++ be32Bytes(durationUnits) ++
+        be32Bytes(0x00010000L) ++ // rate 1.0
+        Array[Byte](0x01, 0x00) ++ new Array[Byte](10) ++ // volume+reserved
+        new Array[Byte](36) ++ new Array[Byte](24) ++ // matrix, predefined
+        be32Bytes(nTracks + 1L)) // next track id
+    val traks = (1 to nTracks).map { tid =>
+      mp4Box("trak", mp4Box("tkhd",
+        be32Bytes(0) ++ be32Bytes(0) ++ be32Bytes(0) ++ // ver/flags, times
+          be32Bytes(tid.toLong) ++ be32Bytes(0) ++ // track id, reserved
+          be32Bytes(durationUnits) ++ new Array[Byte](8) ++ // duration, reserved
+          new Array[Byte](8) ++ // layer, alternate, volume, reserved
+          new Array[Byte](36) ++ // matrix
+          be32Bytes(width.toLong << 16) ++ be32Bytes(height.toLong << 16)))
+    }
+    ftyp ++ mp4Box("moov", mvhd ++ traks.reduce(_ ++ _))
+  }
+
+  private def ebmlIdBytes(id: Long): Array[Byte] = {
+    val nBytes = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+    (0 until nBytes).reverse
+      .map(i => ((id >> (8 * i)) & 0xff).toByte).toArray
+  }
+
+  // 8-byte size form (0x01 marker + 7 payload bytes): always legal,
+  // keeps the writer trivially correct for any length
+  private def ebmlSizeBytes(n: Long): Array[Byte] =
+    Array(0x01.toByte) ++ (0 until 7).reverse
+      .map(i => ((n >> (8 * i)) & 0xff).toByte).toArray
+
+  private def ebmlElem(id: Long, payload: Array[Byte]): Array[Byte] =
+    ebmlIdBytes(id) ++ ebmlSizeBytes(payload.length.toLong) ++ payload
+
+  private def ebmlUintBytes(v: Long): Array[Byte] = {
+    val nBytes = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+    (0 until nBytes).reverse
+      .map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+  }
+
+  /** Header-only MKV: EBML header + Segment(Info(TimestampScale=1e6 ns,
+    * Duration as float64 ms) + Tracks(video entry with PixelWidth/Height
+    * + `nTracks - 1` audio entries)).
+    */
+  def writeMkvHeader(durationMs: Long, width: Int, height: Int,
+                     nTracks: Int): Array[Byte] = {
+    val header = ebmlElem(EbmlHeader,
+      ebmlElem(0x4282L, "matroska".getBytes("ISO-8859-1"))) // DocType
+    val durBits = java.lang.Double.doubleToLongBits(durationMs.toDouble)
+    val info = ebmlElem(MkvInfo,
+      ebmlElem(MkvTimestampScale, ebmlUintBytes(1000000L)) ++
+        ebmlElem(MkvDuration, (0 until 8).reverse
+          .map(i => ((durBits >> (8 * i)) & 0xff).toByte).toArray))
+    val videoEntry = ebmlElem(MkvTrackEntry,
+      ebmlElem(0xD7L, ebmlUintBytes(1L)) ++ // TrackNumber
+        ebmlElem(0x83L, ebmlUintBytes(1L)) ++ // TrackType video
+        ebmlElem(MkvVideo,
+          ebmlElem(MkvPixelWidth, ebmlUintBytes(width.toLong)) ++
+            ebmlElem(MkvPixelHeight, ebmlUintBytes(height.toLong))))
+    val audioEntries = (2 to nTracks).map(tn =>
+      ebmlElem(MkvTrackEntry,
+        ebmlElem(0xD7L, ebmlUintBytes(tn.toLong)) ++
+          ebmlElem(0x83L, ebmlUintBytes(2L)))) // TrackType audio
+    header ++ ebmlElem(MkvSegment,
+      info ++ ebmlElem(MkvTracks,
+        audioEntries.foldLeft(videoEntry)(_ ++ _)))
+  }
+
+  /** Deterministic MP4 corpus: duration 1000 + id mod 5000 ms (timescale
+    * 1000), dims (320 + 16·(id mod 8)) × (240 + 16·(id mod 6)),
+    * 1 + id mod 3 tracks — every field a closed form the oracle
+    * recomputes analytically.
+    */
+  def syntheticMp4Media(spark: SparkSession, n: Int): Dataset[MediaFile] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val dur = 1000L + i % 5000
+      val w = 320 + 16 * (i % 8).toInt
+      val h = 240 + 16 * (i % 6).toInt
+      val t = 1 + (i % 3).toInt
+      MediaFile(i, "video", writeMp4Header(dur, 1000L, w, h, t), w, h, dur,
+        "video/mp4")
+    }
+  }
+
+  /** Deterministic MKV corpus: duration 2000 + id mod 7000 ms, dims
+    * (256 + 8·(id mod 16)) × (144 + 8·(id mod 9)), 1 + (id+1) mod 3
+    * tracks.
+    */
+  def syntheticMkvMedia(spark: SparkSession, n: Int): Dataset[MediaFile] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val dur = 2000L + i % 7000
+      val w = 256 + 8 * (i % 16).toInt
+      val h = 144 + 8 * (i % 9).toInt
+      val t = 1 + ((i + 1) % 3).toInt
+      MediaFile(i, "video", writeMkvHeader(dur, w, h, t), w, h, dur,
+        "video/x-matroska")
+    }
+  }
+
   /** Deterministic synthetic media corpus (for tests/demos). */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaFile] = {
     import spark.implicits._

@@ -433,4 +433,62 @@ object Ann {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Deterministic mixture-of-Gaussians embedding fixture: `nClusters`
+    * seeded unit-direction centers; point i = normalize(center_{i mod K}
+    * + noise) where the gaussian noise's per-coordinate sigma is
+    * spread/√dim — so the noise VECTOR norm is ≈ `spread` relative to
+    * the unit center regardless of dimension (unscaled per-coordinate
+    * noise would swamp the center at high dim: norm grows √dim). Expected
+    * same-cluster cosine ≈ 1/(1+spread²). Everything drawn from
+    * per-index-seeded RNGs so the corpus is identical across runs and
+    * partitionings. This is the CLUSTERED regime real text/image
+    * embeddings live in — the testdata embeddings are isotropic (the
+    * hardest case for cell-probing ANN), so recall tuning needs both
+    * curves (tools/RecallReport measures them; RECALL.md carries the
+    * result).
+    */
+  def syntheticClusteredEmbeddings(spark: org.apache.spark.sql.SparkSession,
+                                   n: Int, dim: Int, nClusters: Int,
+                                   spread: Double = 0.25,
+                                   seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val centers = (0 until nClusters).map { c =>
+      val r = new scala.util.Random(seed * 7919L + c)
+      val v = Array.fill(dim)(r.nextGaussian())
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / norm).toFloat).toIndexedSeq
+    }
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val sigma = spread / math.sqrt(dim)
+    spark.range(n).map { i =>
+      val cluster = (i % nClusters).toInt
+      val center = bcCenters.value(cluster)
+      val r = new scala.util.Random(seed * 1000003L + i)
+      val raw = Array.tabulate(dim)(j =>
+        center(j) + sigma * r.nextGaussian())
+      val norm = math.sqrt(raw.map(x => x * x).sum)
+      (i, cluster, raw.map(x => (x / norm).toFloat).toSeq)
+    }.toDF("vec_id", "cluster", "embedding")
+  }
+
+  /** Pick the smallest probe width whose MEASURED recall meets the
+    * target — the tuning contract RECALL.md's curves feed. `curve` is
+    * (nProbe, measured recall@k) from `tools/RecallReport` (any order);
+    * returns the cheapest point at or above `recallTarget`, or the
+    * widest probe when the target is unreachable (the caller then knows
+    * the index itself — not the probe width — is the limiter).
+    * Monotone by construction: a higher target never picks a narrower
+    * probe (AnnSpec pins this).
+    */
+  def pickNProbe(curve: Seq[(Int, Double)], recallTarget: Double): Int = {
+    require(curve.nonEmpty, "pickNProbe needs a measured curve")
+    val sorted = curve.sortBy(_._1)
+    // enforce the physical monotonicity (recall can only grow with more
+    // cells scanned) against measurement noise: running max
+    val mono = sorted.scanLeft((0, 0.0)) { case ((_, best), (p, r)) =>
+      (p, math.max(best, r))
+    }.drop(1)
+    mono.find(_._2 >= recallTarget).map(_._1).getOrElse(sorted.last._1)
+  }
 }

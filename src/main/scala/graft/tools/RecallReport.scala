@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Ann
@@ -10,37 +10,34 @@ import graft.operators.Ann
   * AnnSpec proves exact-equivalence under full probe), but a user tunes
   * nProbe / rerankFactor against empirical recall@k vs exact top-k
   * (the reference's >=1M-doc scaling envelope, `02:438-442`, implies
-  * exactly this trade). This tool measures it on the testdata embeddings:
+  * exactly this trade). Measured in TWO data regimes:
   *
-  *  - queries: every Nth corpus vector (deterministic spread), self
-  *    EXCLUDED from its own candidate set on both sides — recall is not
-  *    inflated by trivial self-retrieval;
-  *  - ground truth: exact brute-force cosine top-k per query;
-  *  - IVF (16 spherical-k-means cells) at nProbe 1/2/4;
-  *  - PQ (m=8 subspaces, ksub=16, 1 Lloyd iter) at rerankFactor 1/2/4;
-  *  - IVF×PQ composed at nProbe 1/2/4 (rerank fixed at 4).
+  *  - `isotropic`: the testdata embeddings — no cluster structure, the
+  *    hardest case for cell probing, so its curve is the FLOOR;
+  *  - `clustered`: [[Ann.syntheticClusteredEmbeddings]] (deterministic
+  *    mixture of Gaussians on the sphere, 16 clusters, spread 0.6) —
+  *    the regime real text/image embeddings live in, where the same
+  *    probe widths should sit far above the floor. Two regimes turn the
+  *    RECALL.md floor NOTE into a measured claim, and the clustered
+  *    curve is what [[Ann.pickNProbe]] tunes against.
   *
-  * Prints one JSON line and rewrites RECALL.md with the table.
+  * Per regime: queries are every Nth corpus vector (deterministic
+  * spread), self EXCLUDED from its own candidate set on both sides;
+  * ground truth is exact brute-force cosine top-k; IVF (16 spherical-
+  * k-means cells) at nProbe 1/2/4/8/16, PQ (m=8, ksub=16) at rerank
+  * 1/4/16, IVF×PQ at nProbe 1/2/4 (rerank 4).
+  *
+  * Prints one JSON line and rewrites RECALL.md with both tables.
   *
   * Usage: sbt "runMain graft.tools.RecallReport [sfDir] [k] [nQueries]"
   */
 object RecallReport {
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val k = if (args.length > 1) args(1).toInt else 10
-    val nQ = if (args.length > 2) args(2).toInt else 32
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
-    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .where(col("vec_id") =!= 0)
-    val nCells = 16
+  private case class VariantRow(method: String, params: String,
+                                mean: Double, worst: Double, frac: Double)
+
+  private def measureRegime(corpus: DataFrame, k: Int, nQ: Int,
+                            nCells: Int): (Seq[VariantRow], Long, Int) = {
     val cents = Ann.kmeansCentroids(corpus, "vec_id", "embedding", nCells, iters = 3)
     val books = Ann.pqCodebooks(corpus, "vec_id", "embedding", m = 8, ksub = 16, iters = 1)
     val indexed = Ann.withPqCodes(
@@ -56,21 +53,22 @@ object RecallReport {
     val qVecs = indexed.where(col("vec_id").isin(qIds: _*))
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    val dim = qVecs(qIds.head).size
 
-    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    def ids(df: DataFrame): Set[Long] =
       df.select("vec_id").collect().map(_.getLong(0)).toSet
 
-    val variants: Seq[(String, String, (org.apache.spark.sql.DataFrame, Seq[Float]) => Set[Long], Double)] =
+    val variants: Seq[(String, String, (DataFrame, Seq[Float]) => Set[Long], Double)] =
       Seq(1, 2, 4, 8, nCells).map(p => ("ivf", s"nProbe=$p",
-        (base: org.apache.spark.sql.DataFrame, qv: Seq[Float]) =>
+        (base: DataFrame, qv: Seq[Float]) =>
           ids(Ann.topKIvf(base, "vec_id", "embedding", "ivf_cell", cents, qv, k, p)),
         p.toDouble / nCells)) ++
       Seq(1, 4, 16).map(r => ("pq", s"rerank=$r",
-        (base: org.apache.spark.sql.DataFrame, qv: Seq[Float]) =>
+        (base: DataFrame, qv: Seq[Float]) =>
           ids(Ann.topKPq(base, "vec_id", "embedding", "pq_code", books, qv, k, r)),
         1.0)) ++
       Seq(1, 2, 4).map(p => ("ivf_pq", s"nProbe=$p,rerank=4",
-        (base: org.apache.spark.sql.DataFrame, qv: Seq[Float]) =>
+        (base: DataFrame, qv: Seq[Float]) =>
           ids(Ann.topKIvfPq(base, "vec_id", "embedding", "ivf_cell", "pq_code",
             cents, books, qv, k, p, rerankFactor = 4)),
         p.toDouble / nCells))
@@ -86,52 +84,93 @@ object RecallReport {
         perVariant((m, param)) = rec :: perVariant.getOrElse((m, param), Nil)
       }
     }
+    indexed.unpersist()
 
     val rows = variants.map { case (m, param, _, frac) =>
       val rs = perVariant((m, param))
-      (m, param, rs.sum / rs.size, rs.min, frac)
+      VariantRow(m, param, rs.sum / rs.size, rs.min, frac)
     }
     // harness sanity: full probe is the exact path and must hit 1.0
-    rows.find { case (m, p, _, _, _) => m == "ivf" && p == s"nProbe=$nCells" }
-      .foreach { case (_, _, mean, worst, _) =>
-        require(mean == 1.0 && worst == 1.0,
-          f"full-probe IVF must equal exact top-$k, got mean=$mean%.3f worst=$worst%.3f")
+    rows.find(r => r.method == "ivf" && r.params == s"nProbe=$nCells")
+      .foreach { r =>
+        require(r.mean == 1.0 && r.worst == 1.0,
+          f"full-probe IVF must equal exact top-$k, got mean=${r.mean}%.3f worst=${r.worst}%.3f")
       }
-    val js = rows.map { case (m, p, mean, worst, frac) =>
-      f"""{"method":"$m","params":"$p","recall_at_$k":$mean%.3f,"worst_query":$worst%.3f,"scan_frac":$frac%.3f}"""
-    }.mkString("[", ",", "]")
-    val line =
-      s"""{"metric":"ann_recall","sf":"$sfDir","corpus":$n,"k":$k,"queries":${qIds.size},"cells":$nCells,"results":$js}"""
-    println(line)
+    (rows, n, dim)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = if (args.length > 1) args(1).toInt else 10
+    val nQ = if (args.length > 2) args(2).toInt else 32
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val nCells = 16
+
+    val iso = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("vec_id") =!= 0)
+    val isoN = iso.count()
+    val clustered = Ann.syntheticClusteredEmbeddings(spark,
+        n = isoN.toInt, dim = 64, nClusters = nCells, spread = 0.6)
+      .select("vec_id", "embedding")
+
+    val regimes = Seq(
+      ("isotropic", s"$sfDir/embeddings.parquet", iso),
+      ("clustered", "Ann.syntheticClusteredEmbeddings(16 clusters, spread 0.6, seed 42)",
+        clustered))
+    val measured = regimes.map { case (tag, srcDesc, corpus) =>
+      val (rows, n, dim) = measureRegime(corpus, k, nQ, nCells)
+      (tag, srcDesc, rows, n, dim)
+    }
+
+    val js = measured.map { case (tag, _, rows, n, _) =>
+      val rjs = rows.map(r =>
+        f"""{"method":"${r.method}","params":"${r.params}","recall_at_$k":${r.mean}%.3f,"worst_query":${r.worst}%.3f,"scan_frac":${r.frac}%.3f}""")
+        .mkString("[", ",", "]")
+      s""""$tag":{"corpus":$n,"results":$rjs}"""
+    }.mkString(",")
+    println(s"""{"metric":"ann_recall","sf":"$sfDir","k":$k,"queries":$nQ,"cells":$nCells,$js}""")
 
     val md = new StringBuilder
-    md ++= "# ANN recall vs exact top-k\n\n"
-    md ++= s"Measured by `graft.tools.RecallReport` on `$sfDir/embeddings.parquet` "
-    md ++= s"($n vectors, dim ${qVecs(qIds.head).size}); $nQ evenly-spaced corpus queries, "
-    md ++= s"self excluded from both sides; ground truth = exact cosine top-$k.\n"
-    md ++= s"IVF: $nCells spherical-k-means cells (3 iters). PQ: m=8, ksub=16, 1 Lloyd iter.\n\n"
-    md ++= "**Data regime**: the synthetic embeddings are ISOTROPIC (mean pairwise\n"
-    md ++= "cosine ~0; the `label` column carries no geometric structure — measured:\n"
-    md ++= "a vector's top-10 neighbors share its label at chance rate). This is the\n"
-    md ++= "hardest regime for cell-probing ANN — there are no clusters to exploit —\n"
-    md ++= "so these recalls are a FLOOR: real text/image embeddings, which are\n"
-    md ++= "strongly clustered, sit well above this curve at the same scan fraction.\n"
-    md ++= "The honest tuning signal is the LIFT column: recall per corpus-fraction\n"
-    md ++= "scanned vs a random-subsample baseline (lift 1.0 = no better than\n"
-    md ++= "scanning a random slice; >1 = the index concentrates true neighbors).\n\n"
-    md ++= s"| method | params | mean recall@$k | worst query | corpus scanned | lift |\n"
-    md ++= "|---|---|---|---|---|---|\n"
-    rows.foreach { case (m, p, mean, worst, frac) =>
-      md ++= f"| $m | $p | $mean%.3f | $worst%.3f | ${frac * 100}%.0f%% | ${mean / frac}%.1f× |\n"
+    md ++= "# ANN recall vs exact top-k — two data regimes\n\n"
+    md ++= s"Measured by `graft.tools.RecallReport`; $nQ evenly-spaced corpus queries\n"
+    md ++= s"per regime, self excluded from both sides; ground truth = exact cosine\n"
+    md ++= s"top-$k. IVF: $nCells spherical-k-means cells (3 iters). PQ: m=8, ksub=16,\n"
+    md ++= "1 Lloyd iter. Lift = recall / corpus-fraction-scanned (1.0 = no better\n"
+    md ++= "than scanning a random slice; >1 = the index concentrates true\n"
+    md ++= "neighbors).\n\n"
+    md ++= "**Why two regimes**: the testdata embeddings are ISOTROPIC (mean\n"
+    md ++= "pairwise cosine ~0, no cluster structure — the hardest case for cell\n"
+    md ++= "probing), so that curve is a FLOOR. The clustered fixture\n"
+    md ++= "(deterministic mixture of Gaussians on the sphere) is the regime real\n"
+    md ++= "text/image embeddings live in; the SAME index parameters there show\n"
+    md ++= "what a production corpus gets. `Ann.pickNProbe(curve, target)` turns\n"
+    md ++= "the measured curve into a probe-width choice (smallest nProbe meeting\n"
+    md ++= "the recall target; monotone in the target — pinned by AnnSpec).\n"
+    measured.foreach { case (tag, srcDesc, rows, n, dim) =>
+      md ++= s"\n## Regime: $tag\n\n"
+      md ++= s"Corpus: $srcDesc ($n vectors, dim $dim).\n\n"
+      md ++= s"| method | params | mean recall@$k | worst query | corpus scanned | lift |\n"
+      md ++= "|---|---|---|---|---|---|\n"
+      rows.foreach { r =>
+        md ++= f"| ${r.method} | ${r.params} | ${r.mean}%.3f | ${r.worst}%.3f | ${r.frac * 100}%.0f%% | ${r.mean / r.frac}%.1f× |\n"
+      }
     }
-    md ++= "\nReading: IVF recall climbs with nProbe and its lift shows the cells\n"
-    md ++= "concentrate direction-neighbors ~2-4× over random scanning even on\n"
-    md ++= "isotropic data; nProbe=16 is the full-probe sanity ceiling (the tool\n"
-    md ++= "REQUIREs it equals exact — 1.000). PQ's exact-cosine re-rank recovers\n"
-    md ++= "ordering as rerankFactor grows (ADC on m=8x16 codes is the limiter);\n"
-    md ++= "the composed IVF×PQ inherits the probe-limited ceiling of its IVF\n"
-    md ++= "stage. AnnSpec separately proves every path returns the EXACT top-k\n"
-    md ++= "under full probe/rerank.\n"
+    md ++= "\nReading: on ISOTROPIC data IVF recall climbs roughly with scan\n"
+    md ++= "fraction (lift ~2-4× from direction concentration alone); on\n"
+    md ++= "CLUSTERED data a narrow probe already captures most true neighbors —\n"
+    md ++= "the cells align with the clusters, which is the production argument\n"
+    md ++= "for IVF. nProbe=16 is the full-probe sanity ceiling in both regimes\n"
+    md ++= "(the tool REQUIREs it equals exact). PQ's exact-cosine re-rank\n"
+    md ++= "recovers ordering as rerankFactor grows; IVF×PQ inherits the\n"
+    md ++= "probe-limited ceiling of its IVF stage. AnnSpec separately proves\n"
+    md ++= "every path returns the EXACT top-k under full probe/rerank.\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get("RECALL.md"), md.toString)
     spark.stop()
   }

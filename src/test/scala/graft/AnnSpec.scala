@@ -276,4 +276,59 @@ class AnnSpec extends SparkSpec {
       .count()
     assert(got === inCell)
   }
+
+  test("pickNProbe: smallest probe meeting the target, monotone in the target") {
+    val curve = Seq(1 -> 0.22, 2 -> 0.35, 4 -> 0.55, 8 -> 0.82, 16 -> 1.0)
+    assert(Ann.pickNProbe(curve, 0.0) == 1)
+    assert(Ann.pickNProbe(curve, 0.35) == 2)
+    assert(Ann.pickNProbe(curve, 0.5) == 4)
+    assert(Ann.pickNProbe(curve, 0.9) == 16)
+    // unreachable target -> widest probe (the index is the limiter)
+    assert(Ann.pickNProbe(curve :+ (32 -> 0.99), 1.5) == 32)
+    // measurement noise (a dip) must not break monotonicity
+    val noisy = Seq(1 -> 0.3, 2 -> 0.25, 4 -> 0.6, 8 -> 0.9)
+    val targets = Seq(0.1, 0.25, 0.3, 0.5, 0.6, 0.8, 0.9, 0.95)
+    val picks = targets.map(Ann.pickNProbe(noisy, _))
+    assert(picks == picks.sorted, s"picker not monotone: $targets -> $picks")
+    // order of the input curve is irrelevant
+    assert(Ann.pickNProbe(curve.reverse, 0.5) == 4)
+  }
+
+  test("clustered fixture: deterministic, and cells align with clusters (high recall at narrow probe)") {
+    val a = Ann.syntheticClusteredEmbeddings(spark, 200, 16, 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    val b = Ann.syntheticClusteredEmbeddings(spark, 200, 16, 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(a == b, "fixture must be bit-deterministic across runs")
+    // same-cluster points are near (cos >> 0), cross-cluster near-orthogonal
+    val corpus = Ann.syntheticClusteredEmbeddings(spark, 400, 32, 8,
+      spread = 0.4)
+    val rows = corpus.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toSeq))
+    val byCluster = rows.groupBy(_._2)
+    val same = Ann.cosine(byCluster(0).head._3, byCluster(0)(1)._3)
+    val cross = Ann.cosine(byCluster(0).head._3, byCluster(1).head._3)
+    assert(same > 0.8 && math.abs(cross) < 0.5,
+      f"cluster geometry off: same=$same%.2f cross=$cross%.2f")
+    // the production claim behind RECALL.md's clustered regime: at
+    // nProbe=2 of 8 k-means cells, recall@10 on clustered data is high
+    // (vs ~0.35 on the isotropic floor)
+    val emb = corpus.select("vec_id", "embedding")
+    val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", 8, iters = 3)
+    val indexed = Ann.withIvfAssignment(emb, "embedding", cents)
+      .localCheckpoint(true)
+    val recalls = Seq(3L, 101L, 250L).map { qid =>
+      val qv = rows.find(_._1 == qid).get._3
+      val base = indexed.where(col("vec_id") =!= qid)
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("vec_id").collect().map(_.getLong(0)).toSet
+      val exact = ids(Ann.topK(base, "vec_id", "embedding", qv, 10))
+      val probed = ids(Ann.topKIvf(base, "vec_id", "embedding", "ivf_cell",
+        cents, qv, 10, nProbe = 2))
+      (probed & exact).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8,
+      f"clustered-regime recall@10 at nProbe=2 only $mean%.2f — cells not aligned with clusters")
+  }
 }

@@ -155,4 +155,49 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1L)._1 != got(3L)._1)
     assert(got(4L)._1 == ((0L, 0L)))
   }
+
+  test("video container metadata: MP4 box tree and MKV EBML tree round-trip") {
+    import graft.multimodal.Multimodal
+    // direct parser round-trips at representative parameter corners
+    Seq((1000L, 320, 240, 1), (5999L, 432, 320, 3), (1L, 16, 16, 2))
+      .foreach { case (d, w, h, t) =>
+        assert(Multimodal.parseMp4Meta(
+          Multimodal.writeMp4Header(d, 1000L, w, h, t)) == Some((d, w, h, t)))
+        assert(Multimodal.parseMkvMeta(
+          Multimodal.writeMkvHeader(d, w, h, t)) == Some((d, w, h, t)))
+      }
+    // mp4 duration honors a non-ms timescale (90 kHz is the common one)
+    assert(Multimodal.parseMp4Meta(
+      Multimodal.writeMp4Header(90000L * 3, 90000L, 100, 100, 1))
+      == Some((3000L, 100, 100, 1)))
+  }
+
+  test("video container metadata: corrupt bytes are DATA, not exceptions") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    import Multimodal.MediaFile
+    val good = Multimodal.writeMp4Header(1500L, 1000L, 320, 240, 2)
+    val goodMkv = Multimodal.writeMkvHeader(2500L, 256, 144, 1)
+    val media = Seq(
+      MediaFile(1, "video", good, 0, 0, 0L, "video/mp4"),
+      MediaFile(2, "video", goodMkv, 0, 0, 0L, "video/x-matroska"),
+      // truncated mid-box: magic valid, structure not
+      MediaFile(3, "video", good.take(good.length / 2), 0, 0, 0L, "video/mp4"),
+      MediaFile(4, "video", goodMkv.take(12), 0, 0, 0L, "video/x-matroska"),
+      // wrong magic entirely
+      MediaFile(5, "video", Array.tabulate[Byte](64)(i => (i * 7).toByte),
+        0, 0, 0L, "video/mp4"),
+      MediaFile(6, "video", Array.emptyByteArray, 0, 0, 0L, "video/mp4")
+    ).toDS()
+    val got = Multimodal.decodeVideoMeta(media).collect()
+      .map(v => v.media_id -> v).toMap
+    assert(got(1L).decode_ok && got(1L).container == "mp4" &&
+      got(1L).duration_ms == 1500L && got(1L).n_tracks == 2)
+    assert(got(2L).decode_ok && got(2L).container == "mkv" &&
+      got(2L).duration_ms == 2500L && got(2L).width == 256)
+    Seq(3L, 4L, 5L, 6L).foreach { id =>
+      assert(!got(id).decode_ok, s"corrupt payload $id claimed to decode")
+      assert(got(id).duration_ms == 0L && got(id).n_tracks == 0)
+    }
+  }
 }

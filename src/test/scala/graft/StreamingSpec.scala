@@ -492,6 +492,35 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("UpsertSink retainVersions: a snapshot survives N-1 publishes, then ages out") {
+    import graft.streaming.UpsertSink
+    val dir = Files.createTempDirectory("graft-upsert-retain").toString
+    val table = s"$dir/table"
+    def batch(ver: Long, tag: String) =
+      Seq((1L, tag, ver, 0)).toDF("k", "v", "version", "prio")
+    UpsertSink.compactBatch(table, batch(1L, "b1"), Seq("k"), "version",
+      "prio", retainVersions = 3)
+    val pinned = UpsertSink.snapshot(spark, table) // pins v1
+    // TWO subsequent publishes — under the default window v1 would be
+    // gone after the second; retainVersions=3 keeps it alive
+    UpsertSink.compactBatch(table, batch(2L, "b2"), Seq("k"), "version",
+      "prio", retainVersions = 3)
+    UpsertSink.compactBatch(table, batch(3L, "b3"), Seq("k"), "version",
+      "prio", retainVersions = 3)
+    assert(new java.io.File(s"${table}__v1").exists(),
+      "v1 reclaimed inside the retention window")
+    val held = pinned.collect().map(_.getAs[String]("v")).toSet
+    assert(held == Set("b1"), s"long-lived snapshot torn: $held")
+    // the third publish pushes v1 out of the window
+    UpsertSink.compactBatch(table, batch(4L, "b4"), Seq("k"), "version",
+      "prio", retainVersions = 3)
+    assert(!new java.io.File(s"${table}__v1").exists(), "v1 outlived the window")
+    assert(new java.io.File(s"${table}__v2").exists(), "v2 reclaimed too early")
+    val plain = spark.read.parquet(table).collect().map(_.getAs[String]("v")).toSet
+    assert(plain == Set("b4"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("UpsertSink: plain-path reads across concurrent swaps are never torn") {
     import graft.streaming.UpsertSink
     val dir = Files.createTempDirectory("graft-upsert-iso").toString
