@@ -3413,6 +3413,53 @@ object SparkEntry {
       Multimodal.decodeVideoMeta(mp4.unionByName(mkv)).toDF()
         .select("media_id", "container", "duration_ms", "width", "height",
           "n_tracks", "decode_ok")
+    }),
+
+    // ---- MEMORY serving tier through the oracle gate (serve/
+    // MemoryIndex.scala): the job-free runtime's exact top-k must carry
+    // the SAME bits as the DataFrame scan — ServeSpec pins tier parity;
+    // this pins the tier against the INDEPENDENT engine. The index loads
+    // from the IVF-assigned corpus the way a serving node loads the
+    // persisted artifact, then answers with zero Spark jobs.
+    "q185_memory_search" -> ((s, dir) => {
+      import s.implicits._
+      val emb = rd(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") =!= 13)
+      val qv = storedVecs(emb, 13).head
+      val cents = Ann.sampleCentroids(corpus, "vec_id", "embedding", 4)
+      val mem = graft.serve.MemoryAnnIndex.fromDataFrame(
+        Ann.withIvfAssignment(corpus, "embedding", cents),
+        "vec_id", "embedding", "ivf_cell", cents)
+      mem.topK(qv, 10).toDF("vec_id", "score")
+    }),
+
+    // ---- memory HYBRID through the gate: dense exact top-20 + BM25
+    // top-20 from the loaded postings index, RRF-fused driver-side —
+    // q163's semantics served entirely from memory structures (the
+    // serving tier's fused request path, end-to-end against DuckDB).
+    "q186_memory_hybrid" -> ((s, dir) => {
+      import s.implicits._
+      val emb = rd(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") =!= 7)
+      val qv = storedVecs(emb, 7).head
+      val cents = Ann.sampleCentroids(corpus, "vec_id", "embedding", 4)
+      val docs = rdPar(s, dir, "documents")
+      val postings = graft.operators.Bm25.buildPostings(docs, "doc_id", "text")
+      val stats = docs
+        .select(size(split(col("text"), " ")).cast("long").as("dl"))
+        .agg(sum("dl"), count(lit(1))).head()
+      val avgdl = stats.getLong(0).toDouble / stats.getLong(1).toDouble
+      val dfMap = postings.groupBy("term").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val idfMap = graft.operators.Bm25.idfByTerm(dfMap, stats.getLong(1), s)
+      val server = new graft.serve.MemoryServer(
+        graft.serve.MemoryAnnIndex.fromDataFrame(
+          Ann.withIvfAssignment(corpus, "embedding", cents),
+          "vec_id", "embedding", "ivf_cell", cents),
+        Some(graft.serve.MemoryPostingsIndex.fromDataFrame(
+          postings, "doc_id", idfMap, avgdl)))
+      server.searchHybrid(qv, Seq("dup", "stream"), k = 10, poolK = 20)
+        .toDF("id", "rrf")
     })
   )
 
@@ -5776,6 +5823,37 @@ object SparkEntry {
         |SELECT media_id, container, duration_ms, width, height, n_tracks,
         |  TRUE AS decode_ok
         |FROM (SELECT * FROM mp4 UNION ALL SELECT * FROM mkv)""".stripMargin,
+
+    // the memory tier's exact scan must land on the brute-force bits
+    "q185_memory_search" -> {
+      val cos = cosSql("e.embedding", "q.qv")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 13)
+         |SELECT e.vec_id, $cos AS score
+         |FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 13
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin
+    },
+
+    // q163's hybrid semantics, served from memory structures — the
+    // oracle is the same fused form (exact dense top-20 + BM25 top-20,
+    // reciprocal ranks summed in leg order)
+    "q186_memory_hybrid" -> {
+      val cos = cosSql("e.embedding", "q.qv")
+      s"""WITH qd AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+         |dense AS (
+         |  SELECT e.vec_id AS id, $cos AS score
+         |  FROM embeddings e CROSS JOIN qd q WHERE e.vec_id <> 7
+         |  ORDER BY score DESC, e.vec_id LIMIT 20),
+         |dr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank FROM dense),
+         |lex AS (
+         |  SELECT doc_id, score FROM ${bm25ScoredSql(Seq("dup", "stream"))} s
+         |  ORDER BY score DESC, doc_id LIMIT 20),
+         |lr AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM lex)
+         |SELECT coalesce(dr.id, lr.id) AS id,
+         |  coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(dr.rank AS DOUBLE)), CAST(0 AS DOUBLE))
+         |    + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(lr.rank AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf
+         |FROM dr FULL OUTER JOIN lr ON dr.id = lr.id
+         |ORDER BY rrf DESC, id LIMIT 10""".stripMargin
+    },
 
     // the oracle phrases as-of as a range join + argmax; the engine's
     // carry-forward window must land on the same latest-click-within-1h.
