@@ -3460,6 +3460,22 @@ object SparkEntry {
           postings, "doc_id", idfMap, avgdl)))
       server.searchHybrid(qv, Seq("dup", "stream"), k = 10, poolK = 20)
         .toDF("id", "rrf")
+    }),
+
+    // ---- memory SQ8 serving (serve/MemorySq8Index): the compressed
+    // replica — byte-packed codes (a REAL 4× resident-set cut; int[]
+    // codes would be 4 B/element and save nothing) scored with q179's
+    // exact algebra, then exact rerank over the retained floats. Shares
+    // q179's oracle transcription at a different query vector.
+    "q187_memory_sq8" -> ((s, dir) => {
+      import s.implicits._
+      val emb = rd(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") =!= 17)
+      val qv = storedVecs(emb, 17).head
+      val mem = graft.serve.MemorySq8Index.fromDataFrame(
+        graft.operators.Quantize.withSq8(corpus, "embedding"),
+        "vec_id", "embedding")
+      mem.topK(qv, k = 5, rerankFactor = 3).toDF("vec_id", "score")
     })
   )
 
@@ -5988,40 +6004,11 @@ object SparkEntry {
     // 2·mn·s·Σc + s²·Σc²) — the oracle mirrors that exact association
     // order (Σc/Σc² are integer-exact; the q,c dot folds in list order),
     // top-15 by (approx DESC, id), exact cosine rerank to top-5
-    "q179_sq8_search" -> {
-      val cos = cosSql("c.embedding", "q.qv")
-      s"""WITH qd AS (SELECT embedding AS qv,
-         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qs
-         |  FROM embeddings WHERE vec_id = 5),
-         |qa AS (SELECT qv, qs, list_sum(qs) AS sq,
-         |  sqrt(list_sum(list_transform(qs, a -> a * a))) AS qn,
-         |  CAST(len(qs) AS DOUBLE) AS d FROM qd),
-         |v AS (SELECT vec_id, embedding,
-         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
-         |  FROM embeddings WHERE vec_id <> 5),
-         |m AS (SELECT vec_id, embedding, xs, list_min(xs) AS mn, list_max(xs) AS mx FROM v),
-         |sc AS (SELECT *, CASE WHEN mx = mn THEN CAST(1 AS DOUBLE)
-         |  ELSE (mx - mn) / CAST(255 AS DOUBLE) END AS scale FROM m),
-         |cd AS (SELECT vec_id, embedding, mn, scale,
-         |  list_transform(xs, x ->
-         |    greatest(CAST(0 AS DOUBLE), least(CAST(255 AS DOUBLE),
-         |      floor((x - mn) / scale + CAST(0.5 AS DOUBLE))))) AS cs
-         |  FROM sc),
-         |ag AS (SELECT vec_id, embedding, mn, scale, cs,
-         |  list_sum(cs) AS csum,
-         |  list_sum(list_transform(cs, c -> c * c)) AS csum2 FROM cd),
-         |ap AS (SELECT a.vec_id, a.embedding,
-         |  (a.mn * q.sq + a.scale *
-         |     list_sum(list_transform(list_zip(a.cs, q.qs), p -> p[2] * p[1])))
-         |  / (sqrt(q.d * a.mn * a.mn + CAST(2 AS DOUBLE) * a.mn * a.scale * a.csum
-         |      + a.scale * a.scale * a.csum2) * q.qn) AS approx
-         |  FROM ag a CROSS JOIN qa q),
-         |cand AS (SELECT vec_id, embedding FROM ap
-         |  ORDER BY approx DESC, vec_id LIMIT 15)
-         |SELECT c.vec_id, $cos AS score
-         |FROM cand c CROSS JOIN qd q
-         |ORDER BY score DESC, c.vec_id LIMIT 5""".stripMargin
-    },
+    "q179_sq8_search" -> sq8SearchOracleSql(qid = 5),
+
+    // the MEMORY SQ8 tier (byte-packed codes + the same algebra) must
+    // land on the identical prune-and-rerank result
+    "q187_memory_sq8" -> sq8SearchOracleSql(qid = 17),
 
     // the BM25 top-10 joined back to text; snippet = tokens
     // [pos-3, pos+3] (clamped) around the first 'dup', else first
@@ -6150,6 +6137,49 @@ object SparkEntry {
          |ORDER BY score DESC, user_id LIMIT 20""".stripMargin
     }
   )
+
+  /** The SQ8 prune-and-rerank oracle (q179 / q187): quantize every
+    * corpus vector with the affine codec, score the codes via the SAME
+    * algebra the engine's codegen scan uses (the association order is
+    * pinned term by term), take the top-15 approximate candidates, exact
+    * cosine rerank to top-5. Shared by the DataFrame path (q179) and the
+    * memory byte-packed tier (q187) — one transcription, two engines
+    * against it.
+    */
+  private def sq8SearchOracleSql(qid: Int): String = {
+    val cos = cosSql("c.embedding", "q.qv")
+    s"""WITH qd AS (SELECT embedding AS qv,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qs
+       |  FROM embeddings WHERE vec_id = $qid),
+       |qa AS (SELECT qv, qs, list_sum(qs) AS sq,
+       |  sqrt(list_sum(list_transform(qs, a -> a * a))) AS qn,
+       |  CAST(len(qs) AS DOUBLE) AS d FROM qd),
+       |v AS (SELECT vec_id, embedding,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+       |  FROM embeddings WHERE vec_id <> $qid),
+       |m AS (SELECT vec_id, embedding, xs, list_min(xs) AS mn, list_max(xs) AS mx FROM v),
+       |sc AS (SELECT *, CASE WHEN mx = mn THEN CAST(1 AS DOUBLE)
+       |  ELSE (mx - mn) / CAST(255 AS DOUBLE) END AS scale FROM m),
+       |cd AS (SELECT vec_id, embedding, mn, scale,
+       |  list_transform(xs, x ->
+       |    greatest(CAST(0 AS DOUBLE), least(CAST(255 AS DOUBLE),
+       |      floor((x - mn) / scale + CAST(0.5 AS DOUBLE))))) AS cs
+       |  FROM sc),
+       |ag AS (SELECT vec_id, embedding, mn, scale, cs,
+       |  list_sum(cs) AS csum,
+       |  list_sum(list_transform(cs, c -> c * c)) AS csum2 FROM cd),
+       |ap AS (SELECT a.vec_id, a.embedding,
+       |  (a.mn * q.sq + a.scale *
+       |     list_sum(list_transform(list_zip(a.cs, q.qs), p -> p[2] * p[1])))
+       |  / (sqrt(q.d * a.mn * a.mn + CAST(2 AS DOUBLE) * a.mn * a.scale * a.csum
+       |      + a.scale * a.scale * a.csum2) * q.qn) AS approx
+       |  FROM ag a CROSS JOIN qa q),
+       |cand AS (SELECT vec_id, embedding FROM ap
+       |  ORDER BY approx DESC, vec_id LIMIT 15)
+       |SELECT c.vec_id, $cos AS score
+       |FROM cand c CROSS JOIN qd q
+       |ORDER BY score DESC, c.vec_id LIMIT 5""".stripMargin
+  }
 
   /** BM25-scored documents as a parenthesized subquery `(doc_id, dl,
     * score)` — the oracle twin of [[graft.operators.Bm25.scoreAll]]. Every

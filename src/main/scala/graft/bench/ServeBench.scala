@@ -136,6 +136,9 @@ object ServeBench {
     val memServer = new graft.serve.MemoryServer(memDense, Some(memLex),
       defaultNProbe = 2)
     val memExact = new graft.serve.MemoryServer(memDense, Some(memLex))
+    val memSq8 = graft.serve.MemorySq8Index.fromDataFrame(
+      graft.operators.Quantize.withSq8(index, "embedding"),
+      "vec_id", "embedding")
 
     val paths: Seq[(String, Int => Unit)] = Seq(
       // exact brute-force over the whole memory-resident corpus — the
@@ -152,6 +155,12 @@ object ServeBench {
         val n = memServer.searchHybrid(qvecs(qi % qvecs.size),
           termSets(qi % termSets.size), k = 10, poolK = 20).length
         require(n == 10, s"memory_hybrid returned $n rows")
+      },
+      // SQ8 byte-code scan + exact rerank — the compressed replica's
+      // request path (4x smaller resident set than memory_search)
+      "memory_sq8" -> { qi: Int =>
+        val n = memSq8.topK(qvecs(qi % qvecs.size), 5, rerankFactor = 4).length
+        require(n == 5, s"memory_sq8 returned $n rows")
       },
       "search_json" -> { qi: Int =>
         val n = searcher.search(jsonReq(qvecs(qi % qvecs.size), 5)).collect().length

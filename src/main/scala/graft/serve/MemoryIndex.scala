@@ -171,6 +171,159 @@ object MemoryAnnIndex {
   }
 }
 
+/** SQ8-compressed memory index — the serving-tier form of
+  * [[graft.operators.Quantize]]'s codec, where the compression is REAL:
+  * codes pack into `Array[Byte]` (1 B/element vs 4 B for the float
+  * vectors — in-JVM `array<int>` codes would be 4 B/element and save
+  * nothing, the same lesson the Spark scan learned). Memory per doc =
+  * dim bytes + 4 doubles + id, so the 10 M-doc × dim-768 deployment in
+  * [[MemoryAnnIndex]]'s note drops ~30 GB → ~7.7 GB per replica.
+  *
+  * Scoring replays [[graft.operators.Quantize.topKSq8]]'s algebra
+  * bit-for-bit: approx cos(q, mn + c·s) =
+  * (mn·Σq + s·Σqᵢcᵢ) / (√(dim·mn² + 2·mn·s·Σc + s²·Σc²)·‖q‖), one
+  * byte-fold per row. [[topK]] then re-ranks the `rerankFactor·k` best
+  * candidates with the exact cosine over the retained float vectors —
+  * the same prune-then-rerank contract, so results match the DataFrame
+  * SQ8 path exactly (ServeSpec pins both layers). Construct WITHOUT
+  * vectors ([[MemorySq8Index.fromDataFrameApproxOnly]]) for the
+  * compressed-only deployment that serves [[topKApprox]] — e.g. the
+  * reference's threshold cache-hit decision, which tolerates
+  * approximate scores.
+  */
+final class MemorySq8Index private (
+    val dim: Int,
+    ids: Array[Long],
+    codes: Array[Byte], // dim-strided, unsigned (& 0xff), parallel to ids
+    mns: Array[Double], scales: Array[Double],
+    csums: Array[Double], csum2s: Array[Double],
+    vecs: Option[Array[Float]]) { // dim-strided, only if rerank retained
+
+  def size: Int = ids.length
+
+  private def approxScores(query: Seq[Float]): (Array[Double], Array[Double]) = {
+    require(query.length == dim, s"query dim ${query.length} != index dim $dim")
+    val qd = query.map(_.toDouble).toArray
+    // the same driver-side ordered folds as Quantize.topKSq8
+    var qn2 = 0.0; var sq = 0.0
+    var i = 0
+    while (i < dim) { qn2 += qd(i) * qd(i); sq += qd(i); i += 1 }
+    val qn = math.sqrt(qn2)
+    val out = new Array[Double](ids.length)
+    var r = 0
+    while (r < ids.length) {
+      var qdot = 0.0
+      var j = 0
+      val base = r * dim
+      while (j < dim) {
+        qdot += qd(j) * (codes(base + j) & 0xff).toDouble
+        j += 1
+      }
+      val num = mns(r) * sq + scales(r) * qdot
+      val den = math.sqrt(dim.toDouble * mns(r) * mns(r) +
+        2.0 * mns(r) * scales(r) * csums(r) +
+        scales(r) * scales(r) * csum2s(r)) * qn
+      out(r) = num / den
+      r += 1
+    }
+    (out, qd)
+  }
+
+  private def rank(scores: Array[Double], k: Int): Seq[Int] =
+    scores.indices.sortBy(r => (-scores(r), ids(r))).take(k)
+
+  /** Approximate top-k straight off the codes (no float vectors needed —
+    * the compressed-only deployment). Scores are the approximate cosine.
+    */
+  def topKApprox(query: Seq[Float], k: Int): Seq[(Long, Double)] = {
+    val (scores, _) = approxScores(query)
+    rank(scores, k).map(r => (ids(r), scores(r)))
+  }
+
+  /** Approximate prune + exact re-rank over the retained vectors — the
+    * [[graft.operators.Quantize.topKSq8]] contract, bit-identical.
+    */
+  def topK(query: Seq[Float], k: Int, rerankFactor: Int = 4): Seq[(Long, Double)] = {
+    val vs = vecs.getOrElse(sys.error(
+      "MemorySq8Index built approx-only (no vectors retained for rerank)"))
+    val (scores, _) = approxScores(query)
+    val cand = rank(scores, math.max(k, rerankFactor * k))
+    cand.map { r =>
+      // exact codegen-fold cosine over the float vector
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      val base = r * dim
+      while (j < dim) {
+        val x = vs(base + j).toDouble; val y = query(j).toDouble
+        dot += x * y; na += x * x; nb += y * y; j += 1
+      }
+      (ids(r), dot / (math.sqrt(na) * math.sqrt(nb)))
+    }.sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+}
+
+object MemorySq8Index {
+
+  private def build(rows: Seq[(Long, Seq[Int], Double, Double, Double, Double, Option[Seq[Float]])],
+                    dim: Int): MemorySq8Index = {
+    val sorted = rows.sortBy(_._1).toArray
+    val n = sorted.length
+    val ids = new Array[Long](n)
+    val codes = new Array[Byte](n * dim)
+    val mns = new Array[Double](n); val scales = new Array[Double](n)
+    val csums = new Array[Double](n); val csum2s = new Array[Double](n)
+    val withVecs = sorted.forall(_._7.isDefined)
+    val vecs = if (withVecs) Some(new Array[Float](n * dim)) else None
+    var r = 0
+    while (r < n) {
+      val (id, cs, mn, s, c1, c2, v) = sorted(r)
+      require(cs.length == dim, s"ragged codes at id $id")
+      ids(r) = id; mns(r) = mn; scales(r) = s; csums(r) = c1; csum2s(r) = c2
+      var j = 0
+      while (j < dim) { codes(r * dim + j) = cs(j).toByte; j += 1 }
+      (vecs, v) match {
+        case (Some(arr), Some(fv)) =>
+          var i = 0
+          while (i < dim) { arr(r * dim + i) = fv(i); i += 1 }
+        case _ => ()
+      }
+      r += 1
+    }
+    new MemorySq8Index(dim, ids, codes, mns, scales, csums, csum2s, vecs)
+  }
+
+  /** Load from a [[graft.operators.Quantize.withSq8]]-staged frame,
+    * retaining the float vectors for exact re-rank.
+    */
+  def fromDataFrame(staged: DataFrame, idCol: String,
+                    vecCol: String): MemorySq8Index = {
+    val rows = staged
+      .select(col(idCol).cast("long"), col("codes"), col("mn"), col("scale"),
+        col("csum"), col("csum2"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        Option(r.getSeq[Float](6)))).toSeq
+    require(rows.nonEmpty, "MemorySq8Index: empty corpus")
+    build(rows, rows.head._2.length)
+  }
+
+  /** Compressed-only load: codes + scalars, no float vectors — the
+    * 4×-smaller replica that serves [[MemorySq8Index.topKApprox]].
+    */
+  def fromDataFrameApproxOnly(staged: DataFrame, idCol: String): MemorySq8Index = {
+    val rows = staged
+      .select(col(idCol).cast("long"), col("codes"), col("mn"), col("scale"),
+        col("csum"), col("csum2"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        Option.empty[Seq[Float]])).toSeq
+    require(rows.nonEmpty, "MemorySq8Index: empty corpus")
+    build(rows, rows.head._2.length)
+  }
+}
+
 /** Memory-resident BM25 postings — the lexical leg of the serving tier.
   * Loads the term-partitioned postings artifact ([[Bm25.buildPostings]])
   * plus the build-time index metadata (idf per term, avgdl) and answers

@@ -191,6 +191,47 @@ class ServeSpec extends SparkSpec {
     }
   }
 
+  test("memory SQ8 tier: prune-and-rerank == Quantize.topKSq8 bit-for-bit; byte packing lossless") {
+    import graft.operators.Quantize
+    val staged = Quantize.withSq8(annCorpus, "embedding").localCheckpoint(true)
+    val mem = graft.serve.MemorySq8Index.fromDataFrame(staged, "vec_id", "embedding")
+    assert(mem.size == 300 && mem.dim == 8)
+    annQueries.foreach { q =>
+      val want = Quantize.topKSq8(staged, "vec_id", "embedding", q,
+          k = 7, rerankFactor = 3)
+        .select("vec_id", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(mem.topK(q, 7, rerankFactor = 3) == want,
+        s"sq8 rerank mismatch for query $q")
+    }
+    // the approx-only (compressed, no floats) deployment: same candidate
+    // ORDER as the staged approximate column — byte packing lost nothing
+    val q = annQueries(2)
+    val approx = mem.topKApprox(q, 12)
+    val qd = q.map(_.toDouble)
+    val sq = qd.foldLeft(0.0)(_ + _)
+    val qn = math.sqrt(qd.foldLeft(0.0)((a, x) => a + x * x))
+    val want = staged
+      .select("vec_id", "codes", "mn", "scale", "csum", "csum2").collect()
+      .map { r =>
+        val cs = r.getSeq[Int](1)
+        val mn = r.getDouble(2); val s = r.getDouble(3)
+        var qdot = 0.0
+        var j = 0
+        while (j < cs.length) { qdot += qd(j) * cs(j).toDouble; j += 1 }
+        val num = mn * sq + s * qdot
+        val den = math.sqrt(8.0 * mn * mn + 2.0 * mn * s * r.getDouble(4) +
+          s * s * r.getDouble(5)) * qn
+        (r.getLong(0), num / den)
+      }.sortBy { case (id, sc) => (-sc, id) }.take(12).toSeq
+    assert(approx == want, "approx-only scores drifted from the staged algebra")
+    // approx-only index refuses exact rerank instead of lying
+    val approxOnly = graft.serve.MemorySq8Index
+      .fromDataFrameApproxOnly(staged, "vec_id")
+    intercept[RuntimeException] { approxOnly.topK(q, 5) }
+    assert(approxOnly.topKApprox(q, 5) == approx.take(5))
+  }
+
   test("memory index load(): persisted partitionBy layout + sidecar round-trips") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-memidx").toString
     annAssigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(tmp)
