@@ -229,8 +229,28 @@ final class MemorySq8Index private (
     (out, qd)
   }
 
-  private def rank(scores: Array[Double], k: Int): Seq[Int] =
-    scores.indices.sortBy(r => (-scores(r), ids(r))).take(k)
+  // bounded k-selection (same contract as MemoryAnnIndex's heap: order
+  // by score DESC, id ASC) — a full sortBy over every row index boxes
+  // and sorts the whole corpus per request and measured ~4x the scan
+  private def rank(scores: Array[Double], k: Int): Seq[Int] = {
+    val heap = new java.util.PriorityQueue[Integer](
+      math.max(k, 1),
+      (a: Integer, b: Integer) => {
+        val c = java.lang.Double.compare(scores(a), scores(b))
+        if (c != 0) c else java.lang.Long.compare(ids(b), ids(a))
+      })
+    var r = 0
+    while (r < scores.length) {
+      if (heap.size < k) heap.add(r)
+      else {
+        val w = heap.peek()
+        val c = java.lang.Double.compare(scores(r), scores(w))
+        if (c > 0 || (c == 0 && ids(r) < ids(w))) { heap.poll(); heap.add(r): Unit }
+      }
+      r += 1
+    }
+    heap.asScala.toSeq.map(_.intValue).sortBy(r => (-scores(r), ids(r)))
+  }
 
   /** Approximate top-k straight off the codes (no float vectors needed —
     * the compressed-only deployment). Scores are the approximate cosine.
@@ -384,6 +404,52 @@ object MemoryPostingsIndex {
     }
     new MemoryPostingsIndex(byTerm, idf, avgdl, k1, b)
   }
+}
+
+/** A reloading handle over a persisted self-describing index: serves
+  * from the memory tier, and when the index is REBUILT in place
+  * (`AnnIndexMeta.buildIvfIndex` overwrites the directory and rewrites
+  * the sidecar last), the next `current()` call notices the sidecar's
+  * new mtime and reloads — the serving node's refresh loop, one
+  * sequential parquet read per publish, requests in flight keep the
+  * immutable index object they already hold. This is the online half of
+  * the reference's TARGET_LAG freshness story: Spark rebuilds the
+  * artifact on its cadence; serving follows it without restarts.
+  */
+final class ServingIndex(spark: SparkSession, indexDir: String, idCol: String) {
+
+  @volatile private var loaded: (Long, MemoryAnnIndex) = (Long.MinValue, null)
+
+  private def sidecarMtime(): Long = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, AnnIndexMeta.FileName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.getFileStatus(p).getModificationTime
+  }
+
+  /** The memory index for the newest published artifact (reloads at most
+    * once per sidecar change; concurrent callers during a reload serve
+    * the previous immutable index).
+    */
+  def current(): MemoryAnnIndex = {
+    val mt = sidecarMtime()
+    val snap = loaded
+    if (snap._2 != null && snap._1 == mt) snap._2
+    else this.synchronized {
+      val again = loaded
+      if (again._2 != null && again._1 == mt) again._2
+      else {
+        val idx = MemoryAnnIndex.load(spark, indexDir, idCol)
+        loaded = (mt, idx)
+        idx
+      }
+    }
+  }
+
+  def topK(query: Seq[Float], k: Int): Seq[(Long, Double)] =
+    current().topK(query, k)
+
+  def topKIvf(query: Seq[Float], k: Int, nProbe: Int): Seq[(Long, Double)] =
+    current().topKIvf(query, k, nProbe)
 }
 
 /** The serving front door over the memory tier: dense, lexical, and

@@ -232,6 +232,34 @@ class ServeSpec extends SparkSpec {
     assert(approxOnly.topKApprox(q, 5) == approx.take(5))
   }
 
+  test("ServingIndex: follows an in-place index rebuild; in-flight handles keep the old immutable index") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-servingidx").toString
+    val cents1 = graft.operators.Ann.sampleCentroids(
+      annCorpus.limit(100), "vec_id", "embedding", 4)
+    graft.plans.AnnIndexMeta.buildIvfIndex(
+      annCorpus.limit(100), "embedding", cents1, tmp)
+    val handle = new graft.serve.ServingIndex(spark, tmp, "vec_id")
+    val v1 = handle.current()
+    assert(v1.size == 100)
+    assert(handle.current() eq v1, "unchanged sidecar must not reload")
+    // rebuild IN PLACE with the full corpus (new sidecar mtime)
+    Thread.sleep(1100) // mtime granularity on this fs is 1 s
+    graft.plans.AnnIndexMeta.buildIvfIndex(
+      annCorpus, "embedding", cents1, tmp)
+    val v2 = handle.current()
+    assert(v2.size == 300, s"reload missed the rebuild: ${v2.size}")
+    assert(!(v2 eq v1))
+    // the old handle an in-flight request holds still answers
+    assert(v1.topK(annQueries.head, 3).nonEmpty)
+    // and the new one serves the rebuilt corpus's results
+    val want = graft.operators.Ann
+      .topK(annCorpus, "vec_id", "embedding", annQueries.head, 5)
+      .select("vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(handle.topK(annQueries.head, 5) == want)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
   test("memory index load(): persisted partitionBy layout + sidecar round-trips") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-memidx").toString
     annAssigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(tmp)
