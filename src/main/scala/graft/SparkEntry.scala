@@ -3476,6 +3476,25 @@ object SparkEntry {
         graft.operators.Quantize.withSq8(corpus, "embedding"),
         "vec_id", "embedding")
       mem.topK(qv, k = 5, rerankFactor = 3).toDF("vec_id", "score")
+    }),
+
+    // ---- FILTERED memory search (serve/MetaFilter): the reference's
+    // notebook queries are filtered semantic searches (sport/difficulty
+    // @eq/@and — ipynb Q2/Q3); the serving tier pre-filters on loaded
+    // numeric metadata BEFORE scoring (the memory analog of predicate
+    // pushdown, 02:406's "filter before similarity"), here a label
+    // range over the exact scan.
+    "q188_memory_filtered_search" -> ((s, dir) => {
+      import s.implicits._
+      val emb = rd(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") =!= 21)
+      val qv = storedVecs(emb, 21).head
+      val cents = Ann.sampleCentroids(corpus, "vec_id", "embedding", 4)
+      val mem = graft.serve.MemoryAnnIndex.fromDataFrame(
+        Ann.withIvfAssignment(corpus, "embedding", cents),
+        "vec_id", "embedding", "ivf_cell", cents, metaCols = Seq("label"))
+      mem.topK(qv, 8, Seq(graft.serve.MetaFilter("label", 2, 5)))
+        .toDF("vec_id", "score")
     })
   )
 
@@ -6009,6 +6028,16 @@ object SparkEntry {
     // the MEMORY SQ8 tier (byte-packed codes + the same algebra) must
     // land on the identical prune-and-rerank result
     "q187_memory_sq8" -> sq8SearchOracleSql(qid = 17),
+
+    // the serving-tier metadata pre-filter ≡ a WHERE on the scan
+    "q188_memory_filtered_search" -> {
+      val cos = cosSql("e.embedding", "q.qv")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 21)
+         |SELECT e.vec_id, $cos AS score
+         |FROM embeddings e CROSS JOIN q
+         |WHERE e.vec_id <> 21 AND e.label BETWEEN 2 AND 5
+         |ORDER BY score DESC, e.vec_id LIMIT 8""".stripMargin
+    },
 
     // the BM25 top-10 joined back to text; snippet = tokens
     // [pos-3, pos+3] (clamped) around the first 'dup', else first

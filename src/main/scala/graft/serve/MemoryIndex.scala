@@ -42,12 +42,26 @@ import graft.plans.AnnIndexMeta
   * Thread-safety: immutable after construction — serve from any number of
   * request threads.
   */
+/** Inclusive numeric range filter on a serving-time metadata column
+  * (`min == max` is equality — the Method-1 `@eq`; open a side with
+  * `Long.MinValue`/`MaxValue` for `@gte`/`@lte`). Conjunction =
+  * a `Seq[MetaFilter]`. The reference's notebook queries are FILTERED
+  * semantic searches (sport/difficulty `@eq`/`@and` —
+  * `/root/reference/03_cortex_search_demo_notebook.ipynb` Q2/Q3), so
+  * the serving tier carries the same fast path; string columns
+  * dictionary-encode to a numeric id at load time in a real deployment
+  * (the DataFrame tier's full [[graft.filter.FilterDsl]] stays the
+  * general path).
+  */
+final case class MetaFilter(col: String, min: Long, max: Long)
+
 final class MemoryAnnIndex private (
     val dim: Int,
     cellOffsets: Array[Int], // length nCells+1; row range of cell c
     ids: Array[Long], // grouped by cell, ascending id within cell
     vecs: Array[Float], // flattened dim-strided, parallel to ids
-    val centroids: IndexedSeq[IndexedSeq[Float]]) {
+    val centroids: IndexedSeq[IndexedSeq[Float]],
+    meta: Map[String, Array[Long]]) { // parallel numeric metadata columns
 
   def nCells: Int = cellOffsets.length - 1
   def size: Int = ids.length
@@ -62,16 +76,27 @@ final class MemoryAnnIndex private (
 
   /** Exact top-k: scan every cell (the reference's ~10K-doc design point,
     * where brute force IS the plan). Ties break by ascending id.
+    * `filters` pre-filter rows on loaded metadata (conjunction) BEFORE
+    * scoring — the memory analog of the DataFrame tier's pushed-down
+    * predicate (02:406's "filter before similarity" prescription).
     */
-  def topK(query: Seq[Float], k: Int): Seq[(Long, Double)] =
-    topKInCells(query, k, 0 until nCells)
+  def topK(query: Seq[Float], k: Int,
+           filters: Seq[MetaFilter] = Nil): Seq[(Long, Double)] =
+    topKInCells(query, k, 0 until nCells, filters)
 
   /** IVF-probed top-k: scan only the `nProbe` query-nearest cells. */
-  def topKIvf(query: Seq[Float], k: Int, nProbe: Int): Seq[(Long, Double)] =
-    topKInCells(query, k, probeCells(query, nProbe))
+  def topKIvf(query: Seq[Float], k: Int, nProbe: Int,
+              filters: Seq[MetaFilter] = Nil): Seq[(Long, Double)] =
+    topKInCells(query, k, probeCells(query, nProbe), filters)
 
   private def topKInCells(query: Seq[Float], k: Int,
-                          cells: Seq[Int]): Seq[(Long, Double)] = {
+                          cells: Seq[Int],
+                          filters: Seq[MetaFilter]): Seq[(Long, Double)] = {
+    val fcols = filters.map { f =>
+      (meta.getOrElse(f.col, sys.error(
+        s"metadata column '${f.col}' not loaded (have: ${meta.keys.mkString(",")})")),
+        f.min, f.max)
+    }
     require(query.length == dim, s"query dim ${query.length} != index dim $dim")
     val q = query.toArray
     // bounded selection: a k-element min-heap ordered worst-first
@@ -86,23 +111,33 @@ final class MemoryAnnIndex private (
       var r = cellOffsets(cell)
       val end = cellOffsets(cell + 1)
       while (r < end) {
-        // same fold as the codegen CosineSimilarity: in-order double
-        // accumulation of dot/na/nb, one expression shape
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        val base = r * dim
-        while (i < dim) {
-          val x = vecs(base + i).toDouble; val y = q(i).toDouble
-          dot += x * y; na += x * x; nb += y * y; i += 1
+        var pass = true
+        var fi = 0
+        while (pass && fi < fcols.length) {
+          val (arr, mn, mx) = fcols(fi)
+          val v = arr(r)
+          pass = v >= mn && v <= mx
+          fi += 1
         }
-        val score = dot / (math.sqrt(na) * math.sqrt(nb))
-        val cand = (score, ids(r))
-        if (heap.size < k) heap.add(cand)
-        else {
-          val worst = heap.peek()
-          val c = java.lang.Double.compare(score, worst._1)
-          if (c > 0 || (c == 0 && cand._2 < worst._2)) {
-            heap.poll(); heap.add(cand): Unit
+        if (pass) {
+          // same fold as the codegen CosineSimilarity: in-order double
+          // accumulation of dot/na/nb, one expression shape
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var i = 0
+          val base = r * dim
+          while (i < dim) {
+            val x = vecs(base + i).toDouble; val y = q(i).toDouble
+            dot += x * y; na += x * x; nb += y * y; i += 1
+          }
+          val score = dot / (math.sqrt(na) * math.sqrt(nb))
+          val cand = (score, ids(r))
+          if (heap.size < k) heap.add(cand)
+          else {
+            val worst = heap.peek()
+            val c = java.lang.Double.compare(score, worst._1)
+            if (c > 0 || (c == 0 && cand._2 < worst._2)) {
+              heap.poll(); heap.add(cand): Unit
+            }
           }
         }
         r += 1
@@ -115,46 +150,66 @@ final class MemoryAnnIndex private (
 
 object MemoryAnnIndex {
 
-  /** Load from collected (id, embedding, cell) rows + centroids. */
+  /** Load from collected (id, embedding, cell, numeric-metadata) rows +
+    * centroids. `metaCols` names the metadata values positionally.
+    */
   def fromRows(rows: Seq[(Long, Seq[Float], Int)],
-               centroids: Seq[Seq[Float]]): MemoryAnnIndex = {
+               centroids: Seq[Seq[Float]],
+               metaCols: Seq[String] = Nil,
+               metaVals: Seq[Seq[Long]] = Nil): MemoryAnnIndex = {
     require(rows.nonEmpty, "MemoryAnnIndex: empty corpus")
+    require(metaVals.isEmpty || metaVals.length == rows.length,
+      "metaVals must parallel rows")
     val dim = rows.head._2.length
     require(rows.forall(_._2.length == dim), "MemoryAnnIndex: ragged dims")
     val nCells = centroids.length
-    val sorted = rows.sortBy(r => (r._3, r._1)).toArray
+    val order = rows.indices.sortBy(i => (rows(i)._3, rows(i)._1)).toArray
     val offsets = new Array[Int](nCells + 1)
-    sorted.foreach { case (_, _, c) =>
+    rows.foreach { case (_, _, c) =>
       require(c >= 0 && c < nCells, s"cell $c out of range [0, $nCells)")
       offsets(c + 1) += 1
     }
     var i = 0
     while (i < nCells) { offsets(i + 1) += offsets(i); i += 1 }
-    val ids = new Array[Long](sorted.length)
-    val vecs = new Array[Float](sorted.length * dim)
+    val ids = new Array[Long](rows.length)
+    val vecs = new Array[Float](rows.length * dim)
+    val meta = metaCols.map(_ -> new Array[Long](rows.length)).toMap
     var r = 0
-    while (r < sorted.length) {
-      ids(r) = sorted(r)._1
-      val v = sorted(r)._2
+    while (r < rows.length) {
+      val src = order(r)
+      ids(r) = rows(src)._1
+      val v = rows(src)._2
       var j = 0
       while (j < dim) { vecs(r * dim + j) = v(j); j += 1 }
+      if (metaVals.nonEmpty) {
+        val mv = metaVals(src)
+        metaCols.indices.foreach(c => meta(metaCols(c))(r) = mv(c))
+      }
       r += 1
     }
     new MemoryAnnIndex(dim, offsets, ids, vecs,
-      centroids.map(_.toIndexedSeq).toIndexedSeq)
+      centroids.map(_.toIndexedSeq).toIndexedSeq, meta)
   }
 
   /** Load from an assigned-corpus DataFrame (e.g. the reloaded
-    * `partitionBy(cellCol)` parquet) + explicit centroids.
+    * `partitionBy(cellCol)` parquet) + explicit centroids. `metaCols`
+    * are numeric columns to retain for serving-time [[MetaFilter]]s
+    * (cast to long at load).
     */
   def fromDataFrame(df: DataFrame, idCol: String, embCol: String,
-                    cellCol: String, centroids: Seq[Seq[Float]]): MemoryAnnIndex =
+                    cellCol: String, centroids: Seq[Seq[Float]],
+                    metaCols: Seq[String] = Nil): MemoryAnnIndex = {
+    val collected = df.select(
+        Seq(col(idCol).cast("long"), col(embCol), col(cellCol).cast("int")) ++
+          metaCols.map(c => col(c).cast("long")): _*)
+      .collect()
     fromRows(
-      df.select(col(idCol).cast("long"), col(embCol),
-          col(cellCol).cast("int"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSeq,
-      centroids)
+      collected.map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSeq,
+      centroids, metaCols,
+      if (metaCols.isEmpty) Nil
+      else collected.map(r =>
+        metaCols.indices.map(i => r.getLong(3 + i)).toSeq).toSeq)
+  }
 
   /** Load a SELF-DESCRIBING persisted index: the `partitionBy` parquet
     * directory with its [[AnnIndexMeta]] sidecar (the exact artifact
@@ -471,9 +526,10 @@ final class MemoryServer(dense: MemoryAnnIndex,
   /** Dense top-k: IVF-probed when the server was built with a probe
     * width, exact otherwise.
     */
-  def topKVec(qvec: Seq[Float], k: Int): Seq[(Long, Double)] =
-    if (defaultNProbe > 0) dense.topKIvf(qvec, k, defaultNProbe)
-    else dense.topK(qvec, k)
+  def topKVec(qvec: Seq[Float], k: Int,
+              filters: Seq[MetaFilter] = Nil): Seq[(Long, Double)] =
+    if (defaultNProbe > 0) dense.topKIvf(qvec, k, defaultNProbe, filters)
+    else dense.topK(qvec, k, filters)
 
   def searchLexical(terms: Seq[String], k: Int): Seq[(Long, Double)] =
     lexical.getOrElse(sys.error("MemoryServer built without a postings index"))
@@ -491,9 +547,34 @@ final class MemoryServer(dense: MemoryAnnIndex,
     Bm25.rrfFuseLocal(Seq(d, l), c, k)
   }
 
+  /** The numeric subset of the Method-1 filter DSL
+    * (`01_method1_cortex_search.sql:204-212`'s request shape): `@eq`,
+    * `@gte`, `@lte`, and `@and` of those, over loaded metadata columns.
+    * The full DSL (string values, `@or`, `@contains`) is the DataFrame
+    * tier's [[graft.filter.FilterDsl]].
+    */
+  private def parseFilters(node: com.fasterxml.jackson.databind.JsonNode): Seq[MetaFilter] =
+    if (node == null || node.isNull) Nil
+    else if (node.has("@and"))
+      node.get("@and").elements().asScala.flatMap(parseFilters).toSeq
+    else {
+      def one(op: String, f: (String, Long) => MetaFilter): Seq[MetaFilter] =
+        Option(node.get(op)).toSeq.flatMap { o =>
+          o.fieldNames().asScala.map(n => f(n, o.get(n).asLong())).toSeq
+        }
+      val fs = one("@eq", (c, v) => MetaFilter(c, v, v)) ++
+        one("@gte", (c, v) => MetaFilter(c, v, Long.MaxValue)) ++
+        one("@lte", (c, v) => MetaFilter(c, Long.MinValue, v))
+      if (fs.isEmpty)
+        throw new IllegalArgumentException(
+          s"memory tier supports @and/@eq/@gte/@lte numeric filters, got: $node")
+      fs
+    }
+
   /** JSON request → JSON response, job-free. Accepts `query_vector` +
-    * `limit` (the deterministic serving path); a `query` text request
-    * needs the embedder and belongs to the DataFrame tier.
+    * `limit` + the numeric `filter` subset (the deterministic serving
+    * path); a `query` text request needs the embedder and belongs to
+    * the DataFrame tier.
     */
   def search(requestJson: String): String = {
     val req = mapper.readTree(requestJson)
@@ -503,7 +584,7 @@ final class MemoryServer(dense: MemoryAnnIndex,
         "memory tier serves 'query_vector' requests; text 'query' goes " +
           "through the embedder-backed DataFrame tier"))
     val qv = vecNode.elements().asScala.map(_.floatValue()).toSeq
-    val hits = topKVec(qv, k)
+    val hits = topKVec(qv, k, parseFilters(req.get("filter")))
       .map { case (id, s) => s"""{"id":"$id","score":"$s"}""" }
     s"""{"results":[${hits.mkString(",")}]}"""
   }

@@ -232,6 +232,38 @@ class ServeSpec extends SparkSpec {
     assert(approxOnly.topKApprox(q, 5) == approx.take(5))
   }
 
+  test("memory metadata filters: pre-filter == DataFrame WHERE; JSON @and/@eq/@gte/@lte path") {
+    import graft.serve.{MemoryAnnIndex, MemoryServer, MetaFilter}
+    val tagged = annAssigned.withColumn("grp",
+      pmod(col("vec_id"), lit(7)).cast("int")).localCheckpoint(true)
+    val mem = MemoryAnnIndex.fromDataFrame(tagged, "vec_id", "embedding",
+      "ivf_cell", annCents, metaCols = Seq("grp"))
+    val q = annQueries(3)
+    // conjunction of a range and the DataFrame twin
+    val want = graft.operators.Ann
+      .topK(tagged.where(col("grp") >= 2 && col("grp") <= 4),
+        "vec_id", "embedding", q, 6)
+      .select("vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = mem.topK(q, 6, Seq(MetaFilter("grp", 2, 4)))
+    assert(got == want, "filtered memory scan != DataFrame WHERE")
+    got.foreach { case (id, _) => assert(id % 7 >= 2 && id % 7 <= 4) }
+    // the JSON request path parses the Method-1 numeric DSL subset
+    val server = new MemoryServer(mem, None)
+    val resp = server.search(
+      s"""{"query_vector":[${q.mkString(",")}],"limit":6,
+         |"filter":{"@and":[{"@gte":{"grp":2}},{"@lte":{"grp":4}}]}}""".stripMargin)
+    val wantJson = got.map { case (id, s) =>
+      s"""{"id":"$id","score":"$s"}""" }.mkString(",")
+    assert(resp == s"""{"results":[$wantJson]}""")
+    // @eq form; and an unloaded column is an explicit error, not a no-op
+    assert(mem.topK(q, 3, Seq(MetaFilter("grp", 3, 3)))
+      .forall(_._1 % 7 == 3))
+    intercept[RuntimeException] {
+      mem.topK(q, 3, Seq(MetaFilter("nope", 0, 1)))
+    }
+  }
+
   test("ServingIndex: follows an in-place index rebuild; in-flight handles keep the old immutable index") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-servingidx").toString
     val cents1 = graft.operators.Ann.sampleCentroids(
