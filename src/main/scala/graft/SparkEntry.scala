@@ -3495,6 +3495,27 @@ object SparkEntry {
         "vec_id", "embedding", "ivf_cell", cents, metaCols = Seq("label"))
       mem.topK(qv, 8, Seq(graft.serve.MetaFilter("label", 2, 5)))
         .toDF("vec_id", "score")
+    }),
+
+    // ---- STRING-filtered memory search: the notebook's actual filter
+    // shape ({"@eq":{"sport_type":"run"}} — ipynb Q2) over a
+    // dictionary-encoded string column: the doc source joins onto the
+    // embedding corpus at index-build time, encodes to dense codes at
+    // load, and the request's string @eq resolves through the
+    // dictionary before the scan.
+    "q189_memory_string_filter" -> ((s, dir) => {
+      import s.implicits._
+      val emb = rd(s, dir, "embeddings")
+      val docs = rd(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("source"))
+      val corpus = emb.where(col("vec_id") =!= 29).join(docs, "vec_id")
+      val qv = storedVecs(emb, 29).head
+      val cents = Ann.sampleCentroids(corpus, "vec_id", "embedding", 4)
+      val mem = graft.serve.MemoryAnnIndex.fromDataFrame(
+        Ann.withIvfAssignment(corpus, "embedding", cents),
+        "vec_id", "embedding", "ivf_cell", cents, metaCols = Seq("source"))
+      mem.topK(qv, 8, Seq(mem.stringFilter("source", "src3")))
+        .toDF("vec_id", "score")
     })
   )
 
@@ -6028,6 +6049,17 @@ object SparkEntry {
     // the MEMORY SQ8 tier (byte-packed codes + the same algebra) must
     // land on the identical prune-and-rerank result
     "q187_memory_sq8" -> sq8SearchOracleSql(qid = 17),
+
+    // the dictionary-encoded string filter ≡ a string WHERE on the join
+    "q189_memory_string_filter" -> {
+      val cos = cosSql("e.embedding", "q.qv")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 29)
+         |SELECT e.vec_id, $cos AS score
+         |FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |CROSS JOIN q
+         |WHERE e.vec_id <> 29 AND d.source = 'src3'
+         |ORDER BY score DESC, e.vec_id LIMIT 8""".stripMargin
+    },
 
     // the serving-tier metadata pre-filter ≡ a WHERE on the scan
     "q188_memory_filtered_search" -> {

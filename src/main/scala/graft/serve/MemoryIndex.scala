@@ -61,7 +61,24 @@ final class MemoryAnnIndex private (
     ids: Array[Long], // grouped by cell, ascending id within cell
     vecs: Array[Float], // flattened dim-strided, parallel to ids
     val centroids: IndexedSeq[IndexedSeq[Float]],
-    meta: Map[String, Array[Long]]) { // parallel numeric metadata columns
+    meta: Map[String, Array[Long]], // parallel numeric metadata columns
+    dicts: Map[String, Map[String, Long]]) { // string cols: value -> code
+
+  /** Resolve a string-equality filter against a dictionary-encoded
+    * column (the notebook's `sport_type`/`difficulty` `@eq` shape). An
+    * unseen value matches NOTHING (empty result, not an error — a
+    * serving request for a category that has no docs is ordinary); an
+    * un-encoded column is an error.
+    */
+  def stringFilter(colName: String, value: String): MetaFilter = {
+    val dict = dicts.getOrElse(colName, sys.error(
+      s"'$colName' is not a dictionary-encoded string column " +
+        s"(have: ${dicts.keys.mkString(",")})"))
+    dict.get(value) match {
+      case Some(code) => MetaFilter(colName, code, code)
+      case None => MetaFilter(colName, 1L, 0L) // impossible range
+    }
+  }
 
   def nCells: Int = cellOffsets.length - 1
   def size: Int = ids.length
@@ -156,7 +173,8 @@ object MemoryAnnIndex {
   def fromRows(rows: Seq[(Long, Seq[Float], Int)],
                centroids: Seq[Seq[Float]],
                metaCols: Seq[String] = Nil,
-               metaVals: Seq[Seq[Long]] = Nil): MemoryAnnIndex = {
+               metaVals: Seq[Seq[Long]] = Nil,
+               dicts: Map[String, Map[String, Long]] = Map.empty): MemoryAnnIndex = {
     require(rows.nonEmpty, "MemoryAnnIndex: empty corpus")
     require(metaVals.isEmpty || metaVals.length == rows.length,
       "metaVals must parallel rows")
@@ -188,27 +206,45 @@ object MemoryAnnIndex {
       r += 1
     }
     new MemoryAnnIndex(dim, offsets, ids, vecs,
-      centroids.map(_.toIndexedSeq).toIndexedSeq, meta)
+      centroids.map(_.toIndexedSeq).toIndexedSeq, meta, dicts)
   }
 
   /** Load from an assigned-corpus DataFrame (e.g. the reloaded
     * `partitionBy(cellCol)` parquet) + explicit centroids. `metaCols`
-    * are numeric columns to retain for serving-time [[MetaFilter]]s
-    * (cast to long at load).
+    * are metadata columns to retain for serving-time [[MetaFilter]]s:
+    * numeric columns cast to long; STRING columns dictionary-encode at
+    * load (value → dense code, lexicographic order) and filter via
+    * [[MemoryAnnIndex.stringFilter]] — the notebook's
+    * `sport_type`/`difficulty` `@eq` filters served from memory.
     */
   def fromDataFrame(df: DataFrame, idCol: String, embCol: String,
                     cellCol: String, centroids: Seq[Seq[Float]],
                     metaCols: Seq[String] = Nil): MemoryAnnIndex = {
+    val schema = df.schema
+    val isString = metaCols.map(c =>
+      c -> (schema(c).dataType == org.apache.spark.sql.types.StringType)).toMap
     val collected = df.select(
         Seq(col(idCol).cast("long"), col(embCol), col(cellCol).cast("int")) ++
-          metaCols.map(c => col(c).cast("long")): _*)
+          metaCols.map(c =>
+            if (isString(c)) col(c) else col(c).cast("long")): _*)
       .collect()
+    // deterministic dictionaries: distinct values, lexicographic codes
+    val dicts: Map[String, Map[String, Long]] = metaCols.filter(isString)
+      .zipWithIndex.map { case (c, _) =>
+        val pos = 3 + metaCols.indexOf(c)
+        val values = collected.map(_.getString(pos)).distinct.sorted
+        c -> values.zipWithIndex.map { case (v, i) => v -> i.toLong }.toMap
+      }.toMap
     fromRows(
       collected.map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSeq,
       centroids, metaCols,
       if (metaCols.isEmpty) Nil
       else collected.map(r =>
-        metaCols.indices.map(i => r.getLong(3 + i)).toSeq).toSeq)
+        metaCols.indices.map { i =>
+          val c = metaCols(i)
+          if (isString(c)) dicts(c)(r.getString(3 + i)) else r.getLong(3 + i)
+        }.toSeq).toSeq,
+      dicts)
   }
 
   /** Load a SELF-DESCRIBING persisted index: the `partitionBy` parquet
@@ -562,7 +598,17 @@ final class MemoryServer(dense: MemoryAnnIndex,
         Option(node.get(op)).toSeq.flatMap { o =>
           o.fieldNames().asScala.map(n => f(n, o.get(n).asLong())).toSeq
         }
-      val fs = one("@eq", (c, v) => MetaFilter(c, v, v)) ++
+      // string @eq resolves through the index's load-time dictionary —
+      // the notebook's {"@eq": {"sport_type": "run"}} shape
+      val stringEq = Option(node.get("@eq")).toSeq.flatMap { o =>
+        o.fieldNames().asScala.filter(n => o.get(n).isTextual)
+          .map(n => dense.stringFilter(n, o.get(n).asText())).toSeq
+      }
+      val numEq = Option(node.get("@eq")).toSeq.flatMap { o =>
+        o.fieldNames().asScala.filterNot(n => o.get(n).isTextual)
+          .map(n => MetaFilter(n, o.get(n).asLong(), o.get(n).asLong())).toSeq
+      }
+      val fs = stringEq ++ numEq ++
         one("@gte", (c, v) => MetaFilter(c, v, Long.MaxValue)) ++
         one("@lte", (c, v) => MetaFilter(c, Long.MinValue, v))
       if (fs.isEmpty)

@@ -264,6 +264,35 @@ class ServeSpec extends SparkSpec {
     }
   }
 
+  test("string metadata: dictionary encoding, JSON string @eq, unseen value = empty not error") {
+    import graft.serve.{MemoryAnnIndex, MemoryServer}
+    val tagged = annAssigned.withColumn("cat",
+        concat(lit("cat"), pmod(col("vec_id"), lit(3)).cast("string")))
+      .localCheckpoint(true)
+    val mem = MemoryAnnIndex.fromDataFrame(tagged, "vec_id", "embedding",
+      "ivf_cell", annCents, metaCols = Seq("cat"))
+    val q = annQueries(4)
+    val want = graft.operators.Ann
+      .topK(tagged.where(col("cat") === "cat1"), "vec_id", "embedding", q, 5)
+      .select("vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = mem.topK(q, 5, Seq(mem.stringFilter("cat", "cat1")))
+    assert(got == want)
+    got.foreach { case (id, _) => assert(id % 3 == 1) }
+    // the notebook's request shape end-to-end
+    val server = new MemoryServer(mem, None)
+    val resp = server.search(
+      s"""{"query_vector":[${q.mkString(",")}],"limit":5,
+         |"filter":{"@eq":{"cat":"cat1"}}}""".stripMargin)
+    val wantJson = got.map { case (id, s) =>
+      s"""{"id":"$id","score":"$s"}""" }.mkString(",")
+    assert(resp == s"""{"results":[$wantJson]}""")
+    // a category with no docs is an ordinary empty result
+    assert(mem.topK(q, 5, Seq(mem.stringFilter("cat", "catX"))).isEmpty)
+    // a non-dictionary column is an explicit error
+    intercept[RuntimeException] { mem.stringFilter("vec_id", "1") }
+  }
+
   test("ServingIndex: follows an in-place index rebuild; in-flight handles keep the old immutable index") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-servingidx").toString
     val cents1 = graft.operators.Ann.sampleCentroids(
