@@ -10,6 +10,19 @@ import scala.jdk.CollectionConverters._
 import graft.operators.{Ann, Bm25}
 import graft.plans.AnnIndexMeta
 
+/** Inclusive numeric range filter on a serving-time metadata column
+  * (`min == max` is equality — the Method-1 `@eq`; open a side with
+  * `Long.MinValue`/`MaxValue` for `@gte`/`@lte`). Conjunction =
+  * a `Seq[MetaFilter]`. The reference's notebook queries are FILTERED
+  * semantic searches (sport/difficulty `@eq`/`@and` —
+  * `/root/reference/03_cortex_search_demo_notebook.ipynb` Q2/Q3), so
+  * the serving tier carries the same fast path; string columns
+  * dictionary-encode to a numeric id at index load
+  * ([[MemoryAnnIndex.stringFilter]]); the DataFrame tier's full
+  * [[graft.filter.FilterDsl]] stays the general path.
+  */
+final case class MetaFilter(col: String, min: Long, max: Long)
+
 /** Memory-resident ANN serving index — the "specialized online runtime"
   * the reference's own notes call for at serving scale
   * (`/root/reference/README.md:19-21`: ~1,000 QPS at ~300 ms p50 over a
@@ -42,19 +55,6 @@ import graft.plans.AnnIndexMeta
   * Thread-safety: immutable after construction — serve from any number of
   * request threads.
   */
-/** Inclusive numeric range filter on a serving-time metadata column
-  * (`min == max` is equality — the Method-1 `@eq`; open a side with
-  * `Long.MinValue`/`MaxValue` for `@gte`/`@lte`). Conjunction =
-  * a `Seq[MetaFilter]`. The reference's notebook queries are FILTERED
-  * semantic searches (sport/difficulty `@eq`/`@and` —
-  * `/root/reference/03_cortex_search_demo_notebook.ipynb` Q2/Q3), so
-  * the serving tier carries the same fast path; string columns
-  * dictionary-encode to a numeric id at load time in a real deployment
-  * (the DataFrame tier's full [[graft.filter.FilterDsl]] stays the
-  * general path).
-  */
-final case class MetaFilter(col: String, min: Long, max: Long)
-
 final class MemoryAnnIndex private (
     val dim: Int,
     cellOffsets: Array[Int], // length nCells+1; row range of cell c

@@ -193,4 +193,42 @@ object GraftProps extends Properties("graft") {
           m.encode("") == Nil
     }
   }
+
+  /** The memory serving tier against a straight-line brute force: for ANY
+    * corpus (random vectors, random cell assignment, random metadata) and
+    * any query/k/filter, `MemoryAnnIndex.topK` must equal sort-all-by
+    * (cosine DESC, id ASC) — same bits (both sides share [[Ann.cosine]]'s
+    * fold), same ties, same filter semantics. The cells/heap/offsets
+    * machinery must be unobservable.
+    */
+  property("serve.memory-topk-equals-brute-force") = {
+    val dim = 5
+    val fvec: Gen[List[Float]] =
+      Gen.listOfN(dim, Gen.chooseNum(-4f, 4f)).map { xs =>
+        if (xs.forall(_ == 0f)) 1f :: xs.tail else xs
+      }
+    val rowGen = for {
+      v <- fvec
+      cell <- Gen.chooseNum(0, 2)
+      tag <- Gen.chooseNum(0L, 3L)
+    } yield (v, cell, tag)
+    val corpusGen = Gen.nonEmptyListOf(rowGen)
+      .map(_.zipWithIndex.map { case ((v, c, t), i) => (i.toLong, v, c, t) })
+    val cents = (0 until 3).map(c =>
+      Seq.tabulate(dim)(j => math.sin(c * 7 + j).toFloat))
+    forAll(corpusGen, fvec, Gen.chooseNum(1, 8),
+      Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 3L)) { (rows, q, k, fa, fb) =>
+      val (lo, hi) = (math.min(fa, fb), math.max(fa, fb))
+      val idx = graft.serve.MemoryAnnIndex.fromRows(
+        rows.map(r => (r._1, r._2, r._3)), cents,
+        metaCols = Seq("tag"), metaVals = rows.map(r => Seq(r._4)))
+      def brute(pred: Long => Boolean) = rows
+        .filter(r => pred(r._4))
+        .map(r => (r._1, Ann.cosine(r._2, q)))
+        .sortBy { case (id, s) => (-s, id) }.take(k)
+      idx.topK(q, k) == brute(_ => true) &&
+        idx.topK(q, k, Seq(graft.serve.MetaFilter("tag", lo, hi))) ==
+          brute(t => t >= lo && t <= hi)
+    }
+  }
 }
