@@ -3516,6 +3516,23 @@ object SparkEntry {
         "vec_id", "embedding", "ivf_cell", cents, metaCols = Seq("source"))
       mem.topK(qv, 8, Seq(mem.stringFilter("source", "src3")))
         .toDF("vec_id", "score")
+    }),
+
+    // ---- MEMORY PQ serving (serve/MemoryPqIndex): the 32×-compression
+    // tier — m byte codes per vector, per-request ADC table, subspace-
+    // ordered fold identical to q118's plan, exact rerank over retained
+    // floats. Shares q118's oracle transcription at another query.
+    "q190_memory_pq" -> ((s, dir) => {
+      import s.implicits._
+      val emb = rd(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") =!= 23)
+      val qv = storedVecs(emb, 23).head
+      val books = Ann.pqCodebooks(corpus, "vec_id", "embedding",
+        m = 2, ksub = 4)
+      val mem = graft.serve.MemoryPqIndex.fromDataFrame(
+        Ann.withPqCodes(corpus, "embedding", books),
+        "vec_id", "embedding", "pq_code", books)
+      mem.topK(qv, k = 5, rerankFactor = 3).toDF("vec_id", "score")
     })
   )
 
@@ -5045,38 +5062,11 @@ object SparkEntry {
     // = the query's distance to each ASSIGNED sub-centroid, summed sub-0
     // then sub-1 (the engine's in-order fold); 15 ADC-best re-ranked by
     // exact cosine
-    "q118_pq_search" ->
-      s"""WITH q AS (SELECT embedding AS qv, len(embedding) // 2 AS d
-         |  FROM embeddings WHERE vec_id = 0),
-         |e AS (SELECT vec_id, embedding, len(embedding) // 2 AS d
-         |  FROM embeddings WHERE vec_id <> 0),
-         |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-         |    embedding AS cv, len(embedding) // 2 AS d
-         |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
-         |s0 AS (SELECT e.vec_id, c.cid,
-         |    ${l2Sql("e.embedding[1 : e.d]", "c.cv[1 : c.d]")} AS dist
-         |  FROM e CROSS JOIN cents c),
-         |a0 AS (SELECT vec_id, cid FROM (SELECT *, row_number() OVER (
-         |    PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM s0)
-         |  WHERE rn = 1),
-         |s1 AS (SELECT e.vec_id, c.cid,
-         |    ${l2Sql("e.embedding[e.d + 1 : 2 * e.d]", "c.cv[c.d + 1 : 2 * c.d]")} AS dist
-         |  FROM e CROSS JOIN cents c),
-         |a1 AS (SELECT vec_id, cid FROM (SELECT *, row_number() OVER (
-         |    PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM s1)
-         |  WHERE rn = 1),
-         |qd0 AS (SELECT c.cid,
-         |    ${l2Sql("q.qv[1 : c.d]", "c.cv[1 : c.d]")} AS qd
-         |  FROM cents c CROSS JOIN q),
-         |qd1 AS (SELECT c.cid,
-         |    ${l2Sql("q.qv[c.d + 1 : 2 * c.d]", "c.cv[c.d + 1 : 2 * c.d]")} AS qd
-         |  FROM cents c CROSS JOIN q),
-         |cand AS (SELECT a0.vec_id FROM a0 JOIN a1 USING (vec_id)
-         |  JOIN qd0 ON qd0.cid = a0.cid JOIN qd1 ON qd1.cid = a1.cid
-         |  ORDER BY qd0.qd + qd1.qd ASC, a0.vec_id ASC LIMIT 15)
-         |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS score
-         |FROM e JOIN cand USING (vec_id) CROSS JOIN q
-         |ORDER BY score DESC, e.vec_id LIMIT 5""".stripMargin,
+    "q118_pq_search" -> pqSearchOracleSql(qid = 0),
+
+    // the MEMORY PQ tier (byte codes + the same ADC table/fold) must
+    // land on the identical prune-and-rerank result
+    "q190_memory_pq" -> pqSearchOracleSql(qid = 23),
 
     // the streamed assignment must equal the batch coarse quantizer
     // exactly (stateless map-side projection): centroids = first 4 by
@@ -6198,6 +6188,44 @@ object SparkEntry {
          |ORDER BY score DESC, user_id LIMIT 20""".stripMargin
     }
   )
+
+  /** The PQ (m=2, ksub=4, first-4-by-id sub-centroid seeds) ADC
+    * prune-and-rerank oracle, shared by the DataFrame path (q118) and
+    * the memory byte-packed ADC tier (q190) — one transcription, two
+    * engines against it.
+    */
+  private def pqSearchOracleSql(qid: Int): String =
+    s"""WITH q AS (SELECT embedding AS qv, len(embedding) // 2 AS d
+       |  FROM embeddings WHERE vec_id = $qid),
+       |e AS (SELECT vec_id, embedding, len(embedding) // 2 AS d
+       |  FROM embeddings WHERE vec_id <> $qid),
+       |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+       |    embedding AS cv, len(embedding) // 2 AS d
+       |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
+       |s0 AS (SELECT e.vec_id, c.cid,
+       |    ${l2Sql("e.embedding[1 : e.d]", "c.cv[1 : c.d]")} AS dist
+       |  FROM e CROSS JOIN cents c),
+       |a0 AS (SELECT vec_id, cid FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM s0)
+       |  WHERE rn = 1),
+       |s1 AS (SELECT e.vec_id, c.cid,
+       |    ${l2Sql("e.embedding[e.d + 1 : 2 * e.d]", "c.cv[c.d + 1 : 2 * c.d]")} AS dist
+       |  FROM e CROSS JOIN cents c),
+       |a1 AS (SELECT vec_id, cid FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM s1)
+       |  WHERE rn = 1),
+       |qd0 AS (SELECT c.cid,
+       |    ${l2Sql("q.qv[1 : c.d]", "c.cv[1 : c.d]")} AS qd
+       |  FROM cents c CROSS JOIN q),
+       |qd1 AS (SELECT c.cid,
+       |    ${l2Sql("q.qv[c.d + 1 : 2 * c.d]", "c.cv[c.d + 1 : 2 * c.d]")} AS qd
+       |  FROM cents c CROSS JOIN q),
+       |cand AS (SELECT a0.vec_id FROM a0 JOIN a1 USING (vec_id)
+       |  JOIN qd0 ON qd0.cid = a0.cid JOIN qd1 ON qd1.cid = a1.cid
+       |  ORDER BY qd0.qd + qd1.qd ASC, a0.vec_id ASC LIMIT 15)
+       |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS score
+       |FROM e JOIN cand USING (vec_id) CROSS JOIN q
+       |ORDER BY score DESC, e.vec_id LIMIT 5""".stripMargin
 
   /** The SQ8 prune-and-rerank oracle (q179 / q187): quantize every
     * corpus vector with the affine codec, score the codes via the SAME

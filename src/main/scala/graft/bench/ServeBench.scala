@@ -139,6 +139,11 @@ object ServeBench {
     val memSq8 = graft.serve.MemorySq8Index.fromDataFrame(
       graft.operators.Quantize.withSq8(index, "embedding"),
       "vec_id", "embedding")
+    val pqBooks = graft.operators.Ann.pqCodebooks(corpus0, "vec_id",
+      "embedding", m = 8, ksub = 16, iters = 1)
+    val memPq = graft.serve.MemoryPqIndex.fromDataFrame(
+      graft.operators.Ann.withPqCodes(index, "embedding", pqBooks),
+      "vec_id", "embedding", "pq_code", pqBooks)
 
     val paths: Seq[(String, Int => Unit)] = Seq(
       // exact brute-force over the whole memory-resident corpus — the
@@ -161,6 +166,12 @@ object ServeBench {
       "memory_sq8" -> { qi: Int =>
         val n = memSq8.topK(qvecs(qi % qvecs.size), 5, rerankFactor = 4).length
         require(n == 5, s"memory_sq8 returned $n rows")
+      },
+      // PQ ADC table + m-lookup scan + exact rerank — the 32x-compression
+      // tier (m=8 bytes of codes per dim-64 vector)
+      "memory_pq" -> { qi: Int =>
+        val n = memPq.topK(qvecs(qi % qvecs.size), 5, rerankFactor = 4).length
+        require(n == 5, s"memory_pq returned $n rows")
       },
       "search_json" -> { qi: Int =>
         val n = searcher.search(jsonReq(qvecs(qi % qvecs.size), 5)).collect().length

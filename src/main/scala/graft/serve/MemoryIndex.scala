@@ -435,6 +435,134 @@ object MemorySq8Index {
   }
 }
 
+/** PQ (product-quantization) memory index — the HIGH-compression
+  * serving form next to [[MemorySq8Index]]: each vector is `m` byte
+  * codes (dim 64 / m 8 → 32× smaller than float32), scored by ADC
+  * (asymmetric distance computation): the query's per-subspace L2
+  * distances to every sub-centroid form an m×ksub table computed ONCE
+  * per request, and each row's approximate distance is m table lookups
+  * summed in subspace order — the classic IVF-ADC serving kernel
+  * (Jegou et al., TPAMI 2011), replayed with the SAME double arithmetic
+  * as [[graft.operators.Ann.topKPq]]'s plan (table loop, fold seed and
+  * order), so the candidate cut and the exact-rerank output are
+  * bit-identical to the DataFrame path (ServeSpec + the q190 oracle pin
+  * it). Exact rerank reads the retained float vectors; memory per doc =
+  * m bytes of codes + dim×4 B for rerank — drop the vectors and serve
+  * approximate-only where a 32×-smaller replica matters more than exact
+  * order.
+  */
+final class MemoryPqIndex private (
+    val dim: Int, m: Int,
+    ids: Array[Long],
+    codes: Array[Byte], // m-strided, unsigned codes (ksub <= 256)
+    vecs: Array[Float], // dim-strided, for the exact rerank
+    codebooks: Seq[Seq[Seq[Float]]]) {
+
+  def size: Int = ids.length
+
+  /** The same driver-side table build as [[Ann.topKPq]] — per subspace,
+    * squared-L2 of the query slice to each sub-centroid, in-order fold.
+    */
+  private def adcTable(query: Seq[Float]): Array[Array[Double]] = {
+    val d = codebooks.head.head.size
+    codebooks.zipWithIndex.map { case (cb, j) =>
+      val qs = query.slice(j * d, (j + 1) * d)
+      cb.map { c =>
+        var s = 0.0
+        var i = 0
+        while (i < d) {
+          val diff = qs(i).toDouble - c(i).toDouble
+          s += diff * diff
+          i += 1
+        }
+        s
+      }.toArray
+    }.toArray
+  }
+
+  /** ADC prune + exact cosine rerank — the [[Ann.topKPq]] contract. */
+  def topK(query: Seq[Float], k: Int, rerankFactor: Int = 4): Seq[(Long, Double)] = {
+    require(query.length == dim, s"query dim ${query.length} != index dim $dim")
+    require(k > 0 && rerankFactor >= 1)
+    val table = adcTable(query)
+    val n = ids.length
+    val adc = new Array[Double](n)
+    var r = 0
+    while (r < n) {
+      // the engine's fold: seed 0.0, subspace-ascending adds
+      var s = 0.0
+      var j = 0
+      while (j < m) { s += table(j)(codes(r * m + j) & 0xff); j += 1 }
+      adc(r) = s
+      r += 1
+    }
+    // bounded selection by (adc ASC, id ASC): heap keeps the current
+    // LOSERS' worst at its head = (adc DESC, id DESC)
+    val kk = math.max(k, rerankFactor * k)
+    val heap = new java.util.PriorityQueue[Integer](
+      kk,
+      (a: Integer, b: Integer) => {
+        val c = java.lang.Double.compare(adc(b), adc(a))
+        if (c != 0) c else java.lang.Long.compare(ids(b), ids(a))
+      })
+    r = 0
+    while (r < n) {
+      if (heap.size < kk) heap.add(r)
+      else {
+        val w = heap.peek()
+        val c = java.lang.Double.compare(adc(r), adc(w))
+        if (c < 0 || (c == 0 && ids(r) < ids(w))) { heap.poll(); heap.add(r): Unit }
+      }
+      r += 1
+    }
+    heap.asScala.toSeq.map(_.intValue).map { ri =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val base = ri * dim
+      while (i < dim) {
+        val x = vecs(base + i).toDouble; val y = query(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      (ids(ri), dot / (math.sqrt(na) * math.sqrt(nb)))
+    }.sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+}
+
+object MemoryPqIndex {
+
+  /** Load from an [[Ann.withPqCodes]]-coded frame + its codebooks. */
+  def fromDataFrame(coded: DataFrame, idCol: String, embCol: String,
+                    codeCol: String,
+                    codebooks: Seq[Seq[Seq[Float]]]): MemoryPqIndex = {
+    val m = codebooks.length
+    require(codebooks.forall(_.length <= 256),
+      "byte-packed PQ needs ksub <= 256")
+    val rows = coded
+      .select(col(idCol).cast("long"), col(embCol), col(codeCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getSeq[Int](2)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "MemoryPqIndex: empty corpus")
+    val dim = rows.head._2.length
+    require(dim == codebooks.head.head.size * m,
+      s"dim $dim != m($m) x subdim(${codebooks.head.head.size})")
+    val ids = rows.map(_._1).toArray
+    val vecs = new Array[Float](rows.length * dim)
+    val codes = new Array[Byte](rows.length * m)
+    var r = 0
+    while (r < rows.length) {
+      val v = rows(r)._2; val c = rows(r)._3
+      require(c.length == m, s"code length ${c.length} != m $m at id ${ids(r)}")
+      var i = 0
+      while (i < dim) { vecs(r * dim + i) = v(i); i += 1 }
+      var j = 0
+      while (j < m) { codes(r * m + j) = c(j).toByte; j += 1 }
+      r += 1
+    }
+    new MemoryPqIndex(dim, m, ids, codes, vecs, codebooks)
+  }
+}
+
 /** Memory-resident BM25 postings — the lexical leg of the serving tier.
   * Loads the term-partitioned postings artifact ([[Bm25.buildPostings]])
   * plus the build-time index metadata (idf per term, avgdl) and answers

@@ -293,6 +293,25 @@ class ServeSpec extends SparkSpec {
     intercept[RuntimeException] { mem.stringFilter("vec_id", "1") }
   }
 
+  test("memory PQ tier: ADC prune-and-rerank == Ann.topKPq bit-for-bit") {
+    import graft.operators.Ann
+    val books = Ann.pqCodebooks(annCorpus, "vec_id", "embedding",
+      m = 4, ksub = 8, iters = 1)
+    val coded = Ann.withPqCodes(annCorpus, "embedding", books)
+      .localCheckpoint(true)
+    val mem = graft.serve.MemoryPqIndex.fromDataFrame(
+      coded, "vec_id", "embedding", "pq_code", books)
+    assert(mem.size == 300 && mem.dim == 8)
+    annQueries.foreach { q =>
+      val want = Ann.topKPq(coded, "vec_id", "embedding", "pq_code", books,
+          q, k = 7, rerankFactor = 3)
+        .select("vec_id", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(mem.topK(q, 7, rerankFactor = 3) == want,
+        s"pq mismatch for query $q")
+    }
+  }
+
   test("ServingIndex: follows an in-place index rebuild; in-flight handles keep the old immutable index") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-servingidx").toString
     val cents1 = graft.operators.Ann.sampleCentroids(
