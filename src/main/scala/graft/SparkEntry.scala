@@ -3533,6 +3533,37 @@ object SparkEntry {
         Ann.withPqCodes(corpus, "embedding", books),
         "vec_id", "embedding", "pq_code", books)
       mem.topK(qv, k = 5, rerankFactor = 3).toDF("vec_id", "score")
+    }),
+
+    // ---- BINARY (1-bit sign) quantized search (operators/Quantize
+    // .topKBinary): the far end of the compression ladder — 32× smaller
+    // codes, integer Hamming popcount approximate pass (functions/
+    // SignPack + HammingDist, both codegen), exact cosine rerank. The
+    // Hamming leg has NO float ops, so the oracle twin is exact by
+    // construction; only the rerank carries the pinned cosine fold.
+    "q191_binary_search" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") =!= 31)
+      val qv = storedVecs(emb, 31).head
+      graft.operators.Quantize.topKBinary(
+        graft.operators.Quantize.withBinary(corpus, "embedding"),
+        "vec_id", "embedding", qv, k = 5, rerankFactor = 3)
+        .select("vec_id", "score")
+    }),
+
+    // ---- MEMORY binary serving (serve/MemoryBinaryIndex): the
+    // 32×-smaller replica — sign codes in packed longs, xor+popcount
+    // scan, exact rerank over retained floats; bit-identical to q191's
+    // DataFrame path (same oracle transcription at another query).
+    "q192_memory_binary" -> ((s, dir) => {
+      import s.implicits._
+      val emb = rd(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") =!= 37)
+      val qv = storedVecs(emb, 37).head
+      val mem = graft.serve.MemoryBinaryIndex.fromDataFrame(
+        graft.operators.Quantize.withBinary(corpus, "embedding"),
+        "vec_id", "embedding")
+      mem.topK(qv, k = 5, rerankFactor = 3).toDF("vec_id", "score")
     })
   )
 
@@ -5068,6 +5099,10 @@ object SparkEntry {
     // land on the identical prune-and-rerank result
     "q190_memory_pq" -> pqSearchOracleSql(qid = 23),
 
+    "q191_binary_search" -> binarySearchOracleSql(qid = 31),
+
+    "q192_memory_binary" -> binarySearchOracleSql(qid = 37),
+
     // the streamed assignment must equal the batch coarse quantizer
     // exactly (stateless map-side projection): centroids = first 4 by
     // vec_id, argmax cosine with ties to the HIGHER cell index (greatest
@@ -6267,6 +6302,25 @@ object SparkEntry {
        |  ORDER BY approx DESC, vec_id LIMIT 15)
        |SELECT c.vec_id, $cos AS score
        |FROM cand c CROSS JOIN qd q
+       |ORDER BY score DESC, c.vec_id LIMIT 5""".stripMargin
+  }
+
+  /** Binary (sign) quantized search twin — q191 (DataFrame path) and
+    * q192 (memory tier) at different stored queries. The Hamming leg is
+    * INTEGER (bit i = x_i > 0; distance = count of differing signs), so
+    * the approximate cut needs no fold-order pinning at all; only the
+    * exact-cosine rerank carries the pinned double fold.
+    */
+  private def binarySearchOracleSql(qid: Int): String = {
+    val cos = cosSql("c.embedding", "q.qv")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qid),
+       |ham AS (SELECT e.vec_id, e.embedding,
+       |  list_sum(list_transform(list_zip(e.embedding, q.qv),
+       |    p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END)) AS h
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> $qid),
+       |cand AS (SELECT vec_id, embedding FROM ham ORDER BY h, vec_id LIMIT 15)
+       |SELECT c.vec_id, $cos AS score
+       |FROM cand c CROSS JOIN q
        |ORDER BY score DESC, c.vec_id LIMIT 5""".stripMargin
   }
 

@@ -354,6 +354,138 @@ case class Sq8Encode(child: Expression) extends UnaryExpression {
   override def prettyName: String = "sq8_encode"
 }
 
+/** One-pass binary (sign) quantizer: `array<float|double>` →
+  * `array<long>` of ⌈n/64⌉ words, bit (i mod 64) of word (i div 64) set
+  * iff x_i > 0 — the 1-bit embedding code (32× smaller than float32;
+  * 64 dims per word). Sign quantization is the extreme point of the
+  * SQ8→PQ compression ladder: it needs no training, no per-vector
+  * scalars, and its distance is a pure integer (Hamming via popcount,
+  * [[HammingDist]]) — so the approximate scan has NO float ops at all
+  * and the oracle twin is exact by construction. Trailing pad bits in
+  * the last word stay 0 on both sides of any distance, contributing
+  * nothing. Null in => null out; empty vector raises (same contract as
+  * [[Sq8Encode]]).
+  */
+case class SignPack(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sign_pack expects array<float> or array<double>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n == 0) throw new IllegalArgumentException("sign_pack: empty vector")
+    val words = new Array[Long]((n + 63) / 64)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      if (x > 0.0) words(i / 64) |= (1L << (i % 64))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(words)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val words = ctx.freshName("words")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n == 0) {
+         |  throw new IllegalArgumentException("sign_pack: empty vector");
+         |}
+         |final long[] $words = new long[($n + 63) / 64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (((double) $a.$getter($i)) > 0.0) {
+         |    $words[$i / 64] |= (1L << ($i % 64));
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($words);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignPack =
+    copy(child = newChild)
+
+  override def prettyName: String = "sign_pack"
+}
+
+/** Hamming distance between two [[SignPack]]ed codes (`array<long>` ×
+  * `array<long>` → int): Σ Long.bitCount(a_w ^ b_w) — one xor+popcount
+  * per 64 dims, the cheapest possible scan kernel (integer-only, exact,
+  * no fold-order sensitivity). Mismatched word counts raise; null in =>
+  * null out.
+  */
+case class HammingDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"hamming_dist expects two array<long> arguments, got " +
+            s"${left.dataType.sql} and ${right.dataType.sql}")
+    }
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) {
+      throw new IllegalArgumentException(
+        s"hamming_dist: word-count mismatch ${n} vs ${b.numElements()}")
+    }
+    var h = 0
+    var i = 0
+    while (i < n) { h += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i)); i += 1 }
+    h
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "hamming_dist: word-count mismatch " + $n + " vs " + $b.numElements());
+         |}
+         |int $h = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $h += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingDist =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "hamming_dist"
+}
+
 /** Column-level vector API. */
 object VectorFunctions {
   import org.apache.spark.sql.functions._
@@ -372,6 +504,13 @@ object VectorFunctions {
 
   def sq8Encode(v: Column): Column =
     ColumnBridge.column(Sq8Encode(ColumnBridge.expression(v)))
+
+  def signPack(v: Column): Column =
+    ColumnBridge.column(SignPack(ColumnBridge.expression(v)))
+
+  def hammingDist(a: Column, b: Column): Column =
+    ColumnBridge.column(HammingDist(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** L2 norm via built-in higher-order functions (stays in Tungsten). */
   def l2Norm(v: Column): Column =
@@ -392,5 +531,9 @@ object VectorFunctions {
       "dot_product", es => DotProduct(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "code_dot", es => CodeDot(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sign_pack", es => SignPack(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "hamming_dist", es => HammingDist(es.head, es(1)), "built-in")
   }
 }

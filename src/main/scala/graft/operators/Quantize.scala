@@ -124,6 +124,62 @@ object Quantize {
       col(assignCol).isin(cells: _*))
   }
 
+  /** Driver-side sign pack — the same rule as the codegen
+    * [[graft.functions.SignPack]] (bit i of word i/64 set iff x_i > 0),
+    * for packing a query literal once per request.
+    */
+  def packSigns(xs: Seq[Float]): Seq[Long] = {
+    require(xs.nonEmpty, "packSigns: empty vector")
+    val words = new Array[Long]((xs.length + 63) / 64)
+    var i = 0
+    while (i < xs.length) {
+      if (xs(i) > 0.0f) words(i / 64) |= (1L << (i % 64))
+      i += 1
+    }
+    words.toSeq
+  }
+
+  /** All input columns plus the 1-bit sign code (`bits: array<long>`,
+    * ⌈dim/64⌉ words — 32× smaller than float32). The extreme point of
+    * the compression ladder (SQ8 4×, PQ m·8/dim·32, sign 32×): no
+    * training, no per-vector scalars, and the approximate distance is
+    * integer Hamming — see [[topKBinary]].
+    */
+  def withBinary(emb: DataFrame, vecCol: String): DataFrame =
+    emb.withColumn("bits",
+      graft.functions.VectorFunctions.signPack(col(vecCol)))
+
+  /** Binary-accelerated top-k: the approximate pass ranks rows by
+    * Hamming distance between sign codes — one xor+popcount per 64 dims
+    * ([[graft.functions.HammingDist]]), integer-exact, no float ops —
+    * then the exact cosine re-ranks the `rerankFactor·k` Hamming-nearest
+    * (ties to the lower id at both cuts). The same prune-then-rerank
+    * contract as [[topKSq8]]/[[Ann.topKPq]] at the far end of the
+    * compression ladder: at 100 TB the approximate scan reads 1/32 of
+    * the bytes and the kernel is pure ALU. The sign code keeps direction
+    * octants only, so rerankFactor wants to be larger than SQ8's for the
+    * same recall (the RECALL.md methodology applies); with Hamming being
+    * integer, the oracle twin is exact by construction — no fold-order
+    * pinning needed until the rerank.
+    */
+  def topKBinary(corpus: DataFrame, idCol: String, vecCol: String,
+                 query: Seq[Float], k: Int, rerankFactor: Int = 8,
+                 filter: Column = lit(true)): DataFrame = {
+    require(k > 0 && rerankFactor >= 1)
+    val qbits = packSigns(query)
+    val ham = graft.functions.VectorFunctions.hammingDist(
+      col("bits"), typedlit(qbits))
+    corpus.where(filter && col("bits").isNotNull)
+      .withColumn("__ham", ham)
+      .orderBy(col("__ham"), col(idCol))
+      .limit(math.max(k, rerankFactor * k))
+      .withColumn("score",
+        graft.functions.VectorFunctions.cosineSim(col(vecCol), typedlit(query)))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .drop("__ham")
+  }
+
   /** Per-vector audit: quantize, dequantize, and measure — max absolute
     * reconstruction error and the cosine between the original and its
     * reconstruction (the number that decides whether SQ8 is safe for a

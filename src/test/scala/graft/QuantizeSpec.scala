@@ -120,4 +120,92 @@ class QuantizeSpec extends SparkSpec {
       "vec_id", "embedding").head().getSeq[Int](1)
     assert(c.forall(_ == 0))
   }
+
+  // ---- binary (1-bit sign) quantization ----
+
+  test("sign pack: codegen SignPack == driver packSigns; x>0 rule; pad bits zero") {
+    // 70 dims forces a 2-word code with 58 pad bits in word 1
+    val n = 70
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(n)(j => math.sin(i * 17 + j * 3).toFloat))
+    } :+ (99L, Seq.fill(n)(0.0f)) // all-zero: x > 0 false everywhere
+    val df = corpus.toDF("vec_id", "embedding")
+    val staged = Quantize.withBinary(df, "embedding")
+      .select("vec_id", "embedding", "bits").collect()
+    staged.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val bits = r.getSeq[Long](2)
+      assert(bits.length == (n + 63) / 64)
+      assert(bits == Quantize.packSigns(v),
+        s"codegen pack != driver pack at id ${r.getLong(0)}")
+      // bit-by-bit against the sign rule, including word-1 padding
+      (0 until bits.length * 64).foreach { i =>
+        val bit = (bits(i / 64) >>> (i % 64)) & 1L
+        val want = if (i < n && v(i) > 0.0f) 1L else 0L
+        assert(bit == want, s"bit $i of id ${r.getLong(0)}: $bit != $want")
+      }
+    }
+    assert(staged.find(_.getLong(0) == 99L).get.getSeq[Long](2).forall(_ == 0L))
+  }
+
+  test("hamming_dist == count of differing signs (the oracle's CASE fold)") {
+    val n = 70
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, Seq.tabulate(n)(j => math.sin(i * 29 + j * 11).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = Seq.tabulate(n)(j => math.cos(j * 7).toFloat)
+    val qbits = Quantize.packSigns(q)
+    val got = Quantize.withBinary(corpus, "embedding")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.hammingDist(
+          col("bits"), typedlit(qbits)).as("h"),
+        col("embedding"))
+      .collect()
+    got.foreach { r =>
+      val v = r.getSeq[Float](2)
+      val naive = v.indices.count(i => (v(i) > 0.0f) != (q(i) > 0.0f))
+      assert(r.getInt(1) == naive,
+        s"id ${r.getLong(0)}: hamming ${r.getInt(1)} != naive $naive")
+    }
+  }
+
+  test("binary search with full-coverage rerank equals exact top-k") {
+    val n = 200
+    val corpus = (0 until n).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 13 + j * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = Seq.tabulate(8)(j => math.cos(j * 3).toFloat)
+    val exact = graft.operators.Ann.topK(corpus, "vec_id", "embedding", q, 10)
+      .select("vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val bin = Quantize.topKBinary(
+        Quantize.withBinary(corpus, "embedding"),
+        "vec_id", "embedding", q, k = 10, rerankFactor = n / 10)
+      .select("vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(bin == exact, s"full-probe binary must equal exact: $bin vs $exact")
+  }
+
+  test("binary tight rerank recovers the true top-k on a clustered corpus") {
+    // sign codes keep direction octants only, so their regime is the
+    // clustered one (the RECALL.md lesson): dim 64 = 64 bits of code,
+    // docs drawn around 4 well-separated centers, query near center 0
+    val dim = 64
+    def center(c: Int): Seq[Double] =
+      Seq.tabulate(dim)(j => math.sin(c * 97 + j * 13))
+    val corpus = (0 until 200).map { i =>
+      val c = center(i % 4)
+      (i.toLong, Seq.tabulate(dim)(j =>
+        (c(j) + 0.1 * math.sin(i * 31 + j * 7)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = center(0).map(x => (x + 0.05).toFloat)
+    val exact = graft.operators.Ann.topK(corpus, "vec_id", "embedding", q, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val tight = Quantize.topKBinary(
+        Quantize.withBinary(corpus, "embedding"),
+        "vec_id", "embedding", q, k = 10, rerankFactor = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(tight.intersect(exact).size >= 8,
+      s"recall@10 under tight rerank too low: $tight vs $exact")
+  }
 }

@@ -312,6 +312,40 @@ class ServeSpec extends SparkSpec {
     }
   }
 
+  test("memory binary tier: Hamming prune-and-rerank == Quantize.topKBinary bit-for-bit") {
+    import graft.operators.Quantize
+    val staged = Quantize.withBinary(annCorpus, "embedding").localCheckpoint(true)
+    val mem = graft.serve.MemoryBinaryIndex.fromDataFrame(
+      staged, "vec_id", "embedding")
+    assert(mem.size == 300 && mem.dim == 8)
+    annQueries.foreach { q =>
+      val want = Quantize.topKBinary(staged, "vec_id", "embedding", q,
+          k = 7, rerankFactor = 3)
+        .select("vec_id", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(mem.topK(q, 7, rerankFactor = 3) == want,
+        s"binary rerank mismatch for query $q")
+    }
+    // the approx-only (codes-only, 32x-smaller) replica: distances are
+    // the integer Hamming counts in (h ASC, id ASC) order
+    val q = annQueries(1)
+    val qbits = Quantize.packSigns(q)
+    val want = staged.select("vec_id", "bits").collect()
+      .map { r =>
+        val ws = r.getSeq[Long](1)
+        val h = ws.indices.map(w =>
+          java.lang.Long.bitCount(ws(w) ^ qbits(w))).sum
+        (r.getLong(0), h)
+      }.sortBy { case (id, h) => (h, id) }.take(12).toSeq
+    val approxOnly = graft.serve.MemoryBinaryIndex.fromDataFrameApproxOnly(
+      staged, "vec_id", dim = 8)
+    assert(approxOnly.topKApprox(q, 12) == want,
+      "approx-only Hamming order drifted from the packed-word fold")
+    // approx-only index refuses exact rerank instead of lying
+    val err = intercept[RuntimeException](approxOnly.topK(q, 5))
+    assert(err.getMessage.contains("approx-only"))
+  }
+
   test("ServingIndex: follows an in-place index rebuild; in-flight handles keep the old immutable index") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-servingidx").toString
     val cents1 = graft.operators.Ann.sampleCentroids(
