@@ -3564,6 +3564,32 @@ object SparkEntry {
         graft.operators.Quantize.withBinary(corpus, "embedding"),
         "vec_id", "embedding")
       mem.topK(qv, k = 5, rerankFactor = 3).toDF("vec_id", "score")
+    }),
+
+    // ---- INCREMENTAL serving (serve/DeltaAnnIndex): the live half of
+    // TARGET_LAG — the published index stays immutable, writes land in
+    // a delta segment, deletes tombstone, a search merges the tiers.
+    // Here: base = 4/5 of the corpus, the remaining fifth ADDED live,
+    // every id ≡ 0 (mod 7) DELETED live; the merged result must equal
+    // plain SQL over the final logical corpus.
+    "q193_delta_serving" -> ((s, dir) => {
+      import s.implicits._
+      val emb = rd(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") =!= 41)
+      val qv = storedVecs(emb, 41).head
+      val baseDf = corpus.where(col("vec_id") % 5 =!= 0)
+      val cents = Ann.sampleCentroids(baseDf, "vec_id", "embedding", 4)
+      val base = graft.serve.MemoryAnnIndex.fromDataFrame(
+        Ann.withIvfAssignment(baseDf, "embedding", cents),
+        "vec_id", "embedding", "ivf_cell", cents)
+      val delta = new graft.serve.DeltaAnnIndex(base)
+      corpus.where(col("vec_id") % 5 === 0)
+        .select("vec_id", "embedding").collect()
+        .foreach(r => delta.add(r.getLong(0), r.getSeq[Float](1)))
+      corpus.where(col("vec_id") % 7 === 0)
+        .select("vec_id").collect()
+        .foreach(r => delta.delete(r.getLong(0)))
+      delta.topK(qv, 8).toDF("vec_id", "score")
     })
   )
 
@@ -5102,6 +5128,18 @@ object SparkEntry {
     "q191_binary_search" -> binarySearchOracleSql(qid = 31),
 
     "q192_memory_binary" -> binarySearchOracleSql(qid = 37),
+
+    // the delta-merged serving view ≡ plain SQL over the final logical
+    // corpus (base ∖ deletes ∪ adds) — the serving tiers are an
+    // implementation detail the result must not betray
+    "q193_delta_serving" -> {
+      val cos = cosSql("e.embedding", "q.qv")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 41)
+         |SELECT e.vec_id, $cos AS score
+         |FROM embeddings e CROSS JOIN q
+         |WHERE e.vec_id <> 41 AND e.vec_id % 7 <> 0
+         |ORDER BY score DESC, e.vec_id LIMIT 8""".stripMargin
+    },
 
     // the streamed assignment must equal the batch coarse quantizer
     // exactly (stateless map-side projection): centroids = first 4 by

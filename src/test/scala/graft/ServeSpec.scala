@@ -346,6 +346,53 @@ class ServeSpec extends SparkSpec {
     assert(err.getMessage.contains("approx-only"))
   }
 
+  test("delta tier: adds/deletes/upserts merge == a full index rebuild bit-for-bit") {
+    import graft.operators.Ann
+    val baseDf = annCorpus.where(col("vec_id") < 250)
+    val base = graft.serve.MemoryAnnIndex.fromDataFrame(
+      Ann.withIvfAssignment(baseDf, "embedding", annCents),
+      "vec_id", "embedding", "ivf_cell", annCents)
+    val delta = new graft.serve.DeltaAnnIndex(base)
+    // live adds: the held-out 50 rows
+    val added = annCorpus.where(col("vec_id") >= 250)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    added.foreach { case (id, v) => delta.add(id, v) }
+    // live deletes: some base rows, some delta rows, one unknown id
+    val deleted = Seq(3L, 77L, 140L, 260L, 299L, 100000L)
+    deleted.foreach(delta.delete)
+    // live upsert: base row 10 gets a NEW vector (latest wins)
+    val newVec10 = Seq.tabulate(8)(j => math.cos(j * 11 + 1).toFloat)
+    delta.add(10L, newVec10)
+    assert(delta.deltaSize == 50 - 2 + 1) // 2 delta rows deleted, 1 upsert
+    // the rebuild the next publish would produce: (base ∖ deleted ∖ {10})
+    // ∪ adds ∪ {10 → new vector}
+    val logical = (baseDf.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .filterNot { case (id, _) => deleted.contains(id) || id == 10L } ++
+      added.filterNot { case (id, _) => deleted.contains(id) } :+
+      (10L -> newVec10.toSeq))
+      .map { case (id, v) => (id, v, 0) }.toSeq
+    val rebuilt = graft.serve.MemoryAnnIndex.fromRows(
+      logical, Seq(Seq.fill(8)(0.0f)))
+    annQueries.foreach { q =>
+      assert(delta.topK(q, 9) == rebuilt.topK(q, 9),
+        s"delta merge != rebuild for query $q")
+    }
+    // visibility: a fresh add is searchable by the NEXT call, a delete
+    // gone by the next call, a re-add after delete resurrects
+    val probe = Seq.tabulate(8)(j => math.sin(j * 5 + 2).toFloat)
+    delta.add(9999L, probe)
+    assert(delta.topK(probe, 1).head._1 == 9999L, "fresh add not visible")
+    delta.delete(9999L)
+    assert(delta.topK(probe, 1).head._1 != 9999L, "delete not applied")
+    delta.add(9999L, probe)
+    assert(delta.topK(probe, 1).head._1 == 9999L, "re-add did not resurrect")
+    // rebuild handoff: deltaRows ∪ (base ∖ tombstonedIds) == what topK serves
+    assert(delta.deltaRows.map(_._1).contains(9999L))
+    assert(delta.tombstonedIds.contains(77L) && delta.tombstonedIds.contains(100000L))
+  }
+
   test("ServingIndex: follows an in-place index rebuild; in-flight handles keep the old immutable index") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-servingidx").toString
     val cents1 = graft.operators.Ann.sampleCentroids(
