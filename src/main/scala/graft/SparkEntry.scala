@@ -3590,6 +3590,43 @@ object SparkEntry {
         .select("vec_id").collect()
         .foreach(r => delta.delete(r.getLong(0)))
       delta.topK(qv, 8).toDF("vec_id", "score")
+    }),
+
+    // ---- LATE-INTERACTION retrieval (operators/LateInteraction): the
+    // query is a BAG of vectors and so is each doc (here: consecutive
+    // fours of the embedding corpus); score = Σ over query vectors of
+    // the max cosine per doc — computed as codegen cosine columns in
+    // the scan + ONE per-doc hash agg of maxes (map-side partials).
+    "q194_maxsim" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val qbag = storedVecs(emb, 0, 1, 2, 3)
+      val docs = emb.where(col("vec_id") >= 4)
+        .withColumn("doc_id", expr("vec_id div 4"))
+      graft.operators.LateInteraction.maxSimTopK(
+        docs, "doc_id", "embedding", qbag, 10)
+    }),
+
+    // ---- PAYLOAD-INDEXED filtered serving (MemoryAnnIndex
+    // .topKFilteredIndexed): the most selective filter's sorted-row
+    // range enumerates candidates directly (scored rows = its match
+    // count, not the corpus) — the serving conclusion of 02:406's
+    // "filter before similarity"; results identical to the scan path.
+    "q195_indexed_filter" -> ((s, dir) => {
+      import s.implicits._
+      val emb = rd(s, dir, "embeddings")
+      val docs = rd(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("source"))
+      val corpus = emb.where(col("vec_id") =!= 43).join(docs, "vec_id")
+      val qv = storedVecs(emb, 43).head
+      val cents = Ann.sampleCentroids(corpus, "vec_id", "embedding", 4)
+      val mem = graft.serve.MemoryAnnIndex.fromDataFrame(
+        Ann.withIvfAssignment(corpus, "embedding", cents),
+        "vec_id", "embedding", "ivf_cell", cents,
+        metaCols = Seq("source", "label"))
+      mem.topKFilteredIndexed(qv, 8,
+        Seq(mem.stringFilter("source", "src2"),
+          graft.serve.MetaFilter("label", 1, 6)))
+        .toDF("vec_id", "score")
     })
   )
 
@@ -5128,6 +5165,37 @@ object SparkEntry {
     "q191_binary_search" -> binarySearchOracleSql(qid = 31),
 
     "q192_memory_binary" -> binarySearchOracleSql(qid = 37),
+
+    // the payload-indexed serving path ≡ a WHERE over the joined corpus
+    // — which candidate-enumeration strategy ran must be invisible
+    "q195_indexed_filter" -> {
+      val cos = cosSql("e.embedding", "q.qv")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 43)
+         |SELECT e.vec_id, $cos AS score
+         |FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |CROSS JOIN q
+         |WHERE e.vec_id <> 43 AND d.source = 'src2'
+         |  AND e.label BETWEEN 1 AND 6
+         |ORDER BY score DESC, e.vec_id LIMIT 8""".stripMargin
+    },
+
+    // MaxSim: per-(doc, qtok) max cosine is order-free exact IEEE; the
+    // only order-sensitive fold is the final sum over query vectors,
+    // pinned qtok-ascending on both sides (Spark: left-assoc m0+m1+m2+m3;
+    // DuckDB: list_sum(list(m ORDER BY qtok)))
+    "q194_maxsim" -> {
+      val cos = cosSql("d.embedding", "q.qv")
+      s"""WITH q AS (SELECT vec_id AS qtok, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 4),
+         |d AS (SELECT vec_id // 4 AS doc_id, embedding
+         |  FROM embeddings WHERE vec_id >= 4),
+         |mx AS (SELECT d.doc_id, q.qtok, max($cos) AS m
+         |  FROM d CROSS JOIN q GROUP BY d.doc_id, q.qtok),
+         |sc AS (SELECT doc_id, list_sum(list(m ORDER BY qtok)) AS score
+         |  FROM mx GROUP BY doc_id)
+         |SELECT doc_id, score FROM sc
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    },
 
     // the delta-merged serving view ≡ plain SQL over the final logical
     // corpus (base ∖ deletes ∪ adds) — the serving tiers are an

@@ -144,6 +144,13 @@ object ServeBench {
     val memPq = graft.serve.MemoryPqIndex.fromDataFrame(
       graft.operators.Ann.withPqCodes(index, "embedding", pqBooks),
       "vec_id", "embedding", "pq_code", pqBooks)
+    val memBinary = graft.serve.MemoryBinaryIndex.fromDataFrame(
+      graft.operators.Quantize.withBinary(index, "embedding"),
+      "vec_id", "embedding")
+    val memHnsw = graft.serve.MemoryHnswIndex.build(
+      index.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq,
+      m = 16, efConstruction = 100)
 
     val paths: Seq[(String, Int => Unit)] = Seq(
       // exact brute-force over the whole memory-resident corpus — the
@@ -172,6 +179,18 @@ object ServeBench {
       "memory_pq" -> { qi: Int =>
         val n = memPq.topK(qvecs(qi % qvecs.size), 5, rerankFactor = 4).length
         require(n == 5, s"memory_pq returned $n rows")
+      },
+      // 1-bit sign codes: xor+popcount scan (integer-only kernel over a
+      // 32x-smaller resident set) + exact rerank
+      "memory_binary" -> { qi: Int =>
+        val n = memBinary.topK(qvecs(qi % qvecs.size), 5, rerankFactor = 8).length
+        require(n == 5, s"memory_binary returned $n rows")
+      },
+      // HNSW graph walk (m=16, efC=100): O(M·ef·log n) vectors touched
+      // per request instead of a scan — the sub-linear serving tier
+      "memory_hnsw" -> { qi: Int =>
+        val n = memHnsw.topK(qvecs(qi % qvecs.size), 5, ef = 40).length
+        require(n == 5, s"memory_hnsw returned $n rows")
       },
       "search_json" -> { qi: Int =>
         val n = searcher.search(jsonReq(qvecs(qi % qvecs.size), 5)).collect().length

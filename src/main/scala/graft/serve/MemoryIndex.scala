@@ -106,6 +106,133 @@ final class MemoryAnnIndex private (
               filters: Seq[MetaFilter] = Nil): Seq[(Long, Double)] =
     topKInCells(query, k, probeCells(query, nProbe), filters)
 
+  /** Per-column payload index: row indices sorted by (value, row) — a
+    * range filter binary-searches its row set instead of testing every
+    * row (the serving analog of a secondary index; built lazily once
+    * per column, O(n log n), immutable afterwards).
+    */
+  private lazy val metaSorted: Map[String, Array[Int]] =
+    meta.map { case (c, arr) =>
+      c -> Array.range(0, arr.length)
+        .sortBy(r => (arr(r), r))
+    }
+
+  /** (lo, hi) positions in the column's sorted row array covering
+    * values in [f.min, f.max] — candidate count = hi - lo.
+    */
+  private def sortedRange(f: MetaFilter): (Array[Int], Int, Int) = {
+    val arr = meta.getOrElse(f.col, sys.error(
+      s"metadata column '${f.col}' not loaded (have: ${meta.keys.mkString(",")})"))
+    val sorted = metaSorted(f.col)
+    // first index with value >= min
+    var lo = 0; var hi = sorted.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (arr(sorted(mid)) < f.min) lo = mid + 1 else hi = mid
+    }
+    val start = lo
+    // first index with value > max
+    lo = start; hi = sorted.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (arr(sorted(mid)) <= f.max) lo = mid + 1 else hi = mid
+    }
+    (sorted, start, lo)
+  }
+
+  /** Filtered top-k through the payload index: the MOST SELECTIVE
+    * filter's sorted range enumerates candidates directly (scored rows =
+    * that filter's match count, not the corpus), remaining filters test
+    * per candidate. Falls back to the scan path when the best range
+    * still covers most of the corpus (> `scanFraction` of rows — then
+    * the scan's sequential locality wins). Results are IDENTICAL to
+    * [[topK]] with the same filters — same fold, same (score DESC,
+    * id ASC) rule — whichever path runs (ServeSpec + the q195 oracle pin
+    * it); only the cost adapts, the reference's 02:406 "filter before
+    * similarity" taken to its serving conclusion.
+    */
+  def topKFilteredIndexed(query: Seq[Float], k: Int,
+                          filters: Seq[MetaFilter],
+                          scanFraction: Double = 0.25): Seq[(Long, Double)] = {
+    require(filters.nonEmpty,
+      "topKFilteredIndexed needs at least one filter (use topK for none)")
+    require(query.length == dim, s"query dim ${query.length} != index dim $dim")
+    val ranged = filters.map(f => (f, sortedRange(f)))
+    val (bestF, (sorted, lo, hi)) = ranged.minBy { case (_, (_, l, h)) => h - l }
+    if (hi - lo > scanFraction * size) return topK(query, k, filters)
+    val rest = filters.filterNot(_ eq bestF)
+      .map(f => (meta(f.col), f.min, f.max))
+    val q = query.toArray
+    val heap = new java.util.PriorityQueue[(Double, Long)](
+      math.max(k, 1),
+      (a: (Double, Long), b: (Double, Long)) => {
+        val c = java.lang.Double.compare(a._1, b._1)
+        if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+      })
+    var p = lo
+    while (p < hi) {
+      val r = sorted(p)
+      var pass = true
+      var fi = 0
+      while (pass && fi < rest.length) {
+        val (arr, mn, mx) = rest(fi)
+        val v = arr(r)
+        pass = v >= mn && v <= mx
+        fi += 1
+      }
+      if (pass) {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        val base = r * dim
+        while (i < dim) {
+          val x = vecs(base + i).toDouble; val y = q(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        val score = dot / (math.sqrt(na) * math.sqrt(nb))
+        val cand = (score, ids(r))
+        if (heap.size < k) heap.add(cand)
+        else {
+          val worst = heap.peek()
+          val c = java.lang.Double.compare(score, worst._1)
+          if (c > 0 || (c == 0 && cand._2 < worst._2)) {
+            heap.poll(); heap.add(cand): Unit
+          }
+        }
+      }
+      p += 1
+    }
+    heap.asScala.toSeq.sortBy { case (s, id) => (-s, id) }
+      .map { case (s, id) => (id, s) }
+  }
+
+  /** Exact match count for a conjunction (the planner's selectivity
+    * probe: the best single range bounds it above; remaining filters
+    * verified per row only inside that range).
+    */
+  def countMatching(filters: Seq[MetaFilter]): Int = {
+    if (filters.isEmpty) return size
+    val ranged = filters.map(f => (f, sortedRange(f)))
+    val (bestF, (sorted, lo, hi)) = ranged.minBy { case (_, (_, l, h)) => h - l }
+    val rest = filters.filterNot(_ eq bestF)
+      .map(f => (meta(f.col), f.min, f.max))
+    var n = 0
+    var p = lo
+    while (p < hi) {
+      val r = sorted(p)
+      var pass = true
+      var fi = 0
+      while (pass && fi < rest.length) {
+        val (arr, mn, mx) = rest(fi)
+        val v = arr(r)
+        pass = v >= mn && v <= mx
+        fi += 1
+      }
+      if (pass) n += 1
+      p += 1
+    }
+    n
+  }
+
   private def topKInCells(query: Seq[Float], k: Int,
                           cells: Seq[Int],
                           filters: Seq[MetaFilter]): Seq[(Long, Double)] = {

@@ -58,6 +58,14 @@ object RecallReport {
     def ids(df: DataFrame): Set[Long] =
       df.select("vec_id").collect().map(_.getLong(0)).toSet
 
+    // serving-graph + binary-code variants measure on the SAME corpus,
+    // driver-side (HNSW is a memory-tier structure; self excluded from
+    // the result set — it may still route the walk, which is legitimate)
+    val allRows = indexed.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    val hnsw = graft.serve.MemoryHnswIndex.build(allRows, m = 16,
+      efConstruction = 100)
+
     val variants: Seq[(String, String, (DataFrame, Seq[Float]) => Set[Long], Double)] =
       Seq(1, 2, 4, 8, nCells).map(p => ("ivf", s"nProbe=$p",
         (base: DataFrame, qv: Seq[Float]) =>
@@ -71,7 +79,21 @@ object RecallReport {
         (base: DataFrame, qv: Seq[Float]) =>
           ids(Ann.topKIvfPq(base, "vec_id", "embedding", "ivf_cell", "pq_code",
             cents, books, qv, k, p, rerankFactor = 4)),
-        p.toDouble / nCells))
+        p.toDouble / nCells)) ++
+      Seq(2, 8, 32).map(r => ("binary", s"rerank=$r",
+        (base: DataFrame, qv: Seq[Float]) =>
+          ids(graft.operators.Quantize.topKBinary(
+            graft.operators.Quantize.withBinary(base, "embedding"),
+            "vec_id", "embedding", qv, k, rerankFactor = r)),
+        1.0)) ++
+      Seq(2, 4, 10, 20).map(ef => ("hnsw", s"ef=${ef}k",
+        (_: DataFrame, qv: Seq[Float]) => {
+          // k+1 then drop the query vector itself if present
+          val got = hnsw.topK(qv, k + 1, ef = ef * k).map(_._1)
+          val self = allRows.find(_._2 == qv).map(_._1)
+          got.filterNot(self.contains).take(k).toSet
+        },
+        0.0)) // graph-walk: touched set is O(M·ef·log n), not a scan
 
     val perVariant = scala.collection.mutable.LinkedHashMap[(String, String), List[Double]]()
     qIds.foreach { qid =>
@@ -159,9 +181,17 @@ object RecallReport {
       md ++= s"| method | params | mean recall@$k | worst query | corpus scanned | lift |\n"
       md ++= "|---|---|---|---|---|---|\n"
       rows.foreach { r =>
-        md ++= f"| ${r.method} | ${r.params} | ${r.mean}%.3f | ${r.worst}%.3f | ${r.frac * 100}%.0f%% | ${r.mean / r.frac}%.1f× |\n"
+        val scanned = if (r.frac == 0.0) "graph walk" else f"${r.frac * 100}%.0f%%"
+        val lift = if (r.frac == 0.0) "n/a" else f"${r.mean / r.frac}%.1f×"
+        md ++= f"| ${r.method} | ${r.params} | ${r.mean}%.3f | ${r.worst}%.3f | $scanned | $lift |\n"
       }
     }
+      md ++= "\nBinary = 1-bit sign codes (32× smaller), Hamming prune + exact\n"
+    md ++= "rerank; like PQ it reads every row (scan 100%) but 1/32 of the bytes\n"
+    md ++= "with an integer-only kernel — its recall curve is the rerank budget.\n"
+    md ++= "HNSW = the serving-graph tier (m=16, efC=100, deterministic build);\n"
+    md ++= "it touches O(M·ef·log n) vectors per query instead of scanning, so\n"
+    md ++= "scan-fraction/lift do not apply — its cost axis is ef.\n"
     md ++= "\nReading: on ISOTROPIC data IVF recall climbs roughly with scan\n"
     md ++= "fraction (lift ~2-4× from direction concentration alone); on\n"
     md ++= "CLUSTERED data a narrow probe already captures most true neighbors —\n"

@@ -331,4 +331,42 @@ class AnnSpec extends SparkSpec {
     assert(mean >= 0.8,
       f"clustered-regime recall@10 at nProbe=2 only $mean%.2f — cells not aligned with clusters")
   }
+
+  test("MaxSim late interaction == naive per-doc max-then-ordered-sum; one shuffle") {
+    import spark.implicits._
+    val dim = 8
+    val rows = (0 until 240).map { i =>
+      (i.toLong / 4, i.toLong,
+        Seq.tabulate(dim)(j => math.sin(i * 13 + j * 7).toFloat))
+    }
+    val docs = rows.toDF("doc_id", "part_id", "embedding")
+    val qbag = (0 until 3).map(qi =>
+      Seq.tabulate(dim)(j => math.cos(qi * 5 + j * 3).toFloat))
+    val got = graft.operators.LateInteraction
+      .maxSimTopK(docs, "doc_id", "embedding", qbag, 7)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // naive: same pinned cosine fold, per-(doc, qtok) max, qtok-ordered sum
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      while (j < a.length) {
+        val x = a(j).toDouble; val y = b(j).toDouble
+        dot += x * y; na += x * x; nb += y * y; j += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = rows.groupBy(_._1).map { case (doc, parts) =>
+      val score = qbag.map(qv => parts.map(p => cos(p._3, qv)).max)
+        .reduceLeft(_ + _)
+      (doc, score)
+    }.toSeq.sortBy { case (doc, s) => (-s, doc) }.take(7)
+    assert(got == want, s"maxsim drifted: $got vs $want")
+    // plan: exactly one exchange (the per-doc hash agg) — the cosines are
+    // scan-side columns, not a join or an explode
+    val plan = graft.operators.LateInteraction
+      .maxSimTopK(docs, "doc_id", "embedding", qbag, 7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Generate"),
+      s"maxsim plan grew a join/explode:\n$plan")
+  }
 }

@@ -1,0 +1,186 @@
+package graft
+
+import graft.serve.MemoryHnswIndex
+
+/** Contracts for the HNSW serving graph. No DuckDB oracle applies (a
+  * graph walk is not SQL), so the verification class is: deterministic
+  * build (same rows → same graph, bit-for-bit), measured recall vs
+  * brute force on both embedding regimes, exactness of the returned
+  * scores, and structural invariants (degree caps, nested levels,
+  * symmetric reachability of every node at layer 0).
+  */
+class HnswSpec extends SparkSpec {
+
+  private def clustered(n: Int, dim: Int, centers: Int): Seq[(Long, Seq[Float])] = {
+    def center(c: Int): Seq[Double] =
+      Seq.tabulate(dim)(j => math.sin(c * 97 + j * 13))
+    (0 until n).map { i =>
+      val c = center(i % centers)
+      (i.toLong, Seq.tabulate(dim)(j =>
+        (c(j) + 0.15 * math.sin(i * 31 + j * 7)).toFloat))
+    }
+  }
+
+  private def isotropic(n: Int, dim: Int): Seq[(Long, Seq[Float])] =
+    (0 until n).map { i =>
+      (i.toLong, Seq.tabulate(dim)(j => math.sin(i * 13 + j * 7).toFloat))
+    }
+
+  private def bruteTopK(rows: Seq[(Long, Seq[Float])], q: Seq[Float],
+                        k: Int): Seq[(Long, Double)] =
+    rows.map { case (id, v) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      while (j < v.length) {
+        val x = v(j).toDouble; val y = q(j).toDouble
+        dot += x * y; na += x * x; nb += y * y; j += 1
+      }
+      (id, dot / (math.sqrt(na) * math.sqrt(nb)))
+    }.sortBy { case (id, s) => (-s, id) }.take(k)
+
+  test("build is deterministic: same rows -> identical graph and identical answers") {
+    val rows = clustered(400, 16, 5)
+    val a = MemoryHnswIndex.build(rows, m = 8, efConstruction = 40)
+    val b = MemoryHnswIndex.build(rows, m = 8, efConstruction = 40)
+    rows.foreach { case (id, _) =>
+      assert(a.maxLevelOf(id) == b.maxLevelOf(id))
+      (0 to a.maxLevelOf(id)).foreach { l =>
+        assert(a.neighborsOf(id, l) == b.neighborsOf(id, l),
+          s"adjacency differs at id $id level $l")
+      }
+    }
+    val q = rows(7)._2
+    assert(a.topK(q, 10, ef = 30) == b.topK(q, 10, ef = 30))
+  }
+
+  test("returned scores are the exact pinned cosine fold; order is (score DESC, id ASC)") {
+    val rows = clustered(300, 16, 4)
+    val idx = MemoryHnswIndex.build(rows, m = 8, efConstruction = 40)
+    val q = Seq.tabulate(16)(j => math.cos(j * 3).toFloat)
+    val got = idx.topK(q, 8, ef = 64)
+    val exactById = bruteTopK(rows, q, rows.length).toMap
+    got.foreach { case (id, s) =>
+      assert(s == exactById(id), s"score for $id is not the exact fold")
+    }
+    assert(got == got.sortBy { case (id, s) => (-s, id) })
+  }
+
+  test("recall@10 on the clustered regime >= 0.9 at ef=4k; ef=n reaches 1.0 here") {
+    val rows = clustered(600, 32, 6)
+    val idx = MemoryHnswIndex.build(rows, m = 12, efConstruction = 60)
+    val queries = (0 until 10).map(qi =>
+      Seq.tabulate(32)(j => (math.sin(qi * 97 + j * 13) + 0.05).toFloat))
+    def recall(ef: Int): Double = {
+      val hits = queries.map { q =>
+        val want = bruteTopK(rows, q, 10).map(_._1).toSet
+        val got = idx.topK(q, 10, ef = ef).map(_._1).toSet
+        got.intersect(want).size / 10.0
+      }
+      hits.sum / hits.length
+    }
+    val r40 = recall(40)
+    assert(r40 >= 0.9, s"clustered recall@10 at ef=40: $r40")
+    val rFull = recall(rows.length)
+    assert(rFull == 1.0, s"ef=n recall on this connected graph: $rFull")
+  }
+
+  test("recall improves monotonically-ish with ef on the isotropic regime") {
+    val rows = isotropic(500, 16)
+    val idx = MemoryHnswIndex.build(rows, m = 12, efConstruction = 60)
+    val queries = (0 until 8).map(qi =>
+      Seq.tabulate(16)(j => math.cos(qi * 5 + j * 3).toFloat))
+    def recall(ef: Int): Double = {
+      val hits = queries.map { q =>
+        val want = bruteTopK(rows, q, 10).map(_._1).toSet
+        val got = idx.topK(q, 10, ef = ef).map(_._1).toSet
+        got.intersect(want).size / 10.0
+      }
+      hits.sum / hits.length
+    }
+    val lo = recall(15)
+    val hi = recall(200)
+    assert(hi >= lo, s"recall did not improve with ef: $lo -> $hi")
+    assert(hi >= 0.9, s"isotropic recall@10 at ef=200: $hi")
+  }
+
+  test("duplicate-heavy corpus (5x replicated vectors) still yields k results and high recall") {
+    // exact duplicates make sim(c, duplicate) == sim(c, target) — the
+    // strict heuristic alone would starve adjacency (the serve bench's
+    // replicated corpus caught this); keepPrunedConnections backfills
+    val uniq = clustered(120, 16, 4)
+    val rows = (0 until 5).flatMap(rep =>
+      uniq.map { case (id, v) => (id + rep * 1000L, v) })
+    val idx = MemoryHnswIndex.build(rows, m = 8, efConstruction = 40)
+    (0 until 6).foreach { qi =>
+      val q = Seq.tabulate(16)(j => (math.sin(qi * 97 + j * 13) + 0.05).toFloat)
+      val got = idx.topK(q, 10, ef = 60)
+      assert(got.length == 10, s"starved adjacency: ${got.length} rows for query $qi")
+      val want = bruteTopK(rows, q, 10).map(_._1).toSet
+      val rec = got.map(_._1).toSet.intersect(want).size / 10.0
+      assert(rec >= 0.8, s"recall on duplicated corpus: $rec for query $qi")
+    }
+  }
+
+  test("save/load round-trip: persisted graph answers bit-identically, sidecar required") {
+    val rows = clustered(300, 16, 4)
+    val idx = MemoryHnswIndex.build(rows, m = 8, efConstruction = 40)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnsw").toString
+    MemoryHnswIndex.save(idx, spark, dir)
+    val loaded = MemoryHnswIndex.load(spark, dir)
+    assert(loaded.size == idx.size && loaded.dim == idx.dim)
+    rows.foreach { case (id, _) =>
+      assert(loaded.maxLevelOf(id) == idx.maxLevelOf(id))
+      (0 to idx.maxLevelOf(id)).foreach { l =>
+        assert(loaded.neighborsOf(id, l) == idx.neighborsOf(id, l))
+      }
+    }
+    (0 until 5).foreach { qi =>
+      val q = Seq.tabulate(16)(j => math.cos(qi * 5 + j * 3).toFloat)
+      assert(loaded.topK(q, 10, ef = 40) == idx.topK(q, 10, ef = 40),
+        s"round-trip answers drifted for query $qi")
+    }
+    // a dir without the sidecar is an incomplete artifact, not a graph
+    val bare = java.nio.file.Files.createTempDirectory("graft-hnsw-bare").toString
+    spark.read.parquet(dir).write.mode("overwrite").parquet(bare)
+    val err = intercept[IllegalArgumentException](MemoryHnswIndex.load(spark, bare))
+    assert(err.getMessage.contains("sidecar"))
+  }
+
+  test("structural invariants: degree caps, nested levels, layer-0 connectivity") {
+    val rows = clustered(400, 16, 5)
+    val m = 8
+    val idx = MemoryHnswIndex.build(rows, m = m, efConstruction = 40)
+    rows.foreach { case (id, _) =>
+      val top = idx.maxLevelOf(id)
+      (0 to top).foreach { l =>
+        val ns = idx.neighborsOf(id, l)
+        assert(ns.distinct.length == ns.length, s"duplicate edges at $id/$l")
+        assert(!ns.contains(id), s"self edge at $id/$l")
+        val cap = if (l == 0) 2 * m else m
+        assert(ns.length <= cap, s"degree ${ns.length} > cap $cap at $id/$l")
+        // every neighbor exists at this level (nested-level invariant)
+        ns.foreach(nb => assert(idx.maxLevelOf(nb) >= l))
+      }
+    }
+    // layer 0 must be one connected component (reachability = recall floor)
+    val adj = rows.map { case (id, _) => id -> idx.neighborsOf(id, 0) }.toMap
+    val seen = scala.collection.mutable.Set(rows.head._1)
+    val stack = scala.collection.mutable.Stack(rows.head._1)
+    while (stack.nonEmpty) {
+      adj(stack.pop()).foreach { nb =>
+        // edges may be asymmetric after shrink; walk both directions
+        if (!seen(nb)) { seen += nb; stack.push(nb) }
+      }
+    }
+    // follow reverse edges too for the reachability check
+    var grown = true
+    while (grown) {
+      grown = false
+      adj.foreach { case (id, ns) =>
+        if (!seen(id) && ns.exists(seen)) { seen += id; grown = true }
+      }
+    }
+    assert(seen.size == rows.length,
+      s"layer 0 disconnected: ${seen.size}/${rows.length} reachable")
+  }
+}

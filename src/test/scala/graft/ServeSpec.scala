@@ -346,6 +346,39 @@ class ServeSpec extends SparkSpec {
     assert(err.getMessage.contains("approx-only"))
   }
 
+  test("payload index: topKFilteredIndexed == scan-path topK(filters) for a battery of filters") {
+    import graft.operators.Ann
+    // metadata: label = i % 10 (numeric), bucket = i % 3 (numeric)
+    val df = annCorpus
+      .withColumn("label", (col("vec_id") % 10).cast("long"))
+      .withColumn("bucket", (col("vec_id") % 3).cast("long"))
+    val mem = graft.serve.MemoryAnnIndex.fromDataFrame(
+      Ann.withIvfAssignment(df, "embedding", annCents),
+      "vec_id", "embedding", "ivf_cell", annCents,
+      metaCols = Seq("label", "bucket"))
+    val filterSets = Seq(
+      Seq(graft.serve.MetaFilter("label", 3, 3)), // selective: 1/10
+      Seq(graft.serve.MetaFilter("label", 2, 7)), // wide: falls back to scan
+      Seq(graft.serve.MetaFilter("label", 3, 3),
+        graft.serve.MetaFilter("bucket", 1, 1)), // conjunction: 1/30
+      Seq(graft.serve.MetaFilter("bucket", 0, 0),
+        graft.serve.MetaFilter("label", 0, 9)), // second filter vacuous
+      Seq(graft.serve.MetaFilter("label", 99, 99))) // empty match
+    annQueries.foreach { q =>
+      filterSets.foreach { fs =>
+        val viaIndex = mem.topKFilteredIndexed(q, 7, fs)
+        val viaScan = mem.topK(q, 7, fs)
+        assert(viaIndex == viaScan,
+          s"indexed path diverged from scan for filters $fs")
+      }
+    }
+    // the selectivity probe is exact
+    assert(mem.countMatching(Seq(graft.serve.MetaFilter("label", 3, 3))) == 30)
+    assert(mem.countMatching(Seq(graft.serve.MetaFilter("label", 3, 3),
+      graft.serve.MetaFilter("bucket", 1, 1))) == 10)
+    assert(mem.countMatching(Seq(graft.serve.MetaFilter("label", 99, 99))) == 0)
+  }
+
   test("delta tier: adds/deletes/upserts merge == a full index rebuild bit-for-bit") {
     import graft.operators.Ann
     val baseDf = annCorpus.where(col("vec_id") < 250)
