@@ -426,6 +426,53 @@ class ServeSpec extends SparkSpec {
     assert(delta.tombstonedIds.contains(77L) && delta.tombstonedIds.contains(100000L))
   }
 
+  test("streaming feed into the delta tier: rows searchable batch-by-batch (TARGET_LAG live half)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = graft.serve.MemoryAnnIndex.fromDataFrame(
+      graft.operators.Ann.withIvfAssignment(
+        annCorpus.where(col("vec_id") < 200), "embedding", annCents),
+      "vec_id", "embedding", "ivf_cell", annCents)
+    val delta = new graft.serve.DeltaAnnIndex(base)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    // the live feed: each micro-batch lands in the delta segment —
+    // bounded driver-side state (one lag window), the DataFrame tier
+    // still owns the periodic rebuild
+    val q = mem.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("vec_id", "embedding").collect()
+          .foreach(r => delta.add(r.getLong(0), r.getSeq[Float](1)))
+      }
+      .start()
+    try {
+      val lateRows = annCorpus.where(col("vec_id") >= 200)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+      val (b1, b2) = lateRows.splitAt(50)
+      // before any batch: late rows invisible
+      val probe = lateRows.head._2
+      assert(!delta.topK(probe, 1).headOption.exists(_._1 == lateRows.head._1)
+        || base.topK(probe, 1).headOption.exists(_._1 == lateRows.head._1))
+      mem.addData(b1)
+      q.processAllAvailable()
+      assert(delta.deltaSize == 50, s"batch 1 not fully landed: ${delta.deltaSize}")
+      // a batch-1 row is now the top hit for its own vector
+      assert(delta.topK(b1.head._2, 1).head._1 == b1.head._1)
+      mem.addData(b2)
+      q.processAllAvailable()
+      assert(delta.deltaSize == 100)
+      // the merged view now equals the full-corpus rebuild, bit-for-bit
+      val rebuilt = graft.serve.MemoryAnnIndex.fromDataFrame(
+        graft.operators.Ann.withIvfAssignment(annCorpus, "embedding", annCents),
+        "vec_id", "embedding", "ivf_cell", annCents)
+      annQueries.foreach { qv =>
+        assert(delta.topK(qv, 9) == rebuilt.topK(qv, 9),
+          s"streamed delta view != rebuild for $qv")
+      }
+    } finally q.stop()
+  }
+
   test("ServingIndex: follows an in-place index rebuild; in-flight handles keep the old immutable index") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-servingidx").toString
     val cents1 = graft.operators.Ann.sampleCentroids(
