@@ -3627,6 +3627,37 @@ object SparkEntry {
         Seq(mem.stringFilter("source", "src2"),
           graft.serve.MetaFilter("label", 1, 6)))
         .toDF("vec_id", "score")
+    }),
+
+    // ---- IVF x BINARY composed search (Quantize.topKIvfBinary): cell
+    // pruning x the 1-bit codec — q181's composition at the far end of
+    // the compression ladder; sign packing is training-free so it
+    // commutes with the cell filter.
+    "q196_ivf_binary_search" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") =!= 47)
+      val qv = storedVecs(emb, 47).head
+      val cents = Ann.sampleCentroids(corpus, "vec_id", "embedding", 4)
+      val indexed = graft.operators.Quantize.withBinary(
+        Ann.withIvfAssignment(corpus, "embedding", cents), "embedding")
+      graft.operators.Quantize.topKIvfBinary(indexed, "vec_id", "embedding",
+          "ivf_cell", cents, qv, k = 5, nProbe = 2, rerankFactor = 3)
+        .select("vec_id", "score")
+    }),
+
+    // ---- MEMORY MaxSim serving (serve/MemoryMaxSimIndex): the
+    // late-interaction tier served job-free — per-doc contiguous part
+    // vectors, the same pinned per-part cosine + order-free max +
+    // query-ascending sum as q194's DataFrame plan.
+    "q197_memory_maxsim" -> ((s, dir) => {
+      import s.implicits._
+      val emb = rd(s, dir, "embeddings")
+      val qbag = storedVecs(emb, 8, 9, 10, 11)
+      val docs = emb.where(col("vec_id") >= 4 && expr("vec_id div 4") =!= 2)
+        .withColumn("doc_id", expr("vec_id div 4"))
+      val mem = graft.serve.MemoryMaxSimIndex.fromDataFrame(
+        docs, "doc_id", "embedding")
+      mem.topK(qbag, 10).toDF("doc_id", "score")
     })
   )
 
@@ -5182,19 +5213,44 @@ object SparkEntry {
     // MaxSim: per-(doc, qtok) max cosine is order-free exact IEEE; the
     // only order-sensitive fold is the final sum over query vectors,
     // pinned qtok-ascending on both sides (Spark: left-assoc m0+m1+m2+m3;
-    // DuckDB: list_sum(list(m ORDER BY qtok)))
-    "q194_maxsim" -> {
-      val cos = cosSql("d.embedding", "q.qv")
-      s"""WITH q AS (SELECT vec_id AS qtok, embedding AS qv
-         |  FROM embeddings WHERE vec_id < 4),
-         |d AS (SELECT vec_id // 4 AS doc_id, embedding
-         |  FROM embeddings WHERE vec_id >= 4),
-         |mx AS (SELECT d.doc_id, q.qtok, max($cos) AS m
-         |  FROM d CROSS JOIN q GROUP BY d.doc_id, q.qtok),
-         |sc AS (SELECT doc_id, list_sum(list(m ORDER BY qtok)) AS score
-         |  FROM mx GROUP BY doc_id)
-         |SELECT doc_id, score FROM sc
-         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    // DuckDB: list_sum(list(m ORDER BY qtok))). q194 = DataFrame plan,
+    // q197 = memory tier at another query bag — one transcription.
+    "q194_maxsim" ->
+      maxSimOracleSql(qCond = "vec_id < 4", dCond = "vec_id >= 4"),
+
+    "q197_memory_maxsim" ->
+      maxSimOracleSql(qCond = "vec_id BETWEEN 8 AND 11",
+        dCond = "vec_id >= 4 AND vec_id // 4 <> 2"),
+
+    // IVF x binary: q181's cell-selection transcription with the
+    // integer Hamming pass in place of the SQ8 algebra
+    "q196_ivf_binary_search" -> {
+      val cos = cosSql("c.embedding", "q.qv")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 47),
+         |cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+         |  FROM embeddings WHERE vec_id <> 47 ORDER BY vec_id LIMIT 4),
+         |cscored AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cosSql("e.embedding", "c.cv")} AS cs
+         |  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id <> 47),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid DESC) AS rn
+         |    FROM cscored) WHERE rn = 1),
+         |qcents AS (
+         |  SELECT c.cid FROM cents c CROSS JOIN q
+         |  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cid ASC LIMIT 2),
+         |v AS (SELECT a.vec_id, a.embedding
+         |  FROM assign a JOIN qcents ON a.cid = qcents.cid),
+         |ham AS (SELECT v.vec_id, v.embedding,
+         |  list_sum(list_transform(list_zip(v.embedding, q.qv),
+         |    p -> CASE WHEN (p[1] > 0) <> (p[2] > 0) THEN 1 ELSE 0 END)) AS h
+         |  FROM v CROSS JOIN q),
+         |cand AS (SELECT vec_id, embedding FROM ham ORDER BY h, vec_id LIMIT 15)
+         |SELECT c.vec_id, $cos AS score
+         |FROM cand c CROSS JOIN q
+         |ORDER BY score DESC, c.vec_id LIMIT 5""".stripMargin
     },
 
     // the delta-merged serving view ≡ plain SQL over the final logical
@@ -6409,6 +6465,25 @@ object SparkEntry {
        |SELECT c.vec_id, $cos AS score
        |FROM cand c CROSS JOIN qd q
        |ORDER BY score DESC, c.vec_id LIMIT 5""".stripMargin
+  }
+
+  /** MaxSim twin — q194 (DataFrame plan) and q197 (memory tier) at
+    * different query bags/corpora. Per-(doc, qtok) max cosine is
+    * order-free exact IEEE; the only order-sensitive fold is the final
+    * sum over query vectors, pinned qtok-ascending on both sides.
+    */
+  private def maxSimOracleSql(qCond: String, dCond: String): String = {
+    val cos = cosSql("d.embedding", "q.qv")
+    s"""WITH q AS (SELECT vec_id AS qtok, embedding AS qv
+       |  FROM embeddings WHERE $qCond),
+       |d AS (SELECT vec_id // 4 AS doc_id, embedding
+       |  FROM embeddings WHERE $dCond),
+       |mx AS (SELECT d.doc_id, q.qtok, max($cos) AS m
+       |  FROM d CROSS JOIN q GROUP BY d.doc_id, q.qtok),
+       |sc AS (SELECT doc_id, list_sum(list(m ORDER BY qtok)) AS score
+       |  FROM mx GROUP BY doc_id)
+       |SELECT doc_id, score FROM sc
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   }
 
   /** Binary (sign) quantized search twin — q191 (DataFrame path) and

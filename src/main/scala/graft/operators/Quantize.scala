@@ -180,6 +180,25 @@ object Quantize {
       .drop("__ham")
   }
 
+  /** IVF × binary composition (the [[topKIvfSq8]] contract with the
+    * 1-bit codec): cells prune the scan (partition pruning under a
+    * persisted `partitionBy(assignCol)` layout), the popcount Hamming
+    * pass ranks what remains, the exact rerank restores ordering. Cell
+    * selection mirrors Ann's: cosine to each centroid, ties to the
+    * lower cell id. Sign packing is per-vector (no training), so it
+    * commutes with the cell filter.
+    */
+  def topKIvfBinary(corpus: DataFrame, idCol: String, vecCol: String,
+                    assignCol: String, ivfCentroids: Seq[Seq[Float]],
+                    query: Seq[Float], k: Int, nProbe: Int,
+                    rerankFactor: Int = 8): DataFrame = {
+    val cells = ivfCentroids.zipWithIndex
+      .map { case (c, i) => (Mmr.cosD(query.toIndexedSeq, c.toIndexedSeq), i) }
+      .sortBy(x => (-x._1, x._2)).take(nProbe).map(_._2)
+    topKBinary(corpus, idCol, vecCol, query, k, rerankFactor,
+      col(assignCol).isin(cells: _*))
+  }
+
   /** Per-vector audit: quantize, dequantize, and measure — max absolute
     * reconstruction error and the cosine between the original and its
     * reconstruction (the number that decides whether SQ8 is safe for a

@@ -346,6 +346,22 @@ class ServeSpec extends SparkSpec {
     assert(err.getMessage.contains("approx-only"))
   }
 
+  test("memory MaxSim tier == LateInteraction.maxSimTopK bit-for-bit") {
+    val parts = annCorpus
+      .withColumn("doc_id", expr("vec_id div 3"))
+    val mem = graft.serve.MemoryMaxSimIndex.fromDataFrame(
+      parts, "doc_id", "embedding")
+    assert(mem.nDocs == 100 && mem.nParts == 300)
+    (0 until 3).foreach { bi =>
+      val bag = (0 until 3).map(qi =>
+        Seq.tabulate(8)(j => math.cos((bi * 3 + qi) * 5 + j * 3).toFloat))
+      val want = graft.operators.LateInteraction
+        .maxSimTopK(parts, "doc_id", "embedding", bag, 7)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(mem.topK(bag, 7) == want, s"maxsim tier mismatch for bag $bi")
+    }
+  }
+
   test("payload index: topKFilteredIndexed == scan-path topK(filters) for a battery of filters") {
     import graft.operators.Ann
     // metadata: label = i % 10 (numeric), bucket = i % 3 (numeric)
