@@ -130,7 +130,11 @@ object ServeBench {
     // this bench measures is the throughput gap between job-per-request
     // and memory-resident serving.
     val memDense = graft.serve.MemoryAnnIndex.fromDataFrame(
-      index, "vec_id", "embedding", "ivf_cell", cents)
+      index, "vec_id", "embedding", "ivf_cell", cents,
+      metaCols = Seq("label"))
+    // a selective conjunction (~1/10 of the corpus): the payload-index
+    // vs filtered-scan comparison below
+    val serveFilter = Seq(graft.serve.MetaFilter("label", 3, 3))
     val memLex = graft.serve.MemoryPostingsIndex.fromDataFrame(
       postings, "doc_id", idfMap, avgdl)
     val memServer = new graft.serve.MemoryServer(memDense, Some(memLex),
@@ -179,6 +183,19 @@ object ServeBench {
       "memory_pq" -> { qi: Int =>
         val n = memPq.topK(qvecs(qi % qvecs.size), 5, rerankFactor = 4).length
         require(n == 5, s"memory_pq returned $n rows")
+      },
+      // filtered serving, two candidate-enumeration strategies over the
+      // SAME index and filter (results identical — ServeSpec): the full
+      // scan testing every row vs the payload index jumping straight to
+      // the ~1/10 matching rows
+      "memory_filtered_scan" -> { qi: Int =>
+        val n = memDense.topK(qvecs(qi % qvecs.size), 5, serveFilter).length
+        require(n == 5, s"memory_filtered_scan returned $n rows")
+      },
+      "memory_filtered_indexed" -> { qi: Int =>
+        val n = memDense.topKFilteredIndexed(
+          qvecs(qi % qvecs.size), 5, serveFilter).length
+        require(n == 5, s"memory_filtered_indexed returned $n rows")
       },
       // 1-bit sign codes: xor+popcount scan (integer-only kernel over a
       // 32x-smaller resident set) + exact rerank

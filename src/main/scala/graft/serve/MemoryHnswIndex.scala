@@ -74,13 +74,20 @@ final class MemoryHnswIndex private (
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Beam search one layer (Algorithm 2): expand the best unexpanded
-    * candidate until it cannot improve the worst of `ef` results.
+  /** Beam search one layer (Algorithm 2), optionally filter-aware: the
+    * walk TRAVERSES every neighborhood (a failing node still routes —
+    * blocking it would sever paths and crater recall under selective
+    * filters, the hnswlib filtering rule), but only rows passing
+    * `accept` enter the RESULT beam; the beam width counts accepted
+    * rows, so `ef` survivors come back even under a selective filter.
+    * Expansion still stops by comparing the best unexpanded candidate
+    * against the worst ACCEPTED result once the beam is full.
     * Returns rows with sims, best-first ((sim DESC, id ASC)).
     */
   private def searchLayer(q: Array[Double], eps: Seq[(Int, Double)],
                           ef: Int, level: Int,
-                          visited: java.util.BitSet): ArrayBuffer[(Int, Double)] = {
+                          visited: java.util.BitSet,
+                          accept: Int => Boolean = _ => true): ArrayBuffer[(Int, Double)] = {
     // candidates: best-first; results: worst-first, capped at ef
     val cand = new java.util.PriorityQueue[(Int, Double)](
       math.max(ef, 1),
@@ -97,13 +104,13 @@ final class MemoryHnswIndex private (
     eps.foreach { e =>
       if (!visited.get(e._1)) {
         visited.set(e._1)
-        cand.add(e); res.add(e): Unit
+        cand.add(e)
+        if (accept(e._1)) res.add(e): Unit
       }
     }
     while (!cand.isEmpty) {
       val c = cand.poll()
-      val worst = res.peek()
-      if (c._2 < worst._2 && res.size >= ef) {
+      if (res.size >= ef && c._2 < res.peek()._2) {
         cand.clear() // best candidate can no longer improve the beam
       } else {
         val ns = links(c._1)(level)
@@ -116,8 +123,10 @@ final class MemoryHnswIndex private (
             if (res.size < ef || s > res.peek()._2 ||
                 (s == res.peek()._2 && ids(n) < ids(res.peek()._1))) {
               cand.add((n, s))
-              res.add((n, s))
-              if (res.size > ef) res.poll(): Unit
+              if (accept(n)) {
+                res.add((n, s))
+                if (res.size > ef) res.poll(): Unit
+              }
             }
           }
           i += 1
@@ -132,13 +141,29 @@ final class MemoryHnswIndex private (
     out
   }
 
+  /** Filtered approximate top-k: the walk routes through EVERY node
+    * (filtering the traversal would sever paths), but only ids passing
+    * `pred` enter the result beam, which counts `ef` SURVIVORS — so a
+    * selective filter still returns k passing rows (the hnswlib
+    * filtering rule; under very selective filters the walk degrades
+    * toward a guided scan, which is when [[MemoryAnnIndex
+    * .topKFilteredIndexed]]'s payload index is the better tier).
+    */
+  def topKWhere(query: Seq[Float], k: Int, pred: Long => Boolean,
+                ef: Int = 0): Seq[(Long, Double)] =
+    topKImpl(query, k, ef, r => pred(ids(r)))
+
   /** Approximate top-k: greedy descent through the upper layers, then an
     * `ef`-beam at layer 0, exact-cosine scores throughout (the candidate
     * set is the approximation; the scores and the final (score DESC,
     * id ASC) order are exact for the rows returned). `ef` defaults to
     * 4·k — raise it to buy recall (RECALL.md measures the curve).
     */
-  def topK(query: Seq[Float], k: Int, ef: Int = 0): Seq[(Long, Double)] = {
+  def topK(query: Seq[Float], k: Int, ef: Int = 0): Seq[(Long, Double)] =
+    topKImpl(query, k, ef, _ => true)
+
+  private def topKImpl(query: Seq[Float], k: Int, ef: Int,
+                       accept: Int => Boolean): Seq[(Long, Double)] = {
     require(query.length == dim, s"query dim ${query.length} != index dim $dim")
     val q = query.map(_.toDouble).toArray
     val beam = if (ef > 0) math.max(ef, k) else math.max(4 * k, k)
@@ -162,7 +187,7 @@ final class MemoryHnswIndex private (
       level -= 1
     }
     val visited = new java.util.BitSet(ids.length)
-    searchLayer(q, Seq(ep), beam, 0, visited)
+    searchLayer(q, Seq(ep), beam, 0, visited, accept)
       .take(k).map { case (r, s) => (ids(r), s) }.toSeq
   }
 }

@@ -146,6 +146,32 @@ class HnswSpec extends SparkSpec {
     assert(err.getMessage.contains("sidecar"))
   }
 
+  test("filtered walk: only passing ids returned; ef=n equals exact filtered top-k; selective recall holds") {
+    val rows = clustered(400, 16, 4)
+    val idx = MemoryHnswIndex.build(rows, m = 8, efConstruction = 40)
+    val pred = (id: Long) => id % 5 == 2 // 1/5 of the corpus
+    val passing = rows.filter(r => pred(r._1))
+    (0 until 6).foreach { qi =>
+      val q = Seq.tabulate(16)(j => (math.sin(qi * 97 + j * 13) + 0.05).toFloat)
+      val got = idx.topKWhere(q, 10, pred, ef = 40)
+      assert(got.forall { case (id, _) => pred(id) }, "non-passing id leaked")
+      assert(got.length == 10, s"starved beam under filter: ${got.length}")
+      // full beam: layer 0 is connected (pinned below), so every passing
+      // row is reached and the filtered walk IS the exact filtered top-k
+      val full = idx.topKWhere(q, 10, pred, ef = rows.length)
+      val exact = bruteTopK(passing, q, 10)
+      assert(full == exact, s"ef=n filtered walk != exact filtered top-k")
+      // moderate beam: recall against the filtered ground truth
+      val rec = got.map(_._1).toSet.intersect(exact.map(_._1).toSet).size / 10.0
+      assert(rec >= 0.7, s"filtered recall@10 at ef=40: $rec for query $qi")
+    }
+    // very selective (single id): the walk still finds it
+    val target = rows(123)
+    val got1 = idx.topKWhere(target._2, 1, _ == target._1, ef = 60)
+    assert(got1.map(_._1) == Seq(target._1),
+      s"needle filter missed: $got1")
+  }
+
   test("sharded build: distributed mapPartitions graphs, disjoint cover, deterministic fan-out merge") {
     import spark.implicits._
     val rows = clustered(500, 16, 5)
