@@ -3658,6 +3658,24 @@ object SparkEntry {
       val mem = graft.serve.MemoryMaxSimIndex.fromDataFrame(
         docs, "doc_id", "embedding")
       mem.topK(qbag, 10).toDF("doc_id", "score")
+    }),
+
+    // ---- KEYSET pagination on the memory tier (q172's contract served
+    // job-free): page 2 = the k rows strictly after page 1's last
+    // (score, id) cursor in the (score DESC, id ASC) total order — the
+    // cursor IS the state, equal to OFFSET k of the same ranking.
+    "q198_memory_pagination" -> ((s, dir) => {
+      import s.implicits._
+      val emb = rd(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") =!= 53)
+      val qv = storedVecs(emb, 53).head
+      val cents = Ann.sampleCentroids(corpus, "vec_id", "embedding", 4)
+      val mem = graft.serve.MemoryAnnIndex.fromDataFrame(
+        Ann.withIvfAssignment(corpus, "embedding", cents),
+        "vec_id", "embedding", "ivf_cell", cents)
+      val page1 = mem.topK(qv, 5)
+      val (lastId, lastScore) = (page1.last._1, page1.last._2)
+      mem.topKAfter(qv, 5, lastScore, lastId).toDF("vec_id", "score")
     })
   )
 
@@ -5251,6 +5269,16 @@ object SparkEntry {
          |SELECT c.vec_id, $cos AS score
          |FROM cand c CROSS JOIN q
          |ORDER BY score DESC, c.vec_id LIMIT 5""".stripMargin
+    },
+
+    // keyset page 2 ≡ OFFSET k of the same total order — the cursor
+    // carries no information OFFSET doesn't, only O(k) less re-ranking
+    "q198_memory_pagination" -> {
+      val cos = cosSql("e.embedding", "q.qv")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 53)
+         |SELECT e.vec_id, $cos AS score
+         |FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 53
+         |ORDER BY score DESC, e.vec_id LIMIT 5 OFFSET 5""".stripMargin
     },
 
     // the delta-merged serving view ≡ plain SQL over the final logical

@@ -233,9 +233,31 @@ final class MemoryAnnIndex private (
     n
   }
 
+  /** Keyset pagination (the q172 contract served job-free): the next k
+    * rows STRICTLY AFTER the cursor `(afterScore, afterId)` in the
+    * (score DESC, id ASC) total order — score < afterScore, or equal
+    * score and id > afterId. Stateless between requests (the cursor IS
+    * the state, the serving analog of keyset-vs-OFFSET); scan cost is
+    * one pass either way, but the heap stays k-bounded instead of
+    * page·k-bounded.
+    */
+  def topKAfter(query: Seq[Float], k: Int,
+                afterScore: Double, afterId: Long,
+                filters: Seq[MetaFilter] = Nil): Seq[(Long, Double)] = {
+    val all = topKInCellsWhere(query, k, 0 until nCells, filters,
+      (s, id) => s < afterScore || (s == afterScore && id > afterId))
+    all
+  }
+
   private def topKInCells(query: Seq[Float], k: Int,
                           cells: Seq[Int],
-                          filters: Seq[MetaFilter]): Seq[(Long, Double)] = {
+                          filters: Seq[MetaFilter]): Seq[(Long, Double)] =
+    topKInCellsWhere(query, k, cells, filters, (_, _) => true)
+
+  private def topKInCellsWhere(query: Seq[Float], k: Int,
+                               cells: Seq[Int],
+                               filters: Seq[MetaFilter],
+                               admit: (Double, Long) => Boolean): Seq[(Long, Double)] = {
     val fcols = filters.map { f =>
       (meta.getOrElse(f.col, sys.error(
         s"metadata column '${f.col}' not loaded (have: ${meta.keys.mkString(",")})")),
@@ -275,12 +297,14 @@ final class MemoryAnnIndex private (
           }
           val score = dot / (math.sqrt(na) * math.sqrt(nb))
           val cand = (score, ids(r))
-          if (heap.size < k) heap.add(cand)
-          else {
-            val worst = heap.peek()
-            val c = java.lang.Double.compare(score, worst._1)
-            if (c > 0 || (c == 0 && cand._2 < worst._2)) {
-              heap.poll(); heap.add(cand): Unit
+          if (admit(score, cand._2)) {
+            if (heap.size < k) heap.add(cand)
+            else {
+              val worst = heap.peek()
+              val c = java.lang.Double.compare(score, worst._1)
+              if (c > 0 || (c == 0 && cand._2 < worst._2)) {
+                heap.poll(); heap.add(cand): Unit
+              }
             }
           }
         }

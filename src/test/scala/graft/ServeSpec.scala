@@ -346,6 +346,35 @@ class ServeSpec extends SparkSpec {
     assert(err.getMessage.contains("approx-only"))
   }
 
+  test("keyset pagination: pages concatenate to topK(n*k); filters compose; past-end empty") {
+    import graft.operators.Ann
+    val mem = graft.serve.MemoryAnnIndex.fromDataFrame(
+      annAssigned, "vec_id", "embedding", "ivf_cell", annCents)
+    annQueries.foreach { q =>
+      val full = mem.topK(q, 15)
+      var pages = Seq(mem.topK(q, 5))
+      (0 until 2).foreach { _ =>
+        val last = pages.last.last
+        pages :+= mem.topKAfter(q, 5, last._2, last._1)
+      }
+      assert(pages.flatten == full, s"pages != topK(15) for $q")
+    }
+    // with a filter: same contract over the filtered order
+    val df = annCorpus.withColumn("label", (col("vec_id") % 4).cast("long"))
+    val memF = graft.serve.MemoryAnnIndex.fromDataFrame(
+      Ann.withIvfAssignment(df, "embedding", annCents),
+      "vec_id", "embedding", "ivf_cell", annCents, metaCols = Seq("label"))
+    val fs = Seq(graft.serve.MetaFilter("label", 2, 2))
+    val q = annQueries.head
+    val fFull = memF.topK(q, 10, fs)
+    val p1 = memF.topK(q, 5, fs)
+    val p2 = memF.topKAfter(q, 5, p1.last._2, p1.last._1, fs)
+    assert(p1 ++ p2 == fFull)
+    // past the end: empty, not an error
+    val lastAll = memF.topK(q, 75, fs).last
+    assert(memF.topKAfter(q, 5, lastAll._2, lastAll._1, fs).isEmpty)
+  }
+
   test("memory MaxSim tier == LateInteraction.maxSimTopK bit-for-bit") {
     val parts = annCorpus
       .withColumn("doc_id", expr("vec_id div 3"))
