@@ -3676,6 +3676,21 @@ object SparkEntry {
       val page1 = mem.topK(qv, 5)
       val (lastId, lastScore) = (page1.last._1, page1.last._2)
       mem.topKAfter(qv, 5, lastScore, lastId).toDF("vec_id", "score")
+    }),
+
+    // ---- SEMANTIC decontamination (Decontaminate.byEmbedding): the
+    // embedding-space leak detector next to the n-gram ones (q59/q95/
+    // q100/q113) — benchmark vectors ride into the scan as literal
+    // codegen cosine columns, greatest() folds the max; pure map-side
+    // projection, zero shuffle.
+    "q199_embedding_decontamination" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val bench = emb.where(col("vec_id") % 50 === 0)
+        .orderBy("vec_id").select("embedding").collect()
+        .map(_.getSeq[Float](0).toSeq).toSeq
+      graft.operators.Decontaminate.byEmbedding(
+        emb.where(col("vec_id") % 50 =!= 0), "vec_id", "embedding",
+        bench, tau = 0.25)
     })
   )
 
@@ -5269,6 +5284,18 @@ object SparkEntry {
          |SELECT c.vec_id, $cos AS score
          |FROM cand c CROSS JOIN q
          |ORDER BY score DESC, c.vec_id LIMIT 5""".stripMargin
+    },
+
+    // semantic decontamination: per-row max over the benchmark set is
+    // order-free exact IEEE (max of identical cosine folds); the
+    // threshold compare is then exact on both sides
+    "q199_embedding_decontamination" -> {
+      val cos = cosSql("e.embedding", "b.bv")
+      s"""WITH b AS (SELECT embedding AS bv FROM embeddings WHERE vec_id % 50 = 0),
+         |m AS (SELECT e.vec_id, max($cos) AS max_sim
+         |  FROM embeddings e CROSS JOIN b
+         |  WHERE e.vec_id % 50 <> 0 GROUP BY e.vec_id)
+         |SELECT vec_id, max_sim, max_sim >= 0.25 AS contaminated FROM m""".stripMargin
     },
 
     // keyset page 2 ≡ OFFSET k of the same total order — the cursor

@@ -173,4 +173,28 @@ object Decontaminate {
         col("sp.s").as("span_start"), col("sp.e").as("span_end"),
         (col("sp.e") - col("sp.s") + 1).cast("long").as("span_tokens"))
   }
+
+  /** SEMANTIC decontamination — the embedding-space form of the n-gram
+    * detectors above: a corpus row is contaminated when its embedding's
+    * max cosine against ANY benchmark vector reaches `tau` (catches
+    * paraphrases and reformatted leaks that exact-gram matching misses;
+    * the n-gram forms catch verbatim leaks the embedder might smooth
+    * over — production pipelines run both). The benchmark set is small
+    * by definition (an eval suite), so it rides into the scan as
+    * LITERAL columns: one codegen [[graft.functions.CosineSimilarity]]
+    * per benchmark vector, `greatest(...)` folds the max (order-free
+    * exact IEEE) — a pure map-side projection, ZERO shuffle, no join,
+    * nothing broadcast at all. The 100 TB cost is exactly one pass over
+    * the corpus embeddings.
+    */
+  def byEmbedding(corpus: DataFrame, idCol: String, vecCol: String,
+                  benchmark: Seq[Seq[Float]], tau: Double): DataFrame = {
+    require(benchmark.nonEmpty, "byEmbedding: empty benchmark set")
+    val cosines = benchmark.map(b =>
+      graft.functions.VectorFunctions.cosineSim(col(vecCol), typedlit(b)))
+    val maxSim =
+      if (cosines.length == 1) cosines.head else greatest(cosines: _*)
+    corpus.select(col(idCol), maxSim.as("max_sim"))
+      .withColumn("contaminated", col("max_sim") >= lit(tau))
+  }
 }

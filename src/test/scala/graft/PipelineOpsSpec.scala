@@ -1160,4 +1160,31 @@ class PipelineOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("semantic decontamination: planted near-copies flagged, map-side zero-shuffle plan") {
+    import spark.implicits._
+    val dim = 8
+    def v(seed: Int): Seq[Float] =
+      Seq.tabulate(dim)(j => math.sin(seed * 13 + j * 7).toFloat)
+    val bench = Seq(v(1000), v(2000))
+    // corpus: two exact benchmark copies, one slight paraphrase of
+    // bench(0), and unrelated rows
+    val corpus = Seq(
+      (1L, bench(0)), (2L, bench(1)),
+      (3L, bench(0).map(x => x + 0.01f)),
+      (4L, v(7)), (5L, v(8))).toDF("vec_id", "embedding")
+    val got = graft.operators.Decontaminate
+      .byEmbedding(corpus, "vec_id", "embedding", bench, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(got(1L)._2 && got(2L)._2, "exact copies must flag")
+    assert(got(1L)._1 > 0.9999 && got(2L)._1 > 0.9999)
+    assert(got(3L)._2, s"paraphrase at cos ${got(3L)._1} must flag at tau 0.9")
+    assert(!got(4L)._2 && !got(5L)._2, "unrelated rows must pass")
+    // zero-shuffle contract: a pure projection, no Exchange/join/generate
+    val plan = graft.operators.Decontaminate
+      .byEmbedding(corpus, "vec_id", "embedding", bench, tau = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"semantic decontamination must stay map-side:\n$plan")
+  }
 }
