@@ -3691,6 +3691,36 @@ object SparkEntry {
       graft.operators.Decontaminate.byEmbedding(
         emb.where(col("vec_id") % 50 =!= 0), "vec_id", "embedding",
         bench, tau = 0.25)
+    }),
+
+    // ---- SERVING PIPELINE E2E (the retrieval capstone): metadata
+    // filter (lang) pushed BEFORE retrieval → dense + lexical legs over
+    // the SAME filtered corpus → RRF fusion to a 20-candidate pool →
+    // MMR diversification to the final 5. Every stage is an
+    // already-gated operator (q18 filter, q17 dense, q162 BM25, q163
+    // RRF, q165 MMR); this gates their COMPOSITION — stage coupling,
+    // not stage correctness, is what e2e oracles catch (the q69 lesson).
+    "q200_serving_pipeline_e2e" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val docs = rdPar(s, dir, "documents")
+      val qv = storedVecs(emb, 13).head
+      val byRank = Window.orderBy(col("score").desc, col("id"))
+      val en = docs.where(col("lang") === "en")
+      val corpus = emb.join(en.select(col("doc_id").as("vec_id")), "vec_id")
+        .where(col("vec_id") =!= 13)
+      val dense = Ann.topK(corpus, "vec_id", "embedding", qv, 20)
+        .select(col("vec_id").as("id"), col("score"))
+        .withColumn("rank", row_number().over(byRank))
+      val lexical = graft.operators.Bm25.search(en, "doc_id", "text",
+          Seq("dup", "vector"), k = 20)
+        .select(col("doc_id").as("id"), col("score"))
+        .withColumn("rank", row_number().over(byRank))
+      val fused = graft.operators.Bm25.rrfFuse(Seq(dense, lexical),
+        "id", "rank", c = 60, k = 20)
+      val pool = fused.join(
+        emb.select(col("vec_id").as("id"), col("embedding")), "id")
+      graft.operators.Mmr.rerank(pool, "id", "embedding", "rrf",
+        k = 5, lambda = 0.7)
     })
   )
 
@@ -5286,6 +5316,49 @@ object SparkEntry {
          |ORDER BY score DESC, c.vec_id LIMIT 5""".stripMargin
     },
 
+    // the e2e composition: q18's filter + q17's dense leg + q162's BM25
+    // (stats over the FILTERED corpus on both sides) + q163's RRF +
+    // q165's unrolled greedy MMR — one transcription per stage, chained
+    "q200_serving_pipeline_e2e" -> {
+      val lam = 0.7
+      val lc = (1.0 - lam).toString
+      val cos = cosSql("e.embedding", "q.qv")
+      val csel = cosSql("c.emb", "s.emb")
+      val steps = (2 to 5).map { k =>
+        s"""s$k AS (SELECT $k AS sel_rank, c.id, c.emb,
+           |  c.rel - CAST($lc AS DOUBLE) * (SELECT max($csel) FROM sel${k - 1} s) AS mmr
+           |  FROM cand2 c WHERE c.id NOT IN (SELECT id FROM sel${k - 1})
+           |  ORDER BY mmr DESC, c.id LIMIT 1),
+           |sel$k AS (SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM s$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH qd AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 13),
+         |dense AS (
+         |  SELECT e.vec_id AS id, $cos AS score
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |  CROSS JOIN qd q
+         |  WHERE d.lang = 'en' AND e.vec_id <> 13
+         |  ORDER BY score DESC, e.vec_id LIMIT 20),
+         |dr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank FROM dense),
+         |lex AS (
+         |  SELECT doc_id, score
+         |  FROM ${bm25ScoredSql(Seq("dup", "vector"), docCond = "lang = 'en'")} s
+         |  ORDER BY score DESC, doc_id LIMIT 20),
+         |lr AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM lex),
+         |rrf AS (
+         |  SELECT coalesce(dr.id, lr.id) AS id,
+         |    coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(dr.rank AS DOUBLE)), CAST(0 AS DOUBLE))
+         |      + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(lr.rank AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf
+         |  FROM dr FULL OUTER JOIN lr ON dr.id = lr.id
+         |  ORDER BY rrf DESC, id LIMIT 20),
+         |cand2 AS (
+         |  SELECT r.id, e.embedding AS emb, CAST($lam AS DOUBLE) * r.rrf AS rel
+         |  FROM rrf r JOIN embeddings e ON r.id = e.vec_id),
+         |sel1 AS (SELECT 1 AS sel_rank, id, emb, rel AS mmr FROM cand2
+         |  ORDER BY rel DESC, id LIMIT 1),
+         |$steps
+         |SELECT sel_rank, id, mmr FROM sel5""".stripMargin
+    },
+
     // semantic decontamination: per-row max over the benchmark set is
     // order-free exact IEEE (max of identical cosine folds); the
     // threshold compare is then exact on both sides
@@ -6569,7 +6642,8 @@ object SparkEntry {
     * DOUBLE cast is exact-value correctly rounded).
     */
   private def bm25ScoredSql(terms: Seq[String],
-                            k1: Double = 1.2, b: Double = 0.75): String = {
+                            k1: Double = 1.2, b: Double = 0.75,
+                            docCond: String = "1=1"): String = {
     val idfSub = graft.functions.DetMath.lnDetSubquery(
       s"""(SELECT term,
          |   (CAST((SELECT n FROM st) - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
@@ -6579,7 +6653,7 @@ object SparkEntry {
     s"""(WITH b2 AS (
        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
        |    string_split(text, ' ') AS toks
-       |  FROM documents),
+       |  FROM documents WHERE $docCond),
        |st AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
        |  count(*) AS n FROM b2),
        |post AS (SELECT doc_id, dl, unnest(toks) AS term FROM b2),
