@@ -3721,6 +3721,44 @@ object SparkEntry {
         emb.select(col("vec_id").as("id"), col("embedding")), "id")
       graft.operators.Mmr.rerank(pool, "id", "embedding", "rrf",
         k = 5, lambda = 0.7)
+    }),
+
+    // ---- DELETION PROPAGATION, corpus side (operators/Forget): the
+    // "right to be forgotten" sweep — the purge set broadcasts and the
+    // corpus anti-joins map-side; the post-purge aggregate must equal
+    // SQL over the remaining docs.
+    "q201_forget_purge" -> ((s, dir) => {
+      val docs = rdPar(s, dir, "documents")
+      val purged = docs.where(col("doc_id") % 13 === 0).select("doc_id")
+      graft.operators.Forget.purgeCorpus(docs, "doc_id", purged, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+    }),
+
+    // ---- DELETION PROPAGATION, lexical-index side: the postings amend
+    // INCREMENTALLY (only purged docs' rows drop; N/Σdl/df update by
+    // exact integer subtraction, idf recomputes from the amended df) and
+    // the served BM25 scores must equal a full rebuild over the
+    // remaining corpus, bit-for-bit.
+    "q202_forget_postings_search" -> ((s, dir) => {
+      val docs = rdPar(s, dir, "documents")
+      val postings = graft.operators.Bm25.buildPostings(docs, "doc_id", "text")
+      val dstats = docs
+        .select(size(split(col("text"), " ")).cast("long").as("dl"))
+        .agg(sum("dl"), count(lit(1))).head()
+      val (sumDl, n) = (dstats.getLong(0), dstats.getLong(1))
+      val dfMap = postings.groupBy("term").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val purgedIds = docs.where(col("doc_id") % 13 === 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val deltas = graft.operators.Forget.lexDeltas(postings, "doc_id", purgedIds)
+      val n2 = n - deltas.docsDropped
+      val avgdl2 = (sumDl - deltas.dlDropped).toDouble / n2.toDouble
+      val idf2 = graft.operators.Bm25.idfByTerm(
+        graft.operators.Forget.updatedDf(dfMap, deltas), n2, s)
+      graft.operators.Bm25.searchPostings(
+        graft.operators.Forget.purgePostings(postings, "doc_id", purgedIds),
+        "doc_id", Seq("dup", "stream"), idf2, avgdl2, k = 10)
     })
   )
 
@@ -5358,6 +5396,21 @@ object SparkEntry {
          |$steps
          |SELECT sel_rank, id, mmr FROM sel5""".stripMargin
     },
+
+    // corpus purge ≡ a WHERE over the remaining docs (integer aggregate)
+    "q201_forget_purge" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE doc_id % 13 <> 0
+        |GROUP BY source""".stripMargin,
+
+    // incremental postings purge ≡ a FULL REBUILD over the remaining
+    // corpus: the amended stats (N/Σdl by subtraction, df by
+    // subtraction, idf re-derived) must land on the rebuild's bits
+    "q202_forget_postings_search" ->
+      s"""SELECT doc_id, score
+         |FROM ${bm25ScoredSql(Seq("dup", "stream"), docCond = "doc_id % 13 <> 0")} s
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     // semantic decontamination: per-row max over the benchmark set is
     // order-free exact IEEE (max of identical cosine folds); the
