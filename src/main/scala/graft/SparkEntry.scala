@@ -3751,7 +3751,8 @@ object SparkEntry {
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val purgedIds = docs.where(col("doc_id") % 13 === 0)
         .select("doc_id").collect().map(_.getLong(0)).toSeq
-      val deltas = graft.operators.Forget.lexDeltas(postings, "doc_id", purgedIds)
+      val deltas = graft.operators.Forget.lexDeltas(postings, docs,
+        "doc_id", "text", purgedIds)
       val n2 = n - deltas.docsDropped
       val avgdl2 = (sumDl - deltas.dlDropped).toDouble / n2.toDouble
       val idf2 = graft.operators.Bm25.idfByTerm(

@@ -51,15 +51,24 @@ object Forget {
     def affectedTerms: Set[String] = dfDropped.keySet
   }
 
-  def lexDeltas(postings: DataFrame, idCol: String,
-                purged: Seq[Long]): LexDeltas = {
+  def lexDeltas(postings: DataFrame, docs: DataFrame, idCol: String,
+                textCol: String, purged: Seq[Long]): LexDeltas = {
+    // doc-level facts (count, Σdl) come from the CORPUS, not the
+    // postings: a purged doc with NULL/empty text has no postings rows
+    // yet still counts in N — deriving the count from postings would
+    // leave its contribution in the amended stats and break the
+    // rebuild-parity contract. The dl expression mirrors the stats
+    // computation exactly (null text → null dl → counts in N,
+    // contributes 0 to Σdl, same as the rebuild's aggregate).
+    val d = docs.where(col(idCol).isin(purged: _*))
+      .select(size(split(col(textCol), " ")).cast("long").as("__dl"))
+      .agg(count(lit(1)), sum("__dl")).head()
     val rows = postings.where(col(idCol).isin(purged: _*))
-      .select(col("term"), col(idCol).cast("long"), col("dl").cast("long"))
+      .select(col("term"), col(idCol).cast("long"))
       .collect()
-    val docs = rows.map(r => (r.getLong(1), r.getLong(2))).distinct
     LexDeltas(
-      docs.length.toLong,
-      docs.map(_._2).sum,
+      d.getLong(0),
+      if (d.isNullAt(1)) 0L else d.getLong(1),
       rows.groupBy(_.getString(0)).map { case (t, rs) => t -> rs.length.toLong })
   }
 

@@ -87,59 +87,9 @@ final class MemoryHnswIndex private (
   private def searchLayer(q: Array[Double], eps: Seq[(Int, Double)],
                           ef: Int, level: Int,
                           visited: java.util.BitSet,
-                          accept: Int => Boolean = _ => true): ArrayBuffer[(Int, Double)] = {
-    // candidates: best-first; results: worst-first, capped at ef
-    val cand = new java.util.PriorityQueue[(Int, Double)](
-      math.max(ef, 1),
-      (a: (Int, Double), b: (Int, Double)) => {
-        val c = java.lang.Double.compare(b._2, a._2)
-        if (c != 0) c else java.lang.Long.compare(ids(a._1), ids(b._1))
-      })
-    val res = new java.util.PriorityQueue[(Int, Double)](
-      math.max(ef, 1),
-      (a: (Int, Double), b: (Int, Double)) => {
-        val c = java.lang.Double.compare(a._2, b._2)
-        if (c != 0) c else java.lang.Long.compare(ids(b._1), ids(a._1))
-      })
-    eps.foreach { e =>
-      if (!visited.get(e._1)) {
-        visited.set(e._1)
-        cand.add(e)
-        if (accept(e._1)) res.add(e): Unit
-      }
-    }
-    while (!cand.isEmpty) {
-      val c = cand.poll()
-      if (res.size >= ef && c._2 < res.peek()._2) {
-        cand.clear() // best candidate can no longer improve the beam
-      } else {
-        val ns = links(c._1)(level)
-        var i = 0
-        while (i < ns.length) {
-          val n = ns(i)
-          if (!visited.get(n)) {
-            visited.set(n)
-            val s = sim(q, n)
-            if (res.size < ef || s > res.peek()._2 ||
-                (s == res.peek()._2 && ids(n) < ids(res.peek()._1))) {
-              cand.add((n, s))
-              if (accept(n)) {
-                res.add((n, s))
-                if (res.size > ef) res.poll(): Unit
-              }
-            }
-          }
-          i += 1
-        }
-      }
-    }
-    val out = ArrayBuffer.empty[(Int, Double)]
-    res.forEach(e => { out += e; () })
-    out.sortInPlace()(Ordering.by[(Int, Double), (Double, Long)] {
-      case (r, s) => (-s, ids(r))
-    })
-    out
-  }
+                          accept: Int => Boolean = _ => true): ArrayBuffer[(Int, Double)] =
+    MemoryHnswIndex.beamSearch(eps, ef, visited,
+      ids(_), r => links(r)(level), sim(q, _), accept)
 
   /** Filtered approximate top-k: the walk routes through EVERY node
     * (filtering the traversal would sever paths), but only ids passing
@@ -210,6 +160,76 @@ final class ShardedHnswIndex private[serve] (val shards: Seq[MemoryHnswIndex]) {
 }
 
 object MemoryHnswIndex {
+
+  /** The one beam search (Algorithm 2) BOTH the serve path and the
+    * build share — the graph-determinism property HnswSpec pins depends
+    * on build and serve never diverging in tie handling or termination,
+    * so there is exactly one copy of those rules. The graph is
+    * abstracted as accessors (`neighborsOf` already fixed to a level);
+    * each call site is monomorphic, so the JIT devirtualizes the hot
+    * loop. Optionally filter-aware: the walk TRAVERSES every
+    * neighborhood (a failing node still routes), but only rows passing
+    * `accept` enter the RESULT beam, which counts accepted survivors.
+    */
+  private[serve] def beamSearch(
+      eps: Seq[(Int, Double)], ef: Int,
+      visited: java.util.BitSet,
+      idOf: Int => Long,
+      neighborsOf: Int => scala.collection.IndexedSeq[Int],
+      simOf: Int => Double,
+      accept: Int => Boolean): ArrayBuffer[(Int, Double)] = {
+    // candidates: best-first; results: worst-first, capped at ef
+    val cand = new java.util.PriorityQueue[(Int, Double)](
+      math.max(ef, 1),
+      (a: (Int, Double), b: (Int, Double)) => {
+        val c = java.lang.Double.compare(b._2, a._2)
+        if (c != 0) c else java.lang.Long.compare(idOf(a._1), idOf(b._1))
+      })
+    val res = new java.util.PriorityQueue[(Int, Double)](
+      math.max(ef, 1),
+      (a: (Int, Double), b: (Int, Double)) => {
+        val c = java.lang.Double.compare(a._2, b._2)
+        if (c != 0) c else java.lang.Long.compare(idOf(b._1), idOf(a._1))
+      })
+    eps.foreach { e =>
+      if (!visited.get(e._1)) {
+        visited.set(e._1)
+        cand.add(e)
+        if (accept(e._1)) res.add(e): Unit
+      }
+    }
+    while (!cand.isEmpty) {
+      val c = cand.poll()
+      if (res.size >= ef && c._2 < res.peek()._2) {
+        cand.clear() // best candidate can no longer improve the beam
+      } else {
+        val ns = neighborsOf(c._1)
+        var i = 0
+        while (i < ns.length) {
+          val n = ns(i)
+          if (!visited.get(n)) {
+            visited.set(n)
+            val s = simOf(n)
+            if (res.size < ef || s > res.peek()._2 ||
+                (s == res.peek()._2 && idOf(n) < idOf(res.peek()._1))) {
+              cand.add((n, s))
+              if (accept(n)) {
+                res.add((n, s))
+                if (res.size > ef) res.poll(): Unit
+              }
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    val out = ArrayBuffer.empty[(Int, Double)]
+    res.forEach(e => { out += e; () })
+    out.sortInPlace()(Ordering.by[(Int, Double), (Double, Long)] {
+      case (r, s) => (-s, idOf(r))
+    })
+    out
+  }
 
   /** Persist the graph as a self-describing artifact: one parquet of
     * (vec_id, embedding, links = array&lt;array&lt;bigint&gt;&gt; — neighbor IDS
@@ -483,51 +503,9 @@ object MemoryHnswIndex {
     }
 
     def searchLayer(q: Array[Double], eps: Seq[(Int, Double)], ef: Int,
-                    level: Int): ArrayBuffer[(Int, Double)] = {
-      val visited = new java.util.BitSet(n)
-      val cand = new java.util.PriorityQueue[(Int, Double)](
-        math.max(ef, 1),
-        (a: (Int, Double), b: (Int, Double)) => {
-          val c = java.lang.Double.compare(b._2, a._2)
-          if (c != 0) c else java.lang.Long.compare(ids(a._1), ids(b._1))
-        })
-      val res = new java.util.PriorityQueue[(Int, Double)](
-        math.max(ef, 1),
-        (a: (Int, Double), b: (Int, Double)) => {
-          val c = java.lang.Double.compare(a._2, b._2)
-          if (c != 0) c else java.lang.Long.compare(ids(b._1), ids(a._1))
-        })
-      eps.foreach { e =>
-        if (!visited.get(e._1)) { visited.set(e._1); cand.add(e); res.add(e): Unit }
-      }
-      while (!cand.isEmpty) {
-        val c = cand.poll()
-        if (c._2 < res.peek()._2 && res.size >= ef) cand.clear()
-        else {
-          val ns = links(c._1)(level)
-          var i = 0
-          while (i < ns.length) {
-            val nb = ns(i)
-            if (!visited.get(nb)) {
-              visited.set(nb)
-              val s = sim(q, nb)
-              if (res.size < ef || s > res.peek()._2 ||
-                  (s == res.peek()._2 && ids(nb) < ids(res.peek()._1))) {
-                cand.add((nb, s)); res.add((nb, s))
-                if (res.size > ef) res.poll(): Unit
-              }
-            }
-            i += 1
-          }
-        }
-      }
-      val out = ArrayBuffer.empty[(Int, Double)]
-      res.forEach(e => { out += e; () })
-      out.sortInPlace()(Ordering.by[(Int, Double), (Double, Long)] {
-        case (row, s) => (-s, ids(row))
-      })
-      out
-    }
+                    level: Int): ArrayBuffer[(Int, Double)] =
+      beamSearch(eps, ef, new java.util.BitSet(n),
+        ids(_), r => links(r)(level), sim(q, _), _ => true)
 
     var entry = 0
     var top = levels(0)

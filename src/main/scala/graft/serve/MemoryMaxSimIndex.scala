@@ -86,7 +86,13 @@ final class MemoryMaxSimIndex private (
 
 object MemoryMaxSimIndex {
 
-  /** Load from a multi-vector frame: one row per (doc, part vector). */
+  /** Load from a multi-vector frame: one row per (doc, part vector).
+    * An all-zero part is REJECTED at load: its cosine is NaN, and NaN
+    * ordering diverges between Spark's `max` (NaN ranks greatest) and
+    * any IEEE `>` fold — a zero part is a degenerate embedding upstream
+    * should never have produced, so the tier fails fast instead of
+    * silently breaking the bit-parity contract with the DataFrame path.
+    */
   def fromDataFrame(docs: DataFrame, docCol: String,
                     vecCol: String): MemoryMaxSimIndex = {
     val rows = docs.select(col(docCol).cast("long"), col(vecCol))
@@ -95,6 +101,11 @@ object MemoryMaxSimIndex {
     require(rows.nonEmpty, "MemoryMaxSimIndex: empty corpus")
     val dim = rows.head._2.length
     require(rows.forall(_._2.length == dim), "ragged dims")
+    rows.find(_._2.forall(_ == 0.0f)).foreach { case (id, _) =>
+      throw new IllegalArgumentException(
+        s"MemoryMaxSimIndex: doc $id has an all-zero part vector " +
+          "(cosine would be NaN — reject degenerate embeddings upstream)")
+    }
     val byDoc = rows.groupBy(_._1).toSeq.sortBy(_._1)
     val docIds = byDoc.map(_._1).toArray
     val offsets = new Array[Int](docIds.length + 1)

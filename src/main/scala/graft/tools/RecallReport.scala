@@ -66,32 +66,33 @@ object RecallReport {
     val hnsw = graft.serve.MemoryHnswIndex.build(allRows, m = 16,
       efConstruction = 100)
 
-    val variants: Seq[(String, String, (DataFrame, Seq[Float]) => Set[Long], Double)] =
+    val variants: Seq[(String, String, (DataFrame, Long, Seq[Float]) => Set[Long], Double)] =
       Seq(1, 2, 4, 8, nCells).map(p => ("ivf", s"nProbe=$p",
-        (base: DataFrame, qv: Seq[Float]) =>
+        (base: DataFrame, _: Long, qv: Seq[Float]) =>
           ids(Ann.topKIvf(base, "vec_id", "embedding", "ivf_cell", cents, qv, k, p)),
         p.toDouble / nCells)) ++
       Seq(1, 4, 16).map(r => ("pq", s"rerank=$r",
-        (base: DataFrame, qv: Seq[Float]) =>
+        (base: DataFrame, _: Long, qv: Seq[Float]) =>
           ids(Ann.topKPq(base, "vec_id", "embedding", "pq_code", books, qv, k, r)),
         1.0)) ++
       Seq(1, 2, 4).map(p => ("ivf_pq", s"nProbe=$p,rerank=4",
-        (base: DataFrame, qv: Seq[Float]) =>
+        (base: DataFrame, _: Long, qv: Seq[Float]) =>
           ids(Ann.topKIvfPq(base, "vec_id", "embedding", "ivf_cell", "pq_code",
             cents, books, qv, k, p, rerankFactor = 4)),
         p.toDouble / nCells)) ++
       Seq(2, 8, 32).map(r => ("binary", s"rerank=$r",
-        (base: DataFrame, qv: Seq[Float]) =>
+        (base: DataFrame, _: Long, qv: Seq[Float]) =>
           ids(graft.operators.Quantize.topKBinary(
             graft.operators.Quantize.withBinary(base, "embedding"),
             "vec_id", "embedding", qv, k, rerankFactor = r)),
         1.0)) ++
       Seq(2, 4, 10, 20).map(ef => ("hnsw", s"ef=${ef}k",
-        (_: DataFrame, qv: Seq[Float]) => {
-          // k+1 then drop the query vector itself if present
+        (_: DataFrame, qid: Long, qv: Seq[Float]) => {
+          // the graph contains qid (it may ROUTE the walk — legitimate);
+          // exclusion is by the query's ID, not vector equality, so a
+          // duplicate of the query vector stays a true neighbor
           val got = hnsw.topK(qv, k + 1, ef = ef * k).map(_._1)
-          val self = allRows.find(_._2 == qv).map(_._1)
-          got.filterNot(self.contains).take(k).toSet
+          got.filterNot(_ == qid).take(k).toSet
         },
         0.0)) // graph-walk: touched set is O(M·ef·log n), not a scan
 
@@ -101,7 +102,7 @@ object RecallReport {
       val base = indexed.where(col("vec_id") =!= qid) // self excluded both sides
       val exact = ids(Ann.topK(base, "vec_id", "embedding", qv, k))
       variants.foreach { case (m, param, f, _) =>
-        val got = f(base, qv)
+        val got = f(base, qid, qv)
         val rec = (got & exact).size.toDouble / exact.size
         perVariant((m, param)) = rec :: perVariant.getOrElse((m, param), Nil)
       }
@@ -186,7 +187,7 @@ object RecallReport {
         md ++= f"| ${r.method} | ${r.params} | ${r.mean}%.3f | ${r.worst}%.3f | $scanned | $lift |\n"
       }
     }
-      md ++= "\nBinary = 1-bit sign codes (32× smaller), Hamming prune + exact\n"
+    md ++= "\nBinary = 1-bit sign codes (32× smaller), Hamming prune + exact\n"
     md ++= "rerank; like PQ it reads every row (scan 100%) but 1/32 of the bytes\n"
     md ++= "with an integer-only kernel — its recall curve is the rerank budget.\n"
     md ++= "HNSW = the serving-graph tier (m=16, efC=100, deterministic build);\n"

@@ -17,10 +17,11 @@ class ForgetSpec extends SparkSpec {
     (3L, "dup vector vector scan", "src2"),
     (4L, "stream stream stream", "src2"),
     (5L, "solo onlyword", "src3"), // purging this kills 'solo'/'onlyword'
-    (6L, "dup join scan hash fast", "src3")
+    (6L, "dup join scan hash fast", "src3"),
+    (7L, null, "src3") // null text: no postings rows, still counts in N
   ).toDF("doc_id", "text", "source")
 
-  private val purged = Seq(2L, 5L)
+  private val purged = Seq(2L, 5L, 7L)
 
   test("corpus purge: broadcast anti-join plan; survivors only") {
     val purgeDf = docs.where(col("doc_id").isin(purged: _*)).select("doc_id")
@@ -34,9 +35,9 @@ class ForgetSpec extends SparkSpec {
 
   test("incremental lex deltas == rebuild-from-scratch stats exactly") {
     val postings = Bm25.buildPostings(docs, "doc_id", "text").localCheckpoint(true)
-    val deltas = Forget.lexDeltas(postings, "doc_id", purged)
-    assert(deltas.docsDropped == 2)
-    assert(deltas.dlDropped == 3 + 2) // "vector stream join" + "solo onlyword"
+    val deltas = Forget.lexDeltas(postings, docs, "doc_id", "text", purged)
+    assert(deltas.docsDropped == 3) // incl. the null-text doc
+    assert(deltas.dlDropped == 3 + 2) // "vector stream join" + "solo onlyword"; null text adds 0
     assert(deltas.affectedTerms == Set("vector", "stream", "join", "solo", "onlyword"))
     // amended df == df of a rebuilt index over the remaining docs
     val dfFull = postings.groupBy("term").count().collect()
@@ -56,7 +57,7 @@ class ForgetSpec extends SparkSpec {
     val (sumDl, n) = (dstats.getLong(0), dstats.getLong(1))
     val dfMap = postings.groupBy("term").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val deltas = Forget.lexDeltas(postings, "doc_id", purged)
+    val deltas = Forget.lexDeltas(postings, docs, "doc_id", "text", purged)
     val n2 = n - deltas.docsDropped
     val avgdl2 = (sumDl - deltas.dlDropped).toDouble / n2.toDouble
     val idf2 = Bm25.idfByTerm(Forget.updatedDf(dfMap, deltas), n2, spark)

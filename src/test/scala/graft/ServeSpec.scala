@@ -389,6 +389,15 @@ class ServeSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(mem.topK(bag, 7) == want, s"maxsim tier mismatch for bag $bi")
     }
+    // an all-zero part would score NaN, where Spark max (NaN greatest)
+    // and an IEEE > fold diverge — the tier refuses the degenerate load
+    // instead of silently breaking bit-parity
+    val withZero = parts.limit(5).unionByName(
+      Seq((9999L, Seq.fill(8)(0.0f), 3333L))
+        .toDF("vec_id", "embedding", "doc_id"))
+    val err = intercept[IllegalArgumentException](
+      graft.serve.MemoryMaxSimIndex.fromDataFrame(withZero, "doc_id", "embedding"))
+    assert(err.getMessage.contains("all-zero"))
   }
 
   test("payload index: topKFilteredIndexed == scan-path topK(filters) for a battery of filters") {
