@@ -155,6 +155,15 @@ object ServeBench {
       index.select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq,
       m = 16, efConstruction = 100)
+    // freshness tier under churn: every request WRITES one row (upsert
+    // into the delta segment) then searches the merged view — the
+    // TARGET_LAG live half measured as a serving path, not a batch job
+    // a "publish" swaps in a fresh handle every 1,000 writes (the lag
+    // window a production rebuild cadence bounds the delta to); requests
+    // racing the swap serve either immutable view — the ServingIndex rule
+    val memDeltaRef = new java.util.concurrent.atomic.AtomicReference(
+      new graft.serve.DeltaAnnIndex(memDense))
+    val deltaSeq = new java.util.concurrent.atomic.AtomicLong(10_000_000L)
 
     val paths: Seq[(String, Int => Unit)] = Seq(
       // exact brute-force over the whole memory-resident corpus — the
@@ -202,6 +211,19 @@ object ServeBench {
       "memory_binary" -> { qi: Int =>
         val n = memBinary.topK(qvecs(qi % qvecs.size), 5, rerankFactor = 8).length
         require(n == 5, s"memory_binary returned $n rows")
+      },
+      // write-then-read churn over the delta tier: one upsert + one
+      // merged search per request (tombstone overscan grows with the
+      // churn — the path degrades gracefully until the next publish)
+      "memory_delta_mixed" -> { qi: Int =>
+        val qv = qvecs(qi % qvecs.size)
+        val seq = deltaSeq.incrementAndGet()
+        if (seq % 1000 == 0)
+          memDeltaRef.set(new graft.serve.DeltaAnnIndex(memDense))
+        val d = memDeltaRef.get()
+        d.add(seq, qv)
+        val n = d.topK(qv, 5).length
+        require(n == 5, s"memory_delta_mixed returned $n rows")
       },
       // HNSW graph walk (m=16, efC=100): O(M·ef·log n) vectors touched
       // per request instead of a scan — the sub-linear serving tier
