@@ -55,19 +55,27 @@ object Ann {
       TopKBuf(worst.score, worst.id, kept)
     }
     def zero: TopKBuf = TopKBuf(Double.NegativeInfinity, Long.MaxValue, Nil)
-    def reduce(b: TopKBuf, a: Scored): TopKBuf =
-      if (a.score < b.thrScore || (a.score == b.thrScore && a.id >= b.thrId)) b
+    // threshold comparisons MUST use the same TOTAL order as `ord`
+    // (java.lang.Double.compare: -0.0 < 0.0, NaN greatest). IEEE `<`/`==`
+    // here treats -0.0 == 0.0, so a +0.0-scored row could be fast-path
+    // rejected by a -0.0 threshold it actually beats under `ord` —
+    // falsified by the partition-fold property after a seed that
+    // quantized scores to negative zero.
+    def reduce(b: TopKBuf, a: Scored): TopKBuf = {
+      val c = java.lang.Double.compare(a.score, b.thrScore)
+      if (c < 0 || (c == 0 && a.id >= b.thrId)) b
       else {
         val xs2 = a +: b.xs
         if (xs2.size <= 2 * k) b.copy(xs = xs2) else trimmed(xs2)
       }
+    }
     def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = {
       val xs2 = b1.xs ++ b2.xs
       // either side's threshold is a valid (stale) lower bound on the merged
       // k-th best; keep the tighter one
+      val c = java.lang.Double.compare(b2.thrScore, b1.thrScore)
       val (ts, ti) =
-        if (b2.thrScore > b1.thrScore ||
-            (b2.thrScore == b1.thrScore && b2.thrId < b1.thrId))
+        if (c > 0 || (c == 0 && b2.thrId < b1.thrId))
           (b2.thrScore, b2.thrId)
         else (b1.thrScore, b1.thrId)
       if (xs2.size <= 2 * k) TopKBuf(ts, ti, xs2) else trimmed(xs2)

@@ -231,4 +231,53 @@ object GraftProps extends Properties("graft") {
           brute(t => t >= lo && t <= hi)
     }
   }
+
+  property("topk-agg.signed-zero-regression") = {
+    // the seed that falsified the fold property quantized scores to
+    // -0.0: IEEE == treats -0.0 == 0.0, so the fast-path threshold
+    // rejected a +0.0 row that beats a -0.0 threshold under the total
+    // order — pinned deterministically here
+    val agg = new Ann.TopKAgg(1)
+    val xs = Seq(Ann.Scored(-0.0, 0L), Ann.Scored(-0.0, 1L),
+      Ann.Scored(-0.0, 2L), Ann.Scored(0.0, 3L))
+    val folded = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+    Prop(folded == Seq(Ann.Scored(0.0, 3L))) :| s"got $folded"
+  }
+
+  property("serve.delta-merge-equals-rebuild-under-random-op-sequences") = {
+    val dim = 4
+    val fvec: Gen[List[Float]] =
+      Gen.listOfN(dim, Gen.chooseNum(-4f, 4f)).map { xs =>
+        if (xs.forall(_ == 0f)) 1f :: xs.tail else xs
+      }
+    // ops over a small id space so adds/upserts/deletes/re-adds collide
+    val opGen: Gen[(Int, Long, List[Float])] = for {
+      kind <- Gen.chooseNum(0, 2) // 0 = add/upsert, 1 = delete, 2 = delete-unknown
+      id <- Gen.chooseNum(0L, 11L)
+      v <- fvec
+    } yield (kind, id, v)
+    val baseGen = Gen.listOfN(6, fvec)
+      .map(_.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+    forAll(baseGen, Gen.listOf(opGen), fvec, Gen.chooseNum(1, 9)) {
+      (baseRows, ops, q, k) =>
+        val base = graft.serve.MemoryAnnIndex.fromRows(
+          baseRows.map { case (id, v) => (id, v, 0) },
+          Seq(Seq.fill(dim)(0.0f)))
+        val delta = new graft.serve.DeltaAnnIndex(base)
+        // the logical table the op sequence produces, replayed naively
+        var logical = baseRows.toMap
+        ops.foreach {
+          case (0, id, v) => delta.add(id, v); logical += (id -> v)
+          case (_, id, _) => delta.delete(id); logical -= id
+        }
+        val want = logical.toSeq
+          .map { case (id, v) => (id, Ann.cosine(v, q)) }
+          .sortBy { case (id, s) => (-s, id) }.take(k)
+        val got = delta.topK(q, k)
+        val handoff = (baseRows.map(_._1).toSet -- delta.tombstonedIds) ++
+          delta.deltaRows.map(_._1)
+        got == want && handoff == logical.keySet &&
+          delta.deltaRows.map(_._1) == delta.deltaRows.map(_._1).sorted
+    }
+  }
 }
