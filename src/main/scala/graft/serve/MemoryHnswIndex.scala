@@ -128,7 +128,8 @@ final class MemoryHnswIndex private (
         var i = 0
         while (i < ns.length) {
           val s = sim(q, ns(i))
-          if (s > ep._2 || (s == ep._2 && ids(ns(i)) < ids(ep._1))) {
+          val cc = java.lang.Double.compare(s, ep._2)
+          if (cc > 0 || (cc == 0 && ids(ns(i)) < ids(ep._1))) {
             ep = (ns(i), s); improved = true
           }
           i += 1
@@ -200,7 +201,7 @@ object MemoryHnswIndex {
     }
     while (!cand.isEmpty) {
       val c = cand.poll()
-      if (res.size >= ef && c._2 < res.peek()._2) {
+      if (res.size >= ef && java.lang.Double.compare(c._2, res.peek()._2) < 0) {
         cand.clear() // best candidate can no longer improve the beam
       } else {
         val ns = neighborsOf(c._1)
@@ -210,8 +211,11 @@ object MemoryHnswIndex {
           if (!visited.get(n)) {
             visited.set(n)
             val s = simOf(n)
-            if (res.size < ef || s > res.peek()._2 ||
-                (s == res.peek()._2 && idOf(n) < idOf(res.peek()._1))) {
+            // total-order compare (-0.0 < 0.0, NaN greatest) — the same
+            // order the res heap uses; IEEE <,== would treat -0.0 == 0.0
+            val cmp = if (res.size < ef) 1
+                      else java.lang.Double.compare(s, res.peek()._2)
+            if (cmp > 0 || (cmp == 0 && idOf(n) < idOf(res.peek()._1))) {
               cand.add((n, s))
               if (accept(n)) {
                 res.add((n, s))
@@ -524,7 +528,8 @@ object MemoryHnswIndex {
           var t = 0
           while (t < ns.length) {
             val s = sim(q, ns(t))
-            if (s > ep._2 || (s == ep._2 && ids(ns(t)) < ids(ep._1))) {
+            val cc = java.lang.Double.compare(s, ep._2)
+            if (cc > 0 || (cc == 0 && ids(ns(t)) < ids(ep._1))) {
               ep = (ns(t), s); improved = true
             }
             t += 1
