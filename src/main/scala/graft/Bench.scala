@@ -57,6 +57,8 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    require(passes >= 1,
+      s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
     val allPasses = (1 to passes).map(_ => onePass())
     val results = names.collect { case (name, _) if !failed(name) =>
       name -> allPasses.map(_(name)).min

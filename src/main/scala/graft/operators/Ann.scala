@@ -264,9 +264,7 @@ object Ann {
   def topKIvf(corpusWithCells: DataFrame, idCol: String, embCol: String,
               assignCol: String, centroids: Seq[Seq[Float]],
               query: Seq[Float], k: Int, nProbe: Int): DataFrame = {
-    val cells = centroids.zipWithIndex
-      .map { case (c, i) => (cosine(query, c), i) }
-      .sortBy(x => (-x._1, x._2)).take(nProbe).map(_._2)
+    val cells = probeCellsFor(centroids, query, nProbe)
     topK(corpusWithCells, idCol, embCol, query, k,
       col(assignCol).isin(cells: _*))
   }
@@ -368,20 +366,7 @@ object Ann {
              query: Seq[Float], k: Int, rerankFactor: Int = 4,
              filter: Column = lit(true)): DataFrame = {
     require(k > 0 && rerankFactor >= 1, s"k=$k, rerankFactor=$rerankFactor")
-    val d = codebooks.head.head.size
-    val table: Seq[Seq[Double]] = codebooks.zipWithIndex.map { case (cb, j) =>
-      val qs = query.slice(j * d, (j + 1) * d)
-      cb.map { c =>
-        var s = 0.0
-        var i = 0
-        while (i < d) {
-          val diff = qs(i).toDouble - c(i).toDouble
-          s += diff * diff
-          i += 1
-        }
-        s
-      }
-    }
+    val table: Seq[Seq[Double]] = adcTableFor(codebooks, query)
     val adc = aggregate(
       zip_with(col(codeCol), typedlit(table), (c, t) => element_at(t, c + 1)),
       lit(0.0), _ + _)
@@ -411,9 +396,7 @@ object Ann {
                 ivfCentroids: Seq[Seq[Float]], codebooks: Seq[Seq[Seq[Float]]],
                 query: Seq[Float], k: Int, nProbe: Int,
                 rerankFactor: Int = 4): DataFrame = {
-    val cells = ivfCentroids.zipWithIndex
-      .map { case (c, i) => (cosine(query, c), i) }
-      .sortBy(x => (-x._1, x._2)).take(nProbe).map(_._2)
+    val cells = probeCellsFor(ivfCentroids, query, nProbe)
     topKPq(corpus, idCol, embCol, codeCol, codebooks, query, k, rerankFactor,
       col(assignCol).isin(cells: _*))
   }
@@ -440,6 +423,41 @@ object Ann {
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** THE cell-probe rule — one definition shared by every IVF
+    * composition (dense, ×PQ, ×SQ8, ×binary) and the memory tier's
+    * [[graft.serve.MemoryAnnIndex.probeCells]]: cells ranked by
+    * (cosine to centroid DESC, cell id ASC), top `nProbe`. The
+    * memory/DataFrame bit-parity contracts depend on there being
+    * exactly one copy of this rule.
+    */
+  def probeCellsFor(centroids: Seq[Seq[Float]], query: Seq[Float],
+                    nProbe: Int): Seq[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) => (cosine(query, c), i) }
+      .sortBy(x => (-x._1, x._2)).take(nProbe).map(_._2)
+
+  /** THE per-request ADC table — shared by [[topKPq]]'s plan literal and
+    * [[graft.serve.MemoryPqIndex]]: per subspace, squared-L2 of the
+    * query slice to each sub-centroid, in-order double fold.
+    */
+  def adcTableFor(codebooks: Seq[Seq[Seq[Float]]],
+                  query: Seq[Float]): Seq[Seq[Double]] = {
+    val d = codebooks.head.head.size
+    codebooks.zipWithIndex.map { case (cb, j) =>
+      val qs = query.slice(j * d, (j + 1) * d)
+      cb.map { c =>
+        var s = 0.0
+        var i = 0
+        while (i < d) {
+          val diff = qs(i).toDouble - c(i).toDouble
+          s += diff * diff
+          i += 1
+        }
+        s
+      }
+    }
   }
 
   /** Deterministic mixture-of-Gaussians embedding fixture: `nClusters`

@@ -117,9 +117,7 @@ object Quantize {
                  assignCol: String, ivfCentroids: Seq[Seq[Float]],
                  query: Seq[Float], k: Int, nProbe: Int,
                  rerankFactor: Int = 4): DataFrame = {
-    val cells = ivfCentroids.zipWithIndex
-      .map { case (c, i) => (Mmr.cosD(query.toIndexedSeq, c.toIndexedSeq), i) }
-      .sortBy(x => (-x._1, x._2)).take(nProbe).map(_._2)
+    val cells = Ann.probeCellsFor(ivfCentroids, query, nProbe)
     topKSq8(corpus, idCol, vecCol, query, k, rerankFactor,
       col(assignCol).isin(cells: _*))
   }
@@ -192,9 +190,7 @@ object Quantize {
                     assignCol: String, ivfCentroids: Seq[Seq[Float]],
                     query: Seq[Float], k: Int, nProbe: Int,
                     rerankFactor: Int = 8): DataFrame = {
-    val cells = ivfCentroids.zipWithIndex
-      .map { case (c, i) => (Mmr.cosD(query.toIndexedSeq, c.toIndexedSeq), i) }
-      .sortBy(x => (-x._1, x._2)).take(nProbe).map(_._2)
+    val cells = Ann.probeCellsFor(ivfCentroids, query, nProbe)
     topKBinary(corpus, idCol, vecCol, query, k, rerankFactor,
       col(assignCol).isin(cells: _*))
   }

@@ -79,6 +79,7 @@ final class MemoryBinaryIndex private (
     */
   def topKApprox(query: Seq[Float], k: Int): Seq[(Long, Int)] = {
     require(query.length == dim, s"query dim ${query.length} != index dim $dim")
+    if (k <= 0) return Nil
     val ham = hammingAll(graft.operators.Quantize.packSigns(query).toArray)
     rank(ham, k).map(r => (ids(r), ham(r)))
   }
@@ -90,6 +91,7 @@ final class MemoryBinaryIndex private (
     val vs = vecs.getOrElse(sys.error(
       "MemoryBinaryIndex built approx-only (no vectors retained for rerank)"))
     require(query.length == dim, s"query dim ${query.length} != index dim $dim")
+    if (k <= 0) return Nil
     val ham = hammingAll(graft.operators.Quantize.packSigns(query).toArray)
     val cand = rank(ham, math.max(k, rerankFactor * k))
     cand.map { r =>
@@ -142,7 +144,7 @@ object MemoryBinaryIndex {
     */
   def fromDataFrame(staged: DataFrame, idCol: String,
                     vecCol: String): MemoryBinaryIndex = {
-    val rows = staged
+    val rows = staged.where(col("bits").isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).cast("long"), col("bits"), col(vecCol))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1),
@@ -157,7 +159,7 @@ object MemoryBinaryIndex {
     */
   def fromDataFrameApproxOnly(staged: DataFrame, idCol: String,
                               dim: Int): MemoryBinaryIndex = {
-    val rows = staged
+    val rows = staged.where(col("bits").isNotNull)
       .select(col(idCol).cast("long"), col("bits"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1),

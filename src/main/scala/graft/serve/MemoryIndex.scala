@@ -83,13 +83,17 @@ final class MemoryAnnIndex private (
   def nCells: Int = cellOffsets.length - 1
   def size: Int = ids.length
 
+  /** Whether a metadata column is dictionary-encoded (string) — range
+    * ops on its codes would be lexicographic-slice nonsense, so the
+    * request parser rejects them.
+    */
+  def isStringColumn(colName: String): Boolean = dicts.contains(colName)
+
   /** The probe rule shared with [[Ann.topKIvf]]: cells ranked by
     * (cosine to centroid DESC, cell id ASC), top `nProbe`.
     */
   def probeCells(query: Seq[Float], nProbe: Int): Seq[Int] =
-    centroids.zipWithIndex
-      .map { case (c, i) => (Ann.cosine(query, c), i) }
-      .sortBy(x => (-x._1, x._2)).take(nProbe).map(_._2)
+    Ann.probeCellsFor(centroids.map(_.toSeq), query, nProbe)
 
   /** Exact top-k: scan every cell (the reference's ~10K-doc design point,
     * where brute force IS the plan). Ties break by ascending id.
@@ -157,6 +161,7 @@ final class MemoryAnnIndex private (
     require(filters.nonEmpty,
       "topKFilteredIndexed needs at least one filter (use topK for none)")
     require(query.length == dim, s"query dim ${query.length} != index dim $dim")
+    if (k <= 0) return Nil
     val ranged = filters.map(f => (f, sortedRange(f)))
     val (bestF, (sorted, lo, hi)) = ranged.minBy { case (_, (_, l, h)) => h - l }
     if (hi - lo > scanFraction * size) return topK(query, k, filters)
@@ -258,6 +263,9 @@ final class MemoryAnnIndex private (
                                cells: Seq[Int],
                                filters: Seq[MetaFilter],
                                admit: (Double, Long) => Boolean): Seq[(Long, Double)] = {
+    // k <= 0 is an ordinary request for nothing (the DataFrame front
+    // door's .limit(0) shape) — empty result, not a crashed heap
+    if (k <= 0) return Nil
     val fcols = filters.map { f =>
       (meta.getOrElse(f.col, sys.error(
         s"metadata column '${f.col}' not loaded (have: ${meta.keys.mkString(",")})")),
@@ -331,6 +339,14 @@ object MemoryAnnIndex {
       "metaVals must parallel rows")
     val dim = rows.head._2.length
     require(rows.forall(_._2.length == dim), "MemoryAnnIndex: ragged dims")
+    // an all-zero vector scores NaN cosine, and NaN ordering diverges
+    // between the heaps' total order and Spark's sort — a degenerate
+    // embedding is rejected at load, not served wrong (the MaxSim rule)
+    rows.find(_._2.forall(_ == 0.0f)).foreach { case (id, _, _) =>
+      throw new IllegalArgumentException(
+        s"MemoryAnnIndex: id $id has an all-zero embedding " +
+          "(cosine would be NaN — reject degenerate vectors upstream)")
+    }
     val nCells = centroids.length
     val order = rows.indices.sortBy(i => (rows(i)._3, rows(i)._1)).toArray
     val offsets = new Array[Int](nCells + 1)
@@ -368,9 +384,12 @@ object MemoryAnnIndex {
     * [[MemoryAnnIndex.stringFilter]] — the notebook's
     * `sport_type`/`difficulty` `@eq` filters served from memory.
     */
-  def fromDataFrame(df: DataFrame, idCol: String, embCol: String,
+  def fromDataFrame(df0: DataFrame, idCol: String, embCol: String,
                     cellCol: String, centroids: Seq[Seq[Float]],
                     metaCols: Seq[String] = Nil): MemoryAnnIndex = {
+    // the DataFrame tier's scans filter embCol.isNotNull — the loader
+    // applies the same rule so both tiers serve the same logical corpus
+    val df = df0.where(col(embCol).isNotNull)
     val schema = df.schema
     val isString = metaCols.map(c =>
       c -> (schema(c).dataType == org.apache.spark.sql.types.StringType)).toMap
@@ -379,10 +398,18 @@ object MemoryAnnIndex {
           metaCols.map(c =>
             if (isString(c)) col(c) else col(c).cast("long")): _*)
       .collect()
-    // deterministic dictionaries: distinct values, lexicographic codes
+    // deterministic dictionaries: distinct values, lexicographic codes.
+    // A null metadata value has no code (and the DataFrame tier's WHERE
+    // would never match it) — the load names the offending row instead
+    // of NPE-ing in the sort
     val dicts: Map[String, Map[String, Long]] = metaCols.filter(isString)
       .zipWithIndex.map { case (c, _) =>
         val pos = 3 + metaCols.indexOf(c)
+        collected.find(_.isNullAt(pos)).foreach { r =>
+          throw new IllegalArgumentException(
+            s"MemoryAnnIndex: null value in string metadata column '$c' " +
+              s"(id ${r.getLong(0)}) — fill or filter nulls before loading")
+        }
         val values = collected.map(_.getString(pos)).distinct.sorted
         c -> values.zipWithIndex.map { case (v, i) => v -> i.toLong }.toMap
       }.toMap
@@ -498,6 +525,7 @@ final class MemorySq8Index private (
     * the compressed-only deployment). Scores are the approximate cosine.
     */
   def topKApprox(query: Seq[Float], k: Int): Seq[(Long, Double)] = {
+    if (k <= 0) return Nil
     val (scores, _) = approxScores(query)
     rank(scores, k).map(r => (ids(r), scores(r)))
   }
@@ -508,6 +536,7 @@ final class MemorySq8Index private (
   def topK(query: Seq[Float], k: Int, rerankFactor: Int = 4): Seq[(Long, Double)] = {
     val vs = vecs.getOrElse(sys.error(
       "MemorySq8Index built approx-only (no vectors retained for rerank)"))
+    if (k <= 0) return Nil
     val (scores, _) = approxScores(query)
     val cand = rank(scores, math.max(k, rerankFactor * k))
     cand.map { r =>
@@ -559,7 +588,8 @@ object MemorySq8Index {
     */
   def fromDataFrame(staged: DataFrame, idCol: String,
                     vecCol: String): MemorySq8Index = {
-    val rows = staged
+    // mirror topKSq8's codes.isNotNull scan filter at load
+    val rows = staged.where(col("codes").isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).cast("long"), col("codes"), col("mn"), col("scale"),
         col("csum"), col("csum2"), col(vecCol))
       .collect()
@@ -574,7 +604,7 @@ object MemorySq8Index {
     * 4×-smaller replica that serves [[MemorySq8Index.topKApprox]].
     */
   def fromDataFrameApproxOnly(staged: DataFrame, idCol: String): MemorySq8Index = {
-    val rows = staged
+    val rows = staged.where(col("codes").isNotNull)
       .select(col(idCol).cast("long"), col("codes"), col("mn"), col("scale"),
         col("csum"), col("csum2"))
       .collect()
@@ -614,22 +644,8 @@ final class MemoryPqIndex private (
   /** The same driver-side table build as [[Ann.topKPq]] — per subspace,
     * squared-L2 of the query slice to each sub-centroid, in-order fold.
     */
-  private def adcTable(query: Seq[Float]): Array[Array[Double]] = {
-    val d = codebooks.head.head.size
-    codebooks.zipWithIndex.map { case (cb, j) =>
-      val qs = query.slice(j * d, (j + 1) * d)
-      cb.map { c =>
-        var s = 0.0
-        var i = 0
-        while (i < d) {
-          val diff = qs(i).toDouble - c(i).toDouble
-          s += diff * diff
-          i += 1
-        }
-        s
-      }.toArray
-    }.toArray
-  }
+  private def adcTable(query: Seq[Float]): Array[Array[Double]] =
+    Ann.adcTableFor(codebooks, query).map(_.toArray).toArray
 
   /** ADC prune + exact cosine rerank — the [[Ann.topKPq]] contract. */
   def topK(query: Seq[Float], k: Int, rerankFactor: Int = 4): Seq[(Long, Double)] = {
@@ -689,6 +705,7 @@ object MemoryPqIndex {
     require(codebooks.forall(_.length <= 256),
       "byte-packed PQ needs ksub <= 256")
     val rows = coded
+      .where(col(embCol).isNotNull && col(codeCol).isNotNull)
       .select(col(idCol).cast("long"), col(embCol), col(codeCol))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1), r.getSeq[Int](2)))
@@ -788,30 +805,65 @@ object MemoryPostingsIndex {
   */
 final class ServingIndex(spark: SparkSession, indexDir: String, idCol: String) {
 
-  @volatile private var loaded: (Long, MemoryAnnIndex) = (Long.MinValue, null)
+  // cache key = (sidecar mtime, sidecar content hash): content breaks
+  // the 1-second mtime granularity (two publishes in one granule with
+  // different centroids reload correctly); mtime breaks content ties
+  // across same-parameter rebuilds over new rows
+  @volatile private var loaded: (String, MemoryAnnIndex) = ("", null)
 
-  private def sidecarMtime(): Long = {
+  private def sidecarKey(): String = {
     val p = new org.apache.hadoop.fs.Path(indexDir, AnnIndexMeta.FileName)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.getFileStatus(p).getModificationTime
+    val st = fs.getFileStatus(p)
+    val in = fs.open(p)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    try {
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    st.getModificationTime.toString + ":" +
+      md.digest().map("%02x".format(_)).mkString
   }
 
   /** The memory index for the newest published artifact (reloads at most
     * once per sidecar change; concurrent callers during a reload serve
-    * the previous immutable index).
+    * the previous immutable index). A load that RACES an in-place
+    * rebuild is detected by re-reading the sidecar key after the load —
+    * if it moved, the load is retried so a torn read is never cached
+    * (AnnIndexMeta writes the sidecar LAST, so a stable key before and
+    * after brackets a complete artifact; a stricter deployment uses
+    * UpsertSink's immutable versioned dirs, where no in-place overwrite
+    * exists at all).
     */
   def current(): MemoryAnnIndex = {
-    val mt = sidecarMtime()
+    val key = sidecarKey()
     val snap = loaded
-    if (snap._2 != null && snap._1 == mt) snap._2
+    if (snap._2 != null && snap._1 == key) snap._2
     else this.synchronized {
-      val again = loaded
-      if (again._2 != null && again._1 == mt) again._2
-      else {
-        val idx = MemoryAnnIndex.load(spark, indexDir, idCol)
-        loaded = (mt, idx)
-        idx
+      var attempts = 0
+      var out: MemoryAnnIndex = null
+      while (out == null) {
+        val k1 = sidecarKey()
+        val again = loaded
+        if (again._2 != null && again._1 == k1) out = again._2
+        else {
+          attempts += 1
+          require(attempts <= 5,
+            s"index at $indexDir kept changing under 5 load attempts — " +
+              "publisher cadence faster than load time")
+          try {
+            val idx = MemoryAnnIndex.load(spark, indexDir, idCol)
+            if (sidecarKey() == k1) { // complete artifact bracketed
+              loaded = (k1, idx)
+              out = idx
+            }
+          } catch {
+            case _: Exception if sidecarKey() != k1 => () // torn read: retry
+          }
+        }
       }
+      out
     }
   }
 
@@ -873,9 +925,28 @@ final class MemoryServer(dense: MemoryAnnIndex,
     else if (node.has("@and"))
       node.get("@and").elements().asScala.flatMap(parseFilters).toSeq
     else {
+      // strictness rules (a silently-dropped or mis-typed filter is a
+      // WRONG RESULT, not a convenience): a textual value is only legal
+      // under @eq on a dictionary-encoded column; a numeric value is
+      // only legal on a numeric column (comparing dictionary CODES with
+      // ranges would match an arbitrary lexicographic slice)
+      def checkNumericCol(op: String, n: String,
+                          v: com.fasterxml.jackson.databind.JsonNode): Unit = {
+        if (!v.isNumber)
+          throw new IllegalArgumentException(
+            s"$op value for '$n' must be numeric, got: $v " +
+              "(string values are only supported as {\"@eq\": {col: value}})")
+        if (dense.isStringColumn(n))
+          throw new IllegalArgumentException(
+            s"$op on dictionary-encoded string column '$n' is not " +
+              "supported (codes are not ordered meaningfully); use @eq")
+      }
       def one(op: String, f: (String, Long) => MetaFilter): Seq[MetaFilter] =
         Option(node.get(op)).toSeq.flatMap { o =>
-          o.fieldNames().asScala.map(n => f(n, o.get(n).asLong())).toSeq
+          o.fieldNames().asScala.map { n =>
+            checkNumericCol(op, n, o.get(n))
+            f(n, o.get(n).asLong())
+          }.toSeq
         }
       // string @eq resolves through the index's load-time dictionary —
       // the notebook's {"@eq": {"sport_type": "run"}} shape
@@ -885,7 +956,10 @@ final class MemoryServer(dense: MemoryAnnIndex,
       }
       val numEq = Option(node.get("@eq")).toSeq.flatMap { o =>
         o.fieldNames().asScala.filterNot(n => o.get(n).isTextual)
-          .map(n => MetaFilter(n, o.get(n).asLong(), o.get(n).asLong())).toSeq
+          .map { n =>
+            checkNumericCol("@eq", n, o.get(n))
+            MetaFilter(n, o.get(n).asLong(), o.get(n).asLong())
+          }.toSeq
       }
       val fs = stringEq ++ numEq ++
         one("@gte", (c, v) => MetaFilter(c, v, Long.MaxValue)) ++
@@ -904,6 +978,9 @@ final class MemoryServer(dense: MemoryAnnIndex,
   def search(requestJson: String): String = {
     val req = mapper.readTree(requestJson)
     val k = Option(req.get("limit")).map(_.asInt()).getOrElse(5)
+    // limit <= 0 (incl. Jackson's non-numeric-coerced-to-0) = the
+    // DataFrame front door's .limit(0): empty results, not a crash
+    if (k <= 0) return """{"results":[]}"""
     val vecNode = Option(req.get("query_vector")).filter(_.isArray).getOrElse(
       throw new IllegalArgumentException(
         "memory tier serves 'query_vector' requests; text 'query' goes " +
