@@ -346,6 +346,58 @@ class ServeSpec extends SparkSpec {
     assert(err.getMessage.contains("approx-only"))
   }
 
+  test("request hardening: limit<=0 empty, textual range values rejected, no ranges on dict columns") {
+    import graft.operators.Ann
+    val df = annCorpus
+      .withColumn("label", (col("vec_id") % 10).cast("long"))
+      .withColumn("tag",
+        concat(lit("t"), (col("vec_id") % 3).cast("string")))
+    val mem = graft.serve.MemoryAnnIndex.fromDataFrame(
+      Ann.withIvfAssignment(df, "embedding", annCents),
+      "vec_id", "embedding", "ivf_cell", annCents,
+      metaCols = Seq("label", "tag"))
+    val server = new graft.serve.MemoryServer(mem, None)
+    val qv = annQueries.head
+    def req(extra: String) =
+      s"""{"query_vector":[${qv.mkString(",")}]$extra}"""
+    // limit <= 0 = the DataFrame front door's .limit(0): empty, no crash
+    assert(server.search(req(""","limit":0""")) == """{"results":[]}""")
+    assert(mem.topK(qv, 0).isEmpty && mem.topKIvf(qv, 0, 2).isEmpty)
+    assert(mem.topKFilteredIndexed(qv, 0,
+      Seq(graft.serve.MetaFilter("label", 3, 3))).isEmpty)
+    // a textual @gte value must error, not coerce to 0 (= filter dropped)
+    val e1 = intercept[IllegalArgumentException](
+      server.search(req(""","limit":3,"filter":{"@gte":{"label":"three"}}""")))
+    assert(e1.getMessage.contains("must be numeric"))
+    // a numeric range on a dictionary-encoded string column must error,
+    // not compare lexicographic codes
+    val e2 = intercept[IllegalArgumentException](
+      server.search(req(""","limit":3,"filter":{"@gte":{"tag":1}}""")))
+    assert(e2.getMessage.contains("dictionary-encoded"))
+    // the legitimate shapes still work
+    assert(server.search(req(""","limit":3,"filter":{"@eq":{"tag":"t1"}}"""))
+      .contains("results"))
+    assert(server.search(req(""","limit":3,"filter":{"@and":[{"@gte":{"label":2}},{"@lte":{"label":5}}]}"""))
+      .contains("results"))
+  }
+
+  test("loaders: null embeddings filtered like the DataFrame tier; all-zero vectors rejected") {
+    import graft.operators.Ann
+    val withNull = annCorpus.limit(20).unionByName(
+      Seq((5000L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    val mem = graft.serve.MemoryAnnIndex.fromDataFrame(
+      Ann.withIvfAssignment(withNull, "embedding", annCents),
+      "vec_id", "embedding", "ivf_cell", annCents)
+    assert(mem.size == 20, "null embedding must drop at load (the scan filter's rule)")
+    val withZero = annCorpus.limit(10).unionByName(
+      Seq((5001L, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding"))
+    val err = intercept[IllegalArgumentException](
+      graft.serve.MemoryAnnIndex.fromDataFrame(
+        Ann.withIvfAssignment(withZero, "embedding", annCents),
+        "vec_id", "embedding", "ivf_cell", annCents))
+    assert(err.getMessage.contains("all-zero"))
+  }
+
   test("keyset pagination: pages concatenate to topK(n*k); filters compose; past-end empty") {
     import graft.operators.Ann
     val mem = graft.serve.MemoryAnnIndex.fromDataFrame(
