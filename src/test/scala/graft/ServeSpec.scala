@@ -607,6 +607,27 @@ class ServeSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 
+  test("ServingIndex: two publishes inside one mtime granule still reload (content-hash key)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-servingidx2").toString
+    val cents1 = graft.operators.Ann.sampleCentroids(
+      annCorpus.limit(100), "vec_id", "embedding", 4)
+    graft.plans.AnnIndexMeta.buildIvfIndex(
+      annCorpus.limit(100), "embedding", cents1, tmp)
+    val handle = new graft.serve.ServingIndex(spark, tmp, "vec_id")
+    assert(handle.current().size == 100)
+    // rebuild IMMEDIATELY (same second on a 1 s-granularity fs) with
+    // DIFFERENT centroids: the mtime may not move, the sidecar content
+    // does — the cache key must notice
+    val cents2 = graft.operators.Ann.sampleCentroids(
+      annCorpus, "vec_id", "embedding", 3)
+    graft.plans.AnnIndexMeta.buildIvfIndex(
+      annCorpus, "embedding", cents2, tmp)
+    val v2 = handle.current()
+    assert(v2.size == 300 && v2.nCells == 3,
+      s"same-granule publish not picked up: size=${v2.size} cells=${v2.nCells}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
   test("memory index load(): persisted partitionBy layout + sidecar round-trips") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-memidx").toString
     annAssigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(tmp)
