@@ -3693,6 +3693,35 @@ object SparkEntry {
         bench, tau = 0.25)
     }),
 
+    // ---- MEMORY convex-fusion hybrid (MemoryServer.searchHybridNorm):
+    // q176's min-max-normalized combiner served job-free — per-leg
+    // normalization over each leg's own pool, 0.6·dense + 0.4·lexical
+    // in pinned leg order, bit-identical to the batch normFuseLocal.
+    "q203_memory_norm_fusion" -> ((s, dir) => {
+      import s.implicits._
+      val emb = rd(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") =!= 19)
+      val qv = storedVecs(emb, 19).head
+      val cents = Ann.sampleCentroids(corpus, "vec_id", "embedding", 4)
+      val docs = rdPar(s, dir, "documents")
+      val postings = graft.operators.Bm25.buildPostings(docs, "doc_id", "text")
+      val stats = docs
+        .select(size(split(col("text"), " ")).cast("long").as("dl"))
+        .agg(sum("dl"), count(lit(1))).head()
+      val avgdl = stats.getLong(0).toDouble / stats.getLong(1).toDouble
+      val dfMap = postings.groupBy("term").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val idfMap = graft.operators.Bm25.idfByTerm(dfMap, stats.getLong(1), s)
+      val server = new graft.serve.MemoryServer(
+        graft.serve.MemoryAnnIndex.fromDataFrame(
+          Ann.withIvfAssignment(corpus, "embedding", cents),
+          "vec_id", "embedding", "ivf_cell", cents),
+        Some(graft.serve.MemoryPostingsIndex.fromDataFrame(
+          postings, "doc_id", idfMap, avgdl)))
+      server.searchHybridNorm(qv, Seq("dup", "query"), k = 10, poolK = 20)
+        .toDF("id", "fused")
+    }),
+
     // ---- SERVING PIPELINE E2E (the retrieval capstone): metadata
     // filter (lang) pushed BEFORE retrieval → dense + lexical legs over
     // the SAME filtered corpus → RRF fusion to a 20-candidate pool →
@@ -6374,31 +6403,11 @@ object SparkEntry {
 
     // per-leg min-max over the leg's own 20 candidates, convex sum in
     // pinned leg order, absent legs contribute exactly 0
-    "q176_norm_fusion" -> {
-      val cos = cosSql("e.embedding", "q.qv")
-      s"""WITH qd AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
-         |dense AS (
-         |  SELECT e.vec_id AS id, $cos AS score
-         |  FROM embeddings e CROSS JOIN qd q WHERE e.vec_id <> 3
-         |  ORDER BY score DESC, e.vec_id LIMIT 20),
-         |dmm AS (SELECT min(score) AS mn, max(score) AS mx FROM dense),
-         |dn AS (SELECT id, CASE WHEN (SELECT mx FROM dmm) = (SELECT mn FROM dmm)
-         |  THEN CAST(1 AS DOUBLE)
-         |  ELSE (score - (SELECT mn FROM dmm))
-         |    / ((SELECT mx FROM dmm) - (SELECT mn FROM dmm)) END AS n FROM dense),
-         |lexs AS (SELECT doc_id AS id, score FROM ${bm25ScoredSql(Seq("dup", "query"))} s
-         |  ORDER BY score DESC, doc_id LIMIT 20),
-         |lmm AS (SELECT min(score) AS mn, max(score) AS mx FROM lexs),
-         |ln AS (SELECT id, CASE WHEN (SELECT mx FROM lmm) = (SELECT mn FROM lmm)
-         |  THEN CAST(1 AS DOUBLE)
-         |  ELSE (score - (SELECT mn FROM lmm))
-         |    / ((SELECT mx FROM lmm) - (SELECT mn FROM lmm)) END AS n FROM lexs)
-         |SELECT coalesce(dn.id, ln.id) AS id,
-         |  CAST(0.6 AS DOUBLE) * coalesce(dn.n, CAST(0 AS DOUBLE))
-         |    + CAST(0.4 AS DOUBLE) * coalesce(ln.n, CAST(0 AS DOUBLE)) AS fused
-         |FROM dn FULL OUTER JOIN ln ON dn.id = ln.id
-         |ORDER BY fused DESC, id LIMIT 10""".stripMargin
-    },
+    "q176_norm_fusion" -> normFusionOracleSql(qid = 3),
+
+    // the memory tier's convex-fusion hybrid — one transcription shared
+    // with q176, at another stored query
+    "q203_memory_norm_fusion" -> normFusionOracleSql(qid = 19),
 
     // same 60-bit md5 hash as the HLL family; bottom-64 per source via
     // rank; merged-pair rank + membership joins mirror the estimators
@@ -6666,6 +6675,35 @@ object SparkEntry {
        |  FROM mx GROUP BY doc_id)
        |SELECT doc_id, score FROM sc
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  /** Convex (min-max normalized) hybrid twin — q176 (batch legs) and
+    * q203 (memory tier) at different stored queries, one transcription.
+    */
+  private def normFusionOracleSql(qid: Int): String = {
+    val cos = cosSql("e.embedding", "q.qv")
+    s"""WITH qd AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qid),
+       |dense AS (
+       |  SELECT e.vec_id AS id, $cos AS score
+       |  FROM embeddings e CROSS JOIN qd q WHERE e.vec_id <> $qid
+       |  ORDER BY score DESC, e.vec_id LIMIT 20),
+       |dmm AS (SELECT min(score) AS mn, max(score) AS mx FROM dense),
+       |dn AS (SELECT id, CASE WHEN (SELECT mx FROM dmm) = (SELECT mn FROM dmm)
+       |  THEN CAST(1 AS DOUBLE)
+       |  ELSE (score - (SELECT mn FROM dmm))
+       |    / ((SELECT mx FROM dmm) - (SELECT mn FROM dmm)) END AS n FROM dense),
+       |lexs AS (SELECT doc_id AS id, score FROM ${bm25ScoredSql(Seq("dup", "query"))} s
+       |  ORDER BY score DESC, doc_id LIMIT 20),
+       |lmm AS (SELECT min(score) AS mn, max(score) AS mx FROM lexs),
+       |ln AS (SELECT id, CASE WHEN (SELECT mx FROM lmm) = (SELECT mn FROM lmm)
+       |  THEN CAST(1 AS DOUBLE)
+       |  ELSE (score - (SELECT mn FROM lmm))
+       |    / ((SELECT mx FROM lmm) - (SELECT mn FROM lmm)) END AS n FROM lexs)
+       |SELECT coalesce(dn.id, ln.id) AS id,
+       |  CAST(0.6 AS DOUBLE) * coalesce(dn.n, CAST(0 AS DOUBLE))
+       |    + CAST(0.4 AS DOUBLE) * coalesce(ln.n, CAST(0 AS DOUBLE)) AS fused
+       |FROM dn FULL OUTER JOIN ln ON dn.id = ln.id
+       |ORDER BY fused DESC, id LIMIT 10""".stripMargin
   }
 
   /** Binary (sign) quantized search twin — q191 (DataFrame path) and

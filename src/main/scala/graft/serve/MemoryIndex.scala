@@ -914,6 +914,20 @@ final class MemoryServer(dense: MemoryAnnIndex,
     Bm25.rrfFuseLocal(Seq(d, l), c, k)
   }
 
+  /** Hybrid via CONVEX (min-max normalized) score fusion — the q176
+    * combiner served job-free: each leg's scores normalize over its own
+    * `poolK` candidates, fused = wDense·dense + wLex·lexical in pinned
+    * leg order ([[Bm25.normFuseLocal]], bit-identical to the batch
+    * path). Keeps score MAGNITUDE where RRF keeps only rank.
+    */
+  def searchHybridNorm(qvec: Seq[Float], terms: Seq[String], k: Int,
+                       poolK: Int = 20, wDense: Double = 0.6,
+                       wLex: Double = 0.4): Seq[(Long, Double)] = {
+    val d = topKVec(qvec, poolK)
+    val l = searchLexical(terms, poolK)
+    Bm25.normFuseLocal(Seq((d, wDense), (l, wLex)), k)
+  }
+
   /** The numeric subset of the Method-1 filter DSL
     * (`01_method1_cortex_search.sql:204-212`'s request shape): `@eq`,
     * `@gte`, `@lte`, and `@and` of those, over loaded metadata columns.

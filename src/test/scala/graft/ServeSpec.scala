@@ -174,6 +174,37 @@ class ServeSpec extends SparkSpec {
     assert(server.searchHybrid(q, terms, k = 10, poolK = 20) == want)
   }
 
+  test("memory convex-fusion hybrid == batch legs + normFuseLocal bit-for-bit") {
+    import graft.operators.{Ann, Bm25}
+    val docs = Seq(
+      (0L, "dup dup stream fast"), (1L, "vector stream join"),
+      (2L, "dup vector vector scan"), (3L, "stream query dup"),
+      (4L, "query scan hash")).toDF("doc_id", "text")
+    val postings = Bm25.buildPostings(docs, "doc_id", "text").localCheckpoint(true)
+    val stats = docs.select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(sum("dl"), count(lit(1))).head()
+    val avgdl = stats.getLong(0).toDouble / stats.getLong(1).toDouble
+    val dfMap = postings.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idfMap = Bm25.idfByTerm(dfMap, stats.getLong(1), spark)
+    val mem = graft.serve.MemoryAnnIndex.fromDataFrame(
+      annAssigned, "vec_id", "embedding", "ivf_cell", annCents)
+    val server = new graft.serve.MemoryServer(mem,
+      Some(graft.serve.MemoryPostingsIndex.fromDataFrame(
+        postings, "doc_id", idfMap, avgdl)))
+    annQueries.foreach { qv =>
+      val d = Ann.topK(annAssigned, "vec_id", "embedding", qv, 12)
+        .select("vec_id", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val l = Bm25.searchPostings(postings, "doc_id", Seq("dup", "query"),
+          idfMap, avgdl, k = 12)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = Bm25.normFuseLocal(Seq((d, 0.6), (l, 0.4)), k = 7)
+      assert(server.searchHybridNorm(qv, Seq("dup", "query"), k = 7,
+        poolK = 12) == want, s"norm-fusion hybrid drifted for $qv")
+    }
+  }
+
   test("MemoryServer JSON request path: query_vector in, ranked ids out") {
     val mem = graft.serve.MemoryAnnIndex.fromDataFrame(
       annAssigned, "vec_id", "embedding", "ivf_cell", annCents)
