@@ -3789,6 +3789,27 @@ object SparkEntry {
       graft.operators.Bm25.searchPostings(
         graft.operators.Forget.purgePostings(postings, "doc_id", purgedIds),
         "doc_id", Seq("dup", "stream"), idf2, avgdl2, k = 10)
+    }),
+
+    // ---- IR EVALUATION as a first-class operator (operators/Eval): the
+    // engine grades its own retrieval — per-query recall@10 / reciprocal
+    // rank / nDCG@10 of the exact top-10 against label relevance. ONE
+    // (query,doc) join + ONE query-keyed agg, nothing collected but the
+    // bounded query set; the DCG weights are fdlibm literals embedded on
+    // both engines' sides, so no transcendental runs in either.
+    "q204_ir_metrics" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val qset = emb.where(col("vec_id") % 25 === 0)
+      val corpus = emb.where(col("vec_id") % 25 =!= 0)
+      val queries = qset.orderBy("vec_id")
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+      val ranked = Ann.topKBatch(corpus, "vec_id", "embedding", queries, k = 10)
+      val qrels = qset.select(col("vec_id").as("qid"), col("label"))
+        .join(corpus.select(col("vec_id"), col("label")), "label")
+        .select("qid", "vec_id")
+      graft.operators.Eval.rankingMetrics(ranked, qrels,
+        "qid", "vec_id", "rank", k = 10)
     })
   )
 
@@ -5442,6 +5463,11 @@ object SparkEntry {
          |FROM ${bm25ScoredSql(Seq("dup", "stream"), docCond = "doc_id % 13 <> 0")} s
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
+    // recall@10 / reciprocal-rank / nDCG@10 per query: exact integer
+    // divisions + a literal-weight DCG chain (fdlibm constants embedded
+    // on BOTH sides) — see irMetricsOracleSql
+    "q204_ir_metrics" -> irMetricsOracleSql,
+
     // semantic decontamination: per-row max over the benchmark set is
     // order-free exact IEEE (max of identical cosine folds); the
     // threshold compare is then exact on both sides
@@ -6675,6 +6701,48 @@ object SparkEntry {
        |  FROM mx GROUP BY doc_id)
        |SELECT doc_id, score FROM sc
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  /** IR-metrics twin of [[graft.operators.Eval.rankingMetrics]]: the same
+    * fdlibm DCG-weight and ideal-DCG literals (generated from the SAME
+    * Scala constants), the same pinned left-to-right DCG chain, the same
+    * single divisions — so recall/rr/ndcg are bit-equal by construction.
+    */
+  private def irMetricsOracleSql: String = {
+    val k = 10
+    val ws = graft.operators.Eval.dcgWeights(k)
+    val idcg = graft.operators.Eval.idcgPrefix(k)
+    val cos = cosSql("c.embedding", "q.qv")
+    val relFlags = (1 to k).map(r =>
+      s"max(CASE WHEN rnk = $r THEN rel ELSE 0 END) AS rel_$r").mkString(",\n  ")
+    val dcgChain = (1 to k).map(r =>
+      s"CAST(${ws(r - 1)} AS DOUBLE) * CAST(rel_$r AS DOUBLE)").mkString(" + ")
+    val idcgCase = (s"WHEN n_rel >= $k THEN CAST(${idcg(k - 1)} AS DOUBLE)" +:
+      (1 until k).map(n => s"WHEN n_rel = $n THEN CAST(${idcg(n - 1)} AS DOUBLE)"))
+      .mkString("CASE ", " ", " ELSE CAST(0 AS DOUBLE) END")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+       |    FROM embeddings WHERE vec_id % 25 = 0),
+       |c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 25 <> 0),
+       |ranked AS (SELECT q.qid, c.vec_id,
+       |    CASE WHEN c.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+       |    row_number() OVER (PARTITION BY q.qid ORDER BY $cos DESC, c.vec_id ASC) AS rnk
+       |  FROM c CROSS JOIN q),
+       |top AS (SELECT * FROM ranked WHERE rnk <= $k),
+       |perq AS (SELECT qid, CAST(sum(rel) AS BIGINT) AS hits,
+       |    min(CASE WHEN rel = 1 THEN rnk END) AS first_hit,
+       |  $relFlags
+       |  FROM top GROUP BY qid),
+       |nrel AS (SELECT q.qid, count(*) AS n_rel FROM q JOIN c ON c.label = q.qlabel GROUP BY q.qid)
+       |SELECT p.qid,
+       |  CASE WHEN coalesce(n.n_rel, 0) > 0
+       |    THEN CAST(p.hits AS DOUBLE) / CAST(n.n_rel AS DOUBLE)
+       |    ELSE CAST(0 AS DOUBLE) END AS recall,
+       |  CASE WHEN p.first_hit IS NOT NULL
+       |    THEN CAST(1 AS DOUBLE) / CAST(p.first_hit AS DOUBLE)
+       |    ELSE CAST(0 AS DOUBLE) END AS rr,
+       |  CASE WHEN coalesce(n.n_rel, 0) > 0 THEN ($dcgChain) / ($idcgCase)
+       |    ELSE CAST(0 AS DOUBLE) END AS ndcg
+       |FROM perq p LEFT JOIN nrel n ON p.qid = n.qid""".stripMargin
   }
 
   /** Convex (min-max normalized) hybrid twin — q176 (batch legs) and
