@@ -3810,6 +3810,29 @@ object SparkEntry {
         .select("qid", "vec_id")
       graft.operators.Eval.rankingMetrics(ranked, qrels,
         "qid", "vec_id", "rank", k = 10)
+    }),
+
+    // ---- LEARNED-SPARSE retrieval (operators/Sparse): SPLADE-family
+    // weighted sparse dot product — the postings scan prunes to the
+    // query's terms (partition pruning under a term-partitioned layout),
+    // products are map-side, ONE groupBy(id) sum; integer weights make
+    // the score exact on both engines with no fold pinning.
+    "q205_sparse_search" -> ((s, dir) => {
+      val docs = rdPar(s, dir, "documents")
+      val sv = graft.operators.Sparse.tfVectors(docs, "doc_id", "text")
+      graft.operators.Sparse.topKSparse(sv, "doc_id",
+        Map("dup" -> 2L, "vector" -> 1L, "stream" -> 3L), k = 10)
+    }),
+
+    // ---- MEMORY sparse serving (serve/MemorySparseIndex): the same
+    // integer dot product served job-free from term→(id,w) postings —
+    // must equal plain SQL over the corpus exactly.
+    "q206_memory_sparse" -> ((s, dir) => {
+      import s.implicits._
+      val docs = rdPar(s, dir, "documents")
+      val sv = graft.operators.Sparse.tfVectors(docs, "doc_id", "text")
+      val mem = graft.serve.MemorySparseIndex.fromDataFrame(sv, "doc_id")
+      mem.topK(Map("query" -> 3L, "dup" -> 1L), 10).toDF("doc_id", "score")
     })
   )
 
@@ -5468,6 +5491,14 @@ object SparkEntry {
     // on BOTH sides) — see irMetricsOracleSql
     "q204_ir_metrics" -> irMetricsOracleSql,
 
+    // sparse dot product with integer weights is exact arithmetic —
+    // one transcription serves the DataFrame path and the memory tier
+    // (different query vectors)
+    "q205_sparse_search" ->
+      sparseSearchOracleSql(Map("dup" -> 2L, "vector" -> 1L, "stream" -> 3L), 10),
+    "q206_memory_sparse" ->
+      sparseSearchOracleSql(Map("query" -> 3L, "dup" -> 1L), 10),
+
     // semantic decontamination: per-row max over the benchmark set is
     // order-free exact IEEE (max of identical cosine folds); the
     // threshold compare is then exact on both sides
@@ -6701,6 +6732,23 @@ object SparkEntry {
        |  FROM mx GROUP BY doc_id)
        |SELECT doc_id, score FROM sc
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  /** Sparse-dot-product twin of [[graft.operators.Sparse.topKSparse]] —
+    * integer weights, so the score is exact arithmetic on both sides;
+    * the tokenizer matches [[graft.operators.Sparse.tfVectors]] (split on
+    * single space, same as the BM25 twin).
+    */
+  private def sparseSearchOracleSql(q: Map[String, Long], k: Int): String = {
+    val caseW = q.toSeq.sortBy(_._1).map { case (t, w) => s"WHEN '$t' THEN $w" }
+      .mkString("CASE term ", " ", " END")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS w FROM toks
+       |  WHERE term IN (${sqlList(q.keys.toSeq.sorted)}) GROUP BY doc_id, term)
+       |SELECT doc_id, CAST(sum(w * ($caseW)) AS BIGINT) AS score
+       |FROM tf GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
   /** IR-metrics twin of [[graft.operators.Eval.rankingMetrics]]: the same

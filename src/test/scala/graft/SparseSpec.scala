@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Sparse
+import graft.serve.MemorySparseIndex
+
+/** Pins the learned-sparse retrieval operator: TF extraction, the weighted
+  * dot-product ranking with its tie rule, serving-convention edges, and
+  * bit-parity between the DataFrame path and the memory tier.
+  */
+class SparseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "a b a c"),   // a:2 b:1 c:1
+    (2L, "b b b"),     // b:3
+    (3L, "a c c c"),   // a:1 c:3
+    (4L, "d d"),       // no query terms
+    (5L, "a b a c")    // duplicate of doc 1 — tie probe
+  ).toDF("doc_id", "text")
+
+  private lazy val sv = Sparse.tfVectors(docs, "doc_id", "text")
+
+  test("tfVectors: per-(doc, term) counts with the BM25 tokenizer") {
+    val m = sv.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m((1L, "a")) == 2L && m((1L, "b")) == 1L && m((1L, "c")) == 1L)
+    assert(m((2L, "b")) == 3L)
+    assert(m((4L, "d")) == 2L)
+    assert(!m.contains((2L, "a")))
+  }
+
+  test("topKSparse: weighted integer dot product, ties to lower id") {
+    // q = {a: 2, c: 1}: d1 = 2*2+1*1 = 5, d3 = 2*1+3*1 = 5, d5 = 5, d2 = 0 (b only)
+    val out = Sparse.topKSparse(sv, "doc_id", Map("a" -> 2L, "c" -> 1L), 3).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 5L), (3L, 5L), (5L, 5L))) // equal scores -> id ascending
+  }
+
+  test("topKSparse: docs without any query term never appear") {
+    val out = Sparse.topKSparse(sv, "doc_id", Map("b" -> 1L), 10).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
+    assert(out.head.getLong(0) == 2L && out.head.getLong(1) == 3L)
+  }
+
+  test("topKSparse: empty query returns empty, not an error") {
+    assert(Sparse.topKSparse(sv, "doc_id", Map.empty, 5).count() == 0L)
+  }
+
+  test("memory tier == DataFrame path over a query battery") {
+    val mem = MemorySparseIndex.fromDataFrame(sv, "doc_id")
+    val queries = Seq(
+      Map("a" -> 2L, "c" -> 1L),
+      Map("b" -> 1L),
+      Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 10L),
+      Map("zz" -> 5L, "a" -> 3L)) // partially unknown term
+    queries.foreach { q =>
+      val df = Sparse.topKSparse(sv, "doc_id", q, 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(mem.topK(q, 4) == df, s"memory/DataFrame divergence for $q")
+    }
+  }
+
+  test("memory tier serving edges: unknown-only query empty, k<=0 empty") {
+    val mem = MemorySparseIndex.fromDataFrame(sv, "doc_id")
+    assert(mem.topK(Map("nope" -> 3L), 5).isEmpty)
+    assert(mem.topK(Map.empty, 5).isEmpty)
+    assert(mem.topK(Map("a" -> 1L), 0).isEmpty)
+    assert(mem.topK(Map("a" -> 1L), -2).isEmpty)
+  }
+}
