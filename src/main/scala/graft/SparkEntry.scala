@@ -3833,6 +3833,18 @@ object SparkEntry {
       val sv = graft.operators.Sparse.tfVectors(docs, "doc_id", "text")
       val mem = graft.serve.MemorySparseIndex.fromDataFrame(sv, "doc_id")
       mem.topK(Map("query" -> 3L, "dup" -> 1L), 10).toDF("doc_id", "score")
+    }),
+
+    // ---- PSEUDO-RELEVANCE-FEEDBACK expansion (operators/Rm3): BM25
+    // round 1 → top-3 feedback docs (bounded, collected — they
+    // parameterize the next plan) → top-2 non-query terms by summed tf
+    // (ties alphabetical) → integer-weighted sparse re-query. The whole
+    // two-round pipeline is oracle-exact: integer term mining + the
+    // q205 dot product.
+    "q207_rm3_expansion" -> ((s, dir) => {
+      val docs = rdPar(s, dir, "documents")
+      graft.operators.Rm3.searchExpanded(docs, "doc_id", "text",
+        Seq("dup", "query"), k = 10, fbK = 3, m = 2)
     })
   )
 
@@ -5499,6 +5511,11 @@ object SparkEntry {
     "q206_memory_sparse" ->
       sparseSearchOracleSql(Map("query" -> 3L, "dup" -> 1L), 10),
 
+    // RM3: BM25 round 1 (the gated bm25ScoredSql transcription) → integer
+    // term mining → the q205 integer dot product with the expanded weights
+    "q207_rm3_expansion" -> rm3OracleSql(Seq("dup", "query"), fbK = 3, m = 2,
+      k = 10, origW = 2L, expW = 1L),
+
     // semantic decontamination: per-row max over the benchmark set is
     // order-free exact IEEE (max of identical cosine folds); the
     // threshold compare is then exact on both sides
@@ -6749,6 +6766,32 @@ object SparkEntry {
        |SELECT doc_id, CAST(sum(w * ($caseW)) AS BIGINT) AS score
        |FROM tf GROUP BY doc_id
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** RM3 twin of [[graft.operators.Rm3.searchExpanded]]: round 1 is the
+    * gated BM25 transcription (ordering parity already proven by
+    * q162/q200), term mining and the re-query are integer arithmetic.
+    */
+  private def rm3OracleSql(terms: Seq[String], fbK: Int, m: Int, k: Int,
+                           origW: Long, expW: Long): String = {
+    val origVals = terms.sorted.map(t => s"('$t')").mkString(", ")
+    s"""WITH r1 AS (SELECT doc_id FROM ${bm25ScoredSql(terms)} s
+       |  ORDER BY score DESC, doc_id LIMIT $fbK),
+       |ft AS (SELECT unnest(string_split(d.text, ' ')) AS term
+       |  FROM documents d JOIN r1 USING (doc_id)),
+       |expt AS (SELECT term, count(*) AS c FROM ft
+       |  WHERE term NOT IN (${sqlList(terms)})
+       |  GROUP BY term ORDER BY c DESC, term LIMIT $m),
+       |qw AS (SELECT term, CAST($origW AS BIGINT) AS qww
+       |    FROM (VALUES $origVals) v(term)
+       |  UNION ALL SELECT term, CAST($expW AS BIGINT) FROM expt),
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS w FROM toks
+       |  WHERE term IN (SELECT term FROM qw) GROUP BY doc_id, term)
+       |SELECT t.doc_id, CAST(sum(t.w * q.qww) AS BIGINT) AS score
+       |FROM tf t JOIN qw q USING (term)
+       |GROUP BY t.doc_id ORDER BY score DESC, t.doc_id LIMIT $k""".stripMargin
   }
 
   /** IR-metrics twin of [[graft.operators.Eval.rankingMetrics]]: the same
