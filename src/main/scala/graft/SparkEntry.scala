@@ -3845,6 +3845,19 @@ object SparkEntry {
       val docs = rdPar(s, dir, "documents")
       graft.operators.Rm3.searchExpanded(docs, "doc_id", "text",
         Seq("dup", "query"), k = 10, fbK = 3, m = 2)
+    }),
+
+    // ---- PARENT-DOCUMENT retrieval (Ann.topKParents): the RAG
+    // two-granularity pattern — retrieve precise CHUNKS, return deduped
+    // PARENTS scored by their best chunk. Stage 2's window runs over the
+    // bounded chunk pool, never the corpus.
+    "q208_parent_retrieval" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val qv = storedVecs(emb, 29).head
+      val chunks = emb.where(expr("vec_id div 4") =!= 7)
+        .withColumn("parent_id", expr("vec_id div 4"))
+      Ann.topKParents(chunks, "vec_id", "parent_id", "embedding",
+        qv, k = 5, chunkPool = 20)
     })
   )
 
@@ -5515,6 +5528,23 @@ object SparkEntry {
     // term mining → the q205 integer dot product with the expanded weights
     "q207_rm3_expansion" -> rm3OracleSql(Seq("dup", "query"), fbK = 3, m = 2,
       k = 10, origW = 2L, expW = 1L),
+
+    // parent pooling over the bounded chunk pool: same cosine fold, best
+    // chunk per parent by (score DESC, chunk ASC), parents by (score
+    // DESC, parent ASC)
+    "q208_parent_retrieval" -> {
+      val cos = cosSql("e.embedding", "q.qv")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 29),
+         |hits AS (SELECT e.vec_id, e.vec_id // 4 AS parent_id, $cos AS score
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id // 4 <> 7
+         |  ORDER BY score DESC, e.vec_id LIMIT 20),
+         |best AS (SELECT parent_id, vec_id AS best_chunk, score,
+         |    row_number() OVER (PARTITION BY parent_id
+         |      ORDER BY score DESC, vec_id) AS rn
+         |  FROM hits)
+         |SELECT parent_id, best_chunk, score FROM best WHERE rn = 1
+         |ORDER BY score DESC, parent_id LIMIT 5""".stripMargin
+    },
 
     // semantic decontamination: per-row max over the benchmark set is
     // order-free exact IEEE (max of identical cosine folds); the

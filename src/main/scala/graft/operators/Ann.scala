@@ -30,6 +30,31 @@ object Ann {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
 
+  /** Parent-document retrieval (the RAG two-granularity pattern): retrieve
+    * at CHUNK granularity — small spans embed precisely — then return the
+    * PARENT documents, each scored by its best chunk. Stage 1 is the exact
+    * chunk top-`chunkPool` ([[topK]] — TakeOrderedAndProject, no shuffle);
+    * stage 2 dedups parents over that BOUNDED pool (a window over ≤
+    * chunkPool rows — driver-light at any corpus size) keeping each
+    * parent's best chunk by (score DESC, chunk id ASC), and takes the top
+    * `k` parents by (score DESC, parent ASC).
+    * Output: (parentCol, best_chunk, score).
+    */
+  def topKParents(chunks: DataFrame, chunkIdCol: String, parentCol: String,
+                  embCol: String, query: Seq[Float], k: Int,
+                  chunkPool: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hits = topK(chunks.select(col(chunkIdCol), col(parentCol), col(embCol)),
+      chunkIdCol, embCol, query, chunkPool)
+    val w = Window.partitionBy(col(parentCol))
+      .orderBy(col("score").desc, col(chunkIdCol))
+    hits.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(parentCol), col(chunkIdCol).as("best_chunk"), col("score"))
+      .orderBy(col("score").desc, col(parentCol))
+      .limit(k)
+  }
+
   /** One scored (score, id) pair flowing into the top-k aggregator. */
   case class Scored(score: Double, id: Long)
 

@@ -369,4 +369,52 @@ class AnnSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("Generate"),
       s"maxsim plan grew a join/explode:\n$plan")
   }
+
+  test("topKParents: parents dedup over the chunk pool, best chunk kept") {
+    import spark.implicits._
+    val dim = 4
+    // parents 0..4, 3 chunks each; chunk vectors drift away from the query
+    // with chunk index so each parent's FIRST chunk is its best
+    val rows = for (p <- 0L until 5L; c <- 0 until 3) yield {
+      val vec = Seq.tabulate(dim)(j =>
+        (math.cos(p * 7 + j) + 0.1 * c * (j + 1)).toFloat)
+      (p * 10 + c, p, vec)
+    }
+    val chunks = rows.toDF("chunk_id", "parent_id", "embedding")
+    val qv = Seq.tabulate(dim)(j => math.cos(7 + j).toFloat) // near parent 1
+    val out = graft.operators.Ann.topKParents(chunks, "chunk_id", "parent_id",
+      "embedding", qv, k = 3, chunkPool = 15) // pool = all chunks
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // naive: per-parent best chunk by (score desc, chunk asc), top-3 parents
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      while (j < a.length) {
+        val x = a(j).toDouble; val y = b(j).toDouble
+        dot += x * y; na += x * x; nb += y * y; j += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = rows.groupBy(_._2).map { case (p, cs) =>
+      val best = cs.map(c => (c._1, cos(c._3, qv)))
+        .sortBy { case (id, s) => (-s, id) }.head
+      (p, best._1, best._2)
+    }.toSeq.sortBy { case (p, _, s) => (-s, p) }.take(3)
+    assert(out == want, s"parent pooling drifted: $out vs $want")
+    assert(out.head._1 == 1L) // the query targets parent 1
+    // a parent appears at most once even though all its chunks are in pool
+    assert(out.map(_._1).distinct.size == out.size)
+  }
+
+  test("topKParents: chunkPool smaller than a parent's chunk count still dedups") {
+    import spark.implicits._
+    // one dominant parent whose chunks fill the pool: output must be ONE row
+    val rows = (0 until 6).map(c => (c.toLong, 0L, Seq(1.0f, 0.5f * c))) ++
+      Seq((100L, 1L, Seq(-1.0f, 0.0f)))
+    val chunks = rows.toDF("chunk_id", "parent_id", "embedding")
+    val out = graft.operators.Ann.topKParents(chunks, "chunk_id", "parent_id",
+      "embedding", Seq(1.0f, 0.0f), k = 5, chunkPool = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(0L)) // pool holds only parent-0 chunks -> one parent
+  }
 }
