@@ -3858,6 +3858,30 @@ object SparkEntry {
         .withColumn("parent_id", expr("vec_id div 4"))
       Ann.topKParents(chunks, "vec_id", "parent_id", "embedding",
         qv, k = 5, chunkPool = 20)
+    }),
+
+    // ---- TIME TRAVEL over the versioned sink (UpsertSink.readVersion):
+    // version dirs are immutable, so "as of version N" is a plain scan of
+    // the retained dir — no log replay. The query publishes v1 then v2 and
+    // reads BOTH: v1's aggregate must show the pre-merge corpus even
+    // though the current pointer moved on.
+    "q209_time_travel" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q209").toString
+      val table = s"$tmp/table"
+      val docs = rd(s, dir, "documents")
+      val b1 = docs.where(col("doc_id") % 3 === 0)
+        .withColumn("version", lit(1L)).withColumn("prio", lit(0))
+      val b2 = docs.where(col("doc_id") % 3 === 1)
+        .withColumn("version", lit(2L)).withColumn("prio", lit(0))
+      graft.streaming.UpsertSink.compactBatch(table, b1, Seq("doc_id"),
+        "version", "prio", retainVersions = 3)
+      graft.streaming.UpsertSink.compactBatch(table, b2, Seq("doc_id"),
+        "version", "prio", retainVersions = 3)
+      def summarize(df: DataFrame, v: Int): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+          .select(lit(v).as("as_of"), col("n_docs"), col("total_chars"))
+      summarize(graft.streaming.UpsertSink.readVersion(s, table, 1), 1)
+        .unionByName(summarize(graft.streaming.UpsertSink.snapshot(s, table), 2))
     })
   )
 
@@ -5528,6 +5552,18 @@ object SparkEntry {
     // term mining → the q205 integer dot product with the expanded weights
     "q207_rm3_expansion" -> rm3OracleSql(Seq("dup", "query"), fbK = 3, m = 2,
       k = 10, origW = 2L, expW = 1L),
+
+    // time travel: v1 ≡ SQL over batch 1's slice, the current snapshot ≡
+    // SQL over the latest-wins union of both slices (disjoint keys here,
+    // so the union of the WHERE clauses)
+    "q209_time_travel" ->
+      """SELECT 1 AS as_of, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT 2 AS as_of, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE doc_id % 3 IN (0, 1)""".stripMargin,
 
     // parent pooling over the bounded chunk pool: same cosine fold, best
     // chunk per parent by (score DESC, chunk ASC), parents by (score

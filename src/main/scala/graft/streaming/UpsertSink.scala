@@ -97,6 +97,30 @@ object UpsertSink {
     spark.read.parquet(snapshotPath(spark, table).getOrElse(
       sys.error(s"UpsertSink.snapshot: no complete version at $table")))
 
+  /** Version numbers of the retained COMPLETE versions, ascending — the
+    * time-travel catalog. What is listable is readable: the same
+    * `_SUCCESS`-gated scan [[snapshot]] anchors on.
+    */
+  def versions(spark: SparkSession, table: String): Seq[Int] =
+    completeVersions(fsOf(spark, table), table).map(_._1)
+
+  /** Time-travel read: the table AS OF published version `n`. Version dirs
+    * are immutable, so this is a plain scan of `<table>__v<n>` — no log
+    * replay, no reconstruction — valid for as long as retention keeps the
+    * version (raise `retainVersions` on the write side to lengthen the
+    * queryable history). Fails loudly when `n` was never published or has
+    * aged out, naming the versions that ARE available.
+    */
+  def readVersion(spark: SparkSession, table: String, n: Int): DataFrame = {
+    val have = completeVersions(fsOf(spark, table), table)
+    have.find(_._1 == n) match {
+      case Some((_, p)) => spark.read.parquet(p.toString)
+      case None => sys.error(
+        s"UpsertSink.readVersion: version $n not retained at $table " +
+          s"(available: ${have.map(_._1).mkString("[", ", ", "]")})")
+    }
+  }
+
   private def localFile(path: String): Option[java.nio.file.Path] = {
     val uri = new Path(path).toUri
     if (uri.getScheme == null || uri.getScheme == "file")

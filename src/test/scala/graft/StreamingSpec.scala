@@ -521,6 +521,39 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("UpsertSink time travel: readVersion scans the retained immutable dir") {
+    import graft.streaming.UpsertSink
+    val dir = Files.createTempDirectory("graft-upsert-tt").toString
+    val table = s"$dir/table"
+    def batch(ver: Long, tag: String) =
+      Seq((ver, tag, ver, 0)).toDF("k", "v", "version", "prio")
+    UpsertSink.compactBatch(table, batch(1L, "b1"), Seq("k"), "version",
+      "prio", retainVersions = 3)
+    UpsertSink.compactBatch(table, batch(2L, "b2"), Seq("k"), "version",
+      "prio", retainVersions = 3)
+    assert(UpsertSink.versions(spark, table) == Seq(1, 2))
+    // v1 = batch 1 alone; v2 = the latest-wins merge of both
+    val v1 = UpsertSink.readVersion(spark, table, 1)
+      .collect().map(_.getAs[String]("v")).toSet
+    assert(v1 == Set("b1"), s"time-travel read of v1 drifted: $v1")
+    val v2 = UpsertSink.readVersion(spark, table, 2)
+      .collect().map(_.getAs[String]("v")).toSet
+    assert(v2 == Set("b1", "b2"))
+    // as-of-current == snapshot
+    assert(UpsertSink.readVersion(spark, table, 2).collect().toSet ==
+      UpsertSink.snapshot(spark, table).collect().toSet)
+    // a version that aged out (or never existed) fails LOUDLY, naming what
+    // is available
+    UpsertSink.compactBatch(table, batch(3L, "b3"), Seq("k"), "version",
+      "prio", retainVersions = 2) // shrink window: v1 reclaimed, [2, 3] kept
+    val err = intercept[RuntimeException] {
+      UpsertSink.readVersion(spark, table, 1)
+    }
+    assert(err.getMessage.contains("version 1 not retained")
+      && err.getMessage.contains("[2, 3]"), err.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("UpsertSink: plain-path reads across concurrent swaps are never torn") {
     import graft.streaming.UpsertSink
     val dir = Files.createTempDirectory("graft-upsert-iso").toString
