@@ -3882,6 +3882,28 @@ object SparkEntry {
           .select(lit(v).as("as_of"), col("n_docs"), col("total_chars"))
       summarize(graft.streaming.UpsertSink.readVersion(s, table, 1), 1)
         .unionByName(summarize(graft.streaming.UpsertSink.snapshot(s, table), 2))
+    }),
+
+    // ---- ANN SELF-EVALUATION (Ann.topKBatchIvf × Eval): the engine
+    // measures its OWN index's recall, exactly — per-query recall@10 /
+    // rr / nDCG of the IVF nProbe=2 retrieval against the exact top-10 as
+    // the relevance set, the whole pipeline (assignment, probing, both
+    // rankings, the metrics) oracle-gated. RECALL.md measures curves as a
+    // tool; this is the same question as a first-class governed query.
+    "q210_ann_eval" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val qset = emb.where(col("vec_id") % 25 === 0)
+      val corpus = emb.where(col("vec_id") % 25 =!= 0)
+      val queries = qset.orderBy("vec_id")
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+      val cents = Ann.sampleCentroids(corpus, "vec_id", "embedding", 4)
+      val indexed = Ann.withIvfAssignment(corpus, "embedding", cents)
+      val approx = Ann.topKBatchIvf(indexed, "vec_id", "embedding",
+        "ivf_cell", cents, queries, k = 10, nProbe = 2)
+      val exact = Ann.topKBatch(corpus, "vec_id", "embedding", queries, k = 10)
+      graft.operators.Eval.rankingMetrics(approx,
+        exact.select("qid", "vec_id"), "qid", "vec_id", "rank", k = 10)
     })
   )
 
@@ -5540,6 +5562,10 @@ object SparkEntry {
     // on BOTH sides) — see irMetricsOracleSql
     "q204_ir_metrics" -> irMetricsOracleSql,
 
+    // ANN self-evaluation: IVF retrieval graded against the exact top-10
+    // (assignment + probing + both rankings + metrics all transcribed)
+    "q210_ann_eval" -> annEvalOracleSql,
+
     // sparse dot product with integer weights is exact arithmetic —
     // one transcription serves the DataFrame path and the memory tier
     // (different query vectors)
@@ -6865,11 +6891,13 @@ object SparkEntry {
     * Scala constants), the same pinned left-to-right DCG chain, the same
     * single divisions — so recall/rr/ndcg are bit-equal by construction.
     */
-  private def irMetricsOracleSql: String = {
-    val k = 10
+  /** The metric computation itself, shared by every eval oracle: consumes
+    * caller-defined CTEs `top(qid, vec_id, rel, rnk)` (the ranked rows,
+    * rnk 1..k, rel 0/1) and `nrel(qid, n_rel)` (the relevance-set sizes).
+    */
+  private def irMetricsTailSql(k: Int): String = {
     val ws = graft.operators.Eval.dcgWeights(k)
     val idcg = graft.operators.Eval.idcgPrefix(k)
-    val cos = cosSql("c.embedding", "q.qv")
     val relFlags = (1 to k).map(r =>
       s"max(CASE WHEN rnk = $r THEN rel ELSE 0 END) AS rel_$r").mkString(",\n  ")
     val dcgChain = (1 to k).map(r =>
@@ -6877,19 +6905,10 @@ object SparkEntry {
     val idcgCase = (s"WHEN n_rel >= $k THEN CAST(${idcg(k - 1)} AS DOUBLE)" +:
       (1 until k).map(n => s"WHEN n_rel = $n THEN CAST(${idcg(n - 1)} AS DOUBLE)"))
       .mkString("CASE ", " ", " ELSE CAST(0 AS DOUBLE) END")
-    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
-       |    FROM embeddings WHERE vec_id % 25 = 0),
-       |c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 25 <> 0),
-       |ranked AS (SELECT q.qid, c.vec_id,
-       |    CASE WHEN c.label = q.qlabel THEN 1 ELSE 0 END AS rel,
-       |    row_number() OVER (PARTITION BY q.qid ORDER BY $cos DESC, c.vec_id ASC) AS rnk
-       |  FROM c CROSS JOIN q),
-       |top AS (SELECT * FROM ranked WHERE rnk <= $k),
-       |perq AS (SELECT qid, CAST(sum(rel) AS BIGINT) AS hits,
+    s"""perq AS (SELECT qid, CAST(sum(rel) AS BIGINT) AS hits,
        |    min(CASE WHEN rel = 1 THEN rnk END) AS first_hit,
        |  $relFlags
-       |  FROM top GROUP BY qid),
-       |nrel AS (SELECT q.qid, count(*) AS n_rel FROM q JOIN c ON c.label = q.qlabel GROUP BY q.qid)
+       |  FROM top GROUP BY qid)
        |SELECT p.qid,
        |  CASE WHEN coalesce(n.n_rel, 0) > 0
        |    THEN CAST(p.hits AS DOUBLE) / CAST(n.n_rel AS DOUBLE)
@@ -6900,6 +6919,65 @@ object SparkEntry {
        |  CASE WHEN coalesce(n.n_rel, 0) > 0 THEN ($dcgChain) / ($idcgCase)
        |    ELSE CAST(0 AS DOUBLE) END AS ndcg
        |FROM perq p LEFT JOIN nrel n ON p.qid = n.qid""".stripMargin
+  }
+
+  private def irMetricsOracleSql: String = {
+    val k = 10
+    val cos = cosSql("c.embedding", "q.qv")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+       |    FROM embeddings WHERE vec_id % 25 = 0),
+       |c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 25 <> 0),
+       |ranked AS (SELECT q.qid, c.vec_id,
+       |    CASE WHEN c.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+       |    row_number() OVER (PARTITION BY q.qid ORDER BY $cos DESC, c.vec_id ASC) AS rnk
+       |  FROM c CROSS JOIN q),
+       |top AS (SELECT * FROM ranked WHERE rnk <= $k),
+       |nrel AS (SELECT q.qid, count(*) AS n_rel FROM q JOIN c ON c.label = q.qlabel GROUP BY q.qid),
+       |${irMetricsTailSql(k)}""".stripMargin
+  }
+
+  /** q210 twin: IVF assignment (cosine argmax, ties to HIGHER cid — the
+    * greatest-struct rule, as in q155), per-query probe cells (cosine
+    * DESC, cid ASC, nProbe=2), approximate top-10 over the probed cells,
+    * exact top-10 as the relevance set, the shared metrics tail.
+    */
+  private def annEvalOracleSql: String = {
+    val k = 10
+    val cosEC = cosSql("e.embedding", "cc.cv")
+    val cosQC = cosSql("q.qv", "cc.cv")
+    val cosAQ = cosSql("a.embedding", "q.qv")
+    val cosEQ = cosSql("e.embedding", "q.qv")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+       |    FROM embeddings WHERE vec_id % 25 = 0),
+       |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 <> 0),
+       |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+       |    embedding AS cv
+       |  FROM (SELECT * FROM c ORDER BY vec_id LIMIT 4)),
+       |scored AS (SELECT e.vec_id, e.embedding, cc.cid, $cosEC AS cs
+       |  FROM c e CROSS JOIN cents cc),
+       |assign AS (SELECT vec_id, embedding, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cs DESC, cid DESC) AS rn FROM scored) WHERE rn = 1),
+       |qc AS (SELECT q.qid, cc.cid, row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY $cosQC DESC, cc.cid ASC) AS qrn
+       |  FROM q CROSS JOIN cents cc),
+       |qcells AS (SELECT qid, cid FROM qc WHERE qrn <= 2),
+       |approx AS (SELECT s.qid, s.vec_id, row_number() OVER (
+       |    PARTITION BY s.qid ORDER BY s.s DESC, s.vec_id ASC) AS rnk
+       |  FROM (SELECT q.qid, a.vec_id, $cosAQ AS s
+       |    FROM assign a JOIN qcells kc ON a.cid = kc.cid
+       |    JOIN q ON q.qid = kc.qid) s),
+       |exact AS (SELECT qid, vec_id FROM (SELECT q.qid, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY $cosEQ DESC, e.vec_id ASC) AS xr
+       |  FROM c e CROSS JOIN q) WHERE xr <= $k),
+       |top AS (SELECT ap.qid, ap.vec_id,
+       |    CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel, ap.rnk
+       |  FROM approx ap LEFT JOIN exact x
+       |    ON x.qid = ap.qid AND x.vec_id = ap.vec_id
+       |  WHERE ap.rnk <= $k),
+       |nrel AS (SELECT qid, count(*) AS n_rel FROM exact GROUP BY qid),
+       |${irMetricsTailSql(k)}""".stripMargin
   }
 
   /** Convex (min-max normalized) hybrid twin — q176 (batch legs) and

@@ -133,6 +133,38 @@ object Ann {
         col("col.id").as(idCol), col("col.score").as("score"))
   }
 
+  /** Batched IVF search: [[topKBatch]]'s one-job shape with each query
+    * restricted to its own `nProbe` nearest cells — the per-query probe
+    * lists ride the broadcast as an array column and prune via
+    * `array_contains` BEFORE any scoring. On a corpus persisted
+    * `partitionBy(assignCol)` the union of all queries' cells is the only
+    * data read; within it each row scores only against the queries probing
+    * its cell, so the scored-pair count is Σ_q |probed(q)|, not
+    * |queries| × |corpus|. Output: (qid, rank, idCol, score).
+    */
+  def topKBatchIvf(corpus: DataFrame, idCol: String, embCol: String,
+                   assignCol: String, centroids: Seq[Seq[Float]],
+                   queries: Seq[(Long, Seq[Float])], k: Int,
+                   nProbe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val topkUdaf = udaf(new TopKAgg(k), Encoders.product[Scored])
+    val qDf = queries.map { case (qid, qv) =>
+      (qid, qv, probeCellsFor(centroids, qv, nProbe))
+    }.toDF("qid", "qvec", "qcells")
+    corpus.where(col(embCol).isNotNull)
+      .crossJoin(broadcast(qDf))
+      .where(array_contains(col("qcells"), col(assignCol)))
+      .select(col("qid"),
+        cosineSim(col(embCol), col("qvec")).as("score"),
+        col(idCol).cast("long").as("nid"))
+      .groupBy("qid")
+      .agg(topkUdaf(col("score"), col("nid")).as("topk"))
+      .select(col("qid"), posexplode(col("topk")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("col.id").as(idCol), col("col.score").as("score"))
+  }
+
   /** Deterministic seeded gaussian hyperplanes for sign-bit LSH. */
   def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Seq[Float]] = {
     val rnd = new scala.util.Random(seed)

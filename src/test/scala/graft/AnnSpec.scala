@@ -370,6 +370,28 @@ class AnnSpec extends SparkSpec {
       s"maxsim plan grew a join/explode:\n$plan")
   }
 
+  test("topKBatchIvf: each query scores only its probed cells, == per-query topKIvf") {
+    import spark.implicits._
+    val dim = 6
+    val rows = (0L until 40L).map(i =>
+      (i, Seq.tabulate(dim)(j => math.sin(i * 3 + j).toFloat)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val cents = graft.operators.Ann.sampleCentroids(corpus, "vec_id", "embedding", 4)
+    val indexed = graft.operators.Ann.withIvfAssignment(corpus, "embedding", cents)
+    val queries = Seq(5L, 17L, 31L).map(i => i -> rows(i.toInt)._2)
+    val batch = graft.operators.Ann.topKBatchIvf(indexed, "vec_id", "embedding",
+      "ivf_cell", cents, queries, k = 6, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(x => (x._3, x._4)).toSeq).toMap
+    queries.foreach { case (qid, qv) =>
+      val single = graft.operators.Ann.topKIvf(indexed, "vec_id", "embedding",
+        "ivf_cell", cents, qv, k = 6, nProbe = 2)
+        .select("vec_id", "score")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single, s"batched IVF drifted for qid=$qid")
+    }
+  }
+
   test("topKParents: parents dedup over the chunk pool, best chunk kept") {
     import spark.implicits._
     val dim = 4

@@ -20,7 +20,8 @@ class PlanAuditSpec extends SparkSpec {
     * batch-scoring contract, and it plans as a BroadcastNestedLoopJoin whose
     * build side must be a local relation, never a scanned table.
     */
-  private val boundedBroadcastCross = Set("q31_topk_batch", "q204_ir_metrics")
+  private val boundedBroadcastCross =
+    Set("q31_topk_batch", "q204_ir_metrics", "q210_ann_eval")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plans without cartesian/nested-loop joins") {
