@@ -3904,6 +3904,21 @@ object SparkEntry {
       val exact = Ann.topKBatch(corpus, "vec_id", "embedding", queries, k = 10)
       graft.operators.Eval.rankingMetrics(approx,
         exact.select("qid", "vec_id"), "qid", "vec_id", "rank", k = 10)
+    }),
+
+    // ---- INDEX DRIFT monitor (operators/IndexDrift): the QUALITY half
+    // of index maintenance — per-cell integer counters of vectors poorly
+    // described by EVERY centroid (best cosine < tau), with the rebuild
+    // flag tested by integer cross-multiplication against a rational
+    // threshold (no float division). Counters are sum-mergeable, so the
+    // streaming form is UpsertSink.accumulateBatch with no new machinery.
+    "q211_index_drift" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val cents = Ann.sampleCentroids(emb, "vec_id", "embedding", 4)
+      graft.operators.IndexDrift.rebuildFlags(
+        graft.operators.IndexDrift.cellCounters(emb, "embedding", cents,
+          tau = 0.2),
+        minN = 5L, p = 1L, q = 4L)
     })
   )
 
@@ -5565,6 +5580,30 @@ object SparkEntry {
     // ANN self-evaluation: IVF retrieval graded against the exact top-10
     // (assignment + probing + both rankings + metrics all transcribed)
     "q210_ann_eval" -> annEvalOracleSql,
+
+    // drift counters: q155's assignment transcription + an order-free
+    // max for the best-centroid score; the rebuild test is exact integer
+    // cross-multiplication (4*n_far > 1*n at n >= 5)
+    "q211_index_drift" -> {
+      val cos = cosSql("e.embedding", "cc.cv")
+      s"""WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         |    embedding AS cv
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)),
+         |scored AS (SELECT e.vec_id, cc.cid, $cos AS cs
+         |  FROM embeddings e CROSS JOIN cents cc),
+         |a AS (SELECT vec_id, cid, best FROM (
+         |    SELECT vec_id, cid, cs,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cs DESC, cid DESC) AS rn,
+         |      max(cs) OVER (PARTITION BY vec_id) AS best
+         |    FROM scored) WHERE rn = 1),
+         |cnt AS (SELECT CAST(cid AS INTEGER) AS ivf_cell, count(*) AS n,
+         |    CAST(sum(CASE WHEN best < CAST(0.2 AS DOUBLE) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_far
+         |  FROM a GROUP BY cid)
+         |SELECT ivf_cell, n, n_far,
+         |  (n >= 5 AND 4 * n_far > 1 * n) AS rebuild FROM cnt""".stripMargin
+    },
 
     // sparse dot product with integer weights is exact arithmetic —
     // one transcription serves the DataFrame path and the memory tier
