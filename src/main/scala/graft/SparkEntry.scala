@@ -3919,6 +3919,20 @@ object SparkEntry {
         graft.operators.IndexDrift.cellCounters(emb, "embedding", cents,
           tau = 0.2),
         minN = 5L, p = 1L, q = 4L)
+    }),
+
+    // ---- FUZZY term matching (operators/Fuzzy): the "did you mean"
+    // front end — typo'd query terms route to their edit-distance-1
+    // vocabulary neighbors via the SymSpell deletion-neighborhood
+    // EQUI-join (vocab exploded once, query variants broadcast; exact
+    // levenshtein verifies only the join survivors — never an all-pairs
+    // scan of the vocabulary).
+    "q212_fuzzy_terms" -> ((s, dir) => {
+      val docs = rdPar(s, dir, "documents")
+      val vocab = graft.operators.Sparse.tfVectors(docs, "doc_id", "text")
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      graft.operators.Fuzzy.matchTerms(vocab, "term",
+        Seq("strem", "dup", "qury", "zzzz"))
     })
   )
 
@@ -5604,6 +5618,17 @@ object SparkEntry {
          |SELECT ivf_cell, n, n_far,
          |  (n >= 5 AND 4 * n_far > 1 * n) AS rebuild FROM cnt""".stripMargin
     },
+
+    // fuzzy matching: the oracle verifies the CONTRACT (all vocab terms
+    // within levenshtein 1) by the naive scan the deletion join avoids;
+    // df = docs containing the term (distinct doc_id per term)
+    "q212_fuzzy_terms" ->
+      """WITH toks AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |vocab AS (SELECT term, count(*) AS df FROM toks GROUP BY term)
+        |SELECT q.query_term, v.term, v.df
+        |FROM (VALUES ('strem'), ('dup'), ('qury'), ('zzzz')) q(query_term)
+        |JOIN vocab v ON levenshtein(q.query_term, v.term) <= 1""".stripMargin,
 
     // sparse dot product with integer weights is exact arithmetic —
     // one transcription serves the DataFrame path and the memory tier
