@@ -3933,6 +3933,25 @@ object SparkEntry {
         .groupBy("term").agg(count(lit(1)).as("df"))
       graft.operators.Fuzzy.matchTerms(vocab, "term",
         Seq("strem", "dup", "qury", "zzzz"))
+    }),
+
+    // ---- OPTIMIZE compaction (streaming/Optimize): small-file rewrite
+    // as a crash-safe VERSIONED PUBLISH — readers keep snapshot
+    // isolation, time travel keeps the pre-compaction version, a crash
+    // leaves the old version current. The gate pins content invariance
+    // through the rewrite; the layout effect (file count collapses to
+    // the byte-budget target) is spec-asserted.
+    "q213_optimize_compaction" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q213").toString
+      val table = s"$tmp/table"
+      val b = rd(s, dir, "documents")
+        .withColumn("version", lit(1L)).withColumn("prio", lit(0))
+      graft.streaming.UpsertSink.compactBatch(table, b, Seq("doc_id"),
+        "version", "prio")
+      graft.streaming.Optimize.optimize(s, table, targetBytes = Long.MaxValue)
+      graft.streaming.UpsertSink.snapshot(s, table)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
     })
   )
 
@@ -5629,6 +5648,13 @@ object SparkEntry {
         |SELECT q.query_term, v.term, v.df
         |FROM (VALUES ('strem'), ('dup'), ('qury'), ('zzzz')) q(query_term)
         |JOIN vocab v ON levenshtein(q.query_term, v.term) <= 1""".stripMargin,
+
+    // compaction must be invisible to readers: the post-OPTIMIZE snapshot
+    // aggregates exactly like the source relation
+    "q213_optimize_compaction" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source""".stripMargin,
 
     // sparse dot product with integer weights is exact arithmetic —
     // one transcription serves the DataFrame path and the memory tier

@@ -554,6 +554,38 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("Optimize: compaction is a versioned publish — layout changes, nothing else") {
+    import graft.streaming.{Optimize, UpsertSink}
+    val dir = Files.createTempDirectory("graft-optimize").toString
+    val table = s"$dir/table"
+    val rows = (1L to 200L).map(k => (k, s"v$k", 1L, 0))
+    UpsertSink.compactBatch(table,
+      rows.toDF("k", "v", "version", "prio").repartition(8),
+      Seq("k"), "version", "prio")
+    val beforeContent = UpsertSink.snapshot(spark, table)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // a small byte budget SPLITS (the restore direction of the same op)
+    val (v2, _, nSplit) = Optimize.optimize(spark, table,
+      targetBytes = 1024L, retainVersions = 3)
+    assert(v2 == 2 && nSplit > 1, s"1 KiB budget should split, got $nSplit")
+    val pinned = UpsertSink.snapshot(spark, table) // pins v2 across OPTIMIZE
+    // the big budget collapses the small files back to one
+    val (v3, nBefore3, nAfter3) = Optimize.optimize(spark, table,
+      Long.MaxValue, retainVersions = 3)
+    assert(v3 == 3 && nBefore3 == nSplit && nAfter3 == 1,
+      s"expected $nSplit->1 files at v3, got v$v3 $nBefore3->$nAfter3")
+    // content is identical through both rewrites
+    val after = UpsertSink.snapshot(spark, table)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == beforeContent, "compaction changed content")
+    // snapshot isolation: the pre-compaction reader still sees v2 intact
+    val held = pinned.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(held == beforeContent, "pinned snapshot torn by OPTIMIZE")
+    // time travel still reaches the original pre-compaction version
+    assert(UpsertSink.readVersion(spark, table, 1).count() == 200L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("UpsertSink: plain-path reads across concurrent swaps are never torn") {
     import graft.streaming.UpsertSink
     val dir = Files.createTempDirectory("graft-upsert-iso").toString
