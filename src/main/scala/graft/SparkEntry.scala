@@ -3952,6 +3952,28 @@ object SparkEntry {
       graft.streaming.UpsertSink.snapshot(s, table)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+    }),
+
+    // ---- MACRO eval metrics (Eval.macroMetrics): q204's per-query
+    // report folded to the headline numbers (mean recall@10 / MRR / mean
+    // nDCG@10) with a pinned TWO-LEVEL summation — per-bucket in-query
+    // order, then bucket-ascending — so the means are bit-exact without
+    // ever collecting all queries into one row.
+    "q214_ir_macro" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val qset = emb.where(col("vec_id") % 25 === 0)
+      val corpus = emb.where(col("vec_id") % 25 =!= 0)
+      val queries = qset.orderBy("vec_id")
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toSeq
+      val ranked = Ann.topKBatch(corpus, "vec_id", "embedding", queries, k = 10)
+      val qrels = qset.select(col("vec_id").as("qid"), col("label"))
+        .join(corpus.select(col("vec_id"), col("label")), "label")
+        .select("qid", "vec_id")
+      graft.operators.Eval.macroMetrics(
+        graft.operators.Eval.rankingMetrics(ranked, qrels,
+          "qid", "vec_id", "rank", k = 10),
+        "qid", Seq("recall", "rr", "ndcg"), bucketSize = 16L)
     })
   )
 
@@ -5648,6 +5670,21 @@ object SparkEntry {
         |SELECT q.query_term, v.term, v.df
         |FROM (VALUES ('strem'), ('dup'), ('qury'), ('zzzz')) q(query_term)
         |JOIN vocab v ON levenshtein(q.query_term, v.term) <= 1""".stripMargin,
+
+    // macro averages: q204's per-query oracle as a nested subquery, the
+    // same two-level pinned summation (list_sum over qid order per
+    // bucket, then bucket order), one exact division by the count
+    "q214_ir_macro" ->
+      s"""WITH b AS (SELECT qid // 16 AS bucket, count(*) AS n,
+         |    list_sum(list(recall ORDER BY qid)) AS pr,
+         |    list_sum(list(rr ORDER BY qid)) AS pp,
+         |    list_sum(list(ndcg ORDER BY qid)) AS pn
+         |  FROM ($irMetricsOracleSql) pq GROUP BY bucket)
+         |SELECT CAST(sum(n) AS BIGINT) AS n_queries,
+         |  list_sum(list(pr ORDER BY bucket)) / CAST(sum(n) AS DOUBLE) AS mean_recall,
+         |  list_sum(list(pp ORDER BY bucket)) / CAST(sum(n) AS DOUBLE) AS mean_rr,
+         |  list_sum(list(pn ORDER BY bucket)) / CAST(sum(n) AS DOUBLE) AS mean_ndcg
+         |FROM b""".stripMargin,
 
     // compaction must be invisible to readers: the post-OPTIMIZE snapshot
     // aggregates exactly like the source relation

@@ -102,4 +102,53 @@ object Eval {
         when(col("__n_rel") > 0L, dcg / idcgCase)
           .otherwise(lit(0.0)).as("ndcg"))
   }
+
+  /** Corpus-level (macro) averages of per-query metrics — the headline
+    * numbers an IR report actually quotes (mean recall@k, MRR, mean nDCG).
+    *
+    * A mean of doubles is order-sensitive, so the summation is a pinned
+    * TWO-LEVEL fold: per-bucket (query div bucketSize) partial sums folded
+    * in query order (each bucket's collected list is bounded by
+    * bucketSize — never all queries in one row), then a driver fold over
+    * the bucket partials ascending (bounded by nQueries/bucketSize rows).
+    * Both levels replay identically in SQL (`list_sum(list(x ORDER BY
+    * ...))`), so the means are bit-exact; this is the same two-level
+    * scheme the sweep-line global sum uses, applied to metric averaging.
+    *
+    * Output: one row — (n_queries, mean_<c> for each metric column);
+    * all-zero means on an empty input.
+    */
+  def macroMetrics(perQuery: DataFrame, qCol: String,
+                   metricCols: Seq[String],
+                   bucketSize: Long = 1024L): DataFrame = {
+    require(metricCols.nonEmpty, "macroMetrics needs at least one metric")
+    require(bucketSize >= 1, s"bucketSize must be >= 1, got $bucketSize")
+    val spark = perQuery.sparkSession
+    val aggs =
+      count(lit(1)).as("__n") +:
+      metricCols.map(c =>
+        aggregate(
+          sort_array(collect_list(struct(col(qCol), col(c)))),
+          lit(0.0), (acc, s) => acc + s.getField(c)).as(s"__p_$c"))
+    val parts = perQuery
+      .withColumn("__b", expr(s"CAST($qCol AS BIGINT) div $bucketSize"))
+      .groupBy(col("__b")).agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("__b"))
+      .collect()
+    val n = parts.map(_.getAs[Long]("__n")).sum
+    val means = metricCols.map { c =>
+      if (n == 0L) 0.0
+      else parts.foldLeft(0.0)((acc, r) =>
+        acc + r.getAs[Double](s"__p_$c")) / n.toDouble
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("n_queries",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+      metricCols.map(c => org.apache.spark.sql.types.StructField(
+        s"mean_$c", org.apache.spark.sql.types.DoubleType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row.fromSeq(n +: means)),
+      schema)
+  }
 }

@@ -75,4 +75,30 @@ class EvalSpec extends SparkSpec {
     val out = Eval.rankingMetrics(ranked, qrels, "qid", "doc", "rnk", 3).collect()
     assert(out.head.getDouble(2) == 0.5)
   }
+
+  test("macroMetrics: the two-level pinned fold, replayed by hand") {
+    // enough queries to span several buckets at bucketSize 4
+    val vals = (0L until 13L).map(q => (q, 1.0 / (q + 1.0), 0.5 * q))
+    val perQ = vals.toDF("qid", "recall", "rr")
+    val out = Eval.macroMetrics(perQ, "qid", Seq("recall", "rr"), bucketSize = 4L)
+      .collect().head
+    assert(out.getLong(0) == 13L)
+    // reference = the documented association: per-bucket fold in qid
+    // order, then a fold over bucket partials ascending (NOT the flat
+    // fold — bucketing changes the association, deliberately and
+    // reproducibly)
+    def twoLevel(xs: Seq[(Long, Double)]): Double =
+      xs.groupBy(_._1 / 4).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _))
+        .foldLeft(0.0)(_ + _)
+    assert(out.getDouble(1) == twoLevel(vals.map(v => v._1 -> v._2)) / 13.0)
+    assert(out.getDouble(2) == twoLevel(vals.map(v => v._1 -> v._3)) / 13.0)
+    assert(out.schema.fieldNames.toSeq == Seq("n_queries", "mean_recall", "mean_rr"))
+  }
+
+  test("macroMetrics: empty input yields a zero row, not NaN") {
+    val perQ = Seq.empty[(Long, Double)].toDF("qid", "recall")
+    val out = Eval.macroMetrics(perQ, "qid", Seq("recall")).collect().head
+    assert(out.getLong(0) == 0L && out.getDouble(1) == 0.0)
+  }
 }

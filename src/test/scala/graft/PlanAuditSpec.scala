@@ -21,7 +21,7 @@ class PlanAuditSpec extends SparkSpec {
     * build side must be a local relation, never a scanned table.
     */
   private val boundedBroadcastCross =
-    Set("q31_topk_batch", "q204_ir_metrics", "q210_ann_eval")
+    Set("q31_topk_batch", "q204_ir_metrics", "q210_ann_eval", "q214_ir_macro")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plans without cartesian/nested-loop joins") {
