@@ -3974,6 +3974,16 @@ object SparkEntry {
         graft.operators.Eval.rankingMetrics(ranked, qrels,
           "qid", "vec_id", "rank", k = 10),
         "qid", Seq("recall", "rr", "ndcg"), bucketSize = 16L)
+    }),
+
+    // ---- VIDEO FRAME decode (Multimodal.videoFrames): real frame-level
+    // decode of per-frame-coded AVI (Motion PNG here — lossless, so the
+    // per-frame luma sums are a closed form the oracle states exactly;
+    // MJPG rides the same RIFF walk, spec-verified). Every 2nd frame
+    // sampled — the training-pipeline frame sampler.
+    "q215_video_frames" -> ((s, dir) => {
+      val media = Multimodal.syntheticAviMedia(s, 200)
+      Multimodal.videoFrames(media, sampleEvery = 2).toDF()
     })
   )
 
@@ -5685,6 +5695,28 @@ object SparkEntry {
          |  list_sum(list(pp ORDER BY bucket)) / CAST(sum(n) AS DOUBLE) AS mean_rr,
          |  list_sum(list(pn ORDER BY bucket)) / CAST(sum(n) AS DOUBLE) AS mean_ndcg
          |FROM b""".stripMargin,
+
+    // per-frame closed form (the q90 contract per frame): video i, frame
+    // f, pixel (x,y) = (7x + 13y + i + 31f) mod 256 over (8 + i%8) ×
+    // (8 + (3i)%8) gray pixels, frames 0, 2, ... of 2 + i%3 sampled
+    "q215_video_frames" ->
+      """WITH v AS (SELECT i AS media_id,
+        |    CAST(8 + i % 8 AS INT) AS width,
+        |    CAST(8 + (3 * i) % 8 AS INT) AS height,
+        |    CAST(2 + i % 3 AS INT) AS n_frames
+        |  FROM range(200) t(i)),
+        |f AS (SELECT media_id, width, height, CAST(fi.f AS INT) AS frame_idx
+        |  FROM v, unnest(generate_series(0, n_frames - 1)) AS fi(f)
+        |  WHERE fi.f % 2 = 0),
+        |px AS (SELECT media_id, frame_idx, width, height,
+        |    (7 * x.x + 13 * y.y + media_id + 31 * frame_idx) % 256 AS pv
+        |  FROM f,
+        |    unnest(generate_series(0, width - 1)) AS x(x),
+        |    unnest(generate_series(0, height - 1)) AS y(y))
+        |SELECT media_id, frame_idx, width, height,
+        |  CAST(count(*) AS BIGINT) AS n_px, CAST(sum(pv) AS BIGINT) AS px_sum,
+        |  TRUE AS decode_ok
+        |FROM px GROUP BY media_id, frame_idx, width, height""".stripMargin,
 
     // compaction must be invisible to readers: the post-OPTIMIZE snapshot
     // aggregates exactly like the source relation

@@ -726,4 +726,211 @@ object Multimodal {
         1000L * (1 + i % 30), s"application/x-$kind")
     }
   }
+
+  // ---- AVI (RIFF) frame-level decode: the container where per-frame
+  // payloads are INDEPENDENTLY CODED images ('00dc' chunks — MJPG per
+  // frame in Motion JPEG, PNG per frame in Motion PNG), so real frame
+  // decode needs no inter-frame codec: the RIFF walk hands each chunk to
+  // the SAME `decodeImage` the image pipeline uses. MP4/MKV stay
+  // header-metadata only (q184) — their streams are inter-coded.
+
+  private def leU32(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def leAt(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  private def riffChunk(id: String, payload: Array[Byte]): Array[Byte] = {
+    val pad = if (payload.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+    id.getBytes("ISO-8859-1") ++ leU32(payload.length.toLong) ++ payload ++ pad
+  }
+
+  private def riffList(typ: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", typ.getBytes("ISO-8859-1") ++ body)
+
+  /** A playable single-stream AVI around per-frame encoded images
+    * (pass PNG payloads for Motion PNG, JPEG for MJPG — `fourcc` names
+    * the handler). `usPerFrame` drives the header's timing fields;
+    * duration = nFrames · usPerFrame.
+    */
+  def writeAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
+               usPerFrame: Long, fourcc: String = "MPNG"): Array[Byte] = {
+    require(frames.nonEmpty, "writeAvi needs at least one frame")
+    val avih = riffChunk("avih",
+      leU32(usPerFrame) ++ leU32(0) ++ leU32(0) ++ leU32(0) ++
+        leU32(frames.size.toLong) ++ leU32(0) ++ leU32(1) ++ leU32(0) ++
+        leU32(width.toLong) ++ leU32(height.toLong) ++ new Array[Byte](16))
+    val strh = riffChunk("strh",
+      "vids".getBytes("ISO-8859-1") ++ fourcc.getBytes("ISO-8859-1") ++
+        leU32(0) ++ new Array[Byte](8) ++ // flags, prio/lang, initial frames
+        leU32(usPerFrame) ++ leU32(1000000L) ++ // scale, rate (rate/scale = fps)
+        leU32(0) ++ leU32(frames.size.toLong) ++ // start, length
+        leU32(0) ++ leU32(0) ++ leU32(0) ++ new Array[Byte](8)) // buf, quality, sample, rcFrame
+    val strf = riffChunk("strf",
+      leU32(40) ++ leU32(width.toLong) ++ leU32(height.toLong) ++
+        Array[Byte](1, 0, 24, 0) ++ // planes 1, bitcount 24
+        fourcc.getBytes("ISO-8859-1") ++ new Array[Byte](20))
+    val hdrl = riffList("hdrl", avih ++ riffList("strl", strh ++ strf))
+    val movi = riffList("movi",
+      frames.map(f => riffChunk("00dc", f)).reduce(_ ++ _))
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ leU32(body.length.toLong) ++ body
+  }
+
+  /** Walk the RIFF chunks of `bytes` between `start` and `end`, returning
+    * (id, payloadOffset, payloadLen); None on any structural violation
+    * (corrupt bytes are DATA — callers emit a decode_ok=false row).
+    */
+  private def riffChunks(bytes: Array[Byte], start: Int,
+                         end: Int): Option[Seq[(String, Int, Int)]] = {
+    var o = start
+    val out = Seq.newBuilder[(String, Int, Int)]
+    while (o < end) {
+      if (o + 8 > end) return None
+      val id = new String(bytes, o, 4, "ISO-8859-1")
+      val len = leAt(bytes, o + 4)
+      if (len < 0 || o + 8 + len > end) return None
+      out += ((id, o + 8, len.toInt))
+      o += 8 + len.toInt + (len.toInt % 2) // chunks are word-aligned
+    }
+    Some(out.result())
+  }
+
+  /** AVI container metadata: (duration_ms, width, height, n_frames).
+    * Duration = dwTotalFrames · dwMicroSecPerFrame in exact integer µs,
+    * floored to ms like the MP4 path.
+    */
+  def parseAviMeta(bytes: Array[Byte]): Option[(Long, Int, Int, Int)] = {
+    if (bytes.length < 12) return None
+    if (new String(bytes, 0, 4, "ISO-8859-1") != "RIFF") return None
+    if (new String(bytes, 8, 4, "ISO-8859-1") != "AVI ") return None
+    val end = math.min(bytes.length.toLong, 8L + leAt(bytes, 4)).toInt
+    for {
+      top <- riffChunks(bytes, 12, end)
+      hdrl <- top.collectFirst {
+        case ("LIST", o, l)
+          if l >= 4 && new String(bytes, o, 4, "ISO-8859-1") == "hdrl" => (o, l)
+      }
+      subs <- riffChunks(bytes, hdrl._1 + 4, hdrl._1 + hdrl._2)
+      avih <- subs.collectFirst { case ("avih", o, l) if l >= 40 => o }
+    } yield {
+      val usPerFrame = leAt(bytes, avih)
+      val nFrames = leAt(bytes, avih + 16)
+      ((nFrames * usPerFrame) / 1000L,
+        leAt(bytes, avih + 32).toInt, leAt(bytes, avih + 36).toInt,
+        nFrames.toInt)
+    }
+  }
+
+  /** The encoded per-frame payloads ('00dc'/'00db' chunks of the movi
+    * list, stream order). None when the container is corrupt.
+    */
+  def aviFrameChunks(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (bytes.length < 12 ||
+        new String(bytes, 0, 4, "ISO-8859-1") != "RIFF" ||
+        new String(bytes, 8, 4, "ISO-8859-1") != "AVI ") return None
+    val end = math.min(bytes.length.toLong, 8L + leAt(bytes, 4)).toInt
+    for {
+      top <- riffChunks(bytes, 12, end)
+      movi <- top.collectFirst {
+        case ("LIST", o, l)
+          if l >= 4 && new String(bytes, o, 4, "ISO-8859-1") == "movi" => (o, l)
+      }
+      subs <- riffChunks(bytes, movi._1 + 4, movi._1 + movi._2)
+    } yield subs.collect {
+      case (id, o, l) if id == "00dc" || id == "00db" =>
+        java.util.Arrays.copyOfRange(bytes, o, o + l)
+    }
+  }
+
+  /** One decoded sampled frame: REAL dimensions and the exact integer
+    * luma sum from the frame codec (same Rec.601 rule as the image
+    * pipeline). A corrupt container emits a single frame_idx = -1 row;
+    * a frame whose payload fails image decode keeps its index with
+    * decode_ok = false — bad media is DATA either way.
+    */
+  case class VideoFrame(media_id: Long, frame_idx: Int, width: Int,
+                        height: Int, n_px: Long, px_sum: Long,
+                        decode_ok: Boolean)
+
+  /** Frame-sampled decode of per-frame-coded AVI payloads: every
+    * `sampleEvery`-th frame (0, s, 2s, ... — the training-pipeline frame
+    * sampler) is decoded with [[decodeImage]]. Partition-batched like
+    * every codec here.
+    */
+  def videoFrames(media: Dataset[MediaFile],
+                  sampleEvery: Int = 1): Dataset[VideoFrame] = {
+    require(sampleEvery >= 1, s"sampleEvery must be >= 1, got $sampleEvery")
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      aviFrameChunks(m.bytes) match {
+        case None => Seq(VideoFrame(m.media_id, -1, 0, 0, 0L, 0L,
+          decode_ok = false))
+        case Some(frames) =>
+          frames.zipWithIndex
+            .filter { case (_, i) => i % sampleEvery == 0 }
+            .map { case (payload, i) =>
+              decodeImage(payload) match {
+                case None =>
+                  VideoFrame(m.media_id, i, 0, 0, 0L, 0L, decode_ok = false)
+                case Some(img) =>
+                  val raster = img.getRaster
+                  val gray = img.getColorModel.getNumComponents == 1
+                  var sum = 0L
+                  var y = 0
+                  while (y < img.getHeight) {
+                    var x = 0
+                    while (x < img.getWidth) {
+                      sum += (if (gray) raster.getSample(x, y, 0)
+                              else (299 * raster.getSample(x, y, 0) +
+                                    587 * raster.getSample(x, y, 1) +
+                                    114 * raster.getSample(x, y, 2)) / 1000)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  VideoFrame(m.media_id, i, img.getWidth, img.getHeight,
+                    img.getWidth.toLong * img.getHeight, sum,
+                    decode_ok = true)
+              }
+            }
+      }
+    }
+  }
+
+  /** Deterministic Motion-PNG AVI corpus: video i has 2 + i%3 frames of
+    * (8 + i%8) × (8 + (3i)%8) gray pixels, frame f pixel (x, y) =
+    * (7x + 13y + i + 31f) mod 256 — PNG is lossless, so the decoded frame
+    * sums are this closed form EXACTLY (the q90 contract, per frame).
+    * 25 fps (40 000 µs/frame) ⇒ duration_ms = 40 · nFrames.
+    */
+  def syntheticAviMedia(spark: SparkSession, n: Int): Dataset[MediaFile] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val w = 8 + (i % 8).toInt
+      val h = 8 + ((3 * i) % 8).toInt
+      val nFrames = 2 + (i % 3).toInt
+      val frames = (0 until nFrames).map { f =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, (7 * x + 13 * y + i + 31 * f) % 256)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        out.toByteArray
+      }
+      MediaFile(i, "video", writeAvi(frames, w, h, usPerFrame = 40000L),
+        w, h, 40L * nFrames, "video/x-msvideo")
+    }
+  }
 }
