@@ -155,6 +155,12 @@ object ServeBench {
       index.select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq,
       m = 16, efConstruction = 100)
+    // learned-sparse tier: the postings ARE the sparse vectors (tf
+    // weighting); a trained model would swap the weights, not the path
+    val memSparse = graft.serve.MemorySparseIndex.fromDataFrame(
+      graft.operators.Sparse.tfVectors(docsRepl, "doc_id", "text"), "doc_id")
+    val sparseQueries: IndexedSeq[Map[String, Long]] =
+      termSets.map(_.zipWithIndex.map { case (t, i) => t -> (i + 1L) }.toMap)
     // freshness tier under churn: every request WRITES one row (upsert
     // into the delta segment) then searches the merged view — the
     // TARGET_LAG live half measured as a serving path, not a batch job
@@ -230,6 +236,12 @@ object ServeBench {
       "memory_hnsw" -> { qi: Int =>
         val n = memHnsw.topK(qvecs(qi % qvecs.size), 5, ef = 40).length
         require(n == 5, s"memory_hnsw returned $n rows")
+      },
+      // learned-sparse dot product over the term postings (q205's scan
+      // envelope served job-free — integer arithmetic end to end)
+      "memory_sparse" -> { qi: Int =>
+        val n = memSparse.topK(sparseQueries(qi % sparseQueries.size), 5).length
+        require(n == 5, s"memory_sparse returned $n rows")
       },
       "search_json" -> { qi: Int =>
         val n = searcher.search(jsonReq(qvecs(qi % qvecs.size), 5)).collect().length
