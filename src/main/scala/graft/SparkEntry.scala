@@ -3984,6 +3984,28 @@ object SparkEntry {
     "q215_video_frames" -> ((s, dir) => {
       val media = Multimodal.syntheticAviMedia(s, 200)
       Multimodal.videoFrames(media, sampleEvery = 2).toDF()
+    }),
+
+    // ---- RESIDUAL IVF-PQ (Ann.withResiduals/topKIvfResidualPq): the
+    // FAISS IndexIVFPQ layout — codes quantize r = x − centroid(cell)
+    // (residuals cluster near zero, so the same codebook budget buys
+    // lower distortion than raw-vector PQ, q129's form), ADC tables are
+    // per-probed-cell (query residual vs the shared residual codebooks),
+    // selected per row by a codegen when-ladder; exact rerank restores
+    // exact ordering of the candidate set.
+    "q216_ivf_rpq_search" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") =!= 7)
+      val qv = storedVecs(emb, 7).head
+      val cents = Ann.sampleCentroids(corpus, "vec_id", "embedding", 4)
+      val resid = Ann.withResiduals(
+        Ann.withIvfAssignment(corpus, "embedding", cents),
+        "embedding", "ivf_cell", cents)
+      val books = Ann.pqCodebooks(resid, "vec_id", "residual", m = 2, ksub = 4)
+      val coded = Ann.withPqCodes(resid, "residual", books)
+      Ann.topKIvfResidualPq(coded, "vec_id", "embedding", "ivf_cell",
+          "pq_code", cents, books, qv, k = 5, nProbe = 2, rerankFactor = 3)
+        .select("vec_id", "score")
     })
   )
 
@@ -5695,6 +5717,71 @@ object SparkEntry {
          |  list_sum(list(pp ORDER BY bucket)) / CAST(sum(n) AS DOUBLE) AS mean_rr,
          |  list_sum(list(pn ORDER BY bucket)) / CAST(sum(n) AS DOUBLE) AS mean_ndcg
          |FROM b""".stripMargin,
+
+    // residual IVF-PQ: q129's transcription with the PQ stage moved onto
+    // REAL-rounded residuals (double subtract → float32 cast, identical
+    // IEEE rounding both engines) and per-probed-cell query-residual ADC
+    "q216_ivf_rpq_search" -> {
+      val resExpr =
+        """list_transform(list_zip(e.embedding, c.cv),
+          |      p -> CAST(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) AS REAL))"""
+          .stripMargin
+      val qresExpr =
+        """list_transform(list_zip(q.qv, c.cv),
+          |      p -> CAST(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) AS REAL))"""
+          .stripMargin
+      s"""WITH q AS (SELECT embedding AS qv, len(embedding) // 2 AS d
+         |  FROM embeddings WHERE vec_id = 7),
+         |e AS (SELECT vec_id, embedding, len(embedding) // 2 AS d
+         |  FROM embeddings WHERE vec_id <> 7),
+         |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         |    embedding AS cv, len(embedding) // 2 AS d
+         |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
+         |ivs AS (SELECT e.vec_id, c.cid,
+         |    ${cosSql("e.embedding", "c.cv")} AS cs
+         |  FROM e CROSS JOIN cents c),
+         |iva AS (SELECT vec_id, cid AS icell FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cs DESC, cid DESC) AS rn FROM ivs)
+         |  WHERE rn = 1),
+         |resid AS (SELECT e.vec_id, e.d, iva.icell,
+         |    $resExpr AS rv
+         |  FROM e JOIN iva USING (vec_id) JOIN cents c ON c.cid = iva.icell),
+         |rb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS bid, rv, d
+         |  FROM (SELECT * FROM resid ORDER BY vec_id LIMIT 4)),
+         |s0 AS (SELECT r.vec_id, b.bid,
+         |    ${l2Sql("r.rv[1 : r.d]", "b.rv[1 : b.d]")} AS dist
+         |  FROM resid r CROSS JOIN rb b),
+         |a0 AS (SELECT vec_id, bid FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dist ASC, bid ASC) AS rn FROM s0)
+         |  WHERE rn = 1),
+         |s1 AS (SELECT r.vec_id, b.bid,
+         |    ${l2Sql("r.rv[r.d + 1 : 2 * r.d]", "b.rv[b.d + 1 : 2 * b.d]")} AS dist
+         |  FROM resid r CROSS JOIN rb b),
+         |a1 AS (SELECT vec_id, bid FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dist ASC, bid ASC) AS rn FROM s1)
+         |  WHERE rn = 1),
+         |qcells AS (SELECT c.cid FROM cents c CROSS JOIN q
+         |  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cid ASC LIMIT 2),
+         |qr AS (SELECT c.cid AS icell, q.d,
+         |    $qresExpr AS qrv
+         |  FROM cents c JOIN qcells ON c.cid = qcells.cid CROSS JOIN q),
+         |qd0 AS (SELECT qr.icell, b.bid,
+         |    ${l2Sql("qr.qrv[1 : qr.d]", "b.rv[1 : b.d]")} AS qd
+         |  FROM qr CROSS JOIN rb b),
+         |qd1 AS (SELECT qr.icell, b.bid,
+         |    ${l2Sql("qr.qrv[qr.d + 1 : 2 * qr.d]", "b.rv[b.d + 1 : 2 * b.d]")} AS qd
+         |  FROM qr CROSS JOIN rb b),
+         |cand AS (SELECT r.vec_id FROM resid r
+         |  JOIN qcells ON r.icell = qcells.cid
+         |  JOIN a0 ON a0.vec_id = r.vec_id
+         |  JOIN a1 ON a1.vec_id = r.vec_id
+         |  JOIN qd0 ON qd0.icell = r.icell AND qd0.bid = a0.bid
+         |  JOIN qd1 ON qd1.icell = r.icell AND qd1.bid = a1.bid
+         |  ORDER BY qd0.qd + qd1.qd ASC, r.vec_id ASC LIMIT 15)
+         |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS score
+         |FROM e JOIN cand USING (vec_id) CROSS JOIN q
+         |ORDER BY score DESC, e.vec_id LIMIT 5""".stripMargin
+    },
 
     // per-frame closed form (the q90 contract per frame): video i, frame
     // f, pixel (x,y) = (7x + 13y + i + 31f) mod 256 over (8 + i%8) ×

@@ -458,6 +458,69 @@ object Ann {
       col(assignCol).isin(cells: _*))
   }
 
+  /** Residual projection for IVF-PQ: r = x − centroid(cell), elementwise
+    * in double then rounded to float32 (both engines' double→REAL cast is
+    * the same IEEE rounding). Residuals are what the PRODUCTION IVF-PQ
+    * codes (Jegou et al. §IV-A: within a cell the residuals cluster around
+    * zero, so the same m×ksub codebook budget spends its centroids on a
+    * much tighter distribution than raw vectors — lower distortion, better
+    * candidate recall at equal bytes). Pure map-side projection (centroids
+    * ride as literals, the cell picks one with element_at).
+    */
+  def withResiduals(df: DataFrame, embCol: String, assignCol: String,
+                    ivfCentroids: Seq[Seq[Float]],
+                    outCol: String = "residual"): DataFrame =
+    df.withColumn(outCol,
+      zip_with(col(embCol),
+        element_at(typedlit(ivfCentroids), col(assignCol) + 1),
+        (a, b) => (a.cast("double") - b.cast("double")).cast("float")))
+
+  /** Driver-side residual of a query against one centroid — the same
+    * double-subtract-then-float32 rounding as [[withResiduals]].
+    */
+  def residualOf(query: Seq[Float], centroid: Seq[Float]): Seq[Float] = {
+    require(query.length == centroid.length,
+      s"dim mismatch ${query.length} vs ${centroid.length}")
+    query.zip(centroid).map { case (a, b) => (a.toDouble - b.toDouble).toFloat }
+  }
+
+  /** Residual-encoded IVF-PQ search (the FAISS `IndexIVFPQ` layout): rows
+    * carry codes of their RESIDUALS, so the per-request ADC table is
+    * per-PROBED-CELL — distances of the QUERY'S residual against that
+    * cell to the (shared) residual codebooks. nProbe bounded ⇒ the table
+    * set is nProbe × m × ksub doubles shipped as literals; the per-row
+    * work is the same m lookups as [[topKPq]], selected by the row's cell
+    * through a when-ladder (codegen'd, no join). Exact-cosine rerank over
+    * the ORIGINAL embeddings restores exact ordering of the candidate set.
+    */
+  def topKIvfResidualPq(corpus: DataFrame, idCol: String, embCol: String,
+                        assignCol: String, codeCol: String,
+                        ivfCentroids: Seq[Seq[Float]],
+                        codebooks: Seq[Seq[Seq[Float]]],
+                        query: Seq[Float], k: Int, nProbe: Int,
+                        rerankFactor: Int = 4): DataFrame = {
+    require(k > 0 && rerankFactor >= 1, s"k=$k, rerankFactor=$rerankFactor")
+    val cells = probeCellsFor(ivfCentroids, query, nProbe)
+    def adcFor(cell: Int): Column = {
+      val table = adcTableFor(codebooks, residualOf(query, ivfCentroids(cell)))
+      aggregate(
+        zip_with(col(codeCol), typedlit(table), (c, t) => element_at(t, c + 1)),
+        lit(0.0), _ + _)
+    }
+    val adcCol = cells.tail.foldLeft(
+      when(col(assignCol) === cells.head, adcFor(cells.head))) {
+      (acc, c) => acc.when(col(assignCol) === c, adcFor(c))
+    }
+    corpus.where(col(assignCol).isin(cells: _*) && col(codeCol).isNotNull)
+      .withColumn("__graft_adc", adcCol)
+      .orderBy(col("__graft_adc").asc, col(idCol))
+      .limit(math.max(k, rerankFactor * k))
+      .withColumn("score", cosineSim(col(embCol), typedlit(query)))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .drop("__graft_adc")
+  }
+
   /** Driver-side dot product (same fold order as the Catalyst expression;
     * this is the sign test hyperplane bucketing uses — unlike cosine it is
     * 0.0, not NaN, for a zero-norm vector).

@@ -392,6 +392,91 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("residual IVF-PQ: residual round-trip, exact-cover rerank, in-cell determinism") {
+    import spark.implicits._
+    val dim = 8
+    val rows = (0L until 60L).map(i =>
+      (i, Seq.tabulate(dim)(j => (math.cos(i * 5 + j) + math.sin(j)).toFloat)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val cents = graft.operators.Ann.sampleCentroids(corpus, "vec_id", "embedding", 4)
+    val resid = graft.operators.Ann.withResiduals(
+      graft.operators.Ann.withIvfAssignment(corpus, "embedding", cents),
+      "embedding", "ivf_cell", cents)
+    // residual + its cell centroid reconstructs the vector (float rounding only)
+    resid.select("embedding", "ivf_cell", "residual").collect().foreach { r =>
+      val x = r.getSeq[Float](0); val cell = r.getInt(1); val rv = r.getSeq[Float](2)
+      x.indices.foreach { j =>
+        assert(math.abs((rv(j) + cents(cell)(j)) - x(j)) < 1e-3f,
+          s"residual reconstruction drifted at $j")
+      }
+    }
+    val books = graft.operators.Ann.pqCodebooks(resid, "vec_id", "residual",
+      m = 2, ksub = 4)
+    val coded = graft.operators.Ann.withPqCodes(resid, "residual", books)
+    val qv = rows(11)._2
+    // with every cell probed and the rerank pool covering the whole corpus,
+    // the result IS the exact top-k (the candidate-covering contract)
+    val full = graft.operators.Ann.topKIvfResidualPq(coded, "vec_id",
+        "embedding", "ivf_cell", "pq_code", cents, books, qv, k = 5,
+        nProbe = 4, rerankFactor = 12)
+      .select("vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = graft.operators.Ann.topK(corpus, "vec_id", "embedding", qv, 5)
+      .select("vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == exact, s"full-cover residual PQ != exact: $full vs $exact")
+    // narrow probe returns k rows from the probed cells, deterministically
+    val narrow = graft.operators.Ann.topKIvfResidualPq(coded, "vec_id",
+      "embedding", "ivf_cell", "pq_code", cents, books, qv, k = 5, nProbe = 2)
+    val n1 = narrow.collect().map(r => r.getLong(0)).toSeq
+    val n2 = graft.operators.Ann.topKIvfResidualPq(coded.repartition(7),
+      "vec_id", "embedding", "ivf_cell", "pq_code", cents, books, qv,
+      k = 5, nProbe = 2).collect().map(r => r.getLong(0)).toSeq
+    assert(n1 == n2, "residual PQ result depends on partitioning")
+    assert(n1.size == 5)
+  }
+
+  test("residual coding has lower ADC distortion than raw-vector coding") {
+    import spark.implicits._
+    // clustered corpus: cells are far apart, members tight — the regime
+    // IVF-PQ exists for; raw-vector codebooks must span the whole spread
+    // while residual codebooks only cover the in-cell scatter
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 80L).map { i =>
+      val c = (i % 4).toInt
+      (i, Seq.tabulate(dim)(j =>
+        (10.0 * math.cos(c * 3 + j) + 0.3 * rnd.nextGaussian()).toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val cents = graft.operators.Ann.kmeansCentroids(corpus, "vec_id",
+      "embedding", 4, iters = 3)
+    val assigned = graft.operators.Ann.withIvfAssignment(corpus, "embedding", cents)
+    val resid = graft.operators.Ann.withResiduals(assigned, "embedding",
+      "ivf_cell", cents)
+    def meanSqErr(df: org.apache.spark.sql.DataFrame, embCol: String,
+                  books: Seq[Seq[Seq[Float]]]): Double = {
+      val d = books.head.head.size
+      val coded = graft.operators.Ann.withPqCodes(df, embCol, books)
+      coded.select(org.apache.spark.sql.functions.col(embCol),
+          org.apache.spark.sql.functions.col("pq_code")).collect().map { r =>
+        val x = r.getSeq[Float](0); val code = r.getSeq[Int](1)
+        x.indices.map { j =>
+          val rec = books(j / d)(code(j / d))(j % d)
+          val e = x(j).toDouble - rec; e * e
+        }.sum
+      }.sum / df.count()
+    }
+    val rawErr = meanSqErr(assigned, "embedding",
+      graft.operators.Ann.pqCodebooks(assigned, "vec_id", "embedding",
+        m = 2, ksub = 4, iters = 2))
+    val resErr = meanSqErr(resid, "residual",
+      graft.operators.Ann.pqCodebooks(resid, "vec_id", "residual",
+        m = 2, ksub = 4, iters = 2))
+    assert(resErr < rawErr,
+      s"residual coding should beat raw coding here: $resErr vs $rawErr")
+  }
+
   test("topKParents: parents dedup over the chunk pool, best chunk kept") {
     import spark.implicits._
     val dim = 4
