@@ -4006,6 +4006,26 @@ object SparkEntry {
       Ann.topKIvfResidualPq(coded, "vec_id", "embedding", "ivf_cell",
           "pq_code", cents, books, qv, k = 5, nProbe = 2, rerankFactor = 3)
         .select("vec_id", "score")
+    }),
+
+    // ---- TYPO-CORRECTED lexical search (Fuzzy × Bm25): the "did you
+    // mean" stage COMPOSED into retrieval — each typo'd term routes to
+    // its best vocabulary neighbor (exact match first, then highest df,
+    // then term asc — a pinned integer policy) and the corrected term
+    // set drives BM25. Stage coupling gated end to end (the q200 lesson).
+    "q217_corrected_search" -> ((s, dir) => {
+      val docs = rdPar(s, dir, "documents")
+      val vocab = graft.operators.Sparse.tfVectors(docs, "doc_id", "text")
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val matches = graft.operators.Fuzzy.matchTerms(vocab, "term",
+        Seq("strem", "qury"))
+      val w = Window.partitionBy("query_term").orderBy(
+        (col("term") === col("query_term")).desc, col("df").desc, col("term"))
+      val corrected = matches.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select("term").collect().map(_.getString(0)).toSeq.distinct.sorted
+      graft.operators.Bm25.search(docs, "doc_id", "text", corrected, k = 10)
+        .select("doc_id", "score")
     })
   )
 
@@ -5718,6 +5738,26 @@ object SparkEntry {
          |  list_sum(list(pn ORDER BY bucket)) / CAST(sum(n) AS DOUBLE) AS mean_ndcg
          |FROM b""".stripMargin,
 
+    // typo correction composed into BM25: corrections mined by the q212
+    // contract, one winner per typo by (exact, df DESC, term ASC), the
+    // corrected set driving the gated bm25ScoredSql via a data-dependent
+    // term filter
+    "q217_corrected_search" -> {
+      val scored = bm25ScoredSql(Nil,
+        termCond = "term IN (SELECT term FROM corr)")
+      s"""WITH toks AS (SELECT DISTINCT doc_id,
+         |    unnest(string_split(text, ' ')) AS term FROM documents),
+         |vocab AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+         |m AS (SELECT q.query_term, v.term, v.df
+         |  FROM (VALUES ('strem'), ('qury')) q(query_term)
+         |  JOIN vocab v ON levenshtein(q.query_term, v.term) <= 1),
+         |corr AS (SELECT DISTINCT term FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY query_term ORDER BY (term = query_term) DESC,
+         |      df DESC, term ASC) AS rn FROM m) WHERE rn = 1)
+         |SELECT doc_id, score FROM $scored s
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    },
+
     // residual IVF-PQ: q129's transcription with the PQ stage moved onto
     // REAL-rounded residuals (double subtract → float32 cast, identical
     // IEEE rounding both engines) and per-probed-cell query-residual ADC
@@ -7284,7 +7324,12 @@ object SparkEntry {
     */
   private def bm25ScoredSql(terms: Seq[String],
                             k1: Double = 1.2, b: Double = 0.75,
-                            docCond: String = "1=1"): String = {
+                            docCond: String = "1=1",
+                            termCond: String = ""): String = {
+    // default: the literal IN-list; q217 overrides with a data-dependent
+    // subquery (outer CTEs are in scope inside this nested WITH)
+    val termFilter =
+      if (termCond.nonEmpty) termCond else s"term IN (${sqlList(terms)})"
     val idfSub = graft.functions.DetMath.lnDetSubquery(
       s"""(SELECT term,
          |   (CAST((SELECT n FROM st) - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
@@ -7299,7 +7344,7 @@ object SparkEntry {
        |  count(*) AS n FROM b2),
        |post AS (SELECT doc_id, dl, unnest(toks) AS term FROM b2),
        |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM post
-       |  WHERE term IN (${sqlList(terms)}) GROUP BY doc_id, term),
+       |  WHERE $termFilter GROUP BY doc_id, term),
        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
        |idf AS (SELECT * FROM $idfSub i),
        |contrib AS (SELECT t.doc_id, t.term, t.dl,
