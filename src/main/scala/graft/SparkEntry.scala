@@ -4026,6 +4026,26 @@ object SparkEntry {
         .select("term").collect().map(_.getString(0)).toSeq.distinct.sorted
       graft.operators.Bm25.search(docs, "doc_id", "text", corrected, k = 10)
         .select("doc_id", "score")
+    }),
+
+    // ---- MEMORY residual IVF-PQ serving (serve/MemoryRpqIndex): the
+    // FAISS IndexIVFPQ layout served job-free — per-cell inverted code
+    // lists, one ADC table per probed cell from the query's residual,
+    // bounded candidate pool ACROSS probed cells, exact rerank.
+    "q218_memory_rpq" -> ((s, dir) => {
+      import s.implicits._
+      val emb = rd(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") =!= 23)
+      val qv = storedVecs(emb, 23).head
+      val cents = Ann.sampleCentroids(corpus, "vec_id", "embedding", 4)
+      val resid = Ann.withResiduals(
+        Ann.withIvfAssignment(corpus, "embedding", cents),
+        "embedding", "ivf_cell", cents)
+      val books = Ann.pqCodebooks(resid, "vec_id", "residual", m = 2, ksub = 4)
+      val coded = Ann.withPqCodes(resid, "residual", books)
+      val mem = graft.serve.MemoryRpqIndex.fromDataFrame(coded, "vec_id",
+        "embedding", "ivf_cell", "pq_code", cents, books)
+      mem.topK(qv, 5, nProbe = 2, rerankFactor = 3).toDF("vec_id", "score")
     })
   )
 
@@ -5760,68 +5780,11 @@ object SparkEntry {
 
     // residual IVF-PQ: q129's transcription with the PQ stage moved onto
     // REAL-rounded residuals (double subtract → float32 cast, identical
-    // IEEE rounding both engines) and per-probed-cell query-residual ADC
-    "q216_ivf_rpq_search" -> {
-      val resExpr =
-        """list_transform(list_zip(e.embedding, c.cv),
-          |      p -> CAST(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) AS REAL))"""
-          .stripMargin
-      val qresExpr =
-        """list_transform(list_zip(q.qv, c.cv),
-          |      p -> CAST(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) AS REAL))"""
-          .stripMargin
-      s"""WITH q AS (SELECT embedding AS qv, len(embedding) // 2 AS d
-         |  FROM embeddings WHERE vec_id = 7),
-         |e AS (SELECT vec_id, embedding, len(embedding) // 2 AS d
-         |  FROM embeddings WHERE vec_id <> 7),
-         |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-         |    embedding AS cv, len(embedding) // 2 AS d
-         |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
-         |ivs AS (SELECT e.vec_id, c.cid,
-         |    ${cosSql("e.embedding", "c.cv")} AS cs
-         |  FROM e CROSS JOIN cents c),
-         |iva AS (SELECT vec_id, cid AS icell FROM (SELECT *, row_number() OVER (
-         |    PARTITION BY vec_id ORDER BY cs DESC, cid DESC) AS rn FROM ivs)
-         |  WHERE rn = 1),
-         |resid AS (SELECT e.vec_id, e.d, iva.icell,
-         |    $resExpr AS rv
-         |  FROM e JOIN iva USING (vec_id) JOIN cents c ON c.cid = iva.icell),
-         |rb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS bid, rv, d
-         |  FROM (SELECT * FROM resid ORDER BY vec_id LIMIT 4)),
-         |s0 AS (SELECT r.vec_id, b.bid,
-         |    ${l2Sql("r.rv[1 : r.d]", "b.rv[1 : b.d]")} AS dist
-         |  FROM resid r CROSS JOIN rb b),
-         |a0 AS (SELECT vec_id, bid FROM (SELECT *, row_number() OVER (
-         |    PARTITION BY vec_id ORDER BY dist ASC, bid ASC) AS rn FROM s0)
-         |  WHERE rn = 1),
-         |s1 AS (SELECT r.vec_id, b.bid,
-         |    ${l2Sql("r.rv[r.d + 1 : 2 * r.d]", "b.rv[b.d + 1 : 2 * b.d]")} AS dist
-         |  FROM resid r CROSS JOIN rb b),
-         |a1 AS (SELECT vec_id, bid FROM (SELECT *, row_number() OVER (
-         |    PARTITION BY vec_id ORDER BY dist ASC, bid ASC) AS rn FROM s1)
-         |  WHERE rn = 1),
-         |qcells AS (SELECT c.cid FROM cents c CROSS JOIN q
-         |  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cid ASC LIMIT 2),
-         |qr AS (SELECT c.cid AS icell, q.d,
-         |    $qresExpr AS qrv
-         |  FROM cents c JOIN qcells ON c.cid = qcells.cid CROSS JOIN q),
-         |qd0 AS (SELECT qr.icell, b.bid,
-         |    ${l2Sql("qr.qrv[1 : qr.d]", "b.rv[1 : b.d]")} AS qd
-         |  FROM qr CROSS JOIN rb b),
-         |qd1 AS (SELECT qr.icell, b.bid,
-         |    ${l2Sql("qr.qrv[qr.d + 1 : 2 * qr.d]", "b.rv[b.d + 1 : 2 * b.d]")} AS qd
-         |  FROM qr CROSS JOIN rb b),
-         |cand AS (SELECT r.vec_id FROM resid r
-         |  JOIN qcells ON r.icell = qcells.cid
-         |  JOIN a0 ON a0.vec_id = r.vec_id
-         |  JOIN a1 ON a1.vec_id = r.vec_id
-         |  JOIN qd0 ON qd0.icell = r.icell AND qd0.bid = a0.bid
-         |  JOIN qd1 ON qd1.icell = r.icell AND qd1.bid = a1.bid
-         |  ORDER BY qd0.qd + qd1.qd ASC, r.vec_id ASC LIMIT 15)
-         |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS score
-         |FROM e JOIN cand USING (vec_id) CROSS JOIN q
-         |ORDER BY score DESC, e.vec_id LIMIT 5""".stripMargin
-    },
+    // IEEE rounding both engines) and per-probed-cell query-residual ADC;
+    // one transcription serves the DataFrame path (q216) and the memory
+    // tier (q218) at different stored queries
+    "q216_ivf_rpq_search" -> rpqSearchOracleSql(qid = 7),
+    "q218_memory_rpq" -> rpqSearchOracleSql(qid = 23),
 
     // per-frame closed form (the q90 contract per frame): video i, frame
     // f, pixel (x,y) = (7x + 13y + i + 31f) mod 256 over (8 + i%8) ×
@@ -7144,6 +7107,73 @@ object SparkEntry {
        |SELECT doc_id, CAST(sum(w * ($caseW)) AS BIGINT) AS score
        |FROM tf GROUP BY doc_id
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** Residual IVF-PQ twin — q129's transcription with the PQ stage on
+    * REAL-rounded residuals (double subtract → float32 cast, the same
+    * IEEE rounding both engines) and per-probed-cell query-residual ADC.
+    * Shared by the DataFrame path (q216) and the memory tier (q218).
+    */
+  private def rpqSearchOracleSql(qid: Int): String = {
+    val resExpr =
+      """list_transform(list_zip(e.embedding, c.cv),
+        |      p -> CAST(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) AS REAL))"""
+        .stripMargin
+    val qresExpr =
+      """list_transform(list_zip(q.qv, c.cv),
+        |      p -> CAST(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) AS REAL))"""
+        .stripMargin
+    s"""WITH q AS (SELECT embedding AS qv, len(embedding) // 2 AS d
+       |  FROM embeddings WHERE vec_id = $qid),
+       |e AS (SELECT vec_id, embedding, len(embedding) // 2 AS d
+       |  FROM embeddings WHERE vec_id <> $qid),
+       |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+       |    embedding AS cv, len(embedding) // 2 AS d
+       |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
+       |ivs AS (SELECT e.vec_id, c.cid,
+       |    ${cosSql("e.embedding", "c.cv")} AS cs
+       |  FROM e CROSS JOIN cents c),
+       |iva AS (SELECT vec_id, cid AS icell FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY cs DESC, cid DESC) AS rn FROM ivs)
+       |  WHERE rn = 1),
+       |resid AS (SELECT e.vec_id, e.d, iva.icell,
+       |    $resExpr AS rv
+       |  FROM e JOIN iva USING (vec_id) JOIN cents c ON c.cid = iva.icell),
+       |rb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS bid, rv, d
+       |  FROM (SELECT * FROM resid ORDER BY vec_id LIMIT 4)),
+       |s0 AS (SELECT r.vec_id, b.bid,
+       |    ${l2Sql("r.rv[1 : r.d]", "b.rv[1 : b.d]")} AS dist
+       |  FROM resid r CROSS JOIN rb b),
+       |a0 AS (SELECT vec_id, bid FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY dist ASC, bid ASC) AS rn FROM s0)
+       |  WHERE rn = 1),
+       |s1 AS (SELECT r.vec_id, b.bid,
+       |    ${l2Sql("r.rv[r.d + 1 : 2 * r.d]", "b.rv[b.d + 1 : 2 * b.d]")} AS dist
+       |  FROM resid r CROSS JOIN rb b),
+       |a1 AS (SELECT vec_id, bid FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY dist ASC, bid ASC) AS rn FROM s1)
+       |  WHERE rn = 1),
+       |qcells AS (SELECT c.cid FROM cents c CROSS JOIN q
+       |  ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cid ASC LIMIT 2),
+       |qr AS (SELECT c.cid AS icell, q.d,
+       |    $qresExpr AS qrv
+       |  FROM cents c JOIN qcells ON c.cid = qcells.cid CROSS JOIN q),
+       |qd0 AS (SELECT qr.icell, b.bid,
+       |    ${l2Sql("qr.qrv[1 : qr.d]", "b.rv[1 : b.d]")} AS qd
+       |  FROM qr CROSS JOIN rb b),
+       |qd1 AS (SELECT qr.icell, b.bid,
+       |    ${l2Sql("qr.qrv[qr.d + 1 : 2 * qr.d]", "b.rv[b.d + 1 : 2 * b.d]")} AS qd
+       |  FROM qr CROSS JOIN rb b),
+       |cand AS (SELECT r.vec_id FROM resid r
+       |  JOIN qcells ON r.icell = qcells.cid
+       |  JOIN a0 ON a0.vec_id = r.vec_id
+       |  JOIN a1 ON a1.vec_id = r.vec_id
+       |  JOIN qd0 ON qd0.icell = r.icell AND qd0.bid = a0.bid
+       |  JOIN qd1 ON qd1.icell = r.icell AND qd1.bid = a1.bid
+       |  ORDER BY qd0.qd + qd1.qd ASC, r.vec_id ASC LIMIT 15)
+       |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS score
+       |FROM e JOIN cand USING (vec_id) CROSS JOIN q
+       |ORDER BY score DESC, e.vec_id LIMIT 5""".stripMargin
   }
 
   /** RM3 twin of [[graft.operators.Rm3.searchExpanded]]: round 1 is the

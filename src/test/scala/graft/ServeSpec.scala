@@ -343,6 +343,31 @@ class ServeSpec extends SparkSpec {
     }
   }
 
+  test("memory residual-PQ tier: per-cell ADC + rerank == Ann.topKIvfResidualPq bit-for-bit") {
+    import graft.operators.Ann
+    val cents = Ann.sampleCentroids(annCorpus, "vec_id", "embedding", 4)
+    val resid = Ann.withResiduals(
+      Ann.withIvfAssignment(annCorpus, "embedding", cents),
+      "embedding", "ivf_cell", cents)
+    val books = Ann.pqCodebooks(resid, "vec_id", "residual", m = 2, ksub = 4)
+    val coded = Ann.withPqCodes(resid, "residual", books).localCheckpoint(true)
+    val mem = graft.serve.MemoryRpqIndex.fromDataFrame(
+      coded, "vec_id", "embedding", "ivf_cell", "pq_code", cents, books)
+    assert(mem.size == 300 && mem.dim == 8)
+    annQueries.foreach { q =>
+      Seq(1, 2, 4).foreach { nProbe =>
+        val want = Ann.topKIvfResidualPq(coded, "vec_id", "embedding",
+            "ivf_cell", "pq_code", cents, books, q, k = 7, nProbe = nProbe,
+            rerankFactor = 3)
+          .select("vec_id", "score").collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(mem.topK(q, 7, nProbe = nProbe, rerankFactor = 3) == want,
+          s"residual-pq mismatch for query $q at nProbe=$nProbe")
+      }
+    }
+    assert(mem.topK(annQueries.head, 0, nProbe = 2).isEmpty)
+  }
+
   test("memory binary tier: Hamming prune-and-rerank == Quantize.topKBinary bit-for-bit") {
     import graft.operators.Quantize
     val staged = Quantize.withBinary(annCorpus, "embedding").localCheckpoint(true)
