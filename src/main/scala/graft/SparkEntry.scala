@@ -4046,6 +4046,22 @@ object SparkEntry {
       val mem = graft.serve.MemoryRpqIndex.fromDataFrame(coded, "vec_id",
         "embedding", "ivf_cell", "pq_code", cents, books)
       mem.topK(qv, 5, nProbe = 2, rerankFactor = 3).toDF("vec_id", "score")
+    }),
+
+    // ---- MULTI-PROBE LSH (Ann.multiProbeBuckets): q44's sign-bucket
+    // search plus every single-bit-flip bucket — the buckets just across
+    // each hyperplane boundary, where near-boundary true neighbors land.
+    // Recall insurance without more hash tables; on a bucket-partitioned
+    // layout the probe isin is partition pruning.
+    "q219_lsh_multiprobe" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val Seq(qvec, p1, p2, p3) = storedVecs(emb, 0, 3, 4, 5)
+      val planes = Seq(p1, p2, p3)
+      val corpus = Ann.withHyperplaneBuckets(
+        emb.where(col("vec_id") =!= 0), "embedding", planes)
+      Ann.topKLshMultiProbe(corpus, "vec_id", "embedding", "lsh_bucket",
+          planes, qvec, k = 5)
+        .select("vec_id", "score")
     })
   )
 
@@ -5785,6 +5801,32 @@ object SparkEntry {
     // tier (q218) at different stored queries
     "q216_ivf_rpq_search" -> rpqSearchOracleSql(qid = 7),
     "q218_memory_rpq" -> rpqSearchOracleSql(qid = 23),
+
+    // multi-probe LSH: q44's transcription at 3 planes, probing the home
+    // bucket plus its three single-bit flips (xor against VALUES 0,1,2,4)
+    "q219_lsh_multiprobe" -> {
+      def dot(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+      def bucket(v: String) =
+        s"""(CASE WHEN ${dot(v, "p1.pv")} >= 0 THEN 1 ELSE 0 END)
+           |    + (CASE WHEN ${dot(v, "p2.pv")} >= 0 THEN 2 ELSE 0 END)
+           |    + (CASE WHEN ${dot(v, "p3.pv")} >= 0 THEN 4 ELSE 0 END)""".stripMargin
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |p1 AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 3),
+         |p2 AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 4),
+         |p3 AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 5),
+         |corp AS (SELECT e.vec_id, e.embedding,
+         |    ${bucket("e.embedding")} AS bucket
+         |  FROM embeddings e CROSS JOIN p1 CROSS JOIN p2 CROSS JOIN p3
+         |  WHERE e.vec_id <> 0),
+         |qb AS (SELECT ${bucket("q.qv")} AS bucket
+         |  FROM q CROSS JOIN p1 CROSS JOIN p2 CROSS JOIN p3),
+         |probes AS (SELECT xor(qb.bucket, v.f) AS b
+         |  FROM qb, (VALUES (0), (1), (2), (4)) v(f))
+         |SELECT c.vec_id, ${cosSql("c.embedding", "q.qv")} AS score
+         |FROM corp c JOIN probes ON c.bucket = probes.b CROSS JOIN q
+         |ORDER BY score DESC, c.vec_id LIMIT 5""".stripMargin
+    },
 
     // per-frame closed form (the q90 contract per frame): video i, frame
     // f, pixel (x,y) = (7x + 13y + i + 31f) mod 256 over (8 + i%8) ×

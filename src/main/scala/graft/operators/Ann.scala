@@ -458,6 +458,31 @@ object Ann {
       col(assignCol).isin(cells: _*))
   }
 
+  /** Multi-probe LSH probe set (Lv et al., "Multi-Probe LSH", VLDB 2007):
+    * the query's own sign bucket plus every single-bit flip — the buckets
+    * just across each hyperplane boundary, where near-boundary true
+    * neighbors land. Buys recall WITHOUT more hash tables: probed rows
+    * grow ~(1 + nBits)/2^nBits of the corpus instead of another full
+    * index copy. Deterministic: probes in bit order after the home
+    * bucket (ordering is immaterial to the result — the search scores
+    * the UNION exactly).
+    */
+  def multiProbeBuckets(query: Seq[Float], planes: Seq[Seq[Float]]): Seq[Long] = {
+    val home = planes.zipWithIndex
+      .map { case (p, i) => if (dot(query, p) >= 0) 1L << i else 0L }.sum
+    home +: planes.indices.map(i => home ^ (1L << i))
+  }
+
+  /** Exact top-k over the multi-probe bucket union — the
+    * [[withHyperplaneBuckets]] scale path with boundary insurance.
+    * On a bucket-partitioned layout the isin is partition pruning.
+    */
+  def topKLshMultiProbe(corpus: DataFrame, idCol: String, embCol: String,
+                        bucketCol: String, planes: Seq[Seq[Float]],
+                        query: Seq[Float], k: Int): DataFrame =
+    topK(corpus, idCol, embCol, query, k,
+      col(bucketCol).isin(multiProbeBuckets(query, planes): _*))
+
   /** Residual projection for IVF-PQ: r = x − centroid(cell), elementwise
     * in double then rounded to float32 (both engines' double→REAL cast is
     * the same IEEE rounding). Residuals are what the PRODUCTION IVF-PQ

@@ -392,6 +392,32 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH: probe set = home + single-bit flips; boundary neighbor recovered") {
+    import spark.implicits._
+    val planes = Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))
+    // query sits just ABOVE the x-axis; its nearest neighbor just BELOW —
+    // a different sign bucket on plane 2, invisible to single-bucket LSH
+    val q = Seq(1.0f, 0.05f)
+    val rows = Seq(
+      (1L, Seq(1.0f, -0.04f)), // the true nearest, across the boundary
+      (2L, Seq(0.7f, 0.7f)),   // same bucket as the query, further away
+      (3L, Seq(-1.0f, 0.5f)),  // two bit flips away — NOT probed
+      (4L, Seq(0.9f, 0.3f)))
+    val corpus = graft.operators.Ann.withHyperplaneBuckets(
+      rows.toDF("vec_id", "embedding"), "embedding", planes)
+    // probe set: home bucket (3: both dots >= 0) then flips {2, 1}
+    assert(graft.operators.Ann.multiProbeBuckets(q, planes) == Seq(3L, 2L, 1L))
+    val single = graft.operators.Ann.topK(corpus, "vec_id", "embedding", q, 2,
+        org.apache.spark.sql.functions.col("lsh_bucket") === 3L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!single.contains(1L), "test setup: boundary neighbor must be missed")
+    val multi = graft.operators.Ann.topKLshMultiProbe(corpus, "vec_id",
+        "embedding", "lsh_bucket", planes, q, 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(multi.head == 1L, s"multi-probe missed the boundary neighbor: $multi")
+    assert(!multi.contains(3L), "two-flip bucket must stay unprobed")
+  }
+
   test("residual IVF-PQ: residual round-trip, exact-cover rerank, in-cell determinism") {
     import spark.implicits._
     val dim = 8
