@@ -4062,6 +4062,35 @@ object SparkEntry {
       Ann.topKLshMultiProbe(corpus, "vec_id", "embedding", "lsh_bucket",
           planes, qvec, k = 5)
         .select("vec_id", "score")
+    }),
+
+    // ---- WAND dynamic pruning (Broder et al., CIKM'03) on the memory
+    // postings tier: document-at-a-time top-k that skips documents whose
+    // per-term upper-bound sum cannot reach the running k-th best score.
+    // The corpus's own skew is the test: 'dup' matches 26 docs at high
+    // idf while 'merge'/'sort' match ~450 each at low idf, so once the
+    // heap fills with dup-bearing docs the common-only tail is never
+    // scored. Pruning is answer-preserving by construction (guarded
+    // bound comparison, full evals fold term-ascending) — the oracle is
+    // q162's exhaustive transcription, unchanged.
+    "q220_wand_search" -> ((s, dir) => {
+      import s.implicits._
+      val docs = rdPar(s, dir, "documents")
+      val postings = graft.operators.Bm25.buildPostings(docs, "doc_id", "text")
+      val stats = docs
+        .select(size(split(col("text"), " ")).cast("long").as("dl"))
+        .agg(sum("dl"), count(lit(1))).head()
+      val avgdl = stats.getLong(0).toDouble / stats.getLong(1).toDouble
+      val dfMap = postings.groupBy("term").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val idfMap = graft.operators.Bm25.idfByTerm(dfMap, stats.getLong(1), s)
+      val mem = graft.serve.MemoryPostingsIndex.fromDataFrame(
+        postings, "doc_id", idfMap, avgdl)
+      val (hits, evaluated, _) = mem.searchWandCounted(
+        Seq("dup", "merge", "sort"), 10)
+      require(evaluated < stats.getLong(1),
+        s"WAND evaluated every corpus doc ($evaluated) — pruning inert")
+      hits.toDF("doc_id", "score")
     })
   )
 
@@ -5827,6 +5856,13 @@ object SparkEntry {
          |FROM corp c JOIN probes ON c.bucket = probes.b CROSS JOIN q
          |ORDER BY score DESC, c.vec_id LIMIT 5""".stripMargin
     },
+
+    // WAND prunes, it must not re-rank: the oracle is the EXHAUSTIVE
+    // BM25 transcription (q162's), and the gate proves the pruned scan
+    // returns the same bits
+    "q220_wand_search" ->
+      s"""SELECT doc_id, score FROM ${bm25ScoredSql(Seq("dup", "merge", "sort"))} s
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     // per-frame closed form (the q90 contract per frame): video i, frame
     // f, pixel (x,y) = (7x + 13y + i + 31f) mod 256 over (8 + i%8) ×

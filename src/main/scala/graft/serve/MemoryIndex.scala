@@ -749,6 +749,31 @@ final class MemoryPostingsIndex private (
 
   def vocabularySize: Int = postings.size
 
+  /** The exact per-posting BM25 contribution — ONE definition shared by
+    * the exhaustive scan and the WAND path, so a fully-evaluated WAND
+    * document carries bit-identical addends.
+    */
+  private def contribOf(w: Double, tf: Long, dl: Long): Double = {
+    val tfD = tf.toDouble
+    w * ((tfD * (k1 + 1.0)) /
+      (tfD + k1 * ((1.0 - b) + b * (dl.toDouble / avgdl))))
+  }
+
+  /** Per-term score upper bound for WAND: the max contribution over the
+    * term's own postings, computed ONCE at load with the exact serving
+    * expression (so ub(t) >= every real contribution of t by
+    * construction, not by analysis). Contributions are strictly positive
+    * here — the idf is the "+1" Robertson form (never negative).
+    */
+  private lazy val termUb: Map[String, Double] = postings.map { case (t, arr) =>
+    val w = idf.getOrElse(t, 0.0)
+    var m = 0.0
+    arr.foreach { case (_, tf, dl) =>
+      val c = contribOf(w, tf, dl); if (c > m) m = c
+    }
+    t -> m
+  }
+
   /** BM25 top-k for `terms`; unknown-terms-only queries return empty
     * (the [[Bm25.searchPostings]] contract).
     */
@@ -761,15 +786,122 @@ final class MemoryPostingsIndex private (
     present.sorted.foreach { term =>
       val w = idf(term)
       postings(term).foreach { case (id, tf, dl) =>
-        val tfD = tf.toDouble
-        val c = w * ((tfD * (k1 + 1.0)) /
-          (tfD + k1 * ((1.0 - b) + b * (dl.toDouble / avgdl))))
-        acc.put(id, acc.getOrDefault(id, 0.0) + c): Unit
+        acc.put(id, acc.getOrDefault(id, 0.0) + contribOf(w, tf, dl)): Unit
       }
     }
     acc.entrySet().asScala.toSeq
       .map(e => (e.getKey.toLong, e.getValue.toDouble))
       .sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+
+  /** WAND dynamic pruning (Broder et al., CIKM'03): document-at-a-time
+    * top-k that skips documents whose per-term upper-bound sum cannot
+    * reach the current k-th best score, WITHOUT changing the answer —
+    * results are bit-identical to [[search]] because (a) a fully
+    * evaluated document folds the SAME contributions in the SAME
+    * term-ascending order, and (b) pruning is guarded: a document is
+    * skipped only when ubSum + 64·ulp(ubSum ∨ θ) < θ. The guard covers
+    * float summation error (m addends accumulate ≤ m·u relative error,
+    * m ≤ 128 query terms here, and the real ubSum dominates the real
+    * score because every addend bound is exact and non-negative), and a
+    * document whose bound TIES θ is always evaluated, so score-tie
+    * id-ordering survives. Skipped-vs-evaluated counters are exposed for
+    * tests and ops ([[searchWandCounted]]).
+    */
+  def searchWand(terms: Seq[String], k: Int): Seq[(Long, Double)] =
+    searchWandCounted(terms, k)._1
+
+  /** [[searchWand]] plus (fullyEvaluatedDocs, skippedPostings). */
+  def searchWandCounted(terms: Seq[String], k: Int)
+      : (Seq[(Long, Double)], Long, Long) = {
+    if (k <= 0) return (Nil, 0L, 0L)
+    val present = terms.distinct
+      .filter(t => idf.contains(t) && postings.contains(t)).sorted
+    if (present.isEmpty) return (Nil, 0L, 0L)
+
+    final class Cur(val term: String, val arr: Array[(Long, Long, Long)],
+                    val w: Double, val ub: Double) {
+      var pos = 0
+      def id: Long = arr(pos)._1
+      def done: Boolean = pos >= arr.length
+      /** advance to the first posting with id >= target (binary search
+        * over the id-ascending array — the skip-list move)
+        */
+      def seek(target: Long): Long = {
+        var lo = pos; var hi = arr.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (arr(mid)._1 < target) lo = mid + 1 else hi = mid
+        }
+        val jumped = (lo - pos).toLong
+        pos = lo
+        jumped
+      }
+    }
+    var curs = present.map(t =>
+      new Cur(t, postings(t), idf(t), termUb(t))).toArray
+
+    // worst-first heap under the serving order (score desc, id asc):
+    // the worst entry has the SMALLEST score, largest id among ties
+    val heap = new java.util.PriorityQueue[(Long, Double)](k,
+      (a: (Long, Double), b: (Long, Double)) =>
+        if (a._2 != b._2) java.lang.Double.compare(a._2, b._2)
+        else java.lang.Long.compare(b._1, a._1))
+    var evaluated = 0L
+    var skipped = 0L
+
+    var active = true
+    while (active && curs.nonEmpty) {
+      val sorted = curs.sortBy(_.id)
+      val theta = if (heap.size < k) -1.0 else heap.peek()._2
+      // pivot: first prefix whose UB sum (plus the float guard) reaches θ
+      var acc = 0.0
+      var pivot = -1
+      var i = 0
+      while (pivot < 0 && i < sorted.length) {
+        acc += sorted(i).ub
+        if (acc + 64.0 * Math.ulp(Math.max(acc, theta)) >= theta) pivot = i
+        i += 1
+      }
+      if (pivot < 0) {
+        active = false // no remaining document can beat θ
+      } else {
+        val pivotDoc = sorted(pivot).id
+        if (sorted(0).id == pivotDoc) {
+          // full evaluation: every cursor at pivotDoc contributes; fold
+          // term-ascending = the TAAT/DataFrame per-doc order
+          val group = sorted.filter(c => !c.done && c.id == pivotDoc)
+          val pairs = group.map { c =>
+            val (_, tf, dl) = c.arr(c.pos)
+            (c.term, contribOf(c.w, tf, dl))
+          }.sortBy(_._1)
+          var s = 0.0
+          pairs.foreach(s += _._2)
+          evaluated += 1
+          if (heap.size < k) heap.add((pivotDoc, s)): Unit
+          else {
+            val worst = heap.peek()
+            if (s > worst._2 || (s == worst._2 && pivotDoc < worst._1)) {
+              heap.poll(); heap.add((pivotDoc, s)): Unit
+            }
+          }
+          group.foreach(_.pos += 1)
+        } else {
+          // docs below pivotDoc are only reachable through cursors
+          // 0..pivot-1, whose UB prefix sum is < θ − guard: skip them all
+          var j = 0
+          while (j < pivot) {
+            val c = sorted(j)
+            if (!c.done && c.id < pivotDoc) skipped += c.seek(pivotDoc)
+            j += 1
+          }
+        }
+        curs = curs.filterNot(_.done)
+      }
+    }
+    val out = Iterator.continually(heap.poll()).takeWhile(_ != null)
+      .toSeq.sortBy { case (id, s) => (-s, id) }
+    (out, evaluated, skipped)
   }
 }
 

@@ -132,6 +132,73 @@ class ServeSpec extends SparkSpec {
       avgdl, k = 10).collect().isEmpty)
   }
 
+  // ---- WAND dynamic pruning: same bits as the exhaustive scan, fewer
+  // evaluations. Parity is the contract — pruning that changes ANY bit
+  // of the answer is a different ranking function.
+
+  /** Postings frame straight from (id, term, tf, dl) rows — the memory
+    * tier only needs the relation shape, not the text pipeline.
+    */
+  private def postingsOf(rows: Seq[(Long, String, Long, Long)]) =
+    rows.toDF("doc_id", "term", "tf", "dl")
+
+  test("WAND: skewed corpus — bit-identical to exhaustive, evaluates a fraction") {
+    // 505 docs of only the common term + 5 docs that also carry a rare
+    // term — three at the head (so the heap fills with rare-doc scores
+    // and θ jumps above the common term's upper bound immediately) and
+    // two mid-stream (so the common cursor must SEEK over the gaps, not
+    // just terminate)
+    val common = (0L until 505L).map(id => (id, "common", 1L + id % 3, 10L))
+    val rare = Seq(0L, 1L, 2L, 250L, 400L).map(id => (id, "rare", 1L, 10L))
+    val idfMap = Map("common" -> 0.01, "rare" -> 5.0)
+    val mem = graft.serve.MemoryPostingsIndex.fromDataFrame(
+      postingsOf(common ++ rare), "doc_id", idfMap, avgdl = 10.0)
+    val (got, evaluated, skipped) = mem.searchWandCounted(Seq("common", "rare"), 3)
+    assert(got == mem.search(Seq("common", "rare"), 3))
+    assert(evaluated <= 10,
+      s"WAND evaluated $evaluated of 505 docs — pruning never engaged")
+    assert(skipped >= 350, s"only $skipped postings skipped")
+  }
+
+  test("WAND: randomized parity against the exhaustive scan (bits, order, ties)") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    for (iter <- 1 to 25) {
+      val nDocs = 20 + rnd.nextInt(60)
+      val rows = (0L until nDocs.toLong).flatMap { id =>
+        val dl = 5L + rnd.nextInt(20)
+        val terms = rnd.shuffle(vocab).take(1 + rnd.nextInt(5))
+        terms.map(t => (id, t, 1L + rnd.nextInt(4).toLong, dl))
+      }
+      val idfMap = vocab.map(t => t -> (0.05 + rnd.nextDouble() * 4.0)).toMap
+      val mem = graft.serve.MemoryPostingsIndex.fromDataFrame(
+        postingsOf(rows), "doc_id", idfMap, avgdl = 12.0)
+      val q = rnd.shuffle(vocab :+ "unknown").take(1 + rnd.nextInt(4))
+      val k = 1 + rnd.nextInt(15)
+      assert(mem.searchWand(q, k) == mem.search(q, k),
+        s"iter $iter: WAND diverged for q=$q k=$k")
+    }
+  }
+
+  test("WAND: identical docs tie on score and keep ascending-id order") {
+    // 30 clones → 30 identical scores; the top-k must be ids 0..k-1
+    val rows = (0L until 30L).flatMap(id =>
+      Seq((id, "x", 2L, 8L), (id, "y", 1L, 8L)))
+    val mem = graft.serve.MemoryPostingsIndex.fromDataFrame(
+      postingsOf(rows), "doc_id", Map("x" -> 1.5, "y" -> 0.7), avgdl = 8.0)
+    val got = mem.searchWand(Seq("x", "y"), 5)
+    assert(got == mem.search(Seq("x", "y"), 5))
+    assert(got.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(got.map(_._2).distinct.size == 1)
+  }
+
+  test("WAND contracts: k<=0 and unknown-only queries return empty") {
+    val mem = graft.serve.MemoryPostingsIndex.fromDataFrame(
+      postingsOf(Seq((0L, "x", 1L, 4L))), "doc_id", Map("x" -> 1.0), avgdl = 4.0)
+    assert(mem.searchWand(Seq("x"), 0).isEmpty)
+    assert(mem.searchWand(Seq("zzzz"), 5).isEmpty)
+  }
+
   test("memory hybrid == IVF leg + postings leg fused with rrfFuseLocal") {
     import graft.operators.Bm25
     // ids overlap by construction: both tiers serve the SAME 0..59 id
