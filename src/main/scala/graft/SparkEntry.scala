@@ -4091,6 +4091,26 @@ object SparkEntry {
       require(evaluated < stats.getLong(1),
         s"WAND evaluated every corpus doc ($evaluated) — pruning inert")
       hits.toDF("doc_id", "score")
+    }),
+
+    // ---- semi-supervised label propagation over the q39 near-dup pair
+    // graph: seed labels (every 7th doc, labeled by id parity so
+    // CONFLICTING labels meet inside components) spread for 3 synchronous
+    // rounds — majority vote, argmax by (votes DESC, label ASC). All
+    // integer decisions, so the full propagation is bit-portable; the
+    // oracle replays the 3 rounds as chained CTEs on the shared pair
+    // fragment. The curation use: extend sparse human quality labels to
+    // near-duplicate neighborhoods before training a classifier.
+    "q221_label_propagation" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        Seq("lang", "source"), n = 1, threshold = 0.9)
+      val seeds = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, lit("even"))
+            .otherwise(lit("odd")).as("label"))
+      graft.operators.Components.labelPropagate(
+        pairs.select("id_a", "id_b"), seeds, "doc_id", "label", rounds = 3)
     })
   )
 
@@ -5863,6 +5883,33 @@ object SparkEntry {
     "q220_wand_search" ->
       s"""SELECT doc_id, score FROM ${bm25ScoredSql(Seq("dup", "merge", "sort"))} s
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // 3 synchronous label-propagation rounds replayed as chained CTEs on
+    // the shared q39 pair fragment; argmax = row_number (votes DESC,
+    // label ASC) — all-integer, so no fold pinning is needed anywhere
+    "q221_label_propagation" -> {
+      def round(prev: String, k: Int): String =
+        s"""v$k AS (SELECT e.dst AS id, r.lab, count(*) AS c
+           |  FROM edges e JOIN $prev r ON r.id = e.src GROUP BY 1, 2),
+           |b$k AS (SELECT id, lab FROM (SELECT id, lab,
+           |    row_number() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn
+           |  FROM v$k) WHERE rn = 1),
+           |r$k AS (SELECT * FROM seeds UNION ALL
+           |  SELECT b.id, b.lab FROM b$k b
+           |  WHERE b.id NOT IN (SELECT id FROM seeds))""".stripMargin
+      s"""WITH $prefixPairsSql,
+         |pairs AS (SELECT id_a, id_b FROM jp WHERE jaccard >= 0.9),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |seeds AS (SELECT doc_id AS id,
+         |    CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS lab
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |r0 AS (SELECT id, lab FROM seeds),
+         |${round("r0", 1)},
+         |${round("r1", 2)},
+         |${round("r2", 3)}
+         |SELECT id AS doc_id, lab AS label FROM r3""".stripMargin
+    },
 
     // per-frame closed form (the q90 contract per frame): video i, frame
     // f, pixel (x,y) = (7x + 13y + i + 31f) mod 256 over (8 + i%8) ×

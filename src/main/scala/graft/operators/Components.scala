@@ -256,4 +256,55 @@ object Components {
       .select(idCol)
     df.join(keep, Seq(idCol), "left_semi")
   }
+
+  /** Semi-supervised label propagation (Zhu/Ghahramani-style, hard
+    * labels): seed labels spread over the pair graph for a FIXED number
+    * of synchronous rounds. Each round, every non-seed node adopts the
+    * majority label of its labeled neighbors — argmax by (votes DESC,
+    * label ASC), an all-integer decision, so the result is deterministic
+    * and engine-portable with no float anywhere. Seeds are clamped.
+    * Nodes with no labeled neighbor stay unlabeled (absent from the
+    * output); the labeled set only grows, and a node that was labeled in
+    * round r always has a labeled neighbor in round r+1 (its label
+    * source keeps its own label), so re-voting each round from scratch
+    * loses nothing. Known LPA boundary, spec-pinned: synchronous
+    * re-voting can oscillate at vote ties (a node equidistant between
+    * two seed regions flips with round parity) — `rounds` is a model
+    * parameter (label influence radius), not a convergence knob.
+    *
+    * Scale shape: per round, ONE edge⋈label join (labels hash-partition
+    * by id; the edge list is the static side) + ONE (node, label) count
+    * aggregate + ONE bounded argmax aggregate — the Pregel message round
+    * as vanilla shuffles, cost O(E_labeled)/round, rounds fixed by the
+    * caller (label influence radius), not data-dependent.
+    *
+    * @param pairs undirected edges as `id_a`, `id_b`
+    * @param seeds (`idCol`, `labelCol`) — the clamped ground-truth rows
+    * @param rounds number of synchronous propagation rounds
+    * @return (`idCol`, `labelCol`) for every labeled node
+    */
+  def labelPropagate(pairs: DataFrame, seeds: DataFrame, idCol: String,
+                     labelCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val edges = pairs.select(col("id_a").as("__src"), col("id_b").as("__dst"))
+      .unionByName(pairs.select(col("id_b").as("__src"), col("id_a").as("__dst")))
+      .localCheckpoint(true) // the static side of every round's join
+    val seed = seeds.select(col(idCol), col(labelCol))
+    var cur = seed
+    for (_ <- 1 to rounds) {
+      val votes = edges
+        .join(cur.withColumnRenamed(idCol, "__src"), "__src")
+        .groupBy(col("__dst"), col(labelCol))
+        .agg(count(lit(1)).as("__votes"))
+      // argmax (votes DESC, label ASC) as ONE min-of-struct aggregate:
+      // (-votes, label) minimizes to the winner under the pinned rule
+      val best = votes.groupBy(col("__dst"))
+        .agg(min(struct((-col("__votes")).as("nv"), col(labelCol).as("l")))
+          .as("__w"))
+        .select(col("__dst").as(idCol), col("__w").getField("l").as(labelCol))
+      cur = seed.unionByName(best.join(seed, Seq(idCol), "left_anti"))
+        .localCheckpoint(true) // truncate the growing round lineage
+    }
+    cur
+  }
 }

@@ -1187,4 +1187,53 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
       s"semantic decontamination must stay map-side:\n$plan")
   }
+
+  // ---------------------------------------------------------------- label propagation
+
+  private def lpPairs(es: (Long, Long)*) = es.toSeq.toDF("id_a", "id_b")
+  private def lpSeeds(ss: (Long, String)*) = ss.toSeq.toDF("doc_id", "label")
+  private def lpRun(pairs: org.apache.spark.sql.DataFrame,
+                    seeds: org.apache.spark.sql.DataFrame,
+                    rounds: Int): Map[Long, String] =
+    Components.labelPropagate(pairs, seeds, "doc_id", "label", rounds)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("label propagation: chain spreads round by round; equidistant tie -> label asc") {
+    // 1x — 2 — 3 — 4 — 5y: round 1 labels 2/4, round 2 reaches 3 with a
+    // 1-1 conflict (x from 2, y from 4) — the pinned rule takes 'x'
+    val pairs = lpPairs((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val seeds = lpSeeds(1L -> "x", 5L -> "y")
+    assert(lpRun(pairs, seeds, 0) == Map(1L -> "x", 5L -> "y"))
+    assert(lpRun(pairs, seeds, 1) ==
+      Map(1L -> "x", 2L -> "x", 4L -> "y", 5L -> "y"))
+    assert(lpRun(pairs, seeds, 2) ==
+      Map(1L -> "x", 2L -> "x", 3L -> "x", 4L -> "y", 5L -> "y"))
+    // the documented LPA boundary: synchronous re-voting can OSCILLATE
+    // at ties — round 3 flips 4 to 'x' (neighbors 3:x, 5:y tie, label
+    // asc). rounds is a model parameter (label influence radius), not a
+    // convergence knob; the oracle replays the same fixed-round model.
+    assert(lpRun(pairs, seeds, 3) ==
+      Map(1L -> "x", 2L -> "x", 3L -> "x", 4L -> "x", 5L -> "y"))
+  }
+
+  test("label propagation: majority outvotes; seeds are clamped") {
+    // node 10 has two 'y' neighbors and one 'x' neighbor -> 'y';
+    // seed 20 is surrounded by 'x' voters but keeps its clamped 'y'
+    val pairs = lpPairs((10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 3L))
+    val seeds = lpSeeds(1L -> "x", 2L -> "y", 3L -> "y", 20L -> "y")
+    val got = lpRun(pairs, seeds, 1)
+    assert(got(10L) == "y", s"majority must win, got $got")
+    assert(got(20L) == "y", "seed label must stay clamped")
+    // 1/2/3 are seeds themselves: clamped regardless of neighbor votes
+    assert(got(1L) == "x" && got(2L) == "y" && got(3L) == "y")
+  }
+
+  test("label propagation: components with no seed stay unlabeled") {
+    val pairs = lpPairs((1L, 2L), (98L, 99L))
+    val seeds = lpSeeds(1L -> "x")
+    val got = lpRun(pairs, seeds, 3)
+    assert(got == Map(1L -> "x", 2L -> "x"),
+      s"the seedless 98—99 component must stay absent, got $got")
+  }
 }
