@@ -4111,6 +4111,24 @@ object SparkEntry {
             .otherwise(lit("odd")).as("label"))
       graft.operators.Components.labelPropagate(
         pairs.select("id_a", "id_b"), seeds, "doc_id", "label", rounds = 3)
+    }),
+
+    // ---- skyline (Pareto frontier) document selection: keep every doc
+    // no other doc beats on chars AND tokens AND vocabulary richness at
+    // once — the multi-criteria curation selector where any weighted
+    // score would impose an arbitrary trade-off. Distributed SFS: the
+    // dim-sum-DESC sort makes each partition's frontier append-only
+    // (strict dominators have strictly larger sums over integers), so
+    // phase 1 is map-side and only local frontiers reach the final
+    // task. All comparisons integer -> the oracle is the literal
+    // NOT EXISTS dominance definition.
+    "q222_skyline_docs" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+        .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+        .withColumn("n_kinds",
+          size(array_distinct(split(col("text"), " "))).cast("long"))
+      graft.operators.Skyline.skyline(docs, "doc_id",
+        Seq("n_chars", "n_toks", "n_kinds"))
     })
   )
 
@@ -5910,6 +5928,21 @@ object SparkEntry {
          |${round("r2", 3)}
          |SELECT id AS doc_id, lab AS label FROM r3""".stripMargin
     },
+
+    // the skyline BY DEFINITION: a row survives iff NO row is >= on all
+    // three integer criteria and > on at least one (the quadratic form
+    // the SFS implementation avoids; equivalence IS the gate)
+    "q222_skyline_docs" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_kinds
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_toks, n_kinds FROM d a
+        |WHERE NOT EXISTS (SELECT 1 FROM d b
+        |  WHERE b.n_chars >= a.n_chars AND b.n_toks >= a.n_toks
+        |    AND b.n_kinds >= a.n_kinds
+        |    AND (b.n_chars > a.n_chars OR b.n_toks > a.n_toks
+        |      OR b.n_kinds > a.n_kinds))""".stripMargin,
 
     // per-frame closed form (the q90 contract per frame): video i, frame
     // f, pixel (x,y) = (7x + 13y + i + 31f) mod 256 over (8 + i%8) ×
