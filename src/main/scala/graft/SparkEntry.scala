@@ -4129,6 +4129,23 @@ object SparkEntry {
           size(array_distinct(split(col("text"), " "))).cast("long"))
       graft.operators.Skyline.skyline(docs, "doc_id",
         Seq("n_chars", "n_toks", "n_kinds"))
+    }),
+
+    // ---- PageRank over the customer→supplier purchase graph (link
+    // analysis joins the surface): 3 power iterations of the simple
+    // form, dangling mass not redistributed. Node ids disambiguate the
+    // two key spaces as cust·2 / supp·2+1; every float step is either a
+    // correctly-rounded divide or an ORDER-PINNED in-neighbor fold
+    // (src ascending), so 3 chained iterations hash-compare exactly.
+    "q223_pagerank_purchase_graph" -> ((s, dir) => {
+      val orders = rd(s, dir, "orders")
+      val li = rd(s, dir, "lineitem")
+      val edges = orders
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      graft.operators.PageRank.pageRank(edges, iters = 3)
     })
   )
 
@@ -5927,6 +5944,34 @@ object SparkEntry {
          |${round("r1", 2)},
          |${round("r2", 3)}
          |SELECT id AS doc_id, lab AS label FROM r3""".stripMargin
+    },
+
+    // 3 power iterations as chained CTEs: per-iteration contribution =
+    // one correctly-rounded divide, in-neighbor sum = list_sum over the
+    // src-ascending list (the engine's pinned fold), teleport/damping as
+    // shared literals — the whole 3-deep float chain hash-compares
+    "q223_pagerank_purchase_graph" -> {
+      def it(prev: String, k: Int): String =
+        s"""c$k AS (SELECT e.dst, e.src, p.pr / CAST(od.odeg AS DOUBLE) AS c
+           |  FROM e JOIN od USING (src) JOIN $prev p ON p.v = e.src),
+           |s$k AS (SELECT dst, list_sum(list(c ORDER BY src)) AS s
+           |  FROM c$k GROUP BY dst),
+           |p$k AS (SELECT v, CAST(0.15 AS DOUBLE) / nd.nD
+           |    + CAST(0.85 AS DOUBLE) * coalesce(s.s, CAST(0 AS DOUBLE)) AS pr
+           |  FROM nodes CROSS JOIN nd LEFT JOIN s$k s ON s.dst = v)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT o_custkey * 2 AS src,
+         |    l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |nodes AS (SELECT DISTINCT v FROM
+         |  (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nD FROM nodes),
+         |od AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+         |p0 AS (SELECT v, CAST(1 AS DOUBLE) / nd.nD AS pr
+         |  FROM nodes CROSS JOIN nd),
+         |${it("p0", 1)},
+         |${it("p1", 2)},
+         |${it("p2", 3)}
+         |SELECT v AS node_id, pr FROM p3""".stripMargin
     },
 
     // the skyline BY DEFINITION: a row survives iff NO row is >= on all
