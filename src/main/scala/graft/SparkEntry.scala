@@ -164,6 +164,12 @@ object SparkEntry {
        |  p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
        |     * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))""".stripMargin
 
+  /** Inner product in index order — the numerator of [[cosSql]], the twin
+    * of the codegen DotProduct's double fold.
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
   private def cosSql(a: String, b: String): String =
     s"""(list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
        | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
@@ -4146,6 +4152,20 @@ object SparkEntry {
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
       graft.operators.PageRank.pageRank(edges, iters = 3)
+    }),
+
+    // ---- MIPS (max inner product) retrieval: the un-normalized metric
+    // recommendation/LTR scores live in — magnitude carries signal, so
+    // cosine is the WRONG metric (AnnSpec plants a long-vector row that
+    // MIPS must rank first and cosine must not). Exact scan here; the
+    // Bachrach RecSys'14 augmentation (spec'd) lets the same queries
+    // ride the cosine IVF/HNSW index stack at scale.
+    "q224_mips_search" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val qv = storedVecs(emb, 11).head
+      Ann.topKMips(emb.where(col("vec_id") =!= 11), "vec_id", "embedding",
+          qv, 10)
+        .select("vec_id", "score")
     })
   )
 
@@ -5945,6 +5965,14 @@ object SparkEntry {
          |${round("r2", 3)}
          |SELECT id AS doc_id, lab AS label FROM r3""".stripMargin
     },
+
+    // the index-order double fold (dotSql = the codegen DotProduct twin),
+    // no normalization anywhere — that absence IS the metric
+    "q224_mips_search" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 11)
+         |SELECT e.vec_id, ${dotSql("e.embedding", "q.qv")} AS score
+         |FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 11
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
 
     // 3 power iterations as chained CTEs: per-iteration contribution =
     // one correctly-rounded divide, in-neighbor sum = list_sum over the

@@ -30,6 +30,50 @@ object Ann {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
 
+  /** Exact max-inner-product top-k (the un-normalized metric —
+    * recommendation scores, learned rankers whose magnitude carries
+    * signal). Same `TakeOrderedAndProject` shape as [[topK]], scored by
+    * the codegen dot product (index-order double fold — the oracle's
+    * `list_sum` over the zipped pair list).
+    */
+  def topKMips(corpus: DataFrame, idCol: String, embCol: String,
+               query: Seq[Float], k: Int, filter: Column = lit(true)): DataFrame =
+    corpus.where(filter && col(embCol).isNotNull)
+      .withColumn("score", dotProduct(col(embCol), typedlit(query)))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
+  /** MIPS → cosine reduction (Bachrach et al., RecSys'14): append
+    * sqrt(M² − ‖x‖²) to every vector, where M = the corpus max norm, and
+    * 0 to the query ([[mipsQuery]]). Every augmented vector then has
+    * norm exactly M, so cosine ORDER over the augmented space equals
+    * inner-product order over the original — and MIPS can ride the
+    * entire cosine index stack (IVF cells, HNSW, hyperplane buckets)
+    * unchanged. Scores differ by the monotone dot/M transform; only the
+    * ORDER transfers, which is what an index prune needs (exact rerank
+    * re-scores with [[topKMips]]).
+    *
+    * M² is ONE driver-side scalar (a max aggregate); augmentation is
+    * map-side. Float rounding note: ‖x‖² accumulates in double and the
+    * appended element rounds to float once — with M² ≥ ‖x‖² by
+    * construction the sqrt argument is clamped at ≥ 0.
+    */
+  def withMipsAugmentation(df: DataFrame, embCol: String,
+                           augCol: String = "mips_aug"): DataFrame = {
+    val sq = aggregate(col(embCol), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val m2 = df.where(col(embCol).isNotNull)
+      .agg(max(sq)).head().getDouble(0)
+    df.withColumn(augCol,
+      concat(col(embCol),
+        array(sqrt(greatest(lit(m2) - sq, lit(0.0))).cast("float"))))
+  }
+
+  /** The query-side half of [[withMipsAugmentation]]: same vector, one
+    * trailing zero (contributes nothing to any augmented dot).
+    */
+  def mipsQuery(query: Seq[Float]): Seq[Float] = query :+ 0.0f
+
   /** Parent-document retrieval (the RAG two-granularity pattern): retrieve
     * at CHUNK granularity — small spans embed precisely — then return the
     * PARENT documents, each scored by its best chunk. Stage 1 is the exact

@@ -550,4 +550,72 @@ class AnnSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(out == Seq(0L)) // pool holds only parent-0 chunks -> one parent
   }
+
+  // ---- MIPS: the inner-product metric and its cosine reduction
+
+  test("topKMips equals driver-side dot-product sort.take, bit-exact") {
+    val q = Seq.tabulate(12)(i => (i - 6) / 7f)
+    val got = Ann.topKMips(corpus, "id", "emb", q, 9)
+      .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val all = corpus.collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        var d = 0.0
+        v.indices.foreach(i => d += v(i).toDouble * q(i).toDouble)
+        (r.getLong(0), d)
+      }
+      .sortBy(x => (-x._2, x._1)).take(9)
+    assert(got.toSeq == all.toSeq)
+  }
+
+  test("MIPS != cosine: a long vector outranks a better-aligned short one") {
+    // v1 is perfectly aligned but short; v2 misaligned but long — MIPS
+    // must prefer v2, cosine must prefer v1 (the metrics genuinely differ
+    // on this corpus, so the next test's reduction is non-vacuous)
+    val df = Seq((1L, Seq(0.1f, 0f)), (2L, Seq(5f, 3f)))
+      .toDF("id", "emb")
+    val q = Seq(1f, 0f)
+    assert(Ann.topKMips(df, "id", "emb", q, 1).collect().head.getLong(0) == 2L)
+    assert(Ann.topK(df, "id", "emb", q, 1).collect().head.getLong(0) == 1L)
+  }
+
+  test("MIPS augmentation: cosine order over augmented space == dot order; norms equalized") {
+    val rnd = new scala.util.Random(5)
+    // varied norms on purpose — scale rows so MIPS and cosine disagree
+    val df = Seq.tabulate(80)(i =>
+        (i.toLong, Array.fill(6)((rnd.nextFloat() * 2 - 1) * (1 + i % 7))))
+      .toDF("id", "emb")
+    val aug = Ann.withMipsAugmentation(df, "emb").localCheckpoint(true)
+    // all augmented norms equal (to float precision): max/min ratio ~ 1
+    val norms = aug.select(
+        graft.functions.VectorFunctions.l2Norm(col("mips_aug")).as("n"))
+      .agg(max("n"), min("n")).head()
+    assert(norms.getDouble(0) / norms.getDouble(1) < 1.0001,
+      s"augmented norms should equalize, got ${norms}")
+    for (qi <- 1 to 5) {
+      val q = Seq.fill(6)(rnd.nextFloat() * 2 - 1)
+      val wantIds = Ann.topKMips(df, "id", "emb", q, 10)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      val gotIds = Ann.topK(aug, "id", "mips_aug", Ann.mipsQuery(q), 10)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(gotIds == wantIds, s"query $qi: augmented-cosine order diverged")
+    }
+  }
+
+  test("MIPS augmentation rides the IVF index: full probe == exact MIPS order") {
+    val rnd = new scala.util.Random(9)
+    val df = Seq.tabulate(120)(i =>
+        (i.toLong, Array.fill(6)((rnd.nextFloat() * 2 - 1) * (1 + i % 5))))
+      .toDF("id", "emb")
+    val aug = Ann.withMipsAugmentation(df, "emb").localCheckpoint(true)
+    val cents = Ann.sampleCentroids(aug, "id", "mips_aug", 4)
+    val assigned = Ann.withIvfAssignment(aug, "mips_aug", cents)
+    val q = Seq.fill(6)(rnd.nextFloat() * 2 - 1)
+    val want = Ann.topKMips(df, "id", "emb", q, 8)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val got = Ann.topKIvf(assigned, "id", "mips_aug", "ivf_cell", cents,
+        Ann.mipsQuery(q), k = 8, nProbe = 4)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got == want, "full-probe IVF over augmented vectors must equal exact MIPS order")
+  }
 }
