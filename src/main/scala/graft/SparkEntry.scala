@@ -4166,6 +4166,55 @@ object SparkEntry {
       Ann.topKMips(emb.where(col("vec_id") =!= 11), "vec_id", "embedding",
           qv, 10)
         .select("vec_id", "score")
+    }),
+
+    // ---- STREAMING Misra-Gries heavy hitters (streaming/MgStream): the
+    // per-group counter table accumulates across micro-batches with the
+    // mergeable-summaries rule (sum by token, subtract the (cap+1)-th
+    // largest, drop non-positives) replayed relationally. Inside the
+    // exactness window (capacity >= per-group distinct tokens) the
+    // accumulated table equals exact counts, so sliced arrival lands on
+    // q110's batch oracle VERBATIM — the q161/q173/q178 accumulate
+    // discipline for the MG family.
+    "q225_streaming_heavy_hitters" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q225").toString
+      val docs = rd(s, dir, "documents")
+      (1 to 2).foreach { i =>
+        docs.where(pmod(col("doc_id"), lit(2)) === lit(i - 1))
+          .coalesce(1).write.parquet(f"$tmp/in/slice_$i%03d")
+        val walk = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(f"$tmp/in/slice_$i%03d"))
+        try walk.forEach { p =>
+          if (!p.toFile.setLastModified(1000000000000L + i * 60000L))
+            sys.error(s"q225: setLastModified failed for $p")
+        } finally walk.close()
+      }
+      val table = s"$tmp/mg"
+      withStreamPartitions(s) {
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(s"$tmp/in/*")
+        val q = stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            graft.streaming.MgStream.accumulateBatch(table,
+              graft.streaming.MgStream.mgPartial(batch, "source", "text",
+                capacity = 1024),
+              "source", capacity = 1024)
+        }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val byRank = Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("token"))
+      val top = s.read.parquet(table)
+        .withColumn("rnk", row_number().over(byRank).cast("long"))
+        .where(col("rnk") <= 5)
+        .select(col("source"), col("token"), col("n").as("n_occ"), col("rnk"))
+      val result = s.createDataFrame(top.collectAsList(), top.schema)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      result
     })
   )
 
@@ -5572,15 +5621,7 @@ object SparkEntry {
     // capacity 1024 >> distinct tokens => the Misra-Gries sketch is exact,
     // so the exact per-source counts + deterministic (n_occ DESC, token
     // ASC) rank are the oracle (q96's exactness window, stratified)
-    "q110_group_heavy_hitters" ->
-      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
-        |  FROM documents),
-        |cnt AS (SELECT source, token, count(*) AS n_occ
-        |  FROM tok GROUP BY 1, 2),
-        |r AS (SELECT source, token, n_occ,
-        |  CAST(row_number() OVER (PARTITION BY source
-        |    ORDER BY n_occ DESC, token ASC) AS BIGINT) AS rnk FROM cnt)
-        |SELECT source, token, n_occ, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "q110_group_heavy_hitters" -> groupHeavyHittersOracleSql,
 
     // trailing-hour RANGE frame over integer micros; count exact, min/max
     // order-free — frame membership is the thing under test
@@ -5965,6 +6006,10 @@ object SparkEntry {
          |${round("r2", 3)}
          |SELECT id AS doc_id, lab AS label FROM r3""".stripMargin
     },
+
+    // the MG exactness window makes the streaming accumulate land on the
+    // exact batch oracle — q110's transcription verbatim
+    "q225_streaming_heavy_hitters" -> groupHeavyHittersOracleSql,
 
     // the index-order double fold (dotSql = the codegen DotProduct twin),
     // no normalization anywhere — that absence IS the metric
@@ -7636,6 +7681,20 @@ object SparkEntry {
        |SELECT CAST(depth AS INTEGER) AS depth, CAST(count(*) AS BIGINT) AS n_users
        |FROM u GROUP BY depth""".stripMargin
   }
+
+  /** q110/q225 twin: exact per-group token counts, top-5 by (count DESC,
+    * token ASC) — the batch sketch (in its exactness window) and the
+    * streaming MG accumulate must BOTH land on it.
+    */
+  private lazy val groupHeavyHittersOracleSql: String =
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |cnt AS (SELECT source, token, count(*) AS n_occ
+      |  FROM tok GROUP BY 1, 2),
+      |r AS (SELECT source, token, n_occ,
+      |  CAST(row_number() OVER (PARTITION BY source
+      |    ORDER BY n_occ DESC, token ASC) AS BIGINT) AS rnk FROM cnt)
+      |SELECT source, token, n_occ, rnk FROM r WHERE rnk <= 5""".stripMargin
 
   /** q166/q182 twin: integer counts, one double division per stat. */
   private lazy val sourceReputationOracleSql: String =

@@ -139,4 +139,51 @@ class VocabSpec extends SparkSpec {
     assert(!plan.contains("Window") && !plan.contains("Sort ["),
       s"per-term sort/window leaked into the postings plan:\n$plan")
   }
+
+  // ---- streaming Misra-Gries accumulate (streaming/MgStream)
+
+  test("MgStream accumulate in-window: sliced arrival lands on exact per-group counts") {
+    import graft.streaming.MgStream
+    val tmp = java.nio.file.Files.createTempDirectory("mgstream").toString
+    val table = s"$tmp/t"
+    val rows = (0 until 120).map(i =>
+      (s"g${i % 3}", s"tok${i % 7} tok${i % 5} filler"))
+      .toDF("source", "text")
+    (0 until 3).foreach { sl =>
+      val slice = rows.where(crc32(col("text")) % 3 === sl)
+      MgStream.accumulateBatch(table,
+        MgStream.mgPartial(slice, "source", "text", capacity = 64),
+        "source", capacity = 64)
+    }
+    val acc = spark.read.parquet(table)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exact = rows
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("source", "token").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(acc == exact,
+      "inside the capacity window the accumulated table must equal exact counts")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
+  test("MgStream accumulate over capacity: table merge == the aggregator's merge rule") {
+    import graft.streaming.MgStream
+    val tmp = java.nio.file.Files.createTempDirectory("mgstream2").toString
+    val table = s"$tmp/t"
+    val cap = 3
+    val m1 = Map("a" -> 5L, "b" -> 3L, "c" -> 2L)
+    val m2 = Map("b" -> 4L, "d" -> 6L, "e" -> 1L)
+    def asDf(m: Map[String, Long]) =
+      m.toSeq.map { case (t, n) => ("g", t, n) }.toDF("source", "token", "n")
+    MgStream.accumulateBatch(table, asDf(m1), "source", cap)
+    MgStream.accumulateBatch(table, asDf(m2), "source", cap)
+    val got = spark.read.parquet(table)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val want = new Vocab.MisraGries(cap).merge(m1, m2)
+    // sums: a:5 b:7 c:2 d:6 e:1 -> 4th largest = 2 -> a:3 b:5 d:4
+    assert(want == Map("a" -> 3L, "b" -> 5L, "d" -> 4L), s"reference drifted: $want")
+    assert(got == want, s"table merge $got != aggregator merge $want")
+    assert(got.size <= cap, "per-group state must stay within capacity")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
 }
