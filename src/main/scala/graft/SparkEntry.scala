@@ -4215,6 +4215,22 @@ object SparkEntry {
       val result = s.createDataFrame(top.collectAsList(), top.schema)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       result
+    }),
+
+    // ---- LTR training-set construction (operators/Ltr): candidate
+    // generation (BM25-matched ∪ dense top-pool, self excluded) +
+    // per-candidate features (bm25 with 0.0-for-unmatched, codegen
+    // cosine, dl, n_chars) + weak labels from the exact dense top-10 —
+    // the ranking pipeline's nightly feature job, every fragment an
+    // already-gated transcription composed under ONE hash.
+    "q226_ltr_features" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val Seq(qv1, qv2) = storedVecs(emb, 7, 13)
+      graft.operators.Ltr.featureTable(
+        rdPar(s, dir, "documents"), emb, "doc_id", "vec_id",
+        Seq((1L, Seq("dup", "stream"), qv1, 7L),
+          (2L, Seq("merge", "sort"), qv2, 13L)),
+        labelK = 10, densePool = 20)
     })
   )
 
@@ -6010,6 +6026,35 @@ object SparkEntry {
     // the MG exactness window makes the streaming accumulate land on the
     // exact batch oracle — q110's transcription verbatim
     "q225_streaming_heavy_hitters" -> groupHeavyHittersOracleSql,
+
+    // every feature is an existing gated transcription (bm25ScoredSql,
+    // cosSql, integer lengths); the composition adds only integer joins
+    // and an exact 0.0 coalesce — one subquery per query, UNION ALL
+    "q226_ltr_features" -> {
+      def one(qid: Int, terms: Seq[String], vid: Int): String =
+        s"""(WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $vid),
+           |lex AS (SELECT doc_id, score FROM ${bm25ScoredSql(terms)} s),
+           |scored AS (SELECT e.vec_id AS id, ${cosSql("e.embedding", "q.qv")} AS cos
+           |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> $vid),
+           |pool AS (SELECT id FROM scored ORDER BY cos DESC, id LIMIT 20),
+           |lab AS (SELECT id FROM scored ORDER BY cos DESC, id LIMIT 10),
+           |cands AS (SELECT DISTINCT id FROM
+           |  (SELECT doc_id AS id FROM lex UNION ALL SELECT id FROM pool) u
+           |  WHERE id <> $vid),
+           |d AS (SELECT doc_id, n_chars,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents)
+           |SELECT CAST($qid AS BIGINT) AS qid, c.id AS doc_id,
+           |  coalesce(l.score, CAST(0 AS DOUBLE)) AS bm25,
+           |  sc.cos AS cos, d.dl, d.n_chars,
+           |  CAST(CASE WHEN t.id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS label
+           |FROM cands c
+           |LEFT JOIN lex l ON l.doc_id = c.id
+           |JOIN scored sc ON sc.id = c.id
+           |JOIN d ON d.doc_id = c.id
+           |LEFT JOIN lab t ON t.id = c.id)""".stripMargin
+      s"""SELECT * FROM ${one(1, Seq("dup", "stream"), 7)} a
+         |UNION ALL SELECT * FROM ${one(2, Seq("merge", "sort"), 13)} b""".stripMargin
+    },
 
     // the index-order double fold (dotSql = the codegen DotProduct twin),
     // no normalization anywhere — that absence IS the metric
