@@ -4231,6 +4231,23 @@ object SparkEntry {
         Seq((1L, Seq("dup", "stream"), qv1, 7L),
           (2L, Seq("merge", "sort"), qv2, 13L)),
         labelK = 10, densePool = 20)
+    }),
+
+    // ---- triangle counting / clustering coefficients over the q39
+    // near-dup pair graph: the graph-SHAPE diagnostic component closure
+    // (q62) is blind to — high-coefficient components are tight template
+    // families (collapse freely), zero-triangle stars are one hub
+    // spuriously similar to many unrelated docs (collapse over-deletes).
+    // Degree-ordered node-iterator: each triangle counted at its
+    // order-minimum vertex, wedge volume O(E^1.5), hubs root no wedges.
+    // All-integer decisions; the oracle is the same wedge-close join
+    // chain on the shared pair fragment.
+    "q227_triangle_counts" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        Seq("lang", "source"), n = 1, threshold = 0.9)
+      graft.operators.Triangles.triangleCounts(pairs.select("id_a", "id_b"))
+        .withColumnRenamed("id", "doc_id")
     })
   )
 
@@ -6026,6 +6043,29 @@ object SparkEntry {
     // the MG exactness window makes the streaming accumulate land on the
     // exact batch oracle — q110's transcription verbatim
     "q225_streaming_heavy_hitters" -> groupHeavyHittersOracleSql,
+
+    // the DEFINITIONAL triangle enumeration (each triangle once as
+    // x<y<z over the canonical a<b edge set) — deliberately NOT the
+    // engine's degree-ordered orientation, so the oracle checks the
+    // node-iterator rather than replaying it; all counts integer, the
+    // coefficient one correctly-rounded division both engines share
+    "q227_triangle_counts" ->
+      s"""WITH $prefixPairsSql,
+         |e AS (SELECT id_a AS a, id_b AS b FROM jp WHERE jaccard >= 0.9),
+         |deg AS (SELECT id, count(*) AS degree FROM
+         |  (SELECT a AS id FROM e UNION ALL SELECT b FROM e) u GROUP BY 1),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tn AS (SELECT id, count(*) AS t FROM
+         |  (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+         |   UNION ALL SELECT z FROM tri) u GROUP BY 1)
+         |SELECT deg.id AS doc_id, deg.degree,
+         |  CAST(coalesce(tn.t, 0) AS BIGINT) AS triangles,
+         |  CASE WHEN deg.degree < 2 THEN 0.0
+         |    ELSE CAST(coalesce(tn.t, 0) AS DOUBLE) * 2.0
+         |      / CAST(deg.degree * (deg.degree - 1) AS DOUBLE) END AS coeff
+         |FROM deg LEFT JOIN tn ON tn.id = deg.id""".stripMargin,
 
     // every feature is an existing gated transcription (bm25ScoredSql,
     // cosSql, integer lengths); the composition adds only integer joins
