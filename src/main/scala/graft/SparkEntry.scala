@@ -4248,7 +4248,18 @@ object SparkEntry {
         Seq("lang", "source"), n = 1, threshold = 0.9)
       graft.operators.Triangles.triangleCounts(pairs.select("id_a", "id_b"))
         .withColumnRenamed("id", "doc_id")
-    })
+    }),
+
+    // ---- cohort retention matrix over events: users grouped by
+    // first-seen ISO week, distinct-active counts at each week offset.
+    // The raw stream is touched ONCE (map-side project + partial-dedup
+    // distinct); the per-user min, offset join, and matrix agg all run
+    // on the compacted (user, week) relation — bounded by users×weeks,
+    // never event count. All-integer (week starts exact, offsets exact
+    // multiples of 7 days), so the matrix is bit-portable.
+    "q228_cohort_retention" -> ((s, dir) =>
+      graft.operators.Retention.cohortRetention(
+        events(s, dir), "user_id", "ts"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -6066,6 +6077,18 @@ object SparkEntry {
          |    ELSE CAST(coalesce(tn.t, 0) AS DOUBLE) * 2.0
          |      / CAST(deg.degree * (deg.degree - 1) AS DOUBLE) END AS coeff
          |FROM deg LEFT JOIN tn ON tn.id = deg.id""".stripMargin,
+
+    // same compaction replayed: distinct (user, week) -> per-user min ->
+    // integer week offsets; Monday week starts on both engines
+    "q228_cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id AS uid,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT uid, min(wk) AS cohort_wk FROM uw GROUP BY 1)
+        |SELECT strftime(c.cohort_wk, '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', c.cohort_wk, uw.wk) // 7 AS BIGINT) AS week_offset,
+        |  count(*) AS n_users
+        |FROM uw JOIN c ON c.uid = uw.uid GROUP BY 1, 2""".stripMargin,
 
     // every feature is an existing gated transcription (bm25ScoredSql,
     // cosSql, integer lengths); the composition adds only integer joins
