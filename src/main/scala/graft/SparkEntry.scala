@@ -4259,7 +4259,24 @@ object SparkEntry {
     // multiples of 7 days), so the matrix is bit-portable.
     "q228_cohort_retention" -> ((s, dir) =>
       graft.operators.Retention.cohortRetention(
-        events(s, dir), "user_id", "ts"))
+        events(s, dir), "user_id", "ts")),
+
+    // ---- hard-negative mining for contrastive training: per anchor,
+    // the top-10 most-cosine-similar rows with a DIFFERENT label — the
+    // decision-boundary lookalikes a margin loss learns from (q99's ring
+    // draws negatives uniformly; this draws them adversarially). One
+    // topKBatch-shaped job: anchors broadcast, codegen cosine map-side,
+    // label exclusion BEFORE the bounded heap.
+    "q229_hard_negatives" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val anchors = emb.where(col("vec_id").isin(7L, 13L))
+        .select("vec_id", "embedding", "label").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq, r.getInt(2)))
+        .sortBy(_._1).toSeq
+      Ann.hardNegatives(emb, "vec_id", "embedding", "label",
+        anchors, nNeg = 10)
+        .select("qid", "vec_id", "score")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -6089,6 +6106,22 @@ object SparkEntry {
         |  CAST(date_diff('day', c.cohort_wk, uw.wk) // 7 AS BIGINT) AS week_offset,
         |  count(*) AS n_users
         |FROM uw JOIN c ON c.uid = uw.uid GROUP BY 1, 2""".stripMargin,
+
+    // per anchor: rank different-label rows by the shared cosine fold,
+    // top 10 by (score DESC, id ASC) — the label exclusion in the WHERE
+    "q229_hard_negatives" -> {
+      def one(vid: Int): String =
+        s"""(WITH q AS (SELECT embedding AS qv, label AS ql
+           |    FROM embeddings WHERE vec_id = $vid)
+           |SELECT CAST($vid AS BIGINT) AS qid, e.vec_id,
+           |  ${cosSql("e.embedding", "q.qv")} AS score
+           |FROM embeddings e CROSS JOIN q
+           |WHERE e.label <> q.ql AND e.label IS NOT NULL
+           |  AND e.embedding IS NOT NULL
+           |ORDER BY score DESC, e.vec_id LIMIT 10)""".stripMargin
+      s"""SELECT * FROM ${one(7)} a
+         |UNION ALL SELECT * FROM ${one(13)} b""".stripMargin
+    },
 
     // every feature is an existing gated transcription (bm25ScoredSql,
     // cosSql, integer lengths); the composition adds only integer joins

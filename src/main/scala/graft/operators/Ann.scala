@@ -209,6 +209,38 @@ object Ann {
         col("col.id").as(idCol), col("col.score").as("score"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query (typically an anchor document's own embedding), the top `nNeg`
+    * most-similar corpus rows whose LABEL DIFFERS — the lookalikes a
+    * margin loss learns the most from. [[graft.operators.Sampling.ringNegatives]]
+    * draws negatives uniformly-at-hash; this draws them adversarially from
+    * the decision boundary. Same one-job shape as [[topKBatch]]: queries
+    * (with their labels) ride a broadcast, scoring is map-side codegen
+    * cosine, and the bounded [[TopKAgg]] heap keeps nNeg per query — the
+    * label exclusion is a pre-aggregation filter, so same-label rows never
+    * enter the heap (and the anchor can never mine itself). Ties break
+    * (score DESC, id ASC) like every ranking here.
+    */
+  def hardNegatives(corpus: DataFrame, idCol: String, embCol: String,
+                    labelCol: String, queries: Seq[(Long, Seq[Float], Int)],
+                    nNeg: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val topkUdaf = udaf(new TopKAgg(nNeg), Encoders.product[Scored])
+    val qDf = queries.toDF("qid", "qvec", "qlabel")
+    corpus.where(col(embCol).isNotNull && col(labelCol).isNotNull)
+      .crossJoin(broadcast(qDf))
+      .where(col(labelCol) =!= col("qlabel"))
+      .select(col("qid"),
+        cosineSim(col(embCol), col("qvec")).as("score"),
+        col(idCol).cast("long").as("nid"))
+      .groupBy("qid")
+      .agg(topkUdaf(col("score"), col("nid")).as("topk"))
+      .select(col("qid"), posexplode(col("topk")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("col.id").as(idCol), col("col.score").as("score"))
+  }
+
   /** Deterministic seeded gaussian hyperplanes for sign-bit LSH. */
   def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Seq[Float]] = {
     val rnd = new scala.util.Random(seed)

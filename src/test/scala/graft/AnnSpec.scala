@@ -618,4 +618,29 @@ class AnnSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSeq
     assert(got == want, "full-probe IVF over augmented vectors must equal exact MIPS order")
   }
+
+  test("hardNegatives: top different-label rows, anchor excluded, ≡ driver ranking") {
+    val rnd = new scala.util.Random(9)
+    val rows = Seq.tabulate(120)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1), i % 3))
+    val df = rows.toDF("id", "emb", "label")
+    val anchors = Seq(5, 40).map { i =>
+      val r = rows(i); (r._1, r._2.toSeq, r._3)
+    }
+    val got = Ann.hardNegatives(df, "id", "emb", "label", anchors, nNeg = 7)
+      .select("qid", "rank", "id", "score").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    anchors.foreach { case (qid, qv, ql) =>
+      val want = rows.filter(_._3 != ql)
+        .map(r => (r._1, Ann.cosine(r._2.toSeq, qv)))
+        .sortBy(x => (-x._2, x._1)).take(7)
+      val g = got(qid).sortBy(_._2)
+      assert(g.map(x => (x._3, x._4)).toSeq == want, s"anchor $qid")
+      assert(g.forall(_._3 != qid), "anchor never mines itself")
+      assert(g.map(_._2).toSeq == (1 to 7), "ranks are 1..nNeg")
+      val labels = rows.map(r => r._1 -> r._3).toMap
+      assert(g.forall(x => labels(x._3) != ql), "no same-label negative")
+    }
+  }
 }
