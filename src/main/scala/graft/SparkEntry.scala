@@ -4276,6 +4276,23 @@ object SparkEntry {
       Ann.hardNegatives(emb, "vec_id", "embedding", "label",
         anchors, nNeg = 10)
         .select("qid", "vec_id", "score")
+    }),
+
+    // ---- market-basket association rules over order⋈part baskets:
+    // directional brand⇒brand rules with support and confidence floors.
+    // q128's lift is symmetric surprise; rules add DIRECTION and the
+    // Apriori pruning pushed into the plan — the frequent-item set
+    // broadcast-semi-joins onto occurrences BEFORE pair generation, so
+    // the long tail never reaches the self-join. Confidence gate =
+    // integer cross-multiplication; reported confidence/lift are each
+    // one correctly-rounded division.
+    "q230_association_rules" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem")
+      val part = rd(s, dir, "part")
+      val baskets = li.join(part, col("p_partkey") === col("l_partkey"))
+        .select(col("l_orderkey"), col("p_brand"))
+      graft.operators.Cooccur.associationRules(baskets,
+        "l_orderkey", "p_brand", minSupport = 20L, confP = 1L, confQ = 8L)
     })
   )
 
@@ -6122,6 +6139,31 @@ object SparkEntry {
       s"""SELECT * FROM ${one(7)} a
          |UNION ALL SELECT * FROM ${one(13)} b""".stripMargin
     },
+
+    // Apriori replayed: frequent filter before the pair join, HAVING on
+    // pair support, integer cross-multiplied confidence gate, the same
+    // two single-division floats
+    "q230_association_rules" ->
+      """WITH occ AS (SELECT DISTINCT l_orderkey AS c, p_brand AS l
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_orderkey IS NOT NULL AND p_brand IS NOT NULL),
+        |tot AS (SELECT l, count(*) AS n FROM occ GROUP BY 1),
+        |freq AS (SELECT l, n FROM tot WHERE n >= 20),
+        |focc AS (SELECT c, l FROM occ WHERE l IN (SELECT l FROM freq)),
+        |pr AS (SELECT a.l AS la, b.l AS lb, count(*) AS n_ab
+        |  FROM focc a JOIN focc b ON a.c = b.c AND a.l < b.l
+        |  GROUP BY 1, 2 HAVING count(*) >= 20),
+        |d AS (SELECT la AS antecedent, lb AS consequent, n_ab FROM pr
+        |  UNION ALL SELECT lb, la, n_ab FROM pr),
+        |nt AS (SELECT count(DISTINCT c) AS n FROM occ)
+        |SELECT d.antecedent, d.consequent, fa.n AS n_ant, fc.n AS n_cons,
+        |  d.n_ab,
+        |  CAST(d.n_ab AS DOUBLE) / CAST(fa.n AS DOUBLE) AS confidence,
+        |  CAST(d.n_ab AS DOUBLE) * CAST(nt.n AS DOUBLE)
+        |    / (CAST(fa.n AS DOUBLE) * CAST(fc.n AS DOUBLE)) AS lift
+        |FROM d JOIN freq fa ON fa.l = d.antecedent
+        |JOIN freq fc ON fc.l = d.consequent CROSS JOIN nt
+        |WHERE d.n_ab * 8 >= 1 * fa.n""".stripMargin,
 
     // every feature is an existing gated transcription (bm25ScoredSql,
     // cosSql, integer lengths); the composition adds only integer joins

@@ -48,4 +48,58 @@ object Cooccur {
         (col("n_ab").cast("double") * lit(nTotal.toDouble) /
           (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
   }
+
+  /** Market-basket association rules: directional `antecedent ⇒
+    * consequent` with support and confidence thresholds — [[lift]]
+    * measures symmetric surprise; rules add DIRECTION (conf(a⇒b) =
+    * n_ab/n_a ≠ conf(b⇒a)) and the support floor that makes the result
+    * actionable (recommendations, co-crawl scheduling, query
+    * suggestion).
+    *
+    * Scale = the Apriori pruning pushed INTO the plan: a pair cannot
+    * clear `minSupport` unless both items do, so the frequent-item set
+    * (a bounded aggregate) broadcast-semi-joins onto the occurrence
+    * relation BEFORE the container self-join — rare labels (the long
+    * tail, most of the vocabulary) never reach pair generation. Pair
+    * volume is then C(frequent-per-container, 2), not
+    * C(labels-per-container, 2).
+    *
+    * `minConfidence` is the exact rational confP/confQ, enforced by
+    * integer cross-multiplication (`n_ab * confQ >= confP * n_a`) — no
+    * float threshold crossing. The reported confidence and lift are each
+    * ONE correctly-rounded division of exact integer products, both
+    * engines identical.
+    */
+  def associationRules(df: DataFrame, containerCol: String, labelCol: String,
+                       minSupport: Long, confP: Long, confQ: Long): DataFrame = {
+    require(confQ > 0 && confP >= 0, s"confidence $confP/$confQ must be a nonnegative rational")
+    val occ = df.select(col(containerCol).as("c"), col(labelCol).as("l"))
+      .where(col("c").isNotNull && col("l").isNotNull)
+      .distinct()
+    val totals = occ.groupBy(col("l")).agg(count(lit(1)).as("n"))
+    val frequent = totals.where(col("n") >= minSupport)
+    val nTotal = occ.select(countDistinct(col("c"))).head.getLong(0)
+    val focc = occ.join(broadcast(frequent.select(col("l"))), Seq("l"), "leftsemi")
+    val pairs = focc.select(col("c"), col("l").as("la"))
+      .join(focc.select(col("c").as("c2"), col("l").as("lb")),
+        col("c") === col("c2") && col("la") < col("lb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+    // each surviving pair emits both directions; confidence gate exact
+    val directed = pairs
+      .select(col("la").as("antecedent"), col("lb").as("consequent"), col("n_ab"))
+      .unionAll(pairs.select(col("lb"), col("la"), col("n_ab")))
+    directed
+      .join(broadcast(frequent.select(col("l").as("antecedent"), col("n").as("n_ant"))),
+        Seq("antecedent"))
+      .join(broadcast(frequent.select(col("l").as("consequent"), col("n").as("n_cons"))),
+        Seq("consequent"))
+      .where(col("n_ab") * confQ >= lit(confP) * col("n_ant"))
+      .select(col("antecedent"), col("consequent"),
+        col("n_ant"), col("n_cons"), col("n_ab"),
+        (col("n_ab").cast("double") / col("n_ant").cast("double")).as("confidence"),
+        (col("n_ab").cast("double") * lit(nTotal.toDouble) /
+          (col("n_ant").cast("double") * col("n_cons").cast("double"))).as("lift"))
+  }
 }

@@ -122,6 +122,47 @@ class CooccurHistorySpec extends SparkSpec {
       "label totals must broadcast onto the pair counts")
   }
 
+  // ------------------------------------ Cooccur.associationRules
+
+  test("associationRules: direction, support floor, exact confidence gate") {
+    // 6 baskets: a,b together in 4; c with a in 2; d appears once (infrequent)
+    val baskets = Seq(
+      (1L, "a"), (1L, "b"),
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "b"), (3L, "c"),
+      (4L, "a"), (4L, "b"),
+      (5L, "a"), (5L, "c"),
+      (6L, "b"), (6L, "d")
+    ).toDF("u", "l")
+    // minSupport 2, confidence >= 3/5
+    val out = Cooccur.associationRules(baskets, "u", "l", 2L, 3L, 5L)
+      .as[(String, String, Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // n_a=5, n_b=5, n_c=2, n_ab=4, n_ac=2; d never pairs frequently
+    // conf(a=>b)=4/5 keeps; conf(b=>a)=4/5 keeps; conf(a=>c)=2/5 DROPS
+    // at exactly-below; conf(c=>a)=2/2=1 keeps
+    assert(out.keySet === Set(("a", "b"), ("b", "a"), ("c", "a")))
+    val ab = out(("a", "b"))
+    assert(ab._3 == 5 && ab._4 == 5 && ab._5 == 4)
+    assert(ab._6 == 4.0 / 5.0)
+    assert(ab._7 == 4.0 * 6.0 / (5.0 * 5.0))
+    val ca = out(("c", "a"))
+    assert(ca._3 == 2 && ca._6 == 1.0)
+    assert(!out.contains(("a", "c")), "2/5 < 3/5 must drop — exact rational gate")
+    assert(out.keys.forall { case (x, y) => !x.contains("d") && !y.contains("d") },
+      "infrequent item pruned before pairing")
+  }
+
+  test("associationRules: boundary confidence exactly at p/q is kept") {
+    // conf(x=>y) = 2/4 with gate 1/2: cross-multiplication keeps equality
+    val b2 = Seq((1L, "x"), (1L, "y"), (2L, "x"), (3L, "x"), (4L, "x"), (4L, "y"))
+      .toDF("u", "l")
+    val out = Cooccur.associationRules(b2, "u", "l", 2L, 1L, 2L)
+      .as[(String, String, Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2)).toSet
+    assert(out.contains(("x", "y")), "n_ab*q == p*n_ant must pass (>=, not >)")
+  }
+
   // ------------------------------------- Outliers train/apply (flagAgainst)
 
   test("flagAgainst: yesterday's profile flags today's drift") {
