@@ -4293,6 +4293,28 @@ object SparkEntry {
         .select(col("l_orderkey"), col("p_brand"))
       graft.operators.Cooccur.associationRules(baskets,
         "l_orderkey", "p_brand", minSupport = 20L, confP = 1L, confQ = 8L)
+    }),
+
+    // ---- JL sign-projection search: 64→16 deterministic ±1 projection
+    // (map-side codegen folds, no shuffle — the scan-byte lever at
+    // 100 TB), candidate top-50 in projected space, exact cosine rerank
+    // over the ORIGINAL vectors on the bounded pool. The query projects
+    // through the ENGINE's own fold (its stored proj row), so projected
+    // scores are bit-identical to the oracle's transcription.
+    "q231_jl_projection_search" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val signs = Ann.signMatrix(dim = 64, outDim = 16)
+      val proj = Ann.withSignProjection(emb, "embedding", signs, "proj")
+      val qp = proj.where(col("vec_id") === 11L)
+        .select("proj").head.getSeq[Float](0).toSeq
+      val qv = storedVecs(emb, 11).head
+      val cands = Ann.topK(proj.where(col("vec_id") =!= 11L),
+        "vec_id", "proj", qp, 50)
+      cands.select("vec_id").join(emb, "vec_id")
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.cosineSim(
+            col("embedding"), typedlit(qv)).as("score"))
+        .orderBy(desc("score"), col("vec_id")).limit(10)
     })
   )
 
@@ -6164,6 +6186,27 @@ object SparkEntry {
         |FROM d JOIN freq fa ON fa.l = d.antecedent
         |JOIN freq fc ON fc.l = d.consequent CROSS JOIN nt
         |WHERE d.n_ab * 8 >= 1 * fa.n""".stripMargin,
+
+    // the SAME literal ±1 matrix transcribed: each projected coordinate
+    // is the dotSql fold rounded once to REAL; candidates ranked by the
+    // projected cosine, final order by the exact cosine over originals
+    "q231_jl_projection_search" -> {
+      val signs = Ann.signMatrix(dim = 64, outDim = 16)
+      def lits(s: Seq[Float]): String =
+        s.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      val projExprs = signs.map(s =>
+        s"CAST(${dotSql("embedding", lits(s))} AS REAL)").mkString(",\n    ")
+      s"""WITH pc AS (SELECT vec_id, list_value(
+         |    $projExprs) AS proj FROM embeddings),
+         |qp AS (SELECT proj AS qproj FROM pc WHERE vec_id = 11),
+         |cand AS (SELECT pc.vec_id, ${cosSql("pc.proj", "qp.qproj")} AS ps
+         |  FROM pc CROSS JOIN qp WHERE pc.vec_id <> 11
+         |  ORDER BY ps DESC, pc.vec_id LIMIT 50),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 11)
+         |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS score
+         |FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id CROSS JOIN q
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin
+    },
 
     // every feature is an existing gated transcription (bm25ScoredSql,
     // cosSql, integer lengths); the composition adds only integer joins

@@ -241,6 +241,33 @@ object Ann {
         col("col.id").as(idCol), col("col.score").as("score"))
   }
 
+  /** Deterministic ±1 projection matrix (outDim rows × dim) for
+    * Johnson-Lindenstrauss sign projection — the dense-but-cheap member
+    * of the Achlioptas family (±1 entries preserve pairwise distances in
+    * expectation exactly like gaussians, with integer-weight dot
+    * products). Seeded, so both the engine plan and the oracle
+    * transcription are built from the SAME literal matrix.
+    */
+  def signMatrix(dim: Int, outDim: Int, seed: Long = 99L): Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(outDim)(Seq.fill(dim)(if (rnd.nextBoolean()) 1f else -1f))
+  }
+
+  /** Append a JL sign-projected embedding: out[j] = dot(emb, signs[j]),
+    * each a codegen index-order double fold rounded once to float32 —
+    * both engines reproduce the bits. Pure map-side projection (no
+    * shuffle); at 100 TB this is the scan-cost lever: a 64→16
+    * projection quarters the bytes every downstream distance scan
+    * touches, and the projected column feeds the ENTIRE existing ANN
+    * stack (brute/IVF/LSH/HNSW) unchanged, with exact rerank over the
+    * original vectors restoring full-precision order on the bounded
+    * candidate pool.
+    */
+  def withSignProjection(df: DataFrame, embCol: String,
+                         signs: Seq[Seq[Float]], outCol: String): DataFrame =
+    df.withColumn(outCol,
+      array(signs.map(s => dotProduct(col(embCol), typedlit(s)).cast("float")): _*))
+
   /** Deterministic seeded gaussian hyperplanes for sign-bit LSH. */
   def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Seq[Float]] = {
     val rnd = new scala.util.Random(seed)

@@ -619,6 +619,47 @@ class AnnSpec extends SparkSpec {
     assert(got == want, "full-probe IVF over augmented vectors must equal exact MIPS order")
   }
 
+  test("withSignProjection: coordinates ≡ driver index-order fold, partition-stable") {
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.tabulate(50)(i => (i.toLong, Array.fill(12)(rnd.nextFloat() * 2 - 1)))
+    val signs = Ann.signMatrix(12, 4, seed = 5)
+    def driverProj(v: Seq[Float]): Seq[Float] = signs.map { s =>
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) { acc += v(i).toDouble * s(i).toDouble; i += 1 }
+      acc.toFloat
+    }
+    for (parts <- Seq(1, 5)) {
+      val got = Ann.withSignProjection(
+        rows.toDF("id", "emb").repartition(parts), "emb", signs, "proj")
+        .select("id", "proj").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+      rows.foreach { case (id, v) => assert(got(id) == driverProj(v.toSeq), s"id=$id") }
+    }
+    assert(Ann.signMatrix(12, 4, seed = 5) == signs, "matrix is seed-deterministic")
+    assert(signs.flatten.forall(v => v == 1f || v == -1f))
+  }
+
+  test("sign projection preserves neighborhoods on clustered data (pool recall)") {
+    val rnd = new scala.util.Random(17)
+    val centers = Seq.fill(5)(Array.fill(32)(rnd.nextFloat() * 2 - 1))
+    val rows = Seq.tabulate(200) { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => x + rnd.nextFloat() * 0.2f - 0.1f))
+    }
+    val df = rows.toDF("id", "emb")
+    val q = rows(40)._2.toSeq // a member of cluster 0
+    val exactTop = Ann.topK(df.where($"id" =!= 40L), "id", "emb", q, 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val signs = Ann.signMatrix(32, 8, seed = 3)
+    val proj = Ann.withSignProjection(df, "emb", signs, "proj")
+    val qp = proj.where($"id" === 40L).select("proj").head.getSeq[Float](0).toSeq
+    val pool = Ann.topK(proj.where($"id" =!= 40L), "id", "proj", qp, 30)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val recall = exactTop.intersect(pool).size.toDouble / exactTop.size
+    assert(recall >= 0.8, s"projected pool recall $recall — JL quality collapsed")
+  }
+
   test("hardNegatives: top different-label rows, anchor excluded, ≡ driver ranking") {
     val rnd = new scala.util.Random(9)
     val rows = Seq.tabulate(120)(i =>
