@@ -4315,6 +4315,46 @@ object SparkEntry {
           graft.functions.VectorFunctions.cosineSim(
             col("embedding"), typedlit(qv)).as("score"))
         .orderBy(desc("score"), col("vec_id")).limit(10)
+    }),
+
+    // ---- streaming cohort retention: the accumulate state IS the
+    // compacted distinct (uid, wk) relation — distinct-union is the
+    // textbook mergeable summary, so the accumulate is EXACT under any
+    // slicing (no exactness window) and the derived matrix lands on the
+    // batch oracle verbatim. State bounded by users×weeks; published
+    // through UpsertSink's crash-safe swap.
+    "q232_streaming_retention" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q232").toString
+      val ev = events(s, dir)
+      (1 to 3).foreach { i =>
+        ev.where(pmod(col("event_id"), lit(3)) === lit(i - 1))
+          .coalesce(1).write.parquet(f"$tmp/in/slice_$i%03d")
+        val walk = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(f"$tmp/in/slice_$i%03d"))
+        try walk.forEach { p =>
+          if (!p.toFile.setLastModified(1000000000000L + i * 60000L))
+            sys.error(s"q232: setLastModified failed for $p")
+        } finally walk.close()
+      }
+      val table = s"$tmp/uw"
+      withStreamPartitions(s) {
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(s"$tmp/in/*")
+        val q = stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            graft.streaming.RetentionStream.accumulateBatch(table,
+              graft.streaming.RetentionStream.uwPartial(batch, "user_id", "ts"))
+        }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val matrix = graft.streaming.RetentionStream.matrix(s, table)
+      val result = s.createDataFrame(matrix.collectAsList(), matrix.schema)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      result
     })
   )
 
@@ -6136,15 +6176,11 @@ object SparkEntry {
 
     // same compaction replayed: distinct (user, week) -> per-user min ->
     // integer week offsets; Monday week starts on both engines
-    "q228_cohort_retention" ->
-      """WITH uw AS (SELECT DISTINCT user_id AS uid,
-        |    CAST(date_trunc('week', ts) AS DATE) AS wk
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-        |c AS (SELECT uid, min(wk) AS cohort_wk FROM uw GROUP BY 1)
-        |SELECT strftime(c.cohort_wk, '%Y-%m-%d') AS cohort_week,
-        |  CAST(date_diff('day', c.cohort_wk, uw.wk) // 7 AS BIGINT) AS week_offset,
-        |  count(*) AS n_users
-        |FROM uw JOIN c ON c.uid = uw.uid GROUP BY 1, 2""".stripMargin,
+    "q228_cohort_retention" -> cohortRetentionOracleSql,
+
+    // the distinct-union accumulate is EXACT under any slicing, so the
+    // streaming form lands on the batch oracle verbatim
+    "q232_streaming_retention" -> cohortRetentionOracleSql,
 
     // per anchor: rank different-label rows by the shared cosine fold,
     // top 10 by (score DESC, id ASC) — the label exclusion in the WHERE
@@ -7921,6 +7957,20 @@ object SparkEntry {
       |  CAST(row_number() OVER (PARTITION BY source
       |    ORDER BY n_occ DESC, token ASC) AS BIGINT) AS rnk FROM cnt)
       |SELECT source, token, n_occ, rnk FROM r WHERE rnk <= 5""".stripMargin
+
+  /** q228/q232 twin: distinct (user, week) compaction → per-user min →
+    * exact day/7 offsets — the batch operator and the streaming
+    * distinct-union accumulate must BOTH land on it.
+    */
+  private lazy val cohortRetentionOracleSql: String =
+    """WITH uw AS (SELECT DISTINCT user_id AS uid,
+      |    CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |c AS (SELECT uid, min(wk) AS cohort_wk FROM uw GROUP BY 1)
+      |SELECT strftime(c.cohort_wk, '%Y-%m-%d') AS cohort_week,
+      |  CAST(date_diff('day', c.cohort_wk, uw.wk) // 7 AS BIGINT) AS week_offset,
+      |  count(*) AS n_users
+      |FROM uw JOIN c ON c.uid = uw.uid GROUP BY 1, 2""".stripMargin
 
   /** q166/q182 twin: integer counts, one double division per stat. */
   private lazy val sourceReputationOracleSql: String =

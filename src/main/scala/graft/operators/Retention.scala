@@ -30,12 +30,23 @@ object Retention {
     * Monday-start (`date_trunc('week', ...)` on both engines).
     */
   def cohortRetention(events: DataFrame, userCol: String, tsCol: String)
-      : DataFrame = {
-    val uw = events
+      : DataFrame =
+    matrixFromUserWeeks(userWeeks(events, userCol, tsCol))
+
+  /** The compacted (uid, wk) relation — distinct ISO-week activity per
+    * user. This IS the retention state: distinct-union mergeable across
+    * arbitrary slicings (the streaming accumulate's merge rule), bounded
+    * by users × active-weeks.
+    */
+  def userWeeks(events: DataFrame, userCol: String, tsCol: String): DataFrame =
+    events
       .where(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol).as("uid"),
         to_date(date_trunc("week", col(tsCol))).as("wk"))
       .distinct()
+
+  /** Derive the retention matrix from a distinct (uid, wk) relation. */
+  def matrixFromUserWeeks(uw: DataFrame): DataFrame = {
     val cohort = uw.groupBy("uid").agg(min(col("wk")).as("cohort_wk"))
     uw.join(cohort, "uid")
       .groupBy(
