@@ -4355,7 +4355,18 @@ object SparkEntry {
       val result = s.createDataFrame(matrix.collectAsList(), matrix.schema)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       result
-    })
+    }),
+
+    // ---- first-order Markov transition matrix over per-user event
+    // sequences: the funnels (q164+) CHECK a hypothesized step order;
+    // this FINDS the orders worth hypothesizing. ONE per-entity window
+    // shuffle (lead over the pinned (ts, event_id) total order — ts
+    // alone would be tie-nondeterministic), then a hash agg over the
+    // bounded state×state key space. Integer counts; p = one division.
+    "q233_event_transitions" -> ((s, dir) =>
+      graft.operators.Transitions.transitionMatrix(
+        events(s, dir), "user_id",
+        Seq(col("ts"), col("event_id")), "event_type"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -6181,6 +6192,21 @@ object SparkEntry {
     // the distinct-union accumulate is EXACT under any slicing, so the
     // streaming form lands on the batch oracle verbatim
     "q232_streaming_retention" -> cohortRetentionOracleSql,
+
+    // lead over the same pinned (ts, event_id) order; counts integer,
+    // p the shared single division
+    "q233_event_transitions" ->
+      """WITH st AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |c AS (SELECT event_type AS from_state, nxt AS to_state, count(*) AS n
+        |  FROM st WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS n_from
+        |  FROM c GROUP BY 1)
+        |SELECT c.from_state, c.to_state, c.n, f.n_from,
+        |  CAST(c.n AS DOUBLE) / CAST(f.n_from AS DOUBLE) AS p
+        |FROM c JOIN f ON f.from_state = c.from_state""".stripMargin,
 
     // per anchor: rank different-label rows by the shared cosine fold,
     // top 10 by (score DESC, id ASC) — the label exclusion in the WHERE
