@@ -4366,7 +4366,23 @@ object SparkEntry {
     "q233_event_transitions" -> ((s, dir) =>
       graft.operators.Transitions.transitionMatrix(
         events(s, dir), "user_id",
-        Seq(col("ts"), col("event_id")), "event_type"))
+        Seq(col("ts"), col("event_id")), "event_type")),
+
+    // ---- 2-core of the near-dup graph: the density filter — tight
+    // template families survive the peel, chains and stars dissolve
+    // (the "collapse only the dense part" curation selector; q227
+    // scores closure, this extracts the dense subgraph). Each round ONE
+    // degree agg + two node-key semi-joins on a strictly shrinking edge
+    // set; 6-round contract, early-exit ≡ fixed-round replay once
+    // converged. All-integer.
+    "q234_kcore_docs" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        Seq("lang", "source"), n = 1, threshold = 0.9)
+      graft.operators.KCore.kCore(pairs.select("id_a", "id_b"),
+        k = 2, maxRounds = 6)
+        .withColumnRenamed("id", "doc_id")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -6207,6 +6223,26 @@ object SparkEntry {
         |SELECT c.from_state, c.to_state, c.n, f.n_from,
         |  CAST(c.n AS DOUBLE) / CAST(f.n_from AS DOUBLE) AS p
         |FROM c JOIN f ON f.from_state = c.from_state""".stripMargin,
+
+    // the fixed 6-round peel replayed as chained CTEs (extra rounds
+    // no-op after convergence, so the engine's early exit lands here);
+    // MATERIALIZED is load-bearing — inlined CTEs would re-expand the
+    // whole prior round at every reference, exponentially
+    "q234_kcore_docs" -> {
+      def round(i: Int): String =
+        s"""d$i AS MATERIALIZED (SELECT id, count(*) AS dg FROM
+           |  (SELECT a AS id FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) u
+           |  GROUP BY 1),
+           |s$i AS MATERIALIZED (SELECT id FROM d$i WHERE dg >= 2),
+           |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+           |  WHERE a IN (SELECT id FROM s$i) AND b IN (SELECT id FROM s$i))""".stripMargin
+      s"""WITH $prefixPairsSql,
+         |e0 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM jp WHERE jaccard >= 0.9),
+         |${(1 to 6).map(round).mkString(",\n")}
+         |SELECT id AS doc_id, count(*) AS core_degree FROM
+         |  (SELECT a AS id FROM e6 UNION ALL SELECT b FROM e6) u
+         |GROUP BY 1""".stripMargin
+    },
 
     // per anchor: rank different-label rows by the shared cosine fold,
     // top 10 by (score DESC, id ASC) — the label exclusion in the WHERE
