@@ -4382,6 +4382,41 @@ object SparkEntry {
       graft.operators.KCore.kCore(pairs.select("id_a", "id_b"),
         k = 2, maxRounds = 6)
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // ---- entity resolution across two derived "source systems" of the
+    // customer table (billing: odd keys only, name uppercased and
+    // missing for every 3rd, balance rounded to dollars, segment
+    // degraded for every 5th): Fellegi-Sunter integer agree/disagree/
+    // missing weights summed and thresholded into match / possible —
+    // the possible band IS the clerical-review queue. Candidates from
+    // the nation-block equi-join (never A×B), scoring map-side codegen,
+    // non-matches dropped before anything downstream.
+    "q235_entity_resolution" -> ((s, dir) => {
+      val cust = rd(s, dir, "customer")
+      val cents = round(col("c_acctbal") * 100).cast("long")
+      val a = cust.select(col("c_nationkey").as("nation"),
+        col("c_custkey").as("a_key"), col("c_name").as("a_name"),
+        col("c_mktsegment").as("a_seg"), cents.as("a_cents"))
+      // integer FLOOR-to-dollar: the (x%100+100)%100 subtraction is the
+      // same expression text both engines run (% keeps dividend sign on
+      // both; `div` would truncate while DuckDB's // floors)
+      val b = cust.where(col("c_custkey") % 2 === 1)
+        .select(col("c_nationkey").as("nation"),
+          col("c_custkey").as("b_key"),
+          when(col("c_custkey") % 3 =!= 0, upper(col("c_name"))).as("b_name"),
+          when(col("c_custkey") % 5 === 0, lit("UNKNOWN"))
+            .otherwise(col("c_mktsegment")).as("b_seg"),
+          (cents - ((cents % 100 + 100) % 100)).as("b_cents"))
+      val nameScore = when(col("b_name").isNull, 0L)
+        .when(upper(col("a_name")) === col("b_name"), 6L).otherwise(-6L)
+      val balScore = when(col("a_cents") === col("b_cents"), 4L)
+        .when(abs(col("a_cents") - col("b_cents")) <= 100L, 2L).otherwise(-3L)
+      val segScore = when(col("b_seg") === "UNKNOWN", 0L)
+        .when(col("a_seg") === col("b_seg"), 1L).otherwise(-2L)
+      graft.operators.EntityResolution.scorePairs(a, b, Seq("nation"),
+        Seq(nameScore, balScore, segScore), matchMin = 7L, possibleMin = 3L)
+        .select("a_key", "b_key", "score", "cls")
     })
   )
 
@@ -6243,6 +6278,31 @@ object SparkEntry {
          |  (SELECT a AS id FROM e6 UNION ALL SELECT b FROM e6) u
          |GROUP BY 1""".stripMargin
     },
+
+    // the same derivations, weights, and thresholds transcribed; the
+    // floor-to-dollar subtraction is textually identical on both sides
+    "q235_entity_resolution" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        |a AS (SELECT c_nationkey AS nation, c_custkey AS a_key,
+        |    c_name AS a_name, c_mktsegment AS a_seg, cents AS a_cents FROM c),
+        |b AS (SELECT c_nationkey AS nation, c_custkey AS b_key,
+        |    CASE WHEN c_custkey % 3 <> 0 THEN upper(c_name) END AS b_name,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN'
+        |      ELSE c_mktsegment END AS b_seg,
+        |    cents - ((cents % 100 + 100) % 100) AS b_cents
+        |  FROM c WHERE c_custkey % 2 = 1),
+        |p AS (SELECT a_key, b_key,
+        |    (CASE WHEN b_name IS NULL THEN 0
+        |      WHEN upper(a_name) = b_name THEN 6 ELSE -6 END)
+        |    + (CASE WHEN a_cents = b_cents THEN 4
+        |      WHEN abs(a_cents - b_cents) <= 100 THEN 2 ELSE -3 END)
+        |    + (CASE WHEN b_seg = 'UNKNOWN' THEN 0
+        |      WHEN a_seg = b_seg THEN 1 ELSE -2 END) AS score
+        |  FROM a JOIN b USING (nation))
+        |SELECT a_key, b_key, CAST(score AS BIGINT) AS score,
+        |  CASE WHEN score >= 7 THEN 'match' ELSE 'possible' END AS cls
+        |FROM p WHERE score >= 3""".stripMargin,
 
     // per anchor: rank different-label rows by the shared cosine fold,
     // top 10 by (score DESC, id ASC) — the label exclusion in the WHERE

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EntityResolution
+
+/** Fellegi-Sunter scoring: class thresholds, missing-field neutrality,
+  * blocking containment, contract checks.
+  */
+class EntityResolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val a = Seq(
+    (1, 10L, "alice", 500L),
+    (1, 11L, "bob", 720L),
+    (2, 12L, "carol", 900L)
+  ).toDF("blk", "a_key", "a_name", "a_v")
+
+  private val b = Seq(
+    (1, 20L, Some("ALICE"), 500L), // = alice: name+value agree
+    (1, 21L, None, 700L),          // bob, name lost: value-only evidence
+    (1, 22L, Some("MALLORY"), 1L), // stranger: disagrees everywhere
+    (3, 23L, Some("CAROL"), 900L)  // carol's twin in ANOTHER block
+  ).toDF("blk", "b_key", "b_name", "b_v")
+
+  private def scores = Seq(
+    when(col("b_name").isNull, 0L)
+      .when(upper(col("a_name")) === col("b_name"), 6L).otherwise(-6L),
+    when(abs(col("a_v") - col("b_v")) <= 50L, 3L).otherwise(-3L))
+
+  test("match / possible classes; non-matches dropped; missing field scores 0") {
+    val got = EntityResolution.scorePairs(a, b, Seq("blk"), scores,
+      matchMin = 7L, possibleMin = 3L)
+      .select("a_key", "b_key", "score", "cls")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got((10L, 20L)) === ((9L, "match")))
+    assert(got((11L, 21L)) === ((3L, "possible")), "missing name → value evidence only")
+    assert(!got.contains((10L, 22L)) && !got.contains((11L, 22L)),
+      "strangers score below possibleMin")
+    assert(!got.contains((10L, 21L)), "alice vs nameless bob: 0 - 3 < 3")
+    assert(got.size === 2)
+  }
+
+  test("blocking is containment: cross-block twins are never candidates") {
+    val got = EntityResolution.scorePairs(a, b, Seq("blk"), scores, 7L, 3L)
+      .select("a_key", "b_key").as[(Long, Long)].collect().toSet
+    assert(!got.contains((12L, 23L)),
+      "carol's perfect twin sits in another block — blocking must not see it")
+  }
+
+  test("thresholds validated") {
+    intercept[IllegalArgumentException] {
+      EntityResolution.scorePairs(a, b, Seq("blk"), scores, 1L, 5L)
+    }
+    intercept[IllegalArgumentException] {
+      EntityResolution.scorePairs(a, b, Seq("blk"), Seq.empty, 1L, 0L)
+    }
+  }
+}
