@@ -4417,6 +4417,20 @@ object SparkEntry {
       graft.operators.EntityResolution.scorePairs(a, b, Seq("nation"),
         Seq(nameScore, balScore, segScore), matchMin = 7L, possibleMin = 3L)
         .select("a_key", "b_key", "score", "cls")
+    }),
+
+    // ---- blocking-quality audit of q235's linkage: per block, both
+    // sides' counts and the pair volume the equi-join WOULD generate
+    // (from counts — no pair materialized), oversized blocks named for
+    // salting, one-sided blocks surfaced as coverage gaps. The
+    // pre-flight a 100 TB blocked join runs before committing.
+    "q236_blocking_audit" -> ((s, dir) => {
+      val cust = rd(s, dir, "customer")
+      val a = cust.select(col("c_nationkey").as("nation"))
+      val b = cust.where(col("c_custkey") % 2 === 1)
+        .select(col("c_nationkey").as("nation"))
+      graft.operators.EntityResolution.blockingAudit(a, b, Seq("nation"),
+        maxPairs = 50000L)
     })
   )
 
@@ -6303,6 +6317,19 @@ object SparkEntry {
         |SELECT a_key, b_key, CAST(score AS BIGINT) AS score,
         |  CASE WHEN score >= 7 THEN 'match' ELSE 'possible' END AS cls
         |FROM p WHERE score >= 3""".stripMargin,
+
+    // counts, products, and the flag — all integer
+    "q236_blocking_audit" ->
+      """WITH ca AS (SELECT c_nationkey AS nation, count(*) AS n_a
+        |  FROM customer GROUP BY 1),
+        |cb AS (SELECT c_nationkey AS nation, count(*) AS n_b
+        |  FROM customer WHERE c_custkey % 2 = 1 GROUP BY 1)
+        |SELECT coalesce(ca.nation, cb.nation) AS nation,
+        |  CAST(coalesce(ca.n_a, 0) AS BIGINT) AS n_a,
+        |  CAST(coalesce(cb.n_b, 0) AS BIGINT) AS n_b,
+        |  CAST(coalesce(ca.n_a, 0) * coalesce(cb.n_b, 0) AS BIGINT) AS n_pairs,
+        |  coalesce(ca.n_a, 0) * coalesce(cb.n_b, 0) > 50000 AS oversized
+        |FROM ca FULL OUTER JOIN cb ON ca.nation = cb.nation""".stripMargin,
 
     // per anchor: rank different-label rows by the shared cosine fold,
     // top 10 by (score DESC, id ASC) — the label exclusion in the WHERE

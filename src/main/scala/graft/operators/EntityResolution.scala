@@ -42,4 +42,27 @@ object EntityResolution {
       .withColumn("cls",
         when(col("score") >= matchMin, lit("match")).otherwise(lit("possible")))
   }
+
+  /** Blocking-quality audit — the pre-flight a 100 TB linkage (or any
+    * blocked pair operator) runs BEFORE the join: per block, both
+    * sides' row counts, the pair volume the equi-join would generate
+    * (n_a·n_b, computed from the counts — no pair is materialized), and
+    * an `oversized` flag at `maxPairs` naming exactly the blocks that
+    * need salting (q41) or a finer key. One bounded aggregate per side
+    * + a full-outer join on the block key: one-sided blocks surface
+    * with zero pair volume — the coverage gaps where entities can never
+    * match. All-integer.
+    */
+  def blockingAudit(a: DataFrame, b: DataFrame, blockCols: Seq[String],
+                    maxPairs: Long): DataFrame = {
+    def sideCounts(df: DataFrame, as: String): DataFrame =
+      df.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as(as))
+    sideCounts(a, "n_a")
+      .join(sideCounts(b, "n_b"), blockCols, "full_outer")
+      .select(blockCols.map(col) ++ Seq(
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b")): _*)
+      .withColumn("n_pairs", col("n_a") * col("n_b"))
+      .withColumn("oversized", col("n_pairs") > maxPairs)
+  }
 }

@@ -49,6 +49,18 @@ class EntityResolutionSpec extends SparkSpec {
       "carol's perfect twin sits in another block — blocking must not see it")
   }
 
+  test("blockingAudit: pair volumes from counts, one-sided blocks, oversized flag") {
+    val got = EntityResolution.blockingAudit(
+      a.select("blk"), b.select("blk"), Seq("blk"), maxPairs = 3L)
+      .select("blk", "n_a", "n_b", "n_pairs", "oversized")
+      .as[(Int, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got(1) === ((2L, 3L, 6L, true)), "2x3 block exceeds maxPairs=3")
+    assert(got(2) === ((1L, 0L, 0L, false)), "A-only block: zero pairs, coverage gap")
+    assert(got(3) === ((0L, 1L, 0L, false)), "B-only block surfaces via full outer")
+    assert(got.size === 3)
+  }
+
   test("thresholds validated") {
     intercept[IllegalArgumentException] {
       EntityResolution.scorePairs(a, b, Seq("blk"), scores, 1L, 5L)
