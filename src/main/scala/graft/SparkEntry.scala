@@ -4431,6 +4431,51 @@ object SparkEntry {
         .select(col("c_nationkey").as("nation"))
       graft.operators.EntityResolution.blockingAudit(a, b, Seq("nation"),
         maxPairs = 50000L)
+    }),
+
+    // ---- streaming transition matrix: the first carry-state
+    // accumulate — a transition can straddle a batch boundary, so each
+    // user's latest event rides in a one-row-per-user `last` table and
+    // prepends to the next batch; counts stay sum-mergeable. Slices are
+    // event-time ranges (the exactness contract), so the accumulated
+    // matrix lands on q233's batch oracle verbatim.
+    "q237_streaming_transitions" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q237").toString
+      val ev = events(s, dir)
+      val cuts = Seq("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+        .map(t => lit(t).cast("timestamp"))
+      val slices = Seq(
+        ev.where(col("ts") < cuts(0)),
+        ev.where(col("ts") >= cuts(0) && col("ts") < cuts(1)),
+        ev.where(col("ts") >= cuts(1)))
+      slices.zipWithIndex.foreach { case (sl, i) =>
+        sl.coalesce(1).write.parquet(f"$tmp/in/slice_${i + 1}%03d")
+        val walk = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(f"$tmp/in/slice_${i + 1}%03d"))
+        try walk.forEach { p =>
+          if (!p.toFile.setLastModified(1000000000000L + (i + 1) * 60000L))
+            sys.error(s"q237: setLastModified failed for $p")
+        } finally walk.close()
+      }
+      val table = s"$tmp/trans"
+      withStreamPartitions(s) {
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(s"$tmp/in/*")
+        val q = stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            graft.streaming.TransitionStream.accumulateBatch(table, batch,
+              "user_id", "ts", "event_id", "event_type")
+        }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val matrix = graft.streaming.TransitionStream.matrix(s, table)
+      val result = s.createDataFrame(matrix.collectAsList(), matrix.schema)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      result
     })
   )
 
@@ -6260,18 +6305,11 @@ object SparkEntry {
 
     // lead over the same pinned (ts, event_id) order; counts integer,
     // p the shared single division
-    "q233_event_transitions" ->
-      """WITH st AS (SELECT user_id, event_type,
-        |    lead(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS nxt
-        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
-        |c AS (SELECT event_type AS from_state, nxt AS to_state, count(*) AS n
-        |  FROM st WHERE nxt IS NOT NULL GROUP BY 1, 2),
-        |f AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS n_from
-        |  FROM c GROUP BY 1)
-        |SELECT c.from_state, c.to_state, c.n, f.n_from,
-        |  CAST(c.n AS DOUBLE) / CAST(f.n_from AS DOUBLE) AS p
-        |FROM c JOIN f ON f.from_state = c.from_state""".stripMargin,
+    "q233_event_transitions" -> eventTransitionsOracleSql,
+
+    // the carry-state accumulate is exact under time-partitioned
+    // arrival, so the streaming form lands on the batch oracle verbatim
+    "q237_streaming_transitions" -> eventTransitionsOracleSql,
 
     // the fixed 6-round peel replayed as chained CTEs (extra rounds
     // no-op after convergence, so the engine's early exit lands here);
@@ -8120,6 +8158,23 @@ object SparkEntry {
       |  CAST(date_diff('day', c.cohort_wk, uw.wk) // 7 AS BIGINT) AS week_offset,
       |  count(*) AS n_users
       |FROM uw JOIN c ON c.uid = uw.uid GROUP BY 1, 2""".stripMargin
+
+  /** q233/q237 twin: lead over the pinned (ts, event_id) per-user
+    * order; the batch operator and the carry-state streaming accumulate
+    * must BOTH land on it.
+    */
+  private lazy val eventTransitionsOracleSql: String =
+    """WITH st AS (SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS nxt
+      |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      |c AS (SELECT event_type AS from_state, nxt AS to_state, count(*) AS n
+      |  FROM st WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      |f AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS n_from
+      |  FROM c GROUP BY 1)
+      |SELECT c.from_state, c.to_state, c.n, f.n_from,
+      |  CAST(c.n AS DOUBLE) / CAST(f.n_from AS DOUBLE) AS p
+      |FROM c JOIN f ON f.from_state = c.from_state""".stripMargin
 
   /** q166/q182 twin: integer counts, one double division per stat. */
   private lazy val sourceReputationOracleSql: String =

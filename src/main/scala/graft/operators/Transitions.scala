@@ -31,15 +31,25 @@ object Transitions {
     * (exactly, as rationals).
     */
   def transitionMatrix(df: DataFrame, entityCol: String,
+                       orderCols: Seq[Column], stateCol: String): DataFrame =
+    matrixFromCounts(transitionCounts(df, entityCol, orderCols, stateCol))
+
+  /** The raw `(from_state, to_state, n)` transition counts — the
+    * sum-mergeable half the streaming accumulate stores.
+    */
+  def transitionCounts(df: DataFrame, entityCol: String,
                        orderCols: Seq[Column], stateCol: String): DataFrame = {
     val w = Window.partitionBy(col(entityCol)).orderBy(orderCols: _*)
-    val steps = df
-      .where(col(entityCol).isNotNull && col(stateCol).isNotNull)
+    df.where(col(entityCol).isNotNull && col(stateCol).isNotNull)
       .withColumn("__next", lead(col(stateCol), 1).over(w))
       .where(col("__next").isNotNull)
       .select(col(stateCol).as("from_state"), col("__next").as("to_state"))
-    val counts = steps.groupBy("from_state", "to_state")
+      .groupBy("from_state", "to_state")
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** Derive `n_from` and the probability from a counts relation. */
+  def matrixFromCounts(counts: DataFrame): DataFrame = {
     val fromTotals = counts.groupBy("from_state").agg(sum(col("n")).as("n_from"))
     counts.join(broadcast(fromTotals), "from_state")
       .select(col("from_state"), col("to_state"), col("n"), col("n_from"),
