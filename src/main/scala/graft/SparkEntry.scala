@@ -4476,6 +4476,38 @@ object SparkEntry {
       val result = s.createDataFrame(matrix.collectAsList(), matrix.schema)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       result
+    }),
+
+    // ---- ER threshold calibration: q235's scorer re-run unfiltered
+    // against ground truth (same-custkey), collapsed to one row per
+    // DISTINCT SCORE map-side, then cumulative precision/recall per
+    // threshold over the score-alphabet-sized relation. The flag marks
+    // thresholds clearing precision >= 95/100 by exact
+    // cross-multiplication — pick the smallest to maximize recall.
+    "q238_er_calibration" -> ((s, dir) => {
+      val cust = rd(s, dir, "customer")
+      val cents = round(col("c_acctbal") * 100).cast("long")
+      val a = cust.select(col("c_nationkey").as("nation"),
+        col("c_custkey").as("a_key"), col("c_name").as("a_name"),
+        col("c_mktsegment").as("a_seg"), cents.as("a_cents"))
+      val b = cust.where(col("c_custkey") % 2 === 1)
+        .select(col("c_nationkey").as("nation"),
+          col("c_custkey").as("b_key"),
+          when(col("c_custkey") % 3 =!= 0, upper(col("c_name"))).as("b_name"),
+          when(col("c_custkey") % 5 === 0, lit("UNKNOWN"))
+            .otherwise(col("c_mktsegment")).as("b_seg"),
+          (cents - ((cents % 100 + 100) % 100)).as("b_cents"))
+      val nameScore = when(col("b_name").isNull, 0L)
+        .when(upper(col("a_name")) === col("b_name"), 6L).otherwise(-6L)
+      val balScore = when(col("a_cents") === col("b_cents"), 4L)
+        .when(abs(col("a_cents") - col("b_cents")) <= 100L, 2L).otherwise(-3L)
+      val segScore = when(col("b_seg") === "UNKNOWN", 0L)
+        .when(col("a_seg") === col("b_seg"), 1L).otherwise(-2L)
+      val scored = graft.operators.EntityResolution.scorePairs(a, b,
+        Seq("nation"), Seq(nameScore, balScore, segScore),
+        matchMin = 7L, possibleMin = -100L)
+      graft.operators.EntityResolution.thresholdReport(scored,
+        col("a_key") === col("b_key"), precP = 95L, precQ = 100L)
     })
   )
 
@@ -6368,6 +6400,41 @@ object SparkEntry {
         |  CAST(coalesce(ca.n_a, 0) * coalesce(cb.n_b, 0) AS BIGINT) AS n_pairs,
         |  coalesce(ca.n_a, 0) * coalesce(cb.n_b, 0) > 50000 AS oversized
         |FROM ca FULL OUTER JOIN cb ON ca.nation = cb.nation""".stripMargin,
+
+    // q235's scorer unfiltered + truth, one row per distinct score,
+    // cumulative windows (ROWS == RANGE: scores distinct), exact flag
+    "q238_er_calibration" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        |a AS (SELECT c_nationkey AS nation, c_custkey AS a_key,
+        |    c_name AS a_name, c_mktsegment AS a_seg, cents AS a_cents FROM c),
+        |b AS (SELECT c_nationkey AS nation, c_custkey AS b_key,
+        |    CASE WHEN c_custkey % 3 <> 0 THEN upper(c_name) END AS b_name,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN'
+        |      ELSE c_mktsegment END AS b_seg,
+        |    cents - ((cents % 100 + 100) % 100) AS b_cents
+        |  FROM c WHERE c_custkey % 2 = 1),
+        |p AS (SELECT a_key, b_key,
+        |    (CASE WHEN b_name IS NULL THEN 0
+        |      WHEN upper(a_name) = b_name THEN 6 ELSE -6 END)
+        |    + (CASE WHEN a_cents = b_cents THEN 4
+        |      WHEN abs(a_cents - b_cents) <= 100 THEN 2 ELSE -3 END)
+        |    + (CASE WHEN b_seg = 'UNKNOWN' THEN 0
+        |      WHEN a_seg = b_seg THEN 1 ELSE -2 END) AS score
+        |  FROM a JOIN b USING (nation)),
+        |per AS (SELECT CAST(score AS BIGINT) AS score, count(*) AS n,
+        |    CAST(sum(CASE WHEN a_key = b_key THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM p GROUP BY 1),
+        |cm AS (SELECT score AS threshold,
+        |    CAST(sum(pos) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+        |    CAST(sum(n) OVER (ORDER BY score DESC) AS BIGINT) AS n_ge,
+        |    CAST(sum(pos) OVER () AS BIGINT) AS total_pos
+        |  FROM per)
+        |SELECT threshold, tp, n_ge - tp AS fp, total_pos - tp AS fn,
+        |  CAST(tp AS DOUBLE) / CAST(n_ge AS DOUBLE) AS prec,
+        |  CAST(tp AS DOUBLE) / CAST(total_pos AS DOUBLE) AS recall,
+        |  tp * 100 >= 95 * n_ge AS meets_target
+        |FROM cm""".stripMargin,
 
     // per anchor: rank different-label rows by the shared cosine fold,
     // top 10 by (score DESC, id ASC) — the label exclusion in the WHERE

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Entity resolution (record linkage) — the cross-SOURCE identity
@@ -64,5 +65,40 @@ object EntityResolution {
         coalesce(col("n_b"), lit(0L)).as("n_b")): _*)
       .withColumn("n_pairs", col("n_a") * col("n_b"))
       .withColumn("oversized", col("n_pairs") > maxPairs)
+  }
+
+  /** Threshold calibration — the TRAINED half of Fellegi-Sunter: given
+    * scored pairs and ground truth, the per-threshold
+    * precision/recall curve and a `meets_target` flag marking every
+    * threshold whose precision clears the exact rational `precP/precQ`
+    * (the caller picks the smallest flagged threshold to maximize
+    * recall at the precision floor). One bounded aggregate (pairs
+    * collapse to one row per DISTINCT SCORE, map-side partials carrying
+    * the weight) + cumulative windows over that score-alphabet-sized
+    * relation — the single-partition window is bounded by the integer
+    * score range, never the pair stream. Counts integer; precision and
+    * recall are each ONE correctly-rounded division; the flag is exact
+    * cross-multiplication.
+    */
+  def thresholdReport(scored: DataFrame, isMatch: Column,
+                      precP: Long, precQ: Long): DataFrame = {
+    require(precQ > 0 && precP >= 0, s"precision target $precP/$precQ")
+    val per = scored.groupBy(col("score")).agg(
+      count(lit(1)).as("n"),
+      sum(when(isMatch, 1L).otherwise(0L)).as("pos"))
+    val cum = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("tp", sum(col("pos")).over(cum))
+      .withColumn("n_ge", sum(col("n")).over(cum))
+      .withColumn("total_pos", sum(col("pos")).over(all))
+      .select(col("score").as("threshold"), col("tp"),
+        (col("n_ge") - col("tp")).as("fp"),
+        (col("total_pos") - col("tp")).as("fn"),
+        (col("tp").cast("double") / col("n_ge").cast("double")).as("prec"),
+        (col("tp").cast("double") / col("total_pos").cast("double")).as("recall"),
+        (col("tp") * precQ >= lit(precP) * col("n_ge")).as("meets_target"))
   }
 }

@@ -61,6 +61,23 @@ class EntityResolutionSpec extends SparkSpec {
     assert(got.size === 3)
   }
 
+  test("thresholdReport: cumulative precision/recall from first principles") {
+    // scored pairs: scores 5(pos), 5(neg), 3(pos), 1(neg)
+    val scored = Seq(
+      (1L, 1L, 5L), (2L, 9L, 5L), (3L, 3L, 3L), (4L, 8L, 1L)
+    ).toDF("a_key", "b_key", "score")
+    val got = EntityResolution.thresholdReport(scored,
+      col("a_key") === col("b_key"), precP = 2L, precQ = 3L)
+      .select("threshold", "tp", "fp", "fn", "prec", "recall", "meets_target")
+      .as[(Long, Long, Long, Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(5L) === ((5L, 1L, 1L, 1L, 0.5, 0.5, false)))
+    assert(got(3L) === ((3L, 2L, 1L, 0L, 2.0 / 3.0, 1.0, true)),
+      "precision exactly 2/3 meets the 2/3 target (>=, cross-multiplied)")
+    assert(got(1L) === ((1L, 2L, 2L, 0L, 0.5, 1.0, false)))
+    assert(got.size === 3, "one row per distinct score")
+  }
+
   test("thresholds validated") {
     intercept[IllegalArgumentException] {
       EntityResolution.scorePairs(a, b, Seq("blk"), scores, 1L, 5L)
