@@ -4508,6 +4508,22 @@ object SparkEntry {
         matchMin = 7L, possibleMin = -100L)
       graft.operators.EntityResolution.thresholdReport(scored,
         col("a_key") === col("b_key"), precP = 95L, precQ = 100L)
+    }),
+
+    // ---- feature-distribution drift: per event_type, did the value
+    // distribution move between the month's halves? Discretized KS over
+    // a literal grid — ONE aggregation pass per side (n + a conditional
+    // codegen sum per grid point; no sort, no explode), max gap over
+    // integer cross-products, verdict by rational cross-multiplication;
+    // ks = one division. IndexDrift (q211) watches embeddings, this
+    // watches scalar features.
+    "q239_feature_drift" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val cuts = (1 to 20).map(_ * 25.0)
+      graft.operators.Drift.ksDrift(
+        ev.where(col("ts") < cut), ev.where(col("ts") >= cut),
+        "event_type", "value", cuts, tauP = 3L, tauQ = 100L)
     })
   )
 
@@ -6435,6 +6451,31 @@ object SparkEntry {
         |  CAST(tp AS DOUBLE) / CAST(total_pos AS DOUBLE) AS recall,
         |  tp * 100 >= 95 * n_ge AS meets_target
         |FROM cm""".stripMargin,
+
+    // same grid, same integer cross-products, same single division
+    "q239_feature_drift" -> {
+      val cuts = (1 to 20).map(_ * 25.0)
+      def side(sfx: String, cond: String): String = {
+        val sums = cuts.zipWithIndex.map { case (c, i) =>
+          s"CAST(sum(CASE WHEN value <= $c THEN 1 ELSE 0 END) AS BIGINT) AS c$i$sfx"
+        }.mkString(",\n    ")
+        s"""(SELECT event_type, count(*) AS n$sfx,
+           |    $sums
+           |  FROM events WHERE $cond AND event_type IS NOT NULL
+           |    AND value IS NOT NULL GROUP BY 1)""".stripMargin
+      }
+      val diffs = cuts.indices.map(i =>
+        s"abs(c${i}_a * n_b - c${i}_b * n_a)").mkString(", ")
+      s"""WITH sa AS ${side("_a", "ts < TIMESTAMP '2024-01-16 00:00:00'")},
+         |sb AS ${side("_b", "ts >= TIMESTAMP '2024-01-16 00:00:00'")},
+         |j AS (SELECT event_type, n_a, n_b,
+         |    greatest($diffs) AS max_d
+         |  FROM sa JOIN sb USING (event_type))
+         |SELECT event_type, n_a, n_b, max_d,
+         |  CAST(max_d AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS ks,
+         |  max_d * 100 > 3 * n_a * n_b AS drift
+         |FROM j""".stripMargin
+    },
 
     // per anchor: rank different-label rows by the shared cosine fold,
     // top 10 by (score DESC, id ASC) — the label exclusion in the WHERE
