@@ -4524,6 +4524,23 @@ object SparkEntry {
       graft.operators.Drift.ksDrift(
         ev.where(col("ts") < cut), ev.where(col("ts") >= cut),
         "event_type", "value", cuts, tauP = 3L, tauQ = 100L)
+    }),
+
+    // ---- leave-one-out target encoding of market segment by order
+    // value: the leakage control applied to feature engineering — a
+    // row's own target never reaches its own feature, so the encoding
+    // computes on the training table without a fold split. One bounded
+    // per-category (sum, count) agg joined back (no broadcast hint —
+    // high-cardinality categories are the point; AQE decides); exact
+    // integer cents, enc = one division.
+    "q240_target_encoding" -> ((s, dir) => {
+      val oc = rd(s, dir, "orders")
+        .join(rd(s, dir, "customer"),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment").as("seg"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      graft.operators.TargetEncode.looMean(oc, "seg", "cents", "enc")
+        .select("o_orderkey", "seg", "enc")
     })
   )
 
@@ -6476,6 +6493,19 @@ object SparkEntry {
          |  max_d * 100 > 3 * n_a * n_b AS drift
          |FROM j""".stripMargin
     },
+
+    // exact integer cents both sides; singleton categories encode NULL
+    "q240_target_encoding" ->
+      """WITH oc AS (SELECT o_orderkey, c_mktsegment AS seg,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON c_custkey = o_custkey),
+        |st AS (SELECT seg, CAST(sum(cents) AS BIGINT) AS s, count(*) AS n
+        |  FROM oc GROUP BY 1)
+        |SELECT o_orderkey, oc.seg,
+        |  CASE WHEN st.n > 1
+        |    THEN CAST(st.s - oc.cents AS DOUBLE) / CAST(st.n - 1 AS DOUBLE)
+        |  END AS enc
+        |FROM oc JOIN st USING (seg)""".stripMargin,
 
     // per anchor: rank different-label rows by the shared cosine fold,
     // top 10 by (score DESC, id ASC) — the label exclusion in the WHERE
