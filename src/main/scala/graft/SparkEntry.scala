@@ -4541,6 +4541,53 @@ object SparkEntry {
           round(col("o_totalprice") * 100).cast("long").as("cents"))
       graft.operators.TargetEncode.looMean(oc, "seg", "cents", "enc")
         .select("o_orderkey", "seg", "enc")
+    }),
+
+    // ---- streaming drift monitor: the live half-month accumulates its
+    // grid summary across 3 micro-batches by PLAIN COLUMN SUMS (exact
+    // under any slicing — the simplest member of the accumulate
+    // family), then the KS verdict against the frozen reference summary
+    // derives from state and lands on q239's batch oracle verbatim.
+    "q241_streaming_drift" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q241").toString
+      val ev = events(s, dir)
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val cuts = (1 to 20).map(_ * 25.0)
+      val live = ev.where(col("ts") >= cut)
+      (1 to 3).foreach { i =>
+        live.where(pmod(col("event_id"), lit(3)) === lit(i - 1))
+          .coalesce(1).write.parquet(f"$tmp/in/slice_$i%03d")
+        val walk = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(f"$tmp/in/slice_$i%03d"))
+        try walk.forEach { p =>
+          if (!p.toFile.setLastModified(1000000000000L + i * 60000L))
+            sys.error(s"q241: setLastModified failed for $p")
+        } finally walk.close()
+      }
+      val table = s"$tmp/grid"
+      withStreamPartitions(s) {
+        val stream = s.readStream.schema(live.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(s"$tmp/in/*")
+        val q = stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            graft.streaming.DriftStream.accumulateBatch(table,
+              graft.streaming.DriftStream.partial(batch, "event_type",
+                "value", cuts),
+              "event_type", cuts)
+        }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val reference = graft.operators.Drift.summarize(
+        ev.where(col("ts") < cut), "event_type", "value", cuts)
+      val rep = graft.streaming.DriftStream.verdict(s, table, reference,
+        "event_type", cuts, tauP = 3L, tauQ = 100L)
+      val result = s.createDataFrame(rep.collectAsList(), rep.schema)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      result
     })
   )
 
@@ -6470,29 +6517,11 @@ object SparkEntry {
         |FROM cm""".stripMargin,
 
     // same grid, same integer cross-products, same single division
-    "q239_feature_drift" -> {
-      val cuts = (1 to 20).map(_ * 25.0)
-      def side(sfx: String, cond: String): String = {
-        val sums = cuts.zipWithIndex.map { case (c, i) =>
-          s"CAST(sum(CASE WHEN value <= $c THEN 1 ELSE 0 END) AS BIGINT) AS c$i$sfx"
-        }.mkString(",\n    ")
-        s"""(SELECT event_type, count(*) AS n$sfx,
-           |    $sums
-           |  FROM events WHERE $cond AND event_type IS NOT NULL
-           |    AND value IS NOT NULL GROUP BY 1)""".stripMargin
-      }
-      val diffs = cuts.indices.map(i =>
-        s"abs(c${i}_a * n_b - c${i}_b * n_a)").mkString(", ")
-      s"""WITH sa AS ${side("_a", "ts < TIMESTAMP '2024-01-16 00:00:00'")},
-         |sb AS ${side("_b", "ts >= TIMESTAMP '2024-01-16 00:00:00'")},
-         |j AS (SELECT event_type, n_a, n_b,
-         |    greatest($diffs) AS max_d
-         |  FROM sa JOIN sb USING (event_type))
-         |SELECT event_type, n_a, n_b, max_d,
-         |  CAST(max_d AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS ks,
-         |  max_d * 100 > 3 * n_a * n_b AS drift
-         |FROM j""".stripMargin
-    },
+    "q239_feature_drift" -> featureDriftOracleSql,
+
+    // the summary accumulates by plain column sums — exact under any
+    // slicing, so the streaming verdict lands on the batch oracle
+    "q241_streaming_drift" -> featureDriftOracleSql,
 
     // exact integer cents both sides; singleton categories encode NULL
     "q240_target_encoding" ->
@@ -8313,6 +8342,34 @@ object SparkEntry {
       |SELECT c.from_state, c.to_state, c.n, f.n_from,
       |  CAST(c.n AS DOUBLE) / CAST(f.n_from AS DOUBLE) AS p
       |FROM c JOIN f ON f.from_state = c.from_state""".stripMargin
+
+  /** q239/q241 twin: the discretized-KS report over the month-half
+    * split — the batch operator and the sum-merged streaming accumulate
+    * must BOTH land on it.
+    */
+  private lazy val featureDriftOracleSql: String = {
+    val cuts = (1 to 20).map(_ * 25.0)
+    def side(sfx: String, cond: String): String = {
+      val sums = cuts.zipWithIndex.map { case (c, i) =>
+        s"CAST(sum(CASE WHEN value <= $c THEN 1 ELSE 0 END) AS BIGINT) AS c$i$sfx"
+      }.mkString(",\n    ")
+      s"""(SELECT event_type, count(*) AS n$sfx,
+         |    $sums
+         |  FROM events WHERE $cond AND event_type IS NOT NULL
+         |    AND value IS NOT NULL GROUP BY 1)""".stripMargin
+    }
+    val diffs = cuts.indices.map(i =>
+      s"abs(c${i}_a * n_b - c${i}_b * n_a)").mkString(", ")
+    s"""WITH sa AS ${side("_a", "ts < TIMESTAMP '2024-01-16 00:00:00'")},
+       |sb AS ${side("_b", "ts >= TIMESTAMP '2024-01-16 00:00:00'")},
+       |j AS (SELECT event_type, n_a, n_b,
+       |    greatest($diffs) AS max_d
+       |  FROM sa JOIN sb USING (event_type))
+       |SELECT event_type, n_a, n_b, max_d,
+       |  CAST(max_d AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS ks,
+       |  max_d * 100 > 3 * n_a * n_b AS drift
+       |FROM j""".stripMargin
+  }
 
   /** q166/q182 twin: integer counts, one double division per stat. */
   private lazy val sourceReputationOracleSql: String =

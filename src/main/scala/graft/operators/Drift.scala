@@ -29,19 +29,36 @@ import org.apache.spark.sql.functions._
 object Drift {
 
   def ksDrift(a: DataFrame, b: DataFrame, groupCol: String, valueCol: String,
-              cuts: Seq[Double], tauP: Long, tauQ: Long): DataFrame = {
+              cuts: Seq[Double], tauP: Long, tauQ: Long): DataFrame =
+    verdict(summarize(a, groupCol, valueCol, cuts),
+      summarize(b, groupCol, valueCol, cuts), groupCol, cuts, tauP, tauQ)
+
+  /** The fixed-size sufficient summary: per group, `n` and one
+    * cumulative count per grid point (`c0..cK`). All plain sums —
+    * SUM-MERGEABLE across arbitrary slicings, which is what makes the
+    * streaming accumulate exact.
+    */
+  def summarize(df: DataFrame, groupCol: String, valueCol: String,
+                cuts: Seq[Double]): DataFrame = {
     require(cuts.nonEmpty, "at least one grid point")
-    require(tauQ > 0 && tauP >= 0, s"threshold $tauP/$tauQ")
-    def side(df: DataFrame, sfx: String): DataFrame = {
-      val aggs = count(lit(1)).as(s"n$sfx") +: cuts.zipWithIndex.map {
-        case (c, i) =>
-          sum(when(col(valueCol) <= c, 1L).otherwise(0L)).as(s"c$i$sfx")
-      }
-      df.where(col(groupCol).isNotNull && col(valueCol).isNotNull)
-        .groupBy(col(groupCol))
-        .agg(aggs.head, aggs.tail: _*)
+    val aggs = count(lit(1)).as("n") +: cuts.zipWithIndex.map { case (c, i) =>
+      sum(when(col(valueCol) <= c, 1L).otherwise(0L)).as(s"c$i")
     }
-    val joined = side(a, "_a").join(side(b, "_b"), Seq(groupCol))
+    df.where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The KS verdict from two summaries (as produced by [[summarize]]
+    * over the same `cuts`).
+    */
+  def verdict(sa: DataFrame, sb: DataFrame, groupCol: String,
+              cuts: Seq[Double], tauP: Long, tauQ: Long): DataFrame = {
+    require(tauQ > 0 && tauP >= 0, s"threshold $tauP/$tauQ")
+    def sfx(df: DataFrame, s: String): DataFrame =
+      (Seq("n") ++ cuts.indices.map(i => s"c$i")).foldLeft(df)(
+        (d, c) => d.withColumnRenamed(c, s"$c$s"))
+    val joined = sfx(sa, "_a").join(sfx(sb, "_b"), Seq(groupCol))
     val diffs = cuts.indices.map(i =>
       abs(col(s"c${i}_a") * col("n_b") - col(s"c${i}_b") * col("n_a")))
     val maxD = if (diffs.size == 1) diffs.head else greatest(diffs: _*)

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Drift
+
+/** Online feature-drift monitoring — the streaming form of
+  * [[Drift.ksDrift]]: the live period's per-group grid summary
+  * accumulates across micro-batches by PLAIN COLUMN SUMS (every field
+  * of the summary — n and each cumulative grid count — is a sum, so
+  * the merge is exact under any slicing; the q232/q237 family's
+  * simplest member), and the KS verdict against a frozen REFERENCE
+  * summary derives from the accumulated state at read time with the
+  * identical integer cross-product math. State = |groups| × |grid|
+  * integers; published through [[UpsertSink]]'s crash-safe swap.
+  */
+object DriftStream {
+
+  /** A batch's summary partial (same shape as [[Drift.summarize]]). */
+  def partial(batch: DataFrame, groupCol: String, valueCol: String,
+              cuts: Seq[Double]): DataFrame =
+    Drift.summarize(batch, groupCol, valueCol, cuts)
+
+  /** Merge a batch partial into the stored summary: sum every field. */
+  def accumulateBatch(table: String, partial: DataFrame, groupCol: String,
+                      cuts: Seq[Double]): Unit = {
+    val spark = partial.sparkSession
+    val all = UpsertSink.currentState(spark, table) match {
+      case Some(cur) => cur.unionByName(partial)
+      case None => partial
+    }
+    val sums = (Seq("n") ++ cuts.indices.map(i => s"c$i"))
+      .map(c => sum(col(c)).as(c))
+    val merged = all.groupBy(col(groupCol)).agg(sums.head, sums.tail: _*)
+    UpsertSink.publishMerged(spark, table, merged)
+  }
+
+  /** The drift verdict of the accumulated live summary vs a reference
+    * summary.
+    */
+  def verdict(spark: SparkSession, table: String, reference: DataFrame,
+              groupCol: String, cuts: Seq[Double], tauP: Long,
+              tauQ: Long): DataFrame =
+    Drift.verdict(reference, spark.read.parquet(table), groupCol, cuts,
+      tauP, tauQ)
+}

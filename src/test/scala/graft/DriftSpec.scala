@@ -40,6 +40,31 @@ class DriftSpec extends SparkSpec {
     assert(above, "tighter threshold flips the verdict")
   }
 
+  test("streaming sum-merged summary ≡ batch verdict under arbitrary slicing") {
+    import graft.streaming.DriftStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drift_stream").toString
+    val table = s"$tmp/grid"
+    val cuts = Seq(2.0, 5.0, 8.0)
+    val ref = (1 to 60).map(i => ("g", i % 10 * 1.0)).toDF("g", "v")
+    val live = (1 to 60).map(i => ("g", i % 10 * 1.0 + 3.0)).toDF("g", "v")
+    // slice the live stream unevenly — sums don't care
+    val rows = (1 to 60).map(i => ("g", i % 10 * 1.0 + 3.0))
+    Seq(rows.take(7), rows.slice(7, 40), rows.drop(40)).foreach { sl =>
+      DriftStream.accumulateBatch(table,
+        DriftStream.partial(sl.toDF("g", "v"), "g", "v", cuts), "g", cuts)
+    }
+    val got = DriftStream.verdict(spark, table,
+      graft.operators.Drift.summarize(ref, "g", "v", cuts), "g", cuts, 1L, 10L)
+      .select("g", "n_a", "n_b", "max_d", "ks", "drift")
+      .as[(String, Long, Long, Long, Double, Boolean)].head()
+    val want = graft.operators.Drift.ksDrift(ref, live, "g", "v", cuts, 1L, 10L)
+      .select("g", "n_a", "n_b", "max_d", "ks", "drift")
+      .as[(String, Long, Long, Long, Double, Boolean)].head()
+    assert(got === want, "accumulated verdict must equal the batch operator")
+    assert(got._6, "the planted +3 shift must flag")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
   test("groups must appear in both samples to be judged") {
     val a = Seq(("only_a", 1.0), ("both", 1.0)).toDF("g", "v")
     val b = Seq(("only_b", 1.0), ("both", 2.0)).toDF("g", "v")
