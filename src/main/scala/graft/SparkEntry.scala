@@ -4588,6 +4588,20 @@ object SparkEntry {
       val result = s.createDataFrame(rep.collectAsList(), rep.schema)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       result
+    }),
+
+    // ---- CUSUM change-point: q239 asks WHETHER two windows differ;
+    // this localizes WHEN one stream drifted. The sequential recursion
+    // reduces to two running window aggregates (prefix sum + prefix
+    // min) — one hash shuffle by group, in-partition sort, all integer
+    // cents, |groups| rows out.
+    "q242_cusum_changepoint" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      graft.operators.ChangePoint.cusumReport(ev, "event_type", "us",
+        "event_id", "cents", allowance = 5000L, threshold = 400000L)
+        .withColumnRenamed("first_alarm_ts", "first_alarm_us")
     })
   )
 
@@ -6522,6 +6536,28 @@ object SparkEntry {
     // the summary accumulates by plain column sums — exact under any
     // slicing, so the streaming verdict lands on the batch oracle
     "q241_streaming_drift" -> featureDriftOracleSql,
+
+    // the prefix-min identity s_i = c_i - min(0, min_{j<=i} c_j) in the
+    // same two windows; everything integer cents, so no fold pinning
+    "q242_cusum_changepoint" ->
+      """WITH x AS (SELECT event_type, epoch_us(ts) AS us, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |c AS (SELECT event_type, us, event_id,
+        |    CAST(sum(cents - 5000) OVER (PARTITION BY event_type
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM x),
+        |s AS (SELECT event_type, us,
+        |    cum - least(0, min(cum) OVER (PARTITION BY event_type
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+        |  FROM c)
+        |SELECT event_type, count(*) AS n, CAST(max(s) AS BIGINT) AS max_s,
+        |  max(s) > 400000 AS alarm,
+        |  min(CASE WHEN s > 400000 THEN us END) AS first_alarm_us
+        |FROM s GROUP BY 1""".stripMargin,
 
     // exact integer cents both sides; singleton categories encode NULL
     "q240_target_encoding" ->
