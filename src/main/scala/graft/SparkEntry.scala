@@ -4602,6 +4602,35 @@ object SparkEntry {
       graft.operators.ChangePoint.cusumReport(ev, "event_type", "us",
         "event_id", "cents", allowance = 5000L, threshold = 400000L)
         .withColumnRenamed("first_alarm_ts", "first_alarm_us")
+    }),
+
+    // ---- k-anonymity / l-diversity audit: what the QUASI-identifiers
+    // still reveal after q33's PII scrub — per (nation, segment,
+    // balance-band) cell, group size vs k=5 and sensitive-value
+    // diversity vs l=3. One hash agg; |cells| rows.
+    "q243_k_anonymity_audit" -> ((s, dir) => {
+      val c = rd(s, dir, "customer").select(col("c_nationkey"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0d).as("bal_band"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      graft.operators.Anonymity.audit(c,
+        Seq("c_nationkey", "c_mktsegment", "bal_band"), col("cents"),
+        k = 5L, l = 3L)
+    }),
+
+    // ---- local-recoding generalization: each row lands on the FINEST
+    // ladder level whose cell reaches k=5 (last bucket = suppression);
+    // the release report is the row distribution over levels.
+    "q244_anonymity_recoding" -> ((s, dir) => {
+      val c = rd(s, dir, "customer").select(col("c_nationkey"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0d).as("bal_band"))
+      val ladder = Seq(
+        Seq("c_nationkey", "c_mktsegment", "bal_band"),
+        Seq("c_nationkey", "c_mktsegment"),
+        Seq("c_mktsegment"))
+      graft.operators.Anonymity.withRecodeLevel(c, ladder, k = 5L)
+        .groupBy("anon_level").agg(count(lit(1)).as("rows_at"))
     })
   )
 
@@ -6558,6 +6587,30 @@ object SparkEntry {
         |  max(s) > 400000 AS alarm,
         |  min(CASE WHEN s > 400000 THEN us END) AS first_alarm_us
         |FROM s GROUP BY 1""".stripMargin,
+
+    // integer group sizes and exact distinct-cents counts per QI cell
+    "q243_k_anonymity_audit" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |  count(*) AS n,
+        |  count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT)) AS ndv,
+        |  count(*) >= 5 AS k_ok,
+        |  count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT)) >= 3 AS l_ok
+        |FROM customer GROUP BY 1, 2, 3""".stripMargin,
+
+    // per-level counts joined back on their own QI keys, finest-first
+    // CASE — the recode-level assignment transcribed
+    "q244_anonymity_recoding" ->
+      """WITH c AS (SELECT c_nationkey AS nk, c_mktsegment AS seg,
+        |    floor(c_acctbal / 1000.0) AS bb FROM customer),
+        |n0 AS (SELECT nk, seg, bb, count(*) AS f0 FROM c GROUP BY 1, 2, 3),
+        |n1 AS (SELECT nk, seg, count(*) AS f1 FROM c GROUP BY 1, 2),
+        |n2 AS (SELECT seg, count(*) AS f2 FROM c GROUP BY 1),
+        |lv AS (SELECT CASE WHEN f0 >= 5 THEN 0 WHEN f1 >= 5 THEN 1
+        |    WHEN f2 >= 5 THEN 2 ELSE 3 END AS anon_level
+        |  FROM c JOIN n0 USING (nk, seg, bb) JOIN n1 USING (nk, seg)
+        |    JOIN n2 USING (seg))
+        |SELECT anon_level, count(*) AS rows_at FROM lv GROUP BY 1""".stripMargin,
 
     // exact integer cents both sides; singleton categories encode NULL
     "q240_target_encoding" ->
