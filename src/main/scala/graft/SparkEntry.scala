@@ -4631,6 +4631,29 @@ object SparkEntry {
         Seq("c_mktsegment"))
       graft.operators.Anonymity.withRecodeLevel(c, ladder, k = 5L)
         .groupBy("anon_level").agg(count(lit(1)).as("rows_at"))
+    }),
+
+    // ---- interval union (gaps-and-islands): per part, merge the
+    // overlapping-or-touching transit windows [shipdate, shipdate +
+    // quantity days] and report in-flight coverage — the RANGE sibling
+    // of sessionization; two windows + one agg, no self-join, no
+    // day-explode.
+    "q245_interval_union" -> ((s, dir) => {
+      val iv = rd(s, dir, "lineitem").select(col("l_partkey"),
+        to_date(col("l_shipdate")).as("st"),
+        date_add(to_date(col("l_shipdate")),
+          col("l_quantity").cast("int")).as("en"),
+        col("l_orderkey"), col("l_linenumber"))
+      graft.operators.Intervals
+        .mergeIntervals(iv, Seq("l_partkey"), "st", "en",
+          Seq(col("l_orderkey"), col("l_linenumber")))
+        .groupBy("l_partkey")
+        .agg(sum("n_merged").as("n_shipments"),
+          count(lit(1)).as("n_islands"),
+          sum(datediff(col("island_end"), col("island_start")) + 1)
+            .as("covered_days"),
+          max(datediff(col("island_end"), col("island_start")) + 1)
+            .cast("long").as("longest_days"))
     })
   )
 
@@ -6611,6 +6634,34 @@ object SparkEntry {
         |  FROM c JOIN n0 USING (nk, seg, bb) JOIN n1 USING (nk, seg)
         |    JOIN n2 USING (seg))
         |SELECT anon_level, count(*) AS rows_at FROM lv GROUP BY 1""".stripMargin,
+
+    // identical two-window island reduction; day counts are integer
+    // date differences, so the rollup is exact
+    "q245_interval_union" ->
+      """WITH iv AS (SELECT l_partkey, CAST(l_shipdate AS DATE) AS st,
+        |    CAST(l_shipdate AS DATE) + CAST(l_quantity AS INTEGER) AS en,
+        |    l_orderkey, l_linenumber FROM lineitem),
+        |f AS (SELECT l_partkey, st, en, l_orderkey, l_linenumber,
+        |    CASE WHEN st > max(en) OVER (PARTITION BY l_partkey
+        |      ORDER BY st, en, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS nw
+        |  FROM iv),
+        |g AS (SELECT l_partkey, st, en,
+        |    sum(nw) OVER (PARTITION BY l_partkey
+        |      ORDER BY st, en, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f),
+        |m AS (SELECT l_partkey, island, min(st) AS island_start,
+        |    max(en) AS island_end, count(*) AS n_merged
+        |  FROM g GROUP BY 1, 2)
+        |SELECT l_partkey, CAST(sum(n_merged) AS BIGINT) AS n_shipments,
+        |  count(*) AS n_islands,
+        |  CAST(sum(date_diff('day', island_start, island_end) + 1) AS BIGINT)
+        |    AS covered_days,
+        |  CAST(max(date_diff('day', island_start, island_end) + 1) AS BIGINT)
+        |    AS longest_days
+        |FROM m GROUP BY 1""".stripMargin,
 
     // exact integer cents both sides; singleton categories encode NULL
     "q240_target_encoding" ->
