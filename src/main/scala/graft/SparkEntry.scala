@@ -4654,6 +4654,25 @@ object SparkEntry {
             .as("covered_days"),
           max(datediff(col("island_end"), col("island_start")) + 1)
             .cast("long").as("longest_days"))
+    }),
+
+    // ---- personalized PageRank (random walk with restart): q223's
+    // machinery with the teleport mass pinned to a 2-customer seed set
+    // over the SYMMETRIZED purchase graph — ranks become multi-hop
+    // proximity to the seeds (the related-items form), unreachable
+    // components stay exactly 0. Same pinned folds, hash-green chained.
+    "q246_personalized_pagerank" -> ((s, dir) => {
+      val orders = rd(s, dir, "orders")
+      val li = rd(s, dir, "lineitem")
+      val fwd = orders
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.PageRank.personalizedPageRank(edges,
+        seeds = Seq(2L, 4L), iters = 3)
     })
   )
 
@@ -6634,6 +6653,37 @@ object SparkEntry {
         |  FROM c JOIN n0 USING (nk, seg, bb) JOIN n1 USING (nk, seg)
         |    JOIN n2 USING (seg))
         |SELECT anon_level, count(*) AS rows_at FROM lv GROUP BY 1""".stripMargin,
+
+    // q223's transcription with a seeded restart vector: the teleport
+    // CASE lands only on nodes 2 and 4 (custkeys 1,2), edges symmetrized
+    "q246_personalized_pagerank" -> {
+      val seedMass = "CASE WHEN v IN (2, 4) THEN CAST(0.15 AS DOUBLE)" +
+        " / CAST(2 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"
+      def it(prev: String, k: Int): String =
+        s"""c$k AS (SELECT e.dst, e.src, p.pr / CAST(od.odeg AS DOUBLE) AS c
+           |  FROM e JOIN od USING (src) JOIN $prev p ON p.v = e.src),
+           |s$k AS (SELECT dst, list_sum(list(c ORDER BY src)) AS s
+           |  FROM c$k GROUP BY dst),
+           |p$k AS (SELECT v, $seedMass
+           |    + CAST(0.85 AS DOUBLE) * coalesce(s.s, CAST(0 AS DOUBLE)) AS pr
+           |  FROM nodes LEFT JOIN s$k s ON s.dst = v)""".stripMargin
+      s"""WITH fwd AS (SELECT DISTINCT o_custkey * 2 AS src,
+         |    l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT src, dst FROM fwd
+         |  UNION ALL SELECT dst, src FROM fwd),
+         |nodes AS (SELECT DISTINCT v FROM
+         |  (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |od AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+         |p0 AS (SELECT v, CASE WHEN v IN (2, 4)
+         |    THEN CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE)
+         |    ELSE CAST(0 AS DOUBLE) END AS pr
+         |  FROM nodes),
+         |${it("p0", 1)},
+         |${it("p1", 2)},
+         |${it("p2", 3)}
+         |SELECT v AS node_id, pr FROM p3""".stripMargin
+    },
 
     // identical two-window island reduction; day counts are integer
     // date differences, so the rollup is exact

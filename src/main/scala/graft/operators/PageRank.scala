@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** PageRank (Brin/Page '98, the simple power-iteration form) — link
@@ -40,7 +40,37 @@ object PageRank {
     * constant bits.
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
-               teleport: Double = 0.15): DataFrame = {
+               teleport: Double = 0.15): DataFrame =
+    power(edges, iters, damping,
+      n => lit(1.0) / lit(n),
+      n => lit(teleport) / lit(n))
+
+  /** Personalized PageRank (random walk with restart): the teleport
+    * mass lands ONLY on `seeds`, so ranks measure multi-hop proximity
+    * to the seed set instead of global centrality — the
+    * recommendation/related-items form (run it over a SYMMETRIZED
+    * interaction graph or mass drains at the bipartite far side).
+    * Same iteration shape, joins, and pinned folds as [[pageRank]];
+    * only the restart vector differs (uniform 1/|S| on seeds).
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Long], iters: Int,
+                           damping: Double = 0.85,
+                           teleport: Double = 0.15): DataFrame = {
+    require(seeds.nonEmpty, "personalized PageRank needs a seed set")
+    val nS = seeds.size.toDouble
+    def mass(per: Column): Column =
+      when(col("node_id").isin(seeds: _*), per).otherwise(lit(0.0))
+    power(edges, iters, damping,
+      _ => mass(lit(1.0) / lit(nS)),
+      _ => mass(lit(teleport) / lit(nS)))
+  }
+
+  /** The shared power iteration: `init`/`tele` build the restart
+    * vector and per-step teleport term from N (both see `node_id`).
+    */
+  private def power(edges: DataFrame, iters: Int, damping: Double,
+                    init: Double => Column,
+                    tele: Double => Column): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .localCheckpoint(true) // the static side of every iteration
@@ -49,9 +79,10 @@ object PageRank {
       .distinct().localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "PageRank over an empty edge relation")
+    val nD = n.toDouble
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
 
-    var pr = nodes.withColumn("pr", lit(1.0 / n.toDouble))
+    var pr = nodes.withColumn("pr", init(nD))
     for (_ <- 1 to iters) {
       val contrib = e
         .join(outdeg, "src")
@@ -65,8 +96,7 @@ object PageRank {
       pr = nodes
         .join(sums.withColumnRenamed("dst", "node_id"), Seq("node_id"), "left")
         .select(col("node_id"),
-          (lit(teleport) / lit(n.toDouble) +
-            lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+          (tele(nD) + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
         .localCheckpoint(true) // truncate the per-iteration lineage
     }
     pr
