@@ -4673,6 +4673,20 @@ object SparkEntry {
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       graft.operators.PageRank.personalizedPageRank(edges,
         seeds = Seq(2L, 4L), iters = 3)
+    }),
+
+    // ---- ε-DP noisy release: per-(type, day) event counts with
+    // SEEDED Laplace(1/ε) noise — md5 hash-uniform of the group key →
+    // inverse CDF through the pinned DetMath ln, so the same release
+    // reproduces bit-for-bit on both engines (re-randomizing per run
+    // would let an observer average the noise away). ε = 0.5.
+    "q247_dp_noisy_counts" -> ((s, dir) => {
+      val ev = events(s, dir).where(col("event_type").isNotNull)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day_idx"))
+      graft.operators.Privacy
+        .noisyCounts(ev, Seq("event_type", "day_idx"), epsilon = 0.5)
+        .select("event_type", "day_idx", "noisy_n", "released_n")
     })
   )
 
@@ -6683,6 +6697,37 @@ object SparkEntry {
          |${it("p1", 2)},
          |${it("p2", 3)}
          |SELECT v AS node_id, pr FROM p3""".stripMargin
+    },
+
+    // the seeded-Laplace release transcribed: the same md5 uniform, the
+    // exact w lattice (no rounding before the clamp), the pinned ln
+    // series, and the identical multiply/add order
+    "q247_dp_noisy_counts" -> {
+      val u = uniformSql("event_type || '|' || CAST(day_idx AS VARCHAR)",
+        ":dp")
+      val lnSub = graft.functions.DetMath.lnDetSubquery(
+        """(SELECT event_type, day_idx, n, u,
+          |   CAST(1 AS DOUBLE) / greatest(
+          |     CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE)
+          |       * abs(u - CAST(0.5 AS DOUBLE)),
+          |     CAST(2.3283064365386963e-10 AS DOUBLE)) AS winv
+          | FROM k)""".stripMargin,
+        Seq("event_type", "day_idx", "n", "u"), "winv", "lnw")
+      s"""WITH g AS (SELECT event_type,
+         |    epoch_us(ts) // 86400000000 AS day_idx, count(*) AS n
+         |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+         |k AS (SELECT event_type, day_idx, n, $u AS u FROM g),
+         |l AS (SELECT * FROM $lnSub)
+         |SELECT event_type, day_idx, noisy_n,
+         |  greatest(CAST(round(noisy_n) AS BIGINT), CAST(0 AS BIGINT))
+         |    AS released_n
+         |FROM (SELECT event_type, day_idx,
+         |    CAST(n AS DOUBLE)
+         |      + CASE WHEN u >= CAST(0.5 AS DOUBLE) THEN CAST(1 AS DOUBLE)
+         |          ELSE CAST(-1 AS DOUBLE) END
+         |        * (CAST(1 AS DOUBLE) / CAST(0.5 AS DOUBLE)) * lnw
+         |      AS noisy_n
+         |  FROM l)""".stripMargin
     },
 
     // identical two-window island reduction; day counts are integer
