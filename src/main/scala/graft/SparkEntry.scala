@@ -4687,6 +4687,19 @@ object SparkEntry {
       graft.operators.Privacy
         .noisyCounts(ev, Seq("event_type", "day_idx"), epsilon = 0.5)
         .select("event_type", "day_idx", "noisy_n", "released_n")
+    }),
+
+    // ---- exact equi-depth binning: the quantile discretizer with the
+    // dictionary trick — ranks come from the 50-value distinct relation
+    // (the only thing sorted), rows join their bin back map-side; ties
+    // are atomic by construction (bins go honest-unequal instead of
+    // splitting a value). All integer cut math.
+    "q248_equidepth_binning" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("qty"))
+      graft.operators.Binning.withEquiDepthBin(li, "qty", 8)
+        .groupBy("bin").agg(count(lit(1)).as("n_rows"),
+          min("qty").as("lo"), max("qty").as("hi"))
     })
   )
 
@@ -6729,6 +6742,19 @@ object SparkEntry {
          |      AS noisy_n
          |  FROM l)""".stripMargin
     },
+
+    // same dictionary-rank cut formula, integer floor division
+    "q248_equidepth_binning" ->
+      """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+        |d AS (SELECT qty, count(*) AS cnt FROM v GROUP BY 1),
+        |c AS (SELECT qty,
+        |    sum(cnt) OVER (ORDER BY qty
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS cb,
+        |    sum(cnt) OVER () AS n
+        |  FROM d),
+        |m AS (SELECT qty, CAST((cb * 8) // n AS BIGINT) AS bin FROM c)
+        |SELECT bin, count(*) AS n_rows, min(qty) AS lo, max(qty) AS hi
+        |FROM v JOIN m USING (qty) GROUP BY 1""".stripMargin,
 
     // identical two-window island reduction; day counts are integer
     // date differences, so the rollup is exact
