@@ -4700,6 +4700,17 @@ object SparkEntry {
       graft.operators.Binning.withEquiDepthBin(li, "qty", 8)
         .groupBy("bin").agg(count(lit(1)).as("n_rows"),
           min("qty").as("lo"), max("qty").as("hi"))
+    }),
+
+    // ---- exact-k weighted sampling without replacement (A-ES):
+    // "exactly 100 docs, length-weighted" — each row draws e =
+    // −ln(u)/w through the pinned series, the 100 smallest win; one
+    // map-side key + one TakeOrdered, no global sort.
+    "q249_weighted_sample" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      graft.operators.Sampling
+        .weightedSampleExactK(docs, "doc_id", "n_chars", k = 100)
+        .select("doc_id", "n_chars", "aes_key")
     })
   )
 
@@ -6741,6 +6752,24 @@ object SparkEntry {
          |        * (CAST(1 AS DOUBLE) / CAST(0.5 AS DOUBLE)) * lnw
          |      AS noisy_n
          |  FROM l)""".stripMargin
+    },
+
+    // the A-ES key transcribed: clamped md5 uniform, lnDet(1/u), one
+    // divide by the double weight; order + limit = the sample
+    "q249_weighted_sample" -> {
+      val u = uniformSql("doc_id", ":aes")
+      val lnSub = graft.functions.DetMath.lnDetSubquery(
+        s"""(SELECT doc_id, n_chars,
+           |   CAST(1 AS DOUBLE) / greatest($u,
+           |     CAST(2.3283064365386963e-10 AS DOUBLE)) AS winv
+           | FROM documents
+           | WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+           |   AND n_chars > 0)""".stripMargin,
+        Seq("doc_id", "n_chars"), "winv", "lnu")
+      s"""SELECT doc_id, n_chars,
+         |  lnu / CAST(n_chars AS DOUBLE) AS aes_key
+         |FROM $lnSub
+         |ORDER BY aes_key, doc_id LIMIT 100""".stripMargin
     },
 
     // same dictionary-rank cut formula, integer floor division

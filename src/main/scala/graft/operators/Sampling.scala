@@ -257,4 +257,44 @@ object Sampling {
     df.withColumn("shard", shardFromId(col(idCol), nShards, salt + ":s"))
       .withColumn("pos", row_number().over(w).cast("long"))
   }
+
+  /** Exact-k WEIGHTED sampling without replacement (Efraimidis &
+    * Spirakis 2006, A-ES): every row draws an exponential with rate =
+    * its weight — e = −ln(u)/w — and the k SMALLEST draws win, which
+    * realizes inclusion probability proportional to weight without
+    * replacement. The training-data use: "pick exactly 100k docs,
+    * quality-weighted" ([[weightedSample]] is the Bernoulli form —
+    * right rate, random size; [[exactSizeSample]] is exact-k but
+    * unweighted).
+    *
+    * Determinism and bit-portability: u is the md5 hash-uniform
+    * (exact lattice, clamped at 2^−32 so u = 0 stays finite), the ln
+    * runs through [[graft.functions.DetMath.withLnDet]] on 1/u ≥ 1
+    * (−ln u = lnDet(1/u)), and the one divide by w is correctly
+    * rounded — so the ORDER, and therefore the sample, is the same on
+    * every engine, partitioning, and re-run. Key scale-invariance
+    * (c·w for all rows ⇒ e/c for all rows ⇒ same order) is exact when
+    * c is a power of two.
+    *
+    * Scale shape: map-side key computation + one global top-k
+    * (TakeOrderedAndProject — k·partitions heap state, no global
+    * sort). Rows with null/non-positive weight or null id never
+    * sample (an exponential with rate ≤ 0 is not a draw).
+    */
+  def weightedSampleExactK(df: DataFrame, idCol: String, weightCol: String,
+                           k: Int, salt: String = ":aes"): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    val uClamp = greatest(uniformFromId(col(idCol), salt),
+      lit(java.lang.Math.scalb(1.0, -32)))
+    val keyed = graft.functions.DetMath.withLnDet(
+      df.where(col(idCol).isNotNull && col(weightCol).isNotNull &&
+          col(weightCol) > lit(0))
+        .withColumn("__winv", lit(1.0) / uClamp),
+      "__winv", "__lnu")
+    keyed
+      .withColumn("aes_key", col("__lnu") / col(weightCol).cast("double"))
+      .drop("__winv", "__lnu")
+      .orderBy(col("aes_key"), col(idCol))
+      .limit(k)
+  }
 }

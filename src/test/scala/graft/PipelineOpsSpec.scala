@@ -1236,4 +1236,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Map(1L -> "x", 2L -> "x"),
       s"the seedless 98—99 component must stay absent, got $got")
   }
+
+  test("A-ES weighted exact-k: size, determinism, weight monotonicity") {
+    val df = (1L to 300L).map(i => (i, if (i <= 10) 1000.0 else 1.0))
+      .toDF("id", "w")
+    val a = Sampling.weightedSampleExactK(df.repartition(1), "id", "w", 20)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.weightedSampleExactK(df.repartition(11), "id", "w", 20)
+      .select("id").as[Long].collect().toSet
+    assert(a === b, "partitioning-stable")
+    assert(a.size === 20)
+    // each heavy row beats each light row unless its exponential draw is
+    // ~1000x unlucky; all 10 in a 20-slot sample is the overwhelming case
+    assert((1L to 10L).toSet.subsetOf(a),
+      s"1000x-weighted rows must dominate the sample, got $a")
+  }
+
+  test("A-ES: power-of-two weight rescale keeps the exact same sample") {
+    val df = (1L to 200L).map(i => (i, (1 + i % 7).toDouble)).toDF("id", "w")
+    val base = Sampling.weightedSampleExactK(df, "id", "w", 25)
+      .select("id").as[Long].collect().toSeq
+    val scaled = Sampling.weightedSampleExactK(
+      df.withColumn("w", col("w") * lit(4.0)), "id", "w", 25)
+      .select("id").as[Long].collect().toSeq
+    assert(base === scaled, "e/4 for every row cannot change the order")
+  }
+
+  test("A-ES: null, zero, and negative weights never sample") {
+    val df = Seq((1L, Some(2.0)), (2L, Some(0.0)), (3L, Some(-1.0)),
+      (4L, None), (5L, Some(1.0))).toDF("id", "w")
+    val got = Sampling.weightedSampleExactK(df, "id", "w", 10)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(1L, 5L))
+  }
 }
