@@ -4711,6 +4711,19 @@ object SparkEntry {
       graft.operators.Sampling
         .weightedSampleExactK(docs, "doc_id", "n_chars", k = 100)
         .select("doc_id", "n_chars", "aes_key")
+    }),
+
+    // ---- CUBE grouping sets: all four (returnflag × linestatus)
+    // granularities in ONE pass with grouping_id disambiguating the
+    // subtotal level — the OLAP rollup surface; Spark expands the sets
+    // before the hash agg, so it stays one shuffle, not four queries.
+    "q250_cube_rollup" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_linestatus"), col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      li.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum("qty").as("sum_qty"), sum("cents").as("sum_cents"))
     })
   )
 
@@ -6753,6 +6766,18 @@ object SparkEntry {
          |      AS noisy_n
          |  FROM l)""".stripMargin
     },
+
+    // GROUPING() emits the same (rf,ls)-ordered bitmask as Spark's
+    // grouping_id(); measures are integer-exact at every granularity
+    "q250_cube_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     // the A-ES key transcribed: clamped md5 uniform, lnDet(1/u), one
     // divide by the double weight; order + limit = the sample

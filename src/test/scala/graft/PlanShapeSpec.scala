@@ -258,4 +258,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(s2.sql("SELECT cosine_similarity(a, b) FROM t_ext").head().getDouble(0) == 1.0)
     assert(s2.sql("SELECT simhash60(array('x','y')) s").head().getLong(0) > 0L)
   }
+
+  test("cube is ONE Expand + one agg pass, and matches the union-of-granularities") {
+    val df = Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 4L))
+      .toDF("r", "s", "v")
+    val cube = df.cube(col("r"), col("s"))
+      .agg(grouping_id().as("gid"), sum("v").as("sv"))
+    val plan = cube.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"grouping sets should Expand:\n$plan")
+    assert(!plan.contains("Union"), "one pass, not a union of four queries")
+    val got = cube.as[(Option[String], Option[String], Long, Long)]
+      .collect().toSet
+    val want = Set[(Option[String], Option[String], Long, Long)](
+      (Some("a"), Some("x"), 0L, 1L), (Some("a"), Some("y"), 0L, 2L),
+      (Some("b"), Some("x"), 0L, 4L),
+      (Some("a"), None, 1L, 3L), (Some("b"), None, 1L, 4L),
+      (None, Some("x"), 2L, 5L), (None, Some("y"), 2L, 2L),
+      (None, None, 3L, 7L))
+    assert(got === want)
+  }
 }
