@@ -4724,6 +4724,58 @@ object SparkEntry {
       li.cube(col("l_returnflag"), col("l_linestatus"))
         .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
           sum("qty").as("sum_qty"), sum("cents").as("sum_cents"))
+    }),
+
+    // ---- STREAMING CUSUM: order-dependent, so plain sums do NOT
+    // suffice (contrast q241) — the carry state is four integers per
+    // group (c_end, min_c, peak_s, first_alarm) composed batch-by-batch
+    // via the prefix-min identity. Three event-time slices (the q237
+    // contract) land on q242's batch oracle verbatim.
+    "q251_streaming_cusum" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q251").toString
+      val ev = events(s, dir).select(col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val c1 = lit("2024-01-11 00:00:00").cast("timestamp")
+      val c2 = lit("2024-01-21 00:00:00").cast("timestamp")
+      val cutsUs = Seq(unix_micros(c1), unix_micros(c2))
+      val ranges = Seq(
+        col("us") < cutsUs.head,
+        col("us") >= cutsUs.head && col("us") < cutsUs(1),
+        col("us") >= cutsUs(1))
+      ranges.zipWithIndex.foreach { case (cond, i) =>
+        ev.where(cond).coalesce(1)
+          .write.parquet(f"$tmp/in/slice_${i + 1}%03d")
+        val walk = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(f"$tmp/in/slice_${i + 1}%03d"))
+        try walk.forEach { p =>
+          if (!p.toFile.setLastModified(1000000000000L + (i + 1) * 60000L))
+            sys.error(s"q251: setLastModified failed for $p")
+        } finally walk.close()
+      }
+      val table = s"$tmp/state"
+      withStreamPartitions(s) {
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(s"$tmp/in/*")
+        val q = stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            graft.streaming.CusumStream.accumulateBatch(table, batch,
+              "event_type", "us", "event_id", "cents",
+              allowance = 5000L, threshold = 400000L)
+        }
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val rep = graft.streaming.CusumStream
+        .verdict(s, table, "event_type", threshold = 400000L)
+        .withColumnRenamed("first_alarm_ts", "first_alarm_us")
+      val result = s.createDataFrame(rep.collectAsList(), rep.schema)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      result
     })
   )
 
@@ -6661,25 +6713,11 @@ object SparkEntry {
 
     // the prefix-min identity s_i = c_i - min(0, min_{j<=i} c_j) in the
     // same two windows; everything integer cents, so no fold pinning
-    "q242_cusum_changepoint" ->
-      """WITH x AS (SELECT event_type, epoch_us(ts) AS us, event_id,
-        |    CAST(round(value * 100) AS BIGINT) AS cents
-        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
-        |c AS (SELECT event_type, us, event_id,
-        |    CAST(sum(cents - 5000) OVER (PARTITION BY event_type
-        |      ORDER BY us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |      AS cum
-        |  FROM x),
-        |s AS (SELECT event_type, us,
-        |    cum - least(0, min(cum) OVER (PARTITION BY event_type
-        |      ORDER BY us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
-        |  FROM c)
-        |SELECT event_type, count(*) AS n, CAST(max(s) AS BIGINT) AS max_s,
-        |  max(s) > 400000 AS alarm,
-        |  min(CASE WHEN s > 400000 THEN us END) AS first_alarm_us
-        |FROM s GROUP BY 1""".stripMargin,
+    "q242_cusum_changepoint" -> cusumOracleSql,
+
+    // the four-integer carry state composes batches exactly, so the
+    // streaming verdict lands on the batch oracle
+    "q251_streaming_cusum" -> cusumOracleSql,
 
     // integer group sizes and exact distinct-cents counts per QI cell
     "q243_k_anonymity_audit" ->
@@ -8657,6 +8695,29 @@ object SparkEntry {
       |SELECT c.from_state, c.to_state, c.n, f.n_from,
       |  CAST(c.n AS DOUBLE) / CAST(f.n_from AS DOUBLE) AS p
       |FROM c JOIN f ON f.from_state = c.from_state""".stripMargin
+
+  /** q242/q251 twin: the CUSUM report — the batch prefix-min windows
+    * and the streaming four-integer carry state must BOTH land on it.
+    */
+  private lazy val cusumOracleSql: String =
+    """WITH x AS (SELECT event_type, epoch_us(ts) AS us, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      |c AS (SELECT event_type, us, event_id,
+      |    CAST(sum(cents - 5000) OVER (PARTITION BY event_type
+      |      ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum
+      |  FROM x),
+      |s AS (SELECT event_type, us,
+      |    cum - least(0, min(cum) OVER (PARTITION BY event_type
+      |      ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+      |  FROM c)
+      |SELECT event_type, count(*) AS n, CAST(max(s) AS BIGINT) AS max_s,
+      |  max(s) > 400000 AS alarm,
+      |  min(CASE WHEN s > 400000 THEN us END) AS first_alarm_us
+      |FROM s GROUP BY 1""".stripMargin
 
   /** q239/q241 twin: the discretized-KS report over the month-half
     * split — the batch operator and the sum-merged streaming accumulate

@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.ChangePoint
 
 /** CUSUM change-point: the window-reduction statistic equals the hand
@@ -44,6 +46,42 @@ class ChangePointSpec extends SparkSpec {
     val c = rep("c")
     assert(c._3 === 0L && !c._4 && c._5.isEmpty,
       "values at/below allowance keep s pinned at 0")
+  }
+
+  test("streaming carry-state accumulate ≡ batch report under time slicing") {
+    import graft.streaming.CusumStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cusum_s").toString
+    val table = s"$tmp/state"
+    // group m shifts up mid-stream; group c stays in control; group z
+    // appears ONLY in the first slice and must carry through untouched
+    val rows = ((0 until 4).map(i => ("m", ts(i), i.toLong, 10L)) ++
+      (4 until 7).map(i => ("m", ts(i), i.toLong, 30L)) ++
+      (0 until 7).map(i => ("c", ts(i), i.toLong, 10L + (i % 2))) ++
+      (0 until 2).map(i => ("z", ts(i), i.toLong, 40L)))
+      .map { case (g, t, id, v) => (g, t.getTime, id, v) }
+    val df = rows.toDF("g", "t", "id", "v")
+    // three uneven TIME slices (the exactness contract: time-partitioned)
+    val cuts = Seq(ts(1).getTime, ts(4).getTime)
+    val slices = Seq(
+      df.where(col("t") <= cuts.head),
+      df.where(col("t") > cuts.head && col("t") <= cuts(1)),
+      df.where(col("t") > cuts(1)))
+    slices.foreach(sl =>
+      CusumStream.accumulateBatch(table, sl, "g", "t", "id", "v",
+        allowance = 12L, threshold = 30L))
+    val got = CusumStream.verdict(spark, table, "g", 30L)
+      .select("g", "n", "max_s", "alarm", "first_alarm_ts")
+      .as[(String, Long, Long, Boolean, Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    val want = ChangePoint
+      .cusumReport(df, "g", "t", "id", "v", 12L, 30L)
+      .select("g", "n", "max_s", "alarm", "first_alarm_ts")
+      .as[(String, Long, Long, Boolean, Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got === want, "accumulated state must replay the batch operator")
+    assert(got("m")._4 && got("m")._5 === Some(ts(5).getTime))
+    assert(got("z")._2 === 2L, "a group silent in later slices persists")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 
   test("statistic is never negative and resets after a downward run") {
