@@ -4776,6 +4776,31 @@ object SparkEntry {
       val result = s.createDataFrame(rep.collectAsList(), rep.schema)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       result
+    }),
+
+    // ---- STREAMING k-anonymity gate: cell counts sum-merge (exact),
+    // l-diversity via the max-mergeable HLL register table (q160's
+    // sketch — exact ndv is the one thing that can't stream in bounded
+    // state); both order-free, so ANY batch slicing lands on the batch
+    // sketch bit-for-bit.
+    "q252_streaming_anonymity" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q252").toString
+      val c = rd(s, dir, "customer").select(col("c_custkey"),
+        col("c_nationkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").cast("string").as("sv"))
+      (0 to 2).foreach { i =>
+        graft.streaming.AnonymityStream.accumulateBatch(tmp,
+          c.where(pmod(col("c_custkey"), lit(3)) === lit(i)),
+          Seq("c_nationkey", "c_mktsegment"), col("sv"))
+      }
+      val rep = graft.streaming.AnonymityStream
+        .audit(s, tmp, Seq("c_nationkey", "c_mktsegment"), k = 10L,
+          lTau = 8.0)
+        .select("c_nationkey", "c_mktsegment", "n", "hll_est", "k_ok",
+          "l_ok_est")
+      val result = s.createDataFrame(rep.collectAsList(), rep.schema)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      result
     })
   )
 
@@ -6803,6 +6828,42 @@ object SparkEntry {
          |        * (CAST(1 AS DOUBLE) / CAST(0.5 AS DOUBLE)) * lnw
          |      AS noisy_n
          |  FROM l)""".stripMargin
+    },
+
+    // the batch twin of the accumulated state: exact cell counts + the
+    // same 64-register HLL formula as hllPostingsOracleSql, per QI cell
+    "q252_streaming_anonymity" -> {
+      val rhoLadder = (1 to 54)
+        .map(r => s"WHEN wv >= ${1L << (54 - r)} THEN $r")
+        .mkString("CASE ", " ", " ELSE 55 END")
+      s"""WITH c AS (SELECT c_nationkey, c_mktsegment,
+         |    CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR) AS sv
+         |  FROM customer),
+         |nn AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+         |  FROM c GROUP BY 1, 2),
+         |h AS (SELECT c_nationkey, c_mktsegment,
+         |  CAST(('0x' || substring(md5(sv), 1, 15)) AS BIGINT) AS hv FROM c),
+         |br AS (SELECT c_nationkey, c_mktsegment, hv >> 54 AS bucket,
+         |    $rhoLadder AS rho
+         |  FROM (SELECT c_nationkey, c_mktsegment, hv,
+         |    hv & ${(1L << 54) - 1} AS wv FROM h)),
+         |regs AS (SELECT c_nationkey, c_mktsegment, bucket, max(rho) AS reg
+         |  FROM br GROUP BY 1, 2, 3),
+         |spine AS (SELECT DISTINCT c_nationkey, c_mktsegment FROM c),
+         |fill AS (SELECT s.c_nationkey, s.c_mktsegment, b.range AS bucket,
+         |    coalesce(r.reg, 0) AS reg
+         |  FROM spine s CROSS JOIN range(64) b
+         |  LEFT JOIN regs r ON r.c_nationkey = s.c_nationkey
+         |    AND r.c_mktsegment = s.c_mktsegment AND r.bucket = b.range),
+         |vec AS (SELECT c_nationkey, c_mktsegment,
+         |    list(reg ORDER BY bucket) AS rv FROM fill GROUP BY 1, 2),
+         |est AS (SELECT c_nationkey, c_mktsegment,
+         |  CAST(0.709 AS DOUBLE) * 4096 / list_sum(list_transform(rv,
+         |    r -> CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << r))) AS hll_est
+         |  FROM vec)
+         |SELECT nn.c_nationkey, nn.c_mktsegment, nn.n, est.hll_est,
+         |  nn.n >= 10 AS k_ok, est.hll_est >= CAST(8 AS DOUBLE) AS l_ok_est
+         |FROM nn JOIN est USING (c_nationkey, c_mktsegment)""".stripMargin
     },
 
     // GROUPING() emits the same (rf,ls)-ordered bitmask as Spark's

@@ -43,6 +43,36 @@ class AnonymitySpec extends SparkSpec {
     assert(got(("lyon", "20s")) === ((2, 2)))
   }
 
+  test("streaming audit ≡ batch sketch under arbitrary slicing") {
+    import graft.streaming.AnonymityStream
+    import graft.operators.Hll
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_anon_stream").toString
+    val data = (1 to 90).map(i =>
+      (s"city${i % 3}", s"dx${i % (5 + i % 2)}_$i"))
+    val df = data.toDF("city", "dx")
+    // three uneven arbitrary slices — sums and maxes don't care
+    Seq(data.take(11), data.slice(11, 60), data.drop(60)).foreach { sl =>
+      AnonymityStream.accumulateBatch(tmp, sl.toDF("city", "dx"),
+        Seq("city"), col("dx"))
+    }
+    val got = AnonymityStream.audit(spark, tmp, Seq("city"), k = 30L, 20.0)
+      .select("city", "n", "hll_est", "k_ok", "l_ok_est")
+      .as[(String, Long, Double, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // batch twin: exact counts + the same sketch over the whole data
+    val wantEst = Hll.estimateFromRegisters(
+      Hll.registers(df, Seq("city"), col("dx")), Seq("city"))
+      .as[(String, Double)].collect().toMap
+    data.groupBy(_._1).foreach { case (city, rows) =>
+      val g = got(city)
+      assert(g._2 === rows.size.toLong, s"$city exact count")
+      assert(g._3 === wantEst(city), s"$city sketch must merge exactly")
+      assert(g._4 === (rows.size >= 30))
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
   test("recode keeps every row exactly once and never drops columns") {
     val out = Anonymity.withRecodeLevel(rows, Seq(Seq("city")), k = 100)
     assert(out.count() === 7L)
