@@ -4801,6 +4801,29 @@ object SparkEntry {
       val result = s.createDataFrame(rep.collectAsList(), rep.schema)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       result
+    }),
+
+    // ---- Kaplan-Meier time-to-conversion: death = first big purchase
+    // (value > 150, ~46% of users), censored at last observed event —
+    // the estimator that gets conversion lag RIGHT under censoring. The
+    // survival product rides 2^(−Σ lnDet(1/f)/LN2) so both engines
+    // produce the same bits; Σ uses the rank-explode equi-join prefix
+    // (measured: DuckDB window sums are segment-tree folds, not left
+    // folds — a window Σ would diverge by ulps).
+    "q253_kaplan_meier" -> ((s, dir) => {
+      val e = events(s, dir)
+      val base = e.groupBy("user_id").agg(
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      val deaths = e
+        .where(col("event_type") === "purchase" && col("value") > 150)
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("p_us"))
+      val subj = base.join(deaths, Seq("user_id"), "left")
+        .select(
+          expr("(coalesce(p_us, last_us) - first_us) div 3600000000")
+            .as("dur_h"),
+          when(col("p_us").isNotNull, 1).otherwise(0).as("ev"))
+      graft.operators.Survival.kaplanMeier(subj, "dur_h", "ev")
     })
   )
 
@@ -6828,6 +6851,56 @@ object SparkEntry {
          |        * (CAST(1 AS DOUBLE) / CAST(0.5 AS DOUBLE)) * lnw
          |      AS noisy_n
          |  FROM l)""".stripMargin
+    },
+
+    // the KM chain transcribed: integer risk sets from the duration
+    // dictionary, f by single divides, lnDet + pow2Decay twins, and the
+    // rank-explode prefix with the identical sorted fold
+    "q253_kaplan_meier" -> {
+      val lnSub = graft.functions.DetMath.lnDetSubquery(
+        "(SELECT t, d, n_risk, k, CAST(1 AS DOUBLE) / f AS finv FROM live)",
+        Seq("t", "d", "n_risk", "k"), "finv", "lnf")
+      val p2Sub = graft.functions.DetMath.pow2DecaySubquery(
+        "base2", Seq("t", "n_risk", "d"), "gsum", "surv")
+      s"""WITH base AS (SELECT user_id, min(epoch_us(ts)) AS first_us,
+         |    max(epoch_us(ts)) AS last_us FROM events GROUP BY 1),
+         |dth AS (SELECT user_id, min(epoch_us(ts)) AS p_us FROM events
+         |  WHERE event_type = 'purchase' AND value > 150 GROUP BY 1),
+         |subj AS (SELECT
+         |    (coalesce(p_us, last_us) - first_us) // 3600000000 AS dur_h,
+         |    CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END AS ev
+         |  FROM base LEFT JOIN dth USING (user_id)),
+         |hist AS (SELECT dur_h AS t, count(*) AS c,
+         |    CAST(sum(CASE WHEN ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d
+         |  FROM subj WHERE dur_h IS NOT NULL GROUP BY 1),
+         |rk AS (SELECT t, c, d,
+         |    CAST(sum(c) OVER (ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_le,
+         |    CAST(sum(c) OVER () AS BIGINT) AS nn
+         |  FROM hist),
+         |deaths AS (SELECT t, d, nn - cum_le + c AS n_risk
+         |  FROM rk WHERE d > 0),
+         |fs AS (SELECT t, d, n_risk,
+         |    CAST(1 AS DOUBLE) - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+         |      AS f,
+         |    CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS k
+         |  FROM deaths),
+         |live AS (SELECT * FROM fs WHERE f > CAST(0 AS DOUBLE)),
+         |lnt AS (SELECT * FROM $lnSub),
+         |gg AS (SELECT t, d, n_risk, k,
+         |    lnf / CAST(${graft.functions.DetMath.Ln2} AS DOUBLE) AS g
+         |  FROM lnt),
+         |ex AS (SELECT t, unnest(generate_series(1, k)) AS j FROM gg),
+         |pref AS (SELECT ex.t, list_sum(list(c.g ORDER BY c.k)) AS gsum
+         |  FROM ex JOIN gg c ON c.k = ex.j GROUP BY ex.t),
+         |base2 AS (SELECT gg.t, gg.n_risk, gg.d, pref.gsum
+         |  FROM gg JOIN pref USING (t)),
+         |sv AS (SELECT * FROM $p2Sub)
+         |SELECT t, n_risk, d, surv FROM sv
+         |UNION ALL
+         |SELECT t, n_risk, d, CAST(0 AS DOUBLE) AS surv
+         |FROM fs WHERE f = CAST(0 AS DOUBLE)""".stripMargin
     },
 
     // the batch twin of the accumulated state: exact cell counts + the
