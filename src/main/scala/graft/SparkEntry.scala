@@ -4824,6 +4824,22 @@ object SparkEntry {
             .as("dur_h"),
           when(col("p_us").isNotNull, 1).otherwise(0).as("ev"))
       graft.operators.Survival.kaplanMeier(subj, "dur_h", "ev")
+    }),
+
+    // ---- A/B readout: Welch z per event_type over a deterministic
+    // hash split of users (growth-stable assignment, the splitAssign
+    // idiom) — exact integer moments in one conditional agg, then a
+    // pinned double chain ending in correctly-rounded sqrt; on this
+    // untreated corpus the expected readout is "no effect", which is
+    // exactly what an A/A run should say.
+    "q254_ab_welch" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val arm = (graft.operators.Sampling
+        .uniformFromId(col("user_id"), ":ab") < lit(0.5)).cast("int")
+      graft.operators.AbTest.welchReadout(
+        ev.select(col("event_type"), arm.as("arm"),
+          round(col("value") * 100).cast("long").as("cents")),
+        "event_type", col("arm"), "cents")
     })
   )
 
@@ -6851,6 +6867,49 @@ object SparkEntry {
          |        * (CAST(1 AS DOUBLE) / CAST(0.5 AS DOUBLE)) * lnw
          |      AS noisy_n
          |  FROM l)""".stripMargin
+    },
+
+    // integer moments, then the identical double chain: means, the
+    // (s2 - s1*s1/n)/(n-1) variances, z over the sqrt'd pooled se
+    "q254_ab_welch" -> {
+      val u = uniformSql("user_id", ":ab")
+      s"""WITH x AS (SELECT event_type,
+         |    CAST($u < 0.5 AS INTEGER) AS arm,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events
+         |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+         |    AND user_id IS NOT NULL),
+         |a AS (SELECT event_type,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT)
+         |      AS s1_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT)
+         |      AS s1_b,
+         |    CAST(sum(CASE WHEN arm = 0 THEN cents * cents ELSE 0 END)
+         |      AS BIGINT) AS s2_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN cents * cents ELSE 0 END)
+         |      AS BIGINT) AS s2_b
+         |  FROM x GROUP BY 1),
+         |m AS (SELECT event_type, n_a, n_b,
+         |    CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+         |    CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+         |    (CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE)
+         |      * CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+         |      / CAST(n_a - 1 AS DOUBLE) AS va,
+         |    (CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE)
+         |      * CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         |      / CAST(n_b - 1 AS DOUBLE) AS vb
+         |  FROM a),
+         |zz AS (SELECT event_type, n_a, n_b, mean_a, mean_b,
+         |    CASE WHEN n_a > 1 AND n_b > 1 THEN
+         |      (mean_b - mean_a) / sqrt(va / CAST(n_a AS DOUBLE)
+         |        + vb / CAST(n_b AS DOUBLE)) END AS z
+         |  FROM m)
+         |SELECT event_type, n_a, n_b, mean_a, mean_b, z,
+         |  CASE WHEN z IS NOT NULL THEN abs(z) > CAST(1.96 AS DOUBLE) END
+         |    AS significant
+         |FROM zz""".stripMargin
     },
 
     // the KM chain transcribed: integer risk sets from the duration
