@@ -21,7 +21,10 @@ class PlanAuditSpec extends SparkSpec {
     * build side must be a local relation, never a scanned table.
     */
   private val boundedBroadcastCross =
-    Set("q31_topk_batch", "q204_ir_metrics", "q210_ann_eval", "q214_ir_macro")
+    Set("q31_topk_batch", "q204_ir_metrics", "q210_ann_eval", "q214_ir_macro",
+      // q229 is topKBatch's shape with the label-exclusion predicate as
+      // the join condition — build side is the 2-anchor local relation
+      "q229_hard_negatives")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plans without cartesian/nested-loop joins") {
