@@ -4840,6 +4840,17 @@ object SparkEntry {
         ev.select(col("event_type"), arm.as("arm"),
           round(col("value") * 100).cast("long").as("cents")),
         "event_type", col("arm"), "cents")
+    }),
+
+    // ---- Poisson-bootstrap CI: the error bar on the per-type mean —
+    // 100 coordination-free resamples (row-local Poisson(1) weights
+    // from the seeded hash), each mean a ratio of integer sums, the
+    // 95% interval the (3rd, 98th) order statistics of the 100.
+    "q255_bootstrap_ci" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      graft.operators.Bootstrap.meanCi(ev, "event_type", "event_id",
+        "cents", b = 100, rankLo = 3, rankHi = 98)
     })
   )
 
@@ -6867,6 +6878,39 @@ object SparkEntry {
          |        * (CAST(1 AS DOUBLE) / CAST(0.5 AS DOUBLE)) * lnw
          |      AS noisy_n
          |  FROM l)""".stripMargin
+    },
+
+    // same seeded draws (md5 of id#resample), same literal CDF ladder,
+    // integer resample sums, rank-3/98 order statistics
+    "q255_bootstrap_ci" -> {
+      val u = uniformSql(
+        "CAST(event_id AS VARCHAR) || '#' || CAST(b AS VARCHAR)", ":boot")
+      val ladder = graft.operators.Bootstrap.poissonWeightSql(u)
+      s"""WITH x AS (SELECT event_type, event_id,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type IS NOT NULL
+         |    AND event_id IS NOT NULL AND value IS NOT NULL),
+         |pt AS (SELECT event_type, count(*) AS n,
+         |    CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |      AS mean_hat
+         |  FROM x GROUP BY 1),
+         |ex AS (SELECT event_type, event_id, cents,
+         |    unnest(generate_series(1, 100)) AS b FROM x),
+         |dw AS (SELECT event_type, b, cents, $ladder AS w FROM ex),
+         |ms AS (SELECT event_type, b, CAST(sum(w) AS BIGINT) AS sw,
+         |    CAST(sum(w * cents) AS BIGINT) AS swx
+         |  FROM dw GROUP BY 1, 2),
+         |mm AS (SELECT event_type, b,
+         |    CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS m
+         |  FROM ms WHERE sw > 0),
+         |rk AS (SELECT event_type, m, row_number() OVER (
+         |    PARTITION BY event_type ORDER BY m, b) AS r FROM mm),
+         |ci AS (SELECT event_type,
+         |    min(CASE WHEN r = 3 THEN m END) AS ci_lo,
+         |    min(CASE WHEN r = 98 THEN m END) AS ci_hi
+         |  FROM rk GROUP BY 1)
+         |SELECT pt.event_type, pt.n, pt.mean_hat, ci.ci_lo, ci.ci_hi
+         |FROM pt JOIN ci USING (event_type)""".stripMargin
     },
 
     // integer moments, then the identical double chain: means, the
