@@ -4851,6 +4851,40 @@ object SparkEntry {
         round(col("value") * 100).cast("long").as("cents"))
       graft.operators.Bootstrap.meanCi(ev, "event_type", "event_id",
         "cents", b = 100, rankLo = 3, rankHi = 98)
+    }),
+
+    // ---- STREAMING interval union: the carry is the OPEN island per
+    // key — with start-ordered arrival a new interval can only merge
+    // into the last island (closed islands are immutable, the
+    // relational form of the append-mode watermark argument). Three
+    // shipdate-ranged slices land on q245's batch oracle verbatim.
+    "q256_streaming_intervals" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q256").toString
+      val table = s"$tmp/islands"
+      val iv = rd(s, dir, "lineitem").select(col("l_partkey"),
+        to_date(col("l_shipdate")).as("st"),
+        date_add(to_date(col("l_shipdate")),
+          col("l_quantity").cast("int")).as("en"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("tie"))
+      val cuts = Seq(lit("1994-01-01").cast("date"),
+        lit("1996-07-01").cast("date"))
+      Seq(col("st") < cuts.head,
+        col("st") >= cuts.head && col("st") < cuts(1),
+        col("st") >= cuts(1)).foreach { cond =>
+        graft.streaming.IntervalStream.accumulateBatch(table,
+          iv.where(cond), "l_partkey", "st", "en", "tie")
+      }
+      val rep = graft.streaming.IntervalStream.islands(s, table)
+        .groupBy("l_partkey")
+        .agg(sum("n_merged").as("n_shipments"),
+          count(lit(1)).as("n_islands"),
+          sum(datediff(col("island_end"), col("island_start")) + 1)
+            .as("covered_days"),
+          max(datediff(col("island_end"), col("island_start")) + 1)
+            .cast("long").as("longest_days"))
+      val result = s.createDataFrame(rep.collectAsList(), rep.schema)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      result
     })
   )
 
@@ -7087,31 +7121,11 @@ object SparkEntry {
 
     // identical two-window island reduction; day counts are integer
     // date differences, so the rollup is exact
-    "q245_interval_union" ->
-      """WITH iv AS (SELECT l_partkey, CAST(l_shipdate AS DATE) AS st,
-        |    CAST(l_shipdate AS DATE) + CAST(l_quantity AS INTEGER) AS en,
-        |    l_orderkey, l_linenumber FROM lineitem),
-        |f AS (SELECT l_partkey, st, en, l_orderkey, l_linenumber,
-        |    CASE WHEN st > max(en) OVER (PARTITION BY l_partkey
-        |      ORDER BY st, en, l_orderkey, l_linenumber
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |    THEN 1 ELSE 0 END AS nw
-        |  FROM iv),
-        |g AS (SELECT l_partkey, st, en,
-        |    sum(nw) OVER (PARTITION BY l_partkey
-        |      ORDER BY st, en, l_orderkey, l_linenumber
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-        |  FROM f),
-        |m AS (SELECT l_partkey, island, min(st) AS island_start,
-        |    max(en) AS island_end, count(*) AS n_merged
-        |  FROM g GROUP BY 1, 2)
-        |SELECT l_partkey, CAST(sum(n_merged) AS BIGINT) AS n_shipments,
-        |  count(*) AS n_islands,
-        |  CAST(sum(date_diff('day', island_start, island_end) + 1) AS BIGINT)
-        |    AS covered_days,
-        |  CAST(max(date_diff('day', island_start, island_end) + 1) AS BIGINT)
-        |    AS longest_days
-        |FROM m GROUP BY 1""".stripMargin,
+    "q245_interval_union" -> intervalUnionOracleSql,
+
+    // the open-island carry composes slices exactly, so the streaming
+    // state aggregates to the batch oracle
+    "q256_streaming_intervals" -> intervalUnionOracleSql,
 
     // exact integer cents both sides; singleton categories encode NULL
     "q240_target_encoding" ->
@@ -8932,6 +8946,36 @@ object SparkEntry {
       |SELECT c.from_state, c.to_state, c.n, f.n_from,
       |  CAST(c.n AS DOUBLE) / CAST(f.n_from AS DOUBLE) AS p
       |FROM c JOIN f ON f.from_state = c.from_state""".stripMargin
+
+  /** q245/q256 twin: the per-part interval-union rollup — the batch
+    * two-window reduction and the streaming open-island carry must
+    * BOTH land on it.
+    */
+  private lazy val intervalUnionOracleSql: String =
+    """WITH iv AS (SELECT l_partkey, CAST(l_shipdate AS DATE) AS st,
+        |    CAST(l_shipdate AS DATE) + CAST(l_quantity AS INTEGER) AS en,
+        |    l_orderkey, l_linenumber FROM lineitem),
+        |f AS (SELECT l_partkey, st, en, l_orderkey, l_linenumber,
+        |    CASE WHEN st > max(en) OVER (PARTITION BY l_partkey
+        |      ORDER BY st, en, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS nw
+        |  FROM iv),
+        |g AS (SELECT l_partkey, st, en,
+        |    sum(nw) OVER (PARTITION BY l_partkey
+        |      ORDER BY st, en, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f),
+        |m AS (SELECT l_partkey, island, min(st) AS island_start,
+        |    max(en) AS island_end, count(*) AS n_merged
+        |  FROM g GROUP BY 1, 2)
+        |SELECT l_partkey, CAST(sum(n_merged) AS BIGINT) AS n_shipments,
+        |  count(*) AS n_islands,
+        |  CAST(sum(date_diff('day', island_start, island_end) + 1) AS BIGINT)
+        |    AS covered_days,
+        |  CAST(max(date_diff('day', island_start, island_end) + 1) AS BIGINT)
+        |    AS longest_days
+        |FROM m GROUP BY 1""".stripMargin
 
   /** q242/q251 twin: the CUSUM report — the batch prefix-min windows
     * and the streaming four-integer carry state must BOTH land on it.

@@ -61,4 +61,19 @@ object Intervals {
       .agg(min(col(startCol)).as("island_start"),
         max(col(endCol)).as("island_end"),
         count(lit(1)).as("n_merged"))
+
+  /** [[mergeIntervals]] with a per-row weight instead of count(1) — an
+    * input row standing for an ALREADY-MERGED island (the streaming
+    * carry, [[graft.streaming.IntervalStream]]) contributes its own
+    * merge count, so re-islanding composes exactly.
+    */
+  def mergeIntervalsWeighted(df: DataFrame, keyCols: Seq[String],
+                             startCol: String, endCol: String,
+                             tieCols: Seq[Column],
+                             weightCol: String): DataFrame =
+    withIslands(df, keyCols, startCol, endCol, tieCols)
+      .groupBy((keyCols :+ "island").map(col): _*)
+      .agg(min(col(startCol)).as("island_start"),
+        max(col(endCol)).as("island_end"),
+        sum(col(weightCol)).as("n_merged"))
 }
