@@ -4885,6 +4885,16 @@ object SparkEntry {
       val result = s.createDataFrame(rep.collectAsList(), rep.schema)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       result
+    }),
+
+    // ---- exact tie-aware AUC: grade "n_chars predicts English" per
+    // source with the Mann-Whitney U over the score dictionary —
+    // 2·midrank keeps rank arithmetic integral, one divide at the end,
+    // no pairwise work (the U identity IS the n⁺·n⁻ shortcut).
+    "q257_auc_readout" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      graft.operators.Auc.groupedAuc(docs, "source", "n_chars",
+        col("lang") === "en")
     })
   )
 
@@ -6913,6 +6923,31 @@ object SparkEntry {
          |      AS noisy_n
          |  FROM l)""".stripMargin
     },
+
+    // the U statistic over the score dictionary: integer 2·midranks,
+    // one division; degenerate classes -> null
+    "q257_auc_readout" ->
+      """WITH d AS (SELECT source, n_chars AS s, count(*) AS cnt,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS np
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |    AND lang IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (SELECT source, cnt, np,
+        |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - cnt AS cb
+        |  FROM d),
+        |a AS (SELECT source, CAST(sum(np) AS BIGINT) AS n_pos,
+        |    CAST(sum(cnt - np) AS BIGINT) AS n_neg,
+        |    CAST(sum(np * (2 * cb + cnt + 1)) AS BIGINT) AS smr2
+        |  FROM r GROUP BY 1)
+        |SELECT source, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    CAST(smr2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |      / CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc
+        |FROM a""".stripMargin,
 
     // same seeded draws (md5 of id#resample), same literal CDF ladder,
     // integer resample sums, rank-3/98 order statistics
