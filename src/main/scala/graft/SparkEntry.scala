@@ -4895,6 +4895,22 @@ object SparkEntry {
       val docs = rd(s, dir, "documents")
       graft.operators.Auc.groupedAuc(docs, "source", "n_chars",
         col("lang") === "en")
+    }),
+
+    // ---- split-conformal intervals: per segment, fit the train-half
+    // mean, calibrate |y − ŷ| on the disjoint half, q̂ = the exact
+    // ⌈(n+1)(1−α)⌉-th order statistic over the per-group residual
+    // dictionary — a distribution-free ±q̂ band with the finite-sample
+    // ≥90% guarantee. Where q255 bounds ESTIMATOR noise, this bounds
+    // PREDICTION error.
+    "q258_conformal_intervals" -> ((s, dir) => {
+      val oc = rd(s, dir, "orders")
+        .join(rd(s, dir, "customer"),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment").as("seg"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      graft.operators.Conformal.splitMeanIntervals(oc, "seg",
+        "o_orderkey", "cents", alphaNum = 1, alphaDen = 10)
     })
   )
 
@@ -6922,6 +6938,34 @@ object SparkEntry {
          |        * (CAST(1 AS DOUBLE) / CAST(0.5 AS DOUBLE)) * lnw
          |      AS noisy_n
          |  FROM l)""".stripMargin
+    },
+
+    // same hash split, same single-divide mean, |y − mu| residual
+    // dictionary, integer ceil-rank, min-r-at-rank order statistic
+    "q258_conformal_intervals" -> {
+      val u = uniformSql("o_orderkey", ":conf")
+      s"""WITH oc AS (SELECT o_orderkey, c_mktsegment AS seg,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders JOIN customer ON c_custkey = o_custkey),
+         |sp AS (SELECT seg, cents, $u < 0.5 AS tr FROM oc),
+         |mu AS (SELECT seg, count(*) AS n_train,
+         |    CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu
+         |  FROM sp WHERE tr GROUP BY 1),
+         |calr AS (SELECT s.seg, abs(CAST(s.cents AS DOUBLE) - mu.mu) AS r
+         |  FROM sp s JOIN mu USING (seg) WHERE NOT s.tr),
+         |nc AS (SELECT seg, count(*) AS n_cal FROM calr GROUP BY 1),
+         |d AS (SELECT seg, r, count(*) AS cnt FROM calr GROUP BY 1, 2),
+         |rkd AS (SELECT seg, r,
+         |    CAST(sum(cnt) OVER (PARTITION BY seg ORDER BY r
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum,
+         |    CAST(sum(cnt) OVER (PARTITION BY seg) AS BIGINT) AS ncal
+         |  FROM d),
+         |qh AS (SELECT seg, min(r) AS qhat
+         |  FROM rkd WHERE cum >= ((ncal + 1) * 9 + 9) // 10 GROUP BY 1)
+         |SELECT mu.seg, mu.n_train, coalesce(nc.n_cal, 0) AS n_cal,
+         |  mu.mu, qh.qhat, mu.mu - qh.qhat AS lo, mu.mu + qh.qhat AS hi
+         |FROM mu LEFT JOIN nc USING (seg) LEFT JOIN qh USING (seg)""".stripMargin
     },
 
     // the U statistic over the score dictionary: integer 2·midranks,
