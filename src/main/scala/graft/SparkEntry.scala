@@ -4911,6 +4911,28 @@ object SparkEntry {
           round(col("o_totalprice") * 100).cast("long").as("cents"))
       graft.operators.Conformal.splitMeanIntervals(oc, "seg",
         "o_orderkey", "cents", alphaNum = 1, alphaDen = 10)
+    }),
+
+    // ---- CUPED variance reduction (Deng/Xu/Kohavi/Walker WSDM'13):
+    // q254's Welch z with each unit's FIRST-half-month spend as the
+    // covariate — θ pooled, every adjusted moment pure algebra over
+    // one pass of integer sums (Σx Σy Σxy Σx² Σy² per arm), the
+    // report carries raw z, CUPED z, and the measured variance ratio.
+    "q259_cuped_readout" -> ((s, dir) => {
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val e = events(s, dir)
+        .where(col("event_type").isNotNull && col("value").isNotNull &&
+          col("user_id").isNotNull)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      val units = e.groupBy("user_id", "event_type").agg(
+        sum(when(col("ts") < cut, col("cents")).otherwise(lit(0L)))
+          .as("x"),
+        sum(when(col("ts") >= cut, col("cents")).otherwise(lit(0L)))
+          .as("y"))
+      val arm = (graft.operators.Sampling
+        .uniformFromId(col("user_id"), ":ab") < lit(0.5)).cast("int")
+      graft.operators.Cuped.readout(units.withColumn("arm", arm),
+        "event_type", col("arm"), "x", "y")
     })
   )
 
@@ -6938,6 +6960,73 @@ object SparkEntry {
          |        * (CAST(1 AS DOUBLE) / CAST(0.5 AS DOUBLE)) * lnw
          |      AS noisy_n
          |  FROM l)""".stripMargin
+    },
+
+    // one pass of integer moments per arm, then the identical pinned
+    // algebra: pooled theta, adjusted first/second moments, Welch z on
+    // raw and adjusted, and the variance ratio
+    "q259_cuped_readout" -> {
+      val u = uniformSql("user_id", ":ab")
+      def D(c: String) = s"CAST($c AS DOUBLE)"
+      val (na, nb) = (D("n_a"), D("n_b"))
+      def vr(s2: String, s1: String, nn: String) =
+        s"(($s2 - $s1 * $s1 / $nn) / ($nn - CAST(1 AS DOUBLE)))"
+      def zf(s1a: String, s2a: String, s1b: String, s2b: String) =
+        s"(($s1b / $nb - $s1a / $na) / sqrt(${vr(s2a, s1a, na)} / $na" +
+          s" + ${vr(s2b, s1b, nb)} / $nb))"
+      def adj1(sy: String, sx: String) = s"($sy - theta * $sx)"
+      def adj2(syy: String, sxy: String, sxx: String) =
+        s"($syy - CAST(2 AS DOUBLE) * theta * $sxy" +
+          s" + theta * theta * $sxx)"
+      val (a1a, a1b) = (adj1(D("sy_a"), D("sx_a")), adj1(D("sy_b"), D("sx_b")))
+      val a2a = adj2(D("syy_a"), D("sxy_a"), D("sxx_a"))
+      val a2b = adj2(D("syy_b"), D("sxy_b"), D("sxx_b"))
+      def cond(a: Int, e: String) =
+        s"CAST(sum(CASE WHEN arm = $a THEN $e ELSE 0 END) AS BIGINT)"
+      s"""WITH e AS (SELECT user_id, event_type, ts,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type IS NOT NULL
+         |    AND value IS NOT NULL AND user_id IS NOT NULL),
+         |un AS (SELECT user_id, event_type,
+         |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+         |      THEN cents ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+         |      THEN cents ELSE 0 END) AS BIGINT) AS y
+         |  FROM e GROUP BY 1, 2),
+         |ua AS (SELECT event_type, CAST($u < 0.5 AS INTEGER) AS arm, x, y
+         |  FROM un),
+         |a AS (SELECT event_type,
+         |    ${cond(0, "1")} AS n_a, ${cond(1, "1")} AS n_b,
+         |    ${cond(0, "x")} AS sx_a, ${cond(1, "x")} AS sx_b,
+         |    ${cond(0, "y")} AS sy_a, ${cond(1, "y")} AS sy_b,
+         |    ${cond(0, "x * y")} AS sxy_a, ${cond(1, "x * y")} AS sxy_b,
+         |    ${cond(0, "x * x")} AS sxx_a, ${cond(1, "x * x")} AS sxx_b,
+         |    ${cond(0, "y * y")} AS syy_a, ${cond(1, "y * y")} AS syy_b
+         |  FROM ua GROUP BY 1),
+         |m AS (SELECT *,
+         |    (($na + $nb) * (${D("sxy_a")} + ${D("sxy_b")})
+         |       - (${D("sx_a")} + ${D("sx_b")})
+         |         * (${D("sy_a")} + ${D("sy_b")}))
+         |    / (($na + $nb) * (${D("sxx_a")} + ${D("sxx_b")})
+         |       - (${D("sx_a")} + ${D("sx_b")})
+         |         * (${D("sx_a")} + ${D("sx_b")})) AS theta
+         |  FROM a),
+         |f AS (SELECT event_type, n_a, n_b, theta,
+         |    CASE WHEN n_a > 1 AND n_b > 1 THEN
+         |      ${zf(D("sy_a"), D("syy_a"), D("sy_b"), D("syy_b"))} END
+         |      AS z_raw,
+         |    CASE WHEN n_a > 1 AND n_b > 1 THEN
+         |      ${zf(a1a, a2a, a1b, a2b)} END AS z_cuped,
+         |    CASE WHEN n_a > 1 AND n_b > 1 THEN
+         |      ($a2a + $a2b - ($a1a * $a1a / $na + $a1b * $a1b / $nb))
+         |      / (${D("syy_a")} + ${D("syy_b")}
+         |         - (${D("sy_a")} * ${D("sy_a")} / $na
+         |            + ${D("sy_b")} * ${D("sy_b")} / $nb)) END AS var_ratio
+         |  FROM m)
+         |SELECT event_type, n_a, n_b, theta, z_raw, z_cuped, var_ratio,
+         |  CASE WHEN z_cuped IS NOT NULL
+         |    THEN abs(z_cuped) > CAST(1.96 AS DOUBLE) END AS significant
+         |FROM f""".stripMargin
     },
 
     // same hash split, same single-divide mean, |y − mu| residual
