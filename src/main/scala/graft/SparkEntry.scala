@@ -58,6 +58,45 @@ object SparkEntry {
 
   private val dec = DecimalType(18, 2)
 
+  /** The entity-resolution demo's two derived "source systems" of the
+    * customer table (q235/q238/q260/q261 share them): billing keeps odd
+    * keys only, uppercases names (missing for every 3rd), floors
+    * balances to dollars, degrades segment for every 5th. The integer
+    * FLOOR-to-dollar `x - ((x%100+100)%100)` is the same expression
+    * text both engines run (`%` keeps dividend sign on both; `div`
+    * would truncate where DuckDB's `//` floors). `a_band` is the a
+    * side's cents floored to the same dollar grid — the refinement
+    * column q260's banded blocking joins on.
+    */
+  private def erSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val cust = rd(s, dir, "customer")
+    val cents = round(col("c_acctbal") * 100).cast("long")
+    def band(c: org.apache.spark.sql.Column) = c - ((c % 100 + 100) % 100)
+    val a = cust.select(col("c_nationkey").as("nation"),
+      col("c_custkey").as("a_key"), col("c_name").as("a_name"),
+      col("c_mktsegment").as("a_seg"), cents.as("a_cents"),
+      band(cents).as("a_band"))
+    val b = cust.where(col("c_custkey") % 2 === 1)
+      .select(col("c_nationkey").as("nation"),
+        col("c_custkey").as("b_key"),
+        when(col("c_custkey") % 3 =!= 0, upper(col("c_name"))).as("b_name"),
+        when(col("c_custkey") % 5 === 0, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("b_seg"),
+        band(cents).as("b_cents"))
+    (a, b)
+  }
+
+  /** Fellegi-Sunter integer agree/disagree/missing weights over the
+    * joined (a, b) row — shared by the whole ER family.
+    */
+  private def erFieldScores: Seq[org.apache.spark.sql.Column] = Seq(
+    when(col("b_name").isNull, 0L)
+      .when(upper(col("a_name")) === col("b_name"), 6L).otherwise(-6L),
+    when(col("a_cents") === col("b_cents"), 4L)
+      .when(abs(col("a_cents") - col("b_cents")) <= 100L, 2L).otherwise(-3L),
+    when(col("b_seg") === "UNKNOWN", 0L)
+      .when(col("a_seg") === col("b_seg"), 1L).otherwise(-2L))
+
   /** Stateful streaming queries materialize one state store per shuffle
     * partition PER STATEFUL OPERATOR (a stream-stream join keeps four).
     * The state-partition count is a deployment knob like the checkpoint
@@ -355,6 +394,57 @@ object SparkEntry {
                 else s"CAST($idExpr AS VARCHAR) || '$salt'"
     s"(CAST(('0x' || substring(md5($keyed), 1, 8)) AS BIGINT) / 4294967296.0)"
   }
+
+  /** DuckDB twin of [[erSides]] + [[erFieldScores]]: the shared ER
+    * CTEs (both derived source systems, with the a side's dollar band)
+    * and the summed Fellegi-Sunter score expression — transcribed once,
+    * used by all four ER oracles.
+    */
+  private lazy val erCtesSql: String =
+    """c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+      |a AS (SELECT c_nationkey AS nation, c_custkey AS a_key,
+      |    c_name AS a_name, c_mktsegment AS a_seg, cents AS a_cents,
+      |    cents - ((cents % 100 + 100) % 100) AS a_band FROM c),
+      |b AS (SELECT c_nationkey AS nation, c_custkey AS b_key,
+      |    CASE WHEN c_custkey % 3 <> 0 THEN upper(c_name) END AS b_name,
+      |    CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN'
+      |      ELSE c_mktsegment END AS b_seg,
+      |    cents - ((cents % 100 + 100) % 100) AS b_cents
+      |  FROM c WHERE c_custkey % 2 = 1)""".stripMargin
+
+  private lazy val erScoreSql: String =
+    """(CASE WHEN b_name IS NULL THEN 0
+      |      WHEN upper(a_name) = b_name THEN 6 ELSE -6 END)
+      |    + (CASE WHEN a_cents = b_cents THEN 4
+      |      WHEN abs(a_cents - b_cents) <= 100 THEN 2 ELSE -3 END)
+      |    + (CASE WHEN b_seg = 'UNKNOWN' THEN 0
+      |      WHEN a_seg = b_seg THEN 1 ELSE -2 END)""".stripMargin
+
+  /** The ER threshold-calibration oracle, parameterized by an optional
+    * candidate-stream predicate (q238: none — the coarse nation-only
+    * stream; q261: the ±1-dollar-band window). Scores collapse to one
+    * row per distinct value, cumulative windows over the bounded score
+    * alphabet, precision flag by exact cross-multiplication.
+    */
+  private def erCalibrationSql(pairFilter: String): String =
+    s"""WITH $erCtesSql,
+      |p AS (SELECT a_key, b_key,
+      |    $erScoreSql AS score
+      |  FROM a JOIN b USING (nation)$pairFilter),
+      |per AS (SELECT CAST(score AS BIGINT) AS score, count(*) AS n,
+      |    CAST(sum(CASE WHEN a_key = b_key THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      |  FROM p GROUP BY 1),
+      |cm AS (SELECT score AS threshold,
+      |    CAST(sum(pos) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+      |    CAST(sum(n) OVER (ORDER BY score DESC) AS BIGINT) AS n_ge,
+      |    CAST(sum(pos) OVER () AS BIGINT) AS total_pos
+      |  FROM per)
+      |SELECT threshold, tp, n_ge - tp AS fp, total_pos - tp AS fn,
+      |  CAST(tp AS DOUBLE) / CAST(n_ge AS DOUBLE) AS prec,
+      |  CAST(tp AS DOUBLE) / CAST(total_pos AS DOUBLE) AS recall,
+      |  tp * 100 >= 95 * n_ge AS meets_target
+      |FROM cm""".stripMargin
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exercises the two serving paths the engine is built around: corpus
@@ -4392,30 +4482,15 @@ object SparkEntry {
     // the possible band IS the clerical-review queue. Candidates from
     // the nation-block equi-join (never A×B), scoring map-side codegen,
     // non-matches dropped before anything downstream.
+    // NOTE: this nation-only blocking is the COARSE-KEY DEMO — its own
+    // audit (q236) flags every block oversized as data grows; q260 is
+    // the production form (banded key, audit-gated). Kept at the demo
+    // scale so the match/possible/clerical-queue semantics stay visible
+    // against the oracle.
     "q235_entity_resolution" -> ((s, dir) => {
-      val cust = rd(s, dir, "customer")
-      val cents = round(col("c_acctbal") * 100).cast("long")
-      val a = cust.select(col("c_nationkey").as("nation"),
-        col("c_custkey").as("a_key"), col("c_name").as("a_name"),
-        col("c_mktsegment").as("a_seg"), cents.as("a_cents"))
-      // integer FLOOR-to-dollar: the (x%100+100)%100 subtraction is the
-      // same expression text both engines run (% keeps dividend sign on
-      // both; `div` would truncate while DuckDB's // floors)
-      val b = cust.where(col("c_custkey") % 2 === 1)
-        .select(col("c_nationkey").as("nation"),
-          col("c_custkey").as("b_key"),
-          when(col("c_custkey") % 3 =!= 0, upper(col("c_name"))).as("b_name"),
-          when(col("c_custkey") % 5 === 0, lit("UNKNOWN"))
-            .otherwise(col("c_mktsegment")).as("b_seg"),
-          (cents - ((cents % 100 + 100) % 100)).as("b_cents"))
-      val nameScore = when(col("b_name").isNull, 0L)
-        .when(upper(col("a_name")) === col("b_name"), 6L).otherwise(-6L)
-      val balScore = when(col("a_cents") === col("b_cents"), 4L)
-        .when(abs(col("a_cents") - col("b_cents")) <= 100L, 2L).otherwise(-3L)
-      val segScore = when(col("b_seg") === "UNKNOWN", 0L)
-        .when(col("a_seg") === col("b_seg"), 1L).otherwise(-2L)
+      val (a, b) = erSides(s, dir)
       graft.operators.EntityResolution.scorePairs(a, b, Seq("nation"),
-        Seq(nameScore, balScore, segScore), matchMin = 7L, possibleMin = 3L)
+        erFieldScores, matchMin = 7L, possibleMin = 3L)
         .select("a_key", "b_key", "score", "cls")
     }),
 
@@ -4484,28 +4559,13 @@ object SparkEntry {
     // threshold over the score-alphabet-sized relation. The flag marks
     // thresholds clearing precision >= 95/100 by exact
     // cross-multiplication — pick the smallest to maximize recall.
+    // NOTE: unfiltered nation-only calibration — the coarse-key demo's
+    // trained readout (its pair stream is what SCALE10 flagged
+    // quadratic); q261 is the banded production form.
     "q238_er_calibration" -> ((s, dir) => {
-      val cust = rd(s, dir, "customer")
-      val cents = round(col("c_acctbal") * 100).cast("long")
-      val a = cust.select(col("c_nationkey").as("nation"),
-        col("c_custkey").as("a_key"), col("c_name").as("a_name"),
-        col("c_mktsegment").as("a_seg"), cents.as("a_cents"))
-      val b = cust.where(col("c_custkey") % 2 === 1)
-        .select(col("c_nationkey").as("nation"),
-          col("c_custkey").as("b_key"),
-          when(col("c_custkey") % 3 =!= 0, upper(col("c_name"))).as("b_name"),
-          when(col("c_custkey") % 5 === 0, lit("UNKNOWN"))
-            .otherwise(col("c_mktsegment")).as("b_seg"),
-          (cents - ((cents % 100 + 100) % 100)).as("b_cents"))
-      val nameScore = when(col("b_name").isNull, 0L)
-        .when(upper(col("a_name")) === col("b_name"), 6L).otherwise(-6L)
-      val balScore = when(col("a_cents") === col("b_cents"), 4L)
-        .when(abs(col("a_cents") - col("b_cents")) <= 100L, 2L).otherwise(-3L)
-      val segScore = when(col("b_seg") === "UNKNOWN", 0L)
-        .when(col("a_seg") === col("b_seg"), 1L).otherwise(-2L)
+      val (a, b) = erSides(s, dir)
       val scored = graft.operators.EntityResolution.scorePairs(a, b,
-        Seq("nation"), Seq(nameScore, balScore, segScore),
-        matchMin = 7L, possibleMin = -100L)
+        Seq("nation"), erFieldScores, matchMin = 7L, possibleMin = -100L)
       graft.operators.EntityResolution.thresholdReport(scored,
         col("a_key") === col("b_key"), precP = 95L, precQ = 100L)
     }),
@@ -4933,6 +4993,48 @@ object SparkEntry {
         .uniformFromId(col("user_id"), ":ab") < lit(0.5)).cast("int")
       graft.operators.Cuped.readout(units.withColumn("arm", arm),
         "event_type", col("arm"), "x", "y")
+    }),
+
+    // ---- q235's linkage with the blocking its OWN audit demands: the
+    // nation-only key has a fixed 25-block alphabet, so blocks grow
+    // linearly with the data and candidate pairs quadratically (q236
+    // flags every block oversized at 10x). Refined key = (nation,
+    // dollar-band) with a ±1-band union — a pure equi-join (b
+    // replicated into its 3 admissible bands), exactly preserving the
+    // ≤100-cent balScore agreement window; pairs further apart could
+    // only ever score the -3 disagree weight and are never candidates.
+    // The audit RUNS FIRST as a gate: any oversized refined block
+    // fails the query (FullScaleBench enforces this at 10x too).
+    "q260_er_banded_blocking" -> ((s, dir) => {
+      val (a, b) = erSides(s, dir)
+      val audit = graft.operators.EntityResolution.blockingAudit(
+        a.select(col("nation"), col("a_band").as("band")),
+        b.withColumn("band", explode(array(
+          col("b_cents") - 100L, col("b_cents"), col("b_cents") + 100L)))
+          .select("nation", "band"),
+        Seq("nation", "band"), maxPairs = 2000L)
+      require(audit.where(col("oversized")).isEmpty,
+        "q260: refined blocking key produced an oversized block")
+      graft.operators.EntityResolution.scorePairsBanded(a, b,
+        Seq("nation"), "a_band", "b_cents", step = 100L,
+        erFieldScores, matchMin = 7L, possibleMin = 3L)
+        .select("a_key", "b_key", "score", "cls")
+    }),
+
+    // ---- threshold calibration over the BANDED candidate stream (the
+    // scale-sane replacement for q238's nation-only calibration whose
+    // pair volume SCALE10 flagged at 101.8x): same trained
+    // Fellegi-Sunter readout, computed over candidates a production
+    // linkage would actually generate. Score alphabet bounded, windows
+    // over the alphabet-sized relation, precision flag by exact
+    // cross-multiplication.
+    "q261_er_banded_calibration" -> ((s, dir) => {
+      val (a, b) = erSides(s, dir)
+      val scored = graft.operators.EntityResolution.scorePairsBanded(a, b,
+        Seq("nation"), "a_band", "b_cents", step = 100L,
+        erFieldScores, matchMin = 7L, possibleMin = -100L)
+      graft.operators.EntityResolution.thresholdReport(scored,
+        col("a_key") === col("b_key"), precP = 95L, precQ = 100L)
     })
   )
 
@@ -6791,23 +6893,9 @@ object SparkEntry {
     // the same derivations, weights, and thresholds transcribed; the
     // floor-to-dollar subtraction is textually identical on both sides
     "q235_entity_resolution" ->
-      """WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
-        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
-        |a AS (SELECT c_nationkey AS nation, c_custkey AS a_key,
-        |    c_name AS a_name, c_mktsegment AS a_seg, cents AS a_cents FROM c),
-        |b AS (SELECT c_nationkey AS nation, c_custkey AS b_key,
-        |    CASE WHEN c_custkey % 3 <> 0 THEN upper(c_name) END AS b_name,
-        |    CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN'
-        |      ELSE c_mktsegment END AS b_seg,
-        |    cents - ((cents % 100 + 100) % 100) AS b_cents
-        |  FROM c WHERE c_custkey % 2 = 1),
+      s"""WITH $erCtesSql,
         |p AS (SELECT a_key, b_key,
-        |    (CASE WHEN b_name IS NULL THEN 0
-        |      WHEN upper(a_name) = b_name THEN 6 ELSE -6 END)
-        |    + (CASE WHEN a_cents = b_cents THEN 4
-        |      WHEN abs(a_cents - b_cents) <= 100 THEN 2 ELSE -3 END)
-        |    + (CASE WHEN b_seg = 'UNKNOWN' THEN 0
-        |      WHEN a_seg = b_seg THEN 1 ELSE -2 END) AS score
+        |    $erScoreSql AS score
         |  FROM a JOIN b USING (nation))
         |SELECT a_key, b_key, CAST(score AS BIGINT) AS score,
         |  CASE WHEN score >= 7 THEN 'match' ELSE 'possible' END AS cls
@@ -6828,38 +6916,7 @@ object SparkEntry {
 
     // q235's scorer unfiltered + truth, one row per distinct score,
     // cumulative windows (ROWS == RANGE: scores distinct), exact flag
-    "q238_er_calibration" ->
-      """WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
-        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
-        |a AS (SELECT c_nationkey AS nation, c_custkey AS a_key,
-        |    c_name AS a_name, c_mktsegment AS a_seg, cents AS a_cents FROM c),
-        |b AS (SELECT c_nationkey AS nation, c_custkey AS b_key,
-        |    CASE WHEN c_custkey % 3 <> 0 THEN upper(c_name) END AS b_name,
-        |    CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN'
-        |      ELSE c_mktsegment END AS b_seg,
-        |    cents - ((cents % 100 + 100) % 100) AS b_cents
-        |  FROM c WHERE c_custkey % 2 = 1),
-        |p AS (SELECT a_key, b_key,
-        |    (CASE WHEN b_name IS NULL THEN 0
-        |      WHEN upper(a_name) = b_name THEN 6 ELSE -6 END)
-        |    + (CASE WHEN a_cents = b_cents THEN 4
-        |      WHEN abs(a_cents - b_cents) <= 100 THEN 2 ELSE -3 END)
-        |    + (CASE WHEN b_seg = 'UNKNOWN' THEN 0
-        |      WHEN a_seg = b_seg THEN 1 ELSE -2 END) AS score
-        |  FROM a JOIN b USING (nation)),
-        |per AS (SELECT CAST(score AS BIGINT) AS score, count(*) AS n,
-        |    CAST(sum(CASE WHEN a_key = b_key THEN 1 ELSE 0 END) AS BIGINT) AS pos
-        |  FROM p GROUP BY 1),
-        |cm AS (SELECT score AS threshold,
-        |    CAST(sum(pos) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
-        |    CAST(sum(n) OVER (ORDER BY score DESC) AS BIGINT) AS n_ge,
-        |    CAST(sum(pos) OVER () AS BIGINT) AS total_pos
-        |  FROM per)
-        |SELECT threshold, tp, n_ge - tp AS fp, total_pos - tp AS fn,
-        |  CAST(tp AS DOUBLE) / CAST(n_ge AS DOUBLE) AS prec,
-        |  CAST(tp AS DOUBLE) / CAST(total_pos AS DOUBLE) AS recall,
-        |  tp * 100 >= 95 * n_ge AS meets_target
-        |FROM cm""".stripMargin,
+    "q238_er_calibration" -> erCalibrationSql(pairFilter = ""),
 
     // same grid, same integer cross-products, same single division
     "q239_feature_drift" -> featureDriftOracleSql,
@@ -8653,7 +8710,25 @@ object SparkEntry {
          |  list_sum(list(wc ORDER BY age)) AS score
          |FROM w GROUP BY user_id
          |ORDER BY score DESC, user_id LIMIT 20""".stripMargin
-    }
+    },
+
+    // the ±1-band window: both band columns are multiples of 100, so
+    // |a_band - b_cents| <= 100 is EXACTLY membership of a_band in
+    // {b_cents-100, b_cents, b_cents+100} — the equi-join the Spark
+    // side runs via 3-way replication
+    "q260_er_banded_blocking" ->
+      s"""WITH $erCtesSql,
+        |p AS (SELECT a_key, b_key,
+        |    $erScoreSql AS score
+        |  FROM a JOIN b USING (nation)
+        |  WHERE abs(a_band - b_cents) <= 100)
+        |SELECT a_key, b_key, CAST(score AS BIGINT) AS score,
+        |  CASE WHEN score >= 7 THEN 'match' ELSE 'possible' END AS cls
+        |FROM p WHERE score >= 3""".stripMargin,
+
+    // q238's readout over the banded candidate stream
+    "q261_er_banded_calibration" ->
+      erCalibrationSql(pairFilter = "\n  WHERE abs(a_band - b_cents) <= 100")
   )
 
   /** The PQ (m=2, ksub=4, first-4-by-id sub-centroid seeds) ADC

@@ -44,6 +44,48 @@ object EntityResolution {
         when(col("score") >= matchMin, lit("match")).otherwise(lit("possible")))
   }
 
+  /** Banded refinement of [[scorePairs]] — acting on what
+    * [[blockingAudit]] diagnoses. A coarse block key whose alphabet is
+    * FIXED (25 nations) produces blocks that grow linearly with the
+    * data, so the candidate pair stream grows QUADRATICALLY — the audit
+    * flags every such block `oversized` and nothing can salt away a
+    * quadratic pair volume (salting only re-distributes it). The fix is
+    * a finer key whose alphabet grows with the VALUE RANGE, not the row
+    * count: an integer band column (e.g. account balance floored to
+    * dollars). A band-proximity window (|a_band − b_band| ≤ step) is
+    * not an equi-join key by itself, so the b side is replicated into
+    * its 3 admissible bands (band−step, band, band+step) and the join
+    * stays a pure hash equi-join on `blockCols :+ band` — never a
+    * range/theta join, never A×B. Each (a,b) candidate arises from
+    * EXACTLY ONE replica (the 3 replica bands are distinct integers),
+    * so no dedup pass is needed. Both band columns must be multiples of
+    * `step` for the window to be exact (a floored-to-step value is).
+    *
+    * Candidate semantics: pairs farther than one band apart are not
+    * scored at all — by construction the caller picks `step` to cover
+    * the widest agreement window any field score awards (e.g. step=100
+    * cents covers a ≤100-cent balance-agreement window exactly), so
+    * every excluded pair could only have scored the field's DISAGREE
+    * weight anyway.
+    */
+  def scorePairsBanded(a: DataFrame, b: DataFrame, blockCols: Seq[String],
+                       aBand: String, bBand: String, step: Long,
+                       fieldScores: Seq[Column], matchMin: Long,
+                       possibleMin: Long): DataFrame = {
+    require(fieldScores.nonEmpty, "at least one field score")
+    require(matchMin >= possibleMin, s"matchMin $matchMin < possibleMin $possibleMin")
+    require(step > 0, s"band step $step must be positive")
+    val b3 = b.withColumn("__band", explode(array(
+      col(bBand) - step, col(bBand), col(bBand) + step)))
+    a.withColumn("__band", col(aBand))
+      .join(b3, blockCols :+ "__band")
+      .drop("__band")
+      .withColumn("score", fieldScores.reduce(_ + _))
+      .where(col("score") >= possibleMin)
+      .withColumn("cls",
+        when(col("score") >= matchMin, lit("match")).otherwise(lit("possible")))
+  }
+
   /** Blocking-quality audit — the pre-flight a 100 TB linkage (or any
     * blocked pair operator) runs BEFORE the join: per block, both
     * sides' row counts, the pair volume the equi-join would generate

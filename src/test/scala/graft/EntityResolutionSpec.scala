@@ -78,6 +78,48 @@ class EntityResolutionSpec extends SparkSpec {
     assert(got.size === 3, "one row per distinct score")
   }
 
+  // banded fixtures: band = value floored to the 100-grid
+  private def banded(df: org.apache.spark.sql.DataFrame, v: String, bandCol: String) =
+    df.withColumn(bandCol, col(v) - ((col(v) % 100 + 100) % 100))
+
+  test("scorePairsBanded ≡ scorePairs restricted to the ±1-band window; no dup pairs") {
+    val ab = banded(a, "a_v", "a_band")
+    val bb = banded(b, "b_v", "b_band")
+    val got = EntityResolution.scorePairsBanded(ab, bb, Seq("blk"),
+      "a_band", "b_band", step = 100L, scores, matchMin = 7L, possibleMin = -100L)
+      .select("a_key", "b_key", "score").as[(Long, Long, Long)].collect()
+    assert(got.length === got.distinct.length,
+      "each pair must arise from exactly one band replica")
+    val want = EntityResolution.scorePairs(ab, bb, Seq("blk"), scores, 7L, -100L)
+      .where(abs(col("a_band") - col("b_band")) <= 100L)
+      .select("a_key", "b_key", "score").as[(Long, Long, Long)].collect()
+    assert(got.sorted.toSeq === want.sorted.toSeq)
+  }
+
+  test("scorePairsBanded: beyond-window pairs are never candidates, even perfect ones") {
+    // alice's value-distant twin: name agrees perfectly but sits 300 off
+    val farTwin = Seq((1, 30L, Some("ALICE"), 800L)).toDF("blk", "b_key", "b_name", "b_v")
+    val got = EntityResolution.scorePairsBanded(
+      banded(a, "a_v", "a_band"), banded(farTwin, "b_v", "b_band"),
+      Seq("blk"), "a_band", "b_band", step = 100L, scores, 7L, -100L)
+      .select("a_key", "b_key").as[(Long, Long)].collect().toSet
+    assert(!got.contains((10L, 30L)),
+      "banding is containment: outside ±1 band the pair is not scored at all")
+  }
+
+  test("scorePairsBanded: adjacent-band pairs within the window survive") {
+    // 10(a_v=500, band 500) vs b_v=460 (band 400): |Δ|=40 <= 50 agrees on value
+    val near = Seq((1, 31L, Some("ALICE"), 460L)).toDF("blk", "b_key", "b_name", "b_v")
+    val got = EntityResolution.scorePairsBanded(
+      banded(a, "a_v", "a_band"), banded(near, "b_v", "b_band"),
+      Seq("blk"), "a_band", "b_band", step = 100L, scores, 7L, 3L)
+      .select("a_key", "b_key", "score", "cls")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got((10L, 31L)) === ((9L, "match")),
+      "cross-band neighbor within the agreement window is found via the ±1 union")
+  }
+
   test("thresholds validated") {
     intercept[IllegalArgumentException] {
       EntityResolution.scorePairs(a, b, Seq("blk"), scores, 1L, 5L)
