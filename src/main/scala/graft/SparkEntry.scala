@@ -5035,6 +5035,67 @@ object SparkEntry {
         erFieldScores, matchMin = 7L, possibleMin = -100L)
       graft.operators.EntityResolution.thresholdReport(scored,
         col("a_key") === col("b_key"), precP = 95L, precQ = 100L)
+    }),
+
+    // ---- the notebook's Q3/Q5 request shape served JOB-FREE: an
+    // @and[@eq, @or[@eq, @eq]] filtered search through the memory
+    // tier's JSON front door. The parser compiles the boolean tree to
+    // DNF; each conjunction branch probes k-bounded and the union
+    // re-ranks — bit-identical to a per-row disjunction test (the
+    // oracle IS that per-row test in SQL). Previously this exact
+    // reference workload had to fall back to the job-per-request tier.
+    "q262_memory_or_filter" -> ((s, dir) => {
+      import s.implicits._
+      val emb = rd(s, dir, "embeddings")
+      val docs = rd(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("source"), col("lang"))
+      val corpus = emb.where(col("vec_id") =!= 33).join(docs, "vec_id")
+      val qv = storedVecs(emb, 33).head
+      val cents = Ann.sampleCentroids(corpus, "vec_id", "embedding", 4)
+      val mem = graft.serve.MemoryAnnIndex.fromDataFrame(
+        Ann.withIvfAssignment(corpus, "embedding", cents),
+        "vec_id", "embedding", "ivf_cell", cents,
+        metaCols = Seq("source", "lang"))
+      val server = new graft.serve.MemoryServer(mem, None)
+      val resp = server.search(
+        s"""{"query_vector":[${qv.mkString(",")}],"limit":8,
+           |"filter":{"@and":[
+           |  {"@eq":{"source":"src3"}},
+           |  {"@or":[{"@eq":{"lang":"en"}},{"@eq":{"lang":"de"}}]}]}}"""
+          .stripMargin)
+      val hit = """\{"id":"(-?\d+)","score":"([^"]+)"\}""".r
+      hit.findAllMatchIn(resp)
+        .map(m => (m.group(1).toLong, m.group(2).toDouble))
+        .toSeq.toDF("vec_id", "score")
+    }),
+
+    // ---- @ne + @contains through the same front door: @ne compiles to
+    // the two ranges around the excluded dictionary code, @contains to
+    // one equality branch per matching dictionary value (bounded by the
+    // categorical alphabet) — the request expands to a 22-branch DNF
+    // and still serves k-bounded per branch.
+    "q263_memory_ne_contains" -> ((s, dir) => {
+      import s.implicits._
+      val emb = rd(s, dir, "embeddings")
+      val docs = rd(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("source"), col("lang"))
+      val corpus = emb.where(col("vec_id") =!= 34).join(docs, "vec_id")
+      val qv = storedVecs(emb, 34).head
+      val cents = Ann.sampleCentroids(corpus, "vec_id", "embedding", 4)
+      val mem = graft.serve.MemoryAnnIndex.fromDataFrame(
+        Ann.withIvfAssignment(corpus, "embedding", cents),
+        "vec_id", "embedding", "ivf_cell", cents,
+        metaCols = Seq("source", "lang"))
+      val server = new graft.serve.MemoryServer(mem, None)
+      val resp = server.search(
+        s"""{"query_vector":[${qv.mkString(",")}],"limit":8,
+           |"filter":{"@and":[
+           |  {"@ne":{"lang":"en"}},
+           |  {"@contains":{"source":"1"}}]}}""".stripMargin)
+      val hit = """\{"id":"(-?\d+)","score":"([^"]+)"\}""".r
+      hit.findAllMatchIn(resp)
+        .map(m => (m.group(1).toLong, m.group(2).toDouble))
+        .toSeq.toDF("vec_id", "score")
     })
   )
 
@@ -8728,7 +8789,31 @@ object SparkEntry {
 
     // q238's readout over the banded candidate stream
     "q261_er_banded_calibration" ->
-      erCalibrationSql(pairFilter = "\n  WHERE abs(a_band - b_cents) <= 100")
+      erCalibrationSql(pairFilter = "\n  WHERE abs(a_band - b_cents) <= 100"),
+
+    // the DNF branch union ≡ the per-row disjunction test, in SQL
+    "q262_memory_or_filter" -> {
+      val cos = cosSql("e.embedding", "q.qv")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 33)
+         |SELECT e.vec_id, $cos AS score
+         |FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |CROSS JOIN q
+         |WHERE e.vec_id <> 33 AND d.source = 'src3'
+         |  AND (d.lang = 'en' OR d.lang = 'de')
+         |ORDER BY score DESC, e.vec_id LIMIT 8""".stripMargin
+    },
+
+    // @ne = <>, @contains = substring membership — per-row in SQL
+    "q263_memory_ne_contains" -> {
+      val cos = cosSql("e.embedding", "q.qv")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 34)
+         |SELECT e.vec_id, $cos AS score
+         |FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |CROSS JOIN q
+         |WHERE e.vec_id <> 34 AND d.lang <> 'en'
+         |  AND contains(d.source, '1')
+         |ORDER BY score DESC, e.vec_id LIMIT 8""".stripMargin
+    }
   )
 
   /** The PQ (m=2, ksub=4, first-4-by-id sub-centroid seeds) ADC

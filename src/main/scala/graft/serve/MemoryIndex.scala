@@ -80,6 +80,18 @@ final class MemoryAnnIndex private (
     }
   }
 
+  /** All dictionary codes of `colName` whose VALUE contains `substr` —
+    * the serving resolution of `@contains`. Bounded by the dictionary
+    * (categorical alphabet) size, never the corpus; no match returns
+    * empty (the request then matches nothing, like an unseen `@eq`).
+    */
+  def containsCodes(colName: String, substr: String): Seq[Long] = {
+    val dict = dicts.getOrElse(colName, sys.error(
+      s"'$colName' is not a dictionary-encoded string column " +
+        s"(have: ${dicts.keys.mkString(",")})"))
+    dict.collect { case (v, code) if v.contains(substr) => code }.toSeq.sorted
+  }
+
   def nCells: Int = cellOffsets.length - 1
   def size: Int = ids.length
 
@@ -1030,9 +1042,15 @@ final class MemoryServer(dense: MemoryAnnIndex,
     if (defaultNProbe > 0) dense.topKIvf(qvec, k, defaultNProbe, filters)
     else dense.topK(qvec, k, filters)
 
+  /** Lexical top-k via WAND dynamic pruning — answer-preserving by the
+    * ulp-guarded pivot rule (see [[MemoryPostingsIndex.searchWand]];
+    * the q220 oracle pins bit-equality to the exhaustive TAAT scan), so
+    * the serving tier never pays the full-postings walk that made the
+    * lexical leg the slowest memory path.
+    */
   def searchLexical(terms: Seq[String], k: Int): Seq[(Long, Double)] =
     lexical.getOrElse(sys.error("MemoryServer built without a postings index"))
-      .search(terms, k)
+      .searchWand(terms, k)
 
   /** Hybrid: dense + lexical candidate lists (each `poolK` deep), fused
     * by reciprocal rank. Rank = 1-based position in each leg.
@@ -1060,17 +1078,56 @@ final class MemoryServer(dense: MemoryAnnIndex,
     Bm25.normFuseLocal(Seq((d, wDense), (l, wLex)), k)
   }
 
-  /** The numeric subset of the Method-1 filter DSL
-    * (`01_method1_cortex_search.sql:204-212`'s request shape): `@eq`,
-    * `@gte`, `@lte`, and `@and` of those, over loaded metadata columns.
-    * The full DSL (string values, `@or`, `@contains`) is the DataFrame
-    * tier's [[graft.filter.FilterDsl]].
+  /** Dense top-k under a DISJUNCTIVE-normal-form filter (a Seq of
+    * conjunction branches): one k-bounded probe per branch, unioned by
+    * id and re-ranked under the global (score DESC, id ASC) order. This
+    * is BIT-IDENTICAL to a single scan testing the whole disjunction
+    * per row: a row passes the OR iff it passes some branch, every
+    * branch scores a row with the same fold (same bits), and the global
+    * top-k is contained in the union of per-branch top-k's. Cost is one
+    * probe per branch — each of which keeps the payload-index /
+    * IVF-probe fast paths a monolithic OR-scan would forfeit — and
+    * requests bound branch counts (the parser caps DNF expansion), so
+    * no data-sized work is ever disjunction-shaped.
     */
-  private def parseFilters(node: com.fasterxml.jackson.databind.JsonNode): Seq[MetaFilter] =
-    if (node == null || node.isNull) Nil
-    else if (node.has("@and"))
-      node.get("@and").elements().asScala.flatMap(parseFilters).toSeq
-    else {
+  def topKVecDnf(qvec: Seq[Float], k: Int,
+                 dnf: Seq[Seq[MetaFilter]]): Seq[(Long, Double)] =
+    dnf match {
+      case Seq(one) => topKVec(qvec, k, one)
+      case branches =>
+        branches.flatMap(b => topKVec(qvec, k, b))
+          .distinct // same id ⇒ same score bits in every branch
+          .sortBy { case (id, s) => (-s, id) }
+          .take(k)
+    }
+
+  /** The Method-1 filter DSL (`01_method1_cortex_search.sql:204-212`,
+    * notebook Q2/Q3/Q5 shapes) compiled to disjunctive normal form over
+    * loaded metadata columns: `@and`, `@or`, `@eq` (numeric +
+    * dictionary string), `@gte`/`@lte` (numeric), `@ne` (numeric +
+    * dictionary string — two ranges around the excluded value), and
+    * `@contains` (dictionary string — one equality branch per matching
+    * dictionary code, bounded by the categorical alphabet). `@and`
+    * cross-multiplies child DNFs; the result is capped at 64 branches
+    * (these are serving requests, not a query engine — the DataFrame
+    * tier's [[graft.filter.FilterDsl]] stays the general path).
+    * `Seq(Nil)` = one unconstrained branch = match-all.
+    */
+  private[serve] def parseFilterDnf(
+      node: com.fasterxml.jackson.databind.JsonNode): Seq[Seq[MetaFilter]] = {
+    if (node == null || node.isNull) return Seq(Nil)
+    def cross(a: Seq[Seq[MetaFilter]], b: Seq[Seq[MetaFilter]]): Seq[Seq[MetaFilter]] =
+      for (x <- a; y <- b) yield x ++ y
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[MetaFilter]]]
+    if (node.has("@and"))
+      parts += node.get("@and").elements().asScala.toSeq
+        .map(parseFilterDnf).foldLeft(Seq(Seq.empty[MetaFilter]))(cross)
+    if (node.has("@or")) {
+      val ors = node.get("@or").elements().asScala.toSeq.flatMap(parseFilterDnf)
+      require(ors.nonEmpty, "@or needs at least one child")
+      parts += ors
+    }
+    {
       // strictness rules (a silently-dropped or mis-typed filter is a
       // WRONG RESULT, not a convenience): a textual value is only legal
       // under @eq on a dictionary-encoded column; a numeric value is
@@ -1107,14 +1164,56 @@ final class MemoryServer(dense: MemoryAnnIndex,
             MetaFilter(n, o.get(n).asLong(), o.get(n).asLong())
           }.toSeq
       }
-      val fs = stringEq ++ numEq ++
+      val leafConj = stringEq ++ numEq ++
         one("@gte", (c, v) => MetaFilter(c, v, Long.MaxValue)) ++
         one("@lte", (c, v) => MetaFilter(c, Long.MinValue, v))
-      if (fs.isEmpty)
+      if (leafConj.nonEmpty) parts += Seq(leafConj)
+      // @ne — "anything but v" = the two ranges around v (string values
+      // resolve to their dictionary code first; an UNSEEN string value
+      // excludes nothing, so the field contributes match-all)
+      def neBranches(n: String, v: Long): Seq[Seq[MetaFilter]] =
+        Seq(
+          if (v > Long.MinValue) Some(Seq(MetaFilter(n, Long.MinValue, v - 1))) else None,
+          if (v < Long.MaxValue) Some(Seq(MetaFilter(n, v + 1, Long.MaxValue))) else None
+        ).flatten
+      Option(node.get("@ne")).foreach { o =>
+        o.fieldNames().asScala.foreach { n =>
+          val v = o.get(n)
+          if (v.isTextual) {
+            val f = dense.stringFilter(n, v.asText()) // errors on non-dict col
+            parts += (if (f.min > f.max) Seq(Nil) else neBranches(n, f.min))
+          } else {
+            checkNumericCol("@ne", n, v)
+            parts += neBranches(n, v.asLong())
+          }
+        }
+      }
+      // @contains — substring match resolved against the dictionary at
+      // request time: one equality branch per matching code (bounded by
+      // the categorical alphabet, never the corpus); no match = an
+      // impossible branch (empty results, like an unseen @eq)
+      Option(node.get("@contains")).foreach { o =>
+        o.fieldNames().asScala.foreach { n =>
+          val v = o.get(n)
+          if (!v.isTextual)
+            throw new IllegalArgumentException(
+              s"@contains value for '$n' must be a string, got: $v")
+          val codes = dense.containsCodes(n, v.asText()) // errors on non-dict col
+          parts += (if (codes.isEmpty) Seq(Seq(MetaFilter(n, 1L, 0L)))
+                    else codes.map(c => Seq(MetaFilter(n, c, c))))
+        }
+      }
+      if (parts.isEmpty)
         throw new IllegalArgumentException(
-          s"memory tier supports @and/@eq/@gte/@lte numeric filters, got: $node")
-      fs
+          "memory tier supports @and/@or/@eq/@ne/@gte/@lte/@contains " +
+            s"filters, got: $node")
+      val dnf = parts.foldLeft(Seq(Seq.empty[MetaFilter]))(cross)
+      require(dnf.size <= 64,
+        s"filter expands to ${dnf.size} DNF branches (max 64) — " +
+          "simplify the request or use the DataFrame tier's FilterDsl")
+      dnf
     }
+  }
 
   /** JSON request → JSON response, job-free. Accepts `query_vector` +
     * `limit` + the numeric `filter` subset (the deterministic serving
@@ -1132,7 +1231,7 @@ final class MemoryServer(dense: MemoryAnnIndex,
         "memory tier serves 'query_vector' requests; text 'query' goes " +
           "through the embedder-backed DataFrame tier"))
     val qv = vecNode.elements().asScala.map(_.floatValue()).toSeq
-    val hits = topKVec(qv, k, parseFilters(req.get("filter")))
+    val hits = topKVecDnf(qv, k, parseFilterDnf(req.get("filter")))
       .map { case (id, s) => s"""{"id":"$id","score":"$s"}""" }
     s"""{"results":[${hits.mkString(",")}]}"""
   }

@@ -391,6 +391,78 @@ class ServeSpec extends SparkSpec {
     intercept[RuntimeException] { mem.stringFilter("vec_id", "1") }
   }
 
+  test("DNF filters: @or/@ne/@contains requests == DataFrame WHERE bit-for-bit") {
+    import graft.serve.{MemoryAnnIndex, MemoryServer}
+    val tagged = annAssigned
+      .withColumn("cat",
+        concat(lit("cat"), pmod(col("vec_id"), lit(3)).cast("string")))
+      .withColumn("grp", pmod(col("vec_id"), lit(7)).cast("int"))
+      .localCheckpoint(true)
+    val mem = MemoryAnnIndex.fromDataFrame(tagged, "vec_id", "embedding",
+      "ivf_cell", annCents, metaCols = Seq("cat", "grp"))
+    val server = new MemoryServer(mem, None)
+    val q = annQueries(2)
+    def wantWhere(p: org.apache.spark.sql.Column, k: Int) =
+      graft.operators.Ann.topK(tagged.where(p), "vec_id", "embedding", q, k)
+        .select("vec_id", "score").collect()
+        .map(r => s"""{"id":"${r.getLong(0)}","score":"${r.getDouble(1)}"}""")
+        .mkString("""{"results":[""", ",", "]}")
+    def req(filter: String, k: Int) = server.search(
+      s"""{"query_vector":[${q.mkString(",")}],"limit":$k,"filter":$filter}""")
+    // the notebook Q3 shape: @and[@eq, @or[@eq, @eq]]
+    assert(req("""{"@and":[{"@eq":{"cat":"cat1"}},
+                 |{"@or":[{"@eq":{"grp":2}},{"@eq":{"grp":5}}]}]}""".stripMargin, 6)
+      == wantWhere(col("cat") === "cat1" && (col("grp") === 2 || col("grp") === 5), 6))
+    // @ne numeric (two ranges) and string (code-resolved)
+    assert(req("""{"@ne":{"grp":3}}""", 7)
+      == wantWhere(col("grp") =!= 3, 7))
+    assert(req("""{"@and":[{"@ne":{"cat":"cat0"}},{"@gte":{"grp":4}}]}""", 6)
+      == wantWhere(col("cat") =!= "cat0" && col("grp") >= 4, 6))
+    // @ne of an UNSEEN string value excludes nothing
+    assert(req("""{"@ne":{"cat":"catX"}}""", 5)
+      == wantWhere(lit(true), 5))
+    // @contains resolves through the dictionary ("at1" matches cat1 only)
+    assert(req("""{"@contains":{"cat":"at1"}}""", 5)
+      == wantWhere(col("cat").contains("at1"), 5))
+    // @contains with no dictionary match = ordinary empty result
+    assert(req("""{"@contains":{"cat":"zzz"}}""", 5) == """{"results":[]}""")
+    // strictness survives the DNF rewrite: ranges on string columns and
+    // non-string @contains stay explicit errors
+    intercept[IllegalArgumentException] { req("""{"@gte":{"cat":2}}""", 3) }
+    intercept[IllegalArgumentException] { req("""{"@contains":{"grp":3}}""", 3) }
+    // cross-product explosion is refused, not served
+    val blowup = (1 to 7).map(_ => """{"@or":[{"@eq":{"grp":1}},{"@eq":{"grp":2}}]}""")
+      .mkString("""{"@and":[""", ",", "]}")
+    intercept[IllegalArgumentException] { req(blowup, 3) }
+  }
+
+  test("searchLexical serves through WAND: == exhaustive TAAT scan bit-for-bit") {
+    import graft.operators.Bm25
+    val lexDocs = Seq.tabulate(120)(i =>
+      (i.toLong, (Seq.fill(i % 5 + 1)("common") ++
+        (if (i % 11 == 0) Seq("rare", "rare") else Nil) ++
+        Seq.fill(3)(s"w$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val postings = Bm25.buildPostings(lexDocs, "doc_id", "text")
+      .localCheckpoint(true)
+    val stats = lexDocs
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(sum("dl"), count(lit(1))).head()
+    val avgdl = stats.getLong(0).toDouble / stats.getLong(1).toDouble
+    val dfMap = postings.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idfMap = Bm25.idfByTerm(dfMap, stats.getLong(1), spark)
+    val idx = graft.serve.MemoryPostingsIndex.fromDataFrame(
+      postings, "doc_id", idfMap, avgdl)
+    val server = new graft.serve.MemoryServer(
+      graft.serve.MemoryAnnIndex.fromDataFrame(
+        annAssigned, "vec_id", "embedding", "ivf_cell", annCents),
+      Some(idx))
+    for (terms <- Seq(Seq("common"), Seq("common", "rare"), Seq("rare", "w7")))
+      assert(server.searchLexical(terms, 10) == idx.search(terms, 10),
+        s"WAND-served lexical leg drifted from TAAT for $terms")
+  }
+
   test("memory PQ tier: ADC prune-and-rerank == Ann.topKPq bit-for-bit") {
     import graft.operators.Ann
     val books = Ann.pqCodebooks(annCorpus, "vec_id", "embedding",
