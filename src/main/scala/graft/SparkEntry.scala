@@ -4744,8 +4744,12 @@ object SparkEntry {
       val ev = events(s, dir).where(col("event_type").isNotNull)
         .select(col("event_type"),
           expr("unix_micros(ts) div 86400000000").as("day_idx"))
+      // public demo salt: the oracle must replay identical noise, so
+      // this is a reproducible mechanism DEMO — a real release passes a
+      // secret per-epoch key here (see Privacy.noisyCounts contract)
       graft.operators.Privacy
-        .noisyCounts(ev, Seq("event_type", "day_idx"), epsilon = 0.5)
+        .noisyCounts(ev, Seq("event_type", "day_idx"), epsilon = 0.5,
+          salt = ":dp")
         .select("event_type", "day_idx", "noisy_n", "released_n")
     }),
 
@@ -5096,6 +5100,21 @@ object SparkEntry {
       hit.findAllMatchIn(resp)
         .map(m => (m.group(1).toLong, m.group(2).toDouble))
         .toSeq.toDF("vec_id", "score")
+    }),
+
+    // ---- seasonal-naive forecast backtest: per event_type, daily
+    // event counts graded against ŷ_t = y_{t-7} (weekly seasonality).
+    // The forecast joins on the TIME INDEX (t-7), never a row lag —
+    // calendar gaps produce unscored points (n_scored < n_points), not
+    // misalignment. Errors are integer diffs; mae/wape/bias are each
+    // ONE correctly-rounded division of exact integer sums.
+    "q264_backtest_seasonal" -> ((s, dir) => {
+      val daily = events(s, dir).where(col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day_idx"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.operators.Backtest.seasonalNaive(daily, "event_type",
+        "day_idx", "n_events", season = 7)
     })
   )
 
@@ -8802,6 +8821,29 @@ object SparkEntry {
          |  AND (d.lang = 'en' OR d.lang = 'de')
          |ORDER BY score DESC, e.vec_id LIMIT 8""".stripMargin
     },
+
+    // the index self-join and exact-integer-sum divisions transcribed
+    "q264_backtest_seasonal" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx
+        |  FROM events WHERE event_type IS NOT NULL),
+        |d AS (SELECT event_type, day_idx, count(*) AS v FROM e GROUP BY 1, 2),
+        |sc AS (SELECT d.event_type, d.v, b.v AS f
+        |  FROM d LEFT JOIN d b ON d.event_type = b.event_type
+        |    AND d.day_idx = b.day_idx + 7),
+        |g AS (SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n_points,
+        |    CAST(count(f) AS BIGINT) AS n_scored,
+        |    CAST(sum(abs(v - f)) AS BIGINT) AS sum_abs_err,
+        |    CAST(sum(v - f) AS BIGINT) AS sum_err,
+        |    CAST(sum(CASE WHEN f IS NOT NULL THEN abs(v) END) AS BIGINT)
+        |      AS sum_abs_y
+        |  FROM sc GROUP BY 1)
+        |SELECT event_type, n_points, n_scored, sum_abs_err, sum_err,
+        |  sum_abs_y,
+        |  CAST(sum_abs_err AS DOUBLE) / CAST(n_scored AS DOUBLE) AS mae,
+        |  CAST(sum_abs_err AS DOUBLE) / CAST(sum_abs_y AS DOUBLE) AS wape,
+        |  CAST(sum_err AS DOUBLE) / CAST(sum_abs_y AS DOUBLE) AS bias
+        |FROM g""".stripMargin,
 
     // @ne = <>, @contains = substring membership — per-row in SQL
     "q263_memory_ne_contains" -> {

@@ -23,8 +23,8 @@ import org.apache.spark.sql.functions._
 object Backtest {
 
   /** `timeCol` integral period index, `valueCol` integral metric.
-    * Output per group: n_points, n_scored, sum_abs_err, sum_abs_y,
-    * mae, wape, bias.
+    * Output per group: n_points, n_scored, sum_abs_err, sum_err,
+    * sum_abs_y, mae, wape, bias.
     */
   def seasonalNaive(df: DataFrame, groupCol: String, timeCol: String,
                     valueCol: String, season: Int): DataFrame = {
@@ -46,10 +46,13 @@ object Backtest {
         count(lit(1)).as("n_points"),
         count(col("__f")).as("n_scored"),
         sum(abs(col("__e"))).as("sum_abs_err"),
+        sum(col("__e")).as("sum_err"),
         sum(when(col("__f").isNotNull, abs(col(valueCol)))).as("sum_abs_y"))
       .withColumn("mae",
         col("sum_abs_err").cast("double") / col("n_scored").cast("double"))
       .withColumn("wape",
         col("sum_abs_err").cast("double") / col("sum_abs_y").cast("double"))
+      .withColumn("bias",
+        col("sum_err").cast("double") / col("sum_abs_y").cast("double"))
   }
 }

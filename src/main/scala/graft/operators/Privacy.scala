@@ -40,11 +40,24 @@ object Privacy {
   /** ε-DP noisy per-group counts (count sensitivity = 1). Output keeps
     * the true `n` and the `noise` for auditability — a production
     * release projects them away and ships `noisy_n`/`released_n` only.
+    *
+    * SECURITY CONTRACT — the `salt` is the mechanism's SECRET KEY, not a
+    * tweak: noise = f(group key, salt) with f public, so anyone who
+    * knows the salt recomputes the noise and subtracts it, recovering
+    * the exact count. The ε-DP guarantee holds ONLY against observers
+    * who do not know the salt. A real release must draw it per release
+    * epoch from a high-entropy secret source (≥128 bits) and manage it
+    * like a credential (never in source control or query text); rotate
+    * it to deliberately spend fresh budget. There is deliberately no
+    * default — a code-visible constant salt (as this repo's oracle
+    * DEMOS use, where both engines must replay identical noise) yields
+    * a reproducible mechanism DEMO, not a private release.
     */
   def noisyCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
-                  salt: String = ":dp"): DataFrame = {
+                  salt: String): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
     require(epsilon > 0, s"epsilon must be positive: $epsilon")
+    require(salt.nonEmpty, "salt is the DP mechanism's secret key — required")
     val counts = df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"))
     val key = concat_ws("|", groupCols.map(c => col(c).cast("string")): _*)

@@ -261,8 +261,14 @@ final class MemoryAnnIndex private (
   def topKAfter(query: Seq[Float], k: Int,
                 afterScore: Double, afterId: Long,
                 filters: Seq[MetaFilter] = Nil): Seq[(Long, Double)] = {
+    // Double.compare, not IEEE </==: ranking everywhere else uses the
+    // total order, and at a page boundary of -0.0 vs +0.0 the IEEE admit
+    // rule would disagree with the sort — skipping or duplicating a row
     val all = topKInCellsWhere(query, k, 0 until nCells, filters,
-      (s, id) => s < afterScore || (s == afterScore && id > afterId))
+      (s, id) => {
+        val c = java.lang.Double.compare(s, afterScore)
+        c < 0 || (c == 0 && id > afterId)
+      })
     all
   }
 

@@ -42,6 +42,10 @@ object DriftStream {
   def verdict(spark: SparkSession, table: String, reference: DataFrame,
               groupCol: String, cuts: Seq[Double], tauP: Long,
               tauQ: Long): DataFrame =
-    Drift.verdict(reference, spark.read.parquet(table), groupCol, cuts,
-      tauP, tauQ)
+    // snapshot(), not a plain-path read: the _SUCCESS-gated
+    // complete-version resolution is the only read UpsertSink offers on
+    // filesystems without symlinks (HDFS/S3) — same as every sibling
+    // stream's readout
+    Drift.verdict(reference, UpsertSink.snapshot(spark, table), groupCol,
+      cuts, tauP, tauQ)
 }

@@ -17,14 +17,16 @@ class GovernanceOpsSpec extends SparkSpec {
       ("g", 4L, 14L), ("g", 6L, 20L), ("g", 7L, 30L))
       .toDF("g", "t", "v")
     val r = Backtest.seasonalNaive(ts, "g", "t", "v", season = 2)
-      .as[(String, Long, Long, Option[Long], Option[Long], Option[Double],
-        Option[Double])].head()
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long],
+        Option[Double], Option[Double], Option[Double])].head()
     // scored: t=3 (f=10,e=1), t=4 (f=12,e=2), t=6 (f=14,e=6); t=7 has no
     // t=5 base -> unscored. n_points=6, n_scored=3
     assert(r._2 === 6L && r._3 === 3L)
     assert(r._4 === Some(9L), s"sum|e| = 1+2+6, got ${r._4}")
-    assert(r._5 === Some(45L), "sum|y| over scored points = 11+14+20")
-    assert(r._6 === Some(3.0) && r._7 === Some(0.2))
+    assert(r._5 === Some(9L), s"sum e (signed) = 1+2+6, got ${r._5}")
+    assert(r._6 === Some(45L), "sum|y| over scored points = 11+14+20")
+    assert(r._7 === Some(3.0) && r._8 === Some(0.2))
+    assert(r._9 === Some(0.2), "bias = sum_err/sum_abs_y (all errors positive here)")
   }
 
   test("four-fifths rule: exact boundary is NOT adverse, below is") {

@@ -15,9 +15,9 @@ class PrivacySpec extends SparkSpec {
 
   test("noise is a pure function of (group, salt): repartition-stable") {
     val df = groups(50)
-    val a = Privacy.noisyCounts(df.repartition(1), Seq("g"), 0.5)
+    val a = Privacy.noisyCounts(df.repartition(1), Seq("g"), 0.5, salt = ":dp")
       .select("g", "noisy_n").as[(String, Double)].collect().toMap
-    val b = Privacy.noisyCounts(df.repartition(13), Seq("g"), 0.5)
+    val b = Privacy.noisyCounts(df.repartition(13), Seq("g"), 0.5, salt = ":dp")
       .select("g", "noisy_n").as[(String, Double)].collect().toMap
     assert(a === b, "same bits under any partitioning")
     val c = Privacy.noisyCounts(df, Seq("g"), 0.5, salt = ":dp2")
@@ -28,9 +28,9 @@ class PrivacySpec extends SparkSpec {
 
   test("halving epsilon exactly doubles every noise draw (b = 1/eps)") {
     val df = groups(40)
-    val n1 = Privacy.noisyCounts(df, Seq("g"), 1.0)
+    val n1 = Privacy.noisyCounts(df, Seq("g"), 1.0, salt = ":dp")
       .select("g", "noise").as[(String, Double)].collect().toMap
-    val n05 = Privacy.noisyCounts(df, Seq("g"), 0.5)
+    val n05 = Privacy.noisyCounts(df, Seq("g"), 0.5, salt = ":dp")
       .select("g", "noise").as[(String, Double)].collect().toMap
     n1.foreach { case (g, v) =>
       assert(n05(g) === v * 2.0, s"power-of-two rescale must be exact ($g)")
@@ -38,7 +38,7 @@ class PrivacySpec extends SparkSpec {
   }
 
   test("draws look Laplace(2): sign balance and mean |noise| near b") {
-    val noise = Privacy.noisyCounts(groups(400), Seq("g"), 0.5)
+    val noise = Privacy.noisyCounts(groups(400), Seq("g"), 0.5, salt = ":dp")
       .select("noise").as[Double].collect()
     assert(noise.length === 400)
     val pos = noise.count(_ > 0)
@@ -50,8 +50,14 @@ class PrivacySpec extends SparkSpec {
       "the 2^-32 w-clamp bounds the tail")
   }
 
+  test("the salt is a required secret key: empty salt is rejected") {
+    intercept[IllegalArgumentException] {
+      Privacy.noisyCounts(groups(3), Seq("g"), 0.5, salt = "")
+    }
+  }
+
   test("released counts are non-negative integers near the truth") {
-    val rel = Privacy.noisyCounts(groups(100), Seq("g"), 0.5)
+    val rel = Privacy.noisyCounts(groups(100), Seq("g"), 0.5, salt = ":dp")
       .select("n", "released_n").as[(Long, Long)].collect()
     assert(rel.forall(_._2 >= 0L), "negative counts never release")
     assert(rel.forall { case (n, r) => math.abs(r - n) <= 50L },
