@@ -5115,6 +5115,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
       graft.operators.Backtest.seasonalNaive(daily, "event_type",
         "day_idx", "n_events", season = 7)
+    }),
+
+    // ---- SHARDED flat-tier serving (serve/ShardedAnnIndex): the
+    // 10 M-doc deployment form made executable — rows hash-shard by id
+    // into disjoint MemoryAnnIndex slices (one per replica in a real
+    // deployment), the query fans out, k-bounded lists merge under the
+    // global (score DESC, id ASC) order. Bit-identical to the unsharded
+    // scan, which is what the brute-force oracle checks.
+    "q265_sharded_search" -> ((s, dir) => {
+      import s.implicits._
+      val emb = rd(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") =!= 35)
+      val qv = storedVecs(emb, 35).head
+      val cents = Ann.sampleCentroids(corpus, "vec_id", "embedding", 4)
+      val sharded = graft.serve.ShardedAnnIndex.fromDataFrame(
+        Ann.withIvfAssignment(corpus, "embedding", cents),
+        "vec_id", "embedding", "ivf_cell", cents, nShards = 4)
+      sharded.topK(qv, 10).toDF("vec_id", "score")
     })
   )
 
@@ -8820,6 +8838,15 @@ object SparkEntry {
          |WHERE e.vec_id <> 33 AND d.source = 'src3'
          |  AND (d.lang = 'en' OR d.lang = 'de')
          |ORDER BY score DESC, e.vec_id LIMIT 8""".stripMargin
+    },
+
+    // the shard fan-out merge ≡ the unsharded scan ≡ brute force
+    "q265_sharded_search" -> {
+      val cos = cosSql("e.embedding", "q.qv")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 35)
+         |SELECT e.vec_id, $cos AS score
+         |FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 35
+         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin
     },
 
     // the index self-join and exact-integer-sum divisions transcribed

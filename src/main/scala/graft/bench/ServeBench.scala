@@ -132,6 +132,12 @@ object ServeBench {
     val memDense = graft.serve.MemoryAnnIndex.fromDataFrame(
       index, "vec_id", "embedding", "ivf_cell", cents,
       metaCols = Seq("label"))
+    // the deployment form of the flat tier: disjoint hash shards, query
+    // fan-out, k-bounded merge (one shard per replica in production;
+    // here the shards share a process, so the bench measures the
+    // fan-out + merge overhead vs the monolithic scan)
+    val memSharded = graft.serve.ShardedAnnIndex.fromDataFrame(
+      index, "vec_id", "embedding", "ivf_cell", cents, nShards = 4)
     // a selective conjunction (~1/10 of the corpus): the payload-index
     // vs filtered-scan comparison below
     val serveFilter = Seq(graft.serve.MetaFilter("label", 3, 3))
@@ -181,6 +187,12 @@ object ServeBench {
       "memory_ivf" -> { qi: Int =>
         val n = memDense.topKIvf(qvecs(qi % qvecs.size), 5, nProbe = 2).length
         require(n == 5, s"memory_ivf returned $n rows")
+      },
+      // sharded fan-out + merge (4 disjoint slices) — the replica
+      // deployment shape; bit-identical results to memory_search
+      "memory_sharded" -> { qi: Int =>
+        val n = memSharded.topK(qvecs(qi % qvecs.size), 5).length
+        require(n == 5, s"memory_sharded returned $n rows")
       },
       "memory_hybrid" -> { qi: Int =>
         val n = memServer.searchHybrid(qvecs(qi % qvecs.size),

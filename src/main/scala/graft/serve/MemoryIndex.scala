@@ -458,6 +458,95 @@ object MemoryAnnIndex {
   }
 }
 
+/** The sharded serving form of the flat/IVF memory tier — what
+  * [[MemoryAnnIndex]]'s 10 M-doc scale note describes, made executable:
+  * rows hash-shard by id into disjoint [[MemoryAnnIndex]] slices (in a
+  * deployment, one slice per serving replica; here one object holds
+  * them to make the contract testable), a query fans out to every
+  * shard, and the k-bounded per-shard results merge under the global
+  * (score DESC, id ASC) order. Merged results are BIT-IDENTICAL to the
+  * unsharded index: shards cover the corpus disjointly, each row's
+  * score uses the same fold wherever it lives, and the global top-k is
+  * contained in the union of shard top-k's. IVF probing composes
+  * because every shard carries the SAME centroid set — each shard
+  * probes the same query-nearest cells over its own row subset, so the
+  * union of scanned rows equals the unsharded probe's scan set.
+  *
+  * String-metadata caveat: dictionaries are per-shard (codes depend on
+  * the shard's value set), so string filters must resolve per shard —
+  * use [[stringEqFilter]], never a single shard's [[MemoryAnnIndex.stringFilter]]
+  * code against the others.
+  */
+final class ShardedAnnIndex private[serve] (val shards: Seq[MemoryAnnIndex]) {
+
+  require(shards.nonEmpty, "ShardedAnnIndex: no shards")
+  def nShards: Int = shards.length
+  def size: Int = shards.map(_.size).sum
+
+  private def merge(k: Int,
+                    per: MemoryAnnIndex => Seq[(Long, Double)]): Seq[(Long, Double)] =
+    shards.flatMap(per)
+      .sortBy { case (id, s) => (-s, id) }.take(k)
+
+  def topK(query: Seq[Float], k: Int,
+           filters: Seq[MetaFilter] = Nil): Seq[(Long, Double)] =
+    merge(k, _.topK(query, k, filters))
+
+  def topKIvf(query: Seq[Float], k: Int, nProbe: Int,
+              filters: Seq[MetaFilter] = Nil): Seq[(Long, Double)] =
+    merge(k, _.topKIvf(query, k, nProbe, filters))
+
+  /** Filtered fan-out where a string-equality leg resolves through EACH
+    * shard's own dictionary (per-shard codes differ by construction).
+    */
+  def topKStringEq(query: Seq[Float], k: Int, colName: String,
+                   value: String,
+                   numericFilters: Seq[MetaFilter] = Nil): Seq[(Long, Double)] =
+    merge(k, sh => sh.topK(query, k,
+      sh.stringFilter(colName, value) +: numericFilters))
+
+  /** Per-shard string @eq filters, index-aligned with [[shards]]. */
+  def stringEqFilter(colName: String, value: String): Seq[MetaFilter] =
+    shards.map(_.stringFilter(colName, value))
+}
+
+object ShardedAnnIndex {
+
+  /** Deterministic hash shard of an id: splitmix64-mixed then
+    * non-negative mod — balanced for sequential ids (plain `id % n`
+    * would stripe correlated inserts) and reproducible everywhere.
+    */
+  def shardOf(id: Long, nShards: Int): Int = {
+    var z = id + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^= (z >>> 31)
+    (((z % nShards) + nShards) % nShards).toInt
+  }
+
+  /** Shard the same assigned frame [[MemoryAnnIndex.fromDataFrame]]
+    * takes. All shards receive the full centroid set (the IVF probe
+    * contract above); empty shards are dropped (a tiny corpus on many
+    * shards serves from the occupied ones).
+    */
+  def fromDataFrame(df: DataFrame, idCol: String, embCol: String,
+                    cellCol: String, centroids: Seq[Seq[Float]],
+                    nShards: Int,
+                    metaCols: Seq[String] = Nil): ShardedAnnIndex = {
+    require(nShards >= 1, s"nShards $nShards must be >= 1")
+    val n = nShards
+    val shardUdf = udf((id: Long) => shardOf(id, n))
+    val tagged = df.withColumn("__shard", shardUdf(col(idCol).cast("long")))
+    val shards = (0 until nShards).flatMap { sh =>
+      val slice = tagged.where(col("__shard") === sh).drop("__shard")
+      if (slice.isEmpty) None
+      else Some(MemoryAnnIndex.fromDataFrame(slice, idCol, embCol,
+        cellCol, centroids, metaCols))
+    }
+    new ShardedAnnIndex(shards)
+  }
+}
+
 /** SQ8-compressed memory index — the serving-tier form of
   * [[graft.operators.Quantize]]'s codec, where the compression is REAL:
   * codes pack into `Array[Byte]` (1 B/element vs 4 B for the float

@@ -463,6 +463,46 @@ class ServeSpec extends SparkSpec {
         s"WAND-served lexical leg drifted from TAAT for $terms")
   }
 
+  test("sharded flat/IVF tier: disjoint cover; fan-out merge == unsharded bit-for-bit") {
+    import graft.serve.{MemoryAnnIndex, MetaFilter, ShardedAnnIndex}
+    val tagged = annAssigned
+      .withColumn("grp", pmod(col("vec_id"), lit(7)).cast("int"))
+      .withColumn("cat",
+        concat(lit("cat"), pmod(col("vec_id"), lit(3)).cast("string")))
+      .localCheckpoint(true)
+    val whole = MemoryAnnIndex.fromDataFrame(tagged, "vec_id", "embedding",
+      "ivf_cell", annCents, metaCols = Seq("grp", "cat"))
+    val sharded = ShardedAnnIndex.fromDataFrame(tagged, "vec_id",
+      "embedding", "ivf_cell", annCents, nShards = 4,
+      metaCols = Seq("grp", "cat"))
+    // disjoint cover: every id in exactly one shard, sizes sum
+    assert(sharded.nShards == 4 && sharded.size == whole.size)
+    val perShardIds = sharded.shards.map(sh =>
+      sh.topK(annQueries.head, sh.size).map(_._1).toSet)
+    assert(perShardIds.map(_.size).sum == whole.size,
+      "shards must partition the corpus")
+    perShardIds.foreach(s => s.foreach(id =>
+      assert(ShardedAnnIndex.shardOf(id, 4) ==
+        perShardIds.indexWhere(_.contains(id)))))
+    annQueries.foreach { q =>
+      assert(sharded.topK(q, 9) == whole.topK(q, 9),
+        "flat fan-out merge drifted from the unsharded scan")
+      assert(sharded.topKIvf(q, 9, nProbe = 2) == whole.topKIvf(q, 9, 2),
+        "IVF fan-out (same centroids per shard) drifted")
+      assert(sharded.topK(q, 6, Seq(MetaFilter("grp", 2, 4))) ==
+        whole.topK(q, 6, Seq(MetaFilter("grp", 2, 4))),
+        "numeric-filtered fan-out drifted")
+      assert(sharded.topKStringEq(q, 6, "cat", "cat1") ==
+        whole.topK(q, 6, Seq(whole.stringFilter("cat", "cat1"))),
+        "per-shard dictionary resolution drifted")
+    }
+    // a corpus smaller than the shard count serves from occupied shards
+    val tiny = ShardedAnnIndex.fromDataFrame(
+      tagged.where(col("vec_id") < 3), "vec_id", "embedding",
+      "ivf_cell", annCents, nShards = 8)
+    assert(tiny.size == 3 && tiny.topK(annQueries.head, 3).size == 3)
+  }
+
   test("memory PQ tier: ADC prune-and-rerank == Ann.topKPq bit-for-bit") {
     import graft.operators.Ann
     val books = Ann.pqCodebooks(annCorpus, "vec_id", "embedding",
