@@ -5133,7 +5133,18 @@ object SparkEntry {
         Ann.withIvfAssignment(corpus, "embedding", cents),
         "vec_id", "embedding", "ivf_cell", cents, nShards = 4)
       sharded.topK(qv, 10).toDF("vec_id", "score")
-    })
+    }),
+
+    // ---- exact-dedup-FIRST LSH (q23's scale-order rule, executable):
+    // collapse exact duplicate texts to a min-id representative + count
+    // in ONE hash agg, run MinHash-LSH over DISTINCT texts, and return
+    // replica mass as integer multiplicities (within-group C(n,2),
+    // cross-group n_a·n_b) instead of materialized pair rows. On a
+    // replica-dense corpus the candidate join shrinks by the squared
+    // replication factor while Σ n_pairs still equals q23's row count.
+    "q266_lsh_dedup_first" -> ((s, dir) =>
+      Dedup.minHashLshPairsDedupFirst(rdPar(s, dir, "documents"),
+        "doc_id", "text", numHashes = 16, bands = 2)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -8839,6 +8850,38 @@ object SparkEntry {
          |  AND (d.lang = 'en' OR d.lang = 'de')
          |ORDER BY score DESC, e.vec_id LIMIT 8""".stripMargin
     },
+
+    // q23's LSH machinery over DISTINCT texts (min-id reps) + integer
+    // multiplicities; all counts integer so the twin is exact
+    "q266_lsh_dedup_first" ->
+      """WITH g AS (SELECT min(doc_id) AS doc_id, text, count(*) AS n
+        |  FROM documents GROUP BY text),
+        |th AS (
+        |  SELECT g.doc_id, CAST(('0x' || substring(md5(t.t), 1, 8)) AS BIGINT) AS h
+        |  FROM g, unnest(list_distinct(string_split(g.text, ' '))) AS t(t)),
+        |mh AS (
+        |  SELECT doc_id, i.i AS hash_idx,
+        |    min(((2 * i.i + 1) * h + i.i * 40503) % 4294967311) AS minhash
+        |  FROM th, range(16) i(i)
+        |  GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(minhash ORDER BY hash_idx) AS s FROM mh GROUP BY doc_id),
+        |bands AS (SELECT doc_id, b.b AS band,
+        |    md5(array_to_string(s[b.b * 8 + 1 : b.b * 8 + 8], ',')) AS bucket
+        |  FROM sig, range(2) b(b)),
+        |xg AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS n_shared_bands
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT xg.id_a, xg.id_b,
+        |  CAST(xg.n_shared_bands AS BIGINT) AS n_shared_bands,
+        |  CAST(ga.n * gb.n AS BIGINT) AS n_pairs
+        |FROM xg JOIN g ga ON ga.doc_id = xg.id_a
+        |  JOIN g gb ON gb.doc_id = xg.id_b
+        |UNION ALL
+        |SELECT doc_id, doc_id, CAST(2 AS BIGINT),
+        |  CAST((n * (n - 1)) // 2 AS BIGINT)
+        |FROM g WHERE n >= 2""".stripMargin,
 
     // the shard fan-out merge ≡ the unsharded scan ≡ brute force
     "q265_sharded_search" -> {

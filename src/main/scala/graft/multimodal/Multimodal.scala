@@ -11,11 +11,15 @@ import org.apache.spark.sql.functions._
   * IMAGES decode for real: [[ImageIoCodec]] and [[decodeImageMeta]] run
   * `javax.imageio` (PNG/JPEG, ships in the JDK — no new dependency) and are
   * gated end-to-end on encoder round-trips with closed-form pixel truth
-  * (q90). Audio/video byte->samples decode remains STUBBED (no codecs in
-  * this environment): [[StubCodec]] derives deterministic pseudo-features
-  * from the bytes. Everything Spark-side — schema, partition batching,
-  * feature shapes, frame sampling, resize bookkeeping — is real and tested;
-  * swapping in a real audio codec touches only [[MediaCodec]].
+  * (q90). UNCOMPRESSED AUDIO decodes for real too: WAV/AIFF byte→PCM
+  * samples run `javax.sound.sampled` (see `decodeAudioMeta` below), and
+  * MP4/MKV CONTAINER metadata (duration, track geometry) parses for real,
+  * dependency-free. The only remaining stub is the COMPRESSED-codec
+  * sample decode (MP3/AAC/H.264 — no codecs ship in this environment):
+  * [[StubCodec]] derives deterministic pseudo-features from those bytes.
+  * Everything Spark-side — schema, partition batching, feature shapes,
+  * frame sampling, resize bookkeeping — is real and tested; swapping in a
+  * real compressed codec touches only [[MediaCodec]].
   */
 object Multimodal {
 

@@ -133,6 +133,48 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Exact-dedup-FIRST MinHash-LSH — the executable ordering rule for
+    * replica-dense corpora (crawl mirrors, template farms, the scale
+    * bench's replicated shards). [[minHashLshPairs]] on such a corpus
+    * pays Σ n_a·n_b over replica groups — pair volume quadratic in the
+    * replication factor even though every replica of a text carries the
+    * IDENTICAL signature and adds zero information. So collapse first:
+    * one hash aggregation keeps the min-id representative and replica
+    * count per exact text, LSH runs over DISTINCT texts only, and the
+    * replica mass returns as integer MULTIPLICITIES, never as
+    * materialized rows:
+    *   - cross-group candidates: (rep_a, rep_b, n_shared_bands,
+    *     n_pairs = n_a·n_b) — every (x∈A, y∈B) pair shares exactly the
+    *     bands the representatives share (signatures are functions of
+    *     the text alone);
+    *   - within-group rows: (rep, rep, bands, n·(n−1)/2) — exact
+    *     duplicates share ALL bands by construction.
+    * Σ n_pairs equals [[minHashLshPairs]]'s row count on the full
+    * corpus exactly (DedupSpec pins this), so callers needing the
+    * expanded pair stream can join replica id-lists back on demand —
+    * that expansion is OUTPUT-bound by definition, not a compute step.
+    */
+  def minHashLshPairsDedupFirst(df: DataFrame, idCol: String,
+                                textCol: String, numHashes: Int = 16,
+                                bands: Int = 4,
+                                tokensOf: Column => Column = split(_, " "))
+      : DataFrame = {
+    val groups = df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("__n"))
+    val counts = groups.select(col(idCol).as("__cid"), col("__n"))
+    val cross = minHashLshPairs(groups.select(col(idCol), col(textCol)),
+        idCol, textCol, numHashes, bands, tokensOf)
+      .join(counts.select(col("__cid").as("id_a"), col("__n").as("__na")), "id_a")
+      .join(counts.select(col("__cid").as("id_b"), col("__n").as("__nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared_bands"),
+        (col("__na") * col("__nb")).as("n_pairs"))
+    val within = groups.where(col("__n") >= 2)
+      .select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(bands.toLong).as("n_shared_bands"),
+        expr("(__n * (__n - 1)) div 2").as("n_pairs"))
+    cross.unionByName(within)
+  }
+
   /** SimHash near-dup candidates: 60-bit simhash split into `chunks` chunks;
     * by pigeonhole, pairs within Hamming distance `chunks - 1` share at least
     * one exact chunk. Verifies with bit_count(xor) <= maxHamming.

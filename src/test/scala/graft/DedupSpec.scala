@@ -33,6 +33,35 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated doc stays out
   }
 
+  test("dedup-first LSH: multiplicities == full-corpus pair stream on a replica-dense corpus") {
+    // replica-dense: 3 distinct texts, replicated 4x/3x/2x with min ids 10/20/30
+    val base = Seq(
+      10L -> "alpha beta gamma delta epsilon zeta",
+      20L -> "alpha beta gamma delta epsilon eta", // near-dup of 10
+      30L -> "totally unrelated words live here now")
+    val replicas = Seq(4, 3, 2)
+    val dense = base.zip(replicas).flatMap { case ((id, t), n) =>
+      (0 until n).map(i => (id + i, t)) }.toDF("id", "text")
+    val got = Dedup.minHashLshPairsDedupFirst(dense, "id", "text",
+        numHashes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // within-group rows: min-id rep, all bands shared, C(n,2) pairs
+    assert(got((10L, 10L)) == ((8L, 6L)), "4 replicas -> C(4,2)=6 exact pairs")
+    assert(got((20L, 20L)) == ((8L, 3L)))
+    assert(got((30L, 30L)) == ((8L, 1L)))
+    // cross-group multiplicity = n_a * n_b, bands = what the reps share
+    got.get((10L, 20L)).foreach { case (_, np) => assert(np == 12L) }
+    assert(!got.contains((10L, 30L)) && !got.contains((20L, 30L)),
+      "unrelated texts must not collide at 16/8 banding")
+    // the conservation identity: sum of multiplicities == the row count
+    // the quadratic full-corpus pair stream would have materialized
+    val full = Dedup.minHashLshPairs(dense, "id", "text",
+      numHashes = 16, bands = 8).count()
+    assert(got.values.map(_._2).sum == full,
+      "dedup-first multiplicities must conserve the full pair stream")
+  }
+
   test("char shingles: sliding distinct k-grams, short-text edge, LSH robustness") {
     val sh = Seq(("abcdef", 1), ("ab", 2)).toDF("t", "i")
       .select(TextAnalysis.charShingles(col("t"), 3)).collect()
