@@ -421,6 +421,18 @@ object SparkEntry {
       |    + (CASE WHEN b_seg = 'UNKNOWN' THEN 0
       |      WHEN a_seg = b_seg THEN 1 ELSE -2 END)""".stripMargin
 
+  /** The q267/q268 mixing allowlist: relative weights, one source
+    * deliberately absent from the data ("srcX" — the coverage-gap row),
+    * most corpus sources deliberately unlisted (weight 0 — the
+    * allowlist contract). Σw = 12; budget 300.
+    */
+  private val mixTargets: Seq[(String, Long)] =
+    Seq("src1" -> 3L, "src2" -> 1L, "src3" -> 1L, "src17" -> 5L, "srcX" -> 2L)
+
+  private val mixTargetsSql: String =
+    "t(source, weight) AS (VALUES " + mixTargets.map {
+      case (s, w) => s"('$s', $w)" }.mkString(", ") + ")"
+
   /** The ER threshold-calibration oracle, parameterized by an optional
     * candidate-stream predicate (q238: none — the coarse nation-only
     * stream; q261: the ±1-dollar-band window). Scores collapse to one
@@ -5145,6 +5157,26 @@ object SparkEntry {
     "q266_lsh_dedup_first" -> ((s, dir) =>
       Dedup.minHashLshPairsDedupFirst(rdPar(s, dir, "documents"),
         "doc_id", "text", numHashes = 16, bands = 2)),
+
+    // ---- source-mixture plan: natural crawl proportions → target
+    // training proportions. Integer quotas k_s = (N·w_s) div Σw over a
+    // full-outer (data sources × allowlist): unlisted sources weight 0
+    // (nothing leaks into the mix unnamed), listed-but-absent sources
+    // surface as n_in=0 coverage gaps, short sources keep everything
+    // and flag under_quota (upsampling is a deliberate decision, never
+    // silent duplication). One bounded agg; all-integer.
+    "q267_mixture_plan" -> ((s, dir) =>
+      graft.operators.Mixture.quotas(rd(s, dir, "documents"), "source",
+        mixTargets, budget = 300L)),
+
+    // ---- the mix executed: within each source, rows rank by the
+    // deterministic (md5-uniform, id) key and rank <= n_keep survive —
+    // growth-stable membership (a new crawl shard changes only its own
+    // source's tail). One window shuffle partitioned by source.
+    "q268_mixture_sample" -> ((s, dir) =>
+      graft.operators.Mixture.sampleToMixture(rd(s, dir, "documents"),
+        "doc_id", "source", mixTargets, budget = 300L, salt = ":mix")
+        .select("doc_id", "source", "lang")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -8849,6 +8881,38 @@ object SparkEntry {
          |WHERE e.vec_id <> 33 AND d.source = 'src3'
          |  AND (d.lang = 'en' OR d.lang = 'de')
          |ORDER BY score DESC, e.vec_id LIMIT 8""".stripMargin
+    },
+
+    // full-outer allowlist join + integer floor-division quotas
+    "q267_mixture_plan" ->
+      s"""WITH $mixTargetsSql,
+        |c AS (SELECT source, count(*) AS n_in FROM documents
+        |  WHERE source IS NOT NULL GROUP BY 1)
+        |SELECT coalesce(c.source, t.source) AS source,
+        |  CAST(coalesce(c.n_in, 0) AS BIGINT) AS n_in,
+        |  CAST(coalesce(t.weight, 0) AS BIGINT) AS weight,
+        |  CAST((300 * coalesce(t.weight, 0)) // 12 AS BIGINT) AS quota,
+        |  CAST(least(coalesce(c.n_in, 0),
+        |    (300 * coalesce(t.weight, 0)) // 12) AS BIGINT) AS n_keep,
+        |  coalesce(c.n_in, 0) < (300 * coalesce(t.weight, 0)) // 12
+        |    AS under_quota
+        |FROM c FULL OUTER JOIN t ON c.source = t.source""".stripMargin,
+
+    // the same quotas + the deterministic (uniform, id) rank membership
+    "q268_mixture_sample" -> {
+      val u = uniformSql("d.doc_id", ":mix")
+      s"""WITH $mixTargetsSql,
+        |c AS (SELECT source, count(*) AS n_in FROM documents
+        |  WHERE source IS NOT NULL GROUP BY 1),
+        |q AS (SELECT c.source,
+        |    least(c.n_in, (300 * coalesce(t.weight, 0)) // 12) AS n_keep
+        |  FROM c LEFT JOIN t ON c.source = t.source),
+        |r AS (SELECT d.doc_id, d.source, d.lang, q.n_keep,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY $u, d.doc_id) AS rn
+        |  FROM documents d JOIN q ON d.source = q.source
+        |  WHERE d.doc_id IS NOT NULL)
+        |SELECT doc_id, source, lang FROM r WHERE rn <= n_keep""".stripMargin
     },
 
     // q23's LSH machinery over DISTINCT texts (min-id reps) + integer

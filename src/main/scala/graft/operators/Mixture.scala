@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Source-mixture resampling — the "data mixing" step a training corpus
+  * goes through before anything else samples from it: the corpus's
+  * NATURAL source proportions are an accident of crawl coverage;
+  * training wants TARGET proportions (news-heavy, code-heavy, ...).
+  * Given integer relative weights w_s and a total row budget N, each
+  * source's quota is k_s = (N·w_s) div Σw and it keeps
+  * min(n_s, k_s) rows:
+  *   - a source SHORT of its quota keeps everything it has — upsampling
+  *     (row repetition / extra epochs) is a deliberate separate decision
+  *     the report surfaces (`under_quota`), never silent duplication;
+  *   - a source with no listed weight keeps nothing (weight 0) — mixing
+  *     is allowlist-shaped on purpose (an unvetted crawl source must
+  *     not leak into the mix because someone forgot to name it);
+  *   - a listed source absent from the data reports n_in = 0 (the
+  *     coverage gap surfaced, like the blocking audit's one-sided
+  *     blocks).
+  *
+  * Membership is the deterministic hash-uniform rank: rows order by
+  * (md5-uniform(id, salt), id) within their source and rank ≤ k_s
+  * keeps. Growth-stable (new rows in one source never change another
+  * source's kept set) and reproducible everywhere — the same
+  * house-rules key as [[Sampling.exactSizeSample]].
+  *
+  * Scale shape: ONE bounded per-source count agg joined back broadcast,
+  * one window shuffle partitioned by source — skew bounded by the
+  * largest source, the partition profile every per-source op has (a
+  * pathological mega-source pre-splits into sub-sources, the q41
+  * salting treatment). No global sort; nothing row-sized ever reaches
+  * the driver.
+  */
+object Mixture {
+
+  private def validated(targets: Seq[(String, Long)], budget: Long): Long = {
+    require(targets.nonEmpty, "at least one target source weight")
+    require(targets.forall(_._2 >= 0), s"negative weight in $targets")
+    require(targets.map(_._1).distinct.size == targets.size,
+      "duplicate source in targets")
+    require(budget > 0, s"budget must be positive: $budget")
+    val sumW = targets.map(_._2).sum
+    require(sumW > 0, "at least one positive weight")
+    sumW
+  }
+
+  /** The mixing plan: per source, rows available (n_in), weight, the
+    * budget-share quota, rows that will be kept, and the under-quota
+    * flag naming sources that cannot fill their share. Full-outer on
+    * (data sources × listed targets), all-integer.
+    */
+  def quotas(df: DataFrame, sourceCol: String,
+             targets: Seq[(String, Long)], budget: Long): DataFrame = {
+    val sumW = validated(targets, budget)
+    val spark = df.sparkSession
+    val t = spark.createDataFrame(targets).toDF(sourceCol, "weight")
+    val counts = df.where(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n_in"))
+    counts.join(t, Seq(sourceCol), "full_outer")
+      .select(col(sourceCol),
+        coalesce(col("n_in"), lit(0L)).as("n_in"),
+        coalesce(col("weight"), lit(0L)).as("weight"))
+      .withColumn("quota",
+        expr(s"(CAST($budget AS BIGINT) * weight) div CAST($sumW AS BIGINT)"))
+      .withColumn("n_keep", least(col("n_in"), col("quota")))
+      .withColumn("under_quota", col("n_in") < col("quota"))
+  }
+
+  /** The kept rows (original schema). See [[quotas]] for the plan the
+    * selection follows.
+    */
+  def sampleToMixture(df: DataFrame, idCol: String, sourceCol: String,
+                      targets: Seq[(String, Long)], budget: Long,
+                      salt: String = ":mix"): DataFrame = {
+    val q = quotas(df, sourceCol, targets, budget)
+      .where(col("n_keep") > 0)
+      .select(col(sourceCol), col("n_keep"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(Sampling.uniformFromId(col(idCol), salt).asc, col(idCol).asc)
+    df.where(col(sourceCol).isNotNull && col(idCol).isNotNull)
+      .join(broadcast(q), Seq(sourceCol))
+      .withColumn("__graft_rn", row_number().over(w))
+      .where(col("__graft_rn") <= col("n_keep"))
+      .drop("__graft_rn", "n_keep")
+  }
+}

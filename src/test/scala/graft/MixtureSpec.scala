@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Mixture
+
+/** Mixture resampling: integer quotas, allowlist semantics, short-source
+  * honesty, deterministic growth-stable membership.
+  */
+class MixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a: 10 rows, b: 4 rows, c: 6 rows (unlisted), plus nulls
+  private lazy val rows = (
+    (1L to 10L).map(i => (i, "a")) ++
+      (21L to 24L).map(i => (i, "b")) ++
+      (31L to 36L).map(i => (i, "c")) :+ (99L, null.asInstanceOf[String])
+  ).toDF("id", "src")
+
+  private val targets = Seq("a" -> 1L, "b" -> 3L, "x" -> 4L) // sumW = 8
+
+  test("quotas: floor-division shares, allowlist zeros, coverage gaps, short flag") {
+    val got = Mixture.quotas(rows, "src", targets, budget = 8L)
+      .select("src", "n_in", "weight", "quota", "n_keep", "under_quota")
+      .as[(String, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("a") === (("a", 10L, 1L, 1L, 1L, false)), "8*1 div 8 = 1")
+    assert(got("b") === (("b", 4L, 3L, 3L, 3L, false)))
+    assert(got("c") === (("c", 6L, 0L, 0L, 0L, false)),
+      "unlisted source: weight 0, keeps nothing")
+    assert(got("x") === (("x", 0L, 4L, 4L, 0L, true)),
+      "listed-but-absent source surfaces as an under-quota coverage gap")
+    assert(got.size === 4)
+  }
+
+  test("short source keeps everything it has and flags under_quota") {
+    val got = Mixture.quotas(rows, "src", Seq("b" -> 1L), budget = 100L)
+      .where(col("src") === "b")
+      .select("quota", "n_keep", "under_quota")
+      .as[(Long, Long, Boolean)].head()
+    assert(got === ((100L, 4L, true)))
+  }
+
+  test("sample: per-source kept counts == plan; membership deterministic and growth-stable") {
+    val kept = Mixture.sampleToMixture(rows, "id", "src", targets, 8L)
+      .select("id", "src").as[(Long, String)].collect().toSet
+    assert(kept.count(_._2 == "a") == 1 && kept.count(_._2 == "b") == 3)
+    assert(!kept.exists(_._2 == "c") && !kept.exists(_._2 == null))
+    // determinism under partitioning
+    val again = Mixture.sampleToMixture(rows.repartition(7), "id", "src",
+      targets, 8L).select("id", "src").as[(Long, String)].collect().toSet
+    assert(again === kept)
+    // growth stability: new rows in c (weight 0) and b's quota already
+    // met by... b grows but its kept set may change — the guarantee is
+    // PER-SOURCE isolation: a's kept row is untouched by b/c growth
+    val grown = rows.union(Seq((25L, "b"), (37L, "c")).toDF("id", "src"))
+    val keptA = Mixture.sampleToMixture(grown, "id", "src", targets, 8L)
+      .where(col("src") === "a").select("id").as[Long].collect().toSet
+    assert(keptA === kept.filter(_._2 == "a").map(_._1),
+      "another source's growth must not move this source's membership")
+  }
+
+  test("contract checks: empty/duplicate/negative targets, bad budget") {
+    intercept[IllegalArgumentException] {
+      Mixture.quotas(rows, "src", Seq.empty, 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.quotas(rows, "src", Seq("a" -> 1L, "a" -> 2L), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.quotas(rows, "src", Seq("a" -> -1L), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.quotas(rows, "src", Seq("a" -> 0L), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.quotas(rows, "src", Seq("a" -> 1L), 0L)
+    }
+  }
+}
