@@ -5177,6 +5177,27 @@ object SparkEntry {
       graft.operators.Mixture.sampleToMixture(rd(s, dir, "documents"),
         "doc_id", "source", mixTargets, budget = 300L, salt = ":mix")
         .select("doc_id", "source", "lang")),
+
+    // ---- the upsampling half the q267 under_quota flag points at,
+    // executed deliberately: every listed source lands on EXACTLY its
+    // quota — short sources via whole-corpus epochs + a deterministic
+    // fractional remainder (the low-resource repetition recipe), long
+    // sources via the q268 rank downsample. Copies carry a 1-based
+    // epoch index. Map-side explode of a per-row copy count.
+    "q269_mixture_upsample" -> ((s, dir) =>
+      graft.operators.Mixture.upsampleToQuota(rd(s, dir, "documents"),
+        "doc_id", "source", mixTargets, budget = 300L, salt = ":mix")
+        .select("doc_id", "source", "epoch")),
+
+    // ---- mixing by TOKEN budget (what a training run provisions):
+    // per-source token quota (B·w_s) div Σw, greedy (uniform, id)-rank
+    // prefix whose cumulative n_chars stays within quota. Rank and
+    // running sum share one window frame — one shuffle, not two.
+    "q270_mixture_token_budget" -> ((s, dir) =>
+      graft.operators.Mixture.sampleToTokenBudget(rd(s, dir, "documents"),
+        "doc_id", "source", "n_chars", mixTargets, tokenBudget = 60000L,
+        salt = ":mix")
+        .select("doc_id", "source", "n_chars")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -8913,6 +8934,45 @@ object SparkEntry {
         |  FROM documents d JOIN q ON d.source = q.source
         |  WHERE d.doc_id IS NOT NULL)
         |SELECT doc_id, source, lang FROM r WHERE rn <= n_keep""".stripMargin
+    },
+
+    // epochs = quota // n, remainder to the first quota % n ranked rows,
+    // copies expanded by generate_series — all integer
+    "q269_mixture_upsample" -> {
+      val u = uniformSql("d.doc_id", ":mix")
+      s"""WITH $mixTargetsSql,
+        |c AS (SELECT source, count(*) AS n_in FROM documents
+        |  WHERE source IS NOT NULL GROUP BY 1),
+        |q AS (SELECT c.source, c.n_in,
+        |    (300 * coalesce(t.weight, 0)) // 12 AS quota
+        |  FROM c LEFT JOIN t ON c.source = t.source
+        |  WHERE (300 * coalesce(t.weight, 0)) // 12 > 0 AND c.n_in > 0),
+        |r AS (SELECT d.doc_id, d.source, q.n_in, q.quota,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY $u, d.doc_id) AS rn
+        |  FROM documents d JOIN q ON d.source = q.source
+        |  WHERE d.doc_id IS NOT NULL),
+        |cp AS (SELECT doc_id, source,
+        |    quota // n_in + CASE WHEN rn <= quota % n_in THEN 1 ELSE 0 END
+        |      AS copies
+        |  FROM r)
+        |SELECT cp.doc_id, cp.source, CAST(e.e AS BIGINT) AS epoch
+        |FROM cp, unnest(generate_series(1, CAST(cp.copies AS BIGINT))) AS e(e)
+        |WHERE cp.copies > 0""".stripMargin
+    },
+
+    // same rank, cumulative token sum <= the per-source token quota
+    "q270_mixture_token_budget" -> {
+      val u = uniformSql("d.doc_id", ":mix")
+      s"""WITH $mixTargetsSql,
+        |r AS (SELECT d.doc_id, d.source, d.n_chars,
+        |    (60000 * t.weight) // 12 AS quota,
+        |    sum(d.n_chars) OVER (PARTITION BY d.source
+        |      ORDER BY $u, d.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents d JOIN t ON d.source = t.source
+        |  WHERE d.doc_id IS NOT NULL AND d.n_chars IS NOT NULL)
+        |SELECT doc_id, source, n_chars FROM r WHERE cum <= quota""".stripMargin
     },
 
     // q23's LSH machinery over DISTINCT texts (min-id reps) + integer

@@ -86,4 +86,69 @@ object Mixture {
       .where(col("__graft_rn") <= col("n_keep"))
       .drop("__graft_rn", "n_keep")
   }
+
+  /** The UPSAMPLING half [[quotas]]' `under_quota` flag points at,
+    * executed deliberately: every listed source is brought to EXACTLY
+    * its quota — short sources by whole-corpus epochs plus a
+    * deterministic fractional remainder (the standard low-resource
+    * repetition recipe: e_s = ⌊k_s/n_s⌋ full epochs, the first
+    * k_s mod n_s rows in (uniform, id) rank order get one extra copy),
+    * long sources by the same rank-≤ downsample as [[sampleToMixture]].
+    * Output rows carry an `epoch` column (1-based copy index) so
+    * downstream shuffles can keep copies apart; Σ rows per source = k_s
+    * exactly. Map-side explode of a per-row copy count — no joins
+    * beyond the broadcast plan, no state.
+    */
+  def upsampleToQuota(df: DataFrame, idCol: String, sourceCol: String,
+                      targets: Seq[(String, Long)], budget: Long,
+                      salt: String = ":mix"): DataFrame = {
+    val q = quotas(df, sourceCol, targets, budget)
+      .where(col("quota") > 0 && col("n_in") > 0)
+      .select(col(sourceCol), col("n_in"), col("quota"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(Sampling.uniformFromId(col(idCol), salt).asc, col(idCol).asc)
+    df.where(col(sourceCol).isNotNull && col(idCol).isNotNull)
+      .join(broadcast(q), Seq(sourceCol))
+      .withColumn("__graft_rn", row_number().over(w))
+      .withColumn("__graft_copies",
+        expr("quota div n_in") +
+          when(col("__graft_rn") <= expr("quota % n_in"), 1L).otherwise(0L))
+      .where(col("__graft_copies") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(1L), col("__graft_copies"))))
+      .drop("__graft_rn", "__graft_copies", "n_in", "quota")
+  }
+
+  /** Mixing by TOKEN budget instead of row budget — what a training run
+    * actually provisions. Per listed source, the token quota is
+    * (B·w_s) div Σw; rows order by the same (uniform, id) rank and the
+    * greedy prefix whose CUMULATIVE token count stays ≤ quota survives.
+    * A row that would cross the quota is dropped along with everything
+    * after it (greedy prefix, not best-fit — deterministic and
+    * one-pass); a single row larger than its source's whole quota means
+    * that source contributes nothing, reported honestly by the caller
+    * re-running [[quotas]] on the result. One bounded plan broadcast +
+    * one source-partitioned window (rank and running sum share the same
+    * window frame — one shuffle, not two).
+    */
+  def sampleToTokenBudget(df: DataFrame, idCol: String, sourceCol: String,
+                          tokenCol: String, targets: Seq[(String, Long)],
+                          tokenBudget: Long,
+                          salt: String = ":mix"): DataFrame = {
+    val sumW = validated(targets, tokenBudget)
+    val spark = df.sparkSession
+    val t = spark.createDataFrame(targets).toDF(sourceCol, "__graft_w")
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(Sampling.uniformFromId(col(idCol), salt).asc, col(idCol).asc)
+    df.where(col(sourceCol).isNotNull && col(idCol).isNotNull &&
+        col(tokenCol).isNotNull)
+      .join(broadcast(t), Seq(sourceCol))
+      .withColumn("__graft_quota",
+        expr(s"(CAST($tokenBudget AS BIGINT) * __graft_w) div CAST($sumW AS BIGINT)"))
+      .withColumn("__graft_cum",
+        sum(col(tokenCol).cast("long")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("__graft_cum") <= col("__graft_quota"))
+      .drop("__graft_w", "__graft_quota", "__graft_cum")
+  }
 }

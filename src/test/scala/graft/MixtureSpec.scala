@@ -60,6 +60,50 @@ class MixtureSpec extends SparkSpec {
       "another source's growth must not move this source's membership")
   }
 
+  test("upsampleToQuota: every listed source lands on exactly its quota") {
+    // sumW=8, budget=16: a quota=2 (10 rows -> downsample), b quota=6
+    // (4 rows -> 1 full epoch + 2 remainder copies)
+    val got = Mixture.upsampleToQuota(rows, "id", "src", targets, budget = 16L)
+      .select("id", "src", "epoch").as[(Long, String, Long)].collect()
+    val bySrc = got.groupBy(_._2)
+    assert(bySrc("a").length === 2 && bySrc("a").forall(_._3 == 1L))
+    assert(bySrc("b").length === 6, "4 rows + 2 remainder copies = quota 6")
+    val bCopies = bySrc("b").groupBy(_._1).view
+      .mapValues(_.map(_._3).sorted.toSeq).toMap
+    assert(bCopies.values.count(_ == Seq(1L, 2L)) === 2,
+      "exactly the 2 first-ranked rows carry the extra epoch")
+    assert(bCopies.values.count(_ == Seq(1L)) === 2)
+    assert(!bySrc.contains("c") && !bySrc.contains("x"),
+      "unlisted keeps nothing; absent sources cannot be upsampled")
+    // downsampled source picks the same members sampleToMixture picks
+    val mix = Mixture.sampleToMixture(rows, "id", "src", targets, 16L)
+      .where(col("src") === "a").select("id").as[Long].collect().toSet
+    assert(bySrc("a").map(_._1).toSet === mix)
+  }
+
+  test("sampleToTokenBudget: greedy ranked prefix within per-source token quota") {
+    val toks = Seq(
+      (1L, "a", 50L), (2L, "a", 50L), (3L, "a", 50L), // uniform order decides
+      (21L, "b", 10L), (22L, "b", 10L)
+    ).toDF("id", "src", "tok")
+    // sumW=3: a quota = 120*2/3 = 80 -> first ranked row (50) fits, second
+    // would cross (100 > 80): prefix of 1; b quota = 40 -> both fit (20)
+    val got = Mixture.sampleToTokenBudget(toks, "id", "src", "tok",
+        Seq("a" -> 2L, "b" -> 1L), tokenBudget = 120L)
+      .select("id", "src").as[(Long, String)].collect()
+    assert(got.count(_._2 == "a") === 1)
+    assert(got.count(_._2 == "b") === 2)
+    // a row bigger than the whole quota blocks its source entirely
+    val fat = Seq((1L, "a", 999L), (2L, "a", 1L)).toDF("id", "src", "tok")
+    val none = Mixture.sampleToTokenBudget(fat, "id", "src", "tok",
+      Seq("a" -> 1L), tokenBudget = 100L)
+    // greedy prefix: if the FIRST-ranked row overflows, nothing survives;
+    // if the 1-token row ranks first it survives alone
+    val ids = none.select("id").as[Long].collect().toSet
+    assert(ids === Set.empty[Long] || ids === Set(2L))
+    assert(!ids.contains(1L))
+  }
+
   test("contract checks: empty/duplicate/negative targets, bad budget") {
     intercept[IllegalArgumentException] {
       Mixture.quotas(rows, "src", Seq.empty, 10L)
