@@ -5205,6 +5205,22 @@ object SparkEntry {
         "doc_id", "source", "n_chars", mixTargets, tokenBudget = 60000L,
         salt = ":mix")
         .select("doc_id", "source", "n_chars")),
+
+    // ---- WAND over the learned-sparse tier (q206's scan with dynamic
+    // pruning): integer scores make the pivot rule EXACT — skip iff the
+    // UB prefix sum is strictly below θ, no float guard at all. The
+    // oracle is the same per-row dot product; the `require` proves the
+    // pruning actually skipped postings (not a vacuous pass).
+    "q271_sparse_wand" -> ((s, dir) => {
+      import s.implicits._
+      val docs = rdPar(s, dir, "documents")
+      val sv = graft.operators.Sparse.tfVectors(docs, "doc_id", "text")
+      val mem = graft.serve.MemorySparseIndex.fromDataFrame(sv, "doc_id")
+      val (res, _, skipped) =
+        mem.topKWandCounted(Map("data" -> 2L, "dup" -> 1L), 10)
+      require(skipped > 0L, "q271: WAND pruned nothing — vacuous")
+      res.toDF("doc_id", "score")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -7713,6 +7729,10 @@ object SparkEntry {
       sparseSearchOracleSql(Map("dup" -> 2L, "vector" -> 1L, "stream" -> 3L), 10),
     "q206_memory_sparse" ->
       sparseSearchOracleSql(Map("query" -> 3L, "dup" -> 1L), 10),
+
+    // the exhaustive dot product — WAND must land on it exactly
+    "q271_sparse_wand" ->
+      sparseSearchOracleSql(Map("data" -> 2L, "dup" -> 1L), 10),
 
     // RM3: BM25 round 1 (the gated bm25ScoredSql transcription) → integer
     // term mining → the q205 integer dot product with the expanded weights

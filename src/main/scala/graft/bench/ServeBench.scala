@@ -251,8 +251,12 @@ object ServeBench {
       },
       // learned-sparse dot product over the term postings (q205's scan
       // envelope served job-free — integer arithmetic end to end)
+      // WAND-pruned integer dot product (bit-identical to the TAAT
+      // topK — SparseSpec pins it); the exhaustive scan made this the
+      // slowest memory path before round 10
       "memory_sparse" -> { qi: Int =>
-        val n = memSparse.topK(sparseQueries(qi % sparseQueries.size), 5).length
+        val n = memSparse
+          .topKWand(sparseQueries(qi % sparseQueries.size), 5).length
         require(n == 5, s"memory_sparse returned $n rows")
       },
       "search_json" -> { qi: Int =>

@@ -16,6 +16,15 @@ final class MemorySparseIndex private (
 
   def vocabularySize: Int = postings.size
 
+  /** Per-term max document weight, computed once at load — the WAND
+    * upper-bound table: ub(t | query) = qw(t) · maxW(t), EXACT in
+    * integer arithmetic (unlike the BM25 tier, pruning here needs no
+    * float guard at all).
+    */
+  private lazy val maxW: Map[String, Long] = postings.map { case (t, arr) =>
+    t -> arr.iterator.map(_._2).max
+  }
+
   /** Top-k by sparse dot product; terms absent from the vocabulary
     * contribute nothing (an all-unknown query returns empty, the
     * serving convention).
@@ -34,6 +43,101 @@ final class MemorySparseIndex private (
     acc.entrySet().asScala.toSeq
       .map(e => (e.getKey.toLong, e.getValue.toLong))
       .sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+
+  /** WAND dynamic pruning over the integer dot product — the sparse
+    * twin of [[MemoryPostingsIndex.searchWand]], SIMPLER because scores
+    * are exact integers: a document is skipped iff its per-term
+    * upper-bound sum is STRICTLY below the current θ (no ulp guard; a
+    * bound that ties θ is always evaluated, so score-tie id-ordering
+    * survives exactly). Bit-identical results to [[topK]]; negative
+    * query weights are rejected (they would break the upper-bound
+    * argument — learned-sparse weights are non-negative by
+    * construction).
+    */
+  def topKWand(query: Map[String, Long], k: Int): Seq[(Long, Long)] =
+    topKWandCounted(query, k)._1
+
+  /** [[topKWand]] plus (fullyEvaluatedDocs, skippedPostings). */
+  def topKWandCounted(query: Map[String, Long], k: Int)
+      : (Seq[(Long, Long)], Long, Long) = {
+    if (k <= 0) return (Nil, 0L, 0L)
+    require(query.values.forall(_ >= 0L),
+      s"WAND needs non-negative query weights, got $query")
+    val present = query.keys.toSeq
+      .filter(t => postings.contains(t) && query(t) > 0L).sorted
+    if (present.isEmpty) return (Nil, 0L, 0L)
+
+    final class Cur(val arr: Array[(Long, Long)], val qw: Long, val ub: Long) {
+      var pos = 0
+      def id: Long = arr(pos)._1
+      def done: Boolean = pos >= arr.length
+      def seek(target: Long): Long = {
+        var lo = pos; var hi = arr.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (arr(mid)._1 < target) lo = mid + 1 else hi = mid
+        }
+        val jumped = (lo - pos).toLong
+        pos = lo
+        jumped
+      }
+    }
+    var curs = present.map(t =>
+      new Cur(postings(t), query(t), query(t) * maxW(t))).toArray
+
+    // worst-first heap under (score DESC, id ASC): head = current loser
+    val heap = new java.util.PriorityQueue[(Long, Long)](k,
+      (a: (Long, Long), b: (Long, Long)) =>
+        if (a._2 != b._2) java.lang.Long.compare(a._2, b._2)
+        else java.lang.Long.compare(b._1, a._1))
+    var evaluated = 0L
+    var skipped = 0L
+    var active = true
+    while (active && curs.nonEmpty) {
+      val sorted = curs.sortBy(_.id)
+      val theta = if (heap.size < k) Long.MinValue else heap.peek()._2
+      var acc = 0L
+      var pivot = -1
+      var i = 0
+      while (pivot < 0 && i < sorted.length) {
+        acc += sorted(i).ub
+        if (acc >= theta) pivot = i
+        i += 1
+      }
+      if (pivot < 0) active = false
+      else {
+        val pivotDoc = sorted(pivot).id
+        if (sorted(0).id == pivotDoc) {
+          var s = 0L
+          sorted.foreach { c =>
+            if (!c.done && c.id == pivotDoc) {
+              s += c.qw * c.arr(c.pos)._2
+              c.pos += 1
+            }
+          }
+          evaluated += 1
+          if (heap.size < k) heap.add((pivotDoc, s)): Unit
+          else {
+            val worst = heap.peek()
+            if (s > worst._2 || (s == worst._2 && pivotDoc < worst._1)) {
+              heap.poll(); heap.add((pivotDoc, s)): Unit
+            }
+          }
+        } else {
+          var j = 0
+          while (j < pivot) {
+            val c = sorted(j)
+            if (!c.done && c.id < pivotDoc) skipped += c.seek(pivotDoc)
+            j += 1
+          }
+        }
+        curs = curs.filterNot(_.done)
+      }
+    }
+    val out = Iterator.continually(heap.poll()).takeWhile(_ != null)
+      .toSeq.sortBy { case (id, s) => (-s, id) }
+    (out, evaluated, skipped)
   }
 }
 

@@ -59,6 +59,48 @@ class SparseSpec extends SparkSpec {
     }
   }
 
+  test("WAND sparse: randomized parity with the exhaustive TAAT scan") {
+    // the shape WAND prunes: a RARE high-weight term decides θ, a
+    // COMMON low-weight term's per-posting bound sits far below it —
+    // the common cursor must skip between the rare term's documents
+    val rng = new scala.util.Random(42)
+    val rows = ((1L to 400L).map(id =>
+      (id, "common", 1L + rng.nextInt(4).toLong)) ++
+      (1L to 400L).filter(_ % 13 == 0).map(id => (id, "rare", 50L)) ++
+      (1L to 400L).filter(_ % 3 == 0).map(id =>
+        (id, "mid", 1L + rng.nextInt(8).toLong))).toDF("doc_id", "term", "w")
+    val mem = MemorySparseIndex.fromDataFrame(rows, "doc_id")
+    val queries = Seq(
+      Map("rare" -> 1L, "common" -> 1L),
+      Map("rare" -> 2L, "mid" -> 1L, "common" -> 1L),
+      Map("common" -> 1L),
+      Map("mid" -> 3L, "common" -> 2L))
+    for (q <- queries; k <- Seq(1, 4, 10, 50))
+      assert(mem.topKWand(q, k) == mem.topK(q, k),
+        s"WAND drifted from TAAT for q=$q k=$k")
+    // the pruning is real, not a vacuous pass: once k rare-term docs
+    // have been seen, θ > ub(common)+ub(rare-tail) and the common
+    // cursor leapfrogs between rare documents
+    val (res, evaluated, skipped) =
+      mem.topKWandCounted(Map("rare" -> 1L, "common" -> 1L), 4)
+    assert(res.size == 4 && skipped > 0L,
+      s"expected real skips on the skewed corpus (evaluated=$evaluated)")
+  }
+
+  test("WAND sparse contracts: ties keep id order; k<=0 and unknown-only empty; negative weights rejected") {
+    val mem = MemorySparseIndex.fromDataFrame(sv, "doc_id")
+    // docs 1 and 5 are exact duplicates: equal scores must keep id order
+    assert(mem.topKWand(Map("a" -> 2L, "c" -> 1L), 3) ==
+      Seq((1L, 5L), (3L, 5L), (5L, 5L)))
+    assert(mem.topKWand(Map("nope" -> 3L), 5).isEmpty)
+    assert(mem.topKWand(Map("a" -> 1L), 0).isEmpty)
+    assert(mem.topKWand(Map("a" -> 0L), 5).isEmpty,
+      "zero-weight terms contribute nothing")
+    intercept[IllegalArgumentException] {
+      mem.topKWand(Map("a" -> -1L), 5)
+    }
+  }
+
   test("memory tier serving edges: unknown-only query empty, k<=0 empty") {
     val mem = MemorySparseIndex.fromDataFrame(sv, "doc_id")
     assert(mem.topK(Map("nope" -> 3L), 5).isEmpty)
