@@ -1130,12 +1130,19 @@ final class MemoryServer(dense: MemoryAnnIndex,
   private val mapper = new ObjectMapper()
 
   /** Dense top-k: IVF-probed when the server was built with a probe
-    * width, exact otherwise.
+    * width, exact otherwise. Filtered exact requests route through the
+    * payload index ([[MemoryAnnIndex.topKFilteredIndexed]] — selective
+    * filters enumerate their candidates instead of testing every row,
+    * and it falls back to the scan itself when unselective), so a
+    * filtered JSON request pays the measured indexed-path latency, not
+    * the full-scan one. Results are identical either way (ServeSpec +
+    * the q195/q262/q263 oracles pin all three routes).
     */
   def topKVec(qvec: Seq[Float], k: Int,
               filters: Seq[MetaFilter] = Nil): Seq[(Long, Double)] =
     if (defaultNProbe > 0) dense.topKIvf(qvec, k, defaultNProbe, filters)
-    else dense.topK(qvec, k, filters)
+    else if (filters.nonEmpty) dense.topKFilteredIndexed(qvec, k, filters)
+    else dense.topK(qvec, k)
 
   /** Lexical top-k via WAND dynamic pruning — answer-preserving by the
     * ulp-guarded pivot rule (see [[MemoryPostingsIndex.searchWand]];
