@@ -75,16 +75,18 @@ object Mixture {
   def sampleToMixture(df: DataFrame, idCol: String, sourceCol: String,
                       targets: Seq[(String, Long)], budget: Long,
                       salt: String = ":mix"): DataFrame = {
+    // plan columns join back under reserved names so an input frame
+    // that already carries n_keep/quota/n_in columns cannot collide
     val q = quotas(df, sourceCol, targets, budget)
       .where(col("n_keep") > 0)
-      .select(col(sourceCol), col("n_keep"))
+      .select(col(sourceCol), col("n_keep").as("__graft_keep"))
     val w = Window.partitionBy(col(sourceCol))
       .orderBy(Sampling.uniformFromId(col(idCol), salt).asc, col(idCol).asc)
     df.where(col(sourceCol).isNotNull && col(idCol).isNotNull)
       .join(broadcast(q), Seq(sourceCol))
       .withColumn("__graft_rn", row_number().over(w))
-      .where(col("__graft_rn") <= col("n_keep"))
-      .drop("__graft_rn", "n_keep")
+      .where(col("__graft_rn") <= col("__graft_keep"))
+      .drop("__graft_rn", "__graft_keep")
   }
 
   /** The UPSAMPLING half [[quotas]]' `under_quota` flag points at,
@@ -104,19 +106,21 @@ object Mixture {
                       salt: String = ":mix"): DataFrame = {
     val q = quotas(df, sourceCol, targets, budget)
       .where(col("quota") > 0 && col("n_in") > 0)
-      .select(col(sourceCol), col("n_in"), col("quota"))
+      .select(col(sourceCol), col("n_in").as("__graft_n"),
+        col("quota").as("__graft_q"))
     val w = Window.partitionBy(col(sourceCol))
       .orderBy(Sampling.uniformFromId(col(idCol), salt).asc, col(idCol).asc)
     df.where(col(sourceCol).isNotNull && col(idCol).isNotNull)
       .join(broadcast(q), Seq(sourceCol))
       .withColumn("__graft_rn", row_number().over(w))
       .withColumn("__graft_copies",
-        expr("quota div n_in") +
-          when(col("__graft_rn") <= expr("quota % n_in"), 1L).otherwise(0L))
+        expr("__graft_q div __graft_n") +
+          when(col("__graft_rn") <= expr("__graft_q % __graft_n"), 1L)
+            .otherwise(0L))
       .where(col("__graft_copies") > 0)
       .withColumn("epoch",
         explode(sequence(lit(1L), col("__graft_copies"))))
-      .drop("__graft_rn", "__graft_copies", "n_in", "quota")
+      .drop("__graft_rn", "__graft_copies", "__graft_n", "__graft_q")
   }
 
   /** Mixing by TOKEN budget instead of row budget — what a training run
