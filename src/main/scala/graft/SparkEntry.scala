@@ -5221,6 +5221,27 @@ object SparkEntry {
       require(skipped > 0L, "q271: WAND pruned nothing — vacuous")
       res.toDF("doc_id", "score")
     }),
+
+    // ---- FILTERED search on the sharded tier: the q189 string-@eq
+    // shape through the replica deployment form. Dictionaries are
+    // PER-SHARD (codes depend on each shard's value set), so the
+    // filter resolves through each shard's own dictionary before its
+    // probe — the composition a fanned-out deployment actually runs.
+    "q272_sharded_filtered_search" -> ((s, dir) => {
+      import s.implicits._
+      val emb = rd(s, dir, "embeddings")
+      val docs = rd(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("source"))
+      val corpus = emb.where(col("vec_id") =!= 36).join(docs, "vec_id")
+      val qv = storedVecs(emb, 36).head
+      val cents = Ann.sampleCentroids(corpus, "vec_id", "embedding", 4)
+      val sharded = graft.serve.ShardedAnnIndex.fromDataFrame(
+        Ann.withIvfAssignment(corpus, "embedding", cents),
+        "vec_id", "embedding", "ivf_cell", cents, nShards = 4,
+        metaCols = Seq("source"))
+      sharded.topKStringEq(qv, 8, "source", "src5")
+        .toDF("vec_id", "score")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -7733,6 +7754,17 @@ object SparkEntry {
     // the exhaustive dot product — WAND must land on it exactly
     "q271_sparse_wand" ->
       sparseSearchOracleSql(Map("data" -> 2L, "dup" -> 1L), 10),
+
+    // per-shard dictionary resolution ≡ one global WHERE in SQL
+    "q272_sharded_filtered_search" -> {
+      val cos = cosSql("e.embedding", "q.qv")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 36)
+         |SELECT e.vec_id, $cos AS score
+         |FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |CROSS JOIN q
+         |WHERE e.vec_id <> 36 AND d.source = 'src5'
+         |ORDER BY score DESC, e.vec_id LIMIT 8""".stripMargin
+    },
 
     // RM3: BM25 round 1 (the gated bm25ScoredSql transcription) → integer
     // term mining → the q205 integer dot product with the expanded weights
