@@ -5242,6 +5242,40 @@ object SparkEntry {
       sharded.topKStringEq(qv, 8, "source", "src5")
         .toDF("vec_id", "score")
     }),
+
+    // ---- isotonic calibration (PAV) of the banded ER match score: the
+    // step from "Fellegi-Sunter weight" to "P(match)" a threshold can be
+    // set against on a NEW corpus. The pair stream collapses to one row
+    // per integer score in one map-side-combined aggregate; the PAV fit
+    // is the minimax closed form over that bounded alphabet (|A|² rows
+    // via explode — no nested-loop join, no driver loop). rate is the
+    // raw empirical rate; fit is its monotone regression.
+    "q273_isotonic_calibration" -> ((s, dir) => {
+      val (a, b) = erSides(s, dir)
+      val scored = graft.operators.EntityResolution.scorePairsBanded(a, b,
+        Seq("nation"), "a_band", "b_cents", step = 100L,
+        erFieldScores, matchMin = 7L, possibleMin = -100L)
+      graft.operators.Calibrate.isotonicFit(scored, "score",
+        col("a_key") === col("b_key"))
+    }),
+
+    // ---- reliability diagram + ECE of that calibrator on a held-out
+    // half: fit on even a_keys, audit on odd a_keys. Unseen eval scores
+    // take the fit of the greatest trained score below them (step-
+    // function carry-forward over the bounded alphabet); the ECE fold is
+    // order-pinned over score-sorted bins (the q167 list_sum discipline),
+    // so the scalar lands bit-for-bit in both engines.
+    "q274_calibration_ece" -> ((s, dir) => {
+      val (a, b) = erSides(s, dir)
+      val scored = graft.operators.EntityResolution.scorePairsBanded(a, b,
+        Seq("nation"), "a_band", "b_cents", step = 100L,
+        erFieldScores, matchMin = 7L, possibleMin = -100L)
+      val isMatch = col("a_key") === col("b_key")
+      val fit = graft.operators.Calibrate.isotonicFit(
+        scored.where(col("a_key") % 2 === 0), "score", isMatch)
+      graft.operators.Calibrate.reliability(
+        scored.where(col("a_key") % 2 === 1), "score", isMatch, fit)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -8951,6 +8985,82 @@ object SparkEntry {
     // q238's readout over the banded candidate stream
     "q261_er_banded_calibration" ->
       erCalibrationSql(pairFilter = "\n  WHERE abs(a_band - b_cents) <= 100"),
+
+    // PAV minimax over the bounded score alphabet: A(j,k) is one
+    // long→double division per pooled interval, min/max over doubles are
+    // order-free IEEE — bit-exact across engines by construction
+    "q273_isotonic_calibration" ->
+      s"""WITH ${erCtesSql()},
+        |p AS (SELECT a_key, b_key,
+        |    $erScoreSql AS score
+        |  FROM a JOIN b USING (nation)
+        |  WHERE abs(a_band - b_cents) <= 100),
+        |per AS (SELECT CAST(score AS BIGINT) AS score, count(*) AS n,
+        |    CAST(sum(CASE WHEN a_key = b_key THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM p GROUP BY 1),
+        |b2 AS (SELECT score, n, pos,
+        |    row_number() OVER (ORDER BY score) AS idx,
+        |    CAST(sum(n) OVER (ORDER BY score) AS BIGINT) AS cn,
+        |    CAST(sum(pos) OVER (ORDER BY score) AS BIGINT) AS cp
+        |  FROM per),
+        |jx AS (SELECT k.idx AS k, k.cn AS cnk, k.cp AS cpk,
+        |    unnest(range(1, k.idx + 1)) AS j FROM b2 k),
+        |pr AS (SELECT jx.k, jx.j,
+        |    CAST(jx.cpk - coalesce(pj.cp, 0) AS DOUBLE)
+        |      / CAST(jx.cnk - coalesce(pj.cn, 0) AS DOUBLE) AS a
+        |  FROM jx LEFT JOIN b2 pj ON pj.idx = jx.j - 1),
+        |sm AS (SELECT j, k, min(a) OVER (PARTITION BY j ORDER BY k DESC) AS m
+        |  FROM pr),
+        |f AS (SELECT k, max(m) AS fit FROM sm GROUP BY 1)
+        |SELECT b2.score, b2.n, b2.pos,
+        |  CAST(b2.pos AS DOUBLE) / CAST(b2.n AS DOUBLE) AS rate, f.fit
+        |FROM b2 JOIN f ON f.k = b2.idx""".stripMargin,
+
+    // train/eval split by a_key parity; step-function application =
+    // carry-forward over the unioned alphabet; ECE = order-pinned fold
+    "q274_calibration_ece" ->
+      s"""WITH ${erCtesSql()},
+        |p AS (SELECT a_key, b_key,
+        |    $erScoreSql AS score
+        |  FROM a JOIN b USING (nation)
+        |  WHERE abs(a_band - b_cents) <= 100),
+        |per AS (SELECT CAST(score AS BIGINT) AS score, count(*) AS n,
+        |    CAST(sum(CASE WHEN a_key = b_key THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM p WHERE a_key % 2 = 0 GROUP BY 1),
+        |b2 AS (SELECT score, n, pos,
+        |    row_number() OVER (ORDER BY score) AS idx,
+        |    CAST(sum(n) OVER (ORDER BY score) AS BIGINT) AS cn,
+        |    CAST(sum(pos) OVER (ORDER BY score) AS BIGINT) AS cp
+        |  FROM per),
+        |jx AS (SELECT k.idx AS k, k.cn AS cnk, k.cp AS cpk,
+        |    unnest(range(1, k.idx + 1)) AS j FROM b2 k),
+        |pr AS (SELECT jx.k, jx.j,
+        |    CAST(jx.cpk - coalesce(pj.cp, 0) AS DOUBLE)
+        |      / CAST(jx.cnk - coalesce(pj.cn, 0) AS DOUBLE) AS a
+        |  FROM jx LEFT JOIN b2 pj ON pj.idx = jx.j - 1),
+        |sm AS (SELECT j, k, min(a) OVER (PARTITION BY j ORDER BY k DESC) AS m
+        |  FROM pr),
+        |f AS (SELECT b2.score, max(sm.m) AS fit
+        |  FROM sm JOIN b2 ON b2.idx = sm.k GROUP BY 1),
+        |ev AS (SELECT CAST(score AS BIGINT) AS score, count(*) AS n_eval,
+        |    CAST(sum(CASE WHEN a_key = b_key THEN 1 ELSE 0 END) AS BIGINT) AS pos_eval
+        |  FROM p WHERE a_key % 2 = 1 GROUP BY 1),
+        |u AS (SELECT coalesce(ev.score, f.score) AS score,
+        |    ev.n_eval, ev.pos_eval, f.fit
+        |  FROM ev FULL OUTER JOIN f ON ev.score = f.score),
+        |ap AS (SELECT score, n_eval, pos_eval,
+        |    CAST(pos_eval AS DOUBLE) / CAST(n_eval AS DOUBLE) AS acc,
+        |    last_value(fit IGNORE NULLS) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conf
+        |  FROM u),
+        |g AS (SELECT score, n_eval, pos_eval, acc, conf, conf - acc AS gap,
+        |    CASE WHEN conf IS NULL THEN 0.0
+        |      ELSE CAST(n_eval AS DOUBLE) * abs(conf - acc) END AS w
+        |  FROM ap WHERE n_eval IS NOT NULL)
+        |SELECT score, n_eval, pos_eval, acc, conf, gap,
+        |  (SELECT list_sum(list(w ORDER BY score)) FROM g)
+        |    / CAST((SELECT sum(n_eval) FROM g) AS DOUBLE) AS ece
+        |FROM g""".stripMargin,
 
     // the DNF branch union ≡ the per-row disjunction test, in SQL
     "q262_memory_or_filter" -> {
