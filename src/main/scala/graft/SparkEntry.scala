@@ -424,6 +424,32 @@ object SparkEntry {
       |    + (CASE WHEN b_seg = 'UNKNOWN' THEN 0
       |      WHEN a_seg = b_seg THEN 1 ELSE -2 END)""".stripMargin
 
+  /** Shared CTE chain of the q275/q276 substring-run oracles: word
+    * 5-shingles with positions, df-capped at 16 docs, joined into match
+    * points, reduced to maximal diagonal runs by gaps-and-islands. The
+    * final `runs` relation has one row per (pair, diagonal, island) with
+    * its consecutive-shingle count.
+    */
+  private val substringRunsCtes: String =
+    """t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      |  FROM documents),
+      |s0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+      |  FROM t WHERE len(toks) >= 5),
+      |s AS (SELECT doc_id, i - 1 AS pos,
+      |    array_to_string(toks[i:i+4], ' ') AS sh FROM s0),
+      |rare AS (SELECT sh FROM s GROUP BY sh
+      |  HAVING count(DISTINCT doc_id) <= 16),
+      |sr AS (SELECT s.* FROM s JOIN rare USING (sh)),
+      |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.pos - b.pos AS diag, a.pos AS pa
+      |  FROM sr a JOIN sr b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+      |r AS (SELECT id_a, id_b, diag,
+      |    pa - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa)
+      |      AS isl
+      |  FROM m),
+      |runs AS (SELECT id_a, id_b, diag, count(*) AS run
+      |  FROM r GROUP BY id_a, id_b, diag, isl)""".stripMargin
+
   /** The q267/q268 mixing allowlist: relative weights, one source
     * deliberately absent from the data ("srcX" — the coverage-gap row),
     * most corpus sources deliberately unlisted (weight 0 — the
@@ -5276,6 +5302,22 @@ object SparkEntry {
       graft.operators.Calibrate.reliability(
         scored.where(col("a_key") % 2 === 1), "score", isMatch, fit)
     }),
+
+    // ---- SUBSTRING-level dedup (Lee et al. ACL'22, relationally): maximal
+    // cross-doc runs of consecutive shared 5-shingles found as diagonal
+    // islands of the shingle-join match matrix — catches a copied
+    // paragraph inside an otherwise-novel doc, which doc-level MinHash
+    // (q23) scores far below any dedup threshold. Fan-out bounded by the
+    // shingle df-cap BEFORE the join; no suffix array, no sequential pass.
+    // rdPar: per-row shingle hashing dominates before the first shuffle.
+    "q275_substring_runs" -> ((s, dir) =>
+      Dedup.sharedShingleRuns(rdPar(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- the ACTION over q275: one row per document, the longest span
+    // shared with any earlier doc, earliest copy unflagged — the
+    // conservation-checkable purge list.
+    "q276_substring_dedup" -> ((s, dir) =>
+      Dedup.substringDupReport(rd(s, dir, "documents"), "doc_id", "text")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -9061,6 +9103,33 @@ object SparkEntry {
         |  (SELECT list_sum(list(w ORDER BY score)) FROM g)
         |    / CAST((SELECT sum(n_eval) FROM g) AS DOUBLE) AS ece
         |FROM g""".stripMargin,
+
+    // diagonal gaps-and-islands over the df-capped shingle join; the
+    // Spark side joins on xxhash64 of the shingle, the oracle on the
+    // string itself — identical result sets absent a 64-bit collision
+    // (the q21/q23 hashed-longs convention)
+    "q275_substring_runs" ->
+      s"""WITH $substringRunsCtes
+        |SELECT id_a, id_b,
+        |  CAST(max(run) + 4 AS BIGINT) AS max_run_tokens,
+        |  CAST(sum(CASE WHEN run >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+        |  CAST(sum(run) AS BIGINT) AS shared_positions
+        |FROM runs GROUP BY 1, 2
+        |HAVING sum(CASE WHEN run >= 6 THEN 1 ELSE 0 END) > 0""".stripMargin,
+
+    // per-doc longest shared span with any earlier doc, thresholded the
+    // same way; every document surfaces (left join), so the flagged +
+    // clean split conserves the corpus count
+    "q276_substring_dedup" ->
+      s"""WITH $substringRunsCtes,
+        |pp AS (SELECT id_b AS doc_id, max(run) + 4 AS mx FROM runs
+        |  GROUP BY id_a, id_b
+        |  HAVING sum(CASE WHEN run >= 6 THEN 1 ELSE 0 END) > 0),
+        |pd AS (SELECT doc_id, CAST(max(mx) AS BIGINT) AS max_shared_tokens
+        |  FROM pp GROUP BY 1)
+        |SELECT d.doc_id, pd.max_shared_tokens,
+        |  pd.max_shared_tokens IS NOT NULL AS dup_substring
+        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
 
     // the DNF branch union ≡ the per-row disjunction test, in SQL
     "q262_memory_or_filter" -> {

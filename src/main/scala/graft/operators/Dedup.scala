@@ -616,4 +616,88 @@ object Dedup {
       .select(col("id_b").as(idCol)).distinct()
     df.join(dups, Seq(idCol), "left_anti")
   }
+
+  /** SUBSTRING-level duplication: maximal runs of consecutive shared word
+    * k-shingles between document pairs — the distributed approximation of
+    * suffix-array substring dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL'22: exact duplicate SPANS ≥ ~50
+    * chars matter even when whole documents differ; doc-level MinHash
+    * misses a copied paragraph inside an otherwise-novel page).
+    *
+    * Relational reformulation: a shared substring of t ≥ k tokens between
+    * docs A and B is exactly a run of t−k+1 consecutive shingle matches on
+    * one DIAGONAL (posA − posB constant) of the match matrix — so emit
+    * (docA, docB, diag, posA) match points from a shingle equi-join, then
+    * gaps-and-islands per (pair, diag): island id = posA − row_number().
+    * No suffix array, no sequential pass; three shuffles total (shingle
+    * df-count, shingle join, island window keyed by pair+diag).
+    *
+    * Scale bounds: the shingle join's fan-out is capped by `maxDf` — a
+    * shingle present in more than `maxDf` docs is dropped BEFORE the join
+    * (boilerplate/stopword diagonals would otherwise go quadratic; runs
+    * that common are boilerplate removal's job — [[Boilerplate]] — not
+    * pair dedup's). Run [[exactDedup]] first on replica-dense corpora
+    * (q266's measured rule) so identical copies don't saturate `maxDf`.
+    *
+    * Output, one row per unordered pair with any run of ≥ `minRunTokens`
+    * tokens: `(id_a, id_b, max_run_tokens, n_runs, shared_positions)` —
+    * longest shared run in TOKENS (shingle run + k − 1), number of
+    * distinct maximal runs ≥ the floor, and total matched shingle
+    * positions across all diagonals.
+    */
+  def sharedShingleRuns(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 5, maxDf: Int = 16,
+                        minRunTokens: Int = 10): DataFrame = {
+    require(k >= 1 && minRunTokens >= k,
+      s"minRunTokens $minRunTokens must be >= shingle size $k")
+    val minRunShingles = minRunTokens - k + 1
+    val toks = split(lower(col(textCol)), "\\s+")
+    val shingles = transform(
+      sequence(lit(0), size(toks) - k),
+      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    val s = df.where(size(toks) >= k)
+      .select(col(idCol).as("__id"), posexplode(shingles))
+      .select(col("__id"), col("pos").as("__pos"), col("col").as("__h"))
+    // df-cap BEFORE the join: exact distinct-doc count per shingle (one
+    // map-side-combined shuffle on the shingle key)
+    val rare = s.groupBy("__h")
+      .agg(countDistinct("__id").as("__df"))
+      .where(col("__df") <= maxDf)
+      .select("__h")
+    val sr = s.join(rare, Seq("__h"), "left_semi")
+    val a = sr.select(col("__h"), col("__id").as("id_a"), col("__pos").as("__pa"))
+    val b = sr.select(col("__h"), col("__id").as("id_b"), col("__pos").as("__pb"))
+    val m = a.join(b, Seq("__h")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("__pa") - col("__pb")).as("__diag"), col("__pa"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a", "id_b", "__diag").orderBy("__pa")
+    val runs = m
+      .withColumn("__isl", col("__pa") - row_number().over(w))
+      .groupBy("id_a", "id_b", "__diag", "__isl")
+      .agg(count(lit(1)).as("__run"))
+    runs.groupBy("id_a", "id_b")
+      .agg((max("__run") + lit(k.toLong - 1)).as("max_run_tokens"),
+        sum(when(col("__run") >= minRunShingles, 1L).otherwise(0L)).as("n_runs"),
+        sum("__run").as("shared_positions"))
+      .where(col("n_runs") > 0)
+  }
+
+  /** The dedup ACTION over [[sharedShingleRuns]]: per document, the longest
+    * span it shares with any EARLIER (smaller-id) document, and a flag at
+    * `minRunTokens` — earliest copy survives unflagged, every later doc
+    * carrying a duplicated span is named with the span length. One row per
+    * input document (docs with no shared span keep nulls/false), so the
+    * conservation identity `count(*) == count(flagged) + count(clean)` is
+    * checkable downstream.
+    */
+  def substringDupReport(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5, maxDf: Int = 16,
+                         minRunTokens: Int = 10): DataFrame = {
+    val pairs = sharedShingleRuns(df, idCol, textCol, k, maxDf, minRunTokens)
+    val perDoc = pairs.groupBy(col("id_b").as(idCol))
+      .agg(max("max_run_tokens").as("max_shared_tokens"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .withColumn("dup_substring", col("max_shared_tokens").isNotNull)
+  }
 }

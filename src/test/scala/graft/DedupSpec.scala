@@ -469,4 +469,74 @@ class DedupSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L), s"2 and 3 each have a lower-id neighbor, got $kept")
   }
+
+  // --- substring-level runs (q275/q276) -----------------------------------
+
+  private def words(prefix: String, n: Int): String =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+
+  test("sharedShingleRuns: a copied span is found with its exact length") {
+    // doc 2 embeds a verbatim 12-token span from doc 1 inside novel text;
+    // doc 3 is fully novel. Expect exactly the (1,2) pair with
+    // max_run_tokens = 12: 8 consecutive 5-shingle matches on one diagonal.
+    val span = words("c", 12)
+    val docs = Seq(
+      (1L, words("a", 9) + " " + span + " " + words("b", 9)),
+      (2L, words("x", 7) + " " + span + " " + words("y", 11)),
+      (3L, words("z", 40))).toDF("id", "text")
+    val out = Dedup.sharedShingleRuns(docs, "id", "text",
+      k = 5, maxDf = 16, minRunTokens = 10).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) === (1L, 2L))
+    assert(r.getLong(2) === 12L, "max_run_tokens = the span length")
+    assert(r.getLong(3) === 1L, "one qualifying run")
+    assert(r.getLong(4) === 8L, "12-token span = 8 shared 5-shingles")
+  }
+
+  test("sharedShingleRuns: spans shorter than the floor do not pair") {
+    val span = words("c", 8) // 8 < minRunTokens = 10
+    val docs = Seq(
+      (1L, words("a", 10) + " " + span + " " + words("b", 10)),
+      (2L, words("x", 10) + " " + span + " " + words("y", 10))
+    ).toDF("id", "text")
+    assert(Dedup.sharedShingleRuns(docs, "id", "text").isEmpty)
+  }
+
+  test("sharedShingleRuns: two separated copies count as two runs") {
+    val s1 = words("c", 10); val s2 = words("d", 11)
+    val docs = Seq(
+      (1L, s1 + " " + words("a", 6) + " " + s2),
+      (2L, s2 + " " + words("x", 9) + " " + s1)).toDF("id", "text")
+    val r = Dedup.sharedShingleRuns(docs, "id", "text").collect().head
+    assert(r.getLong(2) === 11L)
+    assert(r.getLong(3) === 2L, "both spans are maximal runs >= floor")
+  }
+
+  test("sharedShingleRuns: the df-cap drops boilerplate diagonals") {
+    // the same 20-token boilerplate in 6 docs; maxDf=4 must suppress all
+    // pairs, maxDf=8 must emit all C(6,2)=15
+    val bp = words("bp", 20)
+    val docs = (1L to 6L).map(i => (i, words(s"u$i", 5) + " " + bp))
+      .toDF("id", "text")
+    assert(Dedup.sharedShingleRuns(docs, "id", "text", maxDf = 4).isEmpty)
+    assert(Dedup.sharedShingleRuns(docs, "id", "text", maxDf = 8)
+      .count() === 15L)
+  }
+
+  test("substringDupReport: earliest copy survives, conservation holds") {
+    val span = words("c", 15)
+    val docs = Seq(
+      (1L, words("a", 9) + " " + span),
+      (2L, span + " " + words("x", 9)),
+      (3L, words("q", 30)),
+      (4L, words("r", 3))). // shorter than one shingle — still reported
+      toDF("id", "text")
+    val rep = Dedup.substringDupReport(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(rep.length === 4, "one row per input doc")
+    assert(rep(0).isNullAt(1) && !rep(0).getBoolean(2), "earliest unflagged")
+    assert(rep(1).getLong(1) === 15L && rep(1).getBoolean(2))
+    assert(!rep(2).getBoolean(2) && !rep(3).getBoolean(2))
+  }
 }
