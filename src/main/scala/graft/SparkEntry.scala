@@ -5318,6 +5318,50 @@ object SparkEntry {
     // conservation-checkable purge list.
     "q276_substring_dedup" -> ((s, dir) =>
       Dedup.substringDupReport(rd(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- STREAMING exact percentiles: the (value → count) dictionary is
+    // sum-mergeable, so it accumulates order-free across slices (q161/
+    // q178 discipline) and the percentile_disc readout over the stored
+    // dictionary is ALL-INTEGER (cum·100 ≥ n·p) — exact, no sketch error,
+    // any slicing lands on the batch oracle bit-for-bit. State =
+    // O(groups × distinct cents), the honest bounded-domain contract.
+    "q277_streaming_percentiles" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q277").toString
+      val ev = events(s, dir).select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      (0 to 2).foreach { i =>
+        graft.streaming.PercentileStream.accumulateBatch(s"$tmp/state",
+          ev.where(pmod(col("event_id"), lit(3)) === lit(i)),
+          "event_type", "cents")
+      }
+      val rep = graft.streaming.PercentileStream
+        .percentiles(s, s"$tmp/state", "event_type", "cents", Seq(50, 90, 99))
+      val result = s.createDataFrame(rep.collectAsList(), rep.schema)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      result
+    }),
+
+    // ---- STREAMING uniform sample: bottom-k of the md5-uniform key per
+    // group — closed under merge like the KMV sketch but keeping row
+    // identity, so it IS a sample; membership is id-keyed, so slice 1 is
+    // deliberately re-delivered below and the final state still equals
+    // the batch bottom-k (at-least-once safe WITHOUT batch fencing —
+    // contrast the sum-merge accumulates, which document that caveat).
+    "q278_streaming_sample" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q278").toString
+      val ev = events(s, dir).select(col("event_id"), col("event_type"))
+      def slice(i: Int) = ev.where(pmod(col("event_id"), lit(3)) === lit(i))
+      (0 to 2).foreach { i =>
+        graft.streaming.SampleStream.accumulateBatch(s"$tmp/state", slice(i),
+          "event_type", "event_id", k = 20)
+      }
+      graft.streaming.SampleStream.accumulateBatch(s"$tmp/state", slice(1),
+        "event_type", "event_id", k = 20) // redelivery: must be a no-op
+      val rep = graft.streaming.UpsertSink.snapshot(s, s"$tmp/state")
+      val result = s.createDataFrame(rep.collectAsList(), rep.schema)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      result
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -9130,6 +9174,36 @@ object SparkEntry {
         |SELECT d.doc_id, pd.max_shared_tokens,
         |  pd.max_shared_tokens IS NOT NULL AS dup_substring
         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    // the dictionary readout is all-integer (cum·100 >= n·p), so the
+    // streamed state and this batch twin agree bit-for-bit
+    "q277_streaming_percentiles" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT event_type, cents, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |c AS (SELECT event_type, cents, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM d)
+        |SELECT event_type,
+        |  CAST(min(CASE WHEN cum * 100 >= n * 50 THEN cents END) AS BIGINT) AS p50,
+        |  CAST(min(CASE WHEN cum * 100 >= n * 90 THEN cents END) AS BIGINT) AS p90,
+        |  CAST(min(CASE WHEN cum * 100 >= n * 99 THEN cents END) AS BIGINT) AS p99,
+        |  CAST(max(n) AS BIGINT) AS n_rows,
+        |  count(*) AS n_distinct
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // batch bottom-k of the same md5-uniform key — the merge-closure
+    // identity makes the streamed sample equal this exactly
+    "q278_streaming_sample" -> {
+      val u = uniformSql("event_id", ":rsv")
+      s"""WITH u AS (SELECT event_type, event_id, $u AS u FROM events),
+        |r AS (SELECT event_type, event_id, u,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY u, event_id)
+        |      AS rn
+        |  FROM u)
+        |SELECT event_type, event_id, u FROM r WHERE rn <= 20""".stripMargin
+    },
 
     // the DNF branch union ≡ the per-row disjunction test, in SQL
     "q262_memory_or_filter" -> {

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{PercentileStream, SampleStream, UpsertSink}
+
+/** Merge-closure properties of the round-11 accumulate family:
+  * value-dictionary percentiles and bottom-k sampling.
+  */
+class AccumulateStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_accum").toString + "/state"
+
+  private def rows(n: Int): DataFrame = {
+    val rng = new scala.util.Random(11)
+    (1 to n).map(i => (i.toLong, s"g${i % 3}", rng.nextInt(40).toLong))
+      .toDF("id", "g", "v")
+  }
+
+  test("percentiles: any slicing lands on the batch dictionary exactly") {
+    val df = rows(600)
+    def run(slices: Seq[DataFrame]): Array[(String, Long, Long, Long, Long, Long)] = {
+      val t = tmpTable()
+      slices.foreach(sl => PercentileStream.accumulateBatch(t, sl, "g", "v"))
+      PercentileStream.percentiles(spark, t, "g", "v", Seq(50, 90, 99))
+        .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    }
+    val bySeven = run((0 to 6).map(i => df.where($"id" % 7 === i)))
+    val byTwo = run(Seq(df.where($"id" % 2 === 0), df.where($"id" % 2 === 1)))
+    val whole = run(Seq(df))
+    assert(bySeven.toSeq === whole.toSeq)
+    assert(byTwo.toSeq === whole.toSeq)
+  }
+
+  test("percentiles: readout equals the brute-force order statistic") {
+    val t = tmpTable()
+    val df = rows(500)
+    PercentileStream.accumulateBatch(t, df, "g", "v")
+    val got = PercentileStream.percentiles(spark, t, "g", "v", Seq(50, 90, 99))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val byG = df.collect().map(r => (r.getString(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    byG.foreach { case (g, vs) =>
+      def disc(p: Int): Long = vs((p * vs.length + 99) / 100 - 1)
+      val (p50, p90, p99, n) = got(g)
+      assert((p50, p90, p99) === (disc(50), disc(90), disc(99)), s"group $g")
+      assert(n === vs.length.toLong)
+    }
+  }
+
+  test("percentiles: state is dictionary-bounded, not row-bounded") {
+    val t = tmpTable()
+    // 10k rows over 5 distinct values in one group -> 5 state rows
+    val df = (1 to 10000).map(i => (i.toLong, "g", (i % 5).toLong))
+      .toDF("id", "g", "v")
+    PercentileStream.accumulateBatch(t, df, "g", "v")
+    assert(UpsertSink.snapshot(spark, t).count() === 5L)
+    val nd = PercentileStream.percentiles(spark, t, "g", "v", Seq(50))
+      .select("n_distinct").head().getLong(0)
+    assert(nd === 5L)
+  }
+
+  test("sample: streamed bottom-k equals the batch bottom-k bit-for-bit") {
+    val df = rows(400)
+    val t = tmpTable()
+    (0 to 4).foreach { i =>
+      SampleStream.accumulateBatch(t, df.where($"id" % 5 === i), "g", "id", k = 7)
+    }
+    val streamed = UpsertSink.snapshot(spark, t)
+      .orderBy("g", "u", "id").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val t2 = tmpTable()
+    SampleStream.accumulateBatch(t2, df, "g", "id", k = 7)
+    val batch = UpsertSink.snapshot(spark, t2)
+      .orderBy("g", "u", "id").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.groupBy(_._1).forall(_._2.length == 7))
+  }
+
+  test("sample: redelivered batches are a no-op (id-keyed membership)") {
+    val df = rows(300)
+    val t = tmpTable()
+    val sl = Seq(df.where($"id" % 2 === 0), df.where($"id" % 2 === 1))
+    sl.foreach(SampleStream.accumulateBatch(t, _, "g", "id", k = 9))
+    val before = UpsertSink.snapshot(spark, t)
+      .orderBy("g", "id").collect().toSeq
+    SampleStream.accumulateBatch(t, sl.head, "g", "id", k = 9)
+    SampleStream.accumulateBatch(t, sl.head, "g", "id", k = 9)
+    val after = UpsertSink.snapshot(spark, t)
+      .orderBy("g", "id").collect().toSeq
+    assert(after === before)
+  }
+
+  test("sample: groups smaller than k keep everything, never pad") {
+    val df = Seq((1L, "tiny"), (2L, "tiny")).toDF("id", "g")
+    val t = tmpTable()
+    SampleStream.accumulateBatch(t, df, "g", "id", k = 50)
+    assert(UpsertSink.snapshot(spark, t).count() === 2L)
+  }
+}
