@@ -425,8 +425,10 @@ object SparkEntry {
       |      WHEN a_seg = b_seg THEN 1 ELSE -2 END)""".stripMargin
 
   /** Shared CTE chain of the q275/q276 substring-run oracles: word
-    * 5-shingles with positions, df-capped at 16 docs, joined into match
-    * points, reduced to maximal diagonal runs by gaps-and-islands. The
+    * 5-shingles with positions, capped at 16 docs AND 64 total
+    * occurrences per shingle (the within-doc repetition bound — same two
+    * filters as [[graft.operators.Dedup.sharedShingleRuns]]), joined into
+    * match points, reduced to maximal diagonal runs by gaps-and-islands. The
     * final `runs` relation has one row per (pair, diagonal, island) with
     * its consecutive-shingle count.
     */
@@ -438,7 +440,7 @@ object SparkEntry {
       |s AS (SELECT doc_id, i - 1 AS pos,
       |    array_to_string(toks[i:i+4], ' ') AS sh FROM s0),
       |rare AS (SELECT sh FROM s GROUP BY sh
-      |  HAVING count(DISTINCT doc_id) <= 16),
+      |  HAVING count(DISTINCT doc_id) <= 16 AND count(*) <= 64),
       |sr AS (SELECT s.* FROM s JOIN rare USING (sh)),
       |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |    a.pos - b.pos AS diag, a.pos AS pa
@@ -2708,7 +2710,7 @@ object SparkEntry {
           .option("pathGlobFilter", "*.parquet")
           .parquet(s"$tmp/in/*")
         val q = stream.writeStream.foreachBatch {
-          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             val partial = batch.groupBy("event_type")
               .agg(count(lit(1)).as("n_events"),
                 count(col("value")).as("n_valued"),
@@ -2716,7 +2718,8 @@ object SparkEntry {
                 max(col("value")).as("max_value"))
             graft.streaming.UpsertSink.accumulateBatch(table, partial,
               Seq("event_type"), sumCols = Seq("n_events", "n_valued"),
-              minCols = Seq("min_value"), maxCols = Seq("max_value"))
+              minCols = Seq("min_value"), maxCols = Seq("max_value"),
+              batchId = Some(bid))
         }
           .option("checkpointLocation", s"$tmp/chk")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -2952,12 +2955,12 @@ object SparkEntry {
           .option("pathGlobFilter", "*.parquet")
           .parquet(s"$tmp/in/*")
         val q = stream.writeStream.foreachBatch {
-          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             val partial = graft.operators.Hll.registers(
               postingsBySource(batch), Seq("source"), col("posting"))
             graft.streaming.UpsertSink.accumulateBatch(table, partial,
               Seq("source", "bucket"), sumCols = Nil, minCols = Nil,
-              maxCols = Seq("reg"))
+              maxCols = Seq("reg"), batchId = Some(bid))
         }
           .option("checkpointLocation", s"$tmp/chk")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -3261,12 +3264,12 @@ object SparkEntry {
           .option("pathGlobFilter", "*.parquet")
           .parquet(s"$tmp/in/*")
         val q = stream.writeStream.foreachBatch {
-          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             val partial = graft.operators.Bm25.buildPostings(
               batch, "doc_id", "text")
             graft.streaming.UpsertSink.accumulateBatch(table, partial,
               Seq("term", "doc_id"), sumCols = Seq("tf"), minCols = Nil,
-              maxCols = Seq("dl"))
+              maxCols = Seq("dl"), batchId = Some(bid))
         }
           .option("checkpointLocation", s"$tmp/chk")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -3405,11 +3408,11 @@ object SparkEntry {
           .option("pathGlobFilter", "*.parquet")
           .parquet(s"$tmp/in/*")
         val q = stream.writeStream.foreachBatch {
-          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             val partial = graft.operators.Kmv.sketch(
               trigramShingles(batch), Seq("source"), col("posting"), k = 64)
             graft.streaming.KmvStream.accumulateBatch(table, partial,
-              "source", k = 64)
+              "source", k = 64, batchId = Some(bid))
         }
           .option("checkpointLocation", s"$tmp/chk")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -3498,12 +3501,12 @@ object SparkEntry {
           .option("pathGlobFilter", "*.parquet")
           .parquet(s"$tmp/in/*")
         val q = stream.writeStream.foreachBatch {
-          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             val partial = graft.operators.Gate.reputationAggregate(
               batch, "source", "n_chars", shortChars = 150L)
             graft.streaming.UpsertSink.accumulateBatch(table, partial,
               Seq("source"), sumCols = Seq("n_docs", "tot_chars", "n_short"),
-              minCols = Nil, maxCols = Nil)
+              minCols = Nil, maxCols = Nil, batchId = Some(bid))
         }
           .option("checkpointLocation", s"$tmp/chk")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -3937,7 +3940,10 @@ object SparkEntry {
     // both engines' sides, so no transcendental runs in either.
     "q204_ir_metrics" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
-      val qset = emb.where(col("vec_id") % 25 === 0)
+      // FIXED query panel (vec_id < 500 covers the whole smallest SF): the
+      // eval workload must not grow with the corpus, or the (query, doc)
+      // judged join scales quadratically in SF while measuring nothing new
+      val qset = emb.where(col("vec_id") % 25 === 0 && col("vec_id") < 500)
       val corpus = emb.where(col("vec_id") % 25 =!= 0)
       val queries = qset.orderBy("vec_id")
         .select("vec_id", "embedding").collect()
@@ -4030,7 +4036,10 @@ object SparkEntry {
     // tool; this is the same question as a first-class governed query.
     "q210_ann_eval" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
-      val qset = emb.where(col("vec_id") % 25 === 0)
+      // FIXED query panel (vec_id < 500 covers the whole smallest SF): the
+      // eval workload must not grow with the corpus, or the (query, doc)
+      // judged join scales quadratically in SF while measuring nothing new
+      val qset = emb.where(col("vec_id") % 25 === 0 && col("vec_id") < 500)
       val corpus = emb.where(col("vec_id") % 25 =!= 0)
       val queries = qset.orderBy("vec_id")
         .select("vec_id", "embedding").collect()
@@ -4099,7 +4108,10 @@ object SparkEntry {
     // ever collecting all queries into one row.
     "q214_ir_macro" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
-      val qset = emb.where(col("vec_id") % 25 === 0)
+      // FIXED query panel (vec_id < 500 covers the whole smallest SF): the
+      // eval workload must not grow with the corpus, or the (query, doc)
+      // judged join scales quadratically in SF while measuring nothing new
+      val qset = emb.where(col("vec_id") % 25 === 0 && col("vec_id") < 500)
       val corpus = emb.where(col("vec_id") % 25 =!= 0)
       val queries = qset.orderBy("vec_id")
         .select("vec_id", "embedding").collect()
@@ -4328,11 +4340,11 @@ object SparkEntry {
           .option("pathGlobFilter", "*.parquet")
           .parquet(s"$tmp/in/*")
         val q = stream.writeStream.foreachBatch {
-          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             graft.streaming.MgStream.accumulateBatch(table,
               graft.streaming.MgStream.mgPartial(batch, "source", "text",
                 capacity = 1024),
-              "source", capacity = 1024)
+              "source", capacity = 1024, batchId = Some(bid))
         }
           .option("checkpointLocation", s"$tmp/chk")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -4475,9 +4487,10 @@ object SparkEntry {
           .option("pathGlobFilter", "*.parquet")
           .parquet(s"$tmp/in/*")
         val q = stream.writeStream.foreachBatch {
-          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             graft.streaming.RetentionStream.accumulateBatch(table,
-              graft.streaming.RetentionStream.uwPartial(batch, "user_id", "ts"))
+              graft.streaming.RetentionStream.uwPartial(batch, "user_id", "ts"),
+              batchId = Some(bid))
         }
           .option("checkpointLocation", s"$tmp/chk")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -4526,11 +4539,14 @@ object SparkEntry {
     // non-matches dropped before anything downstream.
     // NOTE: this nation-only blocking is the COARSE-KEY DEMO — its own
     // audit (q236) flags every block oversized as data grows; q260 is
-    // the production form (banded key, audit-gated). Kept at the demo
-    // scale so the match/possible/clerical-queue semantics stay visible
-    // against the oracle.
+    // the production form (banded key, audit-gated). Like q238, the
+    // demo runs on an explicit BOUNDED SAMPLE (custkey <= 15,000, in
+    // the oracle too): the match/possible/clerical-queue semantics are
+    // input-size-free, so the coarse key never inherits corpus growth —
+    // the nation blocks stay audit-sized by construction instead of
+    // going quadratic with SF.
     "q235_entity_resolution" -> ((s, dir) => {
-      val (a, b) = erSides(s, dir)
+      val (a, b) = erSides(s, dir, sampleCap = 15000L)
       graft.operators.EntityResolution.scorePairs(a, b, Seq("nation"),
         erFieldScores, matchMin = 7L, possibleMin = 3L)
         .select("a_key", "b_key", "score", "cls")
@@ -4581,9 +4597,10 @@ object SparkEntry {
           .option("pathGlobFilter", "*.parquet")
           .parquet(s"$tmp/in/*")
         val q = stream.writeStream.foreachBatch {
-          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             graft.streaming.TransitionStream.accumulateBatch(table, batch,
-              "user_id", "ts", "event_id", "event_type")
+              "user_id", "ts", "event_id", "event_type",
+              batchId = Some(bid))
         }
           .option("checkpointLocation", s"$tmp/chk")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -4676,11 +4693,11 @@ object SparkEntry {
           .option("pathGlobFilter", "*.parquet")
           .parquet(s"$tmp/in/*")
         val q = stream.writeStream.foreachBatch {
-          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             graft.streaming.DriftStream.accumulateBatch(table,
               graft.streaming.DriftStream.partial(batch, "event_type",
                 "value", cuts),
-              "event_type", cuts)
+              "event_type", cuts, batchId = Some(bid))
         }
           .option("checkpointLocation", s"$tmp/chk")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -4869,10 +4886,10 @@ object SparkEntry {
           .option("pathGlobFilter", "*.parquet")
           .parquet(s"$tmp/in/*")
         val q = stream.writeStream.foreachBatch {
-          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             graft.streaming.CusumStream.accumulateBatch(table, batch,
               "event_type", "us", "event_id", "cents",
-              allowance = 5000L, threshold = 400000L)
+              allowance = 5000L, threshold = 400000L, batchId = Some(bid))
         }
           .option("checkpointLocation", s"$tmp/chk")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -4983,17 +5000,27 @@ object SparkEntry {
         graft.streaming.IntervalStream.accumulateBatch(table,
           iv.where(cond), "l_partkey", "st", "en", "tie")
       }
-      val rep = graft.streaming.IntervalStream.islands(s, table)
-        .groupBy("l_partkey")
-        .agg(sum("n_merged").as("n_shipments"),
-          count(lit(1)).as("n_islands"),
-          sum(datediff(col("island_end"), col("island_start")) + 1)
-            .as("covered_days"),
-          max(datediff(col("island_end"), col("island_start")) + 1)
-            .cast("long").as("longest_days"))
-      val result = s.createDataFrame(rep.collectAsList(), rep.schema)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      result
+      // the report is O(|l_partkey|) rows — too big to ride the driver:
+      // persist it and return the LAZY scan; only the state versions are
+      // reclaimed (the report dir lives until the tmp filesystem does)
+      try {
+        graft.streaming.IntervalStream.islands(s, table)
+          .groupBy("l_partkey")
+          .agg(sum("n_merged").as("n_shipments"),
+            count(lit(1)).as("n_islands"),
+            sum(datediff(col("island_end"), col("island_start")) + 1)
+              .as("covered_days"),
+            max(datediff(col("island_end"), col("island_start")) + 1)
+              .cast("long").as("longest_days"))
+          .write.mode("overwrite").parquet(s"$tmp/report")
+      } catch {
+        case e: Throwable =>
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+          throw e
+      }
+      new java.io.File(tmp).listFiles().filter(_.getName != "report")
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+      s.read.parquet(s"$tmp/report")
     }),
 
     // ---- exact tie-aware AUC: grade "n_chars predicts English" per
@@ -5325,20 +5352,32 @@ object SparkEntry {
     // dictionary is ALL-INTEGER (cum·100 ≥ n·p) — exact, no sketch error,
     // any slicing lands on the batch oracle bit-for-bit. State =
     // O(groups × distinct cents), the honest bounded-domain contract.
+    // The fold is batch-id FENCED: each slice carries its foreachBatch id,
+    // recorded atomically with the published state, so the deliberate
+    // redeliveries below (crash-replay of the last batch, plus an older
+    // one) are no-ops — the sum-merge family's exactly-once, exercised
+    // against the batch oracle (a single re-add would shift every count).
     "q277_streaming_percentiles" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_q277").toString
-      val ev = events(s, dir).select(col("event_id"), col("event_type"),
-        round(col("value") * 100).cast("long").as("cents"))
-      (0 to 2).foreach { i =>
+      try {
+        val ev = events(s, dir).select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        def slice(i: Int) = ev.where(pmod(col("event_id"), lit(3)) === lit(i))
+        (0 to 2).foreach { i =>
+          graft.streaming.PercentileStream.accumulateBatch(s"$tmp/state",
+            slice(i), "event_type", "cents", batchId = Some(i.toLong))
+        }
+        // redelivery: the crash-replayed last batch, then an older slice
         graft.streaming.PercentileStream.accumulateBatch(s"$tmp/state",
-          ev.where(pmod(col("event_id"), lit(3)) === lit(i)),
-          "event_type", "cents")
+          slice(2), "event_type", "cents", batchId = Some(2L))
+        graft.streaming.PercentileStream.accumulateBatch(s"$tmp/state",
+          slice(1), "event_type", "cents", batchId = Some(1L))
+        val rep = graft.streaming.PercentileStream
+          .percentiles(s, s"$tmp/state", "event_type", "cents", Seq(50, 90, 99))
+        s.createDataFrame(rep.collectAsList(), rep.schema)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       }
-      val rep = graft.streaming.PercentileStream
-        .percentiles(s, s"$tmp/state", "event_type", "cents", Seq(50, 90, 99))
-      val result = s.createDataFrame(rep.collectAsList(), rep.schema)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      result
     }),
 
     // ---- STREAMING uniform sample: bottom-k of the md5-uniform key per
@@ -5346,21 +5385,23 @@ object SparkEntry {
     // identity, so it IS a sample; membership is id-keyed, so slice 1 is
     // deliberately re-delivered below and the final state still equals
     // the batch bottom-k (at-least-once safe WITHOUT batch fencing —
-    // contrast the sum-merge accumulates, which document that caveat).
+    // contrast the sum-merge accumulates, which fence by batch id: q277).
     "q278_streaming_sample" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_q278").toString
-      val ev = events(s, dir).select(col("event_id"), col("event_type"))
-      def slice(i: Int) = ev.where(pmod(col("event_id"), lit(3)) === lit(i))
-      (0 to 2).foreach { i =>
-        graft.streaming.SampleStream.accumulateBatch(s"$tmp/state", slice(i),
-          "event_type", "event_id", k = 20)
+      try {
+        val ev = events(s, dir).select(col("event_id"), col("event_type"))
+        def slice(i: Int) = ev.where(pmod(col("event_id"), lit(3)) === lit(i))
+        (0 to 2).foreach { i =>
+          graft.streaming.SampleStream.accumulateBatch(s"$tmp/state", slice(i),
+            "event_type", "event_id", k = 20)
+        }
+        graft.streaming.SampleStream.accumulateBatch(s"$tmp/state", slice(1),
+          "event_type", "event_id", k = 20) // redelivery: must be a no-op
+        val rep = graft.streaming.UpsertSink.snapshot(s, s"$tmp/state")
+        s.createDataFrame(rep.collectAsList(), rep.schema)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       }
-      graft.streaming.SampleStream.accumulateBatch(s"$tmp/state", slice(1),
-        "event_type", "event_id", k = 20) // redelivery: must be a no-op
-      val rep = graft.streaming.UpsertSink.snapshot(s, s"$tmp/state")
-      val result = s.createDataFrame(rep.collectAsList(), rep.schema)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      result
     }),
   )
 
@@ -7218,8 +7259,9 @@ object SparkEntry {
 
     // the same derivations, weights, and thresholds transcribed; the
     // floor-to-dollar subtraction is textually identical on both sides
+    // (bounded sample: same custkey cap as the Spark entry)
     "q235_entity_resolution" ->
-      s"""WITH ${erCtesSql()},
+      s"""WITH ${erCtesSql(" WHERE c_custkey <= 15000")},
         |p AS (SELECT a_key, b_key,
         |    $erScoreSql AS score
         |  FROM a JOIN b USING (nation))
@@ -9614,7 +9656,7 @@ object SparkEntry {
     val k = 10
     val cos = cosSql("c.embedding", "q.qv")
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
-       |    FROM embeddings WHERE vec_id % 25 = 0),
+       |    FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 500),
        |c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 25 <> 0),
        |ranked AS (SELECT q.qid, c.vec_id,
        |    CASE WHEN c.label = q.qlabel THEN 1 ELSE 0 END AS rel,
@@ -9637,7 +9679,7 @@ object SparkEntry {
     val cosAQ = cosSql("a.embedding", "q.qv")
     val cosEQ = cosSql("e.embedding", "q.qv")
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
-       |    FROM embeddings WHERE vec_id % 25 = 0),
+       |    FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 500),
        |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 <> 0),
        |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
        |    embedding AS cv

@@ -47,11 +47,25 @@ object Calibrate {
     * with `rate = pos/n` (the raw, possibly non-monotone empirical rate)
     * and `fit` the isotonic estimate. `label` must be a boolean Column
     * over `df`'s rows.
+    *
+    * The bounded-alphabet contract is ENFORCED, not assumed: the distinct
+    * score count is checked against `maxAlphabet` right after the first
+    * aggregate (one extra bounded job — cheap next to the |alphabet|²
+    * stage it guards), so a caller passing an unbinned continuous score
+    * fails loudly with a pointer at [[Binning.withEquiDepthBin]] instead
+    * of silently exploding a quadratic onto one partition.
     */
-  def isotonicFit(df: DataFrame, scoreCol: String, label: Column): DataFrame = {
+  def isotonicFit(df: DataFrame, scoreCol: String, label: Column,
+                  maxAlphabet: Int = 4096): DataFrame = {
     val per = df.groupBy(col(scoreCol))
       .agg(count(lit(1)).as("n"),
         sum(when(label, 1L).otherwise(0L)).as("pos"))
+    val width = per.limit(maxAlphabet + 1).count()
+    require(width <= maxAlphabet,
+      s"isotonicFit: more than $maxAlphabet distinct '$scoreCol' values — " +
+        "the |alphabet|^2 PAV table and its single-partition windows need a " +
+        "bounded score alphabet; bin continuous scores first " +
+        "(Binning.withEquiDepthBin) or raise maxAlphabet deliberately")
     // bounded-alphabet relation: global windows are single-partition by
     // construction and stay so at any corpus size
     val w = Window.orderBy(col(scoreCol))
@@ -93,6 +107,16 @@ object Calibrate {
     * `(score, n_eval, pos_eval, acc, conf, gap, ece)` where
     * `gap = conf − acc` and `ece = Σ n·|gap| / N` (constant column; the
     * Σ is an order-pinned fold over score-sorted bins).
+    *
+    * Denominator choice, stated explicitly: `N = Σ n_eval` over ALL eval
+    * bins, INCLUDING null-conf bins below the trained alphabet whose
+    * numerator weight is 0 — so ECE reads as "calibration error of the
+    * covered mass, amortized over the whole eval stream", and an eval set
+    * extending far below the trained alphabet DEFLATES the scalar. That
+    * uncovered mass is auditable in the output itself (rows with null
+    * `conf` and their `n_eval`); a caller wanting covered-only ECE filters
+    * `conf IS NOT NULL` before reading the fold, or treats large
+    * uncovered mass as a reason to refit on wider training data.
     */
   def reliability(eval: DataFrame, scoreCol: String, label: Column,
                   fitTable: DataFrame): DataFrame = {

@@ -632,12 +632,19 @@ object Dedup {
     * No suffix array, no sequential pass; three shuffles total (shingle
     * df-count, shingle join, island window keyed by pair+diag).
     *
-    * Scale bounds: the shingle join's fan-out is capped by `maxDf` — a
-    * shingle present in more than `maxDf` docs is dropped BEFORE the join
-    * (boilerplate/stopword diagonals would otherwise go quadratic; runs
-    * that common are boilerplate removal's job — [[Boilerplate]] — not
-    * pair dedup's). Run [[exactDedup]] first on replica-dense corpora
-    * (q266's measured rule) so identical copies don't saturate `maxDf`.
+    * Scale bounds: the shingle join's fan-out is capped BEFORE the join by
+    * two filters on the same one aggregate — `maxDf` (a shingle present in
+    * more than `maxDf` docs is dropped: boilerplate/stopword diagonals
+    * would otherwise go quadratic across the corpus) and `maxOccurrences`
+    * (a shingle with more than `maxOccurrences` total POSITIONS is
+    * dropped: a template line repeated m times inside doc A and n times
+    * inside doc B contributes m·n match points across distinct diagonals
+    * even when only two docs share it, so a doc-count cap alone does not
+    * bound the join — the occurrence cap pins per-shingle fan-out at
+    * `maxOccurrences`² regardless of within-doc repetition). Runs that
+    * common are boilerplate removal's job — [[Boilerplate]] — not pair
+    * dedup's. Run [[exactDedup]] first on replica-dense corpora (q266's
+    * measured rule) so identical copies don't saturate `maxDf`.
     *
     * Output, one row per unordered pair with any run of ≥ `minRunTokens`
     * tokens: `(id_a, id_b, max_run_tokens, n_runs, shared_positions)` —
@@ -647,7 +654,8 @@ object Dedup {
     */
   def sharedShingleRuns(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 5, maxDf: Int = 16,
-                        minRunTokens: Int = 10): DataFrame = {
+                        minRunTokens: Int = 10,
+                        maxOccurrences: Int = 64): DataFrame = {
     require(k >= 1 && minRunTokens >= k,
       s"minRunTokens $minRunTokens must be >= shingle size $k")
     val minRunShingles = minRunTokens - k + 1
@@ -658,11 +666,12 @@ object Dedup {
     val s = df.where(size(toks) >= k)
       .select(col(idCol).as("__id"), posexplode(shingles))
       .select(col("__id"), col("pos").as("__pos"), col("col").as("__h"))
-    // df-cap BEFORE the join: exact distinct-doc count per shingle (one
-    // map-side-combined shuffle on the shingle key)
+    // both caps BEFORE the join, from ONE aggregate on the shingle key:
+    // distinct-doc count (cross-corpus boilerplate) and total position
+    // count (within-doc repetition — the m·n diagonal blowup)
     val rare = s.groupBy("__h")
-      .agg(countDistinct("__id").as("__df"))
-      .where(col("__df") <= maxDf)
+      .agg(countDistinct("__id").as("__df"), count(lit(1)).as("__occ"))
+      .where(col("__df") <= maxDf && col("__occ") <= maxOccurrences)
       .select("__h")
     val sr = s.join(rare, Seq("__h"), "left_semi")
     val a = sr.select(col("__h"), col("__id").as("id_a"), col("__pos").as("__pa"))
@@ -693,8 +702,10 @@ object Dedup {
     */
   def substringDupReport(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 5, maxDf: Int = 16,
-                         minRunTokens: Int = 10): DataFrame = {
-    val pairs = sharedShingleRuns(df, idCol, textCol, k, maxDf, minRunTokens)
+                         minRunTokens: Int = 10,
+                         maxOccurrences: Int = 64): DataFrame = {
+    val pairs = sharedShingleRuns(df, idCol, textCol, k, maxDf, minRunTokens,
+      maxOccurrences)
     val perDoc = pairs.groupBy(col("id_b").as(idCol))
       .agg(max("max_run_tokens").as("max_shared_tokens"))
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left")

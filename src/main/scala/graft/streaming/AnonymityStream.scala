@@ -23,25 +23,36 @@ import graft.operators.Hll
   */
 object AnonymityStream {
 
-  /** Fold one batch of rows into the `dir/counts` + `dir/regs` state. */
+  /** Fold one batch of rows into the `dir/counts` + `dir/regs` state.
+    * Redelivery fencing (`batchId`): each table fences independently —
+    * both legs fold only (their prior state, the batch), so a crash
+    * between the two publishes replays into a consistent pair (the
+    * published leg skips, the torn leg recomputes identically).
+    */
   def accumulateBatch(dir: String, batch: DataFrame, quasiCols: Seq[String],
-                      sensitive: Column): Unit = {
+                      sensitive: Column,
+                      batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     val qi = quasiCols.map(col)
     val cleaned = batch.where(
       quasiCols.map(col(_).isNotNull).reduce(_ && _) && sensitive.isNotNull)
 
-    val pc = cleaned.groupBy(qi: _*).agg(count(lit(1)).as("n"))
-    val allC = UpsertSink.currentState(spark, s"$dir/counts")
-      .map(_.unionByName(pc)).getOrElse(pc)
-    UpsertSink.publishMerged(spark, s"$dir/counts",
-      allC.groupBy(qi: _*).agg(sum("n").as("n")))
+    if (!batchId.exists(UpsertSink.alreadyFolded(spark, s"$dir/counts", _))) {
+      val pc = cleaned.groupBy(qi: _*).agg(count(lit(1)).as("n"))
+      val allC = UpsertSink.currentState(spark, s"$dir/counts")
+        .map(_.unionByName(pc)).getOrElse(pc)
+      UpsertSink.publishMerged(spark, s"$dir/counts",
+        allC.groupBy(qi: _*).agg(sum("n").as("n")), batchId = batchId)
+    }
 
-    val pr = Hll.registers(cleaned, quasiCols, sensitive)
-    val allR = UpsertSink.currentState(spark, s"$dir/regs")
-      .map(_.unionByName(pr)).getOrElse(pr)
-    UpsertSink.publishMerged(spark, s"$dir/regs",
-      allR.groupBy((qi :+ col("bucket")): _*).agg(max("reg").as("reg")))
+    if (!batchId.exists(UpsertSink.alreadyFolded(spark, s"$dir/regs", _))) {
+      val pr = Hll.registers(cleaned, quasiCols, sensitive)
+      val allR = UpsertSink.currentState(spark, s"$dir/regs")
+        .map(_.unionByName(pr)).getOrElse(pr)
+      UpsertSink.publishMerged(spark, s"$dir/regs",
+        allR.groupBy((qi :+ col("bucket")): _*).agg(max("reg").as("reg")),
+        batchId = batchId)
+    }
   }
 
   /** The audit from state: per cell, exact n, the HLL diversity

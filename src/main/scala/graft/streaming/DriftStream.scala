@@ -22,10 +22,15 @@ object DriftStream {
               cuts: Seq[Double]): DataFrame =
     Drift.summarize(batch, groupCol, valueCol, cuts)
 
-  /** Merge a batch partial into the stored summary: sum every field. */
+  /** Merge a batch partial into the stored summary: sum every field.
+    * Sums re-add on redelivery — pass the `foreachBatch` batch id as
+    * `batchId` to fence it ([[UpsertSink.alreadyFolded]]).
+    */
   def accumulateBatch(table: String, partial: DataFrame, groupCol: String,
-                      cuts: Seq[Double]): Unit = {
+                      cuts: Seq[Double],
+                      batchId: Option[Long] = None): Unit = {
     val spark = partial.sparkSession
+    if (batchId.exists(UpsertSink.alreadyFolded(spark, table, _))) return
     val all = UpsertSink.currentState(spark, table) match {
       case Some(cur) => cur.unionByName(partial)
       case None => partial
@@ -33,7 +38,7 @@ object DriftStream {
     val sums = (Seq("n") ++ cuts.indices.map(i => s"c$i"))
       .map(c => sum(col(c)).as(c))
     val merged = all.groupBy(col(groupCol)).agg(sums.head, sums.tail: _*)
-    UpsertSink.publishMerged(spark, table, merged)
+    UpsertSink.publishMerged(spark, table, merged, batchId = batchId)
   }
 
   /** The drift verdict of the accumulated live summary vs a reference

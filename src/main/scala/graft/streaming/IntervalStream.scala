@@ -33,8 +33,9 @@ object IntervalStream {
     */
   def accumulateBatch(table: String, batch: DataFrame, keyCol: String,
                       startCol: String, endCol: String,
-                      tieCol: String): Unit = {
+                      tieCol: String, batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
+    if (batchId.exists(UpsertSink.alreadyFolded(spark, table, _))) return
     val fresh = batch
       .where(col(startCol).isNotNull && col(endCol).isNotNull)
       .select(col(keyCol), col(startCol).as("__st"), col(endCol).as("__en"),
@@ -60,7 +61,8 @@ object IntervalStream {
     val merged = Intervals.mergeIntervalsWeighted(pool, Seq(keyCol),
       "__st", "__en", Seq(col("__tie")), "__w")
       .select(keyCol, "island_start", "island_end", "n_merged")
-    UpsertSink.publishMerged(spark, table, closed.unionByName(merged))
+    UpsertSink.publishMerged(spark, table, closed.unionByName(merged),
+      batchId = batchId)
   }
 
   /** The island state as a DataFrame (one row per merged island). */

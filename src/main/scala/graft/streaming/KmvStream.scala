@@ -15,10 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object KmvStream {
 
-  /** Merge a batch's partial sketch table (groupCol, kmv) into `table`. */
+  /** Merge a batch's partial sketch table (groupCol, kmv) into `table`.
+    * The merge is idempotent by construction (distinct bottom-k); the
+    * optional `batchId` fence additionally skips the redelivered work.
+    */
   def accumulateBatch(table: String, partial: DataFrame,
-                      groupCol: String, k: Int): Unit = {
+                      groupCol: String, k: Int,
+                      batchId: Option[Long] = None): Unit = {
     val spark = partial.sparkSession
+    if (batchId.exists(UpsertSink.alreadyFolded(spark, table, _))) return
     val all = UpsertSink.currentState(spark, table) match {
       case Some(cur) => cur.unionByName(partial)
       case None => partial
@@ -26,6 +31,6 @@ object KmvStream {
     val merged = all.groupBy(col(groupCol))
       .agg(slice(array_sort(array_distinct(flatten(collect_list(col("kmv"))))),
         1, k).as("kmv"))
-    UpsertSink.publishMerged(spark, table, merged)
+    UpsertSink.publishMerged(spark, table, merged, batchId = batchId)
   }
 }

@@ -43,8 +43,10 @@ object MgStream {
     * capped) — bounded by the sketch, never by the stream.
     */
   def accumulateBatch(table: String, partial: DataFrame,
-                      groupCol: String, capacity: Int): Unit = {
+                      groupCol: String, capacity: Int,
+                      batchId: Option[Long] = None): Unit = {
     val spark = partial.sparkSession
+    if (batchId.exists(UpsertSink.alreadyFolded(spark, table, _))) return
     val all = UpsertSink.currentState(spark, table) match {
       case Some(cur) => cur.unionByName(partial)
       case None => partial
@@ -62,6 +64,6 @@ object MgStream {
       .withColumn("n", col("n") - coalesce(col("__d"), lit(0L)))
       .where(col("n") > 0)
       .select(col(groupCol), col("token"), col("n"))
-    UpsertSink.publishMerged(spark, table, merged)
+    UpsertSink.publishMerged(spark, table, merged, batchId = batchId)
   }
 }

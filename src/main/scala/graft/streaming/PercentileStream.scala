@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * across micro-batches order-free (the q161/q173/q178 accumulate
   * discipline), and any discrete percentile is an exact readout over the
   * stored dictionary — no Greenwald-Khanna error term, no order
-  * sensitivity, redelivery aside (sums re-add; exactly-once comes from the
-  * caller's checkpoint fencing, same contract as
-  * [[UpsertSink.accumulateBatch]], which this rides).
+  * sensitivity. Redelivery is fenced when the caller passes the
+  * `foreachBatch` batch id (recorded atomically with the published state —
+  * [[UpsertSink.accumulateBatch]], which this rides); without it, sums
+  * re-add and the caller owns exactly-once.
   *
   * State bound: O(groups × distinct values), FOREVER — the honest contract.
   * This is the right streaming-quantile tool when the value domain is
@@ -28,14 +29,18 @@ import org.apache.spark.sql.functions._
   */
 object PercentileStream {
 
-  /** Fold one micro-batch into the dictionary table at `table`. */
+  /** Fold one micro-batch into the dictionary table at `table`. Pass the
+    * `foreachBatch` batch id as `batchId` to make at-least-once
+    * redelivery a recorded no-op ([[UpsertSink.alreadyFolded]]).
+    */
   def accumulateBatch(table: String, batch: DataFrame,
-                      groupCol: String, valueCol: String): Unit = {
+                      groupCol: String, valueCol: String,
+                      batchId: Option[Long] = None): Unit = {
     val partial = batch.groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("cnt"))
     UpsertSink.accumulateBatch(table, partial,
       Seq(groupCol, valueCol), sumCols = Seq("cnt"),
-      minCols = Nil, maxCols = Nil)
+      minCols = Nil, maxCols = Nil, batchId = batchId)
   }
 
   /** Exact discrete percentiles from the accumulated dictionary: one row

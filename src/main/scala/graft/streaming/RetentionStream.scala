@@ -26,14 +26,19 @@ object RetentionStream {
   def uwPartial(batch: DataFrame, userCol: String, tsCol: String): DataFrame =
     Retention.userWeeks(batch, userCol, tsCol)
 
-  /** Merge a batch partial into the stored state: distinct union. */
-  def accumulateBatch(table: String, partial: DataFrame): Unit = {
+  /** Merge a batch partial into the stored state: distinct union
+    * (idempotent by construction; the optional `batchId` fence skips the
+    * redelivered work).
+    */
+  def accumulateBatch(table: String, partial: DataFrame,
+                      batchId: Option[Long] = None): Unit = {
     val spark = partial.sparkSession
+    if (batchId.exists(UpsertSink.alreadyFolded(spark, table, _))) return
     val merged = (UpsertSink.currentState(spark, table) match {
       case Some(cur) => cur.unionByName(partial)
       case None => partial
     }).distinct()
-    UpsertSink.publishMerged(spark, table, merged)
+    UpsertSink.publishMerged(spark, table, merged, batchId = batchId)
   }
 
   /** The retention matrix derived from the accumulated state. */

@@ -23,7 +23,13 @@ import graft.operators.Sampling
   *  - idempotent on redelivery: membership is keyed by id (dup ids
   *    collapse in the merge), so an at-least-once redelivery cannot skew
   *    the sample — no batch-id fencing needed (contrast the sum-merge
-  *    accumulates, which document exactly that caveat).
+  *    accumulates, which fence via `batchId`). Idempotence covers
+  *    REDELIVERY only, not concurrency: like every member of the
+  *    accumulate family, the fold is a read-modify-write over the
+  *    [[UpsertSink]] state, so the table must have a SINGLE WRITER (one
+  *    streaming query / one `foreachBatch` at a time) — two interleaved
+  *    callers would each merge against the same prior version and the
+  *    later publish would lose the earlier batch's rows.
   *
   * State: k rows per group, forever. Uniformity: md5-uniform in the id
   * (the corpus-wide sampling convention, [[Sampling.uniformFromId]]), so

@@ -33,10 +33,24 @@ object TransitionStream {
 
   /** Merge one batch. `dir` holds the two state tables (`$dir/counts`,
     * `$dir/last`).
+    *
+    * Redelivery fencing (`batchId`): each table fences INDEPENDENTLY —
+    * both folds are deterministic functions of (their prior state, the
+    * batch), so a crash between the two publishes replays into a
+    * consistent pair: the already-published leg is skipped by its own
+    * fence, the torn leg recomputes from its unchanged prior state and
+    * the redelivered batch, landing exactly where the crashed attempt
+    * would have.
     */
   def accumulateBatch(dir: String, batch: DataFrame, entityCol: String,
-                      tsCol: String, idCol: String, stateCol: String): Unit = {
+                      tsCol: String, idCol: String, stateCol: String,
+                      batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
+    val countsDone =
+      batchId.exists(UpsertSink.alreadyFolded(spark, s"$dir/counts", _))
+    val lastDone =
+      batchId.exists(UpsertSink.alreadyFolded(spark, s"$dir/last", _))
+    if (countsDone && lastDone) return
     val b = batch
       .where(col(entityCol).isNotNull && col(stateCol).isNotNull)
       .select(col(entityCol).as("uid"), col(tsCol).as("ts"),
@@ -45,20 +59,26 @@ object TransitionStream {
       case Some(c) => c.unionByName(b)
       case None => b
     }
-    val batchCounts = Transitions.transitionCounts(
-      withCarry, "uid", Seq(col("ts"), col("eid")), "st")
-    val mergedCounts = (UpsertSink.currentState(spark, s"$dir/counts") match {
-      case Some(cur) => cur.unionByName(batchCounts)
-      case None => batchCounts
-    }).groupBy("from_state", "to_state").agg(sum(col("n")).as("n"))
-    // max_by the (ts, eid) struct: the user's new latest event
-    val newLast = withCarry
-      .groupBy("uid")
-      .agg(max(struct(col("ts"), col("eid"), col("st"))).as("m"))
-      .select(col("uid"), col("m.ts").as("ts"), col("m.eid").as("eid"),
-        col("m.st").as("st"))
-    UpsertSink.publishMerged(spark, s"$dir/counts", mergedCounts)
-    UpsertSink.publishMerged(spark, s"$dir/last", newLast)
+    if (!countsDone) {
+      val batchCounts = Transitions.transitionCounts(
+        withCarry, "uid", Seq(col("ts"), col("eid")), "st")
+      val mergedCounts = (UpsertSink.currentState(spark, s"$dir/counts") match {
+        case Some(cur) => cur.unionByName(batchCounts)
+        case None => batchCounts
+      }).groupBy("from_state", "to_state").agg(sum(col("n")).as("n"))
+      UpsertSink.publishMerged(spark, s"$dir/counts", mergedCounts,
+        batchId = batchId)
+    }
+    if (!lastDone) {
+      // max_by the (ts, eid) struct: the user's new latest event
+      val newLast = withCarry
+        .groupBy("uid")
+        .agg(max(struct(col("ts"), col("eid"), col("st"))).as("m"))
+        .select(col("uid"), col("m.ts").as("ts"), col("m.eid").as("eid"),
+          col("m.st").as("st"))
+      UpsertSink.publishMerged(spark, s"$dir/last", newLast,
+        batchId = batchId)
+    }
   }
 
   /** The transition matrix derived from the accumulated counts. */

@@ -54,6 +54,15 @@ import org.apache.spark.sql.functions._
   */
 object UpsertSink {
 
+  /** Sidecar inside each version dir recording the highest micro-batch id
+    * folded into the table by a fenced accumulate (see [[accumulateBatch]]).
+    * Written into the STAGING dir before the atomic rename that publishes
+    * the version, so a complete version can never exist without its fence
+    * record — there is no crash window between "state includes batch B"
+    * and "B is recorded as folded".
+    */
+  private val FenceFile = "_folded_batch"
+
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -96,6 +105,36 @@ object UpsertSink {
   def snapshot(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(snapshotPath(spark, table).getOrElse(
       sys.error(s"UpsertSink.snapshot: no complete version at $table")))
+
+  /** Highest micro-batch id folded into `table` by a fenced accumulate —
+    * `None` before the first fenced fold. Read from the CURRENT complete
+    * version's sidecar, which the publish rename made atomic with the
+    * data, so the answer is never ahead of or behind the visible state.
+    */
+  def foldedBatchMax(spark: SparkSession, table: String): Option[Long] = {
+    val fs = fsOf(spark, table)
+    completeVersions(fs, table).lastOption.flatMap { case (_, p) =>
+      val f = new Path(p, FenceFile)
+      if (!fs.exists(f)) None
+      else {
+        val in = fs.open(f)
+        try Some(org.apache.commons.io.IOUtils.toString(in,
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      }
+    }
+  }
+
+  /** True iff micro-batch `batchId` is already folded into `table`: the
+    * at-least-once redelivery fence. Valid under the family's single-
+    * writer contract with MONOTONICALLY increasing batch ids — exactly
+    * what Structured Streaming's `foreachBatch` guarantees for one query
+    * on one checkpoint (a crash replays the LAST id, never an older one).
+    * A table must be fed by one streaming query; a second query with its
+    * own checkpoint restarts ids at 0 and would be wrongly fenced.
+    */
+  def alreadyFolded(spark: SparkSession, table: String, batchId: Long): Boolean =
+    foldedBatchMax(spark, table).exists(batchId <= _)
 
   /** Version numbers of the retained COMPLETE versions, ascending — the
     * time-travel catalog. What is listable is readable: the same
@@ -162,15 +201,35 @@ object UpsertSink {
     * `retainVersions - 1` subsequent publishes.
     */
   private def publish(spark: SparkSession, table: String, merged: DataFrame,
-                      retainVersions: Int): Unit = {
+                      retainVersions: Int,
+                      foldBatchId: Option[Long] = None): Unit = {
     require(retainVersions >= 1,
       s"retainVersions must be >= 1, got $retainVersions")
     val fs = fsOf(spark, table)
     val versions = completeVersions(fs, table)
+    // fence high-water mark: the max of the incoming batch id and the
+    // current version's mark, carried forward across EVERY publish so an
+    // unfenced compaction between fenced folds cannot drop the record
+    val fence: Option[Long] =
+      (foldedBatchMax(spark, table).toSeq ++ foldBatchId.toSeq)
+        .reduceOption(_ max _)
     val next = versions.lastOption.map(_._1 + 1).getOrElse(1)
     val nextDir = new Path(s"${table}__v$next")
-    // overwrite clears any partial leftover of a crashed attempt at `next`
-    merged.write.mode("overwrite").parquet(nextDir.toString)
+    // write to a staging dir, add the fence sidecar, then atomic-rename
+    // into place: the version becomes visible with data + `_SUCCESS` +
+    // fence record all at once (overwrite clears a crashed staging)
+    val staging = new Path(s"${table}__staging")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    fence.foreach { b =>
+      val out = fs.create(new Path(staging, FenceFile), true)
+      try out.write(b.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    // a partial `nextDir` can only be a crashed attempt (no `_SUCCESS`,
+    // or the pre-staging layout's direct write): clear it for the rename
+    if (fs.exists(nextDir)) fs.delete(nextDir, true)
+    if (!fs.rename(staging, nextDir))
+      sys.error(s"UpsertSink.publish: rename $staging -> $nextDir failed")
     // one-time migration off the pre-versioned layout: the plain dir was
     // the merge input and v1 is now complete, so it can make way for the
     // symlink (a crash here only interrupts plain-path reads until the
@@ -217,8 +276,9 @@ object UpsertSink {
     */
   private[streaming] def publishMerged(spark: SparkSession, table: String,
                                        merged: DataFrame,
-                                       retainVersions: Int = 2): Unit =
-    publish(spark, table, merged, retainVersions)
+                                       retainVersions: Int = 2,
+                                       batchId: Option[Long] = None): Unit =
+    publish(spark, table, merged, retainVersions, batchId)
 
   def compactBatch(table: String, batch: DataFrame, keyCols: Seq[String],
                    versionCol: String, prioCol: String,
@@ -251,16 +311,21 @@ object UpsertSink {
     * sum/count at read time). The batch side must already carry those
     * columns as its partial values.
     *
-    * NOTE: unlike [[compactBatch]], a redelivered batch is NOT idempotent
-    * here (sums re-add) — exactly-once comes from the streaming
-    * checkpoint's batch-id fencing, which `foreachBatch` callers get by
-    * keying publishes off the batch id if they need it.
+    * NOTE: unlike [[compactBatch]], a replayed fold is NOT idempotent by
+    * construction here (sums re-add) — pass the `foreachBatch` batch id
+    * as `batchId` and redelivery becomes a recorded no-op: the id is
+    * checked against the table's fence mark before folding and published
+    * atomically with the merged state (see [[FenceFile]]/[[alreadyFolded]];
+    * single writer, monotone ids — the one-query-one-checkpoint contract).
+    * Without `batchId` the caller owns exactly-once.
     */
   def accumulateBatch(table: String, batchPartial: DataFrame,
                       keyCols: Seq[String], sumCols: Seq[String],
                       minCols: Seq[String], maxCols: Seq[String],
-                      retainVersions: Int = 2): Unit = {
+                      retainVersions: Int = 2,
+                      batchId: Option[Long] = None): Unit = {
     val spark = batchPartial.sparkSession
+    if (batchId.exists(alreadyFolded(spark, table, _))) return
     val all = currentState(spark, table) match {
       case Some(cur) =>
         cur.unionByName(batchPartial.select(cur.columns.map(col): _*))
@@ -269,6 +334,6 @@ object UpsertSink {
     val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
       minCols.map(c => min(col(c)).as(c)) ++ maxCols.map(c => max(col(c)).as(c))
     val merged = all.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    publish(spark, table, merged, retainVersions)
+    publish(spark, table, merged, retainVersions, batchId)
   }
 }

@@ -103,4 +103,74 @@ class AccumulateStreamSpec extends SparkSpec {
     SampleStream.accumulateBatch(t, df, "g", "id", k = 50)
     assert(UpsertSink.snapshot(spark, t).count() === 2L)
   }
+
+  // --- batch-id fencing: exactly-once for the sum-merge accumulates ------
+
+  test("fence: redelivered slices are a no-op for a SUM-merge accumulate") {
+    // q278's redelivery protocol aimed at the family member that is NOT
+    // idempotent by construction: counts re-add unless fenced. Deliver
+    // three slices with their batch ids, then replay the last (the crash
+    // shape) and an older one — the readout must still land on the batch
+    // oracle, i.e. equal the single-delivery run.
+    val df = rows(600)
+    def slice(i: Int) = df.where($"id" % 3 === i)
+    val t = tmpTable()
+    (0 to 2).foreach(i => PercentileStream.accumulateBatch(
+      t, slice(i), "g", "v", batchId = Some(i.toLong)))
+    val once = PercentileStream.percentiles(spark, t, "g", "v", Seq(50, 99))
+      .orderBy("g").collect().toSeq
+    PercentileStream.accumulateBatch(t, slice(2), "g", "v", batchId = Some(2L))
+    PercentileStream.accumulateBatch(t, slice(1), "g", "v", batchId = Some(1L))
+    val after = PercentileStream.percentiles(spark, t, "g", "v", Seq(50, 99))
+      .orderBy("g").collect().toSeq
+    assert(after === once, "fenced redelivery must not re-add any count")
+    assert(UpsertSink.foldedBatchMax(spark, t) === Some(2L))
+    // and the control: the SAME redelivery UNfenced visibly corrupts sums
+    val t2 = tmpTable()
+    (0 to 2).foreach(i => PercentileStream.accumulateBatch(t2, slice(i), "g", "v"))
+    PercentileStream.accumulateBatch(t2, slice(1), "g", "v")
+    val nTotal = UpsertSink.snapshot(spark, t2).agg(sum("cnt")).head.getLong(0)
+    assert(nTotal > 600L, "unfenced redelivery re-adds (the caveat is real)")
+  }
+
+  test("fence: the mark is recorded atomically with the published state") {
+    // the fence sidecar rides the version dir itself: the CURRENT complete
+    // version always answers foldedBatchMax consistently with its data,
+    // and an unfenced publish in between carries the mark forward
+    val df = rows(90)
+    val t = tmpTable()
+    PercentileStream.accumulateBatch(t, df, "g", "v", batchId = Some(7L))
+    assert(UpsertSink.foldedBatchMax(spark, t) === Some(7L))
+    assert(UpsertSink.alreadyFolded(spark, t, 7L))
+    assert(UpsertSink.alreadyFolded(spark, t, 3L), "older ids fence too")
+    assert(!UpsertSink.alreadyFolded(spark, t, 8L))
+    // unfenced fold (no batchId): state advances, mark carried forward
+    PercentileStream.accumulateBatch(t, df, "g", "v")
+    assert(UpsertSink.foldedBatchMax(spark, t) === Some(7L))
+  }
+
+  test("fence: two-table accumulate replays a torn pair consistently") {
+    // TransitionStream fences each table independently; simulate the
+    // crash-between-publishes by folding counts WITH the id via a direct
+    // sum-merge, then verify a fenced member re-run skips only its own leg
+    import graft.streaming.TransitionStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_tstream").toString
+    val b1 = Seq((1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val b2 = Seq((1L, 30L, 102L, "c")).toDF("user_id", "ts", "event_id", "event_type")
+    TransitionStream.accumulateBatch(dir, b1, "user_id", "ts", "event_id",
+      "event_type", batchId = Some(0L))
+    TransitionStream.accumulateBatch(dir, b2, "user_id", "ts", "event_id",
+      "event_type", batchId = Some(1L))
+    val once = TransitionStream.matrix(spark, dir)
+      .orderBy("from_state", "to_state").collect().toSeq
+    // full redelivery of the last batch: both legs fenced, nothing moves
+    TransitionStream.accumulateBatch(dir, b2, "user_id", "ts", "event_id",
+      "event_type", batchId = Some(1L))
+    val after = TransitionStream.matrix(spark, dir)
+      .orderBy("from_state", "to_state").collect().toSeq
+    assert(after === once)
+    assert(once.map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("a", "b"), ("b", "c")), "the junction transition b->c is counted once")
+  }
 }

@@ -86,4 +86,20 @@ class CalibrateSpec extends SparkSpec {
       .select("ece").head().getDouble(0)
     assert(ece === 0.0)
   }
+
+  test("an unbinned continuous score fails the alphabet guard loudly") {
+    // 500 distinct scores vs maxAlphabet=100: the guard must fire BEFORE
+    // the |alphabet|^2 stage, naming the binning escape hatch
+    val wide = (1 to 500).map(i => (i.toDouble / 500.0, i % 2 == 0))
+      .toDF("score", "y")
+    val e = intercept[IllegalArgumentException] {
+      Calibrate.isotonicFit(wide, "score", col("y"), maxAlphabet = 100)
+    }
+    assert(e.getMessage.contains("withEquiDepthBin"))
+    // and the same data binned passes
+    val binned = wide.withColumn("score",
+      floor(col("score") * 10).cast("long"))
+    assert(Calibrate.isotonicFit(binned, "score", col("y"), maxAlphabet = 100)
+      .count() === 10L)
+  }
 }

@@ -524,6 +524,29 @@ class DedupSpec extends SparkSpec {
       .count() === 15L)
   }
 
+  test("sharedShingleRuns: the occurrence cap bounds within-doc repetition") {
+    // a 5-token template line repeated 40x inside each of TWO docs: only 2
+    // docs share it (df-cap 16 passes), but the repeated text is periodic
+    // with period 5, so each of its 5 distinct shingles occurs ~39 times
+    // per doc — m*n ≈ 1.5k match points per shingle if joined. The default
+    // occurrence cap (64 < ~78 total) must drop them BEFORE the join;
+    // raising the cap re-admits the pair (and its quadratic match count).
+    val template = words("t", 5)
+    val repeated = Seq.fill(40)(template).mkString(" ")
+    val docs = Seq(
+      (1L, words("a", 6) + " " + repeated),
+      (2L, words("x", 6) + " " + repeated),
+      (3L, words("z", 30))).toDF("id", "text")
+    assert(Dedup.sharedShingleRuns(docs, "id", "text").isEmpty,
+      "default maxOccurrences=64 suppresses the repetitive template")
+    val admitted = Dedup.sharedShingleRuns(docs, "id", "text",
+      maxOccurrences = 500).collect()
+    assert(admitted.length === 1 &&
+      (admitted.head.getLong(0), admitted.head.getLong(1)) === (1L, 2L))
+    assert(admitted.head.getLong(4) > 1000L,
+      "uncapped, the single shared template yields a quadratic match count")
+  }
+
   test("substringDupReport: earliest copy survives, conservation holds") {
     val span = words("c", 15)
     val docs = Seq(
