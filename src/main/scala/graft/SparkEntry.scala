@@ -5403,6 +5403,36 @@ object SparkEntry {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       }
     }),
+
+    // ---- q29's front door ROUTED onto the memory tier: the SAME JSON
+    // request (integral/string columns, @and/@eq/@gte filter — fully
+    // covered by the loaded index) now serves job-free. The require pins
+    // that the router actually chose memory (the result plans as a
+    // driver-local relation — no scan, no job); the oracle (q29's SQL
+    // verbatim) pins that routing changed NOTHING about the result.
+    "q279_routed_search" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings"); val docs = rd(s, dir, "documents")
+      val qvec = storedVecs(emb, 1).head
+      val index = emb.join(docs, emb("vec_id") === docs("doc_id"))
+        .where(col("vec_id") =!= 1)
+      val cents = Ann.sampleCentroids(index, "vec_id", "embedding", 4)
+      val mem = graft.serve.MemoryAnnIndex.fromDataFrame(
+        Ann.withIvfAssignment(index, "embedding", cents),
+        "vec_id", "embedding", "ivf_cell", cents,
+        metaCols = Seq("lang", "source", "n_chars"))
+      val server = new graft.serve.MemoryServer(mem, None)
+      val req =
+        s"""{"query_vector":[${qvec.mkString(",")}],
+           | "columns":["vec_id","lang","source","n_chars"],
+           | "filter":{"@and":[{"@eq":{"lang":"en"}},{"@gte":{"n_chars":50}}]},
+           | "limit":7}""".stripMargin
+      val out = new SemanticSearch(index, HashingTfEmbedder(64),
+        "vec_id", "text", "embedding", memory = Some(server)).search(req)
+      require(out.queryExecution.optimizedPlan.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+        "q279: the covered request must be memory-served, not job-backed")
+      out
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -9245,6 +9275,21 @@ object SparkEntry {
         |      AS rn
         |  FROM u)
         |SELECT event_type, event_id, u FROM r WHERE rn <= 20""".stripMargin
+    },
+
+    // q29's oracle VERBATIM: routing the request onto the memory tier
+    // must change nothing about the result
+    "q279_routed_search" -> {
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+         |ranked AS (
+         |  SELECT e.vec_id, d.lang, d.source, d.n_chars,
+         |    ${cosSql("e.embedding", "q.qv")} AS score
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id CROSS JOIN q
+         |  WHERE e.vec_id <> 1 AND d.lang = 'en' AND d.n_chars >= 50
+         |  ORDER BY score DESC, e.vec_id LIMIT 7)
+         |SELECT CAST(vec_id AS VARCHAR) AS vec_id, CAST(lang AS VARCHAR) AS lang,
+         |  CAST(source AS VARCHAR) AS source, CAST(n_chars AS VARCHAR) AS n_chars
+         |FROM ranked""".stripMargin
     },
 
     // the DNF branch union ≡ the per-row disjunction test, in SQL

@@ -31,10 +31,18 @@ import graft.operators.Ann
   * @param index     corpus with at least (idCol, textCol, embCol); build it
   *                  with [[IndexBuilder]]
   * @param embedder  must be the SAME embedder the index was built with
+  * @param memory    optional loaded memory tier over the SAME corpus: when
+  *                  a JSON request is fully covered by it (columns +
+  *                  filter ops — see [[search]]), the front door serves
+  *                  job-free from memory instead of launching a Spark job;
+  *                  anything not covered falls back to the DataFrame path.
+  *                  Results are bit-identical either way (ServeSpec pins
+  *                  it) — only the latency differs.
   */
 final class SemanticSearch(index: DataFrame, embedder: Embedder,
                            idCol: String = "ID", textCol: String = "EMBED_STR",
-                           embCol: String = "EMBEDDING") {
+                           embCol: String = "EMBEDDING",
+                           memory: Option[graft.serve.MemoryServer] = None) {
 
   private val mapper = new ObjectMapper()
 
@@ -74,22 +82,76 @@ final class SemanticSearch(index: DataFrame, embedder: Embedder,
   def search(requestJson: String): DataFrame = {
     val req = mapper.readTree(requestJson)
     val k = Option(req.get("limit")).map(_.asInt()).getOrElse(5)
-    val filter = FilterDsl.compileRequestFilter(requestJson).getOrElse(lit(true))
     val cols: Seq[String] = Option(req.get("columns"))
       .map(_.elements().asScala.map(_.asText()).toSeq)
       .getOrElse(index.columns.filterNot(_ == embCol).toSeq)
     // an explicit JSON null (a client serializing the unused optional
     // field) must fall through to the text path, not read as empty vector
-    val ranked = Option(req.get("query_vector")).filter(_.isArray) match {
-      case Some(vecNode) =>
-        topKVec(vecNode.elements().asScala.map(_.floatValue()).toSeq, k, filter)
-      case None =>
-        val query = Option(req.get("query")).map(_.asText()).getOrElse(
-          throw new IllegalArgumentException("request needs 'query' or 'query_vector'"))
-        topK(query, k, filter)
+    val qvec: Option[Seq[Float]] =
+      Option(req.get("query_vector")).filter(_.isArray)
+        .map(_.elements().asScala.map(_.floatValue()).toSeq)
+        .orElse {
+          val query = Option(req.get("query")).map(_.asText()).getOrElse(
+            throw new IllegalArgumentException(
+              "request needs 'query' or 'query_vector'"))
+          Some(embedder.embed(query).toSeq)
+        }
+    memoryServed(req, qvec.get, k, cols).getOrElse {
+      val filter = FilterDsl.compileRequestFilter(requestJson).getOrElse(lit(true))
+      topKVec(qvec.get, k, filter)
+        .select(cols.map(c => col(c).cast("string").as(c)): _*)
     }
-    ranked.select(cols.map(c => col(c).cast("string").as(c)): _*)
   }
+
+  /** The routed front door: serve the request from the attached memory
+    * tier when it COVERS it, `None` (→ the Spark job path) otherwise.
+    * Coverage =
+    *  - a memory server is attached, and
+    *  - every requested column is the id or a loaded metadata column of
+    *    integral/string type (those reconstruct to the exact strings the
+    *    DataFrame path's CAST emits; the text/embedding columns and
+    *    non-integral numerics stay on the Spark tier), and
+    *  - the filter compiles under the memory DNF parser (`@and`/`@or`/
+    *    `@eq`/`@ne`/`@gte`/`@lte`/`@contains` over loaded columns — the
+    *    parser THROWS on anything else, which routes to the fallback).
+    * The served rows are bit-identical to the job path's: same scoring
+    * fold, same (score DESC, id ASC) order, same stringified values.
+    */
+  private def memoryServed(req: com.fasterxml.jackson.databind.JsonNode,
+                           qv: Seq[Float], k: Int,
+                           cols: Seq[String]): Option[DataFrame] =
+    memory.flatMap { mem =>
+      // string/integral columns round-trip the memory tier's long/dict
+      // encoding to the exact strings the Spark path's CAST emits; a
+      // float/decimal column (values OR filters) would not — fall back
+      val exact = Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.StringType)
+      def servable(c: String): Boolean =
+        mem.dense.metaColumns.contains(c) &&
+          index.schema.find(_.name == c).exists(f => exact(f.dataType))
+      mem.tryParseFilter(req.get("filter")).flatMap { dnf =>
+        val covered = cols.forall(c => c == idCol || servable(c)) &&
+          dnf.flatten.map(_.col).forall(servable)
+        if (!covered) None
+        else {
+          val hits = if (k <= 0) Nil else mem.topKVecDnf(qv, k, dnf)
+          val rows = hits.map { case (id, _) =>
+            org.apache.spark.sql.Row.fromSeq(cols.map(c =>
+              if (c == idCol) id.toString else mem.dense.metaString(c, id)))
+          }
+          val schema = org.apache.spark.sql.types.StructType(cols.map(c =>
+            org.apache.spark.sql.types.StructField(c,
+              org.apache.spark.sql.types.StringType)))
+          Some(index.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava),
+            schema))
+        }
+      }
+    }
 
   /** Byte-shaped Method-1 response: `{"results": [{col: string-value}]}`. */
   def searchResponseJson(requestJson: String): String = {

@@ -146,6 +146,12 @@ object ServeBench {
     val memServer = new graft.serve.MemoryServer(memDense, Some(memLex),
       defaultNProbe = 2)
     val memExact = new graft.serve.MemoryServer(memDense, Some(memLex))
+    // the ROUTED front door: same SemanticSearch class, memory attached —
+    // a covered JSON request (columns + filter ops within the loaded
+    // metadata) serves job-free; anything else falls back to the job path
+    val searcherRouted = new SemanticSearch(index, HashingTfEmbedder(dim),
+      idCol = "vec_id", textCol = "label", embCol = "embedding",
+      memory = Some(memExact))
     val memSq8 = graft.serve.MemorySq8Index.fromDataFrame(
       graft.operators.Quantize.withSq8(index, "embedding"),
       "vec_id", "embedding")
@@ -263,6 +269,15 @@ object ServeBench {
         val n = searcher.search(jsonReq(qvecs(qi % qvecs.size), 5)).collect().length
         require(n == 5, s"search_json returned $n rows")
       },
+      // the same front-door request ROUTED onto the memory tier (request
+      // covered: columns=[vec_id], no filter) — the ~ms local-relation
+      // path a deployment serves covered requests from; a hybrid request
+      // routes to MemoryServer.searchHybrid, the memory_hybrid row above
+      "search_json_routed" -> { qi: Int =>
+        val n = searcherRouted.search(jsonReq(qvecs(qi % qvecs.size), 5))
+          .collect().length
+        require(n == 5, s"search_json_routed returned $n rows")
+      },
       "ivf_probe" -> { qi: Int =>
         val n = Ann.topKIvf(index, "vec_id", "embedding", "ivf_cell", cents,
           qvecs(qi % qvecs.size), k = 5, nProbe = 2).collect().length
@@ -304,7 +319,8 @@ object ServeBench {
       // memory-tier requests are sub-millisecond: run 64x more of them so
       // percentiles and QPS are measured over thousands of requests, not
       // amortizing thread startup over sixteen
-      val reqs = if (pname.startsWith("memory_")) perThread * 64 else perThread
+      val reqs = if (pname.startsWith("memory_") || pname.endsWith("_routed"))
+        perThread * 64 else perThread
       (0 until 4).foreach(fire) // untimed warm-up: codegen + file listing
       val lat = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
       val failures = new java.util.concurrent.atomic.AtomicInteger(0)

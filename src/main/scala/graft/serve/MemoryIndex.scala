@@ -95,6 +95,44 @@ final class MemoryAnnIndex private (
   def nCells: Int = cellOffsets.length - 1
   def size: Int = ids.length
 
+  /** Metadata columns loaded into this index — the column-coverage set
+    * the routed JSON front door checks a request against
+    * ([[graft.api.SemanticSearch.search]]).
+    */
+  def metaColumns: Set[String] = meta.keySet
+
+  // id -> row position, built lazily once for the routed front door's
+  // per-hit value reconstruction (ids are unique by the load contract)
+  private lazy val rowOfId: java.util.HashMap[java.lang.Long, Integer] = {
+    val m = new java.util.HashMap[java.lang.Long, Integer](ids.length * 2)
+    var i = 0
+    while (i < ids.length) { m.put(ids(i), i); i += 1 }
+    m
+  }
+
+  // code -> value, inverted from the load-time dictionaries
+  private lazy val invDicts: Map[String, Map[Long, String]] =
+    dicts.map { case (c, d) => c -> d.map(_.swap) }
+
+  /** The stored metadata value of `colName` for row `id`, decoded
+    * (dictionary columns give back their string; numeric columns their
+    * long) and stringified — exactly what the DataFrame front door's
+    * `CAST(col AS STRING)` yields for integral/string columns, which is
+    * all the loader admits to `meta`. Serving-time lookup for the routed
+    * JSON front door; errors on an unknown id or column (the routed path
+    * only asks about ids this index just returned).
+    */
+  def metaString(colName: String, id: Long): String = {
+    val row = rowOfId.get(id)
+    require(row != null, s"id $id is not in this index")
+    val v = meta.getOrElse(colName, sys.error(
+      s"metadata column '$colName' not loaded (have: ${meta.keys.mkString(",")})"))(row)
+    invDicts.get(colName) match {
+      case Some(inv) => inv(v)
+      case None => v.toString
+    }
+  }
+
   /** Whether a metadata column is dictionary-encoded (string) — range
     * ops on its codes would be lexicographic-slice nonsense, so the
     * request parser rejects them.
@@ -1123,7 +1161,7 @@ final class ServingIndex(spark: SparkSession, indexDir: String, idCol: String) {
   * [[Bm25.rrfFuseLocal]] — the identical fusion the Spark path uses, so
   * hybrid results also match bit-for-bit.
   */
-final class MemoryServer(dense: MemoryAnnIndex,
+final class MemoryServer(val dense: MemoryAnnIndex,
                          lexical: Option[MemoryPostingsIndex],
                          defaultNProbe: Int = 0) {
 
@@ -1337,4 +1375,17 @@ final class MemoryServer(dense: MemoryAnnIndex,
       .map { case (id, s) => s"""{"id":"$id","score":"$s"}""" }
     s"""{"results":[${hits.mkString(",")}]}"""
   }
+
+  /** [[parseFilterDnf]] as a coverage PROBE for the routed DataFrame
+    * front door ([[graft.api.SemanticSearch.search]]): `None` when the
+    * filter uses ops or columns this server does not serve (the parser's
+    * strictness errors), which the router reads as "fall back to the
+    * Spark tier" — never as a swallowed request error (a malformed
+    * request fails identically on the fallback path, with the general
+    * tier's message).
+    */
+  def tryParseFilter(filterNode: com.fasterxml.jackson.databind.JsonNode)
+      : Option[Seq[Seq[MetaFilter]]] =
+    try Some(parseFilterDnf(filterNode))
+    catch { case _: IllegalArgumentException | _: RuntimeException => None }
 }

@@ -436,6 +436,61 @@ class ServeSpec extends SparkSpec {
     intercept[IllegalArgumentException] { req(blowup, 3) }
   }
 
+  test("routed front door: covered JSON requests serve job-free == job path bit-for-bit") {
+    import graft.serve.{MemoryAnnIndex, MemoryServer}
+    val tagged = annAssigned
+      .withColumn("cat",
+        concat(lit("cat"), pmod(col("vec_id"), lit(3)).cast("string")))
+      .withColumn("grp", pmod(col("vec_id"), lit(7)).cast("int"))
+      .withColumn("txt", concat(lit("doc "), col("vec_id").cast("string")))
+      .localCheckpoint(true)
+    val mem = MemoryAnnIndex.fromDataFrame(tagged, "vec_id", "embedding",
+      "ivf_cell", annCents, metaCols = Seq("cat", "grp"))
+    val server = new MemoryServer(mem, None)
+    def door(m: Option[MemoryServer]) = new SemanticSearch(tagged,
+      HashingTfEmbedder(8), idCol = "vec_id", textCol = "txt",
+      embCol = "embedding", memory = m)
+    val routedDoor = door(Some(server))
+    val jobDoor = door(None)
+    val q = annQueries(1)
+    val qvJson = s""""query_vector":[${q.mkString(",")}]"""
+    // routed == the result plans as a driver-local relation: no scan of
+    // the corpus, no shuffle, no job at collect time
+    def isLocal(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+    def compare(reqJson: String, expectRouted: Boolean): Unit = {
+      val a = routedDoor.search(reqJson)
+      val b = jobDoor.search(reqJson)
+      assert(isLocal(a) === expectRouted,
+        s"routing decision mismatch for $reqJson")
+      assert(!isLocal(b), "the job door must never route")
+      assert(a.columns.toSeq === b.columns.toSeq, reqJson)
+      assert(a.collect().map(_.toSeq).toSeq === b.collect().map(_.toSeq).toSeq,
+        s"routed != job path for $reqJson")
+    }
+    // covered: id-only projection, no filter
+    compare(s"""{$qvJson,"columns":["vec_id"],"limit":5}""", true)
+    // covered: metadata projection + string @eq + @or over numerics
+    compare(s"""{$qvJson,"columns":["vec_id","cat","grp"],"limit":6,
+      |"filter":{"@and":[{"@eq":{"cat":"cat1"}},
+      |{"@or":[{"@eq":{"grp":2}},{"@eq":{"grp":5}}]}]}}""".stripMargin, true)
+    // covered: numeric range + @ne string
+    compare(s"""{$qvJson,"columns":["grp","vec_id"],"limit":6,
+      |"filter":{"@and":[{"@ne":{"cat":"cat0"}},{"@gte":{"grp":4}}]}}"""
+      .stripMargin, true)
+    // covered: a text query embeds ON THE DRIVER and still routes
+    compare(s"""{"query":"doc 7","columns":["vec_id"],"limit":4}""", true)
+    // covered: an unseen @eq value is an ordinary empty result
+    compare(s"""{$qvJson,"columns":["vec_id"],"limit":4,
+      |"filter":{"@eq":{"cat":"catX"}}}""".stripMargin, true)
+    // NOT covered: requests the text column — falls back, still equal
+    compare(s"""{$qvJson,"columns":["vec_id","txt"],"limit":4}""", false)
+    // NOT covered: filter on a column the index did not load
+    compare(s"""{$qvJson,"columns":["vec_id"],"limit":4,
+      |"filter":{"@gte":{"vec_id":100}}}""".stripMargin, false)
+  }
+
   test("searchLexical serves through WAND: == exhaustive TAAT scan bit-for-bit") {
     import graft.operators.Bm25
     val lexDocs = Seq.tabulate(120)(i =>
