@@ -5433,6 +5433,44 @@ object SparkEntry {
         "q279: the covered request must be memory-served, not job-backed")
       out
     }),
+
+    // ---- the HYBRID front door (api/HybridSearch): ONE JSON request
+    // carrying both retrieval legs — dense query_vector + lexical terms —
+    // served job-free through the memory tier (exact dense scan + WAND
+    // postings + rrfFuseLocal). The oracle is q163/q186's SQL verbatim:
+    // putting a request API and a route in front of the fusion changes
+    // nothing about the result; the require pins that the route was
+    // actually taken (driver-local relation, no job).
+    "q280_hybrid_front_door" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") =!= 7)
+      val qv = storedVecs(emb, 7).head
+      val cents = Ann.sampleCentroids(corpus, "vec_id", "embedding", 4)
+      val docs = rdPar(s, dir, "documents")
+      val postings = graft.operators.Bm25.buildPostings(docs, "doc_id", "text")
+      val stats = docs
+        .select(size(split(col("text"), " ")).cast("long").as("dl"))
+        .agg(sum("dl"), count(lit(1))).head()
+      val avgdl = stats.getLong(0).toDouble / stats.getLong(1).toDouble
+      val dfMap = postings.groupBy("term").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val idfMap = graft.operators.Bm25.idfByTerm(dfMap, stats.getLong(1), s)
+      val server = new graft.serve.MemoryServer(
+        graft.serve.MemoryAnnIndex.fromDataFrame(
+          Ann.withIvfAssignment(corpus, "embedding", cents),
+          "vec_id", "embedding", "ivf_cell", cents),
+        Some(graft.serve.MemoryPostingsIndex.fromDataFrame(
+          postings, "doc_id", idfMap, avgdl)))
+      val door = new graft.api.HybridSearch(corpus, "vec_id", "embedding",
+        postings, "doc_id", idfMap, avgdl, memory = Some(server))
+      val out = door.search(
+        s"""{"query_vector":[${qv.mkString(",")}],
+           | "terms":["dup","stream"],"limit":10,"pool_k":20}""".stripMargin)
+      require(out.queryExecution.optimizedPlan.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+        "q280: the hybrid request must be memory-served, not job-backed")
+      out
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -9275,6 +9313,27 @@ object SparkEntry {
         |      AS rn
         |  FROM u)
         |SELECT event_type, event_id, u FROM r WHERE rn <= 20""".stripMargin
+    },
+
+    // q163/q186's oracle VERBATIM: the hybrid front door + route change
+    // nothing about the fused result
+    "q280_hybrid_front_door" -> {
+      val cos = cosSql("e.embedding", "q.qv")
+      s"""WITH qd AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+         |dense AS (
+         |  SELECT e.vec_id AS id, $cos AS score
+         |  FROM embeddings e CROSS JOIN qd q WHERE e.vec_id <> 7
+         |  ORDER BY score DESC, e.vec_id LIMIT 20),
+         |dr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank FROM dense),
+         |lex AS (
+         |  SELECT doc_id, score FROM ${bm25ScoredSql(Seq("dup", "stream"))} s
+         |  ORDER BY score DESC, doc_id LIMIT 20),
+         |lr AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM lex)
+         |SELECT coalesce(dr.id, lr.id) AS id,
+         |  coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(dr.rank AS DOUBLE)), CAST(0 AS DOUBLE))
+         |    + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(lr.rank AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf
+         |FROM dr FULL OUTER JOIN lr ON dr.id = lr.id
+         |ORDER BY rrf DESC, id LIMIT 10""".stripMargin
     },
 
     // q29's oracle VERBATIM: routing the request onto the memory tier

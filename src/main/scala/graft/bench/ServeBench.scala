@@ -152,6 +152,10 @@ object ServeBench {
     val searcherRouted = new SemanticSearch(index, HashingTfEmbedder(dim),
       idCol = "vec_id", textCol = "label", embCol = "embedding",
       memory = Some(memExact))
+    // the hybrid REQUEST front door, routed: both legs + fusion job-free
+    // (the job-path twin is the composed "hybrid" cell below)
+    val hybridDoor = new graft.api.HybridSearch(index, "vec_id", "embedding",
+      postings, "doc_id", idfMap, avgdl, memory = Some(memServer))
     val memSq8 = graft.serve.MemorySq8Index.fromDataFrame(
       graft.operators.Quantize.withSq8(index, "embedding"),
       "vec_id", "embedding")
@@ -271,12 +275,22 @@ object ServeBench {
       },
       // the same front-door request ROUTED onto the memory tier (request
       // covered: columns=[vec_id], no filter) — the ~ms local-relation
-      // path a deployment serves covered requests from; a hybrid request
-      // routes to MemoryServer.searchHybrid, the memory_hybrid row above
+      // path a deployment serves covered requests from
       "search_json_routed" -> { qi: Int =>
         val n = searcherRouted.search(jsonReq(qvecs(qi % qvecs.size), 5))
           .collect().length
         require(n == 5, s"search_json_routed returned $n rows")
+      },
+      // the hybrid REQUEST front door routed: one JSON request, both legs
+      // + RRF fusion job-free (the composed job-path twin is "hybrid")
+      "hybrid_routed" -> { qi: Int =>
+        val qv = qvecs(qi % qvecs.size)
+        val terms = termSets(qi % termSets.size)
+        val n = hybridDoor.search(
+          s"""{"query_vector":[${qv.mkString(",")}],
+             |"terms":[${terms.map("\"" + _ + "\"").mkString(",")}],
+             |"limit":10,"pool_k":20}""".stripMargin).collect().length
+        require(n == 10, s"hybrid_routed returned $n rows")
       },
       "ivf_probe" -> { qi: Int =>
         val n = Ann.topKIvf(index, "vec_id", "embedding", "ivf_cell", cents,

@@ -96,10 +96,11 @@ class CalibrateSpec extends SparkSpec {
       Calibrate.isotonicFit(wide, "score", col("y"), maxAlphabet = 100)
     }
     assert(e.getMessage.contains("withEquiDepthBin"))
-    // and the same data binned passes
+    // and the same data binned passes (scores span (0,1], so floor(s*10)
+    // lands in 1..10 for s in (0,1) plus the s=1.0 bin boundary: 11 bins)
     val binned = wide.withColumn("score",
       floor(col("score") * 10).cast("long"))
     assert(Calibrate.isotonicFit(binned, "score", col("y"), maxAlphabet = 100)
-      .count() === 10L)
+      .count() === 11L)
   }
 }

@@ -491,6 +491,42 @@ class ServeSpec extends SparkSpec {
       |"filter":{"@gte":{"vec_id":100}}}""".stripMargin, false)
   }
 
+  test("hybrid front door: routed JSON request == job path bit-for-bit") {
+    import graft.operators.Bm25
+    val postings = Bm25.buildPostings(lexDocs, "doc_id", "text")
+      .localCheckpoint(true)
+    val stats = lexDocs
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(sum("dl"), count(lit(1))).head()
+    val avgdl = stats.getLong(0).toDouble / stats.getLong(1).toDouble
+    val dfMap = postings.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = Bm25.idfByTerm(dfMap, stats.getLong(1), spark)
+    val server = new graft.serve.MemoryServer(
+      graft.serve.MemoryAnnIndex.fromDataFrame(
+        annAssigned, "vec_id", "embedding", "ivf_cell", annCents),
+      Some(graft.serve.MemoryPostingsIndex.fromDataFrame(
+        postings, "doc_id", idf, avgdl)))
+    def door(m: Option[graft.serve.MemoryServer]) =
+      new graft.api.HybridSearch(annAssigned, "vec_id", "embedding",
+        postings, "doc_id", idf, avgdl, memory = m)
+    annQueries.take(3).foreach { q =>
+      val req = s"""{"query_vector":[${q.mkString(",")}],
+        |"terms":["dup","vector"],"limit":10,"pool_k":20}""".stripMargin
+      val routed = door(Some(server)).search(req)
+      val job = door(None).search(req)
+      assert(routed.queryExecution.optimizedPlan.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+        "hybrid request with memory attached must serve job-free")
+      assert(!job.queryExecution.optimizedPlan.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      assert(routed.columns.toSeq === job.columns.toSeq)
+      assert(routed.collect().map(_.toSeq).toSeq ===
+        job.collect().map(_.toSeq).toSeq,
+        s"routed hybrid != job hybrid for query $q")
+    }
+  }
+
   test("searchLexical serves through WAND: == exhaustive TAAT scan bit-for-bit") {
     import graft.operators.Bm25
     val lexDocs = Seq.tabulate(120)(i =>
