@@ -432,9 +432,9 @@ object SparkEntry {
     * final `runs` relation has one row per (pair, diagonal, island) with
     * its consecutive-shingle count.
     */
-  private val substringRunsCtes: String =
-    """t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
-      |  FROM documents),
+  private def substringRunsCtes(src: String = "documents"): String =
+    s"""t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      |  FROM $src),
       |s0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
       |  FROM t WHERE len(toks) >= 5),
       |s AS (SELECT doc_id, i - 1 AS pos,
@@ -5471,6 +5471,18 @@ object SparkEntry {
         "q280: the hybrid request must be memory-served, not job-backed")
       out
     }),
+
+    // ---- q276 with the q266 ORDERING RULE: identical texts collapse to
+    // a min-id representative BEFORE the shingle machinery, which then
+    // runs over DISTINCT texts only — replica-dense corpora (the 10x
+    // battery's own shape: q276 pays C(10,2) full-length diagonal runs
+    // per replicated page, its 101.8 s top cell) get exact-text answers
+    // for free and a shingle join bounded by the distinct corpus. Same
+    // output contract as q276 (one row per document, conservation
+    // checkable); caps apply over distinct texts by design.
+    "q281_substring_dedup_first" -> ((s, dir) =>
+      Dedup.substringDupReportDedupFirst(rd(s, dir, "documents"),
+        "doc_id", "text")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -9263,7 +9275,7 @@ object SparkEntry {
     // string itself — identical result sets absent a 64-bit collision
     // (the q21/q23 hashed-longs convention)
     "q275_substring_runs" ->
-      s"""WITH $substringRunsCtes
+      s"""WITH ${substringRunsCtes()}
         |SELECT id_a, id_b,
         |  CAST(max(run) + 4 AS BIGINT) AS max_run_tokens,
         |  CAST(sum(CASE WHEN run >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
@@ -9275,7 +9287,7 @@ object SparkEntry {
     // same way; every document surfaces (left join), so the flagged +
     // clean split conserves the corpus count
     "q276_substring_dedup" ->
-      s"""WITH $substringRunsCtes,
+      s"""WITH ${substringRunsCtes()},
         |pp AS (SELECT id_b AS doc_id, max(run) + 4 AS mx FROM runs
         |  GROUP BY id_a, id_b
         |  HAVING sum(CASE WHEN run >= 6 THEN 1 ELSE 0 END) > 0),
@@ -9313,6 +9325,34 @@ object SparkEntry {
         |      AS rn
         |  FROM u)
         |SELECT event_type, event_id, u FROM r WHERE rn <= 20""".stripMargin
+    },
+
+    // the dedup-first reassembly transcribed: the shingle chain runs over
+    // the distinct-text representatives; a non-min replica's span is its
+    // own length by construction; cross-text spans come from the rep-pair
+    // relation with "some member precedes d" reduced to rep' < d
+    "q281_substring_dedup_first" -> {
+      s"""WITH g AS (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text),
+        |${substringRunsCtes("(SELECT rep AS doc_id, text FROM g)")},
+        |rp AS (SELECT id_a, id_b, max(run) + 4 AS mx FROM runs
+        |  GROUP BY 1, 2
+        |  HAVING sum(CASE WHEN run >= 6 THEN 1 ELSE 0 END) > 0),
+        |sym AS (SELECT id_a AS r1, id_b AS r2, mx FROM rp
+        |  UNION ALL SELECT id_b, id_a, mx FROM rp),
+        |dd AS (SELECT doc_id, g.rep,
+        |    len(string_split_regex(lower(documents.text), '\\s+')) AS L
+        |  FROM documents JOIN g USING (text)),
+        |cx AS (SELECT dd.doc_id, max(s.mx) AS mx FROM dd JOIN sym s
+        |  ON s.r1 = dd.rep AND s.r2 < dd.doc_id GROUP BY 1),
+        |best AS (SELECT dd.doc_id,
+        |    greatest(coalesce(cx.mx, -1),
+        |      CASE WHEN dd.doc_id > dd.rep AND dd.L >= 10 THEN dd.L
+        |        ELSE -1 END) AS mx
+        |  FROM dd LEFT JOIN cx USING (doc_id))
+        |SELECT doc_id,
+        |  CAST(CASE WHEN mx >= 0 THEN mx END AS BIGINT) AS max_shared_tokens,
+        |  mx >= 0 AS dup_substring
+        |FROM best""".stripMargin
     },
 
     // q163/q186's oracle VERBATIM: the hybrid front door + route change

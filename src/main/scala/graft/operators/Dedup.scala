@@ -711,4 +711,66 @@ object Dedup {
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .withColumn("dup_substring", col("max_shared_tokens").isNotNull)
   }
+
+  /** [[substringDupReport]] with the q266 ORDERING RULE applied — the
+    * scale form for replica-dense corpora (crawl mirrors, template
+    * farms): on N identical copies of a page, the raw report's shingle
+    * join pays C(N,2) full-length diagonal runs per page even though
+    * exact-text knowledge answers those pairs for free. Here identical
+    * texts collapse to a min-id representative FIRST; the shingle
+    * machinery runs over DISTINCT texts only (its work is bounded by the
+    * distinct corpus no matter how replicated the input is), and the
+    * per-document verdict reassembles exactly:
+    *
+    *  - a non-minimum replica shares its FULL text with its group's
+    *    earlier minimum — span = its own token count, by construction,
+    *    no shingles needed (flagged iff that length ≥ `minRunTokens`);
+    *  - a cross-text span seen by any document d is the span between
+    *    d's representative and another representative r' — and "some
+    *    member of r's group precedes d" reduces to `r' < d`, because a
+    *    group's representative IS its minimum id.
+    *
+    * Semantics note (deliberate, like [[minHashLshPairsDedupFirst]]):
+    * the df/occurrence caps apply over the DISTINCT-text corpus — the
+    * right reading of "boilerplate" (replicas of one page must not
+    * saturate a shingle's document frequency). On a replica-free corpus
+    * this equals [[substringDupReport]] exactly (DedupSpec pins it).
+    * Output schema is identical: one row per input document.
+    */
+  def substringDupReportDedupFirst(df: DataFrame, idCol: String,
+                                   textCol: String,
+                                   k: Int = 5, maxDf: Int = 16,
+                                   minRunTokens: Int = 10,
+                                   maxOccurrences: Int = 64): DataFrame = {
+    val toks = split(lower(col(textCol)), "\\s+")
+    val docs = df.select(col(idCol), col(textCol),
+      size(toks).cast("long").as("__len"))
+    val groups = docs.groupBy(col(textCol)).agg(min(col(idCol)).as("__rep"))
+    val reps = docs.join(groups, Seq(textCol))
+      .where(col(idCol) === col("__rep"))
+      .select(col(idCol), col(textCol))
+    val pairs = sharedShingleRuns(reps, idCol, textCol, k, maxDf,
+      minRunTokens, maxOccurrences)
+    // symmetric rep-pair spans: either endpoint's group may hold the
+    // later document
+    val sym = pairs
+      .select(col("id_a").as("__r1"), col("id_b").as("__r2"),
+        col("max_run_tokens"))
+      .unionByName(pairs.select(col("id_b").as("__r1"),
+        col("id_a").as("__r2"), col("max_run_tokens")))
+    val tagged = docs.join(groups, Seq(textCol))
+    val crossBest = tagged
+      .join(sym, col("__r1") === col("__rep") && col("__r2") < col(idCol))
+      .groupBy(col(idCol))
+      .agg(max("max_run_tokens").as("__cx"))
+    tagged.join(crossBest, Seq(idCol), "left")
+      .select(col(idCol),
+        greatest(coalesce(col("__cx"), lit(-1L)),
+          when(col(idCol) > col("__rep") &&
+            col("__len") >= minRunTokens, col("__len")).otherwise(-1L))
+          .as("__mx"))
+      .select(col(idCol),
+        when(col("__mx") >= 0L, col("__mx")).as("max_shared_tokens"),
+        (col("__mx") >= 0L).as("dup_substring"))
+  }
 }

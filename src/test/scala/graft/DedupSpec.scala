@@ -547,6 +547,46 @@ class DedupSpec extends SparkSpec {
       "uncapped, the single shared template yields a quadratic match count")
   }
 
+  test("substringDupReportDedupFirst == raw report on a replica-free corpus") {
+    val span = words("c", 12)
+    val docs = Seq(
+      (1L, words("a", 9) + " " + span + " " + words("b", 9)),
+      (2L, words("x", 7) + " " + span + " " + words("y", 11)),
+      (3L, words("z", 40)),
+      (4L, words("q", 3))).toDF("id", "text")
+    val raw = Dedup.substringDupReport(docs, "id", "text")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val df1 = Dedup.substringDupReportDedupFirst(docs, "id", "text")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(df1 === raw, "no replicas => the ordering rule changes nothing")
+  }
+
+  test("substringDupReportDedupFirst: replicas answered exactly, cross spans kept") {
+    // text A (30 tokens, contains nothing shared), B embeds a 12-token
+    // span of A, A is replicated twice more, T is a 3-token text with a
+    // copy. The shingle machinery must only ever see the 4 DISTINCT
+    // texts; replicas resolve by exact-text knowledge.
+    val span = words("c", 12)
+    val textA = words("a", 9) + " " + span + " " + words("b", 9) // 30 tokens
+    val textB = words("x", 7) + " " + span + " " + words("y", 11)
+    val docs = Seq(
+      (1L, textA), (2L, textB), (3L, words("z", 40)),
+      (4L, textA), (5L, textA), (7L, "x y z"), (8L, "x y z"))
+      .toDF("id", "text")
+    val rep = Dedup.substringDupReportDedupFirst(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(rep.length === 7, "one row per input doc (conservation)")
+    def row(i: Long) = rep.find(_.getLong(0) == i).get
+    assert(row(1).isNullAt(1) && !row(1).getBoolean(2), "earliest A unflagged")
+    assert(row(2).getLong(1) === 12L && row(2).getBoolean(2),
+      "cross-text span via the rep pair")
+    assert(!row(3).getBoolean(2))
+    assert(row(4).getLong(1) === 30L && row(5).getLong(1) === 30L,
+      "replicas share their FULL text with the earlier minimum")
+    assert(!row(7).getBoolean(2) && !row(8).getBoolean(2),
+      "a replica shorter than minRunTokens is not a qualifying span")
+  }
+
   test("substringDupReport: earliest copy survives, conservation holds") {
     val span = words("c", 15)
     val docs = Seq(
