@@ -5483,6 +5483,25 @@ object SparkEntry {
     "q281_substring_dedup_first" -> ((s, dir) =>
       Dedup.substringDupReportDedupFirst(rd(s, dir, "documents"),
         "doc_id", "text")),
+
+    // ---- CLUSTER-BALANCED sampling: semantic clusters AS mixture
+    // sources — the topic-balancing recipe (assign each embedding to its
+    // nearest deterministic centroid, then draw an equal per-cluster
+    // quota with the growth-stable rank membership). Pure composition of
+    // two oracled operators (Ann.withIvfAssignment x Mixture
+    // .sampleToMixture): the assignment is one codegen greatest() over
+    // centroid literals (map-side, no shuffle), the mixture adds one
+    // bounded count agg + one cluster-partitioned window — at 100 TB the
+    // only full-data shuffle is the window's, keyed by cluster.
+    "q282_cluster_balanced_sample" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val cents = Ann.sampleCentroids(emb, "vec_id", "embedding", 4)
+      val assigned = Ann.withIvfAssignment(emb, "embedding", cents)
+        .withColumn("cell", col("ivf_cell").cast("string"))
+      graft.operators.Mixture.sampleToMixture(assigned, "vec_id", "cell",
+        (0 to 3).map(c => c.toString -> 1L), budget = 200L, salt = ":cb")
+        .select("vec_id", "cell", "label")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -9353,6 +9372,28 @@ object SparkEntry {
         |  CAST(CASE WHEN mx >= 0 THEN mx END AS BIGINT) AS max_shared_tokens,
         |  mx >= 0 AS dup_substring
         |FROM best""".stripMargin
+    },
+
+    // assignment = the q45/q52 rule (argmax cosine, ties to HIGHER cid,
+    // centroids = first 4 by vec_id); membership = the q268 rank window
+    // with equal weights (quota = 200 // 4 per cluster)
+    "q282_cluster_balanced_sample" -> {
+      val cos = cosSql("e.embedding", "c0.cv")
+      val u = uniformSql("a.vec_id", ":cb")
+      s"""WITH c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         |    embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
+         |assign AS (SELECT vec_id, label, CAST(cid AS VARCHAR) AS cell FROM (
+         |    SELECT e.vec_id, e.label, c0.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY $cos DESC, c0.cid DESC) AS rn
+         |    FROM embeddings e CROSS JOIN c0) WHERE rn = 1),
+         |cnt AS (SELECT cell, count(*) AS n_in FROM assign GROUP BY 1),
+         |q AS (SELECT cell, least(n_in, 200 // 4) AS n_keep FROM cnt),
+         |r AS (SELECT a.vec_id, a.cell, a.label,
+         |    row_number() OVER (PARTITION BY a.cell ORDER BY $u, a.vec_id)
+         |      AS rn, q.n_keep
+         |  FROM assign a JOIN q USING (cell))
+         |SELECT vec_id, cell, label FROM r WHERE rn <= n_keep""".stripMargin
     },
 
     // q163/q186's oracle VERBATIM: the hybrid front door + route change
