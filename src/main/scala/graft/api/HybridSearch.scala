@@ -35,7 +35,12 @@ import graft.serve.MemoryServer
   *
   * @param memory must be built over the SAME corpus/postings as the
   *               DataFrame legs (dense index rows and postings terms),
-  *               with a lexical tier — requests route only when present.
+  *               with a lexical tier — requests route only when present
+  *               AND the server serves dense requests exactly
+  *               ([[MemoryServer.servesExactDense]]): an IVF-probed
+  *               server is approximate, which would silently break the
+  *               bit-identity promise, so it never routes (the request
+  *               takes the job path instead).
   */
 final class HybridSearch(index: DataFrame, idCol: String, embCol: String,
                          postings: DataFrame, postingsIdCol: String,
@@ -74,7 +79,7 @@ final class HybridSearch(index: DataFrame, idCol: String, embCol: String,
       .map(_.elements().asScala.map(_.asText()).toSeq)
       .getOrElse(throw new IllegalArgumentException(
         "hybrid request needs 'terms' (lexical leg)"))
-    memory match {
+    memory.filter(_.servesExactDense) match {
       case Some(mem) =>
         val hits = if (k <= 0) Nil else mem.searchHybrid(qv, terms, k, poolK, c)
         val rows = hits.map { case (id, rrf) =>

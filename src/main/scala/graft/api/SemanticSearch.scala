@@ -106,7 +106,10 @@ final class SemanticSearch(index: DataFrame, embedder: Embedder,
   /** The routed front door: serve the request from the attached memory
     * tier when it COVERS it, `None` (→ the Spark job path) otherwise.
     * Coverage =
-    *  - a memory server is attached, and
+    *  - a memory server is attached AND serves dense requests EXACTLY
+    *    ([[graft.serve.MemoryServer.servesExactDense]] — an IVF-probed
+    *    server is approximate, which would break the bit-identity
+    *    contract below; such servers never route), and
     *  - every requested column is the id or a loaded metadata column of
     *    integral/string type (those reconstruct to the exact strings the
     *    DataFrame path's CAST emits; the text/embedding columns and
@@ -120,7 +123,7 @@ final class SemanticSearch(index: DataFrame, embedder: Embedder,
   private def memoryServed(req: com.fasterxml.jackson.databind.JsonNode,
                            qv: Seq[Float], k: Int,
                            cols: Seq[String]): Option[DataFrame] =
-    memory.flatMap { mem =>
+    memory.filter(_.servesExactDense).flatMap { mem =>
       // string/integral columns round-trip the memory tier's long/dict
       // encoding to the exact strings the Spark path's CAST emits; a
       // float/decimal column (values OR filters) would not — fall back

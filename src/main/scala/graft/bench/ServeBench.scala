@@ -153,9 +153,12 @@ object ServeBench {
       idCol = "vec_id", textCol = "label", embCol = "embedding",
       memory = Some(memExact))
     // the hybrid REQUEST front door, routed: both legs + fusion job-free
-    // (the job-path twin is the composed "hybrid" cell below)
+    // (the job-path twin is the composed "hybrid" cell below). The EXACT
+    // server, deliberately: the door only routes onto servesExactDense
+    // servers (bit-identity contract) — the probed memServer would make
+    // it silently fall back to the job path
     val hybridDoor = new graft.api.HybridSearch(index, "vec_id", "embedding",
-      postings, "doc_id", idfMap, avgdl, memory = Some(memServer))
+      postings, "doc_id", idfMap, avgdl, memory = Some(memExact))
     val memSq8 = graft.serve.MemorySq8Index.fromDataFrame(
       graft.operators.Quantize.withSq8(index, "embedding"),
       "vec_id", "embedding")

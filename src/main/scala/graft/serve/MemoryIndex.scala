@@ -71,7 +71,10 @@ final class MemoryAnnIndex private (
     * un-encoded column is an error.
     */
   def stringFilter(colName: String, value: String): MetaFilter = {
-    val dict = dicts.getOrElse(colName, sys.error(
+    // IllegalArgumentException, not sys.error: "this column is not served
+    // here" is a COVERAGE failure the routed front door's tryParseFilter
+    // reads as "fall back to the Spark tier" — only IAE is caught there
+    val dict = dicts.getOrElse(colName, throw new IllegalArgumentException(
       s"'$colName' is not a dictionary-encoded string column " +
         s"(have: ${dicts.keys.mkString(",")})"))
     dict.get(value) match {
@@ -86,7 +89,7 @@ final class MemoryAnnIndex private (
     * empty (the request then matches nothing, like an unseen `@eq`).
     */
   def containsCodes(colName: String, substr: String): Seq[Long] = {
-    val dict = dicts.getOrElse(colName, sys.error(
+    val dict = dicts.getOrElse(colName, throw new IllegalArgumentException(
       s"'$colName' is not a dictionary-encoded string column " +
         s"(have: ${dicts.keys.mkString(",")})"))
     dict.collect { case (v, code) if v.contains(substr) => code }.toSeq.sorted
@@ -1163,9 +1166,19 @@ final class ServingIndex(spark: SparkSession, indexDir: String, idCol: String) {
   */
 final class MemoryServer(val dense: MemoryAnnIndex,
                          lexical: Option[MemoryPostingsIndex],
-                         defaultNProbe: Int = 0) {
+                         val defaultNProbe: Int = 0) {
 
   private val mapper = new ObjectMapper()
+
+  /** True iff dense requests serve EXACTLY (full scan / payload index —
+    * no IVF probe). The routed front doors ([[graft.api.SemanticSearch]],
+    * [[graft.api.HybridSearch]]) promise results bit-identical to their
+    * Spark job paths, so they route only onto an exact server; a probed
+    * (`defaultNProbe > 0`) server is a recall/latency trade the caller
+    * must opt into through this class's own API, never silently behind
+    * a bit-identity contract.
+    */
+  def servesExactDense: Boolean = defaultNProbe == 0
 
   /** Dense top-k: IVF-probed when the server was built with a probe
     * width, exact otherwise. Filtered exact requests route through the
@@ -1279,6 +1292,14 @@ final class MemoryServer(val dense: MemoryAnnIndex,
           throw new IllegalArgumentException(
             s"$op value for '$n' must be numeric, got: $v " +
               "(string values are only supported as {\"@eq\": {col: value}})")
+        // the memory tier stores long-encoded values: a fractional literal
+        // (e.g. {"@gte":{"n_chars":49.5}}) would asLong()-TRUNCATE to 49
+        // and admit rows the Spark tier's 49.5 comparison rejects —
+        // refuse, so the router falls back to the bit-faithful FilterDsl
+        if (!v.isIntegralNumber)
+          throw new IllegalArgumentException(
+            s"$op value for '$n' must be integral for the memory tier, " +
+              s"got: $v (fractional comparisons serve on the Spark tier)")
         if (dense.isStringColumn(n))
           throw new IllegalArgumentException(
             s"$op on dictionary-encoded string column '$n' is not " +
@@ -1382,10 +1403,13 @@ final class MemoryServer(val dense: MemoryAnnIndex,
     * strictness errors), which the router reads as "fall back to the
     * Spark tier" — never as a swallowed request error (a malformed
     * request fails identically on the fallback path, with the general
-    * tier's message).
+    * tier's message). ONLY `IllegalArgumentException` — the parser's and
+    * the dictionary lookups' documented strictness failure mode — reads
+    * as "not covered"; any other exception is a parser DEFECT and
+    * propagates instead of hiding behind a silent latency difference.
     */
   def tryParseFilter(filterNode: com.fasterxml.jackson.databind.JsonNode)
       : Option[Seq[Seq[MetaFilter]]] =
     try Some(parseFilterDnf(filterNode))
-    catch { case _: IllegalArgumentException | _: RuntimeException => None }
+    catch { case _: IllegalArgumentException => None }
 }

@@ -489,6 +489,23 @@ class ServeSpec extends SparkSpec {
     // NOT covered: filter on a column the index did not load
     compare(s"""{$qvJson,"columns":["vec_id"],"limit":4,
       |"filter":{"@gte":{"vec_id":100}}}""".stripMargin, false)
+    // NOT covered: a FRACTIONAL numeric literal — the memory tier's long
+    // encoding would asLong()-truncate 4.5 to 4 and admit grp=4 rows the
+    // Spark tier's >= 4.5 comparison rejects; the parser now refuses, so
+    // the request falls back and stays bit-identical to the job path
+    compare(s"""{$qvJson,"columns":["vec_id","grp"],"limit":6,
+      |"filter":{"@gte":{"grp":4.5}}}""".stripMargin, false)
+    compare(s"""{$qvJson,"columns":["vec_id","grp"],"limit":6,
+      |"filter":{"@eq":{"grp":2.0}}}""".stripMargin, false)
+    // an IVF-probed (approximate) server must NEVER route: the door's
+    // results are promised bit-identical to the job path, and a probe
+    // trades recall for latency — covered requests take the job path
+    val probedDoor = door(Some(new MemoryServer(mem, None, defaultNProbe = 1)))
+    val covered = s"""{$qvJson,"columns":["vec_id"],"limit":5}"""
+    val viaProbed = probedDoor.search(covered)
+    assert(!isLocal(viaProbed), "probed server must not serve the routed door")
+    assert(viaProbed.collect().map(_.toSeq).toSeq ===
+      jobDoor.search(covered).collect().map(_.toSeq).toSeq)
   }
 
   test("hybrid front door: routed JSON request == job path bit-for-bit") {
@@ -525,6 +542,24 @@ class ServeSpec extends SparkSpec {
         job.collect().map(_.toSeq).toSeq,
         s"routed hybrid != job hybrid for query $q")
     }
+    // a probed (approximate) server must NOT route the hybrid door: its
+    // dense leg would silently serve IVF-probed results under the door's
+    // bit-identity promise — the request takes the job path instead
+    val probed = new graft.serve.MemoryServer(
+      graft.serve.MemoryAnnIndex.fromDataFrame(
+        annAssigned, "vec_id", "embedding", "ivf_cell", annCents),
+      Some(graft.serve.MemoryPostingsIndex.fromDataFrame(
+        postings, "doc_id", idf, avgdl)),
+      defaultNProbe = 2)
+    val q0 = annQueries.head
+    val req0 = s"""{"query_vector":[${q0.mkString(",")}],
+      |"terms":["dup","vector"],"limit":10,"pool_k":20}""".stripMargin
+    val viaProbed = door(Some(probed)).search(req0)
+    assert(!viaProbed.queryExecution.optimizedPlan.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      "probed server must not serve the hybrid door")
+    assert(viaProbed.collect().map(_.toSeq).toSeq ===
+      door(None).search(req0).collect().map(_.toSeq).toSeq)
   }
 
   test("searchLexical serves through WAND: == exhaustive TAAT scan bit-for-bit") {
@@ -700,6 +735,14 @@ class ServeSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       server.search(req(""","limit":3,"filter":{"@gte":{"tag":1}}""")))
     assert(e2.getMessage.contains("dictionary-encoded"))
+    // a fractional value must error, not asLong()-truncate (>=2.5 read as
+    // >=2 would admit label=2 rows the caller excluded)
+    val e3 = intercept[IllegalArgumentException](
+      server.search(req(""","limit":3,"filter":{"@gte":{"label":2.5}}""")))
+    assert(e3.getMessage.contains("integral"))
+    val e4 = intercept[IllegalArgumentException](
+      server.search(req(""","limit":3,"filter":{"@eq":{"label":2.5}}""")))
+    assert(e4.getMessage.contains("integral"))
     // the legitimate shapes still work
     assert(server.search(req(""","limit":3,"filter":{"@eq":{"tag":"t1"}}"""))
       .contains("results"))
