@@ -31,27 +31,28 @@ object AnonymityStream {
     */
   def accumulateBatch(dir: String, batch: DataFrame, quasiCols: Seq[String],
                       sensitive: Column,
-                      batchId: Option[Long] = None): Unit = {
+                      batchId: Option[Long] = None,
+                      epoch: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val qi = quasiCols.map(col)
     val cleaned = batch.where(
       quasiCols.map(col(_).isNotNull).reduce(_ && _) && sensitive.isNotNull)
 
-    if (!batchId.exists(UpsertSink.alreadyFolded(spark, s"$dir/counts", _))) {
+    if (!batchId.exists(UpsertSink.alreadyFolded(spark, s"$dir/counts", _, epoch))) {
       val pc = cleaned.groupBy(qi: _*).agg(count(lit(1)).as("n"))
       val allC = UpsertSink.currentState(spark, s"$dir/counts")
         .map(_.unionByName(pc)).getOrElse(pc)
       UpsertSink.publishMerged(spark, s"$dir/counts",
-        allC.groupBy(qi: _*).agg(sum("n").as("n")), batchId = batchId)
+        allC.groupBy(qi: _*).agg(sum("n").as("n")), batchId = batchId, epoch = epoch)
     }
 
-    if (!batchId.exists(UpsertSink.alreadyFolded(spark, s"$dir/regs", _))) {
+    if (!batchId.exists(UpsertSink.alreadyFolded(spark, s"$dir/regs", _, epoch))) {
       val pr = Hll.registers(cleaned, quasiCols, sensitive)
       val allR = UpsertSink.currentState(spark, s"$dir/regs")
         .map(_.unionByName(pr)).getOrElse(pr)
       UpsertSink.publishMerged(spark, s"$dir/regs",
         allR.groupBy((qi :+ col("bucket")): _*).agg(max("reg").as("reg")),
-        batchId = batchId)
+        batchId = batchId, epoch = epoch)
     }
   }
 

@@ -34,9 +34,10 @@ object CusumStream {
   def accumulateBatch(table: String, batch: DataFrame, groupCol: String,
                       tsCol: String, tieCol: String, valueCol: String,
                       allowance: Long, threshold: Long,
-                      batchId: Option[Long] = None): Unit = {
+                      batchId: Option[Long] = None,
+                      epoch: Option[String] = None): Unit = {
     val spark = batch.sparkSession
-    if (batchId.exists(UpsertSink.alreadyFolded(spark, table, _))) return
+    if (batchId.exists(UpsertSink.alreadyFolded(spark, table, _, epoch))) return
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(tsCol), col(tieCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -74,7 +75,7 @@ object CusumStream {
         p.join(agg.select(col(groupCol)), Seq(groupCol), "left_anti"))
       case None => agg
     }
-    UpsertSink.publishMerged(spark, table, merged, batchId = batchId)
+    UpsertSink.publishMerged(spark, table, merged, batchId = batchId, epoch = epoch)
   }
 
   /** The monitoring report from state — q242's `cusumReport` columns,

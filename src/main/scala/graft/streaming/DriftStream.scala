@@ -28,9 +28,10 @@ object DriftStream {
     */
   def accumulateBatch(table: String, partial: DataFrame, groupCol: String,
                       cuts: Seq[Double],
-                      batchId: Option[Long] = None): Unit = {
+                      batchId: Option[Long] = None,
+                      epoch: Option[String] = None): Unit = {
     val spark = partial.sparkSession
-    if (batchId.exists(UpsertSink.alreadyFolded(spark, table, _))) return
+    if (batchId.exists(UpsertSink.alreadyFolded(spark, table, _, epoch))) return
     val all = UpsertSink.currentState(spark, table) match {
       case Some(cur) => cur.unionByName(partial)
       case None => partial
@@ -38,7 +39,7 @@ object DriftStream {
     val sums = (Seq("n") ++ cuts.indices.map(i => s"c$i"))
       .map(c => sum(col(c)).as(c))
     val merged = all.groupBy(col(groupCol)).agg(sums.head, sums.tail: _*)
-    UpsertSink.publishMerged(spark, table, merged, batchId = batchId)
+    UpsertSink.publishMerged(spark, table, merged, batchId = batchId, epoch = epoch)
   }
 
   /** The drift verdict of the accumulated live summary vs a reference

@@ -33,9 +33,10 @@ object IntervalStream {
     */
   def accumulateBatch(table: String, batch: DataFrame, keyCol: String,
                       startCol: String, endCol: String,
-                      tieCol: String, batchId: Option[Long] = None): Unit = {
+                      tieCol: String, batchId: Option[Long] = None,
+                      epoch: Option[String] = None): Unit = {
     val spark = batch.sparkSession
-    if (batchId.exists(UpsertSink.alreadyFolded(spark, table, _))) return
+    if (batchId.exists(UpsertSink.alreadyFolded(spark, table, _, epoch))) return
     val fresh = batch
       .where(col(startCol).isNotNull && col(endCol).isNotNull)
       .select(col(keyCol), col(startCol).as("__st"), col(endCol).as("__en"),
@@ -62,7 +63,7 @@ object IntervalStream {
       "__st", "__en", Seq(col("__tie")), "__w")
       .select(keyCol, "island_start", "island_end", "n_merged")
     UpsertSink.publishMerged(spark, table, closed.unionByName(merged),
-      batchId = batchId)
+      batchId = batchId, epoch = epoch)
   }
 
   /** The island state as a DataFrame (one row per merged island). */

@@ -21,9 +21,10 @@ object KmvStream {
     */
   def accumulateBatch(table: String, partial: DataFrame,
                       groupCol: String, k: Int,
-                      batchId: Option[Long] = None): Unit = {
+                      batchId: Option[Long] = None,
+                      epoch: Option[String] = None): Unit = {
     val spark = partial.sparkSession
-    if (batchId.exists(UpsertSink.alreadyFolded(spark, table, _))) return
+    if (batchId.exists(UpsertSink.alreadyFolded(spark, table, _, epoch))) return
     val all = UpsertSink.currentState(spark, table) match {
       case Some(cur) => cur.unionByName(partial)
       case None => partial
@@ -31,6 +32,6 @@ object KmvStream {
     val merged = all.groupBy(col(groupCol))
       .agg(slice(array_sort(array_distinct(flatten(collect_list(col("kmv"))))),
         1, k).as("kmv"))
-    UpsertSink.publishMerged(spark, table, merged, batchId = batchId)
+    UpsertSink.publishMerged(spark, table, merged, batchId = batchId, epoch = epoch)
   }
 }

@@ -44,9 +44,10 @@ object MgStream {
     */
   def accumulateBatch(table: String, partial: DataFrame,
                       groupCol: String, capacity: Int,
-                      batchId: Option[Long] = None): Unit = {
+                      batchId: Option[Long] = None,
+                      epoch: Option[String] = None): Unit = {
     val spark = partial.sparkSession
-    if (batchId.exists(UpsertSink.alreadyFolded(spark, table, _))) return
+    if (batchId.exists(UpsertSink.alreadyFolded(spark, table, _, epoch))) return
     val all = UpsertSink.currentState(spark, table) match {
       case Some(cur) => cur.unionByName(partial)
       case None => partial
@@ -64,6 +65,6 @@ object MgStream {
       .withColumn("n", col("n") - coalesce(col("__d"), lit(0L)))
       .where(col("n") > 0)
       .select(col(groupCol), col("token"), col("n"))
-    UpsertSink.publishMerged(spark, table, merged, batchId = batchId)
+    UpsertSink.publishMerged(spark, table, merged, batchId = batchId, epoch = epoch)
   }
 }

@@ -35,12 +35,13 @@ object PercentileStream {
     */
   def accumulateBatch(table: String, batch: DataFrame,
                       groupCol: String, valueCol: String,
-                      batchId: Option[Long] = None): Unit = {
+                      batchId: Option[Long] = None,
+                      epoch: Option[String] = None): Unit = {
     val partial = batch.groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("cnt"))
     UpsertSink.accumulateBatch(table, partial,
       Seq(groupCol, valueCol), sumCols = Seq("cnt"),
-      minCols = Nil, maxCols = Nil, batchId = batchId)
+      minCols = Nil, maxCols = Nil, batchId = batchId, epoch = epoch)
   }
 
   /** Exact discrete percentiles from the accumulated dictionary: one row

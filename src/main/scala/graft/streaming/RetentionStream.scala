@@ -31,14 +31,15 @@ object RetentionStream {
     * redelivered work).
     */
   def accumulateBatch(table: String, partial: DataFrame,
-                      batchId: Option[Long] = None): Unit = {
+                      batchId: Option[Long] = None,
+                      epoch: Option[String] = None): Unit = {
     val spark = partial.sparkSession
-    if (batchId.exists(UpsertSink.alreadyFolded(spark, table, _))) return
+    if (batchId.exists(UpsertSink.alreadyFolded(spark, table, _, epoch))) return
     val merged = (UpsertSink.currentState(spark, table) match {
       case Some(cur) => cur.unionByName(partial)
       case None => partial
     }).distinct()
-    UpsertSink.publishMerged(spark, table, merged, batchId = batchId)
+    UpsertSink.publishMerged(spark, table, merged, batchId = batchId, epoch = epoch)
   }
 
   /** The retention matrix derived from the accumulated state. */

@@ -44,12 +44,13 @@ object TransitionStream {
     */
   def accumulateBatch(dir: String, batch: DataFrame, entityCol: String,
                       tsCol: String, idCol: String, stateCol: String,
-                      batchId: Option[Long] = None): Unit = {
+                      batchId: Option[Long] = None,
+                      epoch: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val countsDone =
-      batchId.exists(UpsertSink.alreadyFolded(spark, s"$dir/counts", _))
+      batchId.exists(UpsertSink.alreadyFolded(spark, s"$dir/counts", _, epoch))
     val lastDone =
-      batchId.exists(UpsertSink.alreadyFolded(spark, s"$dir/last", _))
+      batchId.exists(UpsertSink.alreadyFolded(spark, s"$dir/last", _, epoch))
     if (countsDone && lastDone) return
     val b = batch
       .where(col(entityCol).isNotNull && col(stateCol).isNotNull)
@@ -67,7 +68,7 @@ object TransitionStream {
         case None => batchCounts
       }).groupBy("from_state", "to_state").agg(sum(col("n")).as("n"))
       UpsertSink.publishMerged(spark, s"$dir/counts", mergedCounts,
-        batchId = batchId)
+        batchId = batchId, epoch = epoch)
     }
     if (!lastDone) {
       // max_by the (ts, eid) struct: the user's new latest event
@@ -77,7 +78,7 @@ object TransitionStream {
         .select(col("uid"), col("m.ts").as("ts"), col("m.eid").as("eid"),
           col("m.st").as("st"))
       UpsertSink.publishMerged(spark, s"$dir/last", newLast,
-        batchId = batchId)
+        batchId = batchId, epoch = epoch)
     }
   }
 

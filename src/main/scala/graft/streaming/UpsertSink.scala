@@ -55,13 +55,29 @@ import org.apache.spark.sql.functions._
 object UpsertSink {
 
   /** Sidecar inside each version dir recording the highest micro-batch id
-    * folded into the table by a fenced accumulate (see [[accumulateBatch]]).
-    * Written into the STAGING dir before the atomic rename that publishes
-    * the version, so a complete version can never exist without its fence
-    * record — there is no crash window between "state includes batch B"
-    * and "B is recorded as folded".
+    * folded into the table by a fenced accumulate (see [[accumulateBatch]]),
+    * optionally scoped to an EPOCH (the streaming query's checkpoint
+    * identity — see [[checkpointEpoch]]). Written into the STAGING dir
+    * before the atomic rename that publishes the version, so a complete
+    * version can never exist without its fence record — there is no crash
+    * window between "state includes batch B" and "B is recorded as folded".
+    *
+    * File format: line 1 = batch id; optional line 2 = epoch (absent on
+    * epoch-less records — the legacy single-line format still parses).
+    *
+    * Filesystem contract: the publish rename must be ATOMIC (local fs,
+    * HDFS). On an object store whose rename is a non-atomic copy (S3A), a
+    * crash mid-"rename" could materialize `_SUCCESS` without the sidecar,
+    * and a replayed batch would re-fold — deploy the fenced accumulates
+    * against a rename-atomic filesystem, the same way Structured
+    * Streaming's own checkpoint requires one.
     */
   private val FenceFile = "_folded_batch"
+
+  /** The fold-fence record: the highest `batchId` folded, scoped to the
+    * `epoch` it was folded under (`None` = an epoch-less record).
+    */
+  final case class FoldFence(batchId: Long, epoch: Option[String])
 
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -106,35 +122,82 @@ object UpsertSink {
     spark.read.parquet(snapshotPath(spark, table).getOrElse(
       sys.error(s"UpsertSink.snapshot: no complete version at $table")))
 
-  /** Highest micro-batch id folded into `table` by a fenced accumulate —
-    * `None` before the first fenced fold. Read from the CURRENT complete
-    * version's sidecar, which the publish rename made atomic with the
-    * data, so the answer is never ahead of or behind the visible state.
+  /** The current fold fence of `table` — `None` before the first fenced
+    * fold. Read from the CURRENT complete version's sidecar, which the
+    * publish rename made atomic with the data, so the answer is never
+    * ahead of or behind the visible state.
     */
-  def foldedBatchMax(spark: SparkSession, table: String): Option[Long] = {
+  def foldedFence(spark: SparkSession, table: String): Option[FoldFence] = {
     val fs = fsOf(spark, table)
     completeVersions(fs, table).lastOption.flatMap { case (_, p) =>
       val f = new Path(p, FenceFile)
       if (!fs.exists(f)) None
       else {
         val in = fs.open(f)
-        try Some(org.apache.commons.io.IOUtils.toString(in,
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-        finally in.close()
+        val txt =
+          try org.apache.commons.io.IOUtils.toString(in,
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        val lines = txt.split("\n", -1).map(_.trim)
+        Some(FoldFence(lines(0).toLong,
+          lines.drop(1).find(_.nonEmpty)))
       }
     }
   }
 
-  /** True iff micro-batch `batchId` is already folded into `table`: the
-    * at-least-once redelivery fence. Valid under the family's single-
-    * writer contract with MONOTONICALLY increasing batch ids — exactly
-    * what Structured Streaming's `foreachBatch` guarantees for one query
-    * on one checkpoint (a crash replays the LAST id, never an older one).
-    * A table must be fed by one streaming query; a second query with its
-    * own checkpoint restarts ids at 0 and would be wrongly fenced.
+  /** Highest micro-batch id folded into `table` by a fenced accumulate —
+    * `None` before the first fenced fold. Epoch-blind readout of
+    * [[foldedFence]], kept for observability.
     */
-  def alreadyFolded(spark: SparkSession, table: String, batchId: Long): Boolean =
-    foldedBatchMax(spark, table).exists(batchId <= _)
+  def foldedBatchMax(spark: SparkSession, table: String): Option[Long] =
+    foldedFence(spark, table).map(_.batchId)
+
+  /** True iff micro-batch `batchId` is already folded into `table` UNDER
+    * THE SAME EPOCH: the at-least-once redelivery fence. Valid under the
+    * family's single-writer contract with MONOTONICALLY increasing batch
+    * ids within an epoch — exactly what Structured Streaming's
+    * `foreachBatch` guarantees for one query on one checkpoint (a crash
+    * replays the LAST id, never an older one).
+    *
+    * The EPOCH closes the fresh-checkpoint hole: a query restarted with a
+    * new checkpoint restarts batch ids at 0, and an id-only fence would
+    * wrongly read its first batches as already-folded — silently dropping
+    * data on the exact recovery event fencing exists for. Scope the fence
+    * to the checkpoint's identity ([[checkpointEpoch]], or any string that
+    * changes when the checkpoint does) and a new epoch is never fenced by
+    * an old one's ids; its first fold REPLACES the fence record. Epochs
+    * must match exactly (`None` matches only `None` — an epoch-less
+    * caller is never fenced by an epoch-scoped record, and vice versa).
+    * A table must still be fed by ONE streaming query at a time.
+    */
+  def alreadyFolded(spark: SparkSession, table: String, batchId: Long,
+                    epoch: Option[String] = None): Boolean =
+    foldedFence(spark, table).exists(f =>
+      f.epoch == epoch && batchId <= f.batchId)
+
+  /** The fence EPOCH of a Structured Streaming checkpoint: the query id
+    * from `<checkpointLocation>/metadata`, which Spark persists on first
+    * start and reuses across restarts of the SAME checkpoint — and
+    * regenerates for a FRESH one. Passing this as the `epoch` of the
+    * fenced accumulates makes redelivery fencing survive restarts while a
+    * checkpoint wipe (the id restart event) correctly voids the fence.
+    * `None` until the query has started once (no metadata yet) — callers
+    * inside `foreachBatch` are safe: the file exists before any batch runs.
+    */
+  def checkpointEpoch(spark: SparkSession, checkpointLocation: String): Option[String] = {
+    val fs = fsOf(spark, checkpointLocation)
+    val f = new Path(checkpointLocation, "metadata")
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      val txt =
+        try org.apache.commons.io.IOUtils.toString(in,
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      // {"id":"<uuid>"} — extract without a JSON dep on this hot path
+      "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+    }
+  }
 
   /** Version numbers of the retained COMPLETE versions, ascending — the
     * time-travel catalog. What is listable is readable: the same
@@ -202,27 +265,39 @@ object UpsertSink {
     */
   private def publish(spark: SparkSession, table: String, merged: DataFrame,
                       retainVersions: Int,
-                      foldBatchId: Option[Long] = None): Unit = {
+                      foldBatchId: Option[Long] = None,
+                      foldEpoch: Option[String] = None): Unit = {
     require(retainVersions >= 1,
       s"retainVersions must be >= 1, got $retainVersions")
     val fs = fsOf(spark, table)
     val versions = completeVersions(fs, table)
-    // fence high-water mark: the max of the incoming batch id and the
-    // current version's mark, carried forward across EVERY publish so an
-    // unfenced compaction between fenced folds cannot drop the record
-    val fence: Option[Long] =
-      (foldedBatchMax(spark, table).toSeq ++ foldBatchId.toSeq)
-        .reduceOption(_ max _)
+    // fence high-water mark, carried forward across EVERY publish so an
+    // unfenced compaction between fenced folds cannot drop the record.
+    // Within one epoch the mark is the max of stored and incoming ids; a
+    // fold under a NEW epoch replaces the record outright (the old
+    // epoch's ids are dead — its checkpoint is gone)
+    val stored = foldedFence(spark, table)
+    val fence: Option[FoldFence] = foldBatchId match {
+      case Some(b) => stored match {
+        case Some(s) if s.epoch == foldEpoch =>
+          Some(FoldFence(s.batchId max b, foldEpoch))
+        case _ => Some(FoldFence(b, foldEpoch))
+      }
+      case None => stored
+    }
     val next = versions.lastOption.map(_._1 + 1).getOrElse(1)
     val nextDir = new Path(s"${table}__v$next")
     // write to a staging dir, add the fence sidecar, then atomic-rename
     // into place: the version becomes visible with data + `_SUCCESS` +
-    // fence record all at once (overwrite clears a crashed staging)
+    // fence record all at once (overwrite clears a crashed staging).
+    // NOTE this crash-safety claim requires an atomic rename — local fs
+    // or HDFS, per the [[FenceFile]] filesystem contract
     val staging = new Path(s"${table}__staging")
     merged.write.mode("overwrite").parquet(staging.toString)
-    fence.foreach { b =>
+    fence.foreach { f =>
       val out = fs.create(new Path(staging, FenceFile), true)
-      try out.write(b.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val payload = f.batchId.toString + f.epoch.fold("")("\n" + _)
+      try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
     // a partial `nextDir` can only be a crashed attempt (no `_SUCCESS`,
@@ -277,8 +352,9 @@ object UpsertSink {
   private[streaming] def publishMerged(spark: SparkSession, table: String,
                                        merged: DataFrame,
                                        retainVersions: Int = 2,
-                                       batchId: Option[Long] = None): Unit =
-    publish(spark, table, merged, retainVersions, batchId)
+                                       batchId: Option[Long] = None,
+                                       epoch: Option[String] = None): Unit =
+    publish(spark, table, merged, retainVersions, batchId, epoch)
 
   def compactBatch(table: String, batch: DataFrame, keyCols: Seq[String],
                    versionCol: String, prioCol: String,
@@ -317,15 +393,19 @@ object UpsertSink {
     * checked against the table's fence mark before folding and published
     * atomically with the merged state (see [[FenceFile]]/[[alreadyFolded]];
     * single writer, monotone ids — the one-query-one-checkpoint contract).
+    * Pass the checkpoint identity as `epoch` ([[checkpointEpoch]]) and the
+    * fence also survives the FRESH-checkpoint restart event: the new
+    * epoch's ids (restarting at 0) are never fenced by the old one's.
     * Without `batchId` the caller owns exactly-once.
     */
   def accumulateBatch(table: String, batchPartial: DataFrame,
                       keyCols: Seq[String], sumCols: Seq[String],
                       minCols: Seq[String], maxCols: Seq[String],
                       retainVersions: Int = 2,
-                      batchId: Option[Long] = None): Unit = {
+                      batchId: Option[Long] = None,
+                      epoch: Option[String] = None): Unit = {
     val spark = batchPartial.sparkSession
-    if (batchId.exists(alreadyFolded(spark, table, _))) return
+    if (batchId.exists(alreadyFolded(spark, table, _, epoch))) return
     val all = currentState(spark, table) match {
       case Some(cur) =>
         cur.unionByName(batchPartial.select(cur.columns.map(col): _*))
@@ -334,6 +414,6 @@ object UpsertSink {
     val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
       minCols.map(c => min(col(c)).as(c)) ++ maxCols.map(c => max(col(c)).as(c))
     val merged = all.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    publish(spark, table, merged, retainVersions, batchId)
+    publish(spark, table, merged, retainVersions, batchId, epoch)
   }
 }

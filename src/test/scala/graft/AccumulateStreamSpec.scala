@@ -173,4 +173,111 @@ class AccumulateStreamSpec extends SparkSpec {
     assert(once.map(r => (r.getString(0), r.getString(1))).toSet ===
       Set(("a", "b"), ("b", "c")), "the junction transition b->c is counted once")
   }
+
+  // --- epoch scoping: the fresh-checkpoint restart hole -------------------
+
+  test("fence: epochs match exactly; a new epoch's ids are never fenced by an old one's") {
+    val df = rows(90)
+    val t = tmpTable()
+    PercentileStream.accumulateBatch(t, df, "g", "v",
+      batchId = Some(5L), epoch = Some("cpA"))
+    assert(UpsertSink.alreadyFolded(spark, t, 5L, Some("cpA")))
+    assert(UpsertSink.alreadyFolded(spark, t, 3L, Some("cpA")))
+    assert(!UpsertSink.alreadyFolded(spark, t, 5L, Some("cpB")),
+      "a different epoch must not fence")
+    assert(!UpsertSink.alreadyFolded(spark, t, 5L),
+      "an epoch-less check must not match an epoch-scoped record")
+    assert(UpsertSink.foldedFence(spark, t) ===
+      Some(UpsertSink.FoldFence(5L, Some("cpA"))))
+    // an unfenced fold in between carries the epoch-scoped record forward
+    PercentileStream.accumulateBatch(t, df, "g", "v")
+    assert(UpsertSink.foldedFence(spark, t) ===
+      Some(UpsertSink.FoldFence(5L, Some("cpA"))))
+    // a fold under a NEW epoch replaces the record outright
+    PercentileStream.accumulateBatch(t, df, "g", "v",
+      batchId = Some(0L), epoch = Some("cpB"))
+    assert(UpsertSink.foldedFence(spark, t) ===
+      Some(UpsertSink.FoldFence(0L, Some("cpB"))))
+    assert(!UpsertSink.alreadyFolded(spark, t, 5L, Some("cpA")),
+      "the old epoch's ids are dead once a new epoch folds")
+  }
+
+  test("fence: a fresh-checkpoint restart (ids from 0) still lands on the batch oracle") {
+    // the exact recovery event the epoch exists for: deliver two batches
+    // (ids 0, 1) under checkpoint A, lose the checkpoint, deliver the
+    // remaining slice under fresh checkpoint B whose ids restart at 0 —
+    // id-only fencing would read B's first batch as already-folded and
+    // silently drop it; epoch-scoped fencing folds it
+    val df = rows(600)
+    def slice(i: Int) = df.where($"id" % 3 === i)
+    def read(t: String) =
+      PercentileStream.percentiles(spark, t, "g", "v", Seq(50, 99))
+        .orderBy("g").collect().toSeq
+    val oracle = { // single-delivery truth
+      val t0 = tmpTable()
+      PercentileStream.accumulateBatch(t0, df, "g", "v")
+      read(t0)
+    }
+    val t = tmpTable()
+    PercentileStream.accumulateBatch(t, slice(0), "g", "v",
+      batchId = Some(0L), epoch = Some("cpA"))
+    PercentileStream.accumulateBatch(t, slice(1), "g", "v",
+      batchId = Some(1L), epoch = Some("cpA"))
+    // crash-replay of the last batch before the wipe: fenced, a no-op
+    PercentileStream.accumulateBatch(t, slice(1), "g", "v",
+      batchId = Some(1L), epoch = Some("cpA"))
+    // checkpoint wiped; the restarted query's first batch carries id 0
+    PercentileStream.accumulateBatch(t, slice(2), "g", "v",
+      batchId = Some(0L), epoch = Some("cpB"))
+    assert(read(t) === oracle,
+      "the fresh-checkpoint batch must fold (id-only fencing would drop it)")
+    // and the new epoch's own redelivery protocol keeps working
+    PercentileStream.accumulateBatch(t, slice(2), "g", "v",
+      batchId = Some(0L), epoch = Some("cpB"))
+    assert(read(t) === oracle, "within-epoch redelivery is still a no-op")
+  }
+
+  test("checkpointEpoch: stable across restarts of one checkpoint, regenerated on a wipe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val cp = java.nio.file.Files.createTempDirectory("graft_cp").toString + "/cp"
+    val t = tmpTable()
+    def start(mem: MemoryStream[(String, Long)]) =
+      mem.toDF().toDF("g", "v").writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          PercentileStream.accumulateBatch(t, b, "g", "v",
+            batchId = Some(id),
+            epoch = UpsertSink.checkpointEpoch(spark, cp))
+        }.start()
+    assert(UpsertSink.checkpointEpoch(spark, cp).isEmpty,
+      "no epoch before the query ever started")
+    val mem = MemoryStream[(String, Long)]
+    val q1 = start(mem)
+    mem.addData(("a", 1L), ("a", 3L))
+    q1.processAllAvailable(); q1.stop()
+    val e1 = UpsertSink.checkpointEpoch(spark, cp)
+    assert(e1.nonEmpty, "metadata written on first start")
+    // restart on the SAME checkpoint (same source): epoch unchanged,
+    // batch ids continue monotonically, fencing keeps working
+    val q2 = start(mem)
+    mem.addData(("b", 5L))
+    q2.processAllAvailable(); q2.stop()
+    assert(UpsertSink.checkpointEpoch(spark, cp) === e1,
+      "same checkpoint => same epoch across restarts")
+    // wipe: the id-restart event — a fresh query id must appear and the
+    // new epoch's batch 0 must fold despite the stored higher id mark
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cp))
+    val mem2 = MemoryStream[(String, Long)]
+    val q3 = start(mem2)
+    mem2.addData(("c", 7L))
+    q3.processAllAvailable(); q3.stop()
+    val e2 = UpsertSink.checkpointEpoch(spark, cp)
+    assert(e2.nonEmpty && e2 != e1, "wiped checkpoint => new epoch")
+    // all four rows must be in the state: the wiped-restart batch (id 0
+    // under e2) folded despite the e1 record's higher id
+    val total = UpsertSink.snapshot(spark, t).agg(sum("cnt")).head.getLong(0)
+    assert(total === 4L,
+      s"expected all 4 streamed rows folded across the wipe, got $total")
+  }
 }
