@@ -9,9 +9,14 @@ import org.apache.spark.sql.functions._
   * library init per partition, not per row.
   *
   * IMAGES decode for real: [[ImageIoCodec]] and [[decodeImageMeta]] run
-  * `javax.imageio` (PNG/JPEG, ships in the JDK — no new dependency) and are
-  * gated end-to-end on encoder round-trips with closed-form pixel truth
-  * (q90). UNCOMPRESSED AUDIO decodes for real too: WAV/AIFF byte→PCM
+  * `javax.imageio` and are gated end-to-end on encoder round-trips with
+  * closed-form pixel truth (q90). The codec set is PLUGIN-DISCOVERED, not
+  * hardcoded: ImageIO dispatches on payload magic bytes, so every reader
+  * the runtime ships serves with zero new code — this JDK provides
+  * PNG/JPEG/GIF/BMP/TIFF/WBMP (MultimodalSpec probes and exercises them),
+  * and a deployment dropping a WebP/JPEG2000 plugin (e.g. TwelveMonkeys)
+  * on the classpath extends the set without touching this file.
+  * UNCOMPRESSED AUDIO decodes for real too: WAV/AIFF byte→PCM
   * samples run `javax.sound.sampled` (see `decodeAudioMeta` below), and
   * MP4/MKV CONTAINER metadata (duration, track geometry) parses for real,
   * dependency-free. The only remaining stub is the COMPRESSED-codec
@@ -131,9 +136,24 @@ object Multimodal {
     private lazy val fallback = new StubCodec(featureDim)
     def decodeFeatures(bytes: Array[Byte], kind: String): Array[Float] = {
       if (kind != "image") return fallback.decodeFeatures(bytes, kind)
-      val img = decodeImage(bytes).orNull
+      val decoded = decodeImage(bytes).orNull
       val v = new Array[Float](featureDim)
-      if (img == null) return v
+      if (decoded == null) return v
+      // palette formats (GIF, indexed PNG/BMP) decode to a 1-band raster
+      // of palette INDICES under a multi-component color model — reading
+      // RGB bands off that raster would crash (and indices are not
+      // luminance). Expand through the color model once; true grayscale
+      // (1 band, 1 component) keeps its direct path.
+      val img =
+        if (decoded.getRaster.getNumBands >= 3 ||
+            decoded.getColorModel.getNumComponents == 1) decoded
+        else {
+          val c = new java.awt.image.BufferedImage(decoded.getWidth,
+            decoded.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = c.createGraphics()
+          try g2.drawImage(decoded, 0, 0, null) finally g2.dispose()
+          c
+        }
       val raster = img.getRaster
       val gray = img.getColorModel.getNumComponents == 1
       var y = 0

@@ -80,6 +80,53 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(audio.sum - 1.0f) < 1e-6)
   }
 
+  test("imageio codec: PLUGIN-DISCOVERED second codecs (GIF/BMP/TIFF) decode through the same seam") {
+    // the MediaCodec seam is format-blind by design: ImageIO dispatches on
+    // the payload's magic bytes, so every reader plugin the runtime ships
+    // is a REAL additional codec with zero new code. Probe the installed
+    // plugins and drive each lossless-capable one end-to-end against the
+    // PNG-decoded truth; formats absent from this JDK (webp, jpeg2000)
+    // are documented by the probe rather than silently skipped.
+    val installed = javax.imageio.ImageIO.getWriterFormatNames
+      .map(_.toLowerCase).toSet
+    assert(Set("png", "jpg").subsetOf(installed), "baseline plugins missing")
+    val codec = new ImageIoCodec(64)
+    // a 16x16 grayscale gradient: <=256 distinct values, so every
+    // lossless/palette format round-trips the exact pixels
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 16).foreach(y => (0 until 16).foreach(x =>
+      img.getRaster.setSample(x, y, 0, (x * 16 + y) % 256)))
+    def enc(fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+      out.toByteArray
+    }
+    val truth = codec.decodeFeatures(enc("png"), "image")
+    assert(truth.sum > 0.99f && truth.sum < 1.01f)
+    val lossless = Seq("gif", "bmp", "tiff").filter(installed.contains)
+    assert(lossless.nonEmpty, "JDK 11+ ships GIF/BMP/TIFF readers")
+    lossless.foreach { fmt =>
+      val bytes = enc(fmt)
+      assert(!java.util.Arrays.equals(bytes, enc("png")),
+        s"$fmt must be a distinct encoding, not a PNG alias")
+      assert(codec.decodeFeatures(bytes, "image").toSeq === truth.toSeq,
+        s"$fmt decode drifted from the PNG-decoded pixel truth")
+    }
+    // the environment limit, probed not assumed: no webp/jp2 plugin here;
+    // if a deployment adds one (e.g. TwelveMonkeys on the classpath) the
+    // same seam serves it with no code change
+    Seq("webp", "jp2").foreach { fmt =>
+      if (installed.contains(fmt))
+        assert(Multimodal.decodeImage(enc(fmt)).nonEmpty,
+          s"installed $fmt plugin must decode")
+      else
+        assert(Multimodal.decodeImage(
+          Array[Byte](0x52, 0x49, 0x46, 0x46, 0, 0, 0, 0)).isEmpty,
+          s"absent $fmt reader must yield None (data, not error)")
+    }
+  }
+
   test("imageio codec swaps into extractFeatures where media bytes are real PNGs") {
     val media = Multimodal.syntheticPngMedia(spark, 12)
     val feats = Multimodal.extractFeatures(media, new ImageIoCodec(64)).collect()
