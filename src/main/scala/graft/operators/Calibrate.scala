@@ -49,27 +49,34 @@ object Calibrate {
     * over `df`'s rows.
     *
     * The bounded-alphabet contract is ENFORCED, not assumed: the distinct
-    * score count is checked against `maxAlphabet` right after the first
-    * aggregate (one extra bounded job — cheap next to the |alphabet|²
-    * stage it guards), so a caller passing an unbinned continuous score
-    * fails loudly with a pointer at [[Binning.withEquiDepthBin]] instead
-    * of silently exploding a quadratic onto one partition.
+    * score count is checked against `maxAlphabet` on the aggregate's ONE
+    * readout (the per-score relation lands on the driver, limit-bounded to
+    * `maxAlphabet + 1` rows so a violating caller never ships more than
+    * that off the cluster), so a caller passing an unbinned continuous
+    * score fails loudly with a pointer at [[Binning.withEquiDepthBin]]
+    * instead of silently exploding a quadratic onto one partition. The
+    * guard costs nothing extra: the corpus-sized groupBy runs exactly once
+    * and everything after — the |alphabet|² PAV table, the windows — runs
+    * over the collected alphabet as a local relation.
     */
   def isotonicFit(df: DataFrame, scoreCol: String, label: Column,
                   maxAlphabet: Int = 4096): DataFrame = {
     val per = df.groupBy(col(scoreCol))
       .agg(count(lit(1)).as("n"),
         sum(when(label, 1L).otherwise(0L)).as("pos"))
-    val width = per.limit(maxAlphabet + 1).count()
-    require(width <= maxAlphabet,
+    val perRows = per.limit(maxAlphabet + 1).collect()
+    require(perRows.length <= maxAlphabet,
       s"isotonicFit: more than $maxAlphabet distinct '$scoreCol' values — " +
         "the |alphabet|^2 PAV table and its single-partition windows need a " +
         "bounded score alphabet; bin continuous scores first " +
         "(Binning.withEquiDepthBin) or raise maxAlphabet deliberately")
-    // bounded-alphabet relation: global windows are single-partition by
-    // construction and stay so at any corpus size
+    // bounded-alphabet relation (guard-proven <= maxAlphabet rows, already
+    // on the driver): global windows are single-partition by construction
+    // and stay so at any corpus size
+    val perLocal = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(perRows: _*), per.schema)
     val w = Window.orderBy(col(scoreCol))
-    val bins = per.select(col(scoreCol), col("n"), col("pos"),
+    val bins = perLocal.select(col(scoreCol), col("n"), col("pos"),
       row_number().over(w).as("__idx"),
       sum("n").over(w).as("__cn"),
       sum("pos").over(w).as("__cp"))

@@ -643,8 +643,9 @@ object Dedup {
     * bound the join — the occurrence cap pins per-shingle fan-out at
     * `maxOccurrences`² regardless of within-doc repetition). Runs that
     * common are boilerplate removal's job — [[Boilerplate]] — not pair
-    * dedup's. Run [[exactDedup]] first on replica-dense corpora (q266's
-    * measured rule) so identical copies don't saturate `maxDf`.
+    * dedup's. On replica-dense corpora run [[exactDedup]] first (q266's
+    * measured rule) so identical copies don't saturate `maxDf` —
+    * [[substringDupReport]] does exactly that internally.
     *
     * Output, one row per unordered pair with any run of ≥ `minRunTokens`
     * tokens: `(id_a, id_b, max_run_tokens, n_runs, shared_positions)` —
@@ -696,31 +697,19 @@ object Dedup {
     * span it shares with any EARLIER (smaller-id) document, and a flag at
     * `minRunTokens` — earliest copy survives unflagged, every later doc
     * carrying a duplicated span is named with the span length. One row per
-    * input document (docs with no shared span keep nulls/false), so the
-    * conservation identity `count(*) == count(flagged) + count(clean)` is
-    * checkable downstream.
-    */
-  def substringDupReport(df: DataFrame, idCol: String, textCol: String,
-                         k: Int = 5, maxDf: Int = 16,
-                         minRunTokens: Int = 10,
-                         maxOccurrences: Int = 64): DataFrame = {
-    val pairs = sharedShingleRuns(df, idCol, textCol, k, maxDf, minRunTokens,
-      maxOccurrences)
-    val perDoc = pairs.groupBy(col("id_b").as(idCol))
-      .agg(max("max_run_tokens").as("max_shared_tokens"))
-    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
-      .withColumn("dup_substring", col("max_shared_tokens").isNotNull)
-  }
-
-  /** [[substringDupReport]] with the q266 ORDERING RULE applied — the
-    * scale form for replica-dense corpora (crawl mirrors, template
-    * farms): on N identical copies of a page, the raw report's shingle
-    * join pays C(N,2) full-length diagonal runs per page even though
-    * exact-text knowledge answers those pairs for free. Here identical
-    * texts collapse to a min-id representative FIRST; the shingle
-    * machinery runs over DISTINCT texts only (its work is bounded by the
-    * distinct corpus no matter how replicated the input is), and the
-    * per-document verdict reassembles exactly:
+    * input document (docs with no shared span — including null-text docs —
+    * keep nulls/false), so the conservation identity
+    * `count(*) == count(flagged) + count(clean)` is checkable downstream.
+    *
+    * This is the DEDUP-FIRST form and the DEFAULT entry (the q266
+    * ORDERING RULE, measured at ratio 1.0 vs the direct form's 11.1× on a
+    * 10× replica corpus — SCALE10 r12): on N identical copies of a page
+    * the direct shingle join pays C(N,2) full-length diagonal runs per
+    * page even though exact-text knowledge answers those pairs for free.
+    * Identical texts collapse to a min-id representative FIRST; the
+    * shingle machinery runs over DISTINCT texts only (its work is bounded
+    * by the distinct corpus no matter how replicated the input is), and
+    * the per-document verdict reassembles exactly:
     *
     *  - a non-minimum replica shares its FULL text with its group's
     *    earlier minimum — span = its own token count, by construction,
@@ -734,17 +723,25 @@ object Dedup {
     * the df/occurrence caps apply over the DISTINCT-text corpus — the
     * right reading of "boilerplate" (replicas of one page must not
     * saturate a shingle's document frequency). On a replica-free corpus
-    * this equals [[substringDupReport]] exactly (DedupSpec pins it).
-    * Output schema is identical: one row per input document.
+    * this equals [[substringDupReportDirect]] exactly (DedupSpec pins
+    * it); on a replica corpus the two differ only through that cap
+    * reading, and this form's is the intended one.
     */
-  def substringDupReportDedupFirst(df: DataFrame, idCol: String,
-                                   textCol: String,
-                                   k: Int = 5, maxDf: Int = 16,
-                                   minRunTokens: Int = 10,
-                                   maxOccurrences: Int = 64): DataFrame = {
+  def substringDupReport(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5, maxDf: Int = 16,
+                         minRunTokens: Int = 10,
+                         maxOccurrences: Int = 64): DataFrame = {
     val toks = split(lower(col(textCol)), "\\s+")
-    val docs = df.select(col(idCol), col(textCol),
+    val all = df.select(col(idCol), col(textCol),
       size(toks).cast("long").as("__len"))
+    // a null text can never share a span: route those rows around the
+    // text-keyed group join (which would silently DROP them — null keys
+    // never equi-join) and union them back unflagged, preserving the
+    // one-row-per-input-document conservation contract
+    val nullText = all.where(col(textCol).isNull)
+      .select(col(idCol), lit(null).cast("long").as("max_shared_tokens"),
+        lit(false).as("dup_substring"))
+    val docs = all.where(col(textCol).isNotNull)
     val groups = docs.groupBy(col(textCol)).agg(min(col(idCol)).as("__rep"))
     val reps = docs.join(groups, Seq(textCol))
       .where(col(idCol) === col("__rep"))
@@ -772,5 +769,28 @@ object Dedup {
       .select(col(idCol),
         when(col("__mx") >= 0L, col("__mx")).as("max_shared_tokens"),
         (col("__mx") >= 0L).as("dup_substring"))
+      .unionByName(nullText)
+  }
+
+  /** The DIRECT (exhaustive) form of [[substringDupReport]]: the shingle
+    * machinery over the raw corpus, no exact-duplicate collapse — kept as
+    * the measured baseline and cross-check (its caps read document
+    * frequency over the RAW corpus, so N replicas of a page count N times
+    * toward `maxDf`). On replica-dense corpora this pays C(N,2)
+    * full-length diagonal runs per replicated page — 11.1× at a 10×
+    * corpus where the default entry holds 1.0 (SCALE10 r12) — so it is a
+    * demo/baseline, NOT the production entry; use [[substringDupReport]],
+    * which answers replica pairs from exact-text knowledge for free.
+    */
+  def substringDupReportDirect(df: DataFrame, idCol: String, textCol: String,
+                               k: Int = 5, maxDf: Int = 16,
+                               minRunTokens: Int = 10,
+                               maxOccurrences: Int = 64): DataFrame = {
+    val pairs = sharedShingleRuns(df, idCol, textCol, k, maxDf, minRunTokens,
+      maxOccurrences)
+    val perDoc = pairs.groupBy(col("id_b").as(idCol))
+      .agg(max("max_run_tokens").as("max_shared_tokens"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .withColumn("dup_substring", col("max_shared_tokens").isNotNull)
   }
 }

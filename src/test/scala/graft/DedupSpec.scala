@@ -547,21 +547,41 @@ class DedupSpec extends SparkSpec {
       "uncapped, the single shared template yields a quadratic match count")
   }
 
-  test("substringDupReportDedupFirst == raw report on a replica-free corpus") {
+  test("substringDupReport (dedup-first) == direct form on a replica-free corpus") {
     val span = words("c", 12)
     val docs = Seq(
       (1L, words("a", 9) + " " + span + " " + words("b", 9)),
       (2L, words("x", 7) + " " + span + " " + words("y", 11)),
       (3L, words("z", 40)),
       (4L, words("q", 3))).toDF("id", "text")
-    val raw = Dedup.substringDupReport(docs, "id", "text")
+    val raw = Dedup.substringDupReportDirect(docs, "id", "text")
       .orderBy("id").collect().map(_.toSeq).toSeq
-    val df1 = Dedup.substringDupReportDedupFirst(docs, "id", "text")
+    val df1 = Dedup.substringDupReport(docs, "id", "text")
       .orderBy("id").collect().map(_.toSeq).toSeq
     assert(df1 === raw, "no replicas => the ordering rule changes nothing")
   }
 
-  test("substringDupReportDedupFirst: replicas answered exactly, cross spans kept") {
+  test("substringDupReport: null-text docs surface unflagged (conservation)") {
+    // the text-keyed group join would silently drop null-text rows (null
+    // keys never equi-join); the report must route them around and keep
+    // one row per input document
+    val span = words("c", 12)
+    val docs = Seq(
+      (1L, words("a", 9) + " " + span),
+      (2L, span + " " + words("y", 11)),
+      (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val rep = Dedup.substringDupReport(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(rep.length === 4, "one row per input doc incl. null texts")
+    assert(rep(2).isNullAt(1) && !rep(2).getBoolean(2))
+    assert(rep(3).isNullAt(1) && !rep(3).getBoolean(2),
+      "two null texts are not each other's duplicates")
+    assert(rep(1).getLong(1) === 12L && rep(1).getBoolean(2),
+      "non-null spans still pair")
+  }
+
+  test("substringDupReport: replicas answered exactly, cross spans kept") {
     // text A (30 tokens, contains nothing shared), B embeds a 12-token
     // span of A, A is replicated twice more, T is a 3-token text with a
     // copy. The shingle machinery must only ever see the 4 DISTINCT
@@ -573,7 +593,7 @@ class DedupSpec extends SparkSpec {
       (1L, textA), (2L, textB), (3L, words("z", 40)),
       (4L, textA), (5L, textA), (7L, "x y z"), (8L, "x y z"))
       .toDF("id", "text")
-    val rep = Dedup.substringDupReportDedupFirst(docs, "id", "text")
+    val rep = Dedup.substringDupReport(docs, "id", "text")
       .orderBy("id").collect()
     assert(rep.length === 7, "one row per input doc (conservation)")
     def row(i: Long) = rep.find(_.getLong(0) == i).get
@@ -587,7 +607,7 @@ class DedupSpec extends SparkSpec {
       "a replica shorter than minRunTokens is not a qualifying span")
   }
 
-  test("substringDupReport: earliest copy survives, conservation holds") {
+  test("substringDupReportDirect: earliest copy survives, conservation holds") {
     val span = words("c", 15)
     val docs = Seq(
       (1L, words("a", 9) + " " + span),
@@ -595,7 +615,7 @@ class DedupSpec extends SparkSpec {
       (3L, words("q", 30)),
       (4L, words("r", 3))). // shorter than one shingle — still reported
       toDF("id", "text")
-    val rep = Dedup.substringDupReport(docs, "id", "text")
+    val rep = Dedup.substringDupReportDirect(docs, "id", "text")
       .orderBy("id").collect()
     assert(rep.length === 4, "one row per input doc")
     assert(rep(0).isNullAt(1) && !rep(0).getBoolean(2), "earliest unflagged")
