@@ -140,6 +140,33 @@ object PruneRecallProbe {
           f"| ${hit.toDouble / tot}%.3f | $allEq |")
         require(allEq, s"payload-index diverged for $name")
       }
+
+      // ---- routed HYBRID door (RRF over exact dense + WAND lexical)
+      // under pool pressure. Unlike the three paths above, pool_k is a
+      // REAL recall knob, not answer-preserving pruning: RRF only sees
+      // each leg's top pool_k candidates, so a document fused into the
+      // top-k by rank mass outside the pool is lost by design (the
+      // standard fusion-depth trade). Reference = the same fused request
+      // with pool_k = corpus size (both legs exhaustive). Each leg is
+      // itself bit-exact at every pool_k (WAND + exact dense, pinned
+      // above), so everything this table shows is the POOLING trade.
+      val serverH = new graft.serve.MemoryServer(mem, Some(memLex))
+      val hQueries = qvecs.take(16).zipWithIndex
+        .map { case (q, i) => (q, termSets(i % termSets.size)) }
+      println(s"\n### routed hybrid (RRF) pool pressure @ ${repl}x ($nDocs docs)")
+      println("| pool_k | mean recall@10 vs full-pool fusion | worst query |")
+      println("|---|---|---|")
+      Seq(10, 20, 50, 200).foreach { poolK =>
+        val recalls = hQueries.map { case (qv, terms) =>
+          val fused = serverH.searchHybrid(qv, terms, 10, poolK)
+          val ref = serverH.searchHybrid(qv, terms, 10, nDocs.toInt)
+          if (ref.isEmpty) 1.0
+          else fused.map(_._1).toSet.intersect(ref.map(_._1).toSet).size
+            .toDouble / ref.size
+        }
+        println(f"| $poolK | ${recalls.sum / recalls.size}%.3f " +
+          f"| ${recalls.min}%.3f |")
+      }
     }
     spark.stop()
   }
