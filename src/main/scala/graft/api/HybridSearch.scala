@@ -79,7 +79,7 @@ final class HybridSearch(index: DataFrame, idCol: String, embCol: String,
       .map(_.elements().asScala.map(_.asText()).toSeq)
       .getOrElse(throw new IllegalArgumentException(
         "hybrid request needs 'terms' (lexical leg)"))
-    memory.filter(_.servesExactDense) match {
+    memory.filter(m => m.servesExactDense && m.hasLexical) match {
       case Some(mem) =>
         val hits = if (k <= 0) Nil else mem.searchHybrid(qv, terms, k, poolK, c)
         val rows = hits.map { case (id, rrf) =>

@@ -136,24 +136,11 @@ object Multimodal {
     private lazy val fallback = new StubCodec(featureDim)
     def decodeFeatures(bytes: Array[Byte], kind: String): Array[Float] = {
       if (kind != "image") return fallback.decodeFeatures(bytes, kind)
-      val decoded = decodeImage(bytes).orNull
+      // decodeImage normalizes palette/deep formats to 8-bit gray or RGB,
+      // so the sample walk below is total over every plugin-served codec
+      val img = decodeImage(bytes).orNull
       val v = new Array[Float](featureDim)
-      if (decoded == null) return v
-      // palette formats (GIF, indexed PNG/BMP) decode to a 1-band raster
-      // of palette INDICES under a multi-component color model — reading
-      // RGB bands off that raster would crash (and indices are not
-      // luminance). Expand through the color model once; true grayscale
-      // (1 band, 1 component) keeps its direct path.
-      val img =
-        if (decoded.getRaster.getNumBands >= 3 ||
-            decoded.getColorModel.getNumComponents == 1) decoded
-        else {
-          val c = new java.awt.image.BufferedImage(decoded.getWidth,
-            decoded.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val g2 = c.createGraphics()
-          try g2.drawImage(decoded, 0, 0, null) finally g2.dispose()
-          c
-        }
+      if (img == null) return v
       val raster = img.getRaster
       val gray = img.getColorModel.getNumComponents == 1
       var y = 0
@@ -182,10 +169,41 @@ object Multimodal {
 
   /** `javax.imageio` decode of an encoded payload; None when no installed
     * reader claims the bytes (corrupt or unsupported format).
+    *
+    * The decoded image is NORMALIZED to a directly-walkable layout before
+    * any caller touches its raster: palette formats (GIF, indexed
+    * PNG/BMP) decode to a 1-band raster of palette INDICES under a
+    * multi-component color model — reading RGB bands off that raster
+    * crashes, and indices are not luminance — and deep formats (16-bit
+    * PNG/TIFF) deliver samples the 8-bit histogram/hash walks would
+    * index out of bounds. Both expand through the color model ONCE to
+    * 8-bit RGB here, so every decode site (features, meta, aHash, video
+    * frames) shares one defined pixel contract: 8-bit gray direct, or
+    * 8-bit RGB bands.
     */
   def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      .map(normalizeDecoded)
     catch { case _: java.io.IOException => None }
+
+  private def normalizeDecoded(img: java.awt.image.BufferedImage)
+      : java.awt.image.BufferedImage = {
+    val raster = img.getRaster
+    val cm = img.getColorModel
+    val eightBit = (0 until raster.getNumBands)
+      .forall(b => raster.getSampleModel.getSampleSize(b) <= 8)
+    val direct =
+      (raster.getNumBands == 1 && cm.getNumComponents == 1 && eightBit) ||
+        (raster.getNumBands >= 3 && eightBit)
+    if (direct) img
+    else {
+      val c = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = c.createGraphics()
+      try g2.drawImage(img, 0, 0, null) finally g2.dispose()
+      c
+    }
+  }
 
   /** Per-image decoded truth: REAL width/height/pixel sums from the codec,
     * not the claimed metadata. */

@@ -1180,6 +1180,13 @@ final class MemoryServer(val dense: MemoryAnnIndex,
     */
   def servesExactDense: Boolean = defaultNProbe == 0
 
+  /** Whether a postings tier is attached — the other routing
+    * precondition of [[graft.api.HybridSearch]] (a dense-only server
+    * cannot serve the lexical leg; routing onto it would crash
+    * per-request instead of taking the documented job-path fallback).
+    */
+  def hasLexical: Boolean = lexical.nonEmpty
+
   /** Dense top-k: IVF-probed when the server was built with a probe
     * width, exact otherwise. Filtered exact requests route through the
     * payload index ([[MemoryAnnIndex.topKFilteredIndexed]] — selective
@@ -1294,12 +1301,15 @@ final class MemoryServer(val dense: MemoryAnnIndex,
               "(string values are only supported as {\"@eq\": {col: value}})")
         // the memory tier stores long-encoded values: a fractional literal
         // (e.g. {"@gte":{"n_chars":49.5}}) would asLong()-TRUNCATE to 49
-        // and admit rows the Spark tier's 49.5 comparison rejects —
-        // refuse, so the router falls back to the bit-faithful FilterDsl
-        if (!v.isIntegralNumber)
+        // and admit rows the Spark tier's 49.5 comparison rejects — and an
+        // integral literal outside long range (2^63 arrives as a
+        // BigIntegerNode, isIntegralNumber = true) would asLong()-WRAP to
+        // the opposite sign. Refuse both, so the router falls back to the
+        // bit-faithful FilterDsl
+        if (!v.isIntegralNumber || !v.canConvertToLong)
           throw new IllegalArgumentException(
-            s"$op value for '$n' must be integral for the memory tier, " +
-              s"got: $v (fractional comparisons serve on the Spark tier)")
+            s"$op value for '$n' must be a long-range integral for the " +
+              s"memory tier, got: $v (other comparisons serve on the Spark tier)")
         if (dense.isStringColumn(n))
           throw new IllegalArgumentException(
             s"$op on dictionary-encoded string column '$n' is not " +

@@ -166,14 +166,20 @@ object UpsertSink {
     * to the checkpoint's identity ([[checkpointEpoch]], or any string that
     * changes when the checkpoint does) and a new epoch is never fenced by
     * an old one's ids; its first fold REPLACES the fence record. Epochs
-    * must match exactly (`None` matches only `None` — an epoch-less
-    * caller is never fenced by an epoch-scoped record, and vice versa).
-    * A table must still be fed by ONE streaming query at a time.
+    * must match exactly, with ONE deliberate asymmetry for upgrades: an
+    * epoch-SCOPED caller IS fenced by a legacy epoch-less record (the
+    * pre-epoch deployment was the same single writer with monotone ids —
+    * adopting the epoch on an unwiped checkpoint must not re-fold the
+    * replayed last batch; the first new fold upgrades the record to the
+    * epoch). The reverse does not hold: an epoch-less caller is never
+    * fenced by an epoch-scoped record (it cannot prove it is the same
+    * query). A table must still be fed by ONE streaming query at a time.
     */
   def alreadyFolded(spark: SparkSession, table: String, batchId: Long,
                     epoch: Option[String] = None): Boolean =
     foldedFence(spark, table).exists(f =>
-      f.epoch == epoch && batchId <= f.batchId)
+      (f.epoch == epoch || (f.epoch.isEmpty && epoch.nonEmpty)) &&
+        batchId <= f.batchId)
 
   /** The fence EPOCH of a Structured Streaming checkpoint: the query id
     * from `<checkpointLocation>/metadata`, which Spark persists on first
@@ -273,13 +279,16 @@ object UpsertSink {
     val versions = completeVersions(fs, table)
     // fence high-water mark, carried forward across EVERY publish so an
     // unfenced compaction between fenced folds cannot drop the record.
-    // Within one epoch the mark is the max of stored and incoming ids; a
-    // fold under a NEW epoch replaces the record outright (the old
+    // Within one epoch — or when UPGRADING a legacy epoch-less record to
+    // the first epoch-scoped fold (same single-writer lineage, ids stay
+    // monotone) — the mark is the max of stored and incoming ids; a fold
+    // under a genuinely NEW epoch replaces the record outright (the old
     // epoch's ids are dead — its checkpoint is gone)
     val stored = foldedFence(spark, table)
     val fence: Option[FoldFence] = foldBatchId match {
       case Some(b) => stored match {
-        case Some(s) if s.epoch == foldEpoch =>
+        case Some(s) if s.epoch == foldEpoch ||
+            (s.epoch.isEmpty && foldEpoch.nonEmpty) =>
           Some(FoldFence(s.batchId max b, foldEpoch))
         case _ => Some(FoldFence(b, foldEpoch))
       }
@@ -295,6 +304,11 @@ object UpsertSink {
     val staging = new Path(s"${table}__staging")
     merged.write.mode("overwrite").parquet(staging.toString)
     fence.foreach { f =>
+      // the sidecar is line-oriented: a newline inside the epoch would
+      // silently truncate on read and the stored epoch would never match
+      // again (every replay re-folds) — reject at write time
+      f.epoch.foreach(e => require(!e.exists(c => c == '\n' || c == '\r'),
+        s"fence epoch must not contain line breaks: ${e.replace("\n", "\\n")}"))
       val out = fs.create(new Path(staging, FenceFile), true)
       val payload = f.batchId.toString + f.epoch.fold("")("\n" + _)
       try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))

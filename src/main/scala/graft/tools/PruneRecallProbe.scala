@@ -150,7 +150,13 @@ object PruneRecallProbe {
       // with pool_k = corpus size (both legs exhaustive). Each leg is
       // itself bit-exact at every pool_k (WAND + exact dense, pinned
       // above), so everything this table shows is the POOLING trade.
+      // legs mirror the q280/ServeBench shape: dense over the embeddings
+      // index, lexical over the documents postings. The full-pool
+      // reference must exhaust BOTH legs, so its pool is the larger of
+      // the two corpora (nDocs alone would truncate the dense leg
+      // whenever the embeddings table outgrows the documents table)
       val serverH = new graft.serve.MemoryServer(mem, Some(memLex))
+      val fullPool = math.max(mem.size.toLong, nDocs).toInt
       val hQueries = qvecs.take(16).zipWithIndex
         .map { case (q, i) => (q, termSets(i % termSets.size)) }
       println(s"\n### routed hybrid (RRF) pool pressure @ ${repl}x ($nDocs docs)")
@@ -159,7 +165,7 @@ object PruneRecallProbe {
       Seq(10, 20, 50, 200).foreach { poolK =>
         val recalls = hQueries.map { case (qv, terms) =>
           val fused = serverH.searchHybrid(qv, terms, 10, poolK)
-          val ref = serverH.searchHybrid(qv, terms, 10, nDocs.toInt)
+          val ref = serverH.searchHybrid(qv, terms, 10, fullPool)
           if (ref.isEmpty) 1.0
           else fused.map(_._1).toSet.intersect(ref.map(_._1).toSet).size
             .toDouble / ref.size

@@ -200,6 +200,42 @@ class AccumulateStreamSpec extends SparkSpec {
       Some(UpsertSink.FoldFence(0L, Some("cpB"))))
     assert(!UpsertSink.alreadyFolded(spark, t, 5L, Some("cpA")),
       "the old epoch's ids are dead once a new epoch folds")
+    // a line break in the epoch would truncate the line-oriented sidecar
+    // (the stored epoch would never match again) — rejected at write time
+    intercept[IllegalArgumentException] {
+      PercentileStream.accumulateBatch(t, df, "g", "v",
+        batchId = Some(9L), epoch = Some("bad\nepoch"))
+    }
+  }
+
+  test("fence: ADOPTING epochs on a legacy table keeps fencing the replayed batch") {
+    // upgrade path: a pre-epoch deployment folded batches with ids only;
+    // the operator starts passing checkpointEpoch on the SAME unwiped
+    // checkpoint. Ids stayed monotone (same single writer), so the
+    // replayed last batch MUST still fence against the legacy record —
+    // an exact-epoch-only rule would silently double-fold it here.
+    val df = rows(300)
+    def slice(i: Int) = df.where($"id" % 2 === i)
+    val t = tmpTable()
+    PercentileStream.accumulateBatch(t, slice(0), "g", "v", batchId = Some(0L))
+    PercentileStream.accumulateBatch(t, slice(1), "g", "v", batchId = Some(1L))
+    val once = PercentileStream.percentiles(spark, t, "g", "v", Seq(50))
+      .orderBy("g").collect().toSeq
+    // crash-replay of batch 1 arrives from the UPGRADED (epoch-passing)
+    // binary: must be a no-op, and the record upgrades to the epoch
+    PercentileStream.accumulateBatch(t, slice(1), "g", "v",
+      batchId = Some(1L), epoch = Some("cpU"))
+    assert(PercentileStream.percentiles(spark, t, "g", "v", Seq(50))
+      .orderBy("g").collect().toSeq === once,
+      "legacy record must fence the upgraded caller's replay")
+    // a genuinely new batch from the upgraded caller folds and upgrades
+    PercentileStream.accumulateBatch(t, slice(0), "g", "v",
+      batchId = Some(2L), epoch = Some("cpU"))
+    assert(UpsertSink.foldedFence(spark, t) ===
+      Some(UpsertSink.FoldFence(2L, Some("cpU"))))
+    // the reverse never holds: an epoch-less caller is not fenced by an
+    // epoch-scoped record (it cannot prove the same lineage)
+    assert(!UpsertSink.alreadyFolded(spark, t, 2L))
   }
 
   test("fence: a fresh-checkpoint restart (ids from 0) still lands on the batch oracle") {

@@ -125,6 +125,33 @@ class MultimodalSpec extends SparkSpec {
           Array[Byte](0x52, 0x49, 0x46, 0x46, 0, 0, 0, 0)).isEmpty,
           s"absent $fmt reader must yield None (data, not error)")
     }
+    import spark.implicits._
+    // decodeImage NORMALIZES, so every decode site shares the contract:
+    // a palette GIF through the meta and aHash walks (these read RGB
+    // bands — they crashed on the 1-band index raster before the shared
+    // fix) and through the codec all agree with the PNG truth
+    val gifMedia = Seq(Multimodal.MediaFile(70L, "image", enc("gif"),
+      16, 16, 0L, "image/gif")).toDS()
+    val gifMeta = Multimodal.decodeImageMeta(gifMedia).collect().head
+    assert(gifMeta.decode_ok && gifMeta.width == 16 && gifMeta.height == 16)
+    val pngMeta = Multimodal.decodeImageMeta(Seq(Multimodal.MediaFile(
+      71L, "image", enc("png"), 16, 16, 0L, "image/png")).toDS())
+      .collect().head
+    assert(gifMeta.px_sum == pngMeta.px_sum,
+      "palette expansion must reproduce the gray pixel sums")
+    val gifHash = Multimodal.imageAHash(gifMedia).collect().head
+    assert(gifHash.decode_ok, "aHash must decode palette images")
+    // 16-bit depth: samples up to 65535 would index the 64-bin histogram
+    // out of bounds — the normalization folds deep images to 8-bit RGB
+    val deep = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    (0 until 8).foreach(y => (0 until 8).foreach(x =>
+      deep.getRaster.setSample(x, y, 0, 65535)))
+    val dout = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(deep, "png", dout), "16-bit png writer")
+    val df16 = codec.decodeFeatures(dout.toByteArray, "image")
+    assert(df16(63) == 1.0f,
+      "all-white 16-bit image lands whole mass in the top 8-bit bin")
   }
 
   test("imageio codec swaps into extractFeatures where media bytes are real PNGs") {

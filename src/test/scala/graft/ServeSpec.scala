@@ -560,6 +560,17 @@ class ServeSpec extends SparkSpec {
       "probed server must not serve the hybrid door")
     assert(viaProbed.collect().map(_.toSeq).toSeq ===
       door(None).search(req0).collect().map(_.toSeq).toSeq)
+    // a DENSE-ONLY server cannot serve the lexical leg: the door must
+    // take the job path, not crash per-request inside searchLexical
+    val denseOnly = new graft.serve.MemoryServer(
+      graft.serve.MemoryAnnIndex.fromDataFrame(
+        annAssigned, "vec_id", "embedding", "ivf_cell", annCents), None)
+    val viaDense = door(Some(denseOnly)).search(req0)
+    assert(!viaDense.queryExecution.optimizedPlan.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      "dense-only server must not serve the hybrid door")
+    assert(viaDense.collect().map(_.toSeq).toSeq ===
+      door(None).search(req0).collect().map(_.toSeq).toSeq)
   }
 
   test("searchLexical serves through WAND: == exhaustive TAAT scan bit-for-bit") {
@@ -743,6 +754,12 @@ class ServeSpec extends SparkSpec {
     val e4 = intercept[IllegalArgumentException](
       server.search(req(""","limit":3,"filter":{"@eq":{"label":2.5}}""")))
     assert(e4.getMessage.contains("integral"))
+    // an integral literal OUTSIDE long range (BigIntegerNode) must error,
+    // not asLong()-wrap to the opposite sign (>=2^63 read as >=-2^63
+    // would admit every row)
+    val e5 = intercept[IllegalArgumentException](
+      server.search(req(""","limit":3,"filter":{"@gte":{"label":9223372036854775808}}""")))
+    assert(e5.getMessage.contains("integral"))
     // the legitimate shapes still work
     assert(server.search(req(""","limit":3,"filter":{"@eq":{"tag":"t1"}}"""))
       .contains("results"))
