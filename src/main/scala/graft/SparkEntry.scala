@@ -5544,6 +5544,34 @@ object SparkEntry {
       }
     }),
 
+    // ---- the LEXICAL tier's replica deployment form (the postings twin
+    // of q265's ShardedAnnIndex, closing the gap the 10x serving battery
+    // named): documents hash-shard disjointly, each shard WAND-walks its
+    // own postings slice under the GLOBAL (idf, avgdl) stats, k-bounded
+    // lists merge under (score DESC, id ASC) — bit-identical to the
+    // unsharded walk because a doc's BM25 score depends only on its own
+    // postings plus the global stats. The require pins that per-shard
+    // WAND still actually skipped postings through the fan-out.
+    "q285_sharded_lexical" -> ((s, dir) => {
+      import s.implicits._
+      val docs = rdPar(s, dir, "documents")
+      val postings = graft.operators.Bm25.buildPostings(docs, "doc_id", "text")
+      val stats = docs
+        .select(size(split(col("text"), " ")).cast("long").as("dl"))
+        .agg(sum("dl"), count(lit(1))).head()
+      val avgdl = stats.getLong(0).toDouble / stats.getLong(1).toDouble
+      val dfMap = postings.groupBy("term").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val idfMap = graft.operators.Bm25.idfByTerm(dfMap, stats.getLong(1), s)
+      val sharded = graft.serve.ShardedPostingsIndex.fromDataFrame(
+        postings, "doc_id", idfMap, avgdl, nShards = 4)
+      val (hits, evaluated, skipped) = sharded.searchCounted(
+        Seq("dup", "merge", "sort"), 10)
+      require(skipped > 0 && evaluated < stats.getLong(1),
+        s"sharded WAND lost its pruning (evaluated=$evaluated, skipped=$skipped)")
+      hits.toDF("doc_id", "score")
+    }),
+
     // ---- q276's conservation contract under NULL texts (the corpus has
     // none, so nulls are injected deterministically): a null text can
     // never share a span, but the text-keyed group join of the
@@ -9472,6 +9500,13 @@ object SparkEntry {
         |  CAST(max(n) AS BIGINT) AS n_rows,
         |  count(*) AS n_distinct
         |FROM c GROUP BY 1""".stripMargin,
+
+    // q220's oracle VERBATIM: the shard fan-out + merge changes NOTHING
+    // about the result (disjoint cover, per-doc scores shard-blind under
+    // the global stats, global top-k contained in the shard top-k union)
+    "q285_sharded_lexical" ->
+      s"""SELECT doc_id, score FROM ${bm25ScoredSql(Seq("dup", "merge", "sort"))} s
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     // q276's dedup-first chain over the null-injected corpus, nulls
     // routed around the text-keyed joins and unioned back unflagged

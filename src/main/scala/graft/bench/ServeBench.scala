@@ -182,6 +182,10 @@ object ServeBench {
     // weighting); a trained model would swap the weights, not the path
     val memSparse = graft.serve.MemorySparseIndex.fromDataFrame(
       graft.operators.Sparse.tfVectors(docsRepl, "doc_id", "text"), "doc_id")
+    // the lexical replica fan-out (global idf/avgdl, disjoint doc shards)
+    // — the deployment form for the tiers the 10x battery showed QPS-bound
+    val memShardedLex = graft.serve.ShardedPostingsIndex.fromDataFrame(
+      postings, "doc_id", idfMap, avgdl, nShards = 4)
     val sparseQueries: IndexedSeq[Map[String, Long]] =
       termSets.map(_.zipWithIndex.map { case (t, i) => t -> (i + 1L) }.toMap)
     // freshness tier under churn: every request WRITES one row (upsert
@@ -275,6 +279,14 @@ object ServeBench {
         val n = memSparse
           .topKWand(sparseQueries(qi % sparseQueries.size), 5).length
         require(n == 5, s"memory_sparse returned $n rows")
+      },
+      // lexical fan-out + merge (4 disjoint doc shards, per-shard WAND)
+      // — bit-identical to the single-replica walk; in production each
+      // shard is a replica, so aggregate QPS scales with the fleet
+      "memory_sharded_lex" -> { qi: Int =>
+        val n = memShardedLex
+          .search(termSets(qi % termSets.size), 5).length
+        require(n == 5, s"memory_sharded_lex returned $n rows")
       },
       "search_json" -> { qi: Int =>
         val n = searcher.search(jsonReq(qvecs(qi % qvecs.size), 5)).collect().length

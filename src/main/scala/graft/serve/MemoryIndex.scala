@@ -1073,6 +1073,73 @@ object MemoryPostingsIndex {
   }
 }
 
+/** The sharded serving form of the LEXICAL tier — the postings twin of
+  * [[ShardedAnnIndex]], and the deployment form SCALE.md's 10× serving
+  * battery names: at ~100k docs the single-replica WAND walk holds the
+  * latency target with 4-6× headroom but falls to ~0.4-0.5× of the
+  * reference's 1,000 QPS bar on corpus-common terms; throughput above
+  * one box's postings-walk capacity comes from replica fan-out, which
+  * this class makes testable in one process.
+  *
+  * Documents hash-shard by id ([[ShardedAnnIndex.shardOf]] — disjoint
+  * cover), each shard holds its own postings slice, queries fan out as
+  * per-shard WAND top-k and the k-bounded lists merge under the global
+  * (score DESC, id ASC) order. Merged results are BIT-IDENTICAL to the
+  * unsharded index: a document's BM25 score depends only on ITS OWN
+  * (tf, dl) postings and the GLOBAL (idf, avgdl) statistics — which the
+  * caller must pass from the WHOLE corpus, exactly as a deployment
+  * broadcasts dimension stats to replicas (per-shard recomputed stats
+  * would change every score and break parity) — so each row scores the
+  * same wherever it lives, the cover is disjoint, and the global top-k
+  * is contained in the union of shard top-k's. WAND's pruning is
+  * per-shard and answer-preserving, so the fan-out keeps the skipping.
+  */
+final class ShardedPostingsIndex private[serve] (
+    val shards: Seq[MemoryPostingsIndex]) {
+
+  require(shards.nonEmpty, "ShardedPostingsIndex: no shards")
+  def nShards: Int = shards.length
+
+  /** Fan-out WAND top-k, merged k-bounded. */
+  def search(terms: Seq[String], k: Int): Seq[(Long, Double)] =
+    searchCounted(terms, k)._1
+
+  /** [[search]] plus summed (fullyEvaluatedDocs, skippedPostings) across
+    * shards — the pruning counters, preserved through the fan-out.
+    */
+  def searchCounted(terms: Seq[String], k: Int)
+      : (Seq[(Long, Double)], Long, Long) = {
+    val per = shards.map(_.searchWandCounted(terms, k))
+    val merged = per.flatMap(_._1)
+      .sortBy { case (id, s) => (-s, id) }.take(k)
+    (merged, per.map(_._2).sum, per.map(_._3).sum)
+  }
+}
+
+object ShardedPostingsIndex {
+
+  /** Shard the same postings frame [[MemoryPostingsIndex.fromDataFrame]]
+    * takes. `idf`/`avgdl` MUST be the whole-corpus statistics (see the
+    * class doc — per-shard stats would break bit-parity). Empty shards
+    * are dropped.
+    */
+  def fromDataFrame(postings: DataFrame, idCol: String,
+                    idf: Map[String, Double], avgdl: Double,
+                    nShards: Int,
+                    k1: Double = 1.2, b: Double = 0.75): ShardedPostingsIndex = {
+    require(nShards >= 1, s"nShards $nShards must be >= 1")
+    val n = nShards
+    val shardUdf = udf((id: Long) => ShardedAnnIndex.shardOf(id, n))
+    val tagged = postings.withColumn("__shard", shardUdf(col(idCol).cast("long")))
+    val shards = (0 until nShards).flatMap { sh =>
+      val slice = tagged.where(col("__shard") === sh).drop("__shard")
+      if (slice.isEmpty) None
+      else Some(MemoryPostingsIndex.fromDataFrame(slice, idCol, idf, avgdl, k1, b))
+    }
+    new ShardedPostingsIndex(shards)
+  }
+}
+
 /** A reloading handle over a persisted self-describing index: serves
   * from the memory tier, and when the index is REBUILT in place
   * (`AnnIndexMeta.buildIvfIndex` overwrites the directory and rewrites

@@ -573,6 +573,46 @@ class ServeSpec extends SparkSpec {
       door(None).search(req0).collect().map(_.toSeq).toSeq)
   }
 
+  test("sharded postings tier: fan-out merge == unsharded WAND == TAAT bit-for-bit") {
+    import graft.operators.Bm25
+    import graft.serve.{MemoryPostingsIndex, ShardedPostingsIndex}
+    val lexDocs = Seq.tabulate(150)(i =>
+      (i.toLong, (Seq.fill(i % 4 + 1)("common") ++
+        (if (i % 9 == 0) Seq("rare") else Nil) ++
+        Seq.fill(2)(s"w$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val postings = Bm25.buildPostings(lexDocs, "doc_id", "text")
+      .localCheckpoint(true)
+    val stats = lexDocs
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(sum("dl"), count(lit(1))).head()
+    val avgdl = stats.getLong(0).toDouble / stats.getLong(1).toDouble
+    val dfMap = postings.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = Bm25.idfByTerm(dfMap, stats.getLong(1), spark)
+    val whole = MemoryPostingsIndex.fromDataFrame(postings, "doc_id", idf, avgdl)
+    for (n <- Seq(1, 3, 4, 16)) {
+      val sharded = ShardedPostingsIndex.fromDataFrame(
+        postings, "doc_id", idf, avgdl, nShards = n)
+      // 16 shards over 150 docs: empty slices drop, occupied ones serve
+      assert(sharded.nShards <= n && sharded.nShards >= 1)
+      for (terms <- Seq(Seq("common"), Seq("rare", "common"),
+                        Seq("rare", "w7"), Seq("unknownterm"));
+           k <- Seq(1, 5, 10)) {
+        assert(sharded.search(terms, k) == whole.searchWand(terms, k),
+          s"sharded($n) != unsharded for $terms k=$k")
+        assert(sharded.search(terms, k) == whole.search(terms, k),
+          s"sharded($n) != TAAT for $terms k=$k")
+      }
+    }
+    // pruning survives the fan-out: counters still report skipping
+    val sh4 = ShardedPostingsIndex.fromDataFrame(
+      postings, "doc_id", idf, avgdl, nShards = 4)
+    val (_, evaluated, skipped) = sh4.searchCounted(Seq("rare", "common"), 3)
+    assert(skipped > 0 && evaluated < 150,
+      s"per-shard WAND lost pruning (evaluated=$evaluated, skipped=$skipped)")
+  }
+
   test("searchLexical serves through WAND: == exhaustive TAAT scan bit-for-bit") {
     import graft.operators.Bm25
     val lexDocs = Seq.tabulate(120)(i =>
