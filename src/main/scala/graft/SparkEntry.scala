@@ -5584,6 +5584,81 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       Dedup.substringDupReport(src, "doc_id", "text")
     }),
+
+    // ---- the learned-sparse replica fan-out (q285's rule on the THIRD
+    // tier): documents hash-shard disjointly, each shard WAND-walks its
+    // own postings slice — NO global statistics to broadcast at all
+    // (the sparse dot product is per-document), so the fan-out is the
+    // simplest of the family. Oracle = the exhaustive per-row dot
+    // product; the require proves per-shard pruning still skipped.
+    "q286_sharded_sparse" -> ((s, dir) => {
+      import s.implicits._
+      val docs = rdPar(s, dir, "documents")
+      val sv = graft.operators.Sparse.tfVectors(docs, "doc_id", "text")
+      val sharded = graft.serve.ShardedSparseIndex.fromDataFrame(
+        sv, "doc_id", nShards = 4)
+      val (res, _, skipped) = sharded.topKWandCounted(
+        Map("vector" -> 2L, "dup" -> 1L, "merge" -> 1L), 10)
+      require(skipped > 0L, "q286: sharded WAND pruned nothing — vacuous")
+      res.toDF("doc_id", "score")
+    }),
+
+    // ---- hybrid serving over SHARDED legs (serve/ShardedHybridServer):
+    // q186's fused request where BOTH legs fan out to disjoint doc
+    // shards and the k-bounded lists merge before the local RRF fold —
+    // the deployment form for the tier the 10× battery showed QPS-bound
+    // on its lexical walk. Oracle is q163/q186's SQL verbatim at a
+    // different query vector: the fan-out changes nothing.
+    "q287_sharded_hybrid" -> ((s, dir) => {
+      import s.implicits._
+      val emb = rd(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") =!= 11)
+      val qv = storedVecs(emb, 11).head
+      val cents = Ann.sampleCentroids(corpus, "vec_id", "embedding", 4)
+      val docs = rdPar(s, dir, "documents")
+      val postings = graft.operators.Bm25.buildPostings(docs, "doc_id", "text")
+      val stats = docs
+        .select(size(split(col("text"), " ")).cast("long").as("dl"))
+        .agg(sum("dl"), count(lit(1))).head()
+      val avgdl = stats.getLong(0).toDouble / stats.getLong(1).toDouble
+      val dfMap = postings.groupBy("term").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val idfMap = graft.operators.Bm25.idfByTerm(dfMap, stats.getLong(1), s)
+      val server = new graft.serve.ShardedHybridServer(
+        graft.serve.ShardedAnnIndex.fromDataFrame(
+          Ann.withIvfAssignment(corpus, "embedding", cents),
+          "vec_id", "embedding", "ivf_cell", cents, nShards = 4),
+        graft.serve.ShardedPostingsIndex.fromDataFrame(
+          postings, "doc_id", idfMap, avgdl, nShards = 4))
+      server.searchHybrid(qv, Seq("dup", "merge"), k = 10, poolK = 20)
+        .toDF("id", "rrf")
+    }),
+
+    // ---- temperature-flattened mixing (operators/Mixture
+    // .sampleToTemperature): sample share ∝ n_s^α at the α = 1/2 point —
+    // the one temperature whose weights (⌊√n_s⌋, IEEE sqrt is correctly
+    // rounded) transcribe bit-stably into any engine; head sources
+    // flatten, tail sources boost, membership is the same deterministic
+    // (uniform, id) rank as q268.
+    "q288_mixture_temperature" -> ((s, dir) =>
+      graft.operators.Mixture.sampleToTemperature(rd(s, dir, "documents"),
+        "doc_id", "source", budget = 300L, salt = ":mix")
+        .select("doc_id", "source", "lang")),
+
+    // ---- Matryoshka prefix search (operators/Ann.topKMatryoshka):
+    // candidates rank on the first 16 of 64 coordinates, the 3k pool
+    // reranks under the exact full-dim cosine — the prune-and-rerank
+    // pattern (SQ8/PQ/binary) with dimension truncation as the codec.
+    // Returned scores are the exact full-dim fold; the candidate SET is
+    // the only approximation, and the oracle transcribes BOTH stages.
+    "q289_matryoshka_search" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") =!= 23)
+      val qv = storedVecs(emb, 23).head
+      Ann.topKMatryoshka(corpus, "vec_id", "embedding", qv, k = 8,
+        prefixDim = 16, rerankFactor = 3)
+        .select("vec_id", "score")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -9508,6 +9583,32 @@ object SparkEntry {
       s"""SELECT doc_id, score FROM ${bm25ScoredSql(Seq("dup", "merge", "sort"))} s
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
+    // the exhaustive dot product again — the sparse fan-out must land on
+    // it exactly (no global stats, so nothing can even drift per shard)
+    "q286_sharded_sparse" ->
+      sparseSearchOracleSql(Map("vector" -> 2L, "dup" -> 1L, "merge" -> 1L), 10),
+
+    // q163/q186's oracle VERBATIM at vec_id 11: sharding both legs
+    // changes nothing about the fused result
+    "q287_sharded_hybrid" -> {
+      val cos = cosSql("e.embedding", "q.qv")
+      s"""WITH qd AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 11),
+         |dense AS (
+         |  SELECT e.vec_id AS id, $cos AS score
+         |  FROM embeddings e CROSS JOIN qd q WHERE e.vec_id <> 11
+         |  ORDER BY score DESC, e.vec_id LIMIT 20),
+         |dr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank FROM dense),
+         |lex AS (
+         |  SELECT doc_id, score FROM ${bm25ScoredSql(Seq("dup", "merge"))} s
+         |  ORDER BY score DESC, doc_id LIMIT 20),
+         |lr AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM lex)
+         |SELECT coalesce(dr.id, lr.id) AS id,
+         |  coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(dr.rank AS DOUBLE)), CAST(0 AS DOUBLE))
+         |    + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(lr.rank AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf
+         |FROM dr FULL OUTER JOIN lr ON dr.id = lr.id
+         |ORDER BY rrf DESC, id LIMIT 10""".stripMargin
+    },
+
     // q276's dedup-first chain over the null-injected corpus, nulls
     // routed around the text-keyed joins and unioned back unflagged
     "q284_substring_null_safe" ->
@@ -9560,6 +9661,42 @@ object SparkEntry {
          |    + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(lr.rank AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf
          |FROM dr FULL OUTER JOIN lr ON dr.id = lr.id
          |ORDER BY rrf DESC, id LIMIT 10""".stripMargin
+    },
+
+    // q268's sampling transcription with COMPUTED weights: ⌊√n_s⌋ —
+    // floor∘sqrt over exact-integer doubles is bit-stable (IEEE sqrt is
+    // correctly rounded), so both engines land on the same BIGINT quota
+    "q288_mixture_temperature" -> {
+      val u = uniformSql("d.doc_id", ":mix")
+      s"""WITH c AS (SELECT source, count(*) AS n_in FROM documents
+        |  WHERE source IS NOT NULL GROUP BY 1),
+        |t AS (SELECT source, n_in,
+        |    CAST(floor(sqrt(CAST(n_in AS DOUBLE))) AS BIGINT) AS weight
+        |  FROM c),
+        |sw AS (SELECT sum(weight) AS sumw FROM t),
+        |q AS (SELECT t.source,
+        |    least(t.n_in, (300 * t.weight) // sw.sumw) AS n_keep
+        |  FROM t CROSS JOIN sw),
+        |r AS (SELECT d.doc_id, d.source, d.lang, q.n_keep,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY $u, d.doc_id) AS rn
+        |  FROM documents d JOIN q ON d.source = q.source
+        |  WHERE d.doc_id IS NOT NULL)
+        |SELECT doc_id, source, lang FROM r WHERE rn <= n_keep""".stripMargin
+    },
+
+    // both matryoshka stages transcribed: prefix-cosine candidate pool
+    // (list slices, same pinned fold) then the exact full-dim rerank
+    "q289_matryoshka_search" -> {
+      val pcos = cosSql("e.embedding[1:16]", "q.qv[1:16]")
+      val fcos = cosSql("c.embedding", "q.qv")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 23),
+         |cand AS (SELECT e.vec_id, e.embedding
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 23
+         |  ORDER BY $pcos DESC, e.vec_id LIMIT 24)
+         |SELECT c.vec_id, $fcos AS score
+         |FROM cand c CROSS JOIN q
+         |ORDER BY score DESC, c.vec_id LIMIT 8""".stripMargin
     },
 
     // q29's oracle VERBATIM: routing the request onto the memory tier

@@ -38,11 +38,25 @@ import graft.operators.Ann
   *                  anything not covered falls back to the DataFrame path.
   *                  Results are bit-identical either way (ServeSpec pins
   *                  it) — only the latency differs.
+  * @param ivfFallback optional EXPLICIT recall/latency trade for the
+  *                  job-path fallback of [[search]]: when set, UNCOVERED
+  *                  requests probe only the `nProbe` query-nearest IVF
+  *                  cells (partition pruning on a `partitionBy(cellCol)`
+  *                  layout) instead of the exact flat scan. Covered
+  *                  requests are unaffected (still served exactly from
+  *                  memory), and the typed [[topK]]/[[topKVec]] API stays
+  *                  exact — only the JSON front door's fallback changes,
+  *                  and only because the caller opted in. This is the
+  *                  documented answer to the 10× mixed-workload tail
+  *                  (SCALE.md): at ~100k docs the exact fallback job is
+  *                  p50 ~1.5 s while the probed layout serves in ~0.3 s;
+  *                  a deployment chooses per front door.
   */
 final class SemanticSearch(index: DataFrame, embedder: Embedder,
                            idCol: String = "ID", textCol: String = "EMBED_STR",
                            embCol: String = "EMBEDDING",
-                           memory: Option[graft.serve.MemoryServer] = None) {
+                           memory: Option[graft.serve.MemoryServer] = None,
+                           ivfFallback: Option[SemanticSearch.IvfFallback] = None) {
 
   private val mapper = new ObjectMapper()
 
@@ -98,7 +112,15 @@ final class SemanticSearch(index: DataFrame, embedder: Embedder,
         }
     memoryServed(req, qvec.get, k, cols).getOrElse {
       val filter = FilterDsl.compileRequestFilter(requestJson).getOrElse(lit(true))
-      topKVec(qvec.get, k, filter)
+      // the opted-in approximate fallback: conjoin the IVF cell probe —
+      // with the index persisted partitionBy(cellCol), the isin() is
+      // partition pruning and the fallback job reads ~nProbe/nCells of
+      // the corpus instead of all of it
+      val probed = ivfFallback.map { fb =>
+        val cells = Ann.probeCellsFor(fb.centroids, qvec.get, fb.nProbe)
+        filter && col(fb.cellCol).isin(cells: _*)
+      }.getOrElse(filter)
+      topKVec(qvec.get, k, probed)
         .select(cols.map(c => col(c).cast("string").as(c)): _*)
     }
   }
@@ -162,6 +184,20 @@ final class SemanticSearch(index: DataFrame, embedder: Embedder,
       .select(to_json(struct(col("*"))).as("j"))
       .collect().map(_.getString(0))
     s"""{"results":[${rows.mkString(",")}]}"""
+  }
+}
+
+object SemanticSearch {
+
+  /** The opted-in approximate fallback plan for [[SemanticSearch.search]]
+    * (class doc): `cellCol` is the index's IVF assignment column (persist
+    * the corpus `partitionBy(cellCol)` so the probe is partition
+    * pruning), `centroids` the cell centroids the assignment used,
+    * `nProbe` how many query-nearest cells an uncovered request reads.
+    */
+  final case class IvfFallback(cellCol: String, centroids: Seq[Seq[Float]],
+                               nProbe: Int) {
+    require(nProbe >= 1, s"nProbe $nProbe must be >= 1")
   }
 }
 

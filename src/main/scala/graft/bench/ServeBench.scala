@@ -156,6 +156,13 @@ object ServeBench {
     val searcherRouted = new SemanticSearch(index, HashingTfEmbedder(dim),
       idCol = "vec_id", textCol = "label", embCol = "embedding",
       memory = Some(memExact))
+    // same routed door plus the opted-in IVF fallback: uncovered requests
+    // probe the persisted partitionBy(ivf_cell) layout (nProbe=2 of 16)
+    val searcherRoutedIvf = new SemanticSearch(index, HashingTfEmbedder(dim),
+      idCol = "vec_id", textCol = "label", embCol = "embedding",
+      memory = Some(memExact),
+      ivfFallback = Some(graft.api.SemanticSearch.IvfFallback(
+        "ivf_cell", cents, nProbe = 2)))
     // the hybrid REQUEST front door, routed: both legs + fusion job-free
     // (the job-path twin is the composed "hybrid" cell below). The EXACT
     // server, deliberately: the door only routes onto servesExactDense
@@ -180,12 +187,20 @@ object ServeBench {
       m = 16, efConstruction = 100)
     // learned-sparse tier: the postings ARE the sparse vectors (tf
     // weighting); a trained model would swap the weights, not the path
+    val sparseVecs = graft.operators.Sparse.tfVectors(docsRepl, "doc_id", "text")
+      .localCheckpoint(true)
     val memSparse = graft.serve.MemorySparseIndex.fromDataFrame(
-      graft.operators.Sparse.tfVectors(docsRepl, "doc_id", "text"), "doc_id")
+      sparseVecs, "doc_id")
     // the lexical replica fan-out (global idf/avgdl, disjoint doc shards)
     // — the deployment form for the tiers the 10x battery showed QPS-bound
     val memShardedLex = graft.serve.ShardedPostingsIndex.fromDataFrame(
       postings, "doc_id", idfMap, avgdl, nShards = 4)
+    // the sparse replica fan-out (no global stats at all — see the
+    // ShardedSparseIndex doc) and the hybrid door over BOTH sharded legs
+    val memShardedSparse = graft.serve.ShardedSparseIndex.fromDataFrame(
+      sparseVecs, "doc_id", nShards = 4)
+    val shardedHybrid = new graft.serve.ShardedHybridServer(
+      memSharded, memShardedLex)
     val sparseQueries: IndexedSeq[Map[String, Long]] =
       termSets.map(_.zipWithIndex.map { case (t, i) => t -> (i + 1L) }.toMap)
     // freshness tier under churn: every request WRITES one row (upsert
@@ -288,6 +303,23 @@ object ServeBench {
           .search(termSets(qi % termSets.size), 5).length
         require(n == 5, s"memory_sharded_lex returned $n rows")
       },
+      // learned-sparse fan-out + merge (4 disjoint doc shards, per-shard
+      // WAND over integer dot products) — bit-identical to the
+      // single-replica walk; the sparse twin of memory_sharded_lex
+      "memory_sharded_sparse" -> { qi: Int =>
+        val n = memShardedSparse
+          .topKWand(sparseQueries(qi % sparseQueries.size), 5).length
+        require(n == 5, s"memory_sharded_sparse returned $n rows")
+      },
+      // the hybrid request over SHARDED legs: dense fan-out + lexical
+      // fan-out + local RRF — bit-identical to memory_hybrid on an exact
+      // server (ServeSpec); the deployment form for the hybrid tiers the
+      // 10x battery showed QPS-bound on their lexical walk
+      "memory_sharded_hybrid" -> { qi: Int =>
+        val n = shardedHybrid.searchHybrid(qvecs(qi % qvecs.size),
+          termSets(qi % termSets.size), k = 10, poolK = 20).length
+        require(n == 10, s"memory_sharded_hybrid returned $n rows")
+      },
       "search_json" -> { qi: Int =>
         val n = searcher.search(jsonReq(qvecs(qi % qvecs.size), 5)).collect().length
         require(n == 5, s"search_json returned $n rows")
@@ -316,6 +348,20 @@ object ServeBench {
           else jsonReq(qv, 5)
         val n = searcherRouted.search(req).collect().length
         require(n == 5, s"search_json_mixed returned $n rows")
+      },
+      // the same 90/10 mix with the OPTED-IN approximate fallback
+      // (SemanticSearch.IvfFallback): uncovered requests probe the
+      // persisted IVF layout (partition pruning) instead of paying the
+      // exact flat-scan job — the knob SCALE.md names for the 10x
+      // fallback tail. Covered requests still serve exactly from memory.
+      "search_json_mixed_ivf" -> { qi: Int =>
+        val qv = qvecs(qi % qvecs.size)
+        val req =
+          if (qi % 10 == 0)
+            s"""{"query_vector":[${qv.mkString(",")}],"columns":["vec_id"],"limit":5,"filter":{"@gte":{"vec_id":0}}}"""
+          else jsonReq(qv, 5)
+        val n = searcherRoutedIvf.search(req).collect().length
+        require(n == 5, s"search_json_mixed_ivf returned $n rows")
       },
       // the hybrid REQUEST front door routed: one JSON request, both legs
       // + RRF fusion job-free (the composed job-path twin is "hybrid")
@@ -403,10 +449,21 @@ object ServeBench {
       Level(ls.size, failures.get(), pct(ls, 0.50), pct(ls, 0.95),
         ls.sum / ls.size, ls.size / wall, wall)
     }
+    // optional path subset (comma-separated names): re-measuring one
+    // tier family at an expensive corpus scale must not pay for the
+    // whole battery — merged back into the full JSON by the caller
+    val pathFilter = sys.env.get("SPARK_GRAFT_SERVE_PATHS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    pathFilter.foreach { want =>
+      val known = paths.map(_._1).toSet
+      val unknown = want -- known
+      require(unknown.isEmpty, s"unknown serve paths: ${unknown.mkString(",")}")
+    }
+    val selected = pathFilter.fold(paths)(want => paths.filter(p => want(p._1)))
     // two temporally-separated passes, keep the lower-p50 one per level:
     // the shared host's multi-minute stall windows would otherwise read as
     // engine latency (the Bench.scala min-of-2 rationale)
-    val cells = for { (pname, fire) <- paths; n <- levels } yield (pname, fire, n)
+    val cells = for { (pname, fire) <- selected; n <- levels } yield (pname, fire, n)
     val pass1 = cells.map { case (p, f, n) => runLevel(p, f, n) }
     val pass2 = cells.map { case (p, f, n) => runLevel(p, f, n) }
     val results = cells.zip(pass1.zip(pass2)).map { case ((pname, _, n), (a, b)) =>

@@ -429,6 +429,45 @@ object Ann {
       col(assignCol).isin(cells: _*))
   }
 
+  /** Matryoshka prefix-dimension search (Kusupati et al., "Matryoshka
+    * Representation Learning", NeurIPS'22 — embeddings trained so every
+    * prefix is itself a usable embedding): candidates rank on the FIRST
+    * `prefixDim` coordinates only, then the k·rerankFactor survivors
+    * rerank under the exact full-dimension cosine. Returned scores are
+    * the exact full-dim fold — like every prune-and-rerank tier here
+    * (SQ8/PQ/binary), the candidate SET is the approximation, the
+    * scores never are. With rerankFactor large enough to cover the
+    * corpus this IS [[topK]] (AnnSpec pins it).
+    *
+    * Both stages are `TakeOrderedAndProject` (per-partition heaps, no
+    * global sort); the rerank input is k·rerankFactor rows, driver-
+    * bounded. At 100 TB the point of MRL is that the candidate stage
+    * reads prefixDim/dim of the vector bytes: materialize the prefix as
+    * its OWN column at write time (`withColumn("emb_pfx",
+    * slice(col(emb), 1, d))` before the parquet write) and pass that
+    * frame here — column pruning then keeps the full vectors out of the
+    * candidate scan entirely; the in-plan `slice` below is the
+    * layout-free form the oracle gates.
+    */
+  def topKMatryoshka(corpus: DataFrame, idCol: String, embCol: String,
+                     query: Seq[Float], k: Int, prefixDim: Int,
+                     rerankFactor: Int = 4,
+                     filter: Column = lit(true)): DataFrame = {
+    require(prefixDim >= 1 && prefixDim <= query.size,
+      s"prefixDim $prefixDim out of range 1..${query.size}")
+    require(rerankFactor >= 1, s"rerankFactor $rerankFactor must be >= 1")
+    val qPrefix = query.take(prefixDim)
+    val cand = corpus.where(filter && col(embCol).isNotNull)
+      .withColumn("__graft_pfx",
+        cosineSim(slice(col(embCol), 1, prefixDim), typedlit(qPrefix)))
+      .orderBy(col("__graft_pfx").desc, col(idCol))
+      .limit(k * rerankFactor)
+      .drop("__graft_pfx")
+    cand.withColumn("score", cosineSim(col(embCol), typedlit(query)))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   // ------------------------------------------------------------------ PQ
 
   /** Squared L2 distance between an array<float> column and a literal

@@ -155,4 +155,40 @@ object Mixture {
       .where(col("__graft_cum") <= col("__graft_quota"))
       .drop("__graft_w", "__graft_quota", "__graft_cum")
   }
+
+  /** Temperature-flattened mixture weights — the multilingual-LM mixing
+    * rule (sample share ∝ n_s^α with α < 1: head sources flatten, tail
+    * sources boost), at the one temperature with a BIT-STABLE integer
+    * transcription in any engine: α = 1/2, w_s = ⌊√n_s⌋. IEEE-754
+    * requires sqrt to be correctly rounded, so floor∘sqrt over
+    * exactly-representable integer doubles lands on the same BIGINT in
+    * Spark and in a SQL oracle; a general n^α needs `pow`, which IEEE
+    * does NOT pin to a rounding — a caller wanting another α computes
+    * its own weights (any rule, its own determinism story) and passes
+    * them to [[sampleToMixture]] directly, which is also why this
+    * returns the weights rather than hiding them.
+    *
+    * One bounded per-source count aggregate collects to the driver —
+    * the source alphabet is bounded, the same contract under which
+    * [[quotas]] broadcasts the plan. Sorted by source name so the
+    * returned Seq is deterministic.
+    */
+  def temperatureTargets(df: DataFrame, sourceCol: String): Seq[(String, Long)] =
+    df.where(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> math.sqrt(r.getLong(1).toDouble).toLong)
+      .toSeq.sortBy(_._1)
+
+  /** [[sampleToMixture]] under [[temperatureTargets]]' α = 1/2 weights:
+    * every source present in the data is listed (temperature mixing
+    * reweights the corpus it has — there is no allowlist decision here,
+    * that is [[sampleToMixture]] with explicit targets), quotas follow
+    * k_s = (N·⌊√n_s⌋) div Σ⌊√n⌋, membership is the same deterministic
+    * (uniform, id) rank.
+    */
+  def sampleToTemperature(df: DataFrame, idCol: String, sourceCol: String,
+                          budget: Long, salt: String = ":mix"): DataFrame =
+    sampleToMixture(df, idCol, sourceCol,
+      temperatureTargets(df, sourceCol), budget, salt)
 }

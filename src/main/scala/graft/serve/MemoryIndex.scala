@@ -1140,6 +1140,40 @@ object ShardedPostingsIndex {
   }
 }
 
+/** Hybrid serving over SHARDED legs — the deployment form of
+  * [[MemoryServer.searchHybrid]] for corpora whose per-leg walk exceeds
+  * one replica's capacity (SCALE.md's 10× battery: the lexical leg is
+  * what drops the hybrid tiers below the QPS bar; dense shards already
+  * hold it). Each leg fans out to its own disjoint shard set
+  * ([[ShardedAnnIndex]] exact scan + [[ShardedPostingsIndex]] WAND),
+  * the k-bounded per-shard lists merge per leg, and the two poolK-deep
+  * leg lists fuse locally by reciprocal rank.
+  *
+  * BIT-IDENTICAL to `MemoryServer.searchHybrid` on an exact
+  * (defaultNProbe == 0) server over the same rows: each sharded leg is
+  * bit-identical to its unsharded twin (the two classes' own
+  * contracts), ranks are assigned to identical ordered lists, and the
+  * fusion ([[graft.operators.Bm25.rrfFuseLocal]]) is the same local
+  * fold in the same pinned leg order. ServeSpec pins the equality
+  * across shard counts; the q287 oracle pins it against DuckDB.
+  */
+final class ShardedHybridServer(val dense: ShardedAnnIndex,
+                                val lexical: ShardedPostingsIndex) {
+
+  /** Fused hybrid request: dense + lexical candidate lists (each
+    * `poolK` deep, each a sharded fan-out), RRF-fused. Rank = 1-based
+    * position in each merged leg.
+    */
+  def searchHybrid(qvec: Seq[Float], terms: Seq[String], k: Int,
+                   poolK: Int = 20, c: Int = 60): Seq[(Long, Double)] = {
+    val d = dense.topK(qvec, poolK).zipWithIndex
+      .map { case ((id, _), i) => (id, i + 1) }
+    val l = lexical.search(terms, poolK).zipWithIndex
+      .map { case ((id, _), i) => (id, i + 1) }
+    graft.operators.Bm25.rrfFuseLocal(Seq(d, l), c, k)
+  }
+}
+
 /** A reloading handle over a persisted self-describing index: serves
   * from the memory tier, and when the index is REBUILT in place
   * (`AnnIndexMeta.buildIvfIndex` overwrites the directory and rewrites

@@ -158,3 +158,65 @@ object MemorySparseIndex {
     new MemorySparseIndex(byTerm)
   }
 }
+
+/** The sharded serving form of the LEARNED-SPARSE tier — the third
+  * member of the replica-fan-out family ([[ShardedAnnIndex]] for dense,
+  * [[ShardedPostingsIndex]] for BM25): documents hash-shard disjointly
+  * by id (the same splitmix64 rule), each shard holds its own postings
+  * slice and WAND-walks it independently, and the k-bounded per-shard
+  * lists merge under the global (score DESC, id ASC) order.
+  *
+  * Bit-identity to the unsharded walk is even SIMPLER here than for
+  * BM25: a document's sparse dot product Σ_t w_q(t)·w_d(t) depends only
+  * on its own weights and the query — there are NO corpus statistics at
+  * all, so nothing needs broadcasting to keep shards score-consistent.
+  * Integer arithmetic means no fold-order question either. The cover is
+  * disjoint and the global top-k is contained in the union of shard
+  * top-k's, so the merge is exact. Per-shard WAND upper bounds (each
+  * shard's own maxW table) are valid bounds over that shard's rows, so
+  * the pruning is answer-preserving per shard and the counters sum.
+  */
+final class ShardedSparseIndex private[serve] (
+    val shards: Seq[MemorySparseIndex]) {
+
+  require(shards.nonEmpty, "ShardedSparseIndex: no shards")
+  def nShards: Int = shards.length
+
+  /** Fan-out WAND top-k, merged k-bounded. */
+  def topKWand(query: Map[String, Long], k: Int): Seq[(Long, Long)] =
+    topKWandCounted(query, k)._1
+
+  /** [[topKWand]] plus summed (fullyEvaluatedDocs, skippedPostings)
+    * across shards — the pruning counters, preserved through the
+    * fan-out.
+    */
+  def topKWandCounted(query: Map[String, Long], k: Int)
+      : (Seq[(Long, Long)], Long, Long) = {
+    val per = shards.map(_.topKWandCounted(query, k))
+    val merged = per.flatMap(_._1)
+      .sortBy { case (id, s) => (-s, id) }.take(k)
+    (merged, per.map(_._2).sum, per.map(_._3).sum)
+  }
+}
+
+object ShardedSparseIndex {
+
+  /** Shard the same sparse-vector relation
+    * [[MemorySparseIndex.fromDataFrame]] takes. No global statistics to
+    * thread (see the class doc). Empty shards are dropped.
+    */
+  def fromDataFrame(sparseDocs: DataFrame, idCol: String,
+                    nShards: Int): ShardedSparseIndex = {
+    require(nShards >= 1, s"nShards $nShards must be >= 1")
+    val n = nShards
+    val shardUdf = udf((id: Long) => ShardedAnnIndex.shardOf(id, n))
+    val tagged = sparseDocs
+      .withColumn("__shard", shardUdf(col(idCol).cast("long")))
+    val shards = (0 until nShards).flatMap { sh =>
+      val slice = tagged.where(col("__shard") === sh).drop("__shard")
+      if (slice.isEmpty) None
+      else Some(MemorySparseIndex.fromDataFrame(slice, idCol))
+    }
+    new ShardedSparseIndex(shards)
+  }
+}

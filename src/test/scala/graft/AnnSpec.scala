@@ -31,6 +31,45 @@ class AnnSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
   }
 
+  test("matryoshka: full-coverage rerank == exact topK; scores always the full-dim fold") {
+    val q = Seq.tabulate(12)(j => math.sin(j * 0.7).toFloat)
+    // rerankFactor covering the whole corpus: the candidate stage cannot
+    // lose anything, so the result IS the exact scan
+    val full = Ann.topKMatryoshka(corpus, "id", "emb", q, k = 7,
+        prefixDim = 4, rerankFactor = 40)
+      .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = Ann.topK(corpus, "id", "emb", q, 7)
+      .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.toSeq == exact.toSeq)
+    // modest pool: the result is exactly "full-dim rerank of the
+    // prefix-cosine top-(k·f) pool" — both stages replicated driver-side
+    val got = Ann.topKMatryoshka(corpus, "id", "emb", q, k = 5,
+        prefixDim = 4, rerankFactor = 3)
+      .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val pool = rows.map { case (id, v) =>
+        (id, v, Ann.cosine(v.take(4), q.take(4))) }
+      .sortBy(x => (-x._3, x._1)).take(15)
+    val want = pool.map { case (id, v, _) => (id, Ann.cosine(v, q)) }
+      .sortBy(x => (-x._2, x._1)).take(5)
+    assert(got.toSeq == want.toSeq)
+    // scores are the exact full-dim cosine (never the prefix score)
+    val byId = rows.toMap
+    got.foreach { case (id, s) =>
+      assert(s == Ann.cosine(byId(id), q), s"score of $id is not full-dim") }
+    // contracts
+    intercept[IllegalArgumentException] {
+      Ann.topKMatryoshka(corpus, "id", "emb", q, 5, prefixDim = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.topKMatryoshka(corpus, "id", "emb", q, 5, prefixDim = 13)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.topKMatryoshka(corpus, "id", "emb", q, 5, prefixDim = 4,
+        rerankFactor = 0)
+    }
+  }
+
   test("topKBatch matches per-query topK") {
     val qs = Seq(
       1L -> Seq.fill(12)(0.3f),

@@ -104,6 +104,31 @@ class MixtureSpec extends SparkSpec {
     assert(!ids.contains(1L))
   }
 
+  test("temperature mixing: isqrt weights, flattening vs proportional, == explicit-target path") {
+    // head 100 rows / mid 25 / tail 4 → weights ⌊√n⌋ = 10 / 5 / 2
+    val skewed = ((1L to 100L).map(i => (i, "head")) ++
+      (201L to 225L).map(i => (i, "mid")) ++
+      (301L to 304L).map(i => (i, "tail"))).toDF("id", "src")
+    val w = Mixture.temperatureTargets(skewed, "src")
+    assert(w === Seq("head" -> 10L, "mid" -> 5L, "tail" -> 2L))
+    // the convenience entry IS sampleToMixture under those weights
+    val viaTemp = Mixture.sampleToTemperature(skewed, "id", "src", budget = 34L)
+      .select("id").as[Long].collect().sorted.toSeq
+    val viaExplicit = Mixture.sampleToMixture(skewed, "id", "src", w,
+        budget = 34L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(viaTemp === viaExplicit)
+    // flattening: proportional mixing gives head 100/129 ≈ 78% of the
+    // budget; temperature gives it 10/17 ≈ 59% — the tail's share rises
+    val bySrc = Mixture.sampleToTemperature(skewed, "id", "src", budget = 34L)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc("head") === 20L, "34*10 div 17") // vs 26 proportional
+    assert(bySrc("mid") === 10L, "34*5 div 17")
+    assert(bySrc("tail") === 4L, "34*2 div 17 = 4, capped by n_in=4")
+    // every present source is listed — no allowlist hole in this mode
+    assert(bySrc.keySet === Set("head", "mid", "tail"))
+  }
+
   test("contract checks: empty/duplicate/negative targets, bad budget") {
     intercept[IllegalArgumentException] {
       Mixture.quotas(rows, "src", Seq.empty, 10L)

@@ -508,6 +508,77 @@ class ServeSpec extends SparkSpec {
       jobDoor.search(covered).collect().map(_.toSeq).toSeq)
   }
 
+  test("IVF fallback knob: uncovered requests probe; covered requests stay exact and routed") {
+    import graft.serve.{MemoryAnnIndex, MemoryServer}
+    val tagged = annAssigned
+      .withColumn("txt", concat(lit("doc "), col("vec_id").cast("string")))
+      .localCheckpoint(true)
+    val mem = MemoryAnnIndex.fromDataFrame(tagged, "vec_id", "embedding",
+      "ivf_cell", annCents)
+    val fb = graft.api.SemanticSearch.IvfFallback("ivf_cell", annCents, nProbe = 1)
+    val doorIvf = new SemanticSearch(tagged, HashingTfEmbedder(8),
+      idCol = "vec_id", textCol = "txt", embCol = "embedding",
+      memory = Some(new MemoryServer(mem, None)), ivfFallback = Some(fb))
+    val doorExact = new SemanticSearch(tagged, HashingTfEmbedder(8),
+      idCol = "vec_id", textCol = "txt", embCol = "embedding")
+    def isLocal(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+    def uncoveredReq(q: Seq[Float]) =
+      s"""{"query_vector":[${q.mkString(",")}],"columns":["vec_id","txt"],"limit":6}"""
+    // UNCOVERED (requests the text column): the fallback is the opted-in
+    // probe — exactly Ann.topKIvf's semantics, stringified, for EVERY query
+    annQueries.foreach { q =>
+      val got = doorIvf.search(uncoveredReq(q))
+      assert(!isLocal(got), "uncovered request must take the job path")
+      val want = graft.operators.Ann.topKIvf(tagged, "vec_id", "embedding",
+          "ivf_cell", annCents, q, k = 6, nProbe = 1)
+        .select(col("vec_id").cast("string"), col("txt").cast("string"))
+        .collect().map(_.toSeq).toSeq
+      assert(got.collect().map(_.toSeq).toSeq === want,
+        "IVF fallback drifted from Ann.topKIvf")
+    }
+    // the knob is a REAL trade, shown on a PLANTED boundary case: the
+    // exact best vector lives in the cell the query does NOT probe —
+    // with explicit centroids c0=e1, c1=e2, vector A=(0.8,0.6,..) sits
+    // in cell 0 (cos 0.8 vs 0.6) but the query (0.6,0.8,..) probes only
+    // cell 1 at nProbe=1, where B=(0.1,0.995,..) scores 0.856 < A's 0.96
+    val e = (v: Seq[Float]) => v ++ Seq.fill(6)(0f)
+    val planted = Seq(
+      (1L, "A", e(Seq(0.8f, 0.6f))),
+      (2L, "B", e(Seq(0.1f, 0.995f))),
+      (3L, "C", e(Seq(0.99f, 0.05f))),
+      (4L, "D", e(Seq(0.05f, 0.9f)))).toDF("vec_id", "txt", "embedding")
+    val pCents = Seq(e(Seq(1f, 0f)), e(Seq(0f, 1f)))
+    val pTagged = graft.operators.Ann
+      .withIvfAssignment(planted, "embedding", pCents).localCheckpoint(true)
+    val pDoor = new SemanticSearch(pTagged, HashingTfEmbedder(8),
+      idCol = "vec_id", textCol = "txt", embCol = "embedding",
+      ivfFallback = Some(graft.api.SemanticSearch.IvfFallback(
+        "ivf_cell", pCents, nProbe = 1)))
+    val pExact = new SemanticSearch(pTagged, HashingTfEmbedder(8),
+      idCol = "vec_id", textCol = "txt", embCol = "embedding")
+    val pReq =
+      s"""{"query_vector":[${e(Seq(0.6f, 0.8f)).mkString(",")}],"columns":["vec_id"],"limit":1}"""
+    assert(pExact.search(pReq).collect().map(_.getString(0)).toSeq === Seq("1"),
+      "exact top-1 must be A")
+    assert(pDoor.search(pReq).collect().map(_.getString(0)).toSeq === Seq("2"),
+      "probed top-1 must be B — the trade the caller opted into")
+    // COVERED requests are untouched by the knob: still routed, still
+    // the exact memory tier's rows == the exact job path's
+    val q = annQueries(2)
+    val qvJson = s""""query_vector":[${q.mkString(",")}]"""
+    val covered = s"""{$qvJson,"columns":["vec_id"],"limit":5}"""
+    val viaIvfDoor = doorIvf.search(covered)
+    assert(isLocal(viaIvfDoor), "covered request must still route to memory")
+    assert(viaIvfDoor.collect().map(_.toSeq).toSeq ===
+      doorExact.search(covered).collect().map(_.toSeq).toSeq,
+      "covered requests must stay exact regardless of the fallback knob")
+    intercept[IllegalArgumentException] {
+      graft.api.SemanticSearch.IvfFallback("ivf_cell", annCents, nProbe = 0)
+    }
+  }
+
   test("hybrid front door: routed JSON request == job path bit-for-bit") {
     import graft.operators.Bm25
     val postings = Bm25.buildPostings(lexDocs, "doc_id", "text")
@@ -611,6 +682,48 @@ class ServeSpec extends SparkSpec {
     val (_, evaluated, skipped) = sh4.searchCounted(Seq("rare", "common"), 3)
     assert(skipped > 0 && evaluated < 150,
       s"per-shard WAND lost pruning (evaluated=$evaluated, skipped=$skipped)")
+  }
+
+  test("sharded hybrid server: sharded legs + local RRF == MemoryServer.searchHybrid bit-for-bit") {
+    import graft.operators.Bm25
+    import graft.serve.{MemoryAnnIndex, MemoryPostingsIndex, MemoryServer,
+      ShardedAnnIndex, ShardedHybridServer, ShardedPostingsIndex}
+    // lexical ids overlap the dense corpus (0..149 ⊂ 0..299) so the RRF
+    // fusion actually merges ids seen by both legs
+    val lexDocs = Seq.tabulate(150)(i =>
+      (i.toLong, (Seq.fill(i % 4 + 1)("common") ++
+        (if (i % 9 == 0) Seq("rare") else Nil) ++
+        Seq.fill(2)(s"w$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val postings = Bm25.buildPostings(lexDocs, "doc_id", "text")
+      .localCheckpoint(true)
+    val stats = lexDocs
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(sum("dl"), count(lit(1))).head()
+    val avgdl = stats.getLong(0).toDouble / stats.getLong(1).toDouble
+    val dfMap = postings.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = Bm25.idfByTerm(dfMap, stats.getLong(1), spark)
+    // the unsharded reference: EXACT server (defaultNProbe == 0), the
+    // only form whose hybrid results the sharded server claims
+    val whole = new MemoryServer(
+      MemoryAnnIndex.fromDataFrame(annAssigned, "vec_id", "embedding",
+        "ivf_cell", annCents),
+      Some(MemoryPostingsIndex.fromDataFrame(postings, "doc_id", idf, avgdl)))
+    for (n <- Seq(1, 3, 4)) {
+      val sharded = new ShardedHybridServer(
+        ShardedAnnIndex.fromDataFrame(annAssigned, "vec_id", "embedding",
+          "ivf_cell", annCents, nShards = n),
+        ShardedPostingsIndex.fromDataFrame(postings, "doc_id", idf, avgdl,
+          nShards = n))
+      for (q <- annQueries;
+           terms <- Seq(Seq("common"), Seq("rare", "common"), Seq("rare", "w7"));
+           k <- Seq(3, 10)) {
+        assert(sharded.searchHybrid(q, terms, k, poolK = 20) ==
+          whole.searchHybrid(q, terms, k, poolK = 20),
+          s"sharded($n) hybrid drifted for terms=$terms k=$k")
+      }
+    }
   }
 
   test("searchLexical serves through WAND: == exhaustive TAAT scan bit-for-bit") {

@@ -101,6 +101,45 @@ class SparseSpec extends SparkSpec {
     }
   }
 
+  test("sharded sparse tier: fan-out merge == unsharded WAND == TAAT bit-for-bit") {
+    import graft.serve.ShardedSparseIndex
+    // the same skewed corpus the WAND parity test uses — rare high-weight
+    // term decides θ, common cursor must skip — so the fan-out is probed
+    // under real pruning, not a trivial scan
+    val rng = new scala.util.Random(7)
+    val rows = ((1L to 400L).map(id =>
+      (id, "common", 1L + rng.nextInt(4).toLong)) ++
+      (1L to 400L).filter(_ % 13 == 0).map(id => (id, "rare", 50L)) ++
+      (1L to 400L).filter(_ % 3 == 0).map(id =>
+        (id, "mid", 1L + rng.nextInt(8).toLong))).toDF("doc_id", "term", "w")
+    val whole = MemorySparseIndex.fromDataFrame(rows, "doc_id")
+    val queries = Seq(
+      Map("rare" -> 1L, "common" -> 1L),
+      Map("rare" -> 2L, "mid" -> 1L, "common" -> 1L),
+      Map("common" -> 1L),
+      Map("zz" -> 5L, "mid" -> 3L)) // partially unknown term
+    for (n <- Seq(1, 3, 4, 16)) {
+      val sharded = ShardedSparseIndex.fromDataFrame(rows, "doc_id", nShards = n)
+      assert(sharded.nShards <= n && sharded.nShards >= 1)
+      for (q <- queries; k <- Seq(1, 5, 10, 50)) {
+        assert(sharded.topKWand(q, k) == whole.topKWand(q, k),
+          s"sharded($n) != unsharded WAND for $q k=$k")
+        assert(sharded.topKWand(q, k) == whole.topK(q, k),
+          s"sharded($n) != TAAT for $q k=$k")
+      }
+    }
+    // pruning survives the fan-out; ties keep id order through the merge
+    val sh4 = ShardedSparseIndex.fromDataFrame(rows, "doc_id", nShards = 4)
+    val (res, evaluated, skipped) =
+      sh4.topKWandCounted(Map("rare" -> 1L, "common" -> 1L), 4)
+    assert(res.size == 4 && skipped > 0L,
+      s"per-shard WAND lost pruning (evaluated=$evaluated, skipped=$skipped)")
+    val tieShards = ShardedSparseIndex.fromDataFrame(sv, "doc_id", nShards = 3)
+    assert(tieShards.topKWand(Map("a" -> 2L, "c" -> 1L), 3) ==
+      Seq((1L, 5L), (3L, 5L), (5L, 5L)),
+      "equal scores must keep id order through the shard merge")
+  }
+
   test("memory tier serving edges: unknown-only query empty, k<=0 empty") {
     val mem = MemorySparseIndex.fromDataFrame(sv, "doc_id")
     assert(mem.topK(Map("nope" -> 3L), 5).isEmpty)
