@@ -41,11 +41,19 @@ import graft.serve.MemoryServer
   *               server is approximate, which would silently break the
   *               bit-identity promise, so it never routes (the request
   *               takes the job path instead).
+  * @param sharded the replica-fan-out serving form
+  *               ([[graft.serve.ShardedHybridServer]] — both legs
+  *               sharded, built over the SAME corpus/postings): routed
+  *               onto when no monolithic `memory` covers the request.
+  *               Always exact by construction (exact dense fan-out +
+  *               answer-preserving per-shard WAND), so no probe check
+  *               applies — ServeSpec pins all three routes bit-identical.
   */
 final class HybridSearch(index: DataFrame, idCol: String, embCol: String,
                          postings: DataFrame, postingsIdCol: String,
                          idf: Map[String, Double], avgdl: Double,
-                         memory: Option[MemoryServer] = None) {
+                         memory: Option[MemoryServer] = None,
+                         sharded: Option[graft.serve.ShardedHybridServer] = None) {
 
   private val mapper = new ObjectMapper()
 
@@ -79,9 +87,16 @@ final class HybridSearch(index: DataFrame, idCol: String, embCol: String,
       .map(_.elements().asScala.map(_.asText()).toSeq)
       .getOrElse(throw new IllegalArgumentException(
         "hybrid request needs 'terms' (lexical leg)"))
-    memory.filter(m => m.servesExactDense && m.hasLexical) match {
-      case Some(mem) =>
-        val hits = if (k <= 0) Nil else mem.searchHybrid(qv, terms, k, poolK, c)
+    val served: Option[Seq[(Long, Double)]] =
+      memory.filter(m => m.servesExactDense && m.hasLexical)
+        .map(mem =>
+          if (k <= 0) Seq.empty[(Long, Double)]
+          else mem.searchHybrid(qv, terms, k, poolK, c))
+        .orElse(sharded.map(sh =>
+          if (k <= 0) Seq.empty[(Long, Double)]
+          else sh.searchHybrid(qv, terms, k, poolK, c)))
+    served match {
+      case Some(hits) =>
         val rows = hits.map { case (id, rrf) =>
           org.apache.spark.sql.Row(id, rrf)
         }

@@ -320,6 +320,24 @@ object ServeBench {
           termSets(qi % termSets.size), k = 10, poolK = 20).length
         require(n == 10, s"memory_sharded_hybrid returned $n rows")
       },
+      // ONE shard's per-query work — the fleet-projection cell. The
+      // in-process fan-out rows above walk all shards SEQUENTIALLY on
+      // the same cores, so they cannot show the deployment gain; in the
+      // fleet every query visits every replica IN PARALLEL, each doing
+      // exactly this row's work, so fleet QPS ≈ this row's QPS (the
+      // k-bounded merge is the aggregator's ~µs) and fleet p50 ≈ this
+      // row's p50 + RTT. Requests rotate the probed shard so the cell
+      // averages over slice skew.
+      "memory_lex_shard" -> { qi: Int =>
+        val sh = memShardedLex.shards(qi % memShardedLex.nShards)
+        val n = sh.searchWand(termSets(qi % termSets.size), 5).length
+        require(n == 5, s"memory_lex_shard returned $n rows")
+      },
+      "memory_sparse_shard" -> { qi: Int =>
+        val sh = memShardedSparse.shards(qi % memShardedSparse.nShards)
+        val n = sh.topKWand(sparseQueries(qi % sparseQueries.size), 5).length
+        require(n == 5, s"memory_sparse_shard returned $n rows")
+      },
       "search_json" -> { qi: Int =>
         val n = searcher.search(jsonReq(qvecs(qi % qvecs.size), 5)).collect().length
         require(n == 5, s"search_json returned $n rows")

@@ -86,6 +86,11 @@ object RecallReport {
             graft.operators.Quantize.withBinary(base, "embedding"),
             "vec_id", "embedding", qv, k, rerankFactor = r)),
         1.0)) ++
+      Seq(8, 16, 32).map(d => ("mrl", s"pfx=$d,rerank=4",
+        (base: DataFrame, _: Long, qv: Seq[Float]) =>
+          ids(Ann.topKMatryoshka(base, "vec_id", "embedding", qv, k,
+            prefixDim = d, rerankFactor = 4)),
+        1.0)) ++
       Seq(2, 4, 10, 20).map(ef => ("hnsw", s"ef=${ef}k",
         (_: DataFrame, qid: Long, qv: Seq[Float]) => {
           // the graph contains qid (it may ROUTE the walk — legitimate);
@@ -190,6 +195,14 @@ object RecallReport {
     md ++= "\nBinary = 1-bit sign codes (32× smaller), Hamming prune + exact\n"
     md ++= "rerank; like PQ it reads every row (scan 100%) but 1/32 of the bytes\n"
     md ++= "with an integer-only kernel — its recall curve is the rerank budget.\n"
+    md ++= "MRL = matryoshka prefix-dimension search (Ann.topKMatryoshka):\n"
+    md ++= "candidates rank on the first pfx of 64 coordinates, exact full-dim\n"
+    md ++= "rerank over k·4; reads every row but pfx/64 of the vector bytes in\n"
+    md ++= "the candidate stage (materialize the prefix column at write time for\n"
+    md ++= "the scan cut). NOTE the testdata embeddings are NOT MRL-trained, so\n"
+    md ++= "the isotropic row is the floor of floors — prefixes of an isotropic\n"
+    md ++= "vector carry no privileged mass; trained MRL embeddings concentrate\n"
+    md ++= "information in early dims and sit far above it.\n"
     md ++= "HNSW = the serving-graph tier (m=16, efC=100, deterministic build);\n"
     md ++= "it touches O(M·ef·log n) vectors per query instead of scanning, so\n"
     md ++= "scan-fraction/lift do not apply — its cost axis is ef.\n"
@@ -202,7 +215,17 @@ object RecallReport {
     md ++= "recovers ordering as rerankFactor grows; IVF×PQ inherits the\n"
     md ++= "probe-limited ceiling of its IVF stage. AnnSpec separately proves\n"
     md ++= "every path returns the EXACT top-k under full probe/rerank.\n"
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("RECALL.md"), md.toString)
+    // later sections (the pruning / pool-pressure probes append their own
+    // top-level headings) survive a re-run: only this tool's leading
+    // section — everything before the next "\n# " — is replaced
+    val path = java.nio.file.Paths.get("RECALL.md")
+    val tail =
+      if (java.nio.file.Files.exists(path)) {
+        val cur = java.nio.file.Files.readString(path)
+        val i = cur.indexOf("\n# ", 1)
+        if (i >= 0) cur.substring(i + 1) else ""
+      } else ""
+    java.nio.file.Files.writeString(path, md.toString + "\n" + tail)
     spark.stop()
   }
 }

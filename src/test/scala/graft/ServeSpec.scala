@@ -724,6 +724,32 @@ class ServeSpec extends SparkSpec {
           s"sharded($n) hybrid drifted for terms=$terms k=$k")
       }
     }
+    // the JSON front door routes onto the sharded server too: same
+    // request, LocalRelation plan, rows == the memory route == the job
+    val sh4 = new ShardedHybridServer(
+      ShardedAnnIndex.fromDataFrame(annAssigned, "vec_id", "embedding",
+        "ivf_cell", annCents, nShards = 4),
+      ShardedPostingsIndex.fromDataFrame(postings, "doc_id", idf, avgdl,
+        nShards = 4))
+    def door(m: Option[MemoryServer],
+             s: Option[ShardedHybridServer]) = new graft.api.HybridSearch(
+      annAssigned, "vec_id", "embedding", postings, "doc_id", idf, avgdl,
+      memory = m, sharded = s)
+    def isLocal(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+    val q0 = annQueries.head
+    val req = s"""{"query_vector":[${q0.mkString(",")}],
+      |"terms":["rare","common"],"limit":10,"pool_k":20}""".stripMargin
+    val viaSharded = door(None, Some(sh4)).search(req)
+    assert(isLocal(viaSharded), "sharded server must serve the door job-free")
+    val viaMemory = door(Some(whole), None).search(req)
+    val viaJob = door(None, None).search(req)
+    assert(!isLocal(viaJob))
+    assert(viaSharded.collect().map(_.toSeq).toSeq ===
+      viaMemory.collect().map(_.toSeq).toSeq)
+    assert(viaSharded.collect().map(_.toSeq).toSeq ===
+      viaJob.collect().map(_.toSeq).toSeq)
   }
 
   test("searchLexical serves through WAND: == exhaustive TAAT scan bit-for-bit") {
