@@ -5659,6 +5659,54 @@ object SparkEntry {
         prefixDim = 16, rerankFactor = 3)
         .select("vec_id", "score")
     }),
+
+    // ---- the matryoshka MEMORY tier (serve/MemoryMrlIndex): q289's
+    // two-stage semantics served job-free from a resident prefix array
+    // (prefixDim/dim of the candidate-scan bytes — the SQ8 resident-set
+    // argument with truncation as the codec). Same oracle transcription
+    // at a different query vector; ServeSpec pins bit-parity to the
+    // DataFrame path across k/rerankFactor.
+    "q290_memory_mrl" -> ((s, dir) => {
+      import s.implicits._
+      val emb = rd(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") =!= 29)
+      val qv = storedVecs(emb, 29).head
+      val mem = graft.serve.MemoryMrlIndex.fromDataFrame(
+        corpus, "vec_id", "embedding", prefixDim = 16)
+      mem.topK(qv, k = 8, rerankFactor = 3).toDF("vec_id", "score")
+    }),
+
+    // ---- the DELTA LEXICAL tier (serve/DeltaPostingsIndex): 80% of the
+    // corpus publishes as the immutable base, the held-out 20% STREAMS
+    // in doc-by-doc — and the tier must land on the batch SQL over the
+    // FULL corpus bit-for-bit, because it re-derives the merged
+    // (idf, avgdl) per query instead of serving the stale published
+    // stats (BM25 couples every score to N/df — the hard part of
+    // lexical freshness, and the reason this tier is adds-only: a
+    // delete shifts the stats too, which is exactly a rebuild).
+    "q291_delta_lexical" -> ((s, dir) => {
+      import s.implicits._
+      val docs = rdPar(s, dir, "documents")
+      val baseDocs = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val stats = baseDocs
+        .select(size(split(col("text"), " ")).cast("long").as("dl"))
+        .agg(sum("dl"), count(lit(1))).head()
+      val tier = graft.serve.DeltaPostingsIndex.fromDataFrame(
+        graft.operators.Bm25.buildPostings(baseDocs, "doc_id", "text"),
+        "doc_id", baseN = stats.getLong(1), baseSumDl = stats.getLong(0))
+      // the streaming arrivals (bounded: one lag window of docs)
+      docs.where(pmod(col("doc_id"), lit(5)) === 0)
+        .select("doc_id", "text").collect()
+        .sortBy(_.getLong(0))
+        .foreach(r => tier.addDoc(r.getLong(0), r.getString(1)))
+      // the SERVING read path: WAND over the base under merged stats
+      // (avgdl-free bounds, delta-seeded θ) — and it must still skip
+      val (res, evaluated, skipped) =
+        tier.topKWandCounted(Seq("dup", "stream", "query"), 10)
+      require(skipped > 0L && evaluated < stats.getLong(1),
+        s"q291: delta WAND lost pruning (evaluated=$evaluated, skipped=$skipped)")
+      res.toDF("doc_id", "score")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -9687,17 +9735,18 @@ object SparkEntry {
 
     // both matryoshka stages transcribed: prefix-cosine candidate pool
     // (list slices, same pinned fold) then the exact full-dim rerank
-    "q289_matryoshka_search" -> {
-      val pcos = cosSql("e.embedding[1:16]", "q.qv[1:16]")
-      val fcos = cosSql("c.embedding", "q.qv")
-      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 23),
-         |cand AS (SELECT e.vec_id, e.embedding
-         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 23
-         |  ORDER BY $pcos DESC, e.vec_id LIMIT 24)
-         |SELECT c.vec_id, $fcos AS score
-         |FROM cand c CROSS JOIN q
-         |ORDER BY score DESC, c.vec_id LIMIT 8""".stripMargin
-    },
+    "q289_matryoshka_search" -> matryoshkaOracleSql(23),
+
+    // the same transcription at vec_id 29 — the memory tier changes
+    // nothing about the two-stage result
+    "q290_memory_mrl" -> matryoshkaOracleSql(29),
+
+    // the FULL-corpus batch transcription (q220's shape): the delta tier
+    // streaming in the held-out 20% must land on it exactly — stale
+    // stats would re-rank, so this oracle is the freshness contract
+    "q291_delta_lexical" ->
+      s"""SELECT doc_id, score FROM ${bm25ScoredSql(Seq("dup", "query", "stream"))} s
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     // q29's oracle VERBATIM: routing the request onto the memory tier
     // must change nothing about the result
@@ -9979,6 +10028,22 @@ object SparkEntry {
     * the tokenizer matches [[graft.operators.Sparse.tfVectors]] (split on
     * single space, same as the BM25 twin).
     */
+  /** Both matryoshka stages (q289/q290): prefix-cosine candidate pool
+    * over list slices (same pinned fold as the sliced codegen column),
+    * then the exact full-dim rerank — k=8, prefixDim=16, pool 24.
+    */
+  private def matryoshkaOracleSql(qid: Int): String = {
+    val pcos = cosSql("e.embedding[1:16]", "q.qv[1:16]")
+    val fcos = cosSql("c.embedding", "q.qv")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qid),
+       |cand AS (SELECT e.vec_id, e.embedding
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> $qid
+       |  ORDER BY $pcos DESC, e.vec_id LIMIT 24)
+       |SELECT c.vec_id, $fcos AS score
+       |FROM cand c CROSS JOIN q
+       |ORDER BY score DESC, c.vec_id LIMIT 8""".stripMargin
+  }
+
   private def sparseSearchOracleSql(q: Map[String, Long], k: Int): String = {
     val caseW = q.toSeq.sortBy(_._1).map { case (t, w) => s"WHEN '$t' THEN $w" }
       .mkString("CASE term ", " ", " END")

@@ -181,6 +181,10 @@ object ServeBench {
     val memBinary = graft.serve.MemoryBinaryIndex.fromDataFrame(
       graft.operators.Quantize.withBinary(index, "embedding"),
       "vec_id", "embedding")
+    // matryoshka tier: prefix quarter-dim candidate scan (resident
+    // prefix array = 1/4 the bytes of the flat scan) + exact rerank
+    val memMrl = graft.serve.MemoryMrlIndex.fromDataFrame(
+      index, "vec_id", "embedding", prefixDim = dim / 4)
     val memHnsw = graft.serve.MemoryHnswIndex.build(
       index.select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq,
@@ -212,6 +216,12 @@ object ServeBench {
     val memDeltaRef = new java.util.concurrent.atomic.AtomicReference(
       new graft.serve.DeltaAnnIndex(memDense))
     val deltaSeq = new java.util.concurrent.atomic.AtomicLong(10_000_000L)
+    // the LEXICAL freshness tier under churn: same write-then-read shape,
+    // with the per-query merged-stats re-derivation on the read path
+    val deltaLexRef = new java.util.concurrent.atomic.AtomicReference(
+      graft.serve.DeltaPostingsIndex.fromDataFrame(postings, "doc_id",
+        nLex, sumDl))
+    val deltaLexSeq = new java.util.concurrent.atomic.AtomicLong(20_000_000L)
 
     val paths: Seq[(String, Int => Unit)] = Seq(
       // exact brute-force over the whole memory-resident corpus — the
@@ -266,6 +276,12 @@ object ServeBench {
         val n = memBinary.topK(qvecs(qi % qvecs.size), 5, rerankFactor = 8).length
         require(n == 5, s"memory_binary returned $n rows")
       },
+      // matryoshka prefix scan (quarter-dim resident prefix array — 4x
+      // less candidate-scan bandwidth than memory_search) + exact rerank
+      "memory_mrl" -> { qi: Int =>
+        val n = memMrl.topK(qvecs(qi % qvecs.size), 5, rerankFactor = 4).length
+        require(n == 5, s"memory_mrl returned $n rows")
+      },
       // write-then-read churn over the delta tier: one upsert + one
       // merged search per request (tombstone overscan grows with the
       // churn — the path degrades gracefully until the next publish)
@@ -278,6 +294,18 @@ object ServeBench {
         d.add(seq, qv)
         val n = d.topK(qv, 5).length
         require(n == 5, s"memory_delta_mixed returned $n rows")
+      },
+      // write-then-read churn on the LEXICAL delta tier: one addDoc +
+      // one merged-stats search per request (idf/avgdl re-derive over
+      // base+delta each query — the freshness-honesty cost measured);
+      // a handle swap every 1,000 writes models the publish cadence
+      "memory_delta_lex_mixed" -> { qi: Int =>
+        val seq = deltaLexSeq.incrementAndGet()
+        if (seq % 1000 == 0) deltaLexRef.set(deltaLexRef.get().fresh())
+        val d = deltaLexRef.get()
+        d.addDoc(seq, s"dup stream doc$seq fresh")
+        val n = d.topKWand(termSets(qi % termSets.size), 5).length
+        require(n == 5, s"memory_delta_lex_mixed returned $n rows")
       },
       // HNSW graph walk (m=16, efC=100): O(M·ef·log n) vectors touched
       // per request instead of a scan — the sub-linear serving tier

@@ -47,6 +47,31 @@ object DetMath {
     */
   private val hornerDenoms: Seq[Int] = (Terms - 1 to 0 by -1).map(j => 2 * j + 1)
 
+  // ---- driver side ---------------------------------------------------
+
+  /** Plain-Scala lnDet — the SAME op sequence as [[withLnDet]], for
+    * serving tiers that must recompute idf on the driver without a Spark
+    * job (e.g. [[graft.serve.DeltaPostingsIndex]] re-deriving merged
+    * corpus statistics per query). DetMathSpec pins bit-equality to the
+    * column form over the idf argument domain. Input must satisfy x ≥ 1.
+    */
+  def lnDet(x: Double): Double = {
+    var k = 0
+    var p2 = 1.0
+    // the same descending comparison ladder: first j with x >= 2^j wins
+    var j = MaxK
+    while (k == 0 && j >= 1) {
+      if (x >= exactPow2(j)) { k = j; p2 = exactPow2(j) }
+      j -= 1
+    }
+    val m = x / p2
+    val t = (m - 1.0) / (m + 1.0)
+    val u = t * t
+    var s = 1.0 / hornerDenoms.head.toDouble
+    hornerDenoms.tail.foreach { d => s = s * u + 1.0 / d.toDouble }
+    k.toDouble * Ln2 + 2.0 * t * s
+  }
+
   // ---- Spark side ----------------------------------------------------
 
   /** Adds `outCol` = lnDet(`xCol`) via staged intermediate columns (keeps

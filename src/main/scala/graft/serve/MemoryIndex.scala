@@ -764,6 +764,127 @@ object MemorySq8Index {
   }
 }
 
+/** Matryoshka (MRL) memory index — the prune-and-rerank serving tier
+  * whose codec is DIMENSION TRUNCATION ([[graft.operators.Ann
+  * .topKMatryoshka]]'s memory twin): the first `prefixDim` coordinates
+  * live in their OWN contiguous array — the candidate scan touches
+  * prefixDim/dim of the vector bytes (the same resident-set argument as
+  * [[MemorySq8Index]]'s byte packing: a strided read over the full
+  * array would save nothing) — and the k·rerankFactor survivors rerank
+  * over the full vectors with the exact pinned cosine fold. Results are
+  * bit-identical to `Ann.topKMatryoshka` over the same rows (ServeSpec):
+  * same prefix fold, same (prefix score DESC, id ASC) candidate rule,
+  * same exact rerank order. Like every tier here, the candidate SET is
+  * the approximation — returned scores are always the exact full-dim
+  * fold. Meaningful recall needs MRL-trained embeddings (RECALL.md's
+  * mrl rows measure the untrained floor).
+  */
+final class MemoryMrlIndex private (
+    val dim: Int, val prefixDim: Int,
+    ids: Array[Long], // ascending id
+    prefix: Array[Float], // prefixDim-strided — the candidate-scan bytes
+    vecs: Array[Float]) { // dim-strided — touched only for the rerank pool
+
+  def size: Int = ids.length
+
+  // id -> row, built once (ids are unique by the load contract)
+  private lazy val rowOf: scala.collection.mutable.LongMap[Int] = {
+    val m = scala.collection.mutable.LongMap[Int]()
+    var j = 0
+    while (j < ids.length) { m(ids(j)) = j; j += 1 }
+    m
+  }
+
+  /** Prefix-prune + exact full-dim re-rank. */
+  def topK(query: Seq[Float], k: Int, rerankFactor: Int = 4): Seq[(Long, Double)] = {
+    if (k <= 0) return Nil
+    require(query.length == dim, s"query dim ${query.length} != index dim $dim")
+    require(rerankFactor >= 1, s"rerankFactor $rerankFactor must be >= 1")
+    val q = query.toArray
+    val poolK = k * rerankFactor
+    // candidate heap under (prefix score ASC, id DESC) — head = loser;
+    // ties keep the LOWER id, matching the DataFrame stage's
+    // (pfx DESC, id ASC) TakeOrderedAndProject rule
+    val heap = new java.util.PriorityQueue[(Double, Long)](
+      math.max(poolK, 1),
+      (a: (Double, Long), b: (Double, Long)) => {
+        val c = java.lang.Double.compare(a._1, b._1)
+        if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+      })
+    var r = 0
+    while (r < ids.length) {
+      // same fold as the codegen CosineSimilarity over the SLICED column
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val base = r * prefixDim
+      while (i < prefixDim) {
+        val x = prefix(base + i).toDouble; val y = q(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val s = dot / (math.sqrt(na) * math.sqrt(nb))
+      val cand = (s, ids(r))
+      if (heap.size < poolK) heap.add(cand): Unit
+      else {
+        val worst = heap.peek()
+        val c = java.lang.Double.compare(s, worst._1)
+        if (c > 0 || (c == 0 && cand._2 < worst._2)) {
+          heap.poll(); heap.add(cand): Unit
+        }
+      }
+      r += 1
+    }
+    // exact rerank over the pool (bounded: k·rerankFactor rows)
+    heap.asScala.toSeq.map { case (_, id) =>
+      val row = rowOf(id)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val base = row * dim
+      while (i < dim) {
+        val x = vecs(base + i).toDouble; val y = q(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      (id, dot / (math.sqrt(na) * math.sqrt(nb)))
+    }.sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+}
+
+object MemoryMrlIndex {
+
+  /** Load from an (id, embedding) frame, splitting each vector into the
+    * resident prefix array + the full array at `prefixDim`.
+    */
+  def fromDataFrame(corpus: DataFrame, idCol: String, embCol: String,
+                    prefixDim: Int): MemoryMrlIndex = {
+    val rows = corpus.where(col(embCol).isNotNull)
+      .select(col(idCol).cast("long"), col(embCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "MemoryMrlIndex: empty corpus")
+    val dim = rows.head._2.length
+    require(rows.forall(_._2.length == dim), "MemoryMrlIndex: ragged dims")
+    require(prefixDim >= 1 && prefixDim <= dim,
+      s"prefixDim $prefixDim out of range 1..$dim")
+    val n = rows.length
+    val ids = new Array[Long](n)
+    val prefix = new Array[Float](n * prefixDim)
+    val vecs = new Array[Float](n * dim)
+    var r = 0
+    while (r < n) {
+      val (id, v) = rows(r)
+      ids(r) = id
+      var i = 0
+      while (i < dim) {
+        vecs(r * dim + i) = v(i)
+        if (i < prefixDim) prefix(r * prefixDim + i) = v(i)
+        i += 1
+      }
+      r += 1
+    }
+    new MemoryMrlIndex(dim, prefixDim, ids, prefix, vecs)
+  }
+}
+
 /** PQ (product-quantization) memory index — the HIGH-compression
   * serving form next to [[MemorySq8Index]]: each vector is `m` byte
   * codes (dim 64 / m 8 → 32× smaller than float32), scored by ADC

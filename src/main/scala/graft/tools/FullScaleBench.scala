@@ -162,8 +162,32 @@ object FullScaleBench {
     val line =
       s"""{"metric":"full_scale","shards":$shards,"flagged":$gj,"failed":$fj,"queries":$js}"""
     println(line)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("SCALE10.json"), line + "\n")
+    // a SUBSET run must not clobber the full battery file: splice the
+    // subset's cells into the existing per-query map (string-level, no
+    // JSON dep here) and union the flag/fail lists
+    val outPath = java.nio.file.Paths.get("SCALE10.json")
+    val out =
+      if (only.nonEmpty && java.nio.file.Files.exists(outPath)) {
+        val prev = java.nio.file.Files.readString(outPath).trim
+        // q-then-digit: must NOT match the outer "queries" key itself
+        val qRe = """"(q\d[^"]*)":\{[^}]*\}""".r
+        val prevQ = qRe.findAllMatchIn(prev).map(m => m.group(1) -> m.matched).toSeq
+        val newQ = qRe.findAllMatchIn(js).map(m => m.group(1) -> m.matched).toMap
+        val keptPrev = prevQ.filterNot { case (n, _) => newQ.contains(n) }
+        val mergedQ = (keptPrev ++ newQ.toSeq.sortBy(_._1)).map(_._2)
+          .mkString("{", ",", "}")
+        def list(src: String, key: String): Set[String] = {
+          val m = (s""""$key":\\[([^\\]]*)\\]""").r.findFirstMatchIn(src)
+          m.map(_.group(1).split(",").map(_.trim.stripPrefix("\"")
+            .stripSuffix("\"")).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+        }
+        val fl = (list(prev, "flagged") ++ flagged).toSeq.sorted
+          .map(n => "\"" + n + "\"").mkString("[", ",", "]")
+        val fa = (list(prev, "failed") ++ failed).toSeq.sorted
+          .map(n => "\"" + n + "\"").mkString("[", ",", "]")
+        s"""{"metric":"full_scale","shards":$shards,"flagged":$fl,"failed":$fa,"queries":$mergedQ}"""
+      } else line
+    try java.nio.file.Files.writeString(outPath, out + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }

@@ -819,6 +819,32 @@ class ServeSpec extends SparkSpec {
     assert(tiny.size == 3 && tiny.topK(annQueries.head, 3).size == 3)
   }
 
+  test("memory MRL tier: prefix prune-and-rerank == Ann.topKMatryoshka bit-for-bit") {
+    import graft.operators.Ann
+    val mem = graft.serve.MemoryMrlIndex.fromDataFrame(
+      annCorpus, "vec_id", "embedding", prefixDim = 3)
+    assert(mem.size == 300 && mem.dim == 8 && mem.prefixDim == 3)
+    for (q <- annQueries; k <- Seq(1, 5, 9); f <- Seq(1, 3, 40)) {
+      val want = Ann.topKMatryoshka(annCorpus, "vec_id", "embedding", q,
+          k, prefixDim = 3, rerankFactor = f)
+        .select("vec_id", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(mem.topK(q, k, rerankFactor = f) == want,
+        s"mrl mismatch for k=$k f=$f")
+    }
+    // full-coverage rerank == the exact scan (the candidate stage is the
+    // only approximation)
+    val exact = Ann.topK(annCorpus, "vec_id", "embedding", annQueries.head, 7)
+      .select("vec_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(mem.topK(annQueries.head, 7, rerankFactor = 50) == exact)
+    assert(mem.topK(annQueries.head, 0).isEmpty)
+    intercept[IllegalArgumentException] {
+      graft.serve.MemoryMrlIndex.fromDataFrame(
+        annCorpus, "vec_id", "embedding", prefixDim = 9)
+    }
+  }
+
   test("memory PQ tier: ADC prune-and-rerank == Ann.topKPq bit-for-bit") {
     import graft.operators.Ann
     val books = Ann.pqCodebooks(annCorpus, "vec_id", "embedding",
