@@ -117,6 +117,31 @@ object GraftProps extends Properties("graft") {
       viaSort == viaHeap
     }
 
+  /** The fan-out lemma every sharded tier (ShardedAnnIndex /
+    * ShardedPostingsIndex / ShardedSparseIndex / ShardedHybridServer's
+    * legs) rests on: over a DISJOINT cover of the rows, the k-bounded
+    * merge of per-shard top-k's under (score DESC, id ASC) equals the
+    * global top-k — for any shard count, any k, with score ties
+    * (quantized scores force them). Randomized here over the real
+    * splitmix64 shard rule, so cover-disjointness is the actual
+    * production assignment, not an idealized one.
+    */
+  property("sharded-merge.k-bounded-union-equals-global") =
+    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(0L, 400L), Gen.chooseNum(-20, 20))),
+      Gen.chooseNum(1, 8), Gen.chooseNum(1, 12)) { (rows0, nShards, k) =>
+      val rows = rows0.toMap.toSeq.map { case (id, s) => (id, s / 7.0) }
+      def rank(xs: Seq[(Long, Double)]) =
+        xs.sortBy { case (id, s) => (-s, id) }.take(k)
+      val global = rank(rows)
+      val perShard = (0 until nShards).map(sh => rows.filter { case (id, _) =>
+        graft.serve.ShardedAnnIndex.shardOf(id, nShards) == sh })
+      // the cover is disjoint and complete
+      val cover = perShard.flatMap(_.map(_._1))
+      cover.distinct.lengthCompare(cover.length) == 0 &&
+        cover.toSet == rows.map(_._1).toSet &&
+        rank(perShard.flatMap(rank)) == global
+    }
+
   /** The round-4 TopKAgg threshold fast path: any chunking of the input into
     * partial buffers (reduce folds) merged in any grouping must equal
     * sort-take — including the stale-threshold reject and tie handling
