@@ -497,7 +497,8 @@ object ServeBench {
     }
     // optional path subset (comma-separated names): re-measuring one
     // tier family at an expensive corpus scale must not pay for the
-    // whole battery — merged back into the full JSON by the caller
+    // whole battery — the subset's cells SPLICE into the existing output
+    // file below (the write path), never overwrite it
     val pathFilter = sys.env.get("SPARK_GRAFT_SERVE_PATHS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     pathFilter.foreach { want =>
@@ -521,8 +522,31 @@ object ServeBench {
     val line =
       s"""{"metric":"serve_bench","sf":"$sfDir","docs":$nDocs,"dim":$dim,"replicas":$repl,"per_thread_requests":$perThread,"cpus":$cpus,"results":[${results.mkString(",")}]}"""
     println(line)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outFile), line + "\n")
+    // a PATH-SUBSET run must not clobber the full battery file (the
+    // FullScaleBench rule): splice the re-measured paths' cells into the
+    // existing results array, keeping every other path's cells. The
+    // splice is structural (JsonSplice depth scan), never regex.
+    val outPath = java.nio.file.Paths.get(outFile)
+    val out =
+      if (pathFilter.isDefined && java.nio.file.Files.exists(outPath)) {
+        val want = pathFilter.get
+        val prev = java.nio.file.Files.readString(outPath).trim
+        val prevCells = graft.tools.JsonSplice.elementsOf(
+          graft.tools.JsonSplice.member(prev, "results")
+            .getOrElse(sys.error(s"$outFile has no \"results\" member")))
+        def pathOf(cell: String): String =
+          graft.tools.JsonSplice.member(cell, "path")
+            .getOrElse(sys.error(s"cell without path: ${cell.take(60)}"))
+            .stripPrefix("\"").stripSuffix("\"")
+        val kept = prevCells.filterNot(c => want(pathOf(c)))
+        val mergedResults = graft.tools.JsonSplice.emitArray(kept ++ results)
+        graft.tools.JsonSplice.emitObject(
+          graft.tools.JsonSplice.membersOf(prev).map {
+            case ("results", _) => "results" -> mergedResults
+            case kv => kv
+          })
+      } else line
+    try java.nio.file.Files.writeString(outPath, out + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }

@@ -32,9 +32,12 @@ import graft.functions.DetMath
   * memory tier use, and every float op replays the same pinned
   * sequence.
   *
-  * ADDS-ONLY by contract: `addDoc` appends documents with NEW ids
-  * (re-adding a delta id is rejected; the caller owns "not in base" —
-  * the same single-writer discipline as [[graft.streaming.UpsertSink]]).
+  * ADDS-ONLY by contract: `addDoc` appends documents with NEW ids —
+  * re-adding a delta id OR an id present in the base postings is
+  * rejected (enforced, not just documented: the base id set is kept at
+  * load; the one unguardable case is a base document with empty text,
+  * which has no postings — the same single-writer discipline as
+  * [[graft.streaming.UpsertSink]]).
   * Deletes/updates are deliberately NOT offered: removing a document
   * shifts df/N/avgdl too, which is exactly a rebuild — route them
   * through the periodic publish (the dense tier's tombstones have no
@@ -51,6 +54,7 @@ import graft.functions.DetMath
   */
 final class DeltaPostingsIndex private (
     base: Map[String, Array[(Long, Long, Long)]], // term -> (id, tf, dl)
+    baseIds: Set[Long],
     baseN: Long, baseSumDl: Long,
     k1: Double, b: Double) {
 
@@ -72,12 +76,22 @@ final class DeltaPostingsIndex private (
     * over the old base forgets the delta docs' contribution to N/df.
     */
   def fresh(): DeltaPostingsIndex =
-    new DeltaPostingsIndex(base, baseN, baseSumDl, k1, b)
+    new DeltaPostingsIndex(base, baseIds, baseN, baseSumDl, k1, b)
 
-  /** Append one document — searchable by the next [[topK]] call. */
+  /** Append one document — searchable by the next [[topK]] call.
+    * Rejects ids already in the delta AND ids present in the base
+    * postings: accepting a base id would double-count its score in
+    * [[topK]] and let [[topKWand]] return the same doc_id twice (delta
+    * seed + base walk each offer a heap entry). The base id set comes
+    * from the posting rows at load — a base document with EMPTY text
+    * has no postings and stays the caller's responsibility (it cannot
+    * collide in the heap either: it appears in no posting list).
+    */
   def addDoc(id: Long, text: String): Unit = this.synchronized {
     val d = delta
     require(!d.ids(id), s"id $id already in the delta segment (adds-only)")
+    require(!baseIds(id),
+      s"id $id already in the published base (adds-only; an update is a rebuild)")
     // Spark split(col, " ") keeps trailing empties — replicate with -1
     val toks = text.split(" ", -1)
     val dl = toks.length.toLong
@@ -314,6 +328,7 @@ object DeltaPostingsIndex {
     val byTerm = rows.groupBy(_._1).map { case (t, xs) =>
       t -> xs.map(_._2).sortBy(_._1)
     }
-    new DeltaPostingsIndex(byTerm, baseN, baseSumDl, k1, b)
+    val ids = rows.iterator.map(_._2._1).toSet
+    new DeltaPostingsIndex(byTerm, ids, baseN, baseSumDl, k1, b)
   }
 }

@@ -152,6 +152,15 @@ object MemorySparseIndex {
       .select(col("term"), col(idCol).cast("long"), col("w").cast("long"))
       .collect()
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+    fromRows(rows)
+  }
+
+  /** Build from already-collected (term, (id, w)) rows — the driver-side
+    * partition path [[ShardedSparseIndex.fromDataFrame]] uses so the
+    * input plan evaluates exactly once for the whole fleet.
+    */
+  private[serve] def fromRows(
+      rows: Array[(String, (Long, Long))]): MemorySparseIndex = {
     val byTerm = rows.groupBy(_._1).map { case (t, xs) =>
       t -> xs.map(_._2).sortBy(_._1)
     }
@@ -204,19 +213,25 @@ object ShardedSparseIndex {
   /** Shard the same sparse-vector relation
     * [[MemorySparseIndex.fromDataFrame]] takes. No global statistics to
     * thread (see the class doc). Empty shards are dropped.
+    *
+    * The input plan is evaluated ONCE (a single collect) and the rows
+    * partitioned by the shard rule driver-side — the data is already
+    * driver-bounded by the memory-tier contract, and the earlier
+    * per-shard `isEmpty` + collect pair re-ran the whole upstream plan
+    * 2·nShards times (q286 feeds an uncheckpointed TF aggregation).
     */
   def fromDataFrame(sparseDocs: DataFrame, idCol: String,
                     nShards: Int): ShardedSparseIndex = {
     require(nShards >= 1, s"nShards $nShards must be >= 1")
-    val n = nShards
-    val shardUdf = udf((id: Long) => ShardedAnnIndex.shardOf(id, n))
-    val tagged = sparseDocs
-      .withColumn("__shard", shardUdf(col(idCol).cast("long")))
-    val shards = (0 until nShards).flatMap { sh =>
-      val slice = tagged.where(col("__shard") === sh).drop("__shard")
-      if (slice.isEmpty) None
-      else Some(MemorySparseIndex.fromDataFrame(slice, idCol))
+    val rows = sparseDocs
+      .select(col("term"), col(idCol).cast("long"), col("w").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+    val bySh = rows.groupBy { case (_, (id, _)) =>
+      ShardedAnnIndex.shardOf(id, nShards)
     }
+    val shards = (0 until nShards).flatMap(sh =>
+      bySh.get(sh).map(MemorySparseIndex.fromRows))
     new ShardedSparseIndex(shards)
   }
 }

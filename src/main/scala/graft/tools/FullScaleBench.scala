@@ -163,28 +163,33 @@ object FullScaleBench {
       s"""{"metric":"full_scale","shards":$shards,"flagged":$gj,"failed":$fj,"queries":$js}"""
     println(line)
     // a SUBSET run must not clobber the full battery file: splice the
-    // subset's cells into the existing per-query map (string-level, no
-    // JSON dep here) and union the flag/fail lists
+    // subset's cells into the existing per-query map and union the
+    // flag/fail lists. Structural splice (JsonSplice): member boundaries
+    // found by depth scanning, so a nested value or an err string
+    // containing '}' can never corrupt the merged file — malformed prior
+    // content fails loudly instead.
     val outPath = java.nio.file.Paths.get("SCALE10.json")
     val out =
       if (only.nonEmpty && java.nio.file.Files.exists(outPath)) {
         val prev = java.nio.file.Files.readString(outPath).trim
-        // q-then-digit: must NOT match the outer "queries" key itself
-        val qRe = """"(q\d[^"]*)":\{[^}]*\}""".r
-        val prevQ = qRe.findAllMatchIn(prev).map(m => m.group(1) -> m.matched).toSeq
-        val newQ = qRe.findAllMatchIn(js).map(m => m.group(1) -> m.matched).toMap
+        val prevQ = JsonSplice.membersOf(
+          JsonSplice.member(prev, "queries")
+            .getOrElse(sys.error("SCALE10.json has no \"queries\" member")))
+        val newQ = JsonSplice.membersOf(js).toMap
         val keptPrev = prevQ.filterNot { case (n, _) => newQ.contains(n) }
-        val mergedQ = (keptPrev ++ newQ.toSeq.sortBy(_._1)).map(_._2)
-          .mkString("{", ",", "}")
-        def list(src: String, key: String): Set[String] = {
-          val m = (s""""$key":\\[([^\\]]*)\\]""").r.findFirstMatchIn(src)
-          m.map(_.group(1).split(",").map(_.trim.stripPrefix("\"")
-            .stripSuffix("\"")).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
-        }
-        val fl = (list(prev, "flagged") ++ flagged).toSeq.sorted
-          .map(n => "\"" + n + "\"").mkString("[", ",", "]")
-        val fa = (list(prev, "failed") ++ failed).toSeq.sorted
-          .map(n => "\"" + n + "\"").mkString("[", ",", "]")
+        val mergedQ = JsonSplice.emitObject(keptPrev ++ newQ.toSeq.sortBy(_._1))
+        def list(key: String): Set[String] =
+          JsonSplice.member(prev, key).map(JsonSplice.elementsOf(_)
+            .map(_.stripPrefix("\"").stripSuffix("\"")).toSet)
+            .getOrElse(Set.empty)
+        // queries in this subset were RE-measured: their prior verdicts
+        // are superseded, not unioned (a recovered query must unflag)
+        val fl = JsonSplice.emitArray(
+          ((list("flagged") -- only) ++ flagged).toSeq.sorted
+            .map(n => "\"" + n + "\""))
+        val fa = JsonSplice.emitArray(
+          ((list("failed") -- only) ++ failed).toSeq.sorted
+            .map(n => "\"" + n + "\""))
         s"""{"metric":"full_scale","shards":$shards,"flagged":$fl,"failed":$fa,"queries":$mergedQ}"""
       } else line
     try java.nio.file.Files.writeString(outPath, out + "\n")

@@ -129,6 +129,10 @@ class DeltaPostingsSpec extends SparkSpec {
       "id", baseN, baseSumDl)
     tier.addDoc(42L, "spark table")
     intercept[IllegalArgumentException] { tier.addDoc(42L, "again") }
+    // an id already in the PUBLISHED BASE is rejected too — accepting it
+    // would double-count its score in topK and let topKWand surface the
+    // same doc_id twice (delta seed + base walk each offer a heap entry)
+    intercept[IllegalArgumentException] { tier.addDoc(1L, "spark table") }
     assert(tier.topK(Seq("spark"), 0).isEmpty)
     assert(tier.topK(Seq("zzz"), 5).isEmpty)
     intercept[IllegalArgumentException] {
