@@ -109,9 +109,21 @@ object Dedup {
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
   }
 
-  /** MinHash-LSH candidate pairs: signatures are cut into `bands` bands of
+  /** DIRECT MinHash-LSH candidate pairs — the raw expanded enumeration,
+    * kept as the completeness baseline/demo ([[minHashLshPairs]] is the
+    * default entry now): signatures are cut into `bands` bands of
     * `numHashes / bands` rows each; docs sharing any band hash become a
     * candidate pair. Returns (id_a, id_b, n_shared_bands) with id_a < id_b.
+    *
+    * OUTPUT-PROPORTIONAL by construction: on a replica-dense corpus it
+    * materializes Σ n_a·n_b rows over replica groups — pair volume
+    * quadratic in the replication factor even though every replica of a
+    * text carries the IDENTICAL signature (measured 85.7×/117.6 s at the
+    * 10× battery when this was the default entry; the unified entry's
+    * multiplicity form measures 0.4×). The plan itself is the right one —
+    * the cost IS the output — which is why it survives as the executable
+    * conservation oracle (DedupSpec) and a bounded demo (q292), never as
+    * the production path.
     *
     * Plan shape: scan -> per-row signature -> explode(bands) [xN, no shuffle]
     * -> shuffle on (band, bucket) -> self-join within bucket. Both self-join
@@ -120,9 +132,9 @@ object Dedup {
     * shuffle files — signature sharing without pinning any cache blocks
     * (which a persist here used to leak across long-lived sessions).
     */
-  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      numHashes: Int = 16, bands: Int = 4,
-                      tokensOf: Column => Column = split(_, " ")): DataFrame = {
+  def minHashLshPairsDirect(df: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int = 16, bands: Int = 4,
+                            tokensOf: Column => Column = split(_, " ")): DataFrame = {
     val banded = bandedBuckets(df, idCol, textCol, numHashes, bands, tokensOf)
     val a = banded.as("a")
     val b = banded.as("b")
@@ -133,36 +145,39 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
-  /** Exact-dedup-FIRST MinHash-LSH — the executable ordering rule for
-    * replica-dense corpora (crawl mirrors, template farms, the scale
-    * bench's replicated shards). [[minHashLshPairs]] on such a corpus
-    * pays Σ n_a·n_b over replica groups — pair volume quadratic in the
-    * replication factor even though every replica of a text carries the
-    * IDENTICAL signature and adds zero information. So collapse first:
-    * one hash aggregation keeps the min-id representative and replica
-    * count per exact text, LSH runs over DISTINCT texts only, and the
-    * replica mass returns as integer MULTIPLICITIES, never as
-    * materialized rows:
+  /** MinHash-LSH near-duplicate pairs — exact-dedup-FIRST, the default
+    * entry (the [[substringDupReport]] unification applied here: collapse
+    * exact duplicates INSIDE the operator; the raw expanded enumeration
+    * survives as [[minHashLshPairsDirect]], a bounded demo).
+    *
+    * Why collapse first: the direct form on a replica-dense corpus
+    * (crawl mirrors, template farms, the scale bench's replicated
+    * shards) pays Σ n_a·n_b over replica groups — pair volume quadratic
+    * in the replication factor even though every replica of a text
+    * carries the IDENTICAL signature and adds zero information. So ONE
+    * hash aggregation keeps the min-id representative and replica count
+    * per exact text, LSH runs over DISTINCT texts only, and the replica
+    * mass returns as integer MULTIPLICITIES, never as materialized rows:
     *   - cross-group candidates: (rep_a, rep_b, n_shared_bands,
     *     n_pairs = n_a·n_b) — every (x∈A, y∈B) pair shares exactly the
     *     bands the representatives share (signatures are functions of
     *     the text alone);
     *   - within-group rows: (rep, rep, bands, n·(n−1)/2) — exact
     *     duplicates share ALL bands by construction.
-    * Σ n_pairs equals [[minHashLshPairs]]'s row count on the full
+    * Σ n_pairs equals [[minHashLshPairsDirect]]'s row count on the full
     * corpus exactly (DedupSpec pins this), so callers needing the
     * expanded pair stream can join replica id-lists back on demand —
     * that expansion is OUTPUT-bound by definition, not a compute step.
     */
-  def minHashLshPairsDedupFirst(df: DataFrame, idCol: String,
-                                textCol: String, numHashes: Int = 16,
-                                bands: Int = 4,
-                                tokensOf: Column => Column = split(_, " "))
+  def minHashLshPairs(df: DataFrame, idCol: String,
+                      textCol: String, numHashes: Int = 16,
+                      bands: Int = 4,
+                      tokensOf: Column => Column = split(_, " "))
       : DataFrame = {
     val groups = df.groupBy(col(textCol))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("__n"))
     val counts = groups.select(col(idCol).as("__cid"), col("__n"))
-    val cross = minHashLshPairs(groups.select(col(idCol), col(textCol)),
+    val cross = minHashLshPairsDirect(groups.select(col(idCol), col(textCol)),
         idCol, textCol, numHashes, bands, tokensOf)
       .join(counts.select(col("__cid").as("id_a"), col("__n").as("__na")), "id_a")
       .join(counts.select(col("__cid").as("id_b"), col("__n").as("__nb")), "id_b")
@@ -174,6 +189,17 @@ object Dedup {
         expr("(__n * (__n - 1)) div 2").as("n_pairs"))
     cross.unionByName(within)
   }
+
+  /** Alias of [[minHashLshPairs]] — kept for the callers written while
+    * dedup-first was the opt-in form (the unification made it the
+    * default; q266 pins the name against the same oracle).
+    */
+  def minHashLshPairsDedupFirst(df: DataFrame, idCol: String,
+                                textCol: String, numHashes: Int = 16,
+                                bands: Int = 4,
+                                tokensOf: Column => Column = split(_, " "))
+      : DataFrame =
+    minHashLshPairs(df, idCol, textCol, numHashes, bands, tokensOf)
 
   /** SimHash near-dup candidates: 60-bit simhash split into `chunks` chunks;
     * by pigeonhole, pairs within Hamming distance `chunks - 1` share at least

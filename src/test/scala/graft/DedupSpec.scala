@@ -26,7 +26,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash LSH surfaces the near-duplicate pair, not unrelated docs") {
-    val pairs = Dedup.minHashLshPairs(docs, "id", "text", numHashes = 16, bands = 8)
+    val pairs = Dedup.minHashLshPairsDirect(docs, "id", "text", numHashes = 16, bands = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 5L))) // identical token sets always collide
     assert(pairs.contains((1L, 3L)) || pairs.contains((3L, 5L))) // near-dup likely
@@ -42,10 +42,17 @@ class DedupSpec extends SparkSpec {
     val replicas = Seq(4, 3, 2)
     val dense = base.zip(replicas).flatMap { case ((id, t), n) =>
       (0 until n).map(i => (id + i, t)) }.toDF("id", "text")
-    val got = Dedup.minHashLshPairsDedupFirst(dense, "id", "text",
+    // minHashLshPairs IS the dedup-first form now (round-14 unification);
+    // the DedupFirst name must stay a bit-identical alias
+    val got = Dedup.minHashLshPairs(dense, "id", "text",
         numHashes = 16, bands = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         (r.getLong(2), r.getLong(3))).toMap
+    val viaAlias = Dedup.minHashLshPairsDedupFirst(dense, "id", "text",
+        numHashes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(viaAlias == got, "DedupFirst alias must equal the unified default")
     // within-group rows: min-id rep, all bands shared, C(n,2) pairs
     assert(got((10L, 10L)) == ((8L, 6L)), "4 replicas -> C(4,2)=6 exact pairs")
     assert(got((20L, 20L)) == ((8L, 3L)))
@@ -56,7 +63,7 @@ class DedupSpec extends SparkSpec {
       "unrelated texts must not collide at 16/8 banding")
     // the conservation identity: sum of multiplicities == the row count
     // the quadratic full-corpus pair stream would have materialized
-    val full = Dedup.minHashLshPairs(dense, "id", "text",
+    val full = Dedup.minHashLshPairsDirect(dense, "id", "text",
       numHashes = 16, bands = 8).count()
     assert(got.values.map(_._2).sum == full,
       "dedup-first multiplicities must conserve the full pair stream")
