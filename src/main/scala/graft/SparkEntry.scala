@@ -749,6 +749,68 @@ object SparkEntry {
         rd(s, dir, "documents").where(col("doc_id") < 500),
         "doc_id", "text", numHashes = 16, bands = 2)),
 
+    // ---- GDPR purge PROPAGATED TO THE LEXICAL SERVING TIER — q201/
+    // q202's protocol extended to the memory-resident index (round-14
+    // verdict): a purge on the serving side is a REPUBLISH — amended
+    // postings (rows of purged docs drop, everything else byte-equal) +
+    // stats amended by exact integer subtraction load into a FRESH
+    // handle, and cutover is the O(1) reference swap (the
+    // DeltaPostingsIndex.fresh() rule; latency measured by
+    // tools/RepublishProbe, staleness SLA in SCALE.md). The entry proves
+    // the window's two sides: BEFORE the swap a purged doc is still
+    // servable (probed exhaustively — k = df of one of its own terms, so
+    // absence could not hide in a top-k cutoff), AFTER the swap the same
+    // exhaustive probe surfaces no purged id, and the served ranking
+    // equals the full-rebuild truth (q202's oracle) bit-for-bit.
+    "q293_purge_republish_serve" -> ((s, dir) => {
+      import s.implicits._
+      val docs = rdPar(s, dir, "documents")
+      val postings = graft.operators.Bm25
+        .buildPostings(docs, "doc_id", "text").localCheckpoint(true)
+      val dstats = docs
+        .select(size(split(col("text"), " ")).cast("long").as("dl"))
+        .agg(sum("dl"), count(lit(1))).head()
+      val (sumDl, n) = (dstats.getLong(0), dstats.getLong(1))
+      val dfMap = postings.groupBy("term").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val idf = graft.operators.Bm25.idfByTerm(dfMap, n, s)
+      val avgdl = sumDl.toDouble / n.toDouble
+      val purgedIds = docs.where(col("doc_id") % 13 === 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val purgedSet = purgedIds.toSet
+      val serving = new java.util.concurrent.atomic.AtomicReference(
+        graft.serve.MemoryPostingsIndex.fromDataFrame(
+          postings, "doc_id", idf, avgdl))
+      // probe doc: first purged doc with a real token; probe term: its
+      // first non-empty token; exhaustive k = df(term)
+      val probe = docs
+        .where(col("doc_id") % 13 === 0 && length(col("text")) > 0)
+        .orderBy("doc_id").select("doc_id", "text").head()
+      val (probeId, probeTerm) =
+        (probe.getLong(0), probe.getString(1).split(" ").find(_.nonEmpty).get)
+      val kAll = dfMap(probeTerm).toInt
+      require(serving.get().searchWand(Seq(probeTerm), kAll)
+        .exists(_._1 == probeId),
+        s"q293: purged doc $probeId must be SERVABLE before the swap " +
+          "(the staleness window is real)")
+      // republish: deltas by subtraction -> amended artifact -> fresh
+      // handle -> O(1) cutover
+      val deltas = graft.operators.Forget.lexDeltas(postings, docs,
+        "doc_id", "text", purgedIds)
+      val n2 = n - deltas.docsDropped
+      val avgdl2 = (sumDl - deltas.dlDropped).toDouble / n2.toDouble
+      val idf2 = graft.operators.Bm25.idfByTerm(
+        graft.operators.Forget.updatedDf(dfMap, deltas), n2, s)
+      serving.set(graft.serve.MemoryPostingsIndex.fromDataFrame(
+        graft.operators.Forget.purgePostings(postings, "doc_id", purgedIds),
+        "doc_id", idf2, avgdl2))
+      val postProbe = serving.get().searchWand(Seq(probeTerm), kAll)
+      require(postProbe.nonEmpty && postProbe.forall(r => !purgedSet(r._1)),
+        "q293: a purged doc is still servable after the republish swap")
+      serving.get().searchWand(Seq("dup", "stream"), 10)
+        .toDF("doc_id", "score")
+    }),
+
     "q24_simhash" -> ((s, dir) => {
       rd(s, dir, "documents")
         .select(col("doc_id"), simhash60(split(col("text"), " ")).as("simhash"))
@@ -7412,6 +7474,14 @@ object SparkEntry {
     // corpus: the amended stats (N/Σdl by subtraction, df by
     // subtraction, idf re-derived) must land on the rebuild's bits
     "q202_forget_postings_search" ->
+      s"""SELECT doc_id, score
+         |FROM ${bm25ScoredSql(Seq("dup", "stream"), docCond = "doc_id % 13 <> 0")} s
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // the serving-tier purge protocol lands on the SAME full-rebuild
+    // truth as q202: the memory tier's WAND walk over the amended
+    // artifact under subtraction-amended stats ≡ the rebuild SQL
+    "q293_purge_republish_serve" ->
       s"""SELECT doc_id, score
          |FROM ${bm25ScoredSql(Seq("dup", "stream"), docCond = "doc_id % 13 <> 0")} s
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,

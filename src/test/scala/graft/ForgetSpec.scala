@@ -91,4 +91,79 @@ class ForgetSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(before == after, "purge must not touch surviving docs' rows")
   }
+
+  /** The SERVING-tier purge protocol (q293 / tools/RepublishProbe): a
+    * purge reaches the memory/delta tiers as a REPUBLISH — amended
+    * postings + subtraction-amended stats load into a fresh handle, the
+    * old handle's in-flight delta docs replay onto it (minus any that
+    * were themselves purged), and cutover is the O(1) reference swap.
+    * Before the swap the purged doc is servable (the staleness window is
+    * real — the SLA is the measured republish latency); after, it is
+    * unservable on BOTH the fresh base and the replayed delta view, and
+    * the replayed view equals a fresh rebuild over (remaining ∪ inflight).
+    */
+  test("serving republish: purged doc servable pre-swap, unservable post-swap; in-flight delta replays") {
+    val postings = Bm25.buildPostings(docs, "doc_id", "text").localCheckpoint(true)
+    val dstats = docs.select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(sum("dl"), count(lit(1))).head()
+    val (sumDl, n) = (dstats.getLong(0), dstats.getLong(1))
+    val dfMap = postings.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = Bm25.idfByTerm(dfMap, n, spark)
+    val avgdl = sumDl.toDouble / n.toDouble
+    val serving = new java.util.concurrent.atomic.AtomicReference(
+      graft.serve.MemoryPostingsIndex.fromDataFrame(postings, "doc_id", idf, avgdl))
+    // doc 2 contains 'vector': servable pre-swap at exhaustive k = df
+    assert(serving.get().searchWand(Seq("vector"), dfMap("vector").toInt)
+      .exists(_._1 == 2L), "purged doc must be servable before the swap")
+    // in-flight adds land on the OLD handle's delta during the republish
+    // (one of them is itself on the purge list and must not replay)
+    val oldDelta = graft.serve.DeltaPostingsIndex.fromDataFrame(
+      postings, "doc_id", n, sumDl)
+    oldDelta.addDoc(100L, "vector fresh arrival")
+    oldDelta.addDoc(101L, "dup fresh arrival")
+    val inFlight = Seq((100L, "vector fresh arrival"), (101L, "dup fresh arrival"))
+    val purgedAll = purged :+ 100L
+    // republish: amend, reload, replay, swap
+    val deltas = Forget.lexDeltas(postings, docs, "doc_id", "text", purged)
+    val n2 = n - deltas.docsDropped
+    val sumDl2 = sumDl - deltas.dlDropped
+    val avgdl2 = sumDl2.toDouble / n2.toDouble
+    val idf2 = Bm25.idfByTerm(Forget.updatedDf(dfMap, deltas), n2, spark)
+    val amended = Forget.purgePostings(postings, "doc_id", purged)
+      .localCheckpoint(true)
+    serving.set(graft.serve.MemoryPostingsIndex.fromDataFrame(
+      amended, "doc_id", idf2, avgdl2))
+    val freshDelta = graft.serve.DeltaPostingsIndex.fromDataFrame(
+      amended, "doc_id", n2, sumDl2)
+    inFlight.foreach { case (id, text) =>
+      if (!purgedAll.contains(id)) freshDelta.addDoc(id, text)
+    }
+    // post-swap: no purged id servable on either view, even exhaustively
+    for (term <- dfMap.keys) {
+      val kAll = dfMap(term).toInt + inFlight.size
+      assert(!serving.get().searchWand(Seq(term), kAll)
+        .exists(r => purgedAll.contains(r._1)), s"base serves purged for $term")
+      assert(!freshDelta.topKWand(Seq(term), kAll)
+        .exists(r => purgedAll.contains(r._1)), s"delta serves purged for $term")
+    }
+    // the replayed in-flight doc that was NOT purged is servable
+    assert(freshDelta.topKWand(Seq("fresh"), 5).exists(_._1 == 101L),
+      "surviving in-flight doc must replay onto the fresh handle")
+    // and the replayed view == a fresh rebuild over remaining + in-flight
+    val union = docs.where(!col("doc_id").isin(purged: _*))
+      .select("doc_id", "text")
+      .unionByName(Seq((101L, "dup fresh arrival")).toDF("doc_id", "text"))
+      .localCheckpoint(true)
+    val up = Bm25.buildPostings(union, "doc_id", "text").localCheckpoint(true)
+    val ustats = union.select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(sum("dl"), count(lit(1))).head()
+    val uIdf = Bm25.idfByTerm(up.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap, ustats.getLong(1), spark)
+    val rebuilt = graft.serve.MemoryPostingsIndex.fromDataFrame(up, "doc_id",
+      uIdf, ustats.getLong(0).toDouble / ustats.getLong(1).toDouble)
+    for (terms <- Seq(Seq("dup"), Seq("vector", "stream"), Seq("fresh", "dup")))
+      assert(freshDelta.topKWand(terms, 10) == rebuilt.searchWand(terms, 10),
+        s"replayed delta view != rebuild for $terms")
+  }
 }
