@@ -51,6 +51,16 @@ import graft.operators.Ann
   *                  (SCALE.md): at ~100k docs the exact fallback job is
   *                  p50 ~1.5 s while the probed layout serves in ~0.3 s;
   *                  a deployment chooses per front door.
+  *
+  * ADMISSION DEFAULT for exact-required deployments (no [[ivfFallback]]):
+  * route uncovered collects through a [[FallbackGate]] — a bounded fair
+  * semaphore + dedicated FAIR pool, so a fallback burst queues instead
+  * of multiplying full-scan jobs, and covered traffic (job-free, memory
+  * tier) keeps its cores. [[searchRouted]] exposes the route bit the
+  * gate needs; ServeBench's `search_json_mixed_admitted` /
+  * `search_json_covered_under_burst` rows measure both sides of the
+  * claim at the 10× corpus (SCALE.md §round-14). The semantics contract
+  * stays EXACT by default — approximation remains the per-door opt-in.
   */
 final class SemanticSearch(index: DataFrame, embedder: Embedder,
                            idCol: String = "ID", textCol: String = "EMBED_STR",
@@ -93,7 +103,17 @@ final class SemanticSearch(index: DataFrame, embedder: Embedder,
     * analog, `02:204-227`; this is also the deterministic path the driver
     * oracle exercises, since text scores are embedder-relative).
     */
-  def search(requestJson: String): DataFrame = {
+  def search(requestJson: String): DataFrame = searchRouted(requestJson)._1
+
+  /** [[search]] plus the ROUTE taken: `true` = the memory tier covered
+    * the request and the returned frame is a driver-local relation
+    * (collecting runs no job); `false` = collecting runs a Spark job
+    * (the exact flat scan, or the IVF probe when [[ivfFallback]] is
+    * set). A deployment that must stay exact routes the uncovered
+    * collect through a [[FallbackGate]] — the documented admission
+    * default (class doc; measured in ServeBench's `*_admitted` rows).
+    */
+  def searchRouted(requestJson: String): (DataFrame, Boolean) = {
     val req = mapper.readTree(requestJson)
     val k = Option(req.get("limit")).map(_.asInt()).getOrElse(5)
     val cols: Seq[String] = Option(req.get("columns"))
@@ -110,7 +130,7 @@ final class SemanticSearch(index: DataFrame, embedder: Embedder,
               "request needs 'query' or 'query_vector'"))
           Some(embedder.embed(query).toSeq)
         }
-    memoryServed(req, qvec.get, k, cols).getOrElse {
+    memoryServed(req, qvec.get, k, cols).map((_, true)).getOrElse {
       val filter = FilterDsl.compileRequestFilter(requestJson).getOrElse(lit(true))
       // the opted-in approximate fallback: conjoin the IVF cell probe —
       // with the index persisted partitionBy(cellCol), the isin() is
@@ -120,8 +140,8 @@ final class SemanticSearch(index: DataFrame, embedder: Embedder,
         val cells = Ann.probeCellsFor(fb.centroids, qvec.get, fb.nProbe)
         filter && col(fb.cellCol).isin(cells: _*)
       }.getOrElse(filter)
-      topKVec(qvec.get, k, probed)
-        .select(cols.map(c => col(c).cast("string").as(c)): _*)
+      (topKVec(qvec.get, k, probed)
+        .select(cols.map(c => col(c).cast("string").as(c)): _*), false)
     }
   }
 

@@ -508,6 +508,71 @@ class ServeSpec extends SparkSpec {
       jobDoor.search(covered).collect().map(_.toSeq).toSeq)
   }
 
+  /** The exact-required deployment's admission story (round-14): the
+    * door exposes the route bit, and the gate bounds concurrent
+    * fallback jobs while scoping them to the dedicated FAIR pool —
+    * covered traffic never queues behind a fallback burst.
+    */
+  test("searchRouted route bit + FallbackGate: bounded, pool-scoped, exception-safe") {
+    import graft.serve.{MemoryAnnIndex, MemoryServer}
+    val tagged = annAssigned
+      .withColumn("txt", concat(lit("doc "), col("vec_id").cast("string")))
+      .localCheckpoint(true)
+    val mem = MemoryAnnIndex.fromDataFrame(tagged, "vec_id", "embedding",
+      "ivf_cell", annCents)
+    val door = new SemanticSearch(tagged, HashingTfEmbedder(8),
+      idCol = "vec_id", textCol = "txt", embCol = "embedding",
+      memory = Some(new MemoryServer(mem, None)))
+    val q = annQueries(0)
+    val qvJson = s""""query_vector":[${q.mkString(",")}]"""
+    // route bit: covered -> (local relation, true); uncovered -> (job, false)
+    val (cov, covBit) = door.searchRouted(
+      s"""{$qvJson,"columns":["vec_id"],"limit":5}""")
+    assert(covBit && cov.queryExecution.optimizedPlan.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val uncoveredReq =
+      s"""{$qvJson,"columns":["vec_id"],"limit":5,"filter":{"@gte":{"vec_id":0}}}"""
+    val (unc, uncBit) = door.searchRouted(uncoveredReq)
+    assert(!uncBit && !unc.queryExecution.optimizedPlan.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    // searchRouted._1 is exactly search()
+    assert(unc.collect().map(_.toSeq).toSeq ===
+      door.search(uncoveredReq).collect().map(_.toSeq).toSeq)
+
+    val gate = new graft.api.FallbackGate("graft-fallback", maxConcurrent = 2)
+    // admitted collect: results identical, pool property scoped + restored
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "caller-pool")
+    try {
+      val inGate = gate.admit(spark) {
+        assert(spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+          == "graft-fallback", "admitted body must run in the gate's pool")
+        door.search(uncoveredReq).collect().map(_.toSeq).toSeq
+      }
+      assert(spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+        == "caller-pool", "caller's pool must be restored")
+      assert(inGate === unc.collect().map(_.toSeq).toSeq)
+    } finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+    // bounded: 6 concurrent admits never exceed 2 in flight
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ts = (0 until 6).map { _ =>
+      val t = new Thread(() => gate.admit(spark) {
+        val a = active.incrementAndGet()
+        maxSeen.updateAndGet(m => math.max(m, a)): Unit
+        Thread.sleep(50)
+        active.decrementAndGet(): Unit
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    assert(maxSeen.get() <= 2, s"gate admitted ${maxSeen.get()} concurrently")
+    // exception-safe: the permit releases and the pool restores
+    intercept[RuntimeException](gate.admit(spark) { sys.error("boom") })
+    assert(spark.sparkContext.getLocalProperty("spark.scheduler.pool") == null)
+    assert(gate.admit(spark)(42) == 42, "permit must release after a failure")
+    intercept[IllegalArgumentException](new graft.api.FallbackGate("p", 0))
+  }
+
   test("IVF fallback knob: uncovered requests probe; covered requests stay exact and routed") {
     import graft.serve.{MemoryAnnIndex, MemoryServer}
     val tagged = annAssigned
