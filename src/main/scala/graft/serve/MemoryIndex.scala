@@ -1187,6 +1187,18 @@ object MemoryPostingsIndex {
         col("dl").cast("long"))
       .collect()
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    fromRows(rows, idf, avgdl, k1, b)
+  }
+
+  /** Build from already-collected (term, (id, tf, dl)) rows — the
+    * driver-side partition path [[ShardedPostingsIndex.fromDataFrame]]
+    * uses (one input evaluation for the whole fleet) and the Spark-free
+    * loader [[graft.tools.FleetShardServer]] uses.
+    */
+  private[graft] def fromRows(rows: Array[(String, (Long, Long, Long))],
+                              idf: Map[String, Double], avgdl: Double,
+                              k1: Double = 1.2,
+                              b: Double = 0.75): MemoryPostingsIndex = {
     val byTerm = rows.groupBy(_._1).map { case (t, xs) =>
       t -> xs.map(_._2).sortBy(_._1)
     }
@@ -1249,14 +1261,19 @@ object ShardedPostingsIndex {
                     nShards: Int,
                     k1: Double = 1.2, b: Double = 0.75): ShardedPostingsIndex = {
     require(nShards >= 1, s"nShards $nShards must be >= 1")
-    val n = nShards
-    val shardUdf = udf((id: Long) => ShardedAnnIndex.shardOf(id, n))
-    val tagged = postings.withColumn("__shard", shardUdf(col(idCol).cast("long")))
-    val shards = (0 until nShards).flatMap { sh =>
-      val slice = tagged.where(col("__shard") === sh).drop("__shard")
-      if (slice.isEmpty) None
-      else Some(MemoryPostingsIndex.fromDataFrame(slice, idCol, idf, avgdl, k1, b))
+    // ONE evaluation of the input plan, partitioned driver-side by the
+    // shard rule (the ShardedSparseIndex fix: per-shard isEmpty+collect
+    // re-ran the whole upstream plan 2·nShards times)
+    val rows = postings
+      .select(col("term"), col(idCol).cast("long"), col("tf").cast("long"),
+        col("dl").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    val bySh = rows.groupBy { case (_, (id, _, _)) =>
+      ShardedAnnIndex.shardOf(id, nShards)
     }
+    val shards = (0 until nShards).flatMap(sh =>
+      bySh.get(sh).map(MemoryPostingsIndex.fromRows(_, idf, avgdl, k1, b)))
     new ShardedPostingsIndex(shards)
   }
 }

@@ -159,7 +159,7 @@ object MemorySparseIndex {
     * partition path [[ShardedSparseIndex.fromDataFrame]] uses so the
     * input plan evaluates exactly once for the whole fleet.
     */
-  private[serve] def fromRows(
+  private[graft] def fromRows(
       rows: Array[(String, (Long, Long))]): MemorySparseIndex = {
     val byTerm = rows.groupBy(_._1).map { case (t, xs) =>
       t -> xs.map(_._2).sortBy(_._1)

@@ -1,0 +1,142 @@
+package graft.tools
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
+import java.net.{ServerSocket, Socket}
+
+import graft.serve.{MemoryAnnIndex, MemoryPostingsIndex, MemorySparseIndex}
+
+/** ONE shard of the serving fleet, as a real separate process — the
+  * r13 verdict's ask: the in-process `Sharded*Index` rows measure merge
+  * correctness, not deployment (shards walk sequentially on shared
+  * cores, no RPC hop, no serialization); this server makes the fleet
+  * projection a measurement. [[FleetBench]] spawns N of these (plain
+  * JVMs, no Spark — the shard slices arrive as flat binary files the
+  * parent wrote), fans every query out over persistent TCP connections, and
+  * merges k-bounded responses — so the measured latency INCLUDES
+  * serialization, the socket hop, and the max-over-shards tail.
+  *
+  * Protocol (DataInput/DataOutput over one persistent connection,
+  * request → response, client-paced):
+  *   op 0 lex:    int k, int nTerms, UTF*            → int n, (long id, double score)*
+  *   op 1 sparse: int k, int n, (UTF term, long w)*  → int n, (long id, long score)*
+  *   op 2 dense:  int k, int dim, float*             → int n, (long id, double score)*
+  *   op 3 hybrid: int poolK, int dim, float*,
+  *                int nTerms, UTF*                   → dense list + lex list (as above)
+  *   op 255: shutdown the process.
+  *
+  * Per-shard work is EXACTLY what the in-process shard objects do
+  * (same index classes, same WAND walks), so fleet results stay
+  * bit-identical to the in-process fan-out — FleetBench cross-checks
+  * that during warm-up.
+  *
+  * Usage: java -cp <classes+scala> graft.tools.FleetShardServer <workDir> <shardId>
+  * Binds an ephemeral port and prints "READY <port>" on stdout.
+  */
+object FleetShardServer {
+
+  def loadLex(path: String): (MemoryPostingsIndex, Map[String, Double]) = {
+    val in = new DataInputStream(new BufferedInputStream(
+      new java.io.FileInputStream(path)))
+    try {
+      val avgdl = in.readDouble()
+      val nIdf = in.readInt()
+      val idf = (0 until nIdf).map(_ => in.readUTF() -> in.readDouble()).toMap
+      val nRows = in.readInt()
+      val rows = Array.fill(nRows)(
+        (in.readUTF(), (in.readLong(), in.readLong(), in.readLong())))
+      (MemoryPostingsIndex.fromRows(rows, idf, avgdl), idf)
+    } finally in.close()
+  }
+
+  def loadSparse(path: String): MemorySparseIndex = {
+    val in = new DataInputStream(new BufferedInputStream(
+      new java.io.FileInputStream(path)))
+    try {
+      val nRows = in.readInt()
+      val rows = Array.fill(nRows)((in.readUTF(), (in.readLong(), in.readLong())))
+      MemorySparseIndex.fromRows(rows)
+    } finally in.close()
+  }
+
+  def loadDense(path: String): MemoryAnnIndex = {
+    val in = new DataInputStream(new BufferedInputStream(
+      new java.io.FileInputStream(path)))
+    try {
+      val dim = in.readInt()
+      val n = in.readInt()
+      val rows = (0 until n).map { _ =>
+        val id = in.readLong()
+        val v = Array.fill(dim)(in.readFloat()).toSeq
+        (id, v, 0) // single cell: the flat exact scan (topK scans all cells)
+      }
+      MemoryAnnIndex.fromRows(rows, centroids = Seq(rows.head._2))
+    } finally in.close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(workDir, shardIdS) = args.take(2)
+    val shardId = shardIdS.toInt
+    val (lex, _) = loadLex(s"$workDir/lex_shard_$shardId.bin")
+    val sparse = loadSparse(s"$workDir/sparse_shard_$shardId.bin")
+    val dense = loadDense(s"$workDir/dense_shard_$shardId.bin")
+    val ss = new ServerSocket(0, 128)
+    // the parent parses this line for the ephemeral port
+    println(s"READY ${ss.getLocalPort}")
+    System.out.flush()
+
+    def writeList(out: DataOutputStream, xs: Seq[(Long, Double)]): Unit = {
+      out.writeInt(xs.length)
+      xs.foreach { case (id, s) => out.writeLong(id); out.writeDouble(s) }
+    }
+
+    def serve(sock: Socket): Unit = {
+      sock.setTcpNoDelay(true)
+      val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+      val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+      try {
+        while (true) {
+          val op = in.readUnsignedByte()
+          op match {
+            case 0 =>
+              val k = in.readInt()
+              val terms = Seq.fill(in.readInt())(in.readUTF())
+              writeList(out, lex.searchWand(terms, k))
+            case 1 =>
+              val k = in.readInt()
+              val q = Seq.fill(in.readInt())(in.readUTF() -> in.readLong()).toMap
+              val hits = sparse.topKWand(q, k)
+              out.writeInt(hits.length)
+              hits.foreach { case (id, s) => out.writeLong(id); out.writeLong(s) }
+            case 2 =>
+              val k = in.readInt()
+              val qv = Seq.fill(in.readInt())(in.readFloat())
+              writeList(out, dense.topK(qv, k))
+            case 3 =>
+              val poolK = in.readInt()
+              val qv = Seq.fill(in.readInt())(in.readFloat())
+              val terms = Seq.fill(in.readInt())(in.readUTF())
+              writeList(out, dense.topK(qv, poolK))
+              writeList(out, lex.searchWand(terms, poolK))
+            case 255 =>
+              out.flush(); sock.close(); System.exit(0)
+            case other =>
+              throw new IllegalStateException(s"unknown op $other")
+          }
+          out.flush()
+        }
+      } catch {
+        case _: EOFException => sock.close() // client hung up: done
+        case e: java.net.SocketException =>
+          sock.close()
+          System.err.println(s"[shard $shardId] ${e.getMessage}")
+      }
+    }
+
+    while (true) {
+      val sock = ss.accept()
+      val t = new Thread(() => serve(sock))
+      t.setDaemon(true)
+      t.start()
+    }
+  }
+}
