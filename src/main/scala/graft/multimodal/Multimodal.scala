@@ -16,11 +16,17 @@ import org.apache.spark.sql.functions._
   * PNG/JPEG/GIF/BMP/TIFF/WBMP (MultimodalSpec probes and exercises them),
   * and a deployment dropping a WebP/JPEG2000 plugin (e.g. TwelveMonkeys)
   * on the classpath extends the set without touching this file.
-  * UNCOMPRESSED AUDIO decodes for real too: WAV/AIFF byte→PCM
-  * samples run `javax.sound.sampled` (see `decodeAudioMeta` below), and
-  * MP4/MKV CONTAINER metadata (duration, track geometry) parses for real,
-  * dependency-free. The only remaining stub is the COMPRESSED-codec
-  * sample decode (MP3/AAC/H.264 — no codecs ship in this environment):
+  * AUDIO decodes for real too: WAV/AIFF byte→PCM samples run
+  * `javax.sound.sampled` (see `decodeAudioMeta` below), and COMPRESSED
+  * audio is SPI-DISCOVERED the same way images are ([[decodeAudio]]):
+  * the stock JDK's FormatConversionProviders expand the G.711 companded
+  * codecs (μ-law/A-law — real lossy codecs, pinned against an
+  * independent expansion table in MultimodalSpec), and an MP3/OGG SPI
+  * plugin joins the same path with zero new code (probed absent on this
+  * JDK, documented like WebP). MP4/MKV CONTAINER metadata (duration,
+  * track geometry) parses for real, dependency-free. The remaining stub
+  * is compressed VIDEO sample decode plus audio codecs with no installed
+  * SPI (AAC/MP3 here — no codec ships in this environment):
   * [[StubCodec]] derives deterministic pseudo-features from those bytes.
   * Everything Spark-side — schema, partition batching, feature shapes,
   * frame sampling, resize bookkeeping — is real and tested; swapping in a
@@ -281,6 +287,75 @@ object Multimodal {
       case _: java.io.IOException => None
     }
 
+  /** SPI-discovered COMPRESSED-audio decode — the round-14 seam-opening
+    * (the image side's plugin-discovery pattern applied to audio): a
+    * payload whose container parses but whose encoding is NOT raw PCM
+    * asks `javax.sound.sampled.AudioSystem` for a FormatConversionProvider
+    * to 16-bit signed PCM. On the stock JDK that serves the G.711
+    * companded codecs — μ-law and A-law WAV/AU payloads decode to REAL
+    * expanded PCM (MultimodalSpec pins the expansion against an
+    * independently-built G.711 table) — and an MP3/OGG SPI plugin on the
+    * classpath joins the same path with zero new code (probed and
+    * documented absent on this JDK, the webp/jp2 precedent). PCM
+    * payloads take [[decodeWav]] unchanged (q101's byte-exact gate).
+    * A non-PCM payload with no discovered converter returns None —
+    * decode_ok=false data, never an exception.
+    */
+  def decodeAudio(bytes: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Array[Int])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val probe = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt0 = probe.getFormat
+      val enc = fmt0.getEncoding
+      if (enc == AudioFormat.Encoding.PCM_SIGNED ||
+        enc == AudioFormat.Encoding.PCM_UNSIGNED) decodeWav(bytes)
+      else {
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          fmt0.getSampleRate, 16, fmt0.getChannels, 2 * fmt0.getChannels,
+          fmt0.getSampleRate, false)
+        if (!AudioSystem.isConversionSupported(target, fmt0)) None
+        else {
+          val pcm = AudioSystem.getAudioInputStream(target, probe)
+          val raw = pcm.readAllBytes()
+          val n = raw.length / 2
+          val out = new Array[Int](n)
+          var k = 0
+          while (k < n) {
+            val lo = raw(2 * k) & 0xff
+            val hi = raw(2 * k + 1)
+            out(k) = ((hi << 8) | lo).toShort.toInt
+            k += 1
+          }
+          Some((pcm.getFormat, out))
+        }
+      }
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+      case _: IllegalArgumentException => None // converter refused mid-probe
+    }
+  }
+
+  /** The compressed encodings a decode of `mime` would need, probed
+    * against the INSTALLED FormatConversionProviders — the documented
+    * discovery step: stock JDK converts ULAW/ALAW; MP3/OGG appear here
+    * iff a plugin jar is on the classpath.
+    */
+  def audioConversionSupported(encodingName: String): Boolean = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val enc = encodingName.toUpperCase match {
+      case "ULAW" => AudioFormat.Encoding.ULAW
+      case "ALAW" => AudioFormat.Encoding.ALAW
+      case other => new AudioFormat.Encoding(other) // e.g. MPEG1L3, VORBIS
+    }
+    val src = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+    AudioSystem.isConversionSupported(
+      new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2,
+        8000f, false), src)
+  }
+
   /** Per-audio decoded truth: REAL format fields and integer PCM stats
     * from the codec, not the claimed metadata. */
   case class AudioMeta(media_id: Long, sample_rate: Int, channels: Int,
@@ -296,7 +371,10 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        decodeWav(m.bytes) match {
+        // decodeAudio: PCM payloads take decodeWav unchanged; compressed
+        // encodings (ULAW/ALAW stock, MP3/OGG via plugins) decode through
+        // the SPI conversion instead of mis-reading companded bytes as PCM
+        decodeAudio(m.bytes) match {
           case None =>
             AudioMeta(m.media_id, 0, 0, 0, 0L, 0L, 0, 0, decode_ok = false)
           case Some((fmt, samples)) =>

@@ -183,6 +183,64 @@ class MultimodalSpec extends SparkSpec {
     assert(!badMeta.decode_ok && badMeta.n_frames == 0L)
   }
 
+  /** The round-14 compressed-audio seam: G.711 μ-law is a REAL lossy
+    * codec (8-bit companded bytes carrying ~14-bit dynamic range) the
+    * stock JDK's FormatConversionProvider expands — so the compressed
+    * path is exercised against PCM truth with no plugin. Truth is an
+    * INDEPENDENT expansion table built from the CCITT G.711 algorithm in
+    * this spec, checked over ALL 256 code points; MP3/OGG are probed and
+    * documented absent (the WebP/JP2 precedent — a plugin jar joins the
+    * same decodeAudio path with zero new code).
+    */
+  test("compressed audio: mu-law expands through the SPI conversion, exact over all 256 code points") {
+    import javax.sound.sampled._
+    // CCITT G.711 μ-law → linear, written from the public algorithm (not
+    // the JDK's table): invert, split sign/exponent/mantissa, rebuild
+    // with the 0x84 bias
+    def ulaw2linear(b: Int): Int = {
+      val u = (~b) & 0xff
+      var t = ((u & 0x0f) << 3) + 0x84
+      t <<= (u & 0x70) >> 4
+      if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+    }
+    // stock-JDK discovery: the G.711 family converts; MP3/OGG only with
+    // an SPI plugin on the classpath (absent here — probe, don't assume)
+    assert(Multimodal.audioConversionSupported("ULAW"),
+      "stock JDK must ship a ULAW FormatConversionProvider")
+    assert(Multimodal.audioConversionSupported("ALAW"))
+    val mp3 = Multimodal.audioConversionSupported("MPEG1L3")
+    val ogg = Multimodal.audioConversionSupported("VORBIS")
+    info(s"SPI plugins: MP3=$mp3 OGG=$ogg (expected absent on the stock JDK)")
+    // every possible companded byte, wrapped in a real ULAW WAV
+    val companded = (0 until 256).map(_.toByte).toArray
+    val fmt = new AudioFormat(AudioFormat.Encoding.ULAW,
+      8000f, 8, 1, 1, 8000f, false)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(companded), fmt, 256L),
+      AudioFileFormat.Type.WAVE, out)
+    val decoded = Multimodal.decodeAudio(out.toByteArray)
+    assert(decoded.isDefined, "ULAW WAV must decode through the SPI seam")
+    val (pcmFmt, samples) = decoded.get
+    assert(pcmFmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+      pcmFmt.getSampleSizeInBits == 16)
+    assert(samples.length == 256)
+    val expect = (0 until 256).map(ulaw2linear)
+    assert(samples.toSeq == expect,
+      s"JDK expansion != independent G.711 table; first diffs: ${
+        samples.toSeq.zip(expect).zipWithIndex.filter(p => p._1._1 != p._1._2)
+          .take(4)}")
+    // and the Spark-side stats path serves the EXPANDED truth, not the
+    // companded bytes mis-read as PCM (what the old decodeWav route did)
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaFile(7L, "audio", out.toByteArray,
+      0, 0, 32L, "audio/wav")).toDS()
+    val meta = Multimodal.decodeAudioMeta(media).collect().head
+    assert(meta.decode_ok && meta.bits == 16)
+    assert(meta.pcm_sum == expect.map(_.toLong).sum)
+    assert(meta.pcm_min == expect.min && meta.pcm_max == expect.max)
+  }
+
   test("wav decode honors the header, not our writer: a big-endian AIFF decodes too") {
     // encode the same samples as AIFF (big-endian) through the JDK writer;
     // decodeWav must flip byte order by the declared format
