@@ -173,15 +173,24 @@ object MrlRecallProbe {
     rows.foreach { case (tag, d, eR, eP, (rR, _), (rP, wP)) =>
       md ++= f"| $tag | $d | ${eR * 100}%.0f%% | ${eP * 100}%.0f%% | $rR%.3f | $rP%.3f | $wP%.3f |\n"
     }
-    md ++= "\nReading: on the CLUSTERED corpus (the regime real embeddings live\n"
-    md ++= "in) the rotation concentrates the cluster structure into the prefix\n"
-    md ++= "and the prefix search rides it — the tier's envelope under a\n"
-    md ++= "front-loaded basis, demonstrated rather than caveated. The ISOTROPIC\n"
-    md ++= "control pins the honesty of the claim: with no privileged directions\n"
-    md ++= "there is nothing to front-load (energy share stays ~pfx/64 and recall\n"
-    md ++= "stays at the floor) — the win comes from structure, which is exactly\n"
-    md ++= "what MRL training adds to a real embedder. Deployment note: the\n"
-    md ++= "rotation is one 64×64 matrix applied at WRITE time (and to each\n"
+    md ++= "\nReading (the table, not the wish): recall moves WITH the energy the\n"
+    md ++= "rotation actually front-loads, and no further. Where the prefix comes\n"
+    md ++= "to cover the structured subspace plus some residual (clustered\n"
+    md ++= "pfx=32: energy 51%→88%) the basis genuinely pays — mean 0.900→0.950\n"
+    md ++= "and the WORST query 0.30→0.70. At pfx=8/16 the energy share jumps\n"
+    md ++= "(15→56%, 28→80%) but recall barely moves: PCA concentrates VARIANCE\n"
+    md ++= "(the between-cluster structure), while what separates a true top-10\n"
+    md ++= "neighbor from its cluster-mates is the within-cluster detail — by\n"
+    md ++= "construction isotropic here, and no orthogonal rotation can compress\n"
+    md ++= "isotropic mass. That boundary is the honest content of this fixture:\n"
+    md ++= "LINEAR front-loading buys exactly the structured fraction, which is\n"
+    md ++= "why MRL is a TRAINING objective (it reshapes the embedding so early\n"
+    md ++= "dims carry neighbor-discriminative information, not just variance) —\n"
+    md ++= "and why its envelope exceeds any rotation of an untrained embedding.\n"
+    md ++= "The near-isotropic control moves the same way: PCA finds the\n"
+    md ++= "testdata's mild anisotropy (50→57% energy at 32) and recall tracks\n"
+    md ++= "it (0.472→0.594) — same mechanism, both regimes. Deployment note:\n"
+    md ++= "the rotation is one 64×64 matrix applied at WRITE time (and to each\n"
     md ++= "query); scores stay exact because the rerank is full-dim either way.\n"
 
     // refresh-or-append this section only; every other section survives
