@@ -5827,6 +5827,70 @@ object SparkEntry {
         s"q291: delta WAND lost pruning (evaluated=$evaluated, skipped=$skipped)")
       res.toDF("doc_id", "score")
     }),
+
+    // ---- delta RETRACTION (DeltaPostingsIndex.retractDoc): the one
+    // lexical delete that needs no republish — an UNPUBLISHED add's
+    // term vector is fully known, so retracting it reverses every
+    // integer the merged stats derive from, and the tier lands on the
+    // batch SQL over the SURVIVING corpus bit-for-bit (the in-flight
+    // GDPR purge: q293 measures the published doc's republish cutover;
+    // this is the other half, immediate and exact). Half the streamed
+    // window retracts here; published-base deletes stay rejected.
+    "q294_delta_retract" -> ((s, dir) => {
+      import s.implicits._
+      val docs = rdPar(s, dir, "documents")
+      val baseDocs = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val stats = baseDocs
+        .select(size(split(col("text"), " ")).cast("long").as("dl"))
+        .agg(sum("dl"), count(lit(1))).head()
+      val tier = graft.serve.DeltaPostingsIndex.fromDataFrame(
+        graft.operators.Bm25.buildPostings(baseDocs, "doc_id", "text"),
+        "doc_id", baseN = stats.getLong(1), baseSumDl = stats.getLong(0))
+      val arrivals = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+        .select("doc_id", "text").collect().sortBy(_.getLong(0))
+      arrivals.foreach(r => tier.addDoc(r.getLong(0), r.getString(1)))
+      // the purge slice: every streamed doc with doc_id % 10 == 0
+      // retracts before it ever publishes
+      arrivals.map(_.getLong(0)).filter(_ % 10L == 0L)
+        .foreach(tier.retractDoc)
+      val (res, evaluated, skipped) =
+        tier.topKWandCounted(Seq("dup", "stream", "query"), 10)
+      require(skipped > 0L && evaluated < stats.getLong(1),
+        s"q294: delta WAND lost pruning (evaluated=$evaluated, skipped=$skipped)")
+      res.toDF("doc_id", "score")
+    }),
+
+    // ---- the DELTA SPARSE tier (serve/DeltaSparseIndex) — the third
+    // and last member of the delta family, and the structurally
+    // simplest: the integer dot product has NO corpus statistics, so
+    // freshness is the fan-out lemma (base WAND + exhaustive delta,
+    // k-bounded merge) and retraction is symmetric with addition. Same
+    // protocol as q294: 80% publishes, 20% streams in, half the stream
+    // retracts pre-publish — and the tier must land on the batch SQL
+    // over the survivors exactly.
+    "q295_delta_sparse" -> ((s, dir) => {
+      import s.implicits._
+      val docs = rdPar(s, dir, "documents")
+      val baseDocs = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val tier = graft.serve.DeltaSparseIndex.fromDataFrame(
+        graft.operators.Sparse.tfVectors(baseDocs, "doc_id", "text"),
+        "doc_id")
+      val arrivals = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+        .select("doc_id", "text").collect().sortBy(_.getLong(0))
+      arrivals.foreach { r =>
+        // driver twin of tfVectors' tokenization (split keeps empties)
+        val w = r.getString(1).split(" ", -1).groupBy(identity)
+          .map { case (t, xs) => t -> xs.length.toLong }
+        tier.addDoc(r.getLong(0), w)
+      }
+      arrivals.map(_.getLong(0)).filter(_ % 10L == 0L)
+        .foreach(tier.retractDoc)
+      val (res, evaluated, skipped) =
+        tier.topKWandCounted(Map("dup" -> 2L, "stream" -> 1L, "query" -> 3L), 10)
+      require(skipped > 0L,
+        s"q295: base WAND pruned nothing (evaluated=$evaluated)")
+      res.toDF("doc_id", "score")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -9883,6 +9947,24 @@ object SparkEntry {
       s"""SELECT doc_id, score FROM ${bm25ScoredSql(Seq("dup", "query", "stream"))} s
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
+    // the same batch transcription over the SURVIVING corpus: base
+    // (doc_id % 5 <> 0) ∪ un-retracted delta (% 5 = 0 but % 10 <> 0)
+    // = everything but doc_id % 10 = 0 — retraction must re-derive the
+    // stats a rebuild over the survivors computes, or every score here
+    // drifts
+    "q294_delta_retract" ->
+      s"""SELECT doc_id, score FROM ${bm25ScoredSql(Seq("dup", "query", "stream"),
+             docCond = "doc_id % 10 <> 0")} s
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // the same surviving-corpus protocol on the sparse tier: the
+    // exhaustive dot product over everything but doc_id % 10 = 0 —
+    // with no corpus stats there is nothing the stream could even
+    // drift, but the merge rule and postings shape still need the pin
+    "q295_delta_sparse" ->
+      sparseSearchOracleSql(Map("dup" -> 2L, "stream" -> 1L, "query" -> 3L),
+        10, docCond = "doc_id % 10 <> 0"),
+
     // q29's oracle VERBATIM: routing the request onto the memory tier
     // must change nothing about the result
     "q279_routed_search" -> {
@@ -10153,11 +10235,12 @@ object SparkEntry {
        |ORDER BY score DESC, c.vec_id LIMIT 8""".stripMargin
   }
 
-  private def sparseSearchOracleSql(q: Map[String, Long], k: Int): String = {
+  private def sparseSearchOracleSql(q: Map[String, Long], k: Int,
+                                    docCond: String = "1=1"): String = {
     val caseW = q.toSeq.sortBy(_._1).map { case (t, w) => s"WHEN '$t' THEN $w" }
       .mkString("CASE term ", " ", " END")
     s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-       |  FROM documents),
+       |  FROM documents WHERE $docCond),
        |tf AS (SELECT doc_id, term, count(*) AS w FROM toks
        |  WHERE term IN (${sqlList(q.keys.toSeq.sorted)}) GROUP BY doc_id, term)
        |SELECT doc_id, CAST(sum(w * ($caseW)) AS BIGINT) AS score

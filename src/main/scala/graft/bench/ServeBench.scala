@@ -601,6 +601,10 @@ object ServeBench {
     val cells = for { (pname, fire) <- selected; n <- levels } yield (pname, fire, n)
     val pass1 = cells.map { case (p, f, n) => runLevel(p, f, n) }
     val pass2 = cells.map { case (p, f, n) => runLevel(p, f, n) }
+    // the burst generator's CORE threads are non-daemon and never time
+    // out — without this the JVM survives main() on DestroyJavaVM and
+    // the bench process hangs after printing its result line
+    burstPool.shutdown()
     val results = cells.zip(pass1.zip(pass2)).map { case ((pname, _, n), (a, b)) =>
       val r = if (a.failed == b.failed) { if (a.p50 <= b.p50) a else b }
               else if (a.failed < b.failed) a else b

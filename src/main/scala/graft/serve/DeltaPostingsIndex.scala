@@ -32,17 +32,26 @@ import graft.functions.DetMath
   * memory tier use, and every float op replays the same pinned
   * sequence.
   *
-  * ADDS-ONLY by contract: `addDoc` appends documents with NEW ids —
-  * re-adding a delta id OR an id present in the base postings is
-  * rejected (enforced, not just documented: the base id set is kept at
-  * load; the one unguardable case is a base document with empty text,
-  * which has no postings — the same single-writer discipline as
-  * [[graft.streaming.UpsertSink]]).
-  * Deletes/updates are deliberately NOT offered: removing a document
-  * shifts df/N/avgdl too, which is exactly a rebuild — route them
-  * through the periodic publish (the dense tier's tombstones have no
-  * such coupling, which is why [[DeltaAnnIndex]] can upsert and this
-  * tier must not pretend to).
+  * ADDS-ONLY against the PUBLISHED base: `addDoc` appends documents
+  * with NEW ids — re-adding a delta id OR an id present in the base
+  * postings is rejected (enforced, not just documented: the base id
+  * set is kept at load; the one unguardable case is a base document
+  * with empty text, which has no postings — the same single-writer
+  * discipline as [[graft.streaming.UpsertSink]]).
+  * Deletes/updates of PUBLISHED documents are deliberately NOT
+  * offered: removing a base document shifts df/N/avgdl too, which is
+  * exactly a rebuild — route them through the republish protocol (the
+  * dense tier's tombstones have no such coupling, which is why
+  * [[DeltaAnnIndex]] can upsert and this tier must not pretend to).
+  * The ONE delete this tier can serve exactly is [[retractDoc]]: a
+  * delta document's full term vector is known (it arrived through
+  * `addDoc`), so retracting an UNPUBLISHED add reverses every integer
+  * the stats derive from — the merged (N, Σdl, df) land on exactly the
+  * sums a rebuild over the surviving documents computes, and scores
+  * stay bit-identical. This is the serving half of an in-flight GDPR
+  * purge: a doc purged before its first publish disappears
+  * immediately, no republish needed (a published doc's purge remains
+  * the measured republish cutover).
   *
   * Tokenization replays the batch build exactly: `split(text, " ")`
   * keeps empty tokens (Spark's split semantics — `text.split(" ", -1)`
@@ -60,10 +69,11 @@ final class DeltaPostingsIndex private (
 
   private final case class Delta(
       postings: Map[String, Vector[(Long, Long, Long)]],
-      ids: Set[Long], n: Long, sumDl: Long)
+      dls: Map[Long, Long], // delta id -> its dl (retraction needs it)
+      n: Long, sumDl: Long)
 
   @volatile private var delta: Delta =
-    Delta(Map.empty, Set.empty, 0L, 0L)
+    Delta(Map.empty, Map.empty, 0L, 0L)
 
   def deltaSize: Long = delta.n
 
@@ -89,7 +99,8 @@ final class DeltaPostingsIndex private (
     */
   def addDoc(id: Long, text: String): Unit = this.synchronized {
     val d = delta
-    require(!d.ids(id), s"id $id already in the delta segment (adds-only)")
+    require(!d.dls.contains(id),
+      s"id $id already in the delta segment (adds-only)")
     require(!baseIds(id),
       s"id $id already in the published base (adds-only; an update is a rebuild)")
     // Spark split(col, " ") keeps trailing empties — replicate with -1
@@ -101,7 +112,43 @@ final class DeltaPostingsIndex private (
     val merged = byTerm.foldLeft(d.postings) { case (acc, (t, p)) =>
       acc.updated(t, acc.getOrElse(t, Vector.empty) :+ p)
     }
-    delta = Delta(merged, d.ids + id, d.n + 1L, d.sumDl + dl)
+    delta = Delta(merged, d.dls.updated(id, dl), d.n + 1L, d.sumDl + dl)
+  }
+
+  /** Retract an UNPUBLISHED add — the one delete the lexical tier can
+    * serve exactly. The doc's postings leave the delta segment and
+    * every statistic they touched reverses as integer arithmetic
+    * (N − 1, Σdl − dl, per-term df − 1), so the per-query merged stats
+    * equal — to the bit — what a fresh rebuild over the surviving
+    * documents derives: integer sums have no fold-order sensitivity,
+    * and [[topK]]/[[topKWand]] recompute idf/avgdl from them on every
+    * call. DeltaPostingsSpec pins tier == rebuild after EVERY
+    * add/retract interleaving.
+    *
+    * A PUBLISHED id is rejected with the republish pointer: its
+    * postings are fanned out inside the immutable base arrays and its
+    * removal shifts stats for every scored document — exactly the
+    * measured republish cutover ([[graft.operators.Forget]] +
+    * `fresh()` swap). Retracting an id twice is rejected the same way
+    * an add of a live id is: the caller's bookkeeping is wrong.
+    *
+    * After a retract the id is addable again (it is no longer live
+    * anywhere), which is also what a rebuild over the re-added doc
+    * would serve.
+    */
+  def retractDoc(id: Long): Unit = this.synchronized {
+    val d = delta
+    require(d.dls.contains(id),
+      if (baseIds(id))
+        s"id $id is in the published base — deleting it is a republish " +
+          "(amend postings via Forget.purge, rebuild stats, fresh() swap)"
+      else s"id $id is not in the delta segment")
+    val dl = d.dls(id)
+    val pruned = d.postings.flatMap { case (t, v) =>
+      val keep = v.filterNot(_._1 == id)
+      if (keep.isEmpty) None else Some(t -> keep)
+    }
+    delta = Delta(pruned, d.dls - id, d.n - 1L, d.sumDl - dl)
   }
 
   /** The merged corpus statistics a fresh rebuild would compute. */

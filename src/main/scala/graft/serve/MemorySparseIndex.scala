@@ -168,6 +168,158 @@ object MemorySparseIndex {
   }
 }
 
+/** Incremental serving over the LEARNED-SPARSE tier — the third and
+  * LAST member of the delta family ([[DeltaAnnIndex]] dense,
+  * [[DeltaPostingsIndex]] lexical), and the structurally SIMPLEST: the
+  * integer dot product Σ_t w_q(t)·w_d(t) depends only on the document's
+  * own weights and the query — there are NO corpus statistics at all.
+  * Two consequences the other tiers had to work for come free here:
+  *
+  *  1. **Freshness is the fan-out lemma, not a stats argument.** The
+  *     published base and the memory-resident delta segment are
+  *     disjoint-id document sets, so base-WAND top-k merged with the
+  *     exhaustively-scored delta under (score DESC, id ASC) IS the
+  *     rebuild's top-k — the same exactness proof as
+  *     [[ShardedSparseIndex]], with the delta as a second "shard".
+  *     Nothing re-derives per query (BM25's merged (idf, avgdl) has no
+  *     analog), and integer arithmetic leaves no fold-order question.
+  *  2. **Retraction is symmetric with addition.** [[retractDoc]]
+  *     removes an UNPUBLISHED add exactly (no statistic anywhere
+  *     references the departed doc), mirroring the lexical tier's
+  *     in-flight-purge half; a PUBLISHED doc's delete stays a
+  *     republish only because the base arrays are immutable — not
+  *     because any score would drift.
+  *
+  * Contract (DeltaSparseSpec + the q295 oracle pin it): after every
+  * add/retract interleaving, [[topK]] and [[topKWand]] equal a fresh
+  * [[MemorySparseIndex]] over the surviving documents exactly.
+  * Weights must be POSITIVE (learned-sparse weights are non-negative
+  * by construction and zero-weight postings are never materialized by
+  * [[graft.operators.Sparse.tfVectors]] — admitting them would break
+  * rebuild-equality on the postings' shape).
+  *
+  * Thread-safety: the [[DeltaPostingsIndex]] rule — writers serialize
+  * on this object, readers are wait-free on an immutable volatile
+  * snapshot. `fresh()` is the O(1) post-publish handle swap.
+  */
+final class DeltaSparseIndex private (
+    base: MemorySparseIndex, baseIds: Set[Long]) {
+
+  private final case class Delta(
+      postings: Map[String, Vector[(Long, Long)]], // term -> (id, w)
+      ids: Set[Long])
+
+  @volatile private var delta: Delta = Delta(Map.empty, Set.empty)
+
+  def deltaSize: Long = delta.ids.size.toLong
+
+  /** A new handle over the SAME immutable base with an empty delta —
+    * the post-publish swap (only correct TOGETHER with a republished
+    * base, the [[DeltaPostingsIndex.fresh]] rule).
+    */
+  def fresh(): DeltaSparseIndex = new DeltaSparseIndex(base, baseIds)
+
+  /** Append one document's sparse vector — searchable by the next
+    * query. New ids only (delta AND published base); positive weights
+    * only (see the class doc).
+    */
+  def addDoc(id: Long, weights: Map[String, Long]): Unit = this.synchronized {
+    val d = delta
+    require(!d.ids(id), s"id $id already in the delta segment")
+    require(!baseIds(id),
+      s"id $id already in the published base (an update is a rebuild)")
+    require(weights.nonEmpty && weights.values.forall(_ > 0L),
+      s"sparse weights must be positive, got $weights")
+    val merged = weights.foldLeft(d.postings) { case (acc, (t, w)) =>
+      acc.updated(t, acc.getOrElse(t, Vector.empty) :+ (id, w))
+    }
+    delta = Delta(merged, d.ids + id)
+  }
+
+  /** Retract an UNPUBLISHED add — exact for free (no statistic
+    * references the departed doc; see the class doc). Published ids are
+    * rejected with the republish pointer, like the lexical tier.
+    */
+  def retractDoc(id: Long): Unit = this.synchronized {
+    val d = delta
+    require(d.ids(id),
+      if (baseIds(id))
+        s"id $id is in the published base — deleting it is a republish " +
+          "(amend the sparse relation, rebuild, fresh() swap)"
+      else s"id $id is not in the delta segment")
+    val pruned = d.postings.flatMap { case (t, v) =>
+      val keep = v.filterNot(_._1 == id)
+      if (keep.isEmpty) None else Some(t -> keep)
+    }
+    delta = Delta(pruned, d.ids - id)
+  }
+
+  /** The delta segment's exhaustive TAAT scores, k-bounded — the same
+    * accumulator rule as [[MemorySparseIndex.topK]] (every present
+    * term's postings enter, whatever the query weight), so the merge
+    * equals a rebuild's TAAT for ANY query the base accepts.
+    */
+  private def deltaTopK(d: Delta, query: Map[String, Long],
+                        k: Int): Seq[(Long, Long)] = {
+    val present = query.keys.toSeq.filter(d.postings.contains).sorted
+    if (present.isEmpty) return Nil
+    val acc = new java.util.HashMap[Long, Long]()
+    present.foreach { term =>
+      val qw = query(term)
+      d.postings(term).foreach { case (id, w) =>
+        acc.put(id, acc.getOrDefault(id, 0L) + w * qw): Unit
+      }
+    }
+    acc.entrySet().asScala.toSeq
+      .map(e => (e.getKey.toLong, e.getValue.toLong))
+      .sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+
+  private def mergeK(a: Seq[(Long, Long)], b: Seq[(Long, Long)],
+                     k: Int): Seq[(Long, Long)] =
+    (a ++ b).sortBy { case (id, s) => (-s, id) }.take(k)
+
+  /** Top-k over base ∪ delta — the exhaustive reference. */
+  def topK(query: Map[String, Long], k: Int): Seq[(Long, Long)] = {
+    if (k <= 0) return Nil
+    val d = delta
+    mergeK(base.topK(query, k), deltaTopK(d, query, k), k)
+  }
+
+  /** The serving read path: WAND over the immutable base (per-term
+    * bounds need no adjustment — nothing moved), the delta segment
+    * exhaustive, k-bounded merge. Bit-identical to [[topK]].
+    */
+  def topKWand(query: Map[String, Long], k: Int): Seq[(Long, Long)] =
+    topKWandCounted(query, k)._1
+
+  /** [[topKWand]] plus the BASE walk's (fullyEvaluatedDocs,
+    * skippedPostings) pruning counters.
+    */
+  def topKWandCounted(query: Map[String, Long], k: Int)
+      : (Seq[(Long, Long)], Long, Long) = {
+    if (k <= 0) return (Nil, 0L, 0L)
+    val d = delta
+    val (bres, evaluated, skipped) = base.topKWandCounted(query, k)
+    (mergeK(bres, deltaTopK(d, query, k), k), evaluated, skipped)
+  }
+}
+
+object DeltaSparseIndex {
+
+  /** Load the immutable base from the same sparse-vector relation
+    * (id, term, w) every sparse tier takes.
+    */
+  def fromDataFrame(sparseDocs: DataFrame, idCol: String): DeltaSparseIndex = {
+    val rows = sparseDocs
+      .select(col("term"), col(idCol).cast("long"), col("w").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+    new DeltaSparseIndex(MemorySparseIndex.fromRows(rows),
+      rows.iterator.map(_._2._1).toSet)
+  }
+}
+
 /** The sharded serving form of the LEARNED-SPARSE tier — the third
   * member of the replica-fan-out family ([[ShardedAnnIndex]] for dense,
   * [[ShardedPostingsIndex]] for BM25): documents hash-shard disjointly

@@ -25,9 +25,10 @@ import graft.serve.{ShardedAnnIndex, ShardedHybridServer, ShardedPostingsIndex, 
   * shape's fleet result is compared (score BITS) against the in-process
   * `Sharded*Index` twins built from the same rows.
   *
-  * Rows (fleet_lex / fleet_sparse / fleet_hybrid) print as one JSON
-  * line, write FLEET_BENCH.json, and SPLICE into SERVE_BENCH_10X.json
-  * (JsonSplice — the per-shard projection rows live there).
+  * Rows (fleet_dense / fleet_lex / fleet_sparse / fleet_hybrid) print
+  * as one JSON line, write FLEET_BENCH.json, and SPLICE into
+  * SERVE_BENCH_10X.json (JsonSplice — the per-shard projection rows
+  * live there).
   *
   * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.FleetBench
   * Env: SPARK_GRAFT_SERVE_REPL (default 50 — the 10x battery corpus),
@@ -61,6 +62,15 @@ object FleetBench {
       conns.foreach { case (_, out, _) =>
         out.writeByte(0); out.writeInt(k); out.writeInt(terms.length)
         terms.foreach(out.writeUTF); out.flush()
+      }
+      conns.flatMap { case (in, _, _) => readList(in) }
+        .sortBy { case (id, s) => (-s, id) }.take(k)
+    }
+
+    def dense(qv: Seq[Float], k: Int): Seq[(Long, Double)] = {
+      conns.foreach { case (_, out, _) =>
+        out.writeByte(2); out.writeInt(k); out.writeInt(qv.length)
+        qv.foreach(out.writeFloat); out.flush()
       }
       conns.flatMap { case (in, _, _) => readList(in) }
         .sortBy { case (id, s) => (-s, id) }.take(k)
@@ -246,6 +256,11 @@ object FleetBench {
         (0 until 8).foreach { i =>
           val terms = termSets(i % termSets.size)
           val qv = qvecs(i % qvecs.size)
+          val fd = check.dense(qv, 5)
+          val idn = inDense.topK(qv, 5)
+          require(fd.map { case (id, s) => (id, java.lang.Double.doubleToLongBits(s)) } ==
+            idn.map { case (id, s) => (id, java.lang.Double.doubleToLongBits(s)) },
+            s"fleet dense != in-process: $fd vs $idn")
           val fl = check.lex(terms, 5)
           val il = inLex.search(terms, 5)
           require(fl.map { case (id, s) => (id, java.lang.Double.doubleToLongBits(s)) } ==
@@ -298,6 +313,10 @@ object FleetBench {
       }
 
       val paths: Seq[(String, (FleetClient, Int) => Unit)] = Seq(
+        "fleet_dense" -> { (cl, qi) =>
+          val n = cl.dense(qvecs(qi % qvecs.size), 10).length
+          require(n == 10, s"fleet_dense returned $n rows")
+        },
         "fleet_lex" -> { (cl, qi) =>
           val n = cl.lex(termSets(qi % termSets.size), 5).length
           require(n == 5, s"fleet_lex returned $n rows")

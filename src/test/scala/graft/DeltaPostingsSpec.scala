@@ -121,6 +121,58 @@ class DeltaPostingsSpec extends SparkSpec {
         s"fresh() handle != base index for $q k=$k")
   }
 
+  test("retract == rebuild bit-for-bit under every add/retract interleaving") {
+    val baseDocs = allDocs.where(col("id") <= 5)
+    val (baseN, baseSumDl, _) = statsOf(baseDocs)
+    val tier = DeltaPostingsIndex.fromDataFrame(
+      Bm25.buildPostings(baseDocs, "id", "text").localCheckpoint(true),
+      "id", baseN, baseSumDl)
+    val queries = Seq(Seq("spark", "join"), Seq("fast"),
+      Seq("vector", "table", "scan"), Seq("index", "nosuchterm"))
+    val deltaTexts = allDocs.where(col("id") > 5)
+      .select("id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // an interleaving that exercises: retract of the newest add, retract
+    // of an OLDER add (postings pruned out of the middle of term
+    // vectors), retract down to an empty delta, and re-add of a
+    // retracted id — after EVERY op the tier must equal a fresh rebuild
+    // over exactly the live doc set, on BOTH read paths
+    val ops: Seq[(String, Long)] = Seq(
+      "add" -> 6L, "add" -> 7L, "retract" -> 7L, // newest
+      "add" -> 8L, "add" -> 9L, "retract" -> 6L, // oldest, empty-text 8 stays
+      "retract" -> 8L, "retract" -> 9L,          // down to empty delta
+      "add" -> 7L, "add" -> 10L)                 // re-add after retract
+    var live = Set.empty[Long]
+    ops.foreach { case (op, id) =>
+      if (op == "add") { tier.addDoc(id, deltaTexts(id)); live += id }
+      else { tier.retractDoc(id); live -= id }
+      val fresh = freshIndex(
+        allDocs.where(col("id") <= 5 || col("id").isin(live.toSeq: _*)))
+      for (q <- queries; k <- Seq(1, 3, 10)) {
+        assert(tier.topK(q, k) == fresh.search(q, k),
+          s"tier != rebuild after $op($id), live=$live, q=$q k=$k")
+        assert(tier.topKWand(q, k) == tier.topK(q, k),
+          s"WAND != TAAT after $op($id), live=$live, q=$q k=$k")
+      }
+      assert(tier.deltaSize == live.size.toLong)
+    }
+  }
+
+  test("retract contracts: base id → republish pointer, unknown id, double retract") {
+    val baseDocs = allDocs.where(col("id") <= 5)
+    val (baseN, baseSumDl, _) = statsOf(baseDocs)
+    val tier = DeltaPostingsIndex.fromDataFrame(
+      Bm25.buildPostings(baseDocs, "id", "text").localCheckpoint(true),
+      "id", baseN, baseSumDl)
+    val basePurge = intercept[IllegalArgumentException] { tier.retractDoc(1L) }
+    assert(basePurge.getMessage.contains("republish"),
+      "a published doc's delete must point the caller at the republish protocol")
+    intercept[IllegalArgumentException] { tier.retractDoc(777L) } // never seen
+    tier.addDoc(42L, "spark table")
+    tier.retractDoc(42L)
+    intercept[IllegalArgumentException] { tier.retractDoc(42L) } // already gone
+  }
+
   test("contracts: adds-only (duplicate delta id rejected), k<=0 empty, unknown-only empty") {
     val baseDocs = allDocs.where(col("id") <= 5)
     val (baseN, baseSumDl, _) = statsOf(baseDocs)

@@ -166,4 +166,47 @@ class ForgetSpec extends SparkSpec {
       assert(freshDelta.topKWand(terms, 10) == rebuilt.searchWand(terms, 10),
         s"replayed delta view != rebuild for $terms")
   }
+
+  /** The OTHER half of the purge protocol (q294): a purge that arrives
+    * for a doc which has NOT yet published — it lives only in the live
+    * handle's delta segment — needs no republish at all. `retractDoc`
+    * takes effect on the next query (staleness window: zero), exactly,
+    * because the unpublished doc's full term vector is known and every
+    * stat it touched reverses as integer subtraction. A published doc's
+    * purge on the live handle is rejected with the republish pointer —
+    * the two halves meet: retract for the in-flight window, measured
+    * republish cutover (test above) for everything published.
+    */
+  test("in-flight purge: retractDoc is immediate and exact; published purge points at republish") {
+    val postings = Bm25.buildPostings(docs, "doc_id", "text").localCheckpoint(true)
+    val dstats = docs.select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(sum("dl"), count(lit(1))).head()
+    val (sumDl, n) = (dstats.getLong(0), dstats.getLong(1))
+    val live = graft.serve.DeltaPostingsIndex.fromDataFrame(
+      postings, "doc_id", n, sumDl)
+    live.addDoc(100L, "vector fresh arrival")
+    live.addDoc(101L, "dup fresh arrival")
+    assert(live.topKWand(Seq("fresh"), 5).exists(_._1 == 100L))
+    // purge request for the unpublished doc 100: immediate, no republish
+    live.retractDoc(100L)
+    assert(!live.topKWand(Seq("fresh"), 5).exists(_._1 == 100L),
+      "retracted in-flight doc must be unservable on the next query")
+    // ...and EXACT: the live handle == a rebuild over docs ∪ {101}
+    val union = docs.select("doc_id", "text")
+      .unionByName(Seq((101L, "dup fresh arrival")).toDF("doc_id", "text"))
+      .localCheckpoint(true)
+    val up = Bm25.buildPostings(union, "doc_id", "text").localCheckpoint(true)
+    val ustats = union.select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(sum("dl"), count(lit(1))).head()
+    val uIdf = Bm25.idfByTerm(up.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap, ustats.getLong(1), spark)
+    val rebuilt = graft.serve.MemoryPostingsIndex.fromDataFrame(up, "doc_id",
+      uIdf, ustats.getLong(0).toDouble / ustats.getLong(1).toDouble)
+    for (terms <- Seq(Seq("dup"), Seq("vector", "stream"), Seq("fresh", "dup")))
+      assert(live.topKWand(terms, 10) == rebuilt.searchWand(terms, 10),
+        s"post-retract live view != rebuild for $terms")
+    // a published doc's purge cannot be served by the live handle
+    val rejected = intercept[IllegalArgumentException] { live.retractDoc(2L) }
+    assert(rejected.getMessage.contains("republish"))
+  }
 }
