@@ -799,14 +799,19 @@ object SparkEntry {
         "doc_id", "text", purgedIds)
       val n2 = n - deltas.docsDropped
       val avgdl2 = (sumDl - deltas.dlDropped).toDouble / n2.toDouble
-      val idf2 = graft.operators.Bm25.idfByTerm(
-        graft.operators.Forget.updatedDf(dfMap, deltas), n2, s)
+      val df2 = graft.operators.Forget.updatedDf(dfMap, deltas)
+      val idf2 = graft.operators.Bm25.idfByTerm(df2, n2, s)
       serving.set(graft.serve.MemoryPostingsIndex.fromDataFrame(
         graft.operators.Forget.purgePostings(postings, "doc_id", purgedIds),
         "doc_id", idf2, avgdl2))
+      // post-swap exhaustive probe (k = the PRE-purge df): exactly the
+      // surviving docs of the term must come back — never the purged
+      // one, and never a vacuous pass when the term survives in no doc
       val postProbe = serving.get().searchWand(Seq(probeTerm), kAll)
-      require(postProbe.nonEmpty && postProbe.forall(r => !purgedSet(r._1)),
-        "q293: a purged doc is still servable after the republish swap")
+      require(postProbe.size.toLong == df2.getOrElse(probeTerm, 0L) &&
+        postProbe.forall(r => !purgedSet(r._1)),
+        "q293: a purged doc is still servable after the republish swap " +
+          s"(got ${postProbe.size} of ${df2.getOrElse(probeTerm, 0L)} survivors)")
       serving.get().searchWand(Seq("dup", "stream"), 10)
         .toDF("doc_id", "score")
     }),

@@ -599,12 +599,14 @@ object ServeBench {
     // the shared host's multi-minute stall windows would otherwise read as
     // engine latency (the Bench.scala min-of-2 rationale)
     val cells = for { (pname, fire) <- selected; n <- levels } yield (pname, fire, n)
-    val pass1 = cells.map { case (p, f, n) => runLevel(p, f, n) }
-    val pass2 = cells.map { case (p, f, n) => runLevel(p, f, n) }
     // the burst generator's CORE threads are non-daemon and never time
-    // out — without this the JVM survives main() on DestroyJavaVM and
-    // the bench process hangs after printing its result line
-    burstPool.shutdown()
+    // out — without the shutdown the JVM survives main() on
+    // DestroyJavaVM and the bench process hangs after printing its
+    // result line (or, on the failure path, after the exception)
+    val (pass1, pass2) =
+      try (cells.map { case (p, f, n) => runLevel(p, f, n) },
+        cells.map { case (p, f, n) => runLevel(p, f, n) })
+      finally burstPool.shutdown()
     val results = cells.zip(pass1.zip(pass2)).map { case ((pname, _, n), (a, b)) =>
       val r = if (a.failed == b.failed) { if (a.p50 <= b.p50) a else b }
               else if (a.failed < b.failed) a else b

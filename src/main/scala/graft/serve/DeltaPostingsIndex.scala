@@ -69,7 +69,10 @@ final class DeltaPostingsIndex private (
 
   private final case class Delta(
       postings: Map[String, Vector[(Long, Long, Long)]],
-      dls: Map[Long, Long], // delta id -> its dl (retraction needs it)
+      // delta id -> (dl, its distinct terms): retraction reverses the
+      // stats from dl and touches ONLY the doc's own term lists —
+      // O(|doc terms|), not O(|delta postings|)
+      docs: Map[Long, (Long, Array[String])],
       n: Long, sumDl: Long)
 
   @volatile private var delta: Delta =
@@ -99,7 +102,7 @@ final class DeltaPostingsIndex private (
     */
   def addDoc(id: Long, text: String): Unit = this.synchronized {
     val d = delta
-    require(!d.dls.contains(id),
+    require(!d.docs.contains(id),
       s"id $id already in the delta segment (adds-only)")
     require(!baseIds(id),
       s"id $id already in the published base (adds-only; an update is a rebuild)")
@@ -112,7 +115,8 @@ final class DeltaPostingsIndex private (
     val merged = byTerm.foldLeft(d.postings) { case (acc, (t, p)) =>
       acc.updated(t, acc.getOrElse(t, Vector.empty) :+ p)
     }
-    delta = Delta(merged, d.dls.updated(id, dl), d.n + 1L, d.sumDl + dl)
+    delta = Delta(merged, d.docs.updated(id, (dl, byTerm.keys.toArray)),
+      d.n + 1L, d.sumDl + dl)
   }
 
   /** Retract an UNPUBLISHED add — the one delete the lexical tier can
@@ -138,17 +142,18 @@ final class DeltaPostingsIndex private (
     */
   def retractDoc(id: Long): Unit = this.synchronized {
     val d = delta
-    require(d.dls.contains(id),
+    require(d.docs.contains(id),
       if (baseIds(id))
         s"id $id is in the published base — deleting it is a republish " +
           "(amend postings via Forget.purge, rebuild stats, fresh() swap)"
       else s"id $id is not in the delta segment")
-    val dl = d.dls(id)
-    val pruned = d.postings.flatMap { case (t, v) =>
-      val keep = v.filterNot(_._1 == id)
-      if (keep.isEmpty) None else Some(t -> keep)
+    val (dl, terms) = d.docs(id)
+    // touch only the doc's own term lists (the docs map exists for this)
+    val pruned = terms.foldLeft(d.postings) { (acc, t) =>
+      val keep = acc(t).filterNot(_._1 == id)
+      if (keep.isEmpty) acc - t else acc.updated(t, keep)
     }
-    delta = Delta(pruned, d.dls - id, d.n - 1L, d.sumDl - dl)
+    delta = Delta(pruned, d.docs - id, d.n - 1L, d.sumDl - dl)
   }
 
   /** The merged corpus statistics a fresh rebuild would compute. */

@@ -207,11 +207,13 @@ final class DeltaSparseIndex private (
 
   private final case class Delta(
       postings: Map[String, Vector[(Long, Long)]], // term -> (id, w)
-      ids: Set[Long])
+      // delta id -> its terms: retraction touches ONLY these lists —
+      // O(|doc terms|), not O(|delta postings|)
+      docs: Map[Long, Array[String]])
 
-  @volatile private var delta: Delta = Delta(Map.empty, Set.empty)
+  @volatile private var delta: Delta = Delta(Map.empty, Map.empty)
 
-  def deltaSize: Long = delta.ids.size.toLong
+  def deltaSize: Long = delta.docs.size.toLong
 
   /** A new handle over the SAME immutable base with an empty delta —
     * the post-publish swap (only correct TOGETHER with a republished
@@ -225,7 +227,7 @@ final class DeltaSparseIndex private (
     */
   def addDoc(id: Long, weights: Map[String, Long]): Unit = this.synchronized {
     val d = delta
-    require(!d.ids(id), s"id $id already in the delta segment")
+    require(!d.docs.contains(id), s"id $id already in the delta segment")
     require(!baseIds(id),
       s"id $id already in the published base (an update is a rebuild)")
     require(weights.nonEmpty && weights.values.forall(_ > 0L),
@@ -233,7 +235,7 @@ final class DeltaSparseIndex private (
     val merged = weights.foldLeft(d.postings) { case (acc, (t, w)) =>
       acc.updated(t, acc.getOrElse(t, Vector.empty) :+ (id, w))
     }
-    delta = Delta(merged, d.ids + id)
+    delta = Delta(merged, d.docs.updated(id, weights.keys.toArray))
   }
 
   /** Retract an UNPUBLISHED add — exact for free (no statistic
@@ -242,16 +244,17 @@ final class DeltaSparseIndex private (
     */
   def retractDoc(id: Long): Unit = this.synchronized {
     val d = delta
-    require(d.ids(id),
+    require(d.docs.contains(id),
       if (baseIds(id))
         s"id $id is in the published base — deleting it is a republish " +
           "(amend the sparse relation, rebuild, fresh() swap)"
       else s"id $id is not in the delta segment")
-    val pruned = d.postings.flatMap { case (t, v) =>
-      val keep = v.filterNot(_._1 == id)
-      if (keep.isEmpty) None else Some(t -> keep)
+    // touch only the doc's own term lists (the docs map exists for this)
+    val pruned = d.docs(id).foldLeft(d.postings) { (acc, t) =>
+      val keep = acc(t).filterNot(_._1 == id)
+      if (keep.isEmpty) acc - t else acc.updated(t, keep)
     }
-    delta = Delta(pruned, d.ids - id)
+    delta = Delta(pruned, d.docs - id)
   }
 
   /** The delta segment's exhaustive TAAT scores, k-bounded — the same

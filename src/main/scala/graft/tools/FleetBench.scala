@@ -211,12 +211,11 @@ object FleetBench {
     val inLex = ShardedPostingsIndex.fromDataFrame(
       postings, "doc_id", idfMap, avgdl, nShards)
     val inSparse = ShardedSparseIndex.fromDataFrame(sparseVecs, "doc_id", nShards)
+    val denseCents =
+      graft.operators.Ann.sampleCentroids(corpus0, "vec_id", "embedding", 16)
     val inDense = graft.serve.ShardedAnnIndex.fromDataFrame(
-      graft.operators.Ann.withIvfAssignment(corpus, "embedding",
-        graft.operators.Ann.sampleCentroids(corpus0, "vec_id", "embedding", 16)),
-      "vec_id", "embedding", "ivf_cell",
-      graft.operators.Ann.sampleCentroids(corpus0, "vec_id", "embedding", 16),
-      nShards)
+      graft.operators.Ann.withIvfAssignment(corpus, "embedding", denseCents),
+      "vec_id", "embedding", "ivf_cell", denseCents, nShards)
     val inHybrid = new ShardedHybridServer(inDense, inLex)
 
     // ---- workload, the ServeBench shapes
@@ -307,7 +306,10 @@ object FleetBench {
           threads.foreach(_.join())
           val wall = (System.nanoTime() - t0) / 1e9
           val ls = lat.asScala.toIndexedSeq.sorted
-          Level(ls.size, failures.get(), pct(ls, 0.50), pct(ls, 0.95),
+          // an all-failed level (a shard died mid-run) must report as a
+          // failed row, not crash the bench on pct(empty)/0-division
+          if (ls.isEmpty) Level(0, failures.get(), 0.0, 0.0, 0.0, 0.0, wall)
+          else Level(ls.size, failures.get(), pct(ls, 0.50), pct(ls, 0.95),
             ls.sum / ls.size, ls.size / wall, wall)
         } finally clients.foreach(_.close())
       }

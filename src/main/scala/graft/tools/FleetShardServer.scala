@@ -129,6 +129,12 @@ object FleetShardServer {
         case e: java.net.SocketException =>
           sock.close()
           System.err.println(s"[shard $shardId] ${e.getMessage}")
+        case e: Throwable =>
+          // protocol desync (unknown op, mid-frame read): CLOSE the
+          // socket so the client fails loudly on its next read instead
+          // of blocking forever on a dead serve thread
+          try sock.close() catch { case _: Throwable => () }
+          System.err.println(s"[shard $shardId] serve thread died: $e")
       }
     }
 

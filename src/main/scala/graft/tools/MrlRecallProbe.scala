@@ -173,25 +173,40 @@ object MrlRecallProbe {
     rows.foreach { case (tag, d, eR, eP, (rR, _), (rP, wP)) =>
       md ++= f"| $tag | $d | ${eR * 100}%.0f%% | ${eP * 100}%.0f%% | $rR%.3f | $rP%.3f | $wP%.3f |\n"
     }
+    // the narrative interpolates from THIS run's rows — hardcoded
+    // constants here would contradict the regenerated table on any
+    // re-run with different data/k/queries
+    val byKey = rows.map { case (tag, d, eR, eP, m1, m2) =>
+      (tag, d) -> (eR, eP, m1, m2)
+    }.toMap
+    def pc(x: Double): String = f"${x * 100}%.0f"
+    val pBig = prefixes.max
+    val (cEr, cEp, (cRr, cWr), (cRp, cWp)) = byKey(("clustered", pBig))
+    val small = prefixes.filterNot(_ == pBig)
+    val jumps = small.map { d =>
+      val (eR, eP, _, _) = byKey(("clustered", d)); s"${pc(eR)}→${pc(eP)}"
+    }.mkString(", ")
+    val (iEr, iEp, (iRr, _), (iRp, _)) = byKey(("isotropic", pBig))
     md ++= "\nReading (the table, not the wish): recall moves WITH the energy the\n"
     md ++= "rotation actually front-loads, and no further. Where the prefix comes\n"
     md ++= "to cover the structured subspace plus some residual (clustered\n"
-    md ++= "pfx=32: energy 51%→88%) the basis genuinely pays — mean 0.900→0.950\n"
-    md ++= "and the WORST query 0.30→0.70. At pfx=8/16 the energy share jumps\n"
-    md ++= "(15→56%, 28→80%) but recall barely moves: PCA concentrates VARIANCE\n"
-    md ++= "(the between-cluster structure), while what separates a true top-10\n"
-    md ++= "neighbor from its cluster-mates is the within-cluster detail — by\n"
-    md ++= "construction isotropic here, and no orthogonal rotation can compress\n"
-    md ++= "isotropic mass. That boundary is the honest content of this fixture:\n"
-    md ++= "LINEAR front-loading buys exactly the structured fraction, which is\n"
-    md ++= "why MRL is a TRAINING objective (it reshapes the embedding so early\n"
-    md ++= "dims carry neighbor-discriminative information, not just variance) —\n"
-    md ++= "and why its envelope exceeds any rotation of an untrained embedding.\n"
-    md ++= "The near-isotropic control moves the same way: PCA finds the\n"
-    md ++= "testdata's mild anisotropy (50→57% energy at 32) and recall tracks\n"
-    md ++= "it (0.472→0.594) — same mechanism, both regimes. Deployment note:\n"
-    md ++= "the rotation is one 64×64 matrix applied at WRITE time (and to each\n"
-    md ++= "query); scores stay exact because the rerank is full-dim either way.\n"
+    md ++= f"pfx=$pBig: energy ${pc(cEr)}%%→${pc(cEp)}%%) the basis genuinely pays — mean\n"
+    md ++= f"$cRr%.3f→$cRp%.3f and the WORST query $cWr%.2f→$cWp%.2f. At pfx=${small.mkString("/")} the\n"
+    md ++= s"energy share jumps ($jumps) but recall barely moves: PCA\n"
+    md ++= "concentrates VARIANCE (the between-cluster structure), while what\n"
+    md ++= s"separates a true top-$k neighbor from its cluster-mates is the\n"
+    md ++= "within-cluster detail — by construction isotropic here, and no\n"
+    md ++= "orthogonal rotation can compress isotropic mass. That boundary is the\n"
+    md ++= "honest content of this fixture: LINEAR front-loading buys exactly the\n"
+    md ++= "structured fraction, which is why MRL is a TRAINING objective (it\n"
+    md ++= "reshapes the embedding so early dims carry neighbor-discriminative\n"
+    md ++= "information, not just variance) — and why its envelope exceeds any\n"
+    md ++= "rotation of an untrained embedding. The near-isotropic control moves\n"
+    md ++= "the same way: PCA finds the testdata's mild anisotropy\n"
+    md ++= f"(${pc(iEr)}→${pc(iEp)}%% energy at $pBig) and recall tracks it ($iRr%.3f→$iRp%.3f) —\n"
+    md ++= "same mechanism, both regimes. Deployment note: the rotation is one\n"
+    md ++= "64×64 matrix applied at WRITE time (and to each query); scores stay\n"
+    md ++= "exact because the rerank is full-dim either way.\n"
 
     // refresh-or-append this section only; every other section survives
     val path = java.nio.file.Paths.get("RECALL.md")

@@ -98,7 +98,8 @@ object RepublishProbe {
       val deltas = Forget.lexDeltas(postings, docs, "doc_id", "text", purgedIds)
       val n2 = n - deltas.docsDropped
       val avgdl2 = (sumDl - deltas.dlDropped).toDouble / n2.toDouble
-      val idf2 = Bm25.idfByTerm(Forget.updatedDf(dfMap, deltas), n2, spark)
+      val df2 = Forget.updatedDf(dfMap, deltas)
+      val idf2 = Bm25.idfByTerm(df2, n2, spark)
       val amendMs = ms(t0)
       val t1 = System.nanoTime()
       val amended = Forget.purgePostings(postings, "doc_id", purgedIds)
@@ -121,8 +122,11 @@ object RepublishProbe {
       }
       val replayMs = ms(t2)
 
+      // exactly the term's surviving docs must come back (k = pre-purge
+      // df is exhaustive) — not a vacuous pass when none survive
       val post = serving.get().searchWand(Seq(probeTerm), kAll)
-      require(post.nonEmpty && post.forall(r => !purgedSet(r._1)),
+      require(post.size.toLong == df2.getOrElse(probeTerm, 0L) &&
+        post.forall(r => !purgedSet(r._1)),
         "purged doc still servable after the swap")
 
       f"""{"repl":$repl,"docs":$n,"purged":${purgedIds.size},"postings_terms":${dfMap.size},"amend_ms":$amendMs%.1f,"reload_ms":$reloadMs%.1f,"replay_1000_ms":$replayMs%.1f,"cutover_ms":${amendMs + reloadMs + replayMs}%.1f}"""
