@@ -226,6 +226,12 @@ object ServeBench {
       graft.serve.DeltaPostingsIndex.fromDataFrame(postings, "doc_id",
         nLex, sumDl))
     val deltaLexSeq = new java.util.concurrent.atomic.AtomicLong(20_000_000L)
+    // the SPARSE freshness tier under churn — the write mix includes
+    // RETRACTIONS (this tier's distinguishing delete: an in-flight
+    // purge, exact with no corpus stats to re-derive)
+    val deltaSparseRef = new java.util.concurrent.atomic.AtomicReference(
+      graft.serve.DeltaSparseIndex.fromDataFrame(sparseVecs, "doc_id"))
+    val deltaSparseSeq = new java.util.concurrent.atomic.AtomicLong(30_000_000L)
 
     // admission for the exact-required rows: at most 2 concurrent
     // fallback jobs (fair queue), in the dedicated FAIR pool declared in
@@ -324,6 +330,21 @@ object ServeBench {
         d.addDoc(seq, s"dup stream doc$seq fresh")
         val n = d.topKWand(termSets(qi % termSets.size), 5).length
         require(n == 5, s"memory_delta_lex_mixed returned $n rows")
+      },
+      // the sparse churn twin: every write adds one doc; every 3rd write
+      // immediately retracts its OWN add (the in-flight GDPR purge
+      // shape); reads take the base-WAND + exhaustive-delta merge.
+      // Self-retraction is race-free: only this request's thread ever
+      // touches doc `seq`, and a racing fresh() swap leaves the old
+      // handle valid for the retract.
+      "memory_delta_sparse_mixed" -> { qi: Int =>
+        val seq = deltaSparseSeq.incrementAndGet()
+        if (seq % 1000 == 0) deltaSparseRef.set(deltaSparseRef.get().fresh())
+        val d = deltaSparseRef.get()
+        d.addDoc(seq, Map("dup" -> 2L, "stream" -> 1L, s"doc$seq" -> 1L))
+        if (seq % 3 == 0) d.retractDoc(seq)
+        val n = d.topKWand(sparseQueries(qi % sparseQueries.size), 5).length
+        require(n == 5, s"memory_delta_sparse_mixed returned $n rows")
       },
       // HNSW graph walk (m=16, efC=100): O(M·ef·log n) vectors touched
       // per request instead of a scan — the sub-linear serving tier
