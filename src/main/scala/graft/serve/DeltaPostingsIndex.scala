@@ -371,12 +371,22 @@ object DeltaPostingsIndex {
   def fromDataFrame(postings: DataFrame, idCol: String,
                     baseN: Long, baseSumDl: Long,
                     k1: Double = 1.2, b: Double = 0.75): DeltaPostingsIndex = {
-    require(baseN > 0, "empty base corpus (baseN must be > 0)")
     val rows = postings
       .select(col("term"), col(idCol).cast("long"), col("tf").cast("long"),
         col("dl").cast("long"))
       .collect()
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    fromRows(rows, baseN, baseSumDl, k1, b)
+  }
+
+  /** Build from already-collected (term, (id, tf, dl)) posting rows —
+    * the Spark-free loader (GraftProps' random-op property uses it).
+    */
+  private[graft] def fromRows(rows: Array[(String, (Long, Long, Long))],
+                              baseN: Long, baseSumDl: Long,
+                              k1: Double = 1.2,
+                              b: Double = 0.75): DeltaPostingsIndex = {
+    require(baseN > 0, "empty base corpus (baseN must be > 0)")
     val byTerm = rows.groupBy(_._1).map { case (t, xs) =>
       t -> xs.map(_._2).sortBy(_._1)
     }

@@ -318,9 +318,16 @@ object DeltaSparseIndex {
       .select(col("term"), col(idCol).cast("long"), col("w").cast("long"))
       .collect()
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+    fromRows(rows)
+  }
+
+  /** Build from already-collected (term, (id, w)) rows — the Spark-free
+    * loader (GraftProps' random-op property uses it).
+    */
+  private[graft] def fromRows(
+      rows: Array[(String, (Long, Long))]): DeltaSparseIndex =
     new DeltaSparseIndex(MemorySparseIndex.fromRows(rows),
       rows.iterator.map(_._2._1).toSet)
-  }
 }
 
 /** The sharded serving form of the LEARNED-SPARSE tier — the third

@@ -305,4 +305,89 @@ object GraftProps extends Properties("graft") {
           delta.deltaRows.map(_._1) == delta.deltaRows.map(_._1).sorted
     }
   }
+
+  // ---- delta retraction ≡ never-added, under RANDOM op sequences (the
+  // fixed interleavings in DeltaPostingsSpec/DeltaSparseSpec generalize
+  // here): a tier that saw adds AND retracts must serve — to the BIT —
+  // what a fresh handle over the same base with only the SURVIVING adds
+  // replayed serves, on both read paths. Valid-op filtering mirrors the
+  // contracts (no double-add of a live id, no retract of a dead one).
+
+  private def lexPostingsOf(docs: Seq[(Long, String)])
+      : Array[(String, (Long, Long, Long))] =
+    docs.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val dl = toks.length.toLong
+      toks.groupBy(identity).map { case (t, xs) =>
+        (t, (id, xs.length.toLong, dl))
+      }
+    }.toArray
+
+  private val lexBaseDocs = Seq(
+    1L -> "alpha beta beta", 2L -> "beta gamma",
+    3L -> "alpha gamma gamma delta", 4L -> "", 5L -> "delta alpha")
+  private val lexWords = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+
+  property("serve.delta-lexical-retract-equals-replay-of-survivors") = {
+    val baseSumDl = lexBaseDocs.map(_._2.split(" ", -1).length.toLong).sum
+    val textGen = Gen.chooseNum(1, 5)
+      .flatMap(n => Gen.listOfN(n, lexWords)).map(_.mkString(" "))
+    val opGen: Gen[(Int, Long, String)] = for {
+      kind <- Gen.chooseNum(0, 1) // 0 = add, 1 = retract
+      id <- Gen.chooseNum(100L, 107L) // small space: re-adds collide
+      t <- textGen
+    } yield (kind, id, t)
+    def bits(xs: Seq[(Long, Double)]) =
+      xs.map { case (id, s) => (id, java.lang.Double.doubleToLongBits(s)) }
+    forAll(Gen.listOf(opGen), Gen.nonEmptyListOf(lexWords),
+      Gen.chooseNum(1, 8)) { (ops, qraw, k) =>
+      val tier = graft.serve.DeltaPostingsIndex.fromRows(
+        lexPostingsOf(lexBaseDocs), lexBaseDocs.size.toLong, baseSumDl)
+      var live = Map.empty[Long, String]
+      ops.foreach {
+        case (0, id, t) if !live.contains(id) =>
+          tier.addDoc(id, t); live += (id -> t)
+        case (1, id, _) if live.contains(id) =>
+          tier.retractDoc(id); live -= id
+        case _ => () // contract-invalid op: skipped (rejections spec'd)
+      }
+      val twin = graft.serve.DeltaPostingsIndex.fromRows(
+        lexPostingsOf(lexBaseDocs), lexBaseDocs.size.toLong, baseSumDl)
+      live.toSeq.sortBy(_._1).foreach { case (id, t) => twin.addDoc(id, t) }
+      val q = qraw.distinct
+      val got = tier.topK(q, k)
+      bits(got) == bits(twin.topK(q, k)) &&
+        bits(tier.topKWand(q, k)) == bits(got) &&
+        tier.deltaSize == live.size.toLong
+    }
+  }
+
+  property("serve.delta-sparse-retract-equals-replay-of-survivors") = {
+    val baseRows: Array[(String, (Long, Long))] =
+      lexPostingsOf(lexBaseDocs).filter(_._1.nonEmpty)
+        .map { case (t, (id, tf, _)) => (t, (id, tf)) }
+    val wGen: Gen[Map[String, Long]] = Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(lexWords, Gen.chooseNum(1L, 5L))).map(_.toMap))
+    val opGen: Gen[(Int, Long, Map[String, Long])] = for {
+      kind <- Gen.chooseNum(0, 1)
+      id <- Gen.chooseNum(100L, 107L)
+      w <- wGen
+    } yield (kind, id, w)
+    forAll(Gen.listOf(opGen), wGen, Gen.chooseNum(1, 8)) { (ops, q, k) =>
+      val tier = graft.serve.DeltaSparseIndex.fromRows(baseRows)
+      var live = Map.empty[Long, Map[String, Long]]
+      ops.foreach {
+        case (0, id, w) if !live.contains(id) =>
+          tier.addDoc(id, w); live += (id -> w)
+        case (1, id, _) if live.contains(id) =>
+          tier.retractDoc(id); live -= id
+        case _ => ()
+      }
+      val twin = graft.serve.DeltaSparseIndex.fromRows(baseRows)
+      live.toSeq.sortBy(_._1).foreach { case (id, w) => twin.addDoc(id, w) }
+      tier.topK(q, k) == twin.topK(q, k) &&
+        tier.topKWand(q, k) == tier.topK(q, k) &&
+        tier.deltaSize == live.size.toLong
+    }
+  }
 }
