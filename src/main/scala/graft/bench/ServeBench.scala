@@ -239,6 +239,8 @@ object ServeBench {
     // stay exact (SemanticSearch class doc)
     val fallbackGate = new graft.api.FallbackGate("graft-fallback",
       maxConcurrent = 2)
+    // refusals issued by the shed row (see search_json_mixed_shed)
+    val shedCount = new java.util.concurrent.atomic.AtomicInteger(0)
     // background burst generator for the covered-under-burst row:
     // 2 submitter threads + a small bounded queue, so the burst is
     // sustained for the whole level but sheds (never accumulates an
@@ -475,6 +477,33 @@ object ServeBench {
           require(n == 5, s"covered request returned $n rows")
         }
       },
+      // the THIRD admission lever measured (gate queue → refuse): same
+      // 90/10 mix, but an uncovered request arriving to a deep fallback
+      // queue (queueLength >= maxConcurrent) SHEDS — returns a refusal
+      // immediately (the HTTP-503 analog) instead of queueing. The row
+      // shows the mix's latency with shedding on (the p95 queue tail of
+      // the *_admitted row collapses); the shed total prints after the
+      // battery so the refusal rate is recorded, not hidden.
+      "search_json_mixed_shed" -> { qi: Int =>
+        val qv = qvecs(qi % qvecs.size)
+        if (qi % 10 == 0) {
+          val req =
+            s"""{"query_vector":[${qv.mkString(",")}],"columns":["vec_id"],"limit":5,"filter":{"@gte":{"vec_id":0}}}"""
+          val (df, covered) = searcherRouted.searchRouted(req)
+          require(!covered, "the @gte-on-unloaded-filter request must fall back")
+          if (fallbackGate.queueLength >= fallbackGate.maxConcurrent)
+            shedCount.incrementAndGet(): Unit // refused: no job submitted
+          else {
+            val n = fallbackGate.admit(spark)(df.collect()).length
+            require(n == 5, s"admitted (unshed) fallback returned $n rows")
+          }
+        } else {
+          val (df, covered) = searcherRouted.searchRouted(jsonReq(qv, 5))
+          require(covered, "the plain request must be memory-covered")
+          val n = df.collect().length
+          require(n == 5, s"covered request returned $n rows")
+        }
+      },
       // the burst claim measured directly: each TIMED request is a
       // COVERED search while a sustained uncovered-fallback burst runs
       // in the background through the same gate (one async fallback
@@ -569,7 +598,7 @@ object ServeBench {
       // a measured population (~50 jobs per level), without job-path
       // wall times dominating the whole bench
       else if (pname.endsWith("_mixed") || pname.endsWith("_admitted") ||
-        pname.endsWith("_burst")) perThread * 8
+        pname.endsWith("_burst") || pname.endsWith("_shed")) perThread * 8
       else perThread
       (0 until 4).foreach(fire) // untimed warm-up: codegen + file listing
       val lat = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
@@ -628,6 +657,8 @@ object ServeBench {
       try (cells.map { case (p, f, n) => runLevel(p, f, n) },
         cells.map { case (p, f, n) => runLevel(p, f, n) })
       finally burstPool.shutdown()
+    if (shedCount.get() > 0)
+      System.err.println(s"[serve] shed row refused ${shedCount.get()} fallbacks (all levels, both passes)")
     val results = cells.zip(pass1.zip(pass2)).map { case ((pname, _, n), (a, b)) =>
       val r = if (a.failed == b.failed) { if (a.p50 <= b.p50) a else b }
               else if (a.failed < b.failed) a else b
