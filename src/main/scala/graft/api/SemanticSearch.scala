@@ -31,13 +31,16 @@ import graft.operators.Ann
   * @param index     corpus with at least (idCol, textCol, embCol); build it
   *                  with [[IndexBuilder]]
   * @param embedder  must be the SAME embedder the index was built with
-  * @param memory    optional loaded memory tier over the SAME corpus: when
-  *                  a JSON request is fully covered by it (columns +
+  * @param memory    optional serving tier over the SAME corpus — the
+  *                  in-process [[graft.serve.MemoryServer]] or the
+  *                  multi-process shard fleet ([[graft.serve.FleetTier]]):
+  *                  when a JSON request is fully covered by it (columns +
   *                  filter ops — see [[search]]), the front door serves
-  *                  job-free from memory instead of launching a Spark job;
-  *                  anything not covered falls back to the DataFrame path.
-  *                  Results are bit-identical either way (ServeSpec pins
-  *                  it) — only the latency differs.
+  *                  job-free from the tier instead of launching a Spark
+  *                  job; anything not covered falls back to the DataFrame
+  *                  path. Results are bit-identical either way (ServeSpec
+  *                  pins the memory tier; FleetBench REQUIRES it of the
+  *                  fleet at warm-up) — only the latency differs.
   * @param ivfFallback optional EXPLICIT recall/latency trade for the
   *                  job-path fallback of [[search]]: when set, UNCOVERED
   *                  requests probe only the `nProbe` query-nearest IVF
@@ -65,7 +68,7 @@ import graft.operators.Ann
 final class SemanticSearch(index: DataFrame, embedder: Embedder,
                            idCol: String = "ID", textCol: String = "EMBED_STR",
                            embCol: String = "EMBEDDING",
-                           memory: Option[graft.serve.MemoryServer] = None,
+                           memory: Option[graft.serve.ServingTier] = None,
                            ivfFallback: Option[SemanticSearch.IvfFallback] = None) {
 
   private val mapper = new ObjectMapper()
@@ -176,7 +179,7 @@ final class SemanticSearch(index: DataFrame, embedder: Embedder,
         org.apache.spark.sql.types.ByteType,
         org.apache.spark.sql.types.StringType)
       def servable(c: String): Boolean =
-        mem.dense.metaColumns.contains(c) &&
+        mem.metaColumns.contains(c) &&
           index.schema.find(_.name == c).exists(f => exact(f.dataType))
       mem.tryParseFilter(req.get("filter")).flatMap { dnf =>
         val covered = cols.forall(c => c == idCol || servable(c)) &&
@@ -186,7 +189,7 @@ final class SemanticSearch(index: DataFrame, embedder: Embedder,
           val hits = if (k <= 0) Nil else mem.topKVecDnf(qv, k, dnf)
           val rows = hits.map { case (id, _) =>
             org.apache.spark.sql.Row.fromSeq(cols.map(c =>
-              if (c == idCol) id.toString else mem.dense.metaString(c, id)))
+              if (c == idCol) id.toString else mem.metaString(c, id)))
           }
           val schema = org.apache.spark.sql.types.StructType(cols.map(c =>
             org.apache.spark.sql.types.StructField(c,

@@ -221,16 +221,24 @@ object ServeBench {
       new graft.serve.DeltaAnnIndex(memDense))
     val deltaSeq = new java.util.concurrent.atomic.AtomicLong(10_000_000L)
     // the LEXICAL freshness tier under churn: same write-then-read shape,
-    // with the per-query merged-stats re-derivation on the read path
-    val deltaLexRef = new java.util.concurrent.atomic.AtomicReference(
+    // with the per-query merged-stats re-derivation on the read path.
+    // BOUNDED delta (the round-15 protocol): crossing 1,000 delta docs
+    // folds the segment into a new immutable base IN-BAND
+    // (DeltaTier.republish — no write is ever discarded; the crossing
+    // request pays the fold, visible in the cell's p95/max), so the
+    // per-query delta cost stays bounded however long the churn runs
+    val deltaLexBounded = new graft.serve.BoundedDelta(
       graft.serve.DeltaPostingsIndex.fromDataFrame(postings, "doc_id",
-        nLex, sumDl))
+        nLex, sumDl), maxDeltaDocs = 1000L)
     val deltaLexSeq = new java.util.concurrent.atomic.AtomicLong(20_000_000L)
     // the SPARSE freshness tier under churn — the write mix includes
     // RETRACTIONS (this tier's distinguishing delete: an in-flight
-    // purge, exact with no corpus stats to re-derive)
-    val deltaSparseRef = new java.util.concurrent.atomic.AtomicReference(
-      graft.serve.DeltaSparseIndex.fromDataFrame(sparseVecs, "doc_id"))
+    // purge, exact with no corpus stats to re-derive). Same bounded
+    // protocol; the add+retract pair runs atomically inside write(), so
+    // a fold can never land between a request's add and its retract
+    val deltaSparseBounded = new graft.serve.BoundedDelta(
+      graft.serve.DeltaSparseIndex.fromDataFrame(sparseVecs, "doc_id"),
+      maxDeltaDocs = 1000L)
     val deltaSparseSeq = new java.util.concurrent.atomic.AtomicLong(30_000_000L)
 
     // admission for the exact-required rows: at most 2 concurrent
@@ -323,28 +331,27 @@ object ServeBench {
       },
       // write-then-read churn on the LEXICAL delta tier: one addDoc +
       // one merged-stats search per request (idf/avgdl re-derive over
-      // base+delta each query — the freshness-honesty cost measured);
-      // a handle swap every 1,000 writes models the publish cadence
+      // base+delta each query — the freshness-honesty cost measured).
+      // BOUNDED delta: every 1,000th write crosses maxDeltaDocs and pays
+      // the in-band republish fold — the corpus GROWS over the cell (no
+      // write discarded), which is the honest freshness-tier workload
       "memory_delta_lex_mixed" -> { qi: Int =>
         val seq = deltaLexSeq.incrementAndGet()
-        if (seq % 1000 == 0) deltaLexRef.set(deltaLexRef.get().fresh())
-        val d = deltaLexRef.get()
-        d.addDoc(seq, s"dup stream doc$seq fresh")
+        val d = deltaLexBounded.write(_.addDoc(seq, s"dup stream doc$seq fresh"))
         val n = d.topKWand(termSets(qi % termSets.size), 5).length
         require(n == 5, s"memory_delta_lex_mixed returned $n rows")
       },
       // the sparse churn twin: every write adds one doc; every 3rd write
       // immediately retracts its OWN add (the in-flight GDPR purge
-      // shape); reads take the base-WAND + exhaustive-delta merge.
-      // Self-retraction is race-free: only this request's thread ever
-      // touches doc `seq`, and a racing fresh() swap leaves the old
-      // handle valid for the retract.
+      // shape); reads take the base-WAND + exhaustive-delta merge. The
+      // pair runs atomically inside BoundedDelta.write, so the fold can
+      // never publish the add before the retract lands
       "memory_delta_sparse_mixed" -> { qi: Int =>
         val seq = deltaSparseSeq.incrementAndGet()
-        if (seq % 1000 == 0) deltaSparseRef.set(deltaSparseRef.get().fresh())
-        val d = deltaSparseRef.get()
-        d.addDoc(seq, Map("dup" -> 2L, "stream" -> 1L, s"doc$seq" -> 1L))
-        if (seq % 3 == 0) d.retractDoc(seq)
+        val d = deltaSparseBounded.write { h =>
+          h.addDoc(seq, Map("dup" -> 2L, "stream" -> 1L, s"doc$seq" -> 1L))
+          if (seq % 3 == 0) h.retractDoc(seq)
+        }
         val n = d.topKWand(sparseQueries(qi % sparseQueries.size), 5).length
         require(n == 5, s"memory_delta_sparse_mixed returned $n rows")
       },
@@ -587,8 +594,16 @@ object ServeBench {
       })
 
     final case class Level(requests: Int, failed: Int, p50: Double,
-                           p95: Double, mean: Double, qps: Double, wall: Double)
+                           p95: Double, mean: Double, qps: Double,
+                           wall: Double, shed: Int, republishes: Long)
     def runLevel(pname: String, fire: Int => Unit, n: Int): Level = {
+      // per-(path, concurrency) shed + republish counts: a shed request
+      // returns fast and is TIMED, so the row's p50/p95 is uninterpretable
+      // without its refusal count — snapshot the counters around the level
+      // and emit the diff in the row instead of one aggregated stderr line
+      val shed0 = shedCount.get()
+      val repub0 = deltaLexBounded.republishCount +
+        deltaSparseBounded.republishCount
       // memory-tier requests are sub-millisecond: run 64x more of them so
       // percentiles and QPS are measured over thousands of requests, not
       // amortizing thread startup over sixteen
@@ -631,7 +646,10 @@ object ServeBench {
           Thread.sleep(50)
       val ls = lat.asScala.toIndexedSeq.sorted
       Level(ls.size, failures.get(), pct(ls, 0.50), pct(ls, 0.95),
-        ls.sum / ls.size, ls.size / wall, wall)
+        ls.sum / ls.size, ls.size / wall, wall,
+        shed = shedCount.get() - shed0,
+        republishes = deltaLexBounded.republishCount +
+          deltaSparseBounded.republishCount - repub0)
     }
     // optional path subset (comma-separated names): re-measuring one
     // tier family at an expensive corpus scale must not pay for the
@@ -657,12 +675,17 @@ object ServeBench {
       try (cells.map { case (p, f, n) => runLevel(p, f, n) },
         cells.map { case (p, f, n) => runLevel(p, f, n) })
       finally burstPool.shutdown()
-    if (shedCount.get() > 0)
-      System.err.println(s"[serve] shed row refused ${shedCount.get()} fallbacks (all levels, both passes)")
     val results = cells.zip(pass1.zip(pass2)).map { case ((pname, _, n), (a, b)) =>
       val r = if (a.failed == b.failed) { if (a.p50 <= b.p50) a else b }
               else if (a.failed < b.failed) a else b
-      f"""{"path":"$pname","concurrency":$n,"requests":${r.requests},"failed":${r.failed},"p50_ms":${r.p50}%.1f,"p95_ms":${r.p95}%.1f,"mean_ms":${r.mean}%.1f,"qps":${r.qps}%.1f,"wall_s":${r.wall}%.2f}"""
+      // shed/republishes only where the mechanism exists (keeps every
+      // other row's schema unchanged) — the kept pass's counts, so the
+      // refusal rate interprets the same percentiles it shipped with
+      val extra =
+        (if (pname.endsWith("_shed")) s""","shed":${r.shed}""" else "") +
+          (if (pname.startsWith("memory_delta_"))
+            s""","republishes":${r.republishes}""" else "")
+      f"""{"path":"$pname","concurrency":$n,"requests":${r.requests},"failed":${r.failed},"p50_ms":${r.p50}%.1f,"p95_ms":${r.p95}%.1f,"mean_ms":${r.mean}%.1f,"qps":${r.qps}%.1f,"wall_s":${r.wall}%.2f$extra}"""
     }
 
     val line =

@@ -34,6 +34,16 @@ object Sparse {
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("w"))
 
+  /** Driver-side twin of [[tfVectors]]' tokenization — THE one copy every
+    * in-memory caller (delta-tier adds, specs, query registrations) must
+    * share: Spark's `split(col, " ")` keeps empty tokens, so the twin is
+    * `split(" ", -1)`, and w = term frequency. Document length for the
+    * BM25 tier is the total token count = the weights' sum.
+    */
+  private[graft] def tfWeights(text: String): Map[String, Long] =
+    text.split(" ", -1).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+
   /** Top-k by sparse dot product for one query (term → integer weight).
     * Ties break to lower id. Output: (idCol, score: long).
     */

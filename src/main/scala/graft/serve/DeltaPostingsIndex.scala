@@ -65,7 +65,7 @@ final class DeltaPostingsIndex private (
     base: Map[String, Array[(Long, Long, Long)]], // term -> (id, tf, dl)
     baseIds: Set[Long],
     baseN: Long, baseSumDl: Long,
-    k1: Double, b: Double) {
+    k1: Double, b: Double) extends DeltaTier[DeltaPostingsIndex] {
 
   private final case class Delta(
       postings: Map[String, Vector[(Long, Long, Long)]],
@@ -77,6 +77,15 @@ final class DeltaPostingsIndex private (
 
   @volatile private var delta: Delta =
     Delta(Map.empty, Map.empty, 0L, 0L)
+
+  // set by republish(): the delta was folded into a successor handle, so
+  // a write landing here would be silently discarded — fail loudly instead
+  @volatile private var republished: Boolean = false
+
+  private def checkLive(): Unit =
+    if (republished) throw new RepublishedHandleException(
+      "this DeltaPostingsIndex handle was republished — re-read the " +
+        "serving reference (e.g. BoundedDelta.get) and retry the write")
 
   def deltaSize: Long = delta.n
 
@@ -91,6 +100,32 @@ final class DeltaPostingsIndex private (
   def fresh(): DeltaPostingsIndex =
     new DeltaPostingsIndex(base, baseIds, baseN, baseSumDl, k1, b)
 
+  /** Fold the delta into a NEW immutable base — the in-memory republish
+    * ([[DeltaTier.republish]]): per-term posting lists merge id-ascending
+    * (lists without delta postings SHARE the old base array — the fold
+    * copies only what the delta touched), and the corpus statistics fold
+    * as exact integer sums (N + delta n, Σdl + delta Σdl), so the
+    * returned handle's per-query merged stats — and therefore every
+    * score bit — equal this handle's at the moment of the fold, and
+    * equal a batch rebuild over base ∪ delta (DeltaPostingsSpec pins
+    * both). Seals this handle for writers; readers keep the pre-fold
+    * snapshot.
+    */
+  def republish(): DeltaPostingsIndex = this.synchronized {
+    checkLive()
+    republished = true
+    val d = delta
+    val merged: Map[String, Array[(Long, Long, Long)]] =
+      if (d.postings.isEmpty) base
+      else (base.keySet ++ d.postings.keySet).iterator.map { t =>
+        val bp = base.getOrElse(t, Array.empty[(Long, Long, Long)])
+        val dp = d.postings.getOrElse(t, Vector.empty)
+        t -> (if (dp.isEmpty) bp else (bp ++ dp).sortBy(_._1))
+      }.toMap
+    new DeltaPostingsIndex(merged, baseIds ++ d.docs.keySet,
+      baseN + d.n, baseSumDl + d.sumDl, k1, b)
+  }
+
   /** Append one document — searchable by the next [[topK]] call.
     * Rejects ids already in the delta AND ids present in the base
     * postings: accepting a base id would double-count its score in
@@ -101,17 +136,17 @@ final class DeltaPostingsIndex private (
     * collide in the heap either: it appears in no posting list).
     */
   def addDoc(id: Long, text: String): Unit = this.synchronized {
+    checkLive()
     val d = delta
     require(!d.docs.contains(id),
       s"id $id already in the delta segment (adds-only)")
     require(!baseIds(id),
       s"id $id already in the published base (adds-only; an update is a rebuild)")
-    // Spark split(col, " ") keeps trailing empties — replicate with -1
-    val toks = text.split(" ", -1)
-    val dl = toks.length.toLong
-    val byTerm = toks.groupBy(identity).map { case (t, xs) =>
-      t -> (id, xs.length.toLong, dl)
-    }
+    // ONE tokenization twin for the whole repo (Sparse.tfWeights):
+    // dl = total token count = the term frequencies' sum
+    val weights = graft.operators.Sparse.tfWeights(text)
+    val dl = weights.valuesIterator.sum
+    val byTerm = weights.map { case (t, w) => t -> (id, w, dl) }
     val merged = byTerm.foldLeft(d.postings) { case (acc, (t, p)) =>
       acc.updated(t, acc.getOrElse(t, Vector.empty) :+ p)
     }
@@ -141,6 +176,7 @@ final class DeltaPostingsIndex private (
     * would serve.
     */
   def retractDoc(id: Long): Unit = this.synchronized {
+    checkLive()
     val d = delta
     require(d.docs.contains(id),
       if (baseIds(id))

@@ -1405,9 +1405,17 @@ final class ServingIndex(spark: SparkSession, indexDir: String, idCol: String) {
   */
 final class MemoryServer(val dense: MemoryAnnIndex,
                          lexical: Option[MemoryPostingsIndex],
-                         val defaultNProbe: Int = 0) {
+                         val defaultNProbe: Int = 0) extends ServingTier {
 
   private val mapper = new ObjectMapper()
+
+  /** [[ServingTier]] conformance: the routed front door reads the dense
+    * index's loaded metadata through the tier interface, so the SAME
+    * door also composes with the multi-process [[FleetTier]].
+    */
+  def metaColumns: Set[String] = dense.metaColumns
+  def metaString(colName: String, id: Long): String =
+    dense.metaString(colName, id)
 
   /** True iff dense requests serve EXACTLY (full scan / payload index —
     * no IVF probe). The routed front doors ([[graft.api.SemanticSearch]],

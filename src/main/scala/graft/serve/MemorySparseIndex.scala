@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * exactly equal (integer arithmetic, no fold-order question at all).
   * Ties break to lower id, like every serving tier here.
   */
-final class MemorySparseIndex private (
-    postings: Map[String, Array[(Long, Long)]]) { // term -> (id, w)
+final class MemorySparseIndex private[serve] (
+    // term -> (id, w); id-ascending per term. Package-private so the
+    // delta tier's republish() can fold its segment into a new base
+    // without a row round-trip.
+    private[serve] val postings: Map[String, Array[(Long, Long)]]) {
 
   def vocabularySize: Int = postings.size
 
@@ -203,7 +206,8 @@ object MemorySparseIndex {
   * snapshot. `fresh()` is the O(1) post-publish handle swap.
   */
 final class DeltaSparseIndex private (
-    base: MemorySparseIndex, baseIds: Set[Long]) {
+    base: MemorySparseIndex, baseIds: Set[Long])
+  extends DeltaTier[DeltaSparseIndex] {
 
   private final case class Delta(
       postings: Map[String, Vector[(Long, Long)]], // term -> (id, w)
@@ -213,6 +217,14 @@ final class DeltaSparseIndex private (
 
   @volatile private var delta: Delta = Delta(Map.empty, Map.empty)
 
+  // the DeltaPostingsIndex seal: a write after republish() fails loudly
+  @volatile private var republished: Boolean = false
+
+  private def checkLive(): Unit =
+    if (republished) throw new RepublishedHandleException(
+      "this DeltaSparseIndex handle was republished — re-read the " +
+        "serving reference (e.g. BoundedDelta.get) and retry the write")
+
   def deltaSize: Long = delta.docs.size.toLong
 
   /** A new handle over the SAME immutable base with an empty delta —
@@ -221,11 +233,35 @@ final class DeltaSparseIndex private (
     */
   def fresh(): DeltaSparseIndex = new DeltaSparseIndex(base, baseIds)
 
+  /** Fold the delta into a NEW immutable base ([[DeltaTier.republish]]).
+    * Even simpler than the BM25 tier's fold: there are no corpus
+    * statistics, so the merge is just per-term id-ascending list
+    * concatenation (untouched terms SHARE the old base arrays). The
+    * returned handle is result-identical to this one at the fold — and
+    * to a rebuild over base ∪ delta (DeltaSparseSpec pins both). Seals
+    * this handle for writers.
+    */
+  def republish(): DeltaSparseIndex = this.synchronized {
+    checkLive()
+    republished = true
+    val d = delta
+    val merged: Map[String, Array[(Long, Long)]] =
+      if (d.postings.isEmpty) base.postings
+      else (base.postings.keySet ++ d.postings.keySet).iterator.map { t =>
+        val bp = base.postings.getOrElse(t, Array.empty[(Long, Long)])
+        val dp = d.postings.getOrElse(t, Vector.empty)
+        t -> (if (dp.isEmpty) bp else (bp ++ dp).sortBy(_._1))
+      }.toMap
+    new DeltaSparseIndex(new MemorySparseIndex(merged),
+      baseIds ++ d.docs.keySet)
+  }
+
   /** Append one document's sparse vector — searchable by the next
     * query. New ids only (delta AND published base); positive weights
     * only (see the class doc).
     */
   def addDoc(id: Long, weights: Map[String, Long]): Unit = this.synchronized {
+    checkLive()
     val d = delta
     require(!d.docs.contains(id), s"id $id already in the delta segment")
     require(!baseIds(id),
@@ -243,6 +279,7 @@ final class DeltaSparseIndex private (
     * rejected with the republish pointer, like the lexical tier.
     */
   def retractDoc(id: Long): Unit = this.synchronized {
+    checkLive()
     val d = delta
     require(d.docs.contains(id),
       if (baseIds(id))

@@ -3,7 +3,7 @@ package graft.tools
 import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
 import java.net.{ServerSocket, Socket}
 
-import graft.serve.{MemoryAnnIndex, MemoryPostingsIndex, MemorySparseIndex}
+import graft.serve.{FleetProtocol, MemoryAnnIndex, MemoryPostingsIndex, MemorySparseIndex}
 
 /** ONE shard of the serving fleet, as a real separate process — the
   * r13 verdict's ask: the in-process `Sharded*Index` rows measure merge
@@ -15,19 +15,18 @@ import graft.serve.{MemoryAnnIndex, MemoryPostingsIndex, MemorySparseIndex}
   * merges k-bounded responses — so the measured latency INCLUDES
   * serialization, the socket hop, and the max-over-shards tail.
   *
-  * Protocol (DataInput/DataOutput over one persistent connection,
-  * request → response, client-paced):
-  *   op 0 lex:    int k, int nTerms, UTF*            → int n, (long id, double score)*
-  *   op 1 sparse: int k, int n, (UTF term, long w)*  → int n, (long id, long score)*
-  *   op 2 dense:  int k, int dim, float*             → int n, (long id, double score)*
-  *   op 3 hybrid: int poolK, int dim, float*,
-  *                int nTerms, UTF*                   → dense list + lex list (as above)
-  *   op 255: shutdown the process.
+  * Protocol: [[graft.serve.FleetProtocol]] — the ONE opcode definition
+  * this server shares with [[graft.serve.FleetClient]]. Per-shard work is
+  * EXACTLY what the in-process shard objects do (same index classes, same
+  * WAND walks), so fleet results stay bit-identical to the in-process
+  * fan-out — FleetBench cross-checks that during warm-up.
   *
-  * Per-shard work is EXACTLY what the in-process shard objects do
-  * (same index classes, same WAND walks), so fleet results stay
-  * bit-identical to the in-process fan-out — FleetBench cross-checks
-  * that during warm-up.
+  * RELOAD (`OpReload`): the shard re-reads its three index files from the
+  * work dir and swaps the serving snapshot atomically (one volatile
+  * store) — the shard half of the fleet republish protocol. Requests on
+  * OTHER connections keep serving throughout (each request reads the
+  * snapshot once); the ack goes out AFTER the swap, so the coordinator's
+  * ack receipt IS this shard's cutover instant.
   *
   * Usage: java -cp <classes+scala> graft.tools.FleetShardServer <workDir> <shardId>
   * Binds an ephemeral port and prints "READY <port>" on stdout.
@@ -73,12 +72,23 @@ object FleetShardServer {
     } finally in.close()
   }
 
+  /** The immutable serving snapshot one reload swaps wholesale. */
+  private final case class Indexes(lex: MemoryPostingsIndex,
+                                   sparse: MemorySparseIndex,
+                                   dense: MemoryAnnIndex)
+
   def main(args: Array[String]): Unit = {
+    import FleetProtocol._
     val Array(workDir, shardIdS) = args.take(2)
     val shardId = shardIdS.toInt
-    val (lex, _) = loadLex(s"$workDir/lex_shard_$shardId.bin")
-    val sparse = loadSparse(s"$workDir/sparse_shard_$shardId.bin")
-    val dense = loadDense(s"$workDir/dense_shard_$shardId.bin")
+    def loadAll(): Indexes = Indexes(
+      loadLex(s"$workDir/lex_shard_$shardId.bin")._1,
+      loadSparse(s"$workDir/sparse_shard_$shardId.bin"),
+      loadDense(s"$workDir/dense_shard_$shardId.bin"))
+    // the serving snapshot: requests read it ONCE per frame; OpReload
+    // swaps it with a single volatile store (readers mid-request keep
+    // the old immutable snapshot — the ServingIndex rule)
+    @volatile var indexes: Indexes = loadAll()
     val ss = new ServerSocket(0, 128)
     // the parent parses this line for the ephemeral port
     println(s"READY ${ss.getLocalPort}")
@@ -96,28 +106,33 @@ object FleetShardServer {
       try {
         while (true) {
           val op = in.readUnsignedByte()
+          val idx = indexes
           op match {
-            case 0 =>
+            case OpLex =>
               val k = in.readInt()
               val terms = Seq.fill(in.readInt())(in.readUTF())
-              writeList(out, lex.searchWand(terms, k))
-            case 1 =>
+              writeList(out, idx.lex.searchWand(terms, k))
+            case OpSparse =>
               val k = in.readInt()
               val q = Seq.fill(in.readInt())(in.readUTF() -> in.readLong()).toMap
-              val hits = sparse.topKWand(q, k)
+              val hits = idx.sparse.topKWand(q, k)
               out.writeInt(hits.length)
               hits.foreach { case (id, s) => out.writeLong(id); out.writeLong(s) }
-            case 2 =>
+            case OpDense =>
               val k = in.readInt()
               val qv = Seq.fill(in.readInt())(in.readFloat())
-              writeList(out, dense.topK(qv, k))
-            case 3 =>
+              writeList(out, idx.dense.topK(qv, k))
+            case OpHybrid =>
               val poolK = in.readInt()
               val qv = Seq.fill(in.readInt())(in.readFloat())
               val terms = Seq.fill(in.readInt())(in.readUTF())
-              writeList(out, dense.topK(qv, poolK))
-              writeList(out, lex.searchWand(terms, poolK))
-            case 255 =>
+              writeList(out, idx.dense.topK(qv, poolK))
+              writeList(out, idx.lex.searchWand(terms, poolK))
+            case OpReload =>
+              // load FIRST, swap, then ack: the ack is the cutover
+              indexes = loadAll()
+              out.writeByte(1)
+            case OpShutdown =>
               out.flush(); sock.close(); System.exit(0)
             case other =>
               throw new IllegalStateException(s"unknown op $other")
@@ -129,11 +144,13 @@ object FleetShardServer {
         case e: java.net.SocketException =>
           sock.close()
           System.err.println(s"[shard $shardId] ${e.getMessage}")
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           // protocol desync (unknown op, mid-frame read): CLOSE the
           // socket so the client fails loudly on its next read instead
-          // of blocking forever on a dead serve thread
-          try sock.close() catch { case _: Throwable => () }
+          // of blocking forever on a dead serve thread. FATAL JVM errors
+          // (OOM, stack overflow) propagate — a possibly-corrupted shard
+          // must die, not keep serving behind a stderr line
+          try sock.close() catch { case scala.util.control.NonFatal(_) => () }
           System.err.println(s"[shard $shardId] serve thread died: $e")
       }
     }

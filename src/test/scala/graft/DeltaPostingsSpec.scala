@@ -158,6 +158,75 @@ class DeltaPostingsSpec extends SparkSpec {
     }
   }
 
+  test("republish folds the delta exactly; seals the old handle; BoundedDelta bounds the segment") {
+    val baseDocs = allDocs.where(col("id") <= 5)
+    val (baseN, baseSumDl, _) = statsOf(baseDocs)
+    val tier = DeltaPostingsIndex.fromDataFrame(
+      Bm25.buildPostings(baseDocs, "id", "text").localCheckpoint(true),
+      "id", baseN, baseSumDl)
+    val deltaTexts = allDocs.where(col("id") > 5)
+      .select("id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // adds incl. an empty text (postings-free doc must still fold into N)
+    // and a retract that must NOT survive the fold
+    Seq(6L, 7L, 8L, 9L).foreach(id => tier.addDoc(id, deltaTexts(id)))
+    tier.retractDoc(7L)
+    val queries = Seq(Seq("spark", "join"), Seq("fast"),
+      Seq("vector", "table", "scan"), Seq("index", "nosuchterm"))
+    val preFold = (for (q <- queries; k <- Seq(1, 3, 10))
+      yield (q, k) -> tier.topKWand(q, k)).toMap
+    val folded = tier.republish()
+    // the folded handle serves EXACTLY the pre-fold results (same bits),
+    // == a fresh rebuild over the surviving documents (base 1-5 plus the
+    // adds 6/8/9 — 7 was retracted pre-fold, 10 never added)
+    val fresh = freshIndex(allDocs.where(col("id") =!= 7L && col("id") =!= 10L))
+    for (q <- queries; k <- Seq(1, 3, 10)) {
+      assert(folded.topK(q, k) == fresh.search(q, k),
+        s"republished handle != rebuild for $q k=$k")
+      assert(folded.topKWand(q, k) == preFold((q, k)),
+        s"fold changed served results for $q k=$k")
+    }
+    assert(folded.deltaSize == 0L)
+    // the fold PUBLISHED the delta docs: re-adding one is now a base-id
+    // rejection, and retracting one points at the republish protocol
+    intercept[IllegalArgumentException] { folded.addDoc(6L, "again") }
+    val purge = intercept[IllegalArgumentException] { folded.retractDoc(6L) }
+    assert(purge.getMessage.contains("republish"))
+    // the OLD handle is sealed for writers (a stale write must fail
+    // loudly, never land in a discarded delta) but still readable
+    intercept[graft.serve.RepublishedHandleException] {
+      tier.addDoc(99L, "late write")
+    }
+    intercept[graft.serve.RepublishedHandleException] { tier.retractDoc(6L) }
+    intercept[graft.serve.RepublishedHandleException] { tier.republish() }
+    assert(tier.topKWand(Seq("spark", "join"), 3) ==
+      preFold((Seq("spark", "join"), 3)))
+
+    // BoundedDelta: the segment never exceeds the bound after a write
+    // returns, no write is lost, and results == one never-folded tier
+    val bounded = new graft.serve.BoundedDelta(
+      DeltaPostingsIndex.fromDataFrame(
+        Bm25.buildPostings(baseDocs, "id", "text").localCheckpoint(true),
+        "id", baseN, baseSumDl), maxDeltaDocs = 3L)
+    val unbounded = DeltaPostingsIndex.fromDataFrame(
+      Bm25.buildPostings(baseDocs, "id", "text").localCheckpoint(true),
+      "id", baseN, baseSumDl)
+    (100L to 110L).foreach { id =>
+      val text = s"spark fresh doc${id % 4}"
+      val h = bounded.write(_.addDoc(id, text))
+      unbounded.addDoc(id, text)
+      // read-your-writes on the returned handle
+      assert(h.topKWand(Seq("fresh"), 20).exists(_._1 == id))
+      assert(bounded.get.deltaSize < 3L,
+        s"delta ${bounded.get.deltaSize} not folded at the bound")
+      for (q <- queries :+ Seq("fresh"); k <- Seq(3, 20))
+        assert(bounded.get.topKWand(q, k) == unbounded.topKWand(q, k),
+          s"bounded tier diverged from unbounded after add($id), q=$q k=$k")
+    }
+    assert(bounded.republishCount == 3L,
+      s"11 adds at bound 3 should fold 3 times, got ${bounded.republishCount}")
+  }
+
   test("retract contracts: base id → republish pointer, unknown id, double retract") {
     val baseDocs = allDocs.where(col("id") <= 5)
     val (baseN, baseSumDl, _) = statsOf(baseDocs)

@@ -28,12 +28,9 @@ class DeltaSparseSpec extends SparkSpec {
     (10L, "index index fast")
   ).toDF("id", "text")
 
-  /** Driver twin of [[Sparse.tfVectors]]'s tokenization (split keeps
-    * empty tokens), for streaming adds.
-    */
+  /** The shared driver twin of [[Sparse.tfVectors]]'s tokenization. */
   private def weightsOf(text: String): Map[String, Long] =
-    text.split(" ", -1).groupBy(identity)
-      .map { case (t, xs) => t -> xs.length.toLong }
+    Sparse.tfWeights(text)
 
   private def freshIndex(docs: org.apache.spark.sql.DataFrame): MemorySparseIndex =
     MemorySparseIndex.fromDataFrame(
@@ -101,6 +98,61 @@ class DeltaSparseSpec extends SparkSpec {
     assert(res.size == 4 && skipped > 0L,
       s"expected real base skips (evaluated=$evaluated, skipped=$skipped)")
     assert(res == tier.topK(Map("rareterm" -> 10L, "common" -> 1L), 4))
+  }
+
+  test("republish folds exactly; seals the old handle; BoundedDelta keeps add+retract atomic") {
+    val baseDocs = allDocs.where(col("id") <= 5)
+    val texts = allDocs.where(col("id") > 5)
+      .select("id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tier = DeltaSparseIndex.fromDataFrame(
+      Sparse.tfVectors(baseDocs, "id", "text").localCheckpoint(true), "id")
+    Seq(6L, 7L, 9L, 10L).foreach(id => tier.addDoc(id, weightsOf(texts(id))))
+    tier.retractDoc(7L)
+    val preFold = (for (q <- queries; k <- Seq(1, 3, 10))
+      yield (q, k) -> tier.topKWand(q, k)).toMap
+    val folded = tier.republish()
+    val fresh = freshIndex(
+      allDocs.where(col("id") =!= 7L && col("id") =!= 8L))
+    for (q <- queries; k <- Seq(1, 3, 10)) {
+      assert(folded.topK(q, k) == fresh.topK(q, k),
+        s"republished handle != rebuild for $q k=$k")
+      assert(folded.topKWand(q, k) == preFold((q, k)),
+        s"fold changed served results for $q k=$k")
+    }
+    assert(folded.deltaSize == 0L)
+    intercept[IllegalArgumentException] { folded.addDoc(6L, Map("x" -> 1L)) }
+    val purge = intercept[IllegalArgumentException] { folded.retractDoc(6L) }
+    assert(purge.getMessage.contains("republish"))
+    intercept[graft.serve.RepublishedHandleException] {
+      tier.addDoc(99L, Map("late" -> 1L))
+    }
+    intercept[graft.serve.RepublishedHandleException] { tier.retractDoc(6L) }
+    // readers keep the pre-fold snapshot
+    assert(tier.topKWand(queries.head, 3) == preFold((queries.head, 3)))
+
+    // BoundedDelta with the in-flight-purge write shape: the add+retract
+    // pair runs atomically inside write(), so a fold can never publish
+    // the add before its retract — every 3rd doc must stay gone
+    val bounded = new graft.serve.BoundedDelta(
+      DeltaSparseIndex.fromDataFrame(
+        Sparse.tfVectors(baseDocs, "id", "text").localCheckpoint(true),
+        "id"), maxDeltaDocs = 2L)
+    (100L to 112L).foreach { id =>
+      val h = bounded.write { t =>
+        t.addDoc(id, Map("fresh" -> 1L, s"doc${id % 5}" -> 2L))
+        if (id % 3 == 0) t.retractDoc(id)
+      }
+      assert(h.topK(Map("fresh" -> 1L), 20).exists(_._1 == id) == (id % 3 != 0))
+      assert(bounded.get.deltaSize < 2L)
+    }
+    val survivors = (100L to 112L).filter(_ % 3 != 0)
+    val served = bounded.get.topK(Map("fresh" -> 1L), 50).map(_._1).toSet
+    assert(survivors.forall(served.contains),
+      s"lost a surviving write: $served vs $survivors")
+    assert((100L to 112L).filter(_ % 3 == 0).forall(!served.contains(_)),
+      "a retracted add leaked through a fold")
+    assert(bounded.republishCount > 0L)
   }
 
   test("contracts: id guards, positive weights, republish pointer, k<=0, unknown-only") {

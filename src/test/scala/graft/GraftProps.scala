@@ -362,6 +362,50 @@ object GraftProps extends Properties("graft") {
     }
   }
 
+  // ---- republish ≡ no-op for results, under RANDOM op sequences: a tier
+  // that interleaved adds, retracts, AND in-memory republish folds
+  // (DeltaTier.republish — delta → new immutable base) must serve — to
+  // the BIT — what a never-folded twin over the same surviving adds
+  // serves. Valid-op rules extend the retract property's: an id is
+  // addable iff not live anywhere (folded docs are published, so their
+  // ids stay taken), retractable iff still in the CURRENT delta.
+  property("serve.delta-lexical-republish-equals-replay-of-survivors") = {
+    val baseSumDl = lexBaseDocs.map(_._2.split(" ", -1).length.toLong).sum
+    val textGen = Gen.chooseNum(1, 5)
+      .flatMap(n => Gen.listOfN(n, lexWords)).map(_.mkString(" "))
+    val opGen: Gen[(Int, Long, String)] = for {
+      kind <- Gen.frequency(4 -> 0, 3 -> 1, 2 -> 2) // add, retract, fold
+      id <- Gen.chooseNum(100L, 107L)
+      t <- textGen
+    } yield (kind, id, t)
+    def bits(xs: Seq[(Long, Double)]) =
+      xs.map { case (id, s) => (id, java.lang.Double.doubleToLongBits(s)) }
+    forAll(Gen.listOf(opGen), Gen.nonEmptyListOf(lexWords),
+      Gen.chooseNum(1, 8)) { (ops, qraw, k) =>
+      var tier = graft.serve.DeltaPostingsIndex.fromRows(
+        lexPostingsOf(lexBaseDocs), lexBaseDocs.size.toLong, baseSumDl)
+      var survivors = Map.empty[Long, String] // adds never retracted
+      var inDelta = Set.empty[Long]           // retractable (unfolded) adds
+      ops.foreach {
+        case (0, id, t) if !survivors.contains(id) =>
+          tier.addDoc(id, t); survivors += (id -> t); inDelta += id
+        case (1, id, _) if inDelta(id) =>
+          tier.retractDoc(id); survivors -= id; inDelta -= id
+        case (2, _, _) =>
+          tier = tier.republish(); inDelta = Set.empty
+        case _ => () // contract-invalid op: skipped (rejections spec'd)
+      }
+      val twin = graft.serve.DeltaPostingsIndex.fromRows(
+        lexPostingsOf(lexBaseDocs), lexBaseDocs.size.toLong, baseSumDl)
+      survivors.toSeq.sortBy(_._1).foreach { case (id, t) => twin.addDoc(id, t) }
+      val q = qraw.distinct
+      val got = tier.topK(q, k)
+      bits(got) == bits(twin.topK(q, k)) &&
+        bits(tier.topKWand(q, k)) == bits(got) &&
+        tier.deltaSize == inDelta.size.toLong
+    }
+  }
+
   property("serve.delta-sparse-retract-equals-replay-of-survivors") = {
     val baseRows: Array[(String, (Long, Long))] =
       lexPostingsOf(lexBaseDocs).filter(_._1.nonEmpty)
