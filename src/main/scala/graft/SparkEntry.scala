@@ -5882,12 +5882,10 @@ object SparkEntry {
         "doc_id")
       val arrivals = docs.where(pmod(col("doc_id"), lit(5)) === 0)
         .select("doc_id", "text").collect().sortBy(_.getLong(0))
-      arrivals.foreach { r =>
-        // driver twin of tfVectors' tokenization (split keeps empties)
-        val w = r.getString(1).split(" ", -1).groupBy(identity)
-          .map { case (t, xs) => t -> xs.length.toLong }
-        tier.addDoc(r.getLong(0), w)
-      }
+      arrivals.foreach(r =>
+        // the ONE driver-side tokenization twin (Sparse.tfWeights)
+        tier.addDoc(r.getLong(0),
+          graft.operators.Sparse.tfWeights(r.getString(1))))
       arrivals.map(_.getLong(0)).filter(_ % 10L == 0L)
         .foreach(tier.retractDoc)
       val (res, evaluated, skipped) =
@@ -5895,6 +5893,25 @@ object SparkEntry {
       require(skipped > 0L,
         s"q295: base WAND pruned nothing (evaluated=$evaluated)")
       res.toDF("doc_id", "score")
+    }),
+
+    // ---- MOTION-JPEG frame decode (multimodal/Multimodal.videoFrames
+    // over syntheticMjpegMedia): the compressed-video seam opened — the
+    // RIFF walk hands each '00dc' chunk to the SAME plugin-dispatched
+    // ImageIO path the image pipeline uses (zero new codec code, the
+    // G.711 precedent), and the JDK's baseline JPEG reader decodes it.
+    // JPEG is LOSSY, so per-pixel sums are decoder-relative (pinned
+    // bit-equal to the direct decode in MultimodalSpec); what the oracle
+    // CAN check exactly — and does — is the structural contract:
+    // dimensions survive the codec, the sampler picks every 2nd frame,
+    // and every sampled frame decodes (decode_ok). Scale: one task per
+    // partition batch of videos, frames never leave their executor.
+    "q296_mjpeg_frames" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.syntheticMjpegMedia(s, 150)
+      val frames = graft.multimodal.Multimodal.videoFrames(media, sampleEvery = 2)
+      frames.toDF()
+        .select(col("media_id"), col("frame_idx"), col("width"),
+          col("height"), col("n_px"), col("decode_ok"))
     }),
   )
 
@@ -8405,6 +8422,20 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_px, CAST(sum(pv) AS BIGINT) AS px_sum,
         |  TRUE AS decode_ok
         |FROM px GROUP BY media_id, frame_idx, width, height""".stripMargin,
+
+    // MJPEG: pixel sums are the (real, lossy) codec's — MultimodalSpec
+    // pins them against the direct decode; the oracle checks the exact
+    // structural closed forms (dims through the codec, sampling, decode_ok)
+    "q296_mjpeg_frames" ->
+      """WITH v AS (SELECT i AS media_id,
+        |    CAST(16 + i % 8 AS INT) AS width,
+        |    CAST(16 + (3 * i) % 8 AS INT) AS height,
+        |    CAST(2 + i % 3 AS INT) AS n_frames
+        |  FROM range(150) t(i))
+        |SELECT media_id, CAST(fi.f AS INT) AS frame_idx, width, height,
+        |  CAST(width AS BIGINT) * height AS n_px, TRUE AS decode_ok
+        |FROM v, unnest(generate_series(0, n_frames - 1)) AS fi(f)
+        |WHERE fi.f % 2 = 0""".stripMargin,
 
     // compaction must be invisible to readers: the post-OPTIMIZE snapshot
     // aggregates exactly like the source relation

@@ -24,9 +24,14 @@ import org.apache.spark.sql.functions._
   * independent expansion table in MultimodalSpec), and an MP3/OGG SPI
   * plugin joins the same path with zero new code (probed absent on this
   * JDK, documented like WebP). MP4/MKV CONTAINER metadata (duration,
-  * track geometry) parses for real, dependency-free. The remaining stub
-  * is compressed VIDEO sample decode plus audio codecs with no installed
-  * SPI (AAC/MP3 here — no codec ships in this environment):
+  * track geometry) parses for real, dependency-free. COMPRESSED VIDEO
+  * decodes for real where frames are independently coded: the AVI walk
+  * ([[videoFrames]]) hands each '00dc' payload to the plugin-dispatched
+  * image path, so Motion-PNG AND Motion-JPEG (a real lossy codec —
+  * [[syntheticMjpegMedia]]) both decode with zero codec code of their
+  * own; inter-coded streams (H.264-in-MP4, VP9-in-MKV) stay
+  * header-metadata-only, like audio codecs with no installed SPI
+  * (AAC/MP3 here — no codec ships in this environment):
   * [[StubCodec]] derives deterministic pseudo-features from those bytes.
   * Everything Spark-side — schema, partition batching, feature shapes,
   * frame sampling, resize bookkeeping — is real and tested; swapping in a
@@ -1017,6 +1022,49 @@ object Multimodal {
               }
             }
       }
+    }
+  }
+
+  /** Deterministic MOTION-JPEG AVI corpus — the compressed-video seam
+    * opened (the G.711 precedent: the container walk hands each '00dc'
+    * chunk to the SAME plugin-dispatched [[decodeImage]], and the JDK's
+    * built-in JPEG reader does the rest — zero new codec code). Video i
+    * has 2 + i%3 frames of (16 + i%8) × (16 + (3i)%8) gray pixels,
+    * frame f pixel (x, y) = (3x + 2y + 11i + 17f) mod 200 + 20 — a
+    * smooth ramp the codec compresses losslessly NOWHERE: JPEG is a
+    * real lossy codec, so per-pixel truth is DECODER-RELATIVE
+    * (MultimodalSpec pins the via-container decode bit-equal to
+    * decoding the same frame payload directly, and pins uniform frames
+    * within quantization error of their source value), while
+    * dimensions, frame counts, and timing stay EXACT closed forms
+    * (the q296 oracle). 30 fps (33 333 µs/frame).
+    */
+  def syntheticMjpegMedia(spark: SparkSession, n: Int): Dataset[MediaFile] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val w = 16 + (i % 8).toInt
+      val h = 16 + ((3 * i) % 8).toInt
+      val nFrames = 2 + (i % 3).toInt
+      val frames = (0 until nFrames).map { f =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, (3 * x + 2 * y + 11 * i + 17 * f) % 200 + 20)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", out)
+        out.toByteArray
+      }
+      MediaFile(i, "video",
+        writeAvi(frames, w, h, usPerFrame = 33333L, fourcc = "MJPG"),
+        w, h, (nFrames * 33333L) / 1000L, "video/x-msvideo")
     }
   }
 

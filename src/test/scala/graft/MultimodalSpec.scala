@@ -385,4 +385,71 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(51L).toSeq.map(f => (f.frame_idx, f.decode_ok)) == Seq((-1, false)))
     assert(byId(52L).toSeq.map(f => (f.frame_idx, f.decode_ok)) == Seq((0, false)))
   }
+
+  test("Motion-JPEG: pixel truth — container decode ≡ direct decode, quantization bounded") {
+    import Multimodal._
+    // the INDEPENDENT twin of videoFrames' luma fold: direct ImageIO
+    // decode of a raw payload + the same Rec.601 integer rule (JPEG is a
+    // lossy codec, so pixel values are the DECODER's — the container
+    // walk must add exactly nothing on top of them)
+    def directLumaSum(payload: Array[Byte]): (Int, Int, Long) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      val raster = img.getRaster
+      val gray = img.getColorModel.getNumComponents == 1
+      var sum = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        sum += (if (gray) raster.getSample(x, y, 0)
+                else (299 * raster.getSample(x, y, 0) +
+                      587 * raster.getSample(x, y, 1) +
+                      114 * raster.getSample(x, y, 2)) / 1000)
+      (img.getWidth, img.getHeight, sum)
+    }
+    val media = syntheticMjpegMedia(spark, 12).collect()
+    val got = videoFrames(spark.createDataset(media.toSeq)(
+        org.apache.spark.sql.Encoders.product[MediaFile]), sampleEvery = 1)
+      .collect().map(f => (f.media_id, f.frame_idx) -> f).toMap
+    media.foreach { m =>
+      val i = m.media_id
+      val (w, h, nf) =
+        (16 + (i % 8).toInt, 16 + ((3 * i) % 8).toInt, 2 + (i % 3).toInt)
+      val frames = aviFrameChunks(m.bytes).get
+      assert(frames.size == nf)
+      frames.zipWithIndex.foreach { case (payload, f) =>
+        // every frame payload is a REAL JPEG (SOI marker), not PNG
+        assert((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8,
+          s"video $i frame $f is not a JPEG payload")
+        val vf = got((i, f))
+        val (dw, dh, dsum) = directLumaSum(payload)
+        assert(vf.decode_ok && vf.width == w && vf.height == h)
+        assert((dw, dh) == (w, h), "JPEG must preserve dimensions exactly")
+        assert(vf.px_sum == dsum,
+          s"container decode drifted from direct decode: video $i frame $f " +
+            s"${vf.px_sum} != $dsum")
+      }
+      // container metadata stays exact closed-form despite the lossy codec
+      assert(parseAviMeta(m.bytes).get ==
+        ((nf * 33333L) / 1000L, w, h, nf))
+    }
+    // quantization honesty: a UNIFORM frame decodes to (approximately)
+    // its source value — |mean - v| <= 2 bounds the codec's error, and a
+    // WRONG decode path (byte-histogram stub, wrong plane order) lands
+    // nowhere near it
+    Seq(20, 77, 128, 219).foreach { v =>
+      val img = new java.awt.image.BufferedImage(24, 16,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until 16).foreach(y => (0 until 24).foreach(x =>
+        img.getRaster.setSample(x, y, 0, v)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      val avi = writeAvi(Seq(out.toByteArray), 24, 16, 33333L, fourcc = "MJPG")
+      import spark.implicits._
+      val vf = videoFrames(spark.createDataset(Seq(
+        MediaFile(90L, "video", avi, 24, 16, 33L, "video/x-msvideo")))).head()
+      assert(vf.decode_ok && vf.n_px == 24L * 16L)
+      val mean = vf.px_sum.toDouble / vf.n_px
+      assert(math.abs(mean - v) <= 2.0,
+        s"uniform-$v frame decoded to mean $mean — not a real JPEG decode")
+    }
+  }
 }
