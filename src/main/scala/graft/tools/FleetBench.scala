@@ -75,6 +75,15 @@ object FleetBench {
     val spliceFile = sys.env.getOrElse("SPARK_GRAFT_FLEET_OUT",
       "SERVE_BENCH_10X.json")
     val pinned = sys.env.get("SPARK_GRAFT_FLEET_PIN").exists(_.nonEmpty)
+    // the client's per-socket read timeout. 15 s default: generous enough
+    // that a JIT-COLD shard JVM's first full-scan ops never read as a
+    // death (the 10× corpus's first hybrid op can take seconds while the
+    // C2 compiler warms — a 2 s timeout here once marked a healthy shard
+    // dead DURING the bit-identity warm-up and failed the run on a
+    // partial merge), small enough that a truly hung shard still costs
+    // one bounded wait. The kill row doesn't depend on it: a SIGKILLed
+    // process resets its sockets immediately.
+    val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_FLEET_TIMEOUT_MS", "15000").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // the FAIR pools the composed door's admission runs under (one pool
     // per client stream + the FallbackGate's dedicated pool) — the same
@@ -240,27 +249,47 @@ object FleetBench {
       drainer.setDaemon(true); drainer.start()
       line.drop("READY ".length).trim.toInt
     } catch { case e: Throwable => procs.foreach(_.destroyForcibly()); throw e }
-    if (pinned) {
-      // pin THIS JVM (all threads) to the cores the shards don't own
-      val self = ProcessHandle.current().pid()
-      val lo = nShards * 6
-      val pr = new ProcessBuilder("taskset", "-acp", s"$lo-31", self.toString)
-        .redirectErrorStream(true).start()
-      require(pr.waitFor() == 0, "taskset on the client JVM failed")
-      System.err.println(s"[fleet] pinned: shards on 0-${lo - 1} (6 cores each), client on $lo-31")
-    }
-
     val suffix = if (pinned) "_pinned" else ""
     val extraRows = scala.collection.mutable.ArrayBuffer.empty[String]
 
     try {
+      if (pinned) {
+        // pin this JVM to the cores the shards don't own. Two steps:
+        // `-a` (all threads) is best-effort — iterating a JVM's hundreds
+        // of threads races thread exits, so a nonzero rc there is noise;
+        // what MUST succeed is pinning the main thread (`-p` on the pid
+        // = the main task), because every client request thread below is
+        // spawned from main and inherits its mask. Spark's pre-existing
+        // executor threads stay idle in pinned mode (the composed rows
+        // that would run jobs are skipped).
+        val self = ProcessHandle.current().pid()
+        val lo = nShards * 6
+        new ProcessBuilder("taskset", "-acp", s"$lo-31", self.toString)
+          .redirectErrorStream(true).start().waitFor(): Unit
+        val pr = new ProcessBuilder("taskset", "-cp", s"$lo-31", self.toString)
+          .redirectErrorStream(true).start()
+        require(pr.waitFor() == 0, "taskset on the client JVM's main thread failed")
+        System.err.println(s"[fleet] pinned: shards on 0-${lo - 1} (6 cores each), client on $lo-31")
+      }
       // ---- bit-identity cross-check: fleet == in-process, score BITS;
       // composed door == in-process routed door, response BYTES
-      val check = new FleetClient(ports)
+      val check = new FleetClient(ports, timeoutMs = timeoutMs)
       val checkDoor = new SemanticSearch(corpus, HashingTfEmbedder(dim),
         idCol = "vec_id", textCol = "label", embCol = "embedding",
         memory = Some(new FleetTier(check)))
       try {
+        // JIT warm-up BEFORE the required comparisons: the first full-scan
+        // ops on a cold shard JVM run interpreted (seconds at the 10×
+        // corpus) — give every shard a few of each op so the identity
+        // check below measures agreement, not C2 compile latency
+        (0 until 3).foreach { w =>
+          (0 until nShards).foreach(sh =>
+            check.denseOn(sh, qvecs(w % qvecs.size), 5): Unit)
+          check.lex(termSets(w % termSets.size), 5): Unit
+          check.sparse(sparseQueries(w % sparseQueries.size), 5): Unit
+          check.hybrid(qvecs(w % qvecs.size), termSets(w % termSets.size),
+            10, poolK = 20): Unit
+        }
         (0 until 8).foreach { i =>
           val terms = termSets(i % termSets.size)
           val qv = qvecs(i % qvecs.size)
@@ -293,6 +322,12 @@ object FleetBench {
           val (_, iCov) = inRouted.searchRouted(jsonReqUncovered(qv, 5))
           require(!fCov && !iCov, "filtered request must fall back on both doors")
         }
+        // a shard marked dead during warm-up would make every comparison
+        // above a PARTIAL merge — the identity check must only ever pass
+        // against the full fleet
+        require(check.liveShards == nShards,
+          s"only ${check.liveShards}/$nShards shards alive after warm-up — " +
+            "a slow/dead shard invalidates the bit-identity check")
       } finally check.close()
       println(s"[fleet] bit-identity cross-check passed over ${ports.size} shard processes (raw ops + routed door)")
 
@@ -302,7 +337,7 @@ object FleetBench {
                              wall: Double, shed: Int)
       final case class Ctx(client: FleetClient, door: SemanticSearch)
       def newCtx(): Ctx = {
-        val cl = new FleetClient(ports)
+        val cl = new FleetClient(ports, timeoutMs = timeoutMs)
         Ctx(cl, new SemanticSearch(corpus, HashingTfEmbedder(dim),
           idCol = "vec_id", textCol = "label", embCol = "embedding",
           memory = Some(new FleetTier(cl))))
@@ -431,7 +466,7 @@ object FleetBench {
         val victimTerm = lexRows.collectFirst {
           case (t, (id, _, _)) if id == victim && t.nonEmpty => t
         }.getOrElse(sys.error("victim has no terms"))
-        val probe = new FleetClient(ports)
+        val probe = new FleetClient(ports, timeoutMs = timeoutMs)
         try {
           // pre-purge: the victim's own vector must surface it (cos = 1)
           val pre = probe.denseOn(0, victimVec, 1)
@@ -445,7 +480,7 @@ object FleetBench {
           val bgFailed = new java.util.concurrent.atomic.AtomicInteger(0)
           @volatile var bgStop = false
           val bg = new Thread(() => {
-            val cl = new FleetClient(ports)
+            val cl = new FleetClient(ports, timeoutMs = timeoutMs)
             try {
               var i = 0
               while (!bgStop) {
@@ -479,8 +514,56 @@ object FleetBench {
             s"purged doc $victim still in the lexical fleet")
           require(bgFailed.get() == 0,
             s"${bgFailed.get()} background queries failed during the swap")
+
+          // ---- the PARALLEL swap lever, measured on a second victim:
+          // all shards reload CONCURRENTLY (each reload runs on its own
+          // connection's serve thread; OTHER connections keep serving the
+          // volatile snapshot throughout), so the fleet-wide staleness
+          // window shrinks from Σ reloads to ~max(reload) — the trade is
+          // every shard re-reading its slice at once. Continuity is
+          // asserted the same way (zero failed background queries).
+          val victim2 = denseRows.iterator.map(_._1)
+            .find(id => id != victim && lexIds(id) &&
+              ShardedAnnIndex.shardOf(id, nShards) == 1)
+            .getOrElse(sys.error("no second victim id on shard 1"))
+          val victim2Vec = denseRows.find(_._1 == victim2).get._2
+          writeShardFiles(Set(victim, victim2))
+          val bg2Count = new java.util.concurrent.atomic.AtomicInteger(0)
+          val bg2Failed = new java.util.concurrent.atomic.AtomicInteger(0)
+          @volatile var bg2Stop = false
+          val bg2 = new Thread(() => {
+            val cl = new FleetClient(ports, timeoutMs = timeoutMs)
+            try {
+              var i = 0
+              while (!bg2Stop) {
+                try {
+                  if (cl.dense(qvecs(i % qvecs.size), 10).length == 10)
+                    bg2Count.incrementAndGet(): Unit
+                  else bg2Failed.incrementAndGet(): Unit
+                } catch { case _: Throwable => bg2Failed.incrementAndGet(): Unit }
+                i += 1
+              }
+            } finally cl.close()
+          })
+          bg2.start()
+          val tPar0 = System.nanoTime()
+          val parThreads = (0 until nShards).map { sh =>
+            val th = new Thread(() => probe.reload(sh)) // distinct conns: safe
+            th.start(); th
+          }
+          parThreads.foreach(_.join())
+          val parWindowMs = (System.nanoTime() - tPar0) / 1e6
+          bg2Stop = true
+          bg2.join()
+          (0 until nShards).foreach { sh =>
+            require(!probe.denseOn(sh, victim2Vec, 1).exists(_._1 == victim2),
+              s"purged doc $victim2 still served by shard $sh after parallel swap")
+          }
+          require(bg2Failed.get() == 0,
+            s"${bg2Failed.get()} background queries failed during the parallel swap")
+
           val row =
-            f"""{"fleet_shards":$nShards,"docs":${denseRows.length},"purged":1,"amend_ms":$amendMs%.1f,"reload_ms":[${reloadMs.map(m => f"$m%.1f").mkString(",")}],"staleness_window_ms":$windowMs%.1f,"queries_during_swap":${bgCount.get()},"failed_during_swap":0,"victim_absent_all_shards":true}"""
+            f"""{"fleet_shards":$nShards,"docs":${denseRows.length},"purged":1,"amend_ms":$amendMs%.1f,"reload_ms":[${reloadMs.map(m => f"$m%.1f").mkString(",")}],"staleness_window_ms":$windowMs%.1f,"queries_during_swap":${bgCount.get()},"failed_during_swap":0,"victim_absent_all_shards":true,"parallel_window_ms":$parWindowMs%.1f,"parallel_queries_during_swap":${bg2Count.get()},"parallel_failed":0}"""
           // splice into REPUBLISH.json next to the single-process rows
           val repPath = java.nio.file.Paths.get("REPUBLISH.json")
           if (java.nio.file.Files.exists(repPath)) {
@@ -567,7 +650,11 @@ object FleetBench {
       // unpinned rows, and vice versa).
       val spliceTo = java.nio.file.Paths.get(spliceFile)
       if (java.nio.file.Files.exists(spliceTo)) {
-        val newPaths = (cells.map(_._1) :+ "fleet_dense_degraded").toSet
+        // replace exactly the paths this run WROTE — a pinned run (which
+        // skips the kill phase) must not delete the unpinned run's
+        // degraded row
+        val newPaths = cells.map(_._1).toSet ++
+          (if (pinned) Set.empty[String] else Set("fleet_dense_degraded"))
         val prev = java.nio.file.Files.readString(spliceTo).trim
         val prevCells = JsonSplice.elementsOf(
           JsonSplice.member(prev, "results")
