@@ -5913,6 +5913,49 @@ object SparkEntry {
         .select(col("media_id"), col("frame_idx"), col("width"),
           col("height"), col("n_px"), col("decode_ok"))
     }),
+
+    // ---- BOUNDED delta under churn (serve/BoundedDelta + the round-15
+    // republish protocol): the q294 stream runs through a handle whose
+    // delta segment FOLDS into a new immutable base every 25 docs
+    // (DeltaTier.republish — old handle sealed, nothing discarded), with
+    // the in-flight purges (doc_id % 10 = 0) retracting atomically
+    // inside their own write. After MANY folds the serving handle must
+    // STILL land on the batch SQL over the survivors bit-for-bit —
+    // folding is result-invisible; only the per-query delta cost is
+    // bounded. This is the oracle-level pin for what the ServeBench
+    // churn rows measure and DeltaPostingsSpec/GraftProps prove
+    // structurally.
+    "q297_bounded_republish" -> ((s, dir) => {
+      import s.implicits._
+      val docs = rdPar(s, dir, "documents")
+      val baseDocs = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val stats = baseDocs
+        .select(size(split(col("text"), " ")).cast("long").as("dl"))
+        .agg(sum("dl"), count(lit(1))).head()
+      val bounded = new graft.serve.BoundedDelta(
+        graft.serve.DeltaPostingsIndex.fromDataFrame(
+          graft.operators.Bm25.buildPostings(baseDocs, "doc_id", "text"),
+          "doc_id", baseN = stats.getLong(1), baseSumDl = stats.getLong(0)),
+        maxDeltaDocs = 25L)
+      docs.where(pmod(col("doc_id"), lit(5)) === 0)
+        .select("doc_id", "text").collect().sortBy(_.getLong(0))
+        .foreach { r =>
+          bounded.write { h =>
+            h.addDoc(r.getLong(0), r.getString(1))
+            if (r.getLong(0) % 10L == 0L) h.retractDoc(r.getLong(0))
+          }
+        }
+      val tier = bounded.get
+      require(bounded.republishCount > 0L,
+        "q297: the delta bound was never crossed — the fold went unexercised")
+      require(tier.deltaSize < 25L,
+        s"q297: delta ${tier.deltaSize} exceeds the 25-doc bound")
+      val (res, evaluated, skipped) =
+        tier.topKWandCounted(Seq("dup", "stream", "query"), 10)
+      require(skipped > 0L,
+        s"q297: folded-base WAND pruned nothing (evaluated=$evaluated)")
+      res.toDF("doc_id", "score")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -9989,6 +10032,14 @@ object SparkEntry {
     // stats a rebuild over the survivors computes, or every score here
     // drifts
     "q294_delta_retract" ->
+      s"""SELECT doc_id, score FROM ${bm25ScoredSql(Seq("dup", "query", "stream"),
+             docCond = "doc_id % 10 <> 0")} s
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // q294's oracle VERBATIM: folding the delta into a new base every
+    // 25 docs must change NOTHING about the served results — the
+    // bounded handle still equals the batch SQL over the survivors
+    "q297_bounded_republish" ->
       s"""SELECT doc_id, score FROM ${bm25ScoredSql(Seq("dup", "query", "stream"),
              docCond = "doc_id % 10 <> 0")} s
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,

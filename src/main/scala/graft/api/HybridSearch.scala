@@ -41,19 +41,22 @@ import graft.serve.MemoryServer
   *               server is approximate, which would silently break the
   *               bit-identity promise, so it never routes (the request
   *               takes the job path instead).
-  * @param sharded the replica-fan-out serving form
-  *               ([[graft.serve.ShardedHybridServer]] — both legs
-  *               sharded, built over the SAME corpus/postings): routed
-  *               onto when no monolithic `memory` covers the request.
-  *               Always exact by construction (exact dense fan-out +
-  *               answer-preserving per-shard WAND), so no probe check
-  *               applies — ServeSpec pins all three routes bit-identical.
+  * @param sharded the fan-out serving form behind the same door — the
+  *               in-process [[graft.serve.ShardedHybridServer]] or the
+  *               multi-process fleet ([[graft.serve.FleetHybridTier]]),
+  *               built over the SAME corpus/postings: routed onto when
+  *               no monolithic `memory` covers the request. Exact by
+  *               construction (exact dense fan-out + answer-preserving
+  *               per-shard WAND; the [[graft.serve.HybridTier]]
+  *               contract), so no probe check applies — ServeSpec pins
+  *               the in-process routes bit-identical; FleetBench
+  *               REQUIRES the fleet one at warm-up.
   */
 final class HybridSearch(index: DataFrame, idCol: String, embCol: String,
                          postings: DataFrame, postingsIdCol: String,
                          idf: Map[String, Double], avgdl: Double,
                          memory: Option[MemoryServer] = None,
-                         sharded: Option[graft.serve.ShardedHybridServer] = None) {
+                         sharded: Option[graft.serve.HybridTier] = None) {
 
   private val mapper = new ObjectMapper()
 

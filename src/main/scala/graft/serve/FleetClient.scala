@@ -54,9 +54,12 @@ object FleetProtocol {
   *  - Only when NO shard answers does a request fail (IllegalStateException)
   *    — there is no corpus left to serve.
   *
-  * Re-dialing a recovered shard is a deployment concern (a production
-  * coordinator re-dials with backoff); this client pins the degraded-mode
-  * contract the re-dialer must preserve.
+  * RECOVERY: [[redial]] re-establishes a dead shard's connection (a
+  * replacement process on the same address, or the same process after a
+  * transient hang) — the coordinator's backoff timer calls it; on
+  * success the shard rejoins every subsequent fan-out and the merge is
+  * whole again. WHEN to call it is deployment policy; WHAT it restores
+  * (full-coverage exactness) is pinned here and in FleetClientSpec.
   */
 final class FleetClient(ports: Seq[Int], host: String = "127.0.0.1",
                         timeoutMs: Int = 2000) {
@@ -78,12 +81,26 @@ final class FleetClient(ports: Seq[Int], host: String = "127.0.0.1",
     }
   }
 
-  private val conns: IndexedSeq[Conn] = ports.map(new Conn(_)).toIndexedSeq
+  private val conns: Array[Conn] = ports.map(new Conn(_)).toArray
 
-  def nShards: Int = conns.size
+  def nShards: Int = conns.length
 
-  /** Shards this client can still reach (monotone non-increasing). */
+  /** Shards this client can currently reach. */
   def liveShards: Int = conns.count(!_.dead)
+
+  /** Re-establish the connection to shard `shard` — the recovery half of
+    * the degraded mode (class doc). Replaces the connection wholesale
+    * (any half-written frame on the old socket dies with it, so the new
+    * stream starts clean). Returns true iff the dial succeeded; false
+    * leaves the shard dead and the client serving partial results as
+    * before. Not thread-safe, like every other method here: one client
+    * per request thread.
+    */
+  def redial(shard: Int): Boolean = {
+    conns(shard).kill()
+    try { conns(shard) = new Conn(ports(shard)); true }
+    catch { case _: IOException => false }
+  }
 
   /** Fan `write` out to every live shard, then `read` each one back;
     * failures mark the shard dead and drop its leg. Returns the live
@@ -91,7 +108,7 @@ final class FleetClient(ports: Seq[Int], host: String = "127.0.0.1",
     */
   private def fanOut[A](write: DataOutputStream => Unit,
                         read: DataInputStream => A): Seq[A] = {
-    val targets = conns.filter(!_.dead)
+    val targets = conns.filter(!_.dead).toSeq
     targets.foreach { c =>
       try { write(c.out); c.out.flush() }
       catch { case _: IOException => c.kill() }
@@ -219,6 +236,18 @@ final class FleetClient(ports: Seq[Int], host: String = "127.0.0.1",
   * shard runs the same scan fold, the disjoint-slice merge is exact, and
   * the door stringifies the same way.
   */
+/** The fleet as the HYBRID door's serving tier: one [[FleetProtocol
+  * .OpHybrid]] frame per shard carries both legs, the client merges each
+  * leg to poolK and RRF-fuses locally — [[FleetClient.hybrid]] replays
+  * [[ShardedHybridServer]]'s fold exactly, so the door's results stay
+  * bit-identical to the in-process fan-out (FleetBench REQUIRES it).
+  */
+final class FleetHybridTier(client: FleetClient) extends HybridTier {
+  def searchHybrid(qvec: Seq[Float], terms: Seq[String], k: Int,
+                   poolK: Int = 20, c: Int = 60): Seq[(Long, Double)] =
+    client.hybrid(qvec, terms, k, poolK, c)
+}
+
 final class FleetTier(client: FleetClient,
                       meta: Option[MemoryAnnIndex] = None)
   extends ServingTier {

@@ -1296,7 +1296,8 @@ object ShardedPostingsIndex {
   * across shard counts; the q287 oracle pins it against DuckDB.
   */
 final class ShardedHybridServer(val dense: ShardedAnnIndex,
-                                val lexical: ShardedPostingsIndex) {
+                                val lexical: ShardedPostingsIndex)
+  extends HybridTier {
 
   /** Fused hybrid request: dense + lexical candidate lists (each
     * `poolK` deep, each a sharded fan-out), RRF-fused. Rank = 1-based
@@ -1405,7 +1406,8 @@ final class ServingIndex(spark: SparkSession, indexDir: String, idCol: String) {
   */
 final class MemoryServer(val dense: MemoryAnnIndex,
                          lexical: Option[MemoryPostingsIndex],
-                         val defaultNProbe: Int = 0) extends ServingTier {
+                         val defaultNProbe: Int = 0)
+  extends ServingTier with HybridTier {
 
   private val mapper = new ObjectMapper()
 

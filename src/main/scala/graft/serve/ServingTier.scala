@@ -40,3 +40,16 @@ trait ServingTier {
   def topKVecDnf(qvec: Seq[Float], k: Int,
                  dnf: Seq[Seq[MetaFilter]]): Seq[(Long, Double)]
 }
+
+/** What the HYBRID front door ([[graft.api.HybridSearch]]) needs from an
+  * exact fused-retrieval tier: both legs pooled `poolK` deep, RRF-fused
+  * to `k` with the engine's one fusion fold ([[graft.operators.Bm25
+  * .rrfFuseLocal]] semantics — 1-based ranks per leg, (rrf DESC, id ASC)
+  * order). Implementations must be EXACT (the door's bit-identity
+  * promise): the in-process [[ShardedHybridServer]], the [[MemoryServer]]
+  * monolith, and the multi-process [[FleetHybridTier]] all are.
+  */
+trait HybridTier {
+  def searchHybrid(qvec: Seq[Float], terms: Seq[String], k: Int,
+                   poolK: Int = 20, c: Int = 60): Seq[(Long, Double)]
+}

@@ -195,6 +195,10 @@ object FleetBench {
       graft.operators.Ann.withIvfAssignment(corpus, "embedding", denseCents),
       "vec_id", "embedding", "ivf_cell", denseCents, nShards)
     val inHybrid = new ShardedHybridServer(inDense, inLex)
+    // the in-process HYBRID door the composed fleet hybrid door must match
+    val inHybridDoor = new graft.api.HybridSearch(corpus, "vec_id",
+      "embedding", postings, "doc_id", idfMap, avgdl,
+      sharded = Some(inHybrid))
     // the in-process routed door the composed fleet door must match
     // byte-for-byte: same SemanticSearch class, memory tier behind it
     val memDenseAll = graft.serve.MemoryAnnIndex.fromRows(
@@ -213,6 +217,9 @@ object FleetBench {
       termSets.map(_.zipWithIndex.map { case (t, i) => t -> (i + 1L) }.toMap)
     def jsonReq(qv: Seq[Float], k: Int): String =
       s"""{"query_vector":[${qv.mkString(",")}],"columns":["vec_id"],"limit":$k}"""
+    def hybridReq(qv: Seq[Float], terms: Seq[String], k: Int): String =
+      s"""{"query_vector":[${qv.mkString(",")}],"terms":[${
+        terms.map("\"" + _ + "\"").mkString(",")}],"limit":$k,"pool_k":20}"""
     def jsonReqUncovered(qv: Seq[Float], k: Int): String =
       s"""{"query_vector":[${qv.mkString(",")}],"columns":["vec_id"],"limit":$k,"filter":{"@gte":{"vec_id":0}}}"""
 
@@ -277,6 +284,9 @@ object FleetBench {
       val checkDoor = new SemanticSearch(corpus, HashingTfEmbedder(dim),
         idCol = "vec_id", textCol = "label", embCol = "embedding",
         memory = Some(new FleetTier(check)))
+      val checkHybridDoor = new graft.api.HybridSearch(corpus, "vec_id",
+        "embedding", postings, "doc_id", idfMap, avgdl,
+        sharded = Some(new graft.serve.FleetHybridTier(check)))
       try {
         // JIT warm-up BEFORE the required comparisons: the first full-scan
         // ops on a cold shard JVM run interpreted (seconds at the 10×
@@ -317,6 +327,16 @@ object FleetBench {
           val iresp = inRouted.searchResponseJson(req)
           require(fresp == iresp,
             s"fleet routed door != in-process routed door: $fresp vs $iresp")
+          // the composed HYBRID door: same door class, fleet hybrid tier
+          // vs in-process sharded tier — row-identical (id, rrf bits)
+          val hreq = hybridReq(qv, terms, 10)
+          def rrfRows(df: org.apache.spark.sql.DataFrame) =
+            df.collect().map(r => (r.getLong(0),
+              java.lang.Double.doubleToLongBits(r.getDouble(1)))).toSeq
+          val fh2 = rrfRows(checkHybridDoor.search(hreq))
+          val ih2 = rrfRows(inHybridDoor.search(hreq))
+          require(fh2 == ih2,
+            s"fleet hybrid door != in-process hybrid door: $fh2 vs $ih2")
           // the uncovered request must ROUTE THE SAME on both doors
           val (_, fCov) = checkDoor.searchRouted(jsonReqUncovered(qv, 5))
           val (_, iCov) = inRouted.searchRouted(jsonReqUncovered(qv, 5))
@@ -335,12 +355,17 @@ object FleetBench {
       final case class Level(requests: Int, failed: Int, p50: Double,
                              p95: Double, mean: Double, qps: Double,
                              wall: Double, shed: Int)
-      final case class Ctx(client: FleetClient, door: SemanticSearch)
+      final case class Ctx(client: FleetClient, door: SemanticSearch,
+                           hybridDoor: graft.api.HybridSearch)
       def newCtx(): Ctx = {
         val cl = new FleetClient(ports, timeoutMs = timeoutMs)
-        Ctx(cl, new SemanticSearch(corpus, HashingTfEmbedder(dim),
-          idCol = "vec_id", textCol = "label", embCol = "embedding",
-          memory = Some(new FleetTier(cl))))
+        Ctx(cl,
+          new SemanticSearch(corpus, HashingTfEmbedder(dim),
+            idCol = "vec_id", textCol = "label", embCol = "embedding",
+            memory = Some(new FleetTier(cl))),
+          new graft.api.HybridSearch(corpus, "vec_id", "embedding",
+            postings, "doc_id", idfMap, avgdl,
+            sharded = Some(new graft.serve.FleetHybridTier(cl))))
       }
       def runLevel(fire: (Ctx, Int) => Unit, n: Int,
                    reqsPerThread: Int): Level = {
@@ -414,6 +439,14 @@ object FleetBench {
           // covered requests fan out over the shard processes; uncovered
           // ones (filtered — the fleet tier ships no predicates) go
           // through the FallbackGate, refusing on a deep queue
+          // the composed HYBRID front door: one JSON request, both legs
+          // over the shard processes in one frame each, RRF fused, local
+          // relation out — the flagship fused path end to end
+          ("fleet_hybrid_routed", { (ctx: Ctx, qi: Int) =>
+            val n = ctx.hybridDoor.search(hybridReq(qvecs(qi % qvecs.size),
+              termSets(qi % termSets.size), 10)).collect().length
+            require(n == 10, s"fleet_hybrid_routed returned $n rows")
+          }, perThread * 64),
           ("fleet_mixed_shed", { (ctx: Ctx, qi: Int) =>
             val qv = qvecs(qi % qvecs.size)
             if (qi % 10 == 0) {

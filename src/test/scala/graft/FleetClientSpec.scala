@@ -22,8 +22,9 @@ class FleetClientSpec extends AnyFunSuite {
     * (socket stays open — only a read timeout can unblock the client).
     */
   private final class StubShard(hits: Seq[(Long, Double)],
-                                hangAfter: Int = Int.MaxValue) {
-    private val ss = new ServerSocket(0)
+                                hangAfter: Int = Int.MaxValue,
+                                port0: Int = 0) {
+    private val ss = new ServerSocket(port0)
     private val accepted =
       java.util.Collections.synchronizedList(new java.util.ArrayList[java.net.Socket]())
     @volatile private var served = 0
@@ -127,6 +128,32 @@ class FleetClientSpec extends AnyFunSuite {
       assert(ms >= 250 && ms < 5000,
         f"expected ~one 300 ms timeout, took $ms%.0f ms")
     } finally { cl.close(); a.kill(); b.kill() }
+  }
+
+  test("redial: a replacement shard on the same address rejoins the fan-out") {
+    val a = new StubShard(shardA)
+    val b = new StubShard(shardB)
+    val bPort = b.port
+    val cl = new FleetClient(Seq(a.port, bPort), timeoutMs = 1000)
+    try {
+      assert(cl.dense(Seq(0.1f), 4).length == 4)
+      b.kill()
+      assert(cl.dense(Seq(0.1f), 4) == shardA.take(4)) // degraded
+      assert(cl.liveShards == 1)
+      // nothing listening yet: redial fails, client stays degraded
+      assert(!cl.redial(1))
+      assert(cl.liveShards == 1)
+      assert(cl.dense(Seq(0.1f), 2) == shardA.take(2))
+      // a REPLACEMENT process binds the same port (new corpus slice —
+      // the failover replica); redial succeeds and the merge is whole
+      val b2 = new StubShard(Seq((2L, 0.85), (4L, 0.6)), port0 = bPort)
+      try {
+        assert(cl.redial(1))
+        assert(cl.liveShards == 2)
+        assert(cl.dense(Seq(0.1f), 3) ==
+          Seq((1L, 0.9), (2L, 0.85), (3L, 0.7)))
+      } finally b2.kill()
+    } finally { cl.close(); a.kill() }
   }
 
   test("all shards dead → the request fails loudly (no corpus left)") {
