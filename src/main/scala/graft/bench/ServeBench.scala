@@ -213,12 +213,17 @@ object ServeBench {
       termSets.map(_.zipWithIndex.map { case (t, i) => t -> (i + 1L) }.toMap)
     // freshness tier under churn: every request WRITES one row (upsert
     // into the delta segment) then searches the merged view — the
-    // TARGET_LAG live half measured as a serving path, not a batch job
-    // a "publish" swaps in a fresh handle every 1,000 writes (the lag
-    // window a production rebuild cadence bounds the delta to); requests
-    // racing the swap serve either immutable view — the ServingIndex rule
-    val memDeltaRef = new java.util.concurrent.atomic.AtomicReference(
-      new graft.serve.DeltaAnnIndex(memDense))
+    // TARGET_LAG live half measured as a serving path, not a batch job.
+    // BOUNDED like the lex/sparse rows since round 15: crossing 1,000
+    // delta docs folds the segment into a new immutable base IN-BAND
+    // (DeltaAnnIndex.republish — O(base) for this flat-array tier, the
+    // honest fold cost, visible in the cell's p-max; nothing discarded).
+    // The base is METADATA-FREE (the fold contract: delta rows carry no
+    // filter columns; filtered deployments keep the Spark-rebuild model)
+    val memDensePlain = graft.serve.MemoryAnnIndex.fromDataFrame(
+      index, "vec_id", "embedding", "ivf_cell", cents)
+    val deltaBounded = new graft.serve.BoundedDelta(
+      new graft.serve.DeltaAnnIndex(memDensePlain), maxDeltaDocs = 1000L)
     val deltaSeq = new java.util.concurrent.atomic.AtomicLong(10_000_000L)
     // the LEXICAL freshness tier under churn: same write-then-read shape,
     // with the per-query merged-stats re-derivation on the read path.
@@ -317,15 +322,14 @@ object ServeBench {
         require(n == 5, s"memory_mrl returned $n rows")
       },
       // write-then-read churn over the delta tier: one upsert + one
-      // merged search per request (tombstone overscan grows with the
-      // churn — the path degrades gracefully until the next publish)
+      // merged search per request. BOUNDED: every 1,000th write pays the
+      // in-band fold (O(base) on this flat-array tier) and the corpus
+      // GROWS over the cell — no write discarded, delta scan + tombstone
+      // overscan capped at 1,000 by construction
       "memory_delta_mixed" -> { qi: Int =>
         val qv = qvecs(qi % qvecs.size)
         val seq = deltaSeq.incrementAndGet()
-        if (seq % 1000 == 0)
-          memDeltaRef.set(new graft.serve.DeltaAnnIndex(memDense))
-        val d = memDeltaRef.get()
-        d.add(seq, qv)
+        val d = deltaBounded.write(_.add(seq, qv))
         val n = d.topK(qv, 5).length
         require(n == 5, s"memory_delta_mixed returned $n rows")
       },
@@ -603,7 +607,7 @@ object ServeBench {
       // and emit the diff in the row instead of one aggregated stderr line
       val shed0 = shedCount.get()
       val repub0 = deltaLexBounded.republishCount +
-        deltaSparseBounded.republishCount
+        deltaSparseBounded.republishCount + deltaBounded.republishCount
       // memory-tier requests are sub-millisecond: run 64x more of them so
       // percentiles and QPS are measured over thousands of requests, not
       // amortizing thread startup over sixteen
@@ -649,7 +653,8 @@ object ServeBench {
         ls.sum / ls.size, ls.size / wall, wall,
         shed = shedCount.get() - shed0,
         republishes = deltaLexBounded.republishCount +
-          deltaSparseBounded.republishCount - repub0)
+          deltaSparseBounded.republishCount +
+          deltaBounded.republishCount - repub0)
     }
     // optional path subset (comma-separated names): re-measuring one
     // tier family at an expensive corpus scale must not pay for the

@@ -42,7 +42,8 @@ package graft.serve
   * the slot). Readers during a write serve the previous state — the
   * same visibility rule as [[ServingIndex.current]].
   */
-final class DeltaAnnIndex(base: MemoryAnnIndex) {
+final class DeltaAnnIndex(base: MemoryAnnIndex)
+  extends DeltaTier[DeltaAnnIndex] {
 
   /** Immutable per-write snapshot. `ids`/`vecs` are append-only buffers
     * (only slots < len are readable; written slots never mutate);
@@ -58,12 +59,51 @@ final class DeltaAnnIndex(base: MemoryAnnIndex) {
     State(new Array[Long](8), new Array[Float](8 * base.dim), 0,
       Map.empty, Set.empty)
 
+  // the DeltaPostingsIndex seal: a write after republish() fails loudly
+  @volatile private var republished: Boolean = false
+
+  private def checkLive(): Unit =
+    if (republished) throw new RepublishedHandleException(
+      "this DeltaAnnIndex handle was republished — re-read the serving " +
+        "reference (e.g. BoundedDelta.get) and retry the write")
+
   def dim: Int = base.dim
 
   /** Live delta rows (superseded and deleted slots excluded). */
-  def deltaSize: Int = {
+  def deltaSize: Long = {
     val s = state
-    s.latest.count { case (id, _) => !s.removed(id) }
+    s.latest.count { case (id, _) => !s.removed(id) }.toLong
+  }
+
+  /** Fold the delta into a NEW immutable base ([[DeltaTier.republish]]):
+    * the folded index is [[MemoryAnnIndex.fromRows]] over
+    * (base rows ∖ [[tombstonedIds]]) ∪ [[deltaRows]] — which is EXACTLY
+    * the index this class's result contract already says it serves, so
+    * the fold is result-invisible by the existing ServeSpec pin; delta
+    * rows take their nearest-centroid cell (the [[MemoryAnnIndex
+    * .probeCells]] rule — the same (cosine DESC, cell ASC) assignment
+    * the batch `Ann.withIvfAssignment` uses), keeping the IVF probe
+    * paths consistent on the folded base. METADATA-FILTERED bases
+    * refuse: delta rows carry no metadata columns, so a fold would
+    * silently strip the payload/filter surface — those deployments
+    * route deletes/upserts through the Spark rebuild
+    * ([[deltaRows]]/[[tombstonedIds]] feed it), as documented. Seals
+    * this handle for writers; readers keep the pre-fold snapshot.
+    */
+  def republish(): DeltaAnnIndex = this.synchronized {
+    checkLive()
+    require(base.metaColumns.isEmpty,
+      "republish() on a metadata-filtered base would strip its filter " +
+        "columns (delta rows carry none) — route through the Spark " +
+        "rebuild via deltaRows/tombstonedIds instead")
+    republished = true
+    val hidden = tombstonedIds
+    val survivors = base.exportRows.filterNot { case (id, _, _) => hidden(id) }
+    val folded = deltaRows.map { case (id, v) =>
+      (id, v, base.probeCells(v, 1).head)
+    }
+    new DeltaAnnIndex(MemoryAnnIndex.fromRows(
+      survivors ++ folded, base.centroids.map(_.toSeq)))
   }
 
   def tombstoneCount: Int = {
@@ -73,6 +113,7 @@ final class DeltaAnnIndex(base: MemoryAnnIndex) {
 
   /** Upsert `id` with `vec`: searchable by the next `topK` call. */
   def add(id: Long, vec: Seq[Float]): Unit = this.synchronized {
+    checkLive()
     require(vec.length == dim, s"vec dim ${vec.length} != index dim $dim")
     val s = state
     val (ids, vecs) =
@@ -95,6 +136,7 @@ final class DeltaAnnIndex(base: MemoryAnnIndex) {
 
   /** Delete `id` from both tiers: gone by the next `topK` call. */
   def delete(id: Long): Unit = this.synchronized {
+    checkLive()
     val s = state
     state = s.copy(removed = s.removed + id)
   }

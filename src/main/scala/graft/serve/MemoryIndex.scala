@@ -98,6 +98,18 @@ final class MemoryAnnIndex private (
   def nCells: Int = cellOffsets.length - 1
   def size: Int = ids.length
 
+  /** Every row as (id, vector, cell) — the loader shape back out, for
+    * [[DeltaAnnIndex.republish]]'s in-memory fold (survivors of this
+    * base ∪ the delta segment → a new index via [[MemoryAnnIndex
+    * .fromRows]]). Package-private: serving callers never enumerate.
+    */
+  private[serve] def exportRows: Seq[(Long, Seq[Float], Int)] =
+    (0 until nCells).flatMap { c =>
+      (cellOffsets(c) until cellOffsets(c + 1)).map { r =>
+        (ids(r), (0 until dim).map(j => vecs(r * dim + j)): Seq[Float], c)
+      }
+    }
+
   /** Metadata columns loaded into this index — the column-coverage set
     * the routed JSON front door checks a request against
     * ([[graft.api.SemanticSearch.search]]).

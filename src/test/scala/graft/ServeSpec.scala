@@ -1188,6 +1188,67 @@ class ServeSpec extends SparkSpec {
     assert(delta.tombstonedIds.contains(77L) && delta.tombstonedIds.contains(100000L))
   }
 
+  test("delta tier republish: fold ≡ pre-fold ≡ rebuild; seal; metadata refusal; bounded handle") {
+    import graft.operators.Ann
+    val baseDf = annCorpus.where(col("vec_id") < 250)
+    val base = graft.serve.MemoryAnnIndex.fromDataFrame(
+      Ann.withIvfAssignment(baseDf, "embedding", annCents),
+      "vec_id", "embedding", "ivf_cell", annCents)
+    val delta = new graft.serve.DeltaAnnIndex(base)
+    annCorpus.where(col("vec_id") >= 250)
+      .select("vec_id", "embedding").collect()
+      .foreach(r => delta.add(r.getLong(0), r.getSeq[Float](1)))
+    Seq(3L, 77L, 260L).foreach(delta.delete)
+    val newVec10 = Seq.tabulate(8)(j => math.cos(j * 11 + 1).toFloat)
+    delta.add(10L, newVec10) // upsert of a BASE id: the fold must keep it
+    val preFold = annQueries.map(q => q -> delta.topK(q, 9)).toMap
+    val folded = delta.republish()
+    assert(folded.deltaSize == 0L)
+    annQueries.foreach { q =>
+      assert(folded.topK(q, 9) == preFold(q),
+        s"fold changed served results for $q")
+      // the sealed old handle stays READABLE on the pre-fold snapshot
+      assert(delta.topK(q, 9) == preFold(q))
+    }
+    // the folded base is a first-class index: further churn on top of it
+    // must keep equality with its own merged view
+    folded.add(9999L, newVec10)
+    assert(folded.topK(newVec10, 1).head._1 == 10L ||
+      folded.topK(newVec10, 1).head._1 == 9999L) // cosine tie: id rule
+    assert(folded.topK(newVec10, 2).map(_._1).toSet == Set(10L, 9999L))
+    // seal: writers on the old handle fail loudly
+    intercept[graft.serve.RepublishedHandleException] {
+      delta.add(55555L, newVec10)
+    }
+    intercept[graft.serve.RepublishedHandleException] { delta.delete(3L) }
+    intercept[graft.serve.RepublishedHandleException] { delta.republish() }
+    // a metadata-filtered base refuses the fold (it would strip the
+    // filter columns) and points at the Spark rebuild
+    val metaBase = graft.serve.MemoryAnnIndex.fromDataFrame(
+      Ann.withIvfAssignment(
+        baseDf.withColumn("label", (col("vec_id") % 10).cast("long")),
+        "embedding", annCents),
+      "vec_id", "embedding", "ivf_cell", annCents, metaCols = Seq("label"))
+    val refusal = intercept[IllegalArgumentException] {
+      new graft.serve.DeltaAnnIndex(metaBase).republish()
+    }
+    assert(refusal.getMessage.contains("rebuild"))
+    // BoundedDelta over the dense tier: the bound holds, no write lost
+    def vecFor(i: Long): Seq[Float] =
+      Seq.tabulate(8)(j => math.sin(i * 7.3 + j * 1.7).toFloat)
+    val bounded = new graft.serve.BoundedDelta(
+      new graft.serve.DeltaAnnIndex(base), maxDeltaDocs = 10L)
+    (1000L to 1040L).foreach { i =>
+      val h = bounded.write(_.add(i, vecFor(i)))
+      assert(h.topK(vecFor(i), 1).head._1 == i, s"read-your-write lost $i")
+      assert(bounded.get.deltaSize < 10L)
+    }
+    assert(bounded.republishCount >= 4L)
+    (1000L to 1040L).foreach(i =>
+      assert(bounded.get.topK(vecFor(i), 1).head._1 == i,
+        s"write $i lost across folds"))
+  }
+
   test("streaming feed into the delta tier: rows searchable batch-by-batch (TARGET_LAG live half)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
