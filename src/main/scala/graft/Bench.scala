@@ -86,6 +86,7 @@ object Bench {
       case (name, t) if prevTimes.get(name).exists(p =>
         p > 0.0 && t > 2.0 * p && t > 0.5) => name
     }
+    val rerunFailed = scala.collection.mutable.LinkedHashSet[String]()
     val rerunTimes: Map[String, Double] =
       if (movers.isEmpty) Map.empty
       else {
@@ -93,24 +94,59 @@ object Bench {
         val byName = names.toMap
         movers.map { name =>
           val t0 = System.nanoTime()
-          try byName(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] mover re-run $name FAILED: ${e.getMessage}")
-          }
-          name -> (System.nanoTime() - t0) / 1e9
+          // A re-run that THROWS must not produce a timing: its
+          // elapsed-to-exception span can be tiny, and min() below would
+          // adopt it — masking a genuine regression. Record MaxValue so
+          // min() keeps the measured passes (ADVICE r15).
+          val t =
+            try {
+              byName(name)(spark, sfDir)
+                .write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] mover re-run $name FAILED: ${e.getMessage}")
+              rerunFailed += name
+              Double.MaxValue
+            }
+          name -> t
         }.toMap
       }
-    val results = minOfPasses.map { case (name, t) =>
+    val afterMovers = minOfPasses.map { case (name, t) =>
       name -> math.min(t, rerunTimes.getOrElse(name, t))
     }
+    // WHOLE-RUN RE-RUN (r15 verdict item 5): per-query movers catch the
+    // >2x spikes, but a diffuse host-contention episode moves the TOTAL
+    // 10-15% with no single query tripping the trigger (r15 close: 370.8 s
+    // vs mid-round 325.8 s). Compare the common-subset total against the
+    // previous committed run; if it moved >10% either way, take ONE extra
+    // full pass and fold it in with min — round-over-round totals then
+    // compare like-for-like, and the JSON records that it happened.
+    val commonPrev = afterMovers.collect {
+      case (name, t) if prevTimes.contains(name) => (prevTimes(name), t)
+    }
+    val prevCommonTotal = commonPrev.map(_._1).sum
+    val curCommonTotal = commonPrev.map(_._2).sum
+    val rerunTotal = prevCommonTotal > 0.0 &&
+      math.abs(curCommonTotal - prevCommonTotal) / prevCommonTotal > 0.10
+    val results =
+      if (!rerunTotal) afterMovers
+      else {
+        System.err.println(
+          f"[bench] common-subset total $curCommonTotal%.1f s vs previous " +
+          f"$prevCommonTotal%.1f s (>10%% swing) — one extra full pass")
+        val extra = onePass()
+        afterMovers.map { case (name, t) =>
+          name -> math.min(t, extra.getOrElse(name, t))
+        }
+      }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rr = movers.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val rf = rerunFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","passes":$passes,"queries":$qs,"failed":$fj,"rerun_movers":$rr,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","passes":$passes,"rerun_total":$rerunTotal,"queries":$qs,"failed":$fj,"rerun_movers":$rr,"rerun_failed":$rf,"sf":"$sfDir"}"""
     println(line)
     // stdout capture can truncate; keep the whole line on disk too
     try java.nio.file.Files.writeString(

@@ -88,6 +88,12 @@ final class FleetClient(ports: Seq[Int], host: String = "127.0.0.1",
   /** Shards this client can currently reach. */
   def liveShards: Int = conns.count(!_.dead)
 
+  /** Whether THIS client's connection to `shard` is live — the health
+    * surface [[FleetCoordinator]]'s loop and [[FleetDoor.healIdle]] read
+    * to decide which shards need a redial.
+    */
+  def shardLive(shard: Int): Boolean = !conns(shard).dead
+
   /** Re-establish the connection to shard `shard` — the recovery half of
     * the degraded mode (class doc). Replaces the connection wholesale
     * (any half-written frame on the old socket dies with it, so the new
@@ -185,9 +191,16 @@ final class FleetClient(ports: Seq[Int], host: String = "127.0.0.1",
   def denseOn(shard: Int, qv: Seq[Float], k: Int): Seq[(Long, Double)] = {
     val c = conns(shard)
     require(!c.dead, s"shard $shard is marked dead")
-    c.out.writeByte(OpDense); c.out.writeInt(k); c.out.writeInt(qv.length)
-    qv.foreach(c.out.writeFloat); c.out.flush()
-    readList(c.in)
+    // Mark-dead on IO failure, like fanOut: a read timeout leaves the
+    // late response buffered in the stream, and a caller that catches and
+    // reuses the connection would read those stale bytes as the NEXT
+    // response — silently wrong ids under pinned-exactness semantics
+    // (ADVICE r15). kill() + redial() is the only safe resume.
+    try {
+      c.out.writeByte(OpDense); c.out.writeInt(k); c.out.writeInt(qv.length)
+      qv.foreach(c.out.writeFloat); c.out.flush()
+      readList(c.in)
+    } catch { case e: IOException => c.kill(); throw e }
   }
 
   /** Tell ONE shard to reload its index files and swap; returns once the
@@ -200,11 +213,17 @@ final class FleetClient(ports: Seq[Int], host: String = "127.0.0.1",
     val c = conns(shard)
     require(!c.dead, s"shard $shard is marked dead")
     c.sock.setSoTimeout(reloadTimeoutMs)
+    // Same mark-dead rule as denseOn/fanOut: an IO failure mid-reload
+    // leaves the stream position unknown (the ack may arrive later), so
+    // the connection must not be reused — kill it and let redial()
+    // restore the shard (ADVICE r15).
     try {
-      c.out.writeByte(OpReload); c.out.flush()
-      val ack = c.in.readByte()
-      require(ack == 1.toByte, s"shard $shard reload ack $ack")
-    } finally c.sock.setSoTimeout(timeoutMs)
+      try {
+        c.out.writeByte(OpReload); c.out.flush()
+        val ack = c.in.readByte()
+        require(ack == 1.toByte, s"shard $shard reload ack $ack")
+      } catch { case e: IOException => c.kill(); throw e }
+    } finally if (!c.dead) c.sock.setSoTimeout(timeoutMs)
   }
 
   /** Orderly fleet shutdown (each live shard process exits). */

@@ -149,7 +149,27 @@ object FleetBench {
       * the same writer serves the initial publish and the republish's
       * amended artifacts (empty purge = initial).
       */
-    def writeShardFiles(purged: Set[Long]): Unit =
+    def writeShardFiles(purged: Set[Long]): Unit = {
+      // Recompute the BM25 corpus header (avgdl, per-term idf) over the
+      // SURVIVING docs when the publish amends a purge (ADVICE r15): a
+      // published doc's removal shifts df/N/Σdl, and the repo's own
+      // doctrine (Forget/republish family) is that removal IS a stats
+      // rebuild — shipping the pre-purge header would score the amended
+      // corpus as if the victim were still counted.
+      val (hdrAvgdl, hdrIdf) =
+        if (purged.isEmpty) (avgdl, idfMap)
+        else {
+          val docDl = lexRows.iterator.collect {
+            case (_, (id, _, dl)) if !purged(id) => id -> dl
+          }.toMap
+          val n = docDl.size.toLong
+          val a = docDl.valuesIterator.map(_.toDouble).sum / n
+          val termDoc: Set[(String, Long)] = lexRows.iterator.collect {
+            case (t, (id, _, _)) if !purged(id) => (t, id)
+          }.toSet
+          val df = termDoc.groupMapReduce(_._1)(_ => 1L)(_ + _)
+          (a, Bm25.idfByTerm(df, n, spark))
+        }
       (0 until nShards).foreach { sh =>
         def dout(name: String) = new DataOutputStream(new BufferedOutputStream(
           new java.io.FileOutputStream(s"$workDir/${name}_shard_$sh.bin")))
@@ -157,9 +177,9 @@ object FleetBench {
         val lexSlice = lexRows.filter { case (_, (id, _, _)) =>
           ShardedAnnIndex.shardOf(id, nShards) == sh && !purged(id) }
         require(lexSlice.nonEmpty, s"empty lex shard $sh")
-        lo.writeDouble(avgdl)
-        lo.writeInt(idfMap.size)
-        idfMap.foreach { case (t, w) => lo.writeUTF(t); lo.writeDouble(w) }
+        lo.writeDouble(hdrAvgdl)
+        lo.writeInt(hdrIdf.size)
+        hdrIdf.foreach { case (t, w) => lo.writeUTF(t); lo.writeDouble(w) }
         lo.writeInt(lexSlice.length)
         lexSlice.foreach { case (t, (id, tf, dl)) =>
           lo.writeUTF(t); lo.writeLong(id); lo.writeLong(tf); lo.writeLong(dl)
@@ -183,6 +203,7 @@ object FleetBench {
         dSlice.foreach { case (id, v) => de.writeLong(id); v.foreach(de.writeFloat) }
         de.close()
       }
+    }
     writeShardFiles(Set.empty)
 
     // ---- in-process twins for the bit-identity cross-check

@@ -147,11 +147,20 @@ object FleetShardServer {
         case scala.util.control.NonFatal(e) =>
           // protocol desync (unknown op, mid-frame read): CLOSE the
           // socket so the client fails loudly on its next read instead
-          // of blocking forever on a dead serve thread. FATAL JVM errors
-          // (OOM, stack overflow) propagate — a possibly-corrupted shard
-          // must die, not keep serving behind a stderr line
+          // of blocking forever on a dead serve thread.
           try sock.close() catch { case scala.util.control.NonFatal(_) => () }
           System.err.println(s"[shard $shardId] serve thread died: $e")
+        case fatal: Throwable =>
+          // FATAL JVM error (OOM, stack overflow): an uncaught Error on
+          // a serve THREAD only kills that thread — the JVM would keep
+          // serving other connections from a possibly corrupted heap,
+          // and this connection's open socket would block the client to
+          // its read timeout (ADVICE r15). halt(1) kills the PROCESS
+          // (no finalizers/hooks that could touch the bad heap); the OS
+          // closes every socket, so all clients fail fast and the
+          // coordinator's redial/backoff takes over.
+          System.err.println(s"[shard $shardId] FATAL, halting: $fatal")
+          Runtime.getRuntime.halt(1)
       }
     }
 
