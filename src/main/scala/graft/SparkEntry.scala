@@ -5956,6 +5956,77 @@ object SparkEntry {
         s"q297: folded-base WAND pruned nothing (evaluated=$evaluated)")
       res.toDF("doc_id", "score")
     }),
+
+    // ---- the GRAPH tier joins the bounded-delta family
+    // (serve/DeltaHnswIndex + BoundedDelta — r15 verdict item 1): the
+    // q297 protocol run over HNSW, the serving tier with the measured
+    // QPS ceiling and previously the only rebuild-only one. 80% of the
+    // embeddings publish as the immutable base GRAPH; 20% stream in
+    // through the bounded handle (fold every 25 live docs —
+    // DeltaHnswIndex.republish rebuilds the graph deterministically);
+    // half the stream retracts atomically inside its own write. The
+    // graph walk is approximate (RECALL.md's verification class — no
+    // SQL expresses it), so the ORACLE pins what IS exact: VISIBILITY.
+    // Every surviving streamed row must surface itself (its own vector
+    // as the query — the TARGET_LAG freshness contract, reference
+    // 01:173, 01:228-231) and every purged row must not, across
+    // however many folds ran; the output is exactly the surviving
+    // stream slice, which DuckDB computes in closed form. The FOLD pin
+    // (folded graph ≡ from-scratch build over the survivors,
+    // adjacency-for-adjacency) runs in-query on a final republish —
+    // bit-determinism makes the in-band fold and the batch rebuild
+    // converge on the same artifact, HnswSpec proves it at test scale.
+    "q298_delta_hnsw" -> ((s, dir) => {
+      import s.implicits._
+      val emb = rdPar(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val baseRows = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+      val arrivals = emb.where(pmod(col("vec_id"), lit(5)) === 0)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+        .sortBy(_._1)
+      val base = graft.serve.MemoryHnswIndex.build(baseRows)
+      val bounded = new graft.serve.BoundedDelta(
+        new graft.serve.DeltaHnswIndex(base), maxDeltaDocs = 25L)
+      arrivals.foreach { case (id, v) =>
+        bounded.write { h =>
+          h.add(id, v)
+          if (id % 10L == 0L) h.delete(id) // in-flight purge, atomic
+        }
+      }
+      val tier = bounded.get
+      require(bounded.republishCount > 0L,
+        "q298: the delta bound was never crossed — the fold went unexercised")
+      require(tier.deltaSize < 25L,
+        s"q298: delta ${tier.deltaSize} exceeds the 25-doc bound")
+      // visibility over the MERGED view (live delta + folded graph)
+      arrivals.foreach { case (id, v) =>
+        val hit = tier.topK(v, 5, ef = 200).exists(_._1 == id)
+        if (id % 10L == 0L)
+          require(!hit, s"q298: purged $id still servable")
+        else require(hit, s"q298: streamed $id lost across folds")
+      }
+      // fold pin: one final republish folds the tail; the resulting
+      // graph must be bit-identical to a from-scratch build over ALL
+      // survivors — same adjacency, same answers
+      val folded = tier.republish()
+      // survivors: base never purges (%5 != 0 => %10 != 0); the streamed
+      // slice keeps %10 != 0 — so one predicate covers both
+      val logical = (baseRows ++ arrivals).filter(_._1 % 10L != 0L)
+      val scratch = graft.serve.MemoryHnswIndex.build(logical)
+      logical.foreach { case (id, _) =>
+        require(folded.base.maxLevelOf(id) == scratch.maxLevelOf(id) &&
+          (0 to scratch.maxLevelOf(id)).forall(l =>
+            folded.base.neighborsOf(id, l) == scratch.neighborsOf(id, l)),
+          s"q298: folded adjacency differs from the batch rebuild at $id")
+      }
+      arrivals.take(10).foreach { case (_, v) =>
+        require(folded.topK(v, 10, ef = 100) == scratch.topK(v, 10, ef = 100),
+          "q298: folded answers differ from the batch rebuild")
+      }
+      arrivals.collect { case (id, _) if id % 10L != 0L => id }
+        .toSeq.toDF("vec_id").orderBy("vec_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -10051,6 +10122,18 @@ object SparkEntry {
     "q295_delta_sparse" ->
       sparseSearchOracleSql(Map("dup" -> 2L, "stream" -> 1L, "query" -> 3L),
         10, docCond = "doc_id % 10 <> 0"),
+
+    // the graph tier's freshness oracle: the WALK is approximate (no
+    // SQL expresses it — RECALL.md's verification class), but WHO is
+    // servable is exact, and the query requires self-recall for every
+    // surviving streamed row and non-servability for every purged one
+    // (failing rows abort the query, so a green row here IS the
+    // visibility contract). The output is then the surviving stream
+    // slice in closed form.
+    "q298_delta_hnsw" ->
+      """SELECT vec_id FROM embeddings
+        |WHERE vec_id % 5 = 0 AND vec_id % 10 <> 0
+        |ORDER BY vec_id""".stripMargin,
 
     // q29's oracle VERBATIM: routing the request onto the memory tier
     // must change nothing about the result

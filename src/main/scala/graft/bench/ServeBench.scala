@@ -245,6 +245,12 @@ object ServeBench {
       graft.serve.DeltaSparseIndex.fromDataFrame(sparseVecs, "doc_id"),
       maxDeltaDocs = 1000L)
     val deltaSparseSeq = new java.util.concurrent.atomic.AtomicLong(30_000_000L)
+    // the GRAPH freshness tier under churn (round 16): same bounded
+    // write-then-read protocol; the fold is the full deterministic
+    // graph rebuild — the honest cost of graph freshness, in p-max
+    val deltaHnswBounded = new graft.serve.BoundedDelta(
+      new graft.serve.DeltaHnswIndex(memHnsw), maxDeltaDocs = 1000L)
+    val deltaHnswSeq = new java.util.concurrent.atomic.AtomicLong(40_000_000L)
 
     // admission for the exact-required rows: at most 2 concurrent
     // fallback jobs (fair queue), in the dedicated FAIR pool declared in
@@ -364,6 +370,21 @@ object ServeBench {
       "memory_hnsw" -> { qi: Int =>
         val n = memHnsw.topK(qvecs(qi % qvecs.size), 5, ef = 40).length
         require(n == 5, s"memory_hnsw returned $n rows")
+      },
+      // write-then-read churn on the GRAPH tier (round 16: HNSW joins
+      // the bounded-delta family) — one upsert + one merged search
+      // (filtered base walk + exhaustive delta scan) per request.
+      // BOUNDED like its siblings: crossing 1,000 delta docs pays the
+      // in-band fold, which for the graph tier is the FULL deterministic
+      // rebuild (O(n·efC·M) — seconds at this corpus, the honest cost,
+      // visible in the cell's p-max; DeltaHnswIndex's class doc points
+      // bigger bases at BoundedDelta's maintenance-thread option)
+      "memory_delta_hnsw_mixed" -> { qi: Int =>
+        val qv = qvecs(qi % qvecs.size)
+        val seq = deltaHnswSeq.incrementAndGet()
+        val d = deltaHnswBounded.write(_.add(seq, qv))
+        val n = d.topK(qv, 5, ef = 40).length
+        require(n == 5, s"memory_delta_hnsw_mixed returned $n rows")
       },
       // learned-sparse dot product over the term postings (q205's scan
       // envelope served job-free — integer arithmetic end to end)

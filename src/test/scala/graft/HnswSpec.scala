@@ -246,4 +246,114 @@ class HnswSpec extends SparkSpec {
     assert(seen.size == rows.length,
       s"layer 0 disconnected: ${seen.size}/${rows.length} reachable")
   }
+
+  // ---- the DELTA tier (serve/DeltaHnswIndex): the graph joins the
+  // bounded-delta family (r15 verdict item 1). Same verification class
+  // as the graph itself — no SQL oracle; visibility, determinism and
+  // the fold's artifact-identity are the pinned contracts.
+
+  test("delta visibility: add is servable next query; delete hides base row; re-add restores") {
+    val rows = clustered(300, 16, 4)
+    val base = MemoryHnswIndex.build(rows, m = 8, efConstruction = 40)
+    val tier = new graft.serve.DeltaHnswIndex(base, m = 8, efConstruction = 40)
+    // a brand-new row: its own vector must surface it immediately
+    val freshVec = Seq.tabulate(16)(j => math.sin(9000 + j * 5).toFloat)
+    tier.add(9000L, freshVec)
+    assert(tier.topK(freshVec, 3, ef = 64).exists(_._1 == 9000L),
+      "freshly added row not servable")
+    // delete a BASE row: gone even when queried with its own vector
+    val (victimId, victimVec) = rows(42)
+    assert(tier.topK(victimVec, 3, ef = 64).exists(_._1 == victimId))
+    tier.delete(victimId)
+    assert(!tier.topK(victimVec, 10, ef = 64).exists(_._1 == victimId),
+      "deleted base row still servable")
+    // re-add with a NEW vector: visible again, latest-wins
+    tier.add(victimId, freshVec)
+    val again = tier.topK(freshVec, 3, ef = 64)
+    assert(again.exists(_._1 == victimId), "re-added row not servable")
+    // upsert SHADOWS the base copy: if the old vector still surfaces the
+    // id, its score must be cos(freshVec, victimVec) — the NEW serving
+    // vector — not the self-similarity ~1.0 of the shadowed base row
+    val shadowScore = bruteTopK(Seq((victimId, freshVec)), victimVec, 1).head._2
+    tier.topK(victimVec, 10, ef = 64).find(_._1 == victimId).foreach {
+      case (_, s) => assert(s == shadowScore, "base copy leaked through upsert")
+    }
+    assert(tier.deltaSize == 2L) // 9000 + victim's latest slot
+    assert(tier.tombstonedIds == Set(9000L, victimId))
+  }
+
+  test("delta merge is the k-bounded (score DESC, id ASC) merge of filtered walk + exact delta scan") {
+    val rows = clustered(300, 16, 4)
+    val base = MemoryHnswIndex.build(rows, m = 8, efConstruction = 40)
+    val tier = new graft.serve.DeltaHnswIndex(base, m = 8, efConstruction = 40)
+    val dels = rows.map(_._1).filter(_ % 7 == 0).toSet
+    dels.foreach(tier.delete)
+    val adds = (0 until 20).map(i =>
+      (5000L + i, Seq.tabulate(16)(j => math.sin(i * 19 + j * 3).toFloat)))
+    adds.foreach { case (id, v) => tier.add(id, v) }
+    val q = Seq.tabulate(16)(j => math.cos(j * 2).toFloat)
+    val got = tier.topK(q, 10, ef = 64)
+    val expect = (base.topKWhere(q, 10, id => !dels(id), ef = 64) ++
+      bruteTopK(adds, q, adds.size))
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(got == expect, "merge drifted from its own definition")
+    // no tombstoned id ever surfaces
+    assert(!got.exists { case (id, _) => dels(id) })
+  }
+
+  test("republish folds to a graph bit-identical to a from-scratch build over the survivors") {
+    val rows = clustered(250, 16, 4)
+    val base = MemoryHnswIndex.build(rows, m = 8, efConstruction = 40)
+    val tier = new graft.serve.DeltaHnswIndex(base, m = 8, efConstruction = 40)
+    val dels = rows.map(_._1).filter(_ % 5 == 0).toSet
+    dels.foreach(tier.delete)
+    val adds = (0 until 30).map(i =>
+      (5000L + i, Seq.tabulate(16)(j => math.sin(i * 23 + j * 11).toFloat)))
+    adds.foreach { case (id, v) => tier.add(id, v) }
+    val folded = tier.republish()
+    val logical = rows.filterNot { case (id, _) => dels(id) } ++ adds
+    val scratch = MemoryHnswIndex.build(logical, m = 8, efConstruction = 40)
+    // artifact identity: every node's adjacency at every level
+    logical.foreach { case (id, _) =>
+      assert(folded.base.maxLevelOf(id) == scratch.maxLevelOf(id))
+      (0 to scratch.maxLevelOf(id)).foreach { l =>
+        assert(folded.base.neighborsOf(id, l) == scratch.neighborsOf(id, l),
+          s"folded adjacency differs at id $id level $l")
+      }
+    }
+    // answer identity on a probe battery, and the folded delta is empty
+    (0 until 10).foreach { p =>
+      val q = Seq.tabulate(16)(j => math.sin(p * 41 + j).toFloat)
+      assert(folded.topK(q, 10, ef = 64) == scratch.topK(q, 10, ef = 64))
+    }
+    assert(folded.deltaSize == 0L)
+    // the old handle is sealed for writers, still serves readers
+    intercept[graft.serve.RepublishedHandleException] {
+      tier.add(1L, rows.head._2)
+    }
+    assert(tier.topK(rows(3)._2, 5, ef = 64).nonEmpty)
+  }
+
+  test("BoundedDelta over the graph tier: folds trigger at the bound, nothing lost, self-recall holds") {
+    val rows = clustered(200, 16, 4)
+    val base = MemoryHnswIndex.build(rows, m = 8, efConstruction = 40)
+    val bounded = new graft.serve.BoundedDelta(
+      new graft.serve.DeltaHnswIndex(base, m = 8, efConstruction = 40),
+      maxDeltaDocs = 10L)
+    val adds = (0 until 45).map(i =>
+      (7000L + i, Seq.tabulate(16)(j => math.sin(i * 29 + j * 13).toFloat)))
+    adds.foreach { case (id, v) =>
+      bounded.write { h =>
+        h.add(id, v)
+        if (id % 9 == 0) h.delete(id) // in-flight purge, atomic with its add
+      }
+    }
+    assert(bounded.republishCount > 0L, "the bound was never crossed")
+    assert(bounded.get.deltaSize < 10L)
+    adds.foreach { case (id, v) =>
+      val hit = bounded.get.topK(v, 3, ef = 64).exists(_._1 == id)
+      if (id % 9 == 0) assert(!hit, s"purged $id still servable")
+      else assert(hit, s"written $id lost across folds")
+    }
+  }
 }
