@@ -1,108 +1,100 @@
 package graft
 
-import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
-import java.net.ServerSocket
+import org.scalatest.funsuite.AnyFunSuite
 
-import graft.api.SemanticSearch
-import graft.embed.HashingTfEmbedder
-import graft.serve.{FleetClient, FleetProtocol, FleetTier, MemoryAnnIndex, MemoryServer, ShardedAnnIndex}
+import graft.serve.{FleetClient, FleetDoor}
 
-/** The COMPOSED serving door, pinned in the suite (FleetBench requires it
-  * at warm-up too, but against live shard processes — this spec proves
-  * the same structural fact offline): the SAME `SemanticSearch` front
-  * door over a [[FleetTier]] (requests fan out over sockets to shard
-  * servers holding disjoint slices) returns byte-identical JSON responses
-  * to the door over an in-process [[MemoryServer]] on the full corpus,
-  * and routes filtered requests to the SAME fallback decision.
+/** The pooled fleet door's contract (FleetDoor class doc): a bounded
+  * pool of per-request-exclusive clients makes the door thread-safe
+  * without touching [[FleetClient]]'s not-thread-safe internals —
+  * hammered from 32 threads with bit-identity against a solo client,
+  * bounded checkout (shed, not queue), and idle-heal.
   */
-class FleetDoorSpec extends SparkSpec {
-  import spark.implicits._
+class FleetDoorSpec extends AnyFunSuite {
 
-  // a tiny deterministic corpus: 24 vectors, dim 8
-  private lazy val rows: Seq[(Long, Seq[Float])] = (1L to 24L).map { i =>
-    i -> (0 until 8).map(j => ((i * 7 + j * 3) % 11).toFloat / 11.0f)
-  }
+  private val shardA = Seq((1L, 0.9), (3L, 0.7), (5L, 0.5))
+  private val shardB = Seq((2L, 0.8), (4L, 0.7), (6L, 0.4))
 
-  /** A stub shard server speaking the dense opcode, backed by a REAL
-    * [[MemoryAnnIndex]] over its slice — so scores are the engine's own
-    * fold, and the fan-out merge must land on the monolithic scan's bits.
-    */
-  private final class Shard(slice: Seq[(Long, Seq[Float])]) {
-    private val idx = MemoryAnnIndex.fromRows(
-      slice.map { case (id, v) => (id, v, 0) }, centroids = Seq(slice.head._2))
-    private val ss = new ServerSocket(0)
-    def port: Int = ss.getLocalPort
-    private val t = new Thread(() => {
-      try {
-        while (true) {
-          val sock = ss.accept()
-          val th = new Thread(() => {
-            try {
-              val in = new DataInputStream(
-                new BufferedInputStream(sock.getInputStream))
-              val out = new DataOutputStream(
-                new BufferedOutputStream(sock.getOutputStream))
-              while (true) {
-                assert(in.readUnsignedByte() == FleetProtocol.OpDense)
-                val k = in.readInt()
-                val qv = Seq.fill(in.readInt())(in.readFloat())
-                val hits = idx.topK(qv, k)
-                out.writeInt(hits.length)
-                hits.foreach { case (id, s) =>
-                  out.writeLong(id); out.writeDouble(s)
-                }
-                out.flush()
-              }
-            } catch { case _: Throwable => () }
-          })
-          th.setDaemon(true); th.start()
-        }
-      } catch { case _: Throwable => () }
-    })
-    t.setDaemon(true); t.start()
-    def stop(): Unit = try ss.close() catch { case _: Throwable => () }
-  }
-
-  test("door over the fleet ≡ door over memory: response bytes, route decisions") {
-    val nShards = 3
-    val shards = (0 until nShards).map(sh =>
-      new Shard(rows.filter { case (id, _) =>
-        ShardedAnnIndex.shardOf(id, nShards) == sh }))
-    val cl = new FleetClient(shards.map(_.port), timeoutMs = 2000)
+  test("32 threads through a 4-client pool: every answer bit-identical to a solo client") {
+    val a = new FleetStubShard(shardA)
+    val b = new FleetStubShard(shardB)
+    val door = new FleetDoor(Seq(a.port, b.port), poolSize = 4,
+      timeoutMs = 2000)
+    val solo = new FleetClient(Seq(a.port, b.port), timeoutMs = 2000)
     try {
-      val df = rows.map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
-      val fleetDoor = new SemanticSearch(df, HashingTfEmbedder(8),
-        idCol = "vec_id", textCol = "vec_id", embCol = "embedding",
-        memory = Some(new FleetTier(cl)))
-      val memDoor = new SemanticSearch(df, HashingTfEmbedder(8),
-        idCol = "vec_id", textCol = "vec_id", embCol = "embedding",
-        memory = Some(new MemoryServer(MemoryAnnIndex.fromRows(
-          rows.map { case (id, v) => (id, v, 0) },
-          centroids = Seq(rows.head._2)), None)))
-      rows.take(5).foreach { case (_, qv) =>
-        val req =
-          s"""{"query_vector":[${qv.mkString(",")}],"columns":["vec_id"],"limit":4}"""
-        // covered on BOTH doors; responses byte-identical
-        val (fdf, fCov) = fleetDoor.searchRouted(req)
-        val (mdf, mCov) = memDoor.searchRouted(req)
-        assert(fCov && mCov, "unfiltered request must be covered on both tiers")
-        assert(fleetDoor.searchResponseJson(req) == memDoor.searchResponseJson(req))
-        assert(fdf.collect().toSeq == mdf.collect().toSeq)
-        // a filter the fleet protocol cannot ship: uncovered there; the
-        // memory tier can't serve it either (vec_id is the id, not a
-        // loaded metadata column) — SAME fallback decision, and the
-        // fallback frames agree (both are the exact Spark scan)
-        val freq =
-          s"""{"query_vector":[${qv.mkString(",")}],"columns":["vec_id"],"limit":4,"filter":{"@gte":{"vec_id":0}}}"""
-        val (ff, fc) = fleetDoor.searchRouted(freq)
-        val (mf, mc) = memDoor.searchRouted(freq)
-        assert(!fc && !mc, "filtered request must fall back on both doors")
-        assert(ff.collect().toSeq == mf.collect().toSeq)
+      val expect = solo.dense(Seq(0.1f, 0.2f), 4)
+        .map { case (id, s) => (id, java.lang.Double.doubleToLongBits(s)) }
+      val bad = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (0 until 32).map { t =>
+        val th = new Thread(() => {
+          var i = 0
+          while (i < 50) {
+            val got = door.withClient(_.dense(Seq(0.1f, 0.2f), 4))
+              .map { case (id, s) => (id, java.lang.Double.doubleToLongBits(s)) }
+            if (got != expect) bad.incrementAndGet(): Unit
+            i += 1
+          }
+        })
+        th.start(); th
       }
-      // k=0 serves empty, job-free, on the fleet tier too
-      val (z, zc) = fleetDoor.searchRouted(
-        s"""{"query_vector":[${rows.head._2.mkString(",")}],"columns":["vec_id"],"limit":0}""")
-      assert(zc && z.collect().isEmpty)
-    } finally { cl.close(); shards.foreach(_.stop()) }
+      threads.foreach(_.join())
+      assert(bad.get() == 0, s"${bad.get()} of 1600 pooled answers drifted")
+    } finally { door.close(); solo.close(); a.kill(); b.kill() }
+  }
+
+  test("checkout is bounded: a exhausted pool sheds within the checkout timeout") {
+    val a = new FleetStubShard(shardA)
+    val door = new FleetDoor(Seq(a.port), poolSize = 1,
+      timeoutMs = 2000, checkoutTimeoutMs = 200)
+    try {
+      val holding = new java.util.concurrent.CountDownLatch(1)
+      val release = new java.util.concurrent.CountDownLatch(1)
+      val holder = new Thread(() => {
+        door.withClient { _ => holding.countDown(); release.await() }: Unit
+      })
+      holder.start()
+      holding.await()
+      val t0 = System.nanoTime()
+      val e = intercept[IllegalStateException] {
+        door.withClient(_.dense(Seq(0.1f), 1))
+      }
+      val ms = (System.nanoTime() - t0) / 1e6
+      assert(e.getMessage.contains("shed"), e.getMessage)
+      assert(ms >= 150 && ms < 2000, f"checkout shed took $ms%.0f ms")
+      release.countDown()
+      holder.join()
+      // the held client is back: the next request serves
+      assert(door.withClient(_.dense(Seq(0.1f), 2)) == shardA.take(2))
+    } finally { door.close(); a.kill() }
+  }
+
+  test("healIdle mends every idle client after a shard comes back") {
+    val a = new FleetStubShard(shardA)
+    val b = new FleetStubShard(shardB)
+    val bPort = b.port
+    val door = new FleetDoor(Seq(a.port, bPort), poolSize = 3,
+      timeoutMs = 500)
+    try {
+      // warm every pooled client so each has touched both shards
+      (0 until 3).foreach(_ => door.withClient(_.dense(Seq(0.1f), 4)): Unit)
+      b.kill()
+      // sequential checkouts cycle the FIFO pool: three degraded
+      // requests make every client discover the death (each still
+      // serves shard A's exact partial — the FleetClient doctrine)
+      (0 until 3).foreach { _ =>
+        assert(door.withClient(_.dense(Seq(0.1f), 4)) == shardA)
+      }
+      assert(door.anyDead(1), "no pooled client marked the dead shard")
+      assert(door.minLiveShards == 1)
+      val b2 = new FleetStubShard(Seq((2L, 0.85)), port0 = bPort)
+      try {
+        val healed = door.healIdle(1)
+        assert(healed >= 1, "healIdle mended nothing")
+        assert(!door.anyDead(1), "a pooled client still has the shard dead")
+        assert(door.minLiveShards == 2)
+        assert(door.withClient(_.dense(Seq(0.1f), 2)) ==
+          Seq((1L, 0.9), (2L, 0.85)))
+      } finally b2.kill()
+    } finally { door.close(); a.kill() }
   }
 }
