@@ -6027,6 +6027,29 @@ object SparkEntry {
       arrivals.collect { case (id, _) if id % 10L != 0L => id }
         .toSeq.toDF("vec_id").orderBy("vec_id")
     }),
+
+    // ---- INTER-coded video through the EXTERNAL-decoder seam
+    // (multimodal/Multimodal.videoFramesExternal — r15 verdict item 3):
+    // the last real media stub closed. Per-frame-coded video decodes
+    // in-JVM (q90 Motion-PNG, q296 MJPEG); H.264-class codecs need a
+    // stateful external decoder, and this query PROVES that harness —
+    // one decoder PROCESS per partition (spawn amortized, the
+    // mapPartitions codec rule), a length-prefixed pipe per video,
+    // corrupt-bytes-are-data — hermetically: the corpus is the q90
+    // closed form re-encoded in GDIF (the repo's trivial delta-frame
+    // format, frame k meaningless without k−1), decoded by a REAL
+    // spawned subprocess (graft.tools.GdifDecoder). GDIF is lossless,
+    // so every sampled frame's pixel sum is the exact closed form —
+    // DuckDB computes it in SQL, including the every-2nd-frame sampler.
+    // Swapping the command for ffmpeg changes no Spark-side line.
+    "q299_video_external_decode" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.syntheticGdifMedia(s, 150)
+      val frames = graft.multimodal.Multimodal.videoFramesExternal(
+        media, graft.multimodal.Multimodal.selfJvmDecoderCmd, sampleEvery = 2)
+      frames.toDF()
+        .select(col("media_id"), col("frame_idx"), col("width"),
+          col("height"), col("n_px"), col("px_sum"), col("decode_ok"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -10134,6 +10157,29 @@ object SparkEntry {
       """SELECT vec_id FROM embeddings
         |WHERE vec_id % 5 = 0 AND vec_id % 10 <> 0
         |ORDER BY vec_id""".stripMargin,
+
+    // the externally-decoded GDIF corpus in closed form (q90's shape,
+    // inter-frame re-encoded: pixel (x,y) of frame f = (7x+13y+i+31f)
+    // mod 256 — lossless, so the subprocess must reproduce the integers
+    // exactly), with the every-2nd-frame sampler as the frame filter
+    "q299_video_external_decode" ->
+      """WITH dims AS (SELECT i AS media_id,
+        |    CAST(8 + i % 8 AS INT) AS width,
+        |    CAST(8 + (3 * i) % 8 AS INT) AS height,
+        |    CAST(2 + i % 3 AS INT) AS n_frames
+        |  FROM range(150) t(i)),
+        |fr AS (SELECT media_id, width, height, CAST(f.f AS INT) AS frame_idx
+        |  FROM dims, unnest(generate_series(0, n_frames - 1)) AS f(f)
+        |  WHERE f.f % 2 = 0),
+        |px AS (SELECT media_id, frame_idx, width, height,
+        |    (7 * x.x + 13 * y.y + media_id + 31 * frame_idx) % 256 AS v
+        |  FROM fr,
+        |    unnest(generate_series(0, width - 1)) AS x(x),
+        |    unnest(generate_series(0, height - 1)) AS y(y))
+        |SELECT media_id, frame_idx, width, height,
+        |  CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum,
+        |  TRUE AS decode_ok
+        |FROM px GROUP BY media_id, frame_idx, width, height""".stripMargin,
 
     // q29's oracle VERBATIM: routing the request onto the memory tier
     // must change nothing about the result

@@ -29,10 +29,15 @@ import org.apache.spark.sql.functions._
   * ([[videoFrames]]) hands each '00dc' payload to the plugin-dispatched
   * image path, so Motion-PNG AND Motion-JPEG (a real lossy codec —
   * [[syntheticMjpegMedia]]) both decode with zero codec code of their
-  * own; inter-coded streams (H.264-in-MP4, VP9-in-MKV) stay
-  * header-metadata-only, like audio codecs with no installed SPI
-  * (AAC/MP3 here — no codec ships in this environment):
-  * [[StubCodec]] derives deterministic pseudo-features from those bytes.
+  * own. INTER-coded streams (H.264-class P-frames) decode through the
+  * EXTERNAL-decoder seam ([[videoFramesExternal]]): one decoder process
+  * per partition, a length-prefixed pipe per video — proven end-to-end
+  * with a real subprocess on the repo's own delta-frame codec
+  * ([[gdifEncode]]/[[graft.tools.GdifDecoder]], q299); pointing the
+  * command at ffmpeg changes no Spark-side line (ffmpeg doesn't ship in
+  * this environment). The ONE remaining stub class: audio codecs with
+  * no installed SPI (AAC/MP3 here) — [[StubCodec]] derives
+  * deterministic pseudo-features from those bytes.
   * Everything Spark-side — schema, partition batching, feature shapes,
   * frame sampling, resize bookkeeping — is real and tested; swapping in a
   * real compressed codec touches only [[MediaCodec]].
@@ -1099,6 +1104,194 @@ object Multimodal {
       }
       MediaFile(i, "video", writeAvi(frames, w, h, usPerFrame = 40000L),
         w, h, 40L * nFrames, "video/x-msvideo")
+    }
+  }
+
+  // -------------------------------------------- inter-coded video seam
+  // Everything per-frame-coded decodes above with JDK codecs (PNG, JPEG
+  // via the container walk). INTER-coded video (H.264/VP9 P-frames —
+  // each frame references the previous) is where a deployment brings an
+  // external decoder (ffmpeg) as a partition-batched subprocess. The
+  // harness below IS that seam — one decoder process per partition, a
+  // length-prefixed request/response pipe per video, corrupt-bytes-are-
+  // data — proven hermetically with a trivial delta-frame codec the
+  // repo defines (GDIF), decoded by a REAL spawned subprocess
+  // ([[graft.tools.GdifDecoder]]); swapping the command for an ffmpeg
+  // invocation changes no Spark-side line.
+
+  /** GDIF — "graft delta inter-frame", the hermetic inter-coded test
+    * codec: magic `GDV1`, BE width/height/nFrames, then frame 0 RAW
+    * (w·h gray bytes, the key frame) and every later frame as
+    * `(cur − prev) mod 256` per pixel (a P-frame: meaningless without
+    * its predecessor, which is exactly the property that forces the
+    * stateful external-decoder shape). Lossless, so decoded truth is a
+    * closed form (the q299 oracle).
+    */
+  def gdifEncode(frames: Seq[Array[Byte]], width: Int, height: Int): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == width * height),
+      "gdifEncode: every frame must be width*height gray bytes")
+    val out = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(out)
+    d.write("GDV1".getBytes("ISO-8859-1"))
+    d.writeInt(width); d.writeInt(height); d.writeInt(frames.size)
+    d.write(frames.head)
+    var f = 1
+    while (f < frames.size) {
+      val prev = frames(f - 1); val cur = frames(f)
+      val delta = new Array[Byte](width * height)
+      var p = 0
+      while (p < delta.length) {
+        delta(p) = ((cur(p) - prev(p)) & 0xff).toByte; p += 1
+      }
+      d.write(delta); f += 1
+    }
+    d.flush()
+    out.toByteArray
+  }
+
+  /** Decode a [[gdifEncode]] bitstream: (width, height, frames) with
+    * each frame reconstructed as `prev + delta mod 256`. None on any
+    * structural violation (bad magic, truncation, absurd dims) —
+    * corrupt payloads are data, the codec rule everywhere here. This is
+    * the ONE decode definition; [[graft.tools.GdifDecoder]] (the
+    * external process) calls it, so tool and library cannot drift.
+    */
+  def gdifDecode(bytes: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] = {
+    if (bytes.length < 16 ||
+        new String(bytes, 0, 4, "ISO-8859-1") != "GDV1") return None
+    def beI32(o: Int): Int =
+      ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+        ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+    val w = beI32(4); val h = beI32(8); val n = beI32(12)
+    if (w <= 0 || h <= 0 || n <= 0 || w > 65535 || h > 65535) return None
+    val sz = w * h
+    if (bytes.length != 16L + sz.toLong * n) return None
+    val frames = new Array[Array[Byte]](n)
+    frames(0) = java.util.Arrays.copyOfRange(bytes, 16, 16 + sz)
+    var f = 1
+    while (f < n) {
+      val prev = frames(f - 1)
+      val cur = new Array[Byte](sz)
+      val off = 16 + f * sz
+      var p = 0
+      while (p < sz) { cur(p) = ((prev(p) + bytes(off + p)) & 0xff).toByte; p += 1 }
+      frames(f) = cur; f += 1
+    }
+    Some((w, h, frames.toSeq))
+  }
+
+  /** The command that runs [[graft.tools.GdifDecoder]] in a fresh JVM —
+    * the hermetic stand-in for an ffmpeg command line. Built from THIS
+    * JVM's classpath, so it works wherever the library's classes do
+    * (sbt test fork, runMain, driver).
+    */
+  def selfJvmDecoderCmd: Seq[String] =
+    Seq("java", "-cp", System.getProperty("java.class.path"),
+      "graft.tools.GdifDecoder")
+
+  /** Deterministic GDIF corpus — the Motion-PNG closed form re-encoded
+    * inter-frame: video i has 2 + i%3 frames of (8 + i%8) × (8 + (3i)%8)
+    * gray pixels, frame f pixel (x, y) = (7x + 13y + i + 31f) mod 256.
+    * GDIF is lossless, so the externally-decoded sums are this closed
+    * form EXACTLY (the q299 contract). 25 fps equivalent for duration.
+    */
+  def syntheticGdifMedia(spark: SparkSession, n: Int): Dataset[MediaFile] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val w = 8 + (i % 8).toInt
+      val h = 8 + ((3 * i) % 8).toInt
+      val nFrames = 2 + (i % 3).toInt
+      val frames = (0 until nFrames).map { f =>
+        val a = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            a(y * w + x) = ((7 * x + 13 * y + i + 31 * f) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        a
+      }
+      MediaFile(i, "video", gdifEncode(frames, w, h),
+        w, h, 40L * nFrames, "video/x-graft-gdif")
+    }
+  }
+
+  /** Frame decode through an EXTERNAL decoder process — the seam where
+    * a real deployment plugs ffmpeg for inter-coded video. ONE process
+    * per PARTITION (spawn amortized over the batch, the mapPartitions
+    * codec rule everywhere in this file); per video, one length-prefixed
+    * request down the pipe (BE int byteLen + bitstream) and one response
+    * back (BE int status — 0 ok / 1 corrupt — then BE width/height/
+    * nFrames and the raw gray frames); `-1` closes the decoder. The
+    * decoder decodes ALL frames (inter-coding forces it — reaching
+    * frame k requires 0..k−1, true of real codecs too); the sampler
+    * picks which to EMIT (0, s, 2s, ...). A video the decoder flags
+    * corrupt emits the single frame_idx = −1 row, like [[videoFrames]];
+    * a decoder PROCESS failure fails the task (environment, not data —
+    * Spark's retry handles it). Frames never leave their executor.
+    */
+  def videoFramesExternal(media: Dataset[MediaFile],
+                          decoderCmd: Seq[String],
+                          sampleEvery: Int = 1): Dataset[VideoFrame] = {
+    require(sampleEvery >= 1, s"sampleEvery must be >= 1, got $sampleEvery")
+    require(decoderCmd.nonEmpty, "videoFramesExternal needs a decoder command")
+    import media.sparkSession.implicits._
+    val cmd = decoderCmd
+    val s = sampleEvery
+    media.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pb = new ProcessBuilder(cmd: _*)
+        val proc = pb.start()
+        // drain stderr so the child can never block on a full pipe
+        val err = new Thread(() => {
+          val br = new java.io.BufferedReader(
+            new java.io.InputStreamReader(proc.getErrorStream))
+          try { while (br.readLine() != null) () }
+          catch { case _: Throwable => () }
+        })
+        err.setDaemon(true); err.start()
+        val toDec = new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(proc.getOutputStream))
+        val fromDec = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(proc.getInputStream))
+        try {
+          val out = it.flatMap { m =>
+            toDec.writeInt(m.bytes.length)
+            toDec.write(m.bytes)
+            toDec.flush()
+            fromDec.readInt() match {
+              case 0 =>
+                val w = fromDec.readInt(); val h = fromDec.readInt()
+                val n = fromDec.readInt()
+                (0 until n).flatMap { f =>
+                  val px = new Array[Byte](w * h)
+                  fromDec.readFully(px)
+                  if (f % s != 0) None
+                  else {
+                    var sum = 0L
+                    var p = 0
+                    while (p < px.length) { sum += px(p) & 0xff; p += 1 }
+                    Some(VideoFrame(m.media_id, f, w, h, w.toLong * h, sum,
+                      decode_ok = true))
+                  }
+                }
+              case _ =>
+                Seq(VideoFrame(m.media_id, -1, 0, 0, 0L, 0L,
+                  decode_ok = false))
+            }
+          }.toVector // materialize before closing the pipe
+          toDec.writeInt(-1); toDec.flush()
+          out.iterator
+        } finally {
+          try toDec.close() catch { case _: Throwable => () }
+          try fromDec.close() catch { case _: Throwable => () }
+          proc.destroy()
+        }
+      }
     }
   }
 }

@@ -452,4 +452,66 @@ class MultimodalSpec extends SparkSpec {
         s"uniform-$v frame decoded to mean $mean — not a real JPEG decode")
     }
   }
+
+  test("GDIF: lossless encode/decode round trip; P-frames are genuinely inter-coded") {
+    val w = 12; val h = 9
+    val frames = (0 until 4).map { f =>
+      Array.tabulate(w * h)(p => ((p * 7 + f * 31) % 256).toByte)
+    }
+    val bits = Multimodal.gdifEncode(frames, w, h)
+    val Some((dw, dh, dec)) = Multimodal.gdifDecode(bits)
+    assert(dw == w && dh == h && dec.size == 4)
+    dec.zip(frames).foreach { case (d, o) =>
+      assert(java.util.Arrays.equals(d, o), "GDIF round trip not lossless")
+    }
+    // frame 1's stored block is a DELTA, not the raw frame — decoding it
+    // without frame 0 is impossible (the property that forces the
+    // stateful external-decoder shape)
+    val stored1 = java.util.Arrays.copyOfRange(bits, 16 + w * h, 16 + 2 * w * h)
+    assert(!java.util.Arrays.equals(stored1, frames(1)),
+      "frame 1 stored raw — that's intra-coding, not the P-frame seam")
+    // corrupt payloads are data
+    assert(Multimodal.gdifDecode("nope".getBytes).isEmpty)
+    assert(Multimodal.gdifDecode(bits.dropRight(1)).isEmpty)
+  }
+
+  test("external decoder seam: a REAL subprocess decodes GDIF to the exact closed form") {
+    val media = Multimodal.syntheticGdifMedia(spark, 30)
+    val got = Multimodal.videoFramesExternal(media,
+        Multimodal.selfJvmDecoderCmd, sampleEvery = 2)
+      .collect().map(v => (v.media_id, v.frame_idx) -> v).toMap
+    (0 until 30).foreach { i =>
+      val w = 8 + i % 8; val h = 8 + (3 * i) % 8
+      val nFrames = 2 + i % 3
+      (0 until nFrames).foreach { f =>
+        if (f % 2 == 0) {
+          val v = got((i.toLong, f))
+          assert(v.decode_ok && v.width == w && v.height == h &&
+            v.n_px == w.toLong * h)
+          val expect = (for { y <- 0 until h; x <- 0 until w }
+            yield (7 * x + 13 * y + i + 31 * f) % 256).map(_.toLong).sum
+          assert(v.px_sum == expect,
+            s"video $i frame $f: px_sum ${v.px_sum} != closed form $expect")
+        } else assert(!got.contains((i.toLong, f)),
+          s"sampler emitted unsampled frame $f of video $i")
+      }
+    }
+  }
+
+  test("external decoder seam: a corrupt bitstream is data (frame_idx = -1), the batch continues") {
+    import spark.implicits._
+    val goodBits = Multimodal.gdifEncode(
+      Seq(Array.tabulate(16)(p => (p * 3).toByte)), 4, 4)
+    val media = Seq(
+      MediaFile(0L, "video", "garbage!".getBytes, 0, 0, 0L, "video/x-graft-gdif"),
+      MediaFile(1L, "video", goodBits, 4, 4, 40L, "video/x-graft-gdif"))
+      .toDS().coalesce(1) // one partition: both videos share one decoder
+    val rows = Multimodal.videoFramesExternal(media,
+        Multimodal.selfJvmDecoderCmd)
+      .collect().sortBy(v => (v.media_id, v.frame_idx))
+    assert(rows.length == 2)
+    assert(rows(0).media_id == 0L && rows(0).frame_idx == -1 && !rows(0).decode_ok)
+    assert(rows(1).media_id == 1L && rows(1).frame_idx == 0 && rows(1).decode_ok &&
+      rows(1).px_sum == (0 until 16).map(_ * 3).sum.toLong)
+  }
 }
