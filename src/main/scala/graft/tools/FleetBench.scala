@@ -277,6 +277,45 @@ object FleetBench {
       drainer.setDaemon(true); drainer.start()
       line.drop("READY ".length).trim.toInt
     } catch { case e: Throwable => procs.foreach(_.destroyForcibly()); throw e }
+    // the live process per shard slot — the churn phase replaces a killed
+    // shard with a fresh process on the SAME port, so every later phase
+    // (the permanent-kill row, the orderly shutdown) must go through this
+    // table, not the original immutable list
+    val shardProcs: Array[Process] = procs.toArray
+
+    /** Spawn a replacement process for shard `sh` bound to `port` (the
+      * failover contract: the address the clients already know). Waits
+      * for READY; retries the bind briefly (the dead listener's port can
+      * take a moment to free).
+      */
+    def spawnShard(sh: Int, port: Int): Process = {
+      var attempt = 0
+      var spawned: Option[Process] = None
+      while (spawned.isEmpty) {
+        attempt += 1
+        val pb = new ProcessBuilder(Seq("java", "-Xmx2g", "-cp", cp,
+          "graft.tools.FleetShardServer", workDir, sh.toString,
+          port.toString): _*)
+        pb.redirectErrorStream(true)
+        val p = pb.start()
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(p.getInputStream))
+        var line = br.readLine()
+        while (line != null && !line.startsWith("READY ")) line = br.readLine()
+        if (line == null) {
+          p.destroyForcibly(): Unit
+          require(attempt < 5, s"replacement shard $sh failed to bind $port")
+          Thread.sleep(400)
+        } else {
+          val drainer = new Thread(() => {
+            try { while (br.readLine() != null) () } catch { case _: Throwable => () }
+          })
+          drainer.setDaemon(true); drainer.start()
+          spawned = Some(p)
+        }
+      }
+      spawned.get
+    }
     val suffix = if (pinned) "_pinned" else ""
     val extraRows = scala.collection.mutable.ArrayBuffer.empty[String]
 
@@ -494,11 +533,175 @@ object FleetBench {
         yield (pname, fire, reqs, n)
       val pass1 = cells.map { case (_, f, r, n) => runLevel(f, n, r) }
       val pass2 = cells.map { case (_, f, r, n) => runLevel(f, n, r) }
-      val results = cells.zip(pass1.zip(pass2)).map { case ((pname, _, _, n), (a, b)) =>
-        val r = if (a.failed == b.failed) { if (a.p50 <= b.p50) a else b }
-                else if (a.failed < b.failed) a else b
+      val chosenLevels: Map[(String, Int), Level] =
+        cells.zip(pass1.zip(pass2)).map { case ((pname, _, _, n), (a, b)) =>
+          val r = if (a.failed == b.failed) { if (a.p50 <= b.p50) a else b }
+                  else if (a.failed < b.failed) a else b
+          (pname, n) -> r
+        }.toMap
+      val results = cells.map { case (pname, _, _, n) =>
+        val r = chosenLevels((pname, n))
         val extra = if (pname.endsWith("_shed")) s""","shed":${r.shed}""" else ""
         f"""{"path":"$pname","concurrency":$n,"requests":${r.requests},"failed":${r.failed},"p50_ms":${r.p50}%.1f,"p95_ms":${r.p95}%.1f,"mean_ms":${r.mean}%.1f,"qps":${r.qps}%.1f,"wall_s":${r.wall}%.2f$extra}"""
+      }
+
+      // ---- the POOLED composed door (r15 verdict items 2+6): the SAME
+      // routed workload as fleet_routed's top level, but through ONE
+      // shared SemanticSearch over a PooledFleetTier (FleetDoor checkout
+      // per request) with the FleetCoordinator's health loop attached —
+      // the deployment shape a real server loop uses. The row pins that
+      // promoting the control plane out of the bench costs no QPS: the
+      // pooled cell must reach >=70% of the per-thread-client cell
+      // (checkout contention is the only added work; the floor is loose
+      // because two separated runs on this host can swing that much).
+      if (!pinned) {
+        val n = levels.max
+        val reqs = perThread * 64
+        val door = new graft.serve.FleetDoor(ports, poolSize = n,
+          timeoutMs = timeoutMs)
+        val coord = new graft.serve.FleetCoordinator(ports, Some(door),
+          timeoutMs = timeoutMs, checkIntervalMs = 100,
+          backoffBaseMs = 100).start()
+        val pooledDoor = new SemanticSearch(corpus, HashingTfEmbedder(dim),
+          idCol = "vec_id", textCol = "label", embCol = "embedding",
+          memory = Some(new graft.serve.PooledFleetTier(door)))
+        try {
+          // bit-identity first: pooled door == in-process routed door
+          (0 until 8).foreach { i =>
+            val req = jsonReq(qvecs(i % qvecs.size), 5)
+            require(pooledDoor.searchResponseJson(req) ==
+              inRouted.searchResponseJson(req),
+              "pooled fleet door != in-process routed door")
+          }
+          val lat = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+          val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+          val t0 = System.nanoTime()
+          val threads = (0 until n).map { t =>
+            val th = new Thread(() => {
+              var i = 0
+              while (i < reqs) {
+                val s = System.nanoTime()
+                try {
+                  val resp = pooledDoor.searchResponseJson(
+                    jsonReq(qvecs((t * 7 + i) % qvecs.size), 5))
+                  require(resp.contains("\"results\":[{"),
+                    s"pooled response empty: ${resp.take(60)}")
+                  lat.add((System.nanoTime() - s) / 1e6): Unit
+                } catch { case e: Throwable =>
+                  failures.incrementAndGet()
+                  System.err.println(s"[fleet] pooled t$t req$i FAILED: ${e.getMessage}")
+                }
+                i += 1
+              }
+            })
+            th.start(); th
+          }
+          threads.foreach(_.join())
+          val wall = (System.nanoTime() - t0) / 1e9
+          val ls = lat.asScala.toIndexedSeq.sorted
+          require(failures.get() == 0,
+            s"${failures.get()} pooled requests failed")
+          val qps = ls.size / wall
+          chosenLevels.get(("fleet_routed", n)).foreach { base =>
+            require(qps >= 0.7 * base.qps,
+              f"pooled door $qps%.0f QPS < 70%% of per-thread ${base.qps}%.0f " +
+                "QPS — the pool is taxing the hot path")
+          }
+          extraRows +=
+            f"""{"path":"fleet_routed_pooled","concurrency":$n,"pool_size":$n,"requests":${ls.size},"failed":0,"p50_ms":${pct(ls, 0.50)}%.1f,"p95_ms":${pct(ls, 0.95)}%.1f,"mean_ms":${ls.sum / ls.size}%.1f,"qps":$qps%.1f,"wall_s":$wall%.2f}"""
+        } finally { coord.close(); door.close() }
+      }
+
+      // ---- the CHURN row (r15 verdict item 4): covered routed traffic
+      // while a shard DIES and a parallel republish LANDS in the same
+      // window, with the promoted control plane (coordinator health loop
+      // + pooled door) driving the recovery — the failure row and the
+      // republish row composed, which is what a real deployment sees.
+      // Timeline (controller thread): steady state → SIGKILL shard 1 →
+      // replacement process respawns on the SAME port → coordinator
+      // auto-redials control plane + heals the pool → parallel
+      // republish through the coordinator → post-churn traffic. The
+      // request storm never stops; the pin is failed = 0 end to end
+      // (degraded requests serve the exact partial merge, the
+      // FleetClient doctrine) and full recovery (live_after = nShards).
+      if (!pinned) {
+        val n = levels.max
+        val door = new graft.serve.FleetDoor(ports, poolSize = n,
+          timeoutMs = timeoutMs)
+        val coord = new graft.serve.FleetCoordinator(ports, Some(door),
+          timeoutMs = timeoutMs, checkIntervalMs = 100,
+          backoffBaseMs = 100).start()
+        val pooledDoor = new SemanticSearch(corpus, HashingTfEmbedder(dim),
+          idCol = "vec_id", textCol = "label", embCol = "embedding",
+          memory = Some(new graft.serve.PooledFleetTier(door)))
+        def awaitUntil(ms: Long)(cond: => Boolean): Boolean = {
+          val deadline = System.nanoTime() + ms * 1000000L
+          var ok = cond
+          while (!ok && System.nanoTime() < deadline) {
+            Thread.sleep(50); ok = cond
+          }
+          ok
+        }
+        try {
+          (0 until 4).foreach(i =>
+            require(pooledDoor.searchResponseJson(jsonReq(qvecs(i), 5))
+              .contains("\"results\":[{"), "churn warm-up failed"))
+          @volatile var stop = false
+          val lat = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+          val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+          val t0 = System.nanoTime()
+          val threads = (0 until n).map { t =>
+            val th = new Thread(() => {
+              var i = 0
+              while (!stop) {
+                val s = System.nanoTime()
+                try {
+                  val resp = pooledDoor.searchResponseJson(
+                    jsonReq(qvecs((t * 7 + i) % qvecs.size), 5))
+                  require(resp.contains("\"results\":[{"),
+                    s"churn response empty: ${resp.take(60)}")
+                  lat.add((System.nanoTime() - s) / 1e6): Unit
+                } catch { case e: Throwable =>
+                  failures.incrementAndGet()
+                  System.err.println(s"[fleet] churn t$t req$i FAILED: ${e.getMessage}")
+                }
+                i += 1
+              }
+            })
+            th.start(); th
+          }
+          // controller: the churn script, inside the storm
+          Thread.sleep(1500) // steady state
+          System.err.println("[fleet] churn: killing shard 1")
+          val tKill = (System.nanoTime() - t0) / 1e6
+          shardProcs(1).destroyForcibly(): Unit
+          require(awaitUntil(15000)(door.anyDead(1)),
+            "churn: no pooled client ever marked the killed shard dead")
+          val minLiveDuring = door.minLiveShards
+          Thread.sleep(300)
+          shardProcs(1) = spawnShard(1, ports(1))
+          val tRespawn = (System.nanoTime() - t0) / 1e6
+          require(awaitUntil(20000)(!door.anyDead(1) &&
+            coord.liveShards == nShards),
+            "churn: coordinator never recovered the replacement shard")
+          val tRecovered = (System.nanoTime() - t0) / 1e6
+          // the republish lands while traffic still flows
+          val republishWindowMs = coord.republishParallel()
+          Thread.sleep(1000) // post-churn traffic
+          stop = true
+          threads.foreach(_.join())
+          val wall = (System.nanoTime() - t0) / 1e9
+          val ls = lat.asScala.toIndexedSeq.sorted
+          require(failures.get() == 0,
+            s"${failures.get()} requests failed across the churn — degraded " +
+              "mode must absorb kill+republish with partial results, not errors")
+          require(minLiveDuring == nShards - 1,
+            s"expected ${nShards - 1} live during the kill, got $minLiveDuring")
+          require(door.minLiveShards == nShards,
+            "churn: pool not whole after recovery")
+          extraRows +=
+            f"""{"path":"fleet_routed_churn","concurrency":$n,"requests":${ls.size},"failed":0,"shed":0,"p50_ms":${pct(ls, 0.50)}%.1f,"p95_ms":${pct(ls, 0.95)}%.1f,"mean_ms":${ls.sum / ls.size}%.1f,"qps":${ls.size / wall}%.1f,"wall_s":$wall%.2f,"killed_shard":1,"kill_at_ms":$tKill%.0f,"respawn_at_ms":$tRespawn%.0f,"recovered_at_ms":$tRecovered%.0f,"republish_window_ms":$republishWindowMs%.1f,"min_live_during":$minLiveDuring,"live_after":$nShards,"coordinator_recoveries":${coord.recoveryCount}}"""
+        } finally { coord.close(); door.close() }
       }
 
       // ---- fleet republish: amend the artifacts (one purged doc),
@@ -658,7 +861,7 @@ object FleetBench {
               val c = fired.incrementAndGet()
               if (c == killAt && killed.compareAndSet(false, true)) {
                 System.err.println(s"[fleet] killing shard 1 at request $c")
-                procs(1).destroyForcibly(): Unit
+                shardProcs(1).destroyForcibly(): Unit
               }
               val s = System.nanoTime()
               try {
@@ -708,7 +911,9 @@ object FleetBench {
         // skips the kill phase) must not delete the unpinned run's
         // degraded row
         val newPaths = cells.map(_._1).toSet ++
-          (if (pinned) Set.empty[String] else Set("fleet_dense_degraded"))
+          (if (pinned) Set.empty[String]
+           else Set("fleet_dense_degraded", "fleet_routed_pooled",
+             "fleet_routed_churn"))
         val prev = java.nio.file.Files.readString(spliceTo).trim
         val prevCells = JsonSplice.elementsOf(
           JsonSplice.member(prev, "results")
@@ -727,11 +932,14 @@ object FleetBench {
 
       // orderly fleet shutdown (dead shards skipped by the client)
       val bye = new FleetClient(ports.zipWithIndex.collect {
-        case (p, i) if procs(i).isAlive => p
+        case (p, i) if shardProcs(i).isAlive => p
       })
       bye.shutdown()
     } finally {
-      procs.foreach { p =>
+      // shardProcs holds the live table (churn replacements included);
+      // the original procs entries a replacement superseded are already
+      // dead, so sweeping both is a no-op on the stale ones
+      (procs ++ shardProcs).foreach { p =>
         if (!p.waitFor(5, java.util.concurrent.TimeUnit.SECONDS))
           p.destroyForcibly(): Unit
       }

@@ -28,8 +28,13 @@ import graft.serve.{FleetProtocol, MemoryAnnIndex, MemoryPostingsIndex, MemorySp
   * snapshot once); the ack goes out AFTER the swap, so the coordinator's
   * ack receipt IS this shard's cutover instant.
   *
-  * Usage: java -cp <classes+scala> graft.tools.FleetShardServer <workDir> <shardId>
-  * Binds an ephemeral port and prints "READY <port>" on stdout.
+  * Usage: java -cp <classes+scala> graft.tools.FleetShardServer <workDir> <shardId> [port]
+  * Binds `port` (or an ephemeral one when absent/0 — the first-launch
+  * default) and prints "READY <port>" on stdout. A REPLACEMENT process
+  * for a dead shard passes the dead shard's port explicitly, so the
+  * coordinator's redial finds it at the address it already knows — the
+  * failover contract FleetClientSpec pins with stub shards, here for
+  * real processes (the churn row exercises it).
   */
 object FleetShardServer {
 
@@ -89,7 +94,8 @@ object FleetShardServer {
     // swaps it with a single volatile store (readers mid-request keep
     // the old immutable snapshot — the ServingIndex rule)
     @volatile var indexes: Indexes = loadAll()
-    val ss = new ServerSocket(0, 128)
+    val port0 = if (args.length >= 3) args(2).toInt else 0
+    val ss = new ServerSocket(port0, 128)
     // the parent parses this line for the ephemeral port
     println(s"READY ${ss.getLocalPort}")
     System.out.flush()
