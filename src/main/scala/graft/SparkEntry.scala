@@ -4921,8 +4921,12 @@ object SparkEntry {
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
-      val edges = fwd.unionByName(
-        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      // symmetrize with ONE explode (a union's two branches would run
+      // the join+distinct twice inside PageRank's edge checkpoint)
+      val edges = fwd.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       graft.operators.PageRank.personalizedPageRank(edges,
         seeds = Seq(2L, 4L), iters = 3)
     }),

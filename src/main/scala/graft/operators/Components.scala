@@ -91,10 +91,17 @@ object Components {
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
     // symmetric edge list, materialized once; per-round joins reuse these
-    // blocks instead of re-running the (possibly expensive) pair pipeline
+    // blocks instead of re-running the (possibly expensive) pair pipeline.
+    // Symmetrization is ONE explode over a 2-struct array, not a union of
+    // two projections: union branches are separate physical subtrees, so
+    // the pair pipeline (an LSH/prefix join) would execute twice INSIDE
+    // this one materialize job (measured r16: the q62/q98/q116 plans each
+    // carried two full copies of the jaccard-prefix DAG).
     val edges = materialize(pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .repartition(parts, col("src")))
     try {
 
@@ -286,8 +293,14 @@ object Components {
   def labelPropagate(pairs: DataFrame, seeds: DataFrame, idCol: String,
                      labelCol: String, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val edges = pairs.select(col("id_a").as("__src"), col("id_b").as("__dst"))
-      .unionByName(pairs.select(col("id_b").as("__src"), col("id_a").as("__dst")))
+    // one explode, not a union of two projections — the upstream pair
+    // pipeline executes once inside the checkpoint job (see
+    // connectedComponents' edge-list note)
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("__src"), col("id_b").as("__dst")),
+        struct(col("id_b").as("__src"), col("id_a").as("__dst")))).as("__e"))
+      .select(col("__e.__src").as("__src"), col("__e.__dst").as("__dst"))
       .localCheckpoint(true) // the static side of every round's join
     val seed = seeds.select(col(idCol), col(labelCol))
     var cur = seed

@@ -86,10 +86,18 @@ object Cooccur {
       .groupBy(col("la"), col("lb"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minSupport)
-    // each surviving pair emits both directions; confidence gate exact
+    // each surviving pair emits both directions — ONE explode over a
+    // 2-struct array, not a union of two projections: union branches are
+    // separate physical subtrees, so the container self-join (the costly
+    // stage) would execute twice. Same rows, one execution.
     val directed = pairs
-      .select(col("la").as("antecedent"), col("lb").as("consequent"), col("n_ab"))
-      .unionAll(pairs.select(col("lb"), col("la"), col("n_ab")))
+      .select(explode(array(
+        struct(col("la").as("antecedent"), col("lb").as("consequent"),
+          col("n_ab")),
+        struct(col("lb").as("antecedent"), col("la").as("consequent"),
+          col("n_ab")))).as("__d"))
+      .select(col("__d.antecedent").as("antecedent"),
+        col("__d.consequent").as("consequent"), col("__d.n_ab").as("n_ab"))
     directed
       .join(broadcast(frequent.select(col("l").as("antecedent"), col("n").as("n_ant"))),
         Seq("antecedent"))

@@ -775,12 +775,20 @@ object Dedup {
     val pairs = sharedShingleRuns(reps, idCol, textCol, k, maxDf,
       minRunTokens, maxOccurrences)
     // symmetric rep-pair spans: either endpoint's group may hold the
-    // later document
+    // later document. Emitted as ONE explode over a 2-struct array, not a
+    // union of two projections: a union's branches are separate physical
+    // subtrees, so the whole shingle pipeline (explode + caps + join +
+    // diagonal window) would execute TWICE — measured as the dominant
+    // cost of q276/q284 in r16 (plan showed the full run-detection DAG
+    // duplicated under Union). Same rows, one execution.
     val sym = pairs
-      .select(col("id_a").as("__r1"), col("id_b").as("__r2"),
-        col("max_run_tokens"))
-      .unionByName(pairs.select(col("id_b").as("__r1"),
-        col("id_a").as("__r2"), col("max_run_tokens")))
+      .select(explode(array(
+        struct(col("id_a").as("__r1"), col("id_b").as("__r2"),
+          col("max_run_tokens")),
+        struct(col("id_b").as("__r1"), col("id_a").as("__r2"),
+          col("max_run_tokens")))).as("__sym"))
+      .select(col("__sym.__r1").as("__r1"), col("__sym.__r2").as("__r2"),
+        col("__sym.max_run_tokens").as("max_run_tokens"))
     val tagged = docs.join(groups, Seq(textCol))
     val crossBest = tagged
       .join(sym, col("__r1") === col("__rep") && col("__r2") < col(idCol))

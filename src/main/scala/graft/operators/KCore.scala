@@ -36,7 +36,7 @@ object KCore {
             k: Int, maxRounds: Int = 6): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     def degrees(e: DataFrame): DataFrame =
-      e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      e.select(explode(array(col("a"), col("b"))).as("id"))
         .groupBy("id").agg(count(lit(1)).as("deg"))
     var e = pairs
       .select(least(col(idA), col(idB)).as("a"), greatest(col(idA), col(idB)).as("b"))

@@ -74,18 +74,22 @@ object PageRank {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .localCheckpoint(true) // the static side of every iteration
-    val nodes = e.select(col("src").as("node_id"))
-      .unionByName(e.select(col("dst").as("node_id")))
+    // endpoint set as ONE explode (a union's branches would scan the
+    // checkpointed edges twice)
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node_id"))
       .distinct().localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "PageRank over an empty edge relation")
     val nD = n.toDouble
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+    // out-degree attached to the edge list ONCE, outside the loop: left
+    // lazy, every iteration re-ran the degree aggregate and its join
+    // (iters extra shuffles of O(E) for values that never change)
+    val ew = e.join(e.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
+      .localCheckpoint(true)
 
     var pr = nodes.withColumn("pr", init(nD))
     for (_ <- 1 to iters) {
-      val contrib = e
-        .join(outdeg, "src")
+      val contrib = ew
         .join(pr.withColumnRenamed("node_id", "src"), "src")
         .select(col("dst"), col("src"),
           (col("pr") / col("odeg").cast("double")).as("c"))

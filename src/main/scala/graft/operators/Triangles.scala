@@ -45,14 +45,21 @@ object Triangles {
     */
   def triangleCounts(pairs: DataFrame, idA: String = "id_a",
                      idB: String = "id_b"): DataFrame = {
-    // canonical undirected edge set: a < b, distinct
+    // canonical undirected edge set: a < b, distinct — materialized once
+    // (eager localCheckpoint, the Components/KCore lesson): the frame has
+    // SIX consumers below (deg twice via the endpoint explode, the two
+    // orientation joins, the wedge sides, the closing probe); left lazy,
+    // each one re-executes the whole upstream pair pipeline — measured in
+    // r16 as most of q227's 9 s.
     val e = pairs
       .select(least(col(idA), col(idB)).as("a"), greatest(col(idA), col(idB)).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint(true)
 
-    val deg = e.select(col("a").as("id"))
-      .unionAll(e.select(col("b").as("id")))
+    // endpoint multiset as ONE explode, not a union of two projections
+    // (union branches would scan `e` twice)
+    val deg = e.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
 
     // orient each edge low -> high in the (deg, id) total order
@@ -61,6 +68,8 @@ object Triangles {
       .join(deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "db"), "b")
     def lowFirst(da: Column, a: Column, db: Column, b: Column): Column =
       (da < db) || (da === db && a < b)
+    // materialized: three consumers (both wedge sides + the closing
+    // probe) would otherwise each re-run the two degree joins above
     val oriented = withDegs.select(
       when(lowFirst(col("da"), col("a"), col("db"), col("b")), col("a"))
         .otherwise(col("b")).as("src"),
@@ -68,6 +77,7 @@ object Triangles {
         struct(col("db").as("d"), col("b").as("n")))
         .otherwise(struct(col("da").as("d"), col("a").as("n"))).as("dstk"))
       .select(col("src"), col("dstk.n").as("dst"), col("dstk.d").as("ddst"))
+      .localCheckpoint(true)
 
     // wedges rooted at the order-minimum vertex: (src -> v, src -> w)
     // with v before w in the same order, then close on the (v, w) edge.
@@ -80,9 +90,9 @@ object Triangles {
     val tris = wedges.join(closing, Seq("v", "w"))
       .select(col("src").as("x"), col("v").as("y"), col("w").as("z"))
 
-    val perNode = tris.select(col("x").as("id"))
-      .unionAll(tris.select(col("y").as("id")))
-      .unionAll(tris.select(col("z").as("id")))
+    // one explode, not a 3-way union: the wedge-close join (the costly
+    // subtree) executes once instead of three times
+    val perNode = tris.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
 
     deg.join(perNode, Seq("id"), "left")
